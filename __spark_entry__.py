@@ -1,38 +1,150 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship query smoke check at sf0.001.
+queries()    — one entry per implemented operator from SURVEY.md §2.
+oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible
+               operator (rows-only operators are documented inline).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from herodb_spark.operators import aggregation as A
+from herodb_spark.operators import dedup as D
+from herodb_spark.operators import graphops as G
+from herodb_spark.operators import multimodal as MM
+from herodb_spark.operators import mutation as MU
+from herodb_spark.operators import relational as R
+from herodb_spark.operators import similarity as S
+from herodb_spark.operators import streamops as ST
+from herodb_spark.operators import textops as X
+from herodb_spark.plans import tpch
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H Q5-style local supplier volume at
+    sf0.001 (multi-way join + agg across six tables)."""
+    return tpch.q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # A. relational core (Datalog rule surface)
+    "rel_scan_filter_project": R.scan_filter_project,
+    "rel_datalog_selfjoin": R.datalog_selfjoin,
+    "rel_multiway_join": R.multiway_join,
+    "rel_semijoin_exists": R.semijoin_exists,
+    "rel_antijoin_not": R.antijoin_not,
+    "rel_union_cases": R.union_cases,
+    "rel_distinct": R.distinct_rows,
+    "rel_conditional_expr": R.conditional_expr,
+    "rel_pattern_match": R.pattern_match,
+    # B. aggregation pipeline
+    "agg_group_by": A.group_by_agg,
+    "agg_partition_topk": A.partition_topk,
+    "agg_having": A.having_filter,
+    "agg_order_range": A.order_range,
+    "agg_collect": A.collect_agg,
+    "agg_topk_then_avg": A.topk_then_avg,
+    "agg_window_running": A.window_running,
+    # C. graph
+    "graph_degree": G.graph_degree,
+    "graph_two_hop": G.graph_two_hop,
+    "graph_reachability": G.graph_reachability,
+    "graph_shortest_hops": G.graph_shortest_hops,
+    "graph_connected_components": G.graph_connected_components,
+    "graph_triangles": G.graph_triangles,
+    "graph_pagerank": G.graph_pagerank,  # rows-only: iterative agg not SQL-recursive
+    # D. mutation statements
+    "mut_upsert": MU.upsert_table,
+    "mut_update_where": MU.update_where,
+    "mut_delete_where": MU.delete_where,
+    # E. TPC-H headline
+    "tpch_q1": tpch.q1_pricing_summary,
+    "tpch_q3": tpch.q3_shipping_priority,
+    "tpch_q5": tpch.q5_local_supplier_volume,
+    "tpch_q18": tpch.q18_large_volume_customer,
+    # F. dedup
+    "dedup_exact": D.exact_dedup,
+    "dedup_ngram_jaccard": D.ngram_jaccard_pairs,
+    "dedup_minhash_lsh": D.minhash_lsh_pairs,  # rows-only: xxhash64 not in DuckDB
+    "dedup_simhash": D.simhash_pairs,  # rows-only: xxhash64 not in DuckDB
+    "dedup_embedding_cosine": D.embedding_neardup_pairs,
+    # G. similarity search
+    "ann_bruteforce_topk": S.ann_bruteforce_topk,
+    "ann_lsh_topk": S.ann_lsh_topk,  # rows-only: approximate by construction
+    "knn_join_blocked": S.knn_join_blocked,
+    # H. text analysis
+    "text_token_count": X.token_count,
+    "text_quality_score": X.quality_score,
+    "text_lang_id": X.lang_id,
+    "text_fingerprint": X.fingerprint,
+    # I. multimodal plumbing
+    "mm_binary_meta": MM.mm_binary_meta,
+    "mm_frame_sample": MM.mm_frame_sample,
+    # J. streaming (batch-parity; streaming versions in tests)
+    "stream_tumbling_agg": ST.stream_tumbling_agg,
+    "stream_sessionize": ST.stream_sessionize,
+    "stream_late_dedup": ST.stream_late_dedup,
+}
+
+
+ORACLES: dict[str, str] = {
+    "rel_scan_filter_project": R.SCAN_FILTER_PROJECT_SQL,
+    "rel_datalog_selfjoin": R.DATALOG_SELFJOIN_SQL,
+    "rel_multiway_join": R.MULTIWAY_JOIN_SQL,
+    "rel_semijoin_exists": R.SEMIJOIN_EXISTS_SQL,
+    "rel_antijoin_not": R.ANTIJOIN_NOT_SQL,
+    "rel_union_cases": R.UNION_CASES_SQL,
+    "rel_distinct": R.DISTINCT_ROWS_SQL,
+    "rel_conditional_expr": R.CONDITIONAL_EXPR_SQL,
+    "rel_pattern_match": R.PATTERN_MATCH_SQL,
+    "agg_group_by": A.GROUP_BY_AGG_SQL,
+    "agg_partition_topk": A.PARTITION_TOPK_SQL,
+    "agg_having": A.HAVING_FILTER_SQL,
+    "agg_order_range": A.ORDER_RANGE_SQL,
+    "agg_collect": A.COLLECT_AGG_SQL,
+    "agg_topk_then_avg": A.TOPK_THEN_AVG_SQL,
+    "agg_window_running": A.WINDOW_RUNNING_SQL,
+    "graph_degree": G.GRAPH_DEGREE_SQL,
+    "graph_two_hop": G.GRAPH_TWO_HOP_SQL,
+    "graph_reachability": G.GRAPH_REACHABILITY_SQL,
+    "graph_shortest_hops": G.GRAPH_SHORTEST_HOPS_SQL,
+    "graph_connected_components": G.GRAPH_CC_SQL,
+    "graph_triangles": G.GRAPH_TRIANGLES_SQL,
+    "mut_upsert": MU.UPSERT_TABLE_SQL,
+    "mut_update_where": MU.UPDATE_WHERE_SQL,
+    "mut_delete_where": MU.DELETE_WHERE_SQL,
+    "tpch_q1": tpch.Q1_SQL,
+    "tpch_q3": tpch.Q3_SQL,
+    "tpch_q5": tpch.Q5_SQL,
+    "tpch_q18": tpch.Q18_SQL,
+    "dedup_exact": D.EXACT_DEDUP_SQL,
+    "dedup_ngram_jaccard": D.NGRAM_JACCARD_SQL,
+    "dedup_embedding_cosine": D.EMBEDDING_NEARDUP_SQL,
+    "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
+    "knn_join_blocked": S.KNN_JOIN_SQL,
+    "text_token_count": X.TOKEN_COUNT_SQL,
+    "text_quality_score": X.QUALITY_SCORE_SQL,
+    "text_lang_id": X.LANG_ID_SQL,
+    "text_fingerprint": X.FINGERPRINT_SQL,
+    "mm_binary_meta": MM.MM_BINARY_META_SQL,
+    "mm_frame_sample": MM.MM_FRAME_SAMPLE_SQL,
+    "stream_tumbling_agg": ST.STREAM_TUMBLING_AGG_SQL,
+    "stream_sessionize": ST.STREAM_SESSIONIZE_SQL,
+    "stream_late_dedup": ST.STREAM_LATE_DEDUP_SQL,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

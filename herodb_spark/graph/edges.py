@@ -1,0 +1,93 @@
+"""Edge-table builders: herodb's `data class` relation fields
+(`parents * children : Person, n..n` — Kernel/Drafts/draft:33-40,
+draft_students:23-24) are edge tables in the relational model. We
+derive a trade graph from the TPC-H-ish tables:
+
+  nation --(w = #order-lines customer→supplier)--> nation
+
+and a sparse top-3-out-edges subgraph for traversal operators.
+Everything is a DataFrame; the builders are reused by every graph
+operator and by their DuckDB oracles (same SQL shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+
+
+def nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed weighted edges src_nation → dst_nation. The heavy
+    lifting is the fact-table join (lineitem⋈orders shuffles on
+    orderkey; customer/supplier broadcast); the result is tiny."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+EDGES_SQL = """
+edges AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+  GROUP BY c_nationkey, s_nationkey
+)
+"""
+
+
+def sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 outgoing edges per src (by weight desc, dst asc) — a
+    deterministic bounded-out-degree subgraph for traversal ops."""
+    e = nation_trade_edges(spark, sf_dir)
+    w = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    return e.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3).select("src", "dst")
+
+
+SPARSE_SQL = (
+    EDGES_SQL
+    + """,
+sparse AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
+    FROM edges
+  ) WHERE rk <= 3
+)
+"""
+)
+
+
+def undirected_sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric closure of the sparse graph (for components /
+    triangles)."""
+    e = sparse_edges(spark, sf_dir)
+    return (
+        e.select("src", "dst")
+        .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+
+
+UNDIRECTED_SQL = (
+    SPARSE_SQL
+    + """,
+undirected AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM sparse UNION ALL SELECT dst AS src, src AS dst FROM sparse
+  )
+)
+"""
+)

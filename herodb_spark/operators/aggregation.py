@@ -1,0 +1,226 @@
+"""Aggregation pipeline: herodb `collection_query ... partition_by /
+group_by / order_by / range_by` statements (Kernel/Drafts/draft:151-172,
+draft_students:34-53) as Catalyst plans.
+
+Mapping:
+- ``group_by k(Count/Average/Collect)`` → groupBy().agg() — partial
+  (map-side) aggregation is automatic, so at 100 TB the shuffle only
+  carries per-group partials.
+- ``partition_by k(OrderByDesc(x, n))`` → window row_number ≤ n.
+  For small bounded k, groupBy + slice(sort_array(collect_list)) is
+  the cheaper single-shuffle alternative; we keep the window form as
+  the general operator (arbitrary k, ties broken by explicit keys).
+- ``order_by + range_by a..b`` → ORDER BY + OFFSET/LIMIT. Spark
+  executes global sort as range-partitioned sort (sampling-based
+  partitioner), then a single-partition take — no driver collect.
+- ``Collect`` → sort_array(collect_list(...)) — sorted for
+  deterministic results regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+
+
+def group_by_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`group_by exam(Count, Average)` analog on events (draft:151-157)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+GROUP_BY_AGG_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def partition_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`partition_by exam(student, OrderByDesc(score, 3))`
+    (draft_students:35-39): top-3 orders by totalprice per priority
+    class. Ties broken by o_orderkey so results are deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority",
+            F.col("rk"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("decimal(18,4)"), 2).cast("double").alias("o_totalprice"),
+        )
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+PARTITION_TOPK_SQL = """
+SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk,
+         o_orderkey,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS o_totalprice
+  FROM orders
+)
+WHERE rk <= 3
+ORDER BY o_orderpriority, rk
+"""
+
+
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate `:- average_score > 5`
+    (draft:156-157): users whose average event value exceeds 55."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("avg_value") > 55)
+        .orderBy("user_id")
+    )
+
+
+HAVING_FILTER_SQL = """
+SELECT user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY user_id
+HAVING ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) > 55
+ORDER BY user_id
+"""
+
+
+def order_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`order_by x range_by 11..30` (draft:158-159): rows 11-30 of
+    customers by balance. OFFSET+LIMIT after a global range sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal").cast("decimal(18,4)"), 2).cast("double").alias("c_acctbal"),
+        )
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .offset(10)
+        .limit(20)
+    )
+
+
+ORDER_RANGE_SQL = """
+SELECT c_custkey, c_name, CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,4)), 2) AS DOUBLE) AS c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey ASC
+LIMIT 20 OFFSET 10
+"""
+
+
+def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`Collect` aggregation (draft:166-168): per-nation sorted list of
+    supplier names. sort_array makes the array order deterministic
+    (collect_list order is partition-dependent otherwise)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.groupBy("s_nationkey")
+        .agg(F.sort_array(F.collect_list("s_name")).alias("suppliers"))
+        .orderBy("s_nationkey")
+    )
+
+
+COLLECT_AGG_SQL = """
+SELECT s_nationkey, list_sort(list(s_name)) AS suppliers
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def topk_then_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The draft_students:47-52 composition: per exam take top-3
+    scores, then average them per group — here: per event_type, the
+    average of its top-3 event values.
+
+    Single-shuffle form: sort_array(collect_list) + slice beats a
+    window + re-aggregate (two shuffles) when k is small & bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    top3 = F.slice(F.sort_array(F.collect_list(F.col("value").cast("decimal(18,4)")), asc=False), 1, 3)
+    return (
+        ev.groupBy("event_type")
+        .agg(top3.alias("top3"))
+        .select(
+            "event_type",
+            F.round(
+                F.aggregate(
+                    "top3",
+                    F.lit(0).cast("decimal(28,4)"),
+                    lambda acc, x: (acc + x).cast("decimal(28,4)"),
+                ).cast("double")
+                / F.size("top3"),
+                6,
+            ).alias("avg_top3"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TOPK_THEN_AVG_SQL = """
+SELECT event_type,
+       ROUND(CAST(list_sum(top3) AS DOUBLE) / len(top3), 6) AS avg_top3
+FROM (
+  SELECT event_type,
+         (list_sort(list(CAST(value AS DECIMAL(18,4))), 'DESC'))[1:3] AS top3
+  FROM events GROUP BY event_type
+)
+ORDER BY event_type
+"""
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence functions (draft:168): running event count + cumulative
+    value per user ordered by time (first 200 users to bound output)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("seq"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).over(w), 2
+            ).cast("double").alias("running_value"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER w AS seq,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS running_value
+FROM events
+WHERE user_id < 200
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, seq
+"""

@@ -1,0 +1,197 @@
+"""Deduplication operators over `documents` — the training-data
+pipeline surface.
+
+Scale design:
+- `exact_dedup`: hash-groupBy — one shuffle on a 128-bit digest,
+  perfectly parallel at any corpus size.
+- `ngram_jaccard_pairs`: *exact* all-pairs verification. O(n²) by
+  construction — this is the small-scale oracle-checked reference
+  semantics; at 100 TB you run `minhash_lsh_pairs` which computes the
+  same join against LSH candidate buckets instead of the cross join.
+- `minhash_lsh_pairs`: shingle → 64-perm MinHash → 32 bands × 2 rows
+  → explode band keys → groupBy bucket → pair-join within bucket →
+  exact-jaccard verify. Every stage is a bounded shuffle keyed on
+  content hashes; no driver state, no global structure. Band/row
+  choice gives ≥99.9% recall at jaccard ≥ 0.5.
+- `simhash_pairs`: 64-bit SimHash, candidates from 4×16-bit chunk
+  buckets (exact for hamming ≤ 3 by pigeonhole; we keep pairs ≤ 8
+  after verification), verify via bit_count(xor).
+- `embedding_neardup_pairs`: cosine ≥ τ pairs; exact all-pairs here
+  (oracle-checked), LSH-bucketed variant in similarity.ann_lsh_topk
+  is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+from herodb_spark.functions import hashing as H
+from herodb_spark.functions import text as T
+from herodb_spark.functions import vector as V
+
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.35
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5(text) → keeper id + copy count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY keep_id
+"""
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", H.word_shingles(T.tokens(F.col("text")), 3).alias("sh")
+    ).where(F.size("sh") > 0)
+
+
+def _jaccard(a, b):
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (jac ≥ 0.5), i < j."""
+    sh = _with_shingles(load_table(spark, sf_dir, "documents"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = _jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
+           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i+2])) AS sh
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ 0.5.
+
+    The 100-TB path: candidate generation is a groupBy on
+    (band_id, band_key) — cardinality grows with the corpus, so
+    buckets stay small and the pair join never materializes the cross
+    product. Driver check is rows-only (xxhash64 has no DuckDB
+    equivalent); semantics pinned by test_dedup comparing against
+    ngram_jaccard_pairs (LSH recall must cover every exact pair).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _with_shingles(docs)
+    sig = sh.select("doc_id", "sh", H.minhash_signature(F.col("sh"), 64).alias("sig"))
+    bands = sig.select(
+        "doc_id", F.explode(H.lsh_bands(F.col("sig"), bands=32, rows=2)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_id", "band_key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    jac = _jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature, bucket by the 4
+    16-bit chunks (any pair within hamming ≤ 3 shares ≥ 1 chunk),
+    verify hamming ≤ 8. Rows-only driver check (xxhash64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", H.simhash64(T.tokens(F.col("text"))).alias("sig"))
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "sig", "ch.chunk_id", "ch.chunk_val")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk_id", "chunk_val"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            H.hamming64(F.col("x.sig"), F.col("y.sig")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= 8).orderBy("doc_a", "doc_b")
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.35, i < j (exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    cos = V.cosine_rounded(F.col("e_a"), F.col("e_b"), 6)
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+EMBEDDING_NEARDUP_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i]))
+               / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.emb, x -> x * x)))), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.35 ORDER BY vec_a, vec_b
+"""

@@ -1,0 +1,130 @@
+"""Table mutation statements (reference Kernel/Drafts/draft:132-150):
+`set` / `update ... :- pred` / `remove ... :- pred` re-expressed as
+batch dataset transforms — the Spark-native semantics for bulk
+mutation (write a new snapshot / MERGE INTO on a lakehouse table).
+
+Each operator takes the base table plus a *derived* change set (so the
+whole thing stays declarative and oracle-checkable), and returns the
+post-mutation table. On a lakehouse (Delta/Iceberg) these become MERGE
+/ UPDATE / DELETE; the plan shape (join on key + projection) is
+identical — that join is exactly what MERGE compiles to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+
+
+def upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`set Table(...)` with Unique(id) semantics (draft:134,
+    draft:46): upsert a change set into customer on c_custkey.
+    Change set: every BUILDING customer with balance bumped +100 and
+    5 brand-new synthetic customers. Existing keys are replaced, new
+    keys inserted."""
+    cust = load_table(spark, sf_dir, "customer")
+    updates = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal").cast("decimal(18,4)") + 100, 2).cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    new_rows = spark.range(1, 6).select(
+        (F.lit(9_000_000) + F.col("id")).alias("c_custkey"),
+        F.concat(F.lit("Customer#new"), F.col("id")).alias("c_name"),
+        (F.col("id") % 25).cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+    )
+    changes = updates.unionByName(new_rows)
+    base = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal").cast("decimal(18,4)"), 2).cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    kept = base.join(changes.select("c_custkey"), "c_custkey", "left_anti")
+    return kept.unionByName(changes).orderBy("c_custkey")
+
+
+UPSERT_TABLE_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,4)), 2) AS DOUBLE) AS c_acctbal,
+         c_mktsegment
+  FROM customer
+),
+changes AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,4)) + 100, 2) AS DOUBLE) AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT 9000000 + i, 'Customer#new' || i, CAST(i % 25 AS INT), 0.0, 'BUILDING'
+  FROM range(1, 6) t(i)
+)
+SELECT * FROM (
+  SELECT * FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+  UNION ALL
+  SELECT * FROM changes
+) ORDER BY c_custkey
+"""
+
+
+def update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`update T(a,b,c) :- pred, c = f(a,b)` (draft:135): apply a 5%
+    discount-cap adjustment to all lineitems shipped after 2000-01-01;
+    other rows unchanged. Returns the changed rows (audit view)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pred = F.col("l_shipdate") > F.lit("2000-01-01")
+    new_disc = F.least(F.col("l_discount").cast("decimal(18,4)"), F.lit(0.05).cast("decimal(18,4)"))
+    return (
+        li.where(pred)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_discount").cast("decimal(18,4)"), 4).cast("double").alias("old_discount"),
+            F.round(new_disc, 4).cast("double").alias("new_discount"),
+        )
+        .where(F.col("old_discount") != F.col("new_discount"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+UPDATE_WHERE_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(CAST(l_discount AS DECIMAL(18,4)), 4) AS DOUBLE) AS old_discount,
+       CAST(ROUND(least(CAST(l_discount AS DECIMAL(18,4)), CAST(0.05 AS DECIMAL(18,4))), 4) AS DOUBLE) AS new_discount
+FROM lineitem
+WHERE l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+  AND CAST(ROUND(CAST(l_discount AS DECIMAL(18,4)), 4) AS DOUBLE)
+      <> CAST(ROUND(least(CAST(l_discount AS DECIMAL(18,4)), CAST(0.05 AS DECIMAL(18,4))), 4) AS DOUBLE)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`remove T(...) :- pred` (draft:136-138): delete orders of
+    customers with negative balance; return the surviving table's
+    per-priority counts (compact post-state proof)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    bad = cust.where(F.col("c_acctbal") < 0).select("c_custkey")
+    survivors = orders.join(bad, orders.o_custkey == bad.c_custkey, "left_anti")
+    return (
+        survivors.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+DELETE_WHERE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

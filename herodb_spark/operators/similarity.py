@@ -1,0 +1,166 @@
+"""Similarity search over the `embeddings` table.
+
+Scale design:
+- `ann_bruteforce_topk`: the exact baseline. The (small) query set is
+  broadcast; the corpus streams through one scan; per-query top-k via
+  window over (query, cosine). At 100 TB the corpus side never
+  shuffles — broadcast-nested-loop with the query side tiny.
+- `knn_join_blocked`: k-NN join *within* a blocking key (label) —
+  the blocked self-join shuffles once on the key; block sizes bound
+  memory. This is the pattern for partitioned/IVF-style ANN: replace
+  `label` with a learned/deterministic bucket id.
+- `ann_lsh_topk`: random-hyperplane LSH: 16 deterministic hyperplanes
+  (coefficients derived from xxhash64 — no RNG state to ship), sign
+  bits → bucket key; probe joins on bucket, exact cosine rerank.
+  The IVF/LSH scale path: corpus bucketed once, probes touch one
+  bucket each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+from herodb_spark.functions import vector as V
+
+K = 5
+N_QUERIES = 10
+N_PLANES = 12
+
+
+def _queries(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors vec_id < 10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(_queries(emb))
+    cos = V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        q.crossJoin(emb)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= K)
+        .select("q_id", "rk", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .orderBy("q_id", "rk")
+    )
+
+
+ANN_BRUTEFORCE_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         ROUND(list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i] * e.emb[i]))
+               / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+                  * sqrt(list_sum(list_transform(e.emb, x -> x * x)))), 6) AS cosine
+  FROM q, e
+  WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk, cosine
+  FROM scored
+)
+SELECT q_id, rk, vec_id AS neighbor_id, cosine FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
+"""
+
+
+def knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-NN join within label blocks: for every vector, its 3 nearest
+    same-label neighbors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("label"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    cos = V.cosine_rounded(F.col("e_a"), F.col("e_b"), 6)
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), F.asc("vec_b"))
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .select("label", "vec_a", "vec_b", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("label", "vec_a", "rk", F.col("vec_b").alias("neighbor_id"), "cosine")
+        .orderBy("vec_a", "rk")
+    )
+
+
+KNN_JOIN_SQL = """
+WITH e AS (
+  SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+scored AS (
+  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i]))
+               / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.emb, x -> x * x)))), 6) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT label, vec_a, vec_b,
+         ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY cosine DESC, vec_b ASC) AS rk, cosine
+  FROM scored
+)
+SELECT label, vec_a, rk, vec_b AS neighbor_id, cosine FROM ranked WHERE rk <= 3 ORDER BY vec_a, rk
+"""
+
+
+def _hyperplane_sig(emb_col: F.Column) -> F.Column:
+    """LSH signature: bit j = sign of dot(v, plane_j); plane_j[d] is a
+    deterministic pseudo-random ±[0,1) coefficient from xxhash64(j,d).
+    No RNG state: any executor recomputes the same planes."""
+    def coeff(j, d):
+        h = F.xxhash64(j, d)
+        return (F.pmod(h, F.lit(10000)).cast("double") / 5000.0) - 1.0
+
+    def bit(j: int):
+        proj = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.sequence(F.lit(0), F.size(emb_col) - 1),
+                lambda x, d: x.cast("double") * coeff(F.lit(j), d),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+
+    out = bit(0)
+    for j in range(1, N_PLANES):
+        out = out.bitwiseOR(bit(j))
+    return out
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: queries probe only their signature bucket,
+    exact cosine rerank inside. Approximate by construction (driver
+    check: rows-only); recall vs the exact baseline is asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding", _hyperplane_sig(F.col("embedding")).alias("sig"))
+    q = F.broadcast(
+        corpus.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("sig").alias("q_sig")
+        )
+    )
+    cos = V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        q.join(corpus, F.col("sig") == F.col("q_sig"))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= K)
+        .select("q_id", "rk", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .orderBy("q_id", "rk")
+    )

@@ -1,0 +1,109 @@
+"""Text-analysis operators over the `documents` table — the
+training-data-pipeline surface (language ID, quality scoring, token
+counting, fingerprinting). All pure Column expressions from
+herodb_spark.functions.text: whole-stage-codegen, no Python in the
+scan path, so these sustain full parquet scan throughput at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+from herodb_spark.functions import text as T
+
+_STOP_SQL_LIST = "['" + "','".join(T.STOPWORDS_EN) + "']"
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            T.token_count("text").alias("n_tokens"),
+            T.punct_count("text").alias("n_punct"),
+            F.length("text").alias("n_chars_computed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+       length(text) AS n_chars_computed
+FROM documents ORDER BY doc_id
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.quality_score("text").alias("quality"))
+        .where(F.col("quality") >= 0.5)
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_SCORE_SQL = rf"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS nt,
+         CAST(length(text) AS DOUBLE) AS nc,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              t -> list_contains({_STOP_SQL_LIST}, t))) AS DOUBLE) AS nstop
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(0.4 * least(1.0, nt / 100.0)
+           + 0.3 * (1.0 - least(1.0, 10.0 * npunct / nc))
+           + 0.3 * least(1.0, 5.0 * nstop / nt), 6) AS quality
+FROM feats
+WHERE ROUND(0.4 * least(1.0, nt / 100.0)
+          + 0.3 * (1.0 - least(1.0, 10.0 * npunct / nc))
+          + 0.3 * least(1.0, 5.0 * nstop / nt), 6) >= 0.5
+ORDER BY doc_id
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language guess + agreement with the corpus
+    ground-truth label, aggregated per (lang, guess)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_guess("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "guess")
+    )
+
+
+LANG_ID_SQL = rf"""
+WITH g AS (
+  SELECT lang,
+         CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                        t -> list_contains({_STOP_SQL_LIST}, t))) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\s+')) >= 0.03
+              THEN 'en' ELSE 'other' END AS guess
+  FROM documents
+)
+SELECT lang, guess, COUNT(*) AS n_docs FROM g GROUP BY lang, guess ORDER BY lang, guess
+"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.fingerprint("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+"""

@@ -1,0 +1,81 @@
+"""Structured Streaming operators over the events log.
+
+The reference's WAL/transaction-log design (Rewrite.md:4-16 — ordered
+log of updates, replay on recovery) maps to Spark's streaming model:
+an append-only event source, watermarks for late data, windowed state,
+exactly-once sinks via checkpointing.
+
+Each transform here is written against a plain DataFrame so the SAME
+function serves the batch oracle-checked query and the readStream
+pipeline (batch/stream parity is the point of Structured Streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SESSION_GAP = "30 minutes"
+WATERMARK = "2 hours"
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling window counts/sums per event_type. In streaming
+    mode the groupBy state is bounded by the watermark."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user via
+    F.session_window — native streaming state operator; in batch mode
+    it compiles to a sort-based session assignment."""
+    return (
+        events.groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_keep_first(events: DataFrame) -> DataFrame:
+    """Idempotent ingestion: keep the first occurrence per event_id
+    (streaming: dropDuplicates with watermark; batch: min-ts filter),
+    then count survivors per type."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    first = events.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    return first.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream version of the events table (file source). The ns
+    timestamp is read as long (same conf as the batch catalog) and
+    converted to µs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).withWatermark("ts", WATERMARK)

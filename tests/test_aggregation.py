@@ -1,0 +1,22 @@
+from __future__ import annotations
+
+import pytest
+
+from herodb_spark.operators import aggregation as A
+from tests.harness import compare
+
+CASES = [
+    (A.group_by_agg, A.GROUP_BY_AGG_SQL),
+    (A.partition_topk, A.PARTITION_TOPK_SQL),
+    (A.having_filter, A.HAVING_FILTER_SQL),
+    (A.order_range, A.ORDER_RANGE_SQL),
+    (A.collect_agg, A.COLLECT_AGG_SQL),
+    (A.topk_then_avg, A.TOPK_THEN_AVG_SQL),
+    (A.window_running, A.WINDOW_RUNNING_SQL),
+]
+
+
+@pytest.mark.parametrize("fn,sql", CASES, ids=[f.__name__ for f, _ in CASES])
+def test_aggregation_oracle(spark, sf_dir, duck, fn, sql):
+    res = compare(fn(spark, sf_dir), sql, duck)
+    assert res["ok"], res

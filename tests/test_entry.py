@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+import importlib.util
+import os
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+spec = importlib.util.spec_from_file_location("spark_entry", os.path.join(HERE, "__spark_entry__.py"))
+entry_mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry_mod)
+
+
+def test_oracle_keys_subset_of_queries():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q), set(o) - set(q)
+    rows_only = set(q) - set(o)
+    # every rows-only op is one of the documented non-SQL-expressible ones
+    assert rows_only == {"graph_pagerank", "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk"}, rows_only
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["n_name", "revenue"]

@@ -1,0 +1,49 @@
+"""True Structured Streaming runs of the streaming operators: the same
+transform functions as the batch-parity queries, executed through
+readStream → memory sink, compared against the batch results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+from herodb_spark.streaming import ops as SO
+
+
+def _run_stream_to_memory(spark, sdf, name):
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("complete").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    stream_in = SO.stream_events(spark, sf_dir)
+    out = _run_stream_to_memory(spark, SO.tumbling_agg(stream_in), "t_tumbling")
+    batch = SO.tumbling_agg(load_table(spark, sf_dir, "events"))
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir):
+    stream_in = SO.stream_events(spark, sf_dir)
+    out = _run_stream_to_memory(spark, SO.sessionize(stream_in), "t_session")
+    batch = SO.sessionize(load_table(spark, sf_dir, "events"))
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+
+
+def test_stream_dedup_dropduplicates(spark, sf_dir):
+    """Streaming-native dedup: dropDuplicates on event_id over the
+    stream equals the batch keep-first counts (event_ids are unique in
+    the synthetic log, so keep-first == distinct)."""
+    stream_in = SO.stream_events(spark, sf_dir)
+    deduped = stream_in.dropDuplicates(["event_id"]).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_events")
+    )
+    out = _run_stream_to_memory(spark, deduped, "t_dedup")
+    batch = SO.dedup_keep_first(load_table(spark, sf_dir, "events"))
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
