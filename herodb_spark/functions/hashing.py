@@ -25,62 +25,58 @@ def word_shingles(tokens_col: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array())
 
 
-def minhash_signature(shingles_col: Column, num_perm: int = 64) -> Column:
-    """num_perm-wide MinHash signature: sig[i] = min over shingles of
-    xxhash64(i, shingle). One pass over the shingle array per perm,
-    all inside codegen."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform(shingles_col, lambda s: F.xxhash64(i, s))),
+def minhash_aggs(shingle_col: Column, num_perm: int = 64) -> list[Column]:
+    """MinHash as plain aggregates over an *exploded* shingle column:
+    sig[i] = MIN(xxhash64(i, shingle)).
+
+    Deliberately NOT a higher-order-function fold over the shingle
+    array: Spark evaluates HOF lambdas interpreted (outside
+    whole-stage codegen), which measured ~10× slower. Exploded
+    min-aggregates are codegen'd, get map-side partial aggregation,
+    and scale linearly with corpus size."""
+    return [F.min(F.xxhash64(F.lit(i), shingle_col)).alias(f"mh{i}") for i in range(num_perm)]
+
+
+def lsh_band_structs(num_perm: int = 64, bands: int = 32) -> Column:
+    """Band keys from the mh0..mh{num_perm-1} signature columns of
+    minhash_aggs: array of (band_id, band_key) structs where band_key
+    hashes that band's signature slots. Explode + groupBy
+    (band_id, band_key) gives LSH buckets — key cardinality scales
+    with the corpus, so buckets stay small at any scale (no global
+    structure, no driver state)."""
+    rows = num_perm // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
 
 
-def lsh_bands(sig_col: Column, bands: int = 16, rows: int = 4) -> Column:
-    """Split a signature into `bands` keys: array of structs
-    (band_id, band_key) where band_key hashes `rows` signature slots.
-    Explode + groupBy(band_id, band_key) gives LSH buckets — the join
-    key cardinality scales with corpus size, so bucketing is shuffle-
-    friendly at any scale (no global structure, no driver state)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.xxhash64(b, F.concat_ws(",", F.slice(sig_col, b * rows + 1, rows))).alias("band_key"),
-        ),
-    )
-
-
-def simhash64(tokens_col: Column) -> Column:
-    """64-bit SimHash of a token multiset: per bit j, sum +1/-1 votes
-    of xxhash64(token) bit j, weighted by token multiplicity; bit set
-    when the vote is positive. One fold over the token array carrying
-    a 64-wide counter array — all JVM-side. (Bit positions are Python
-    ints because shiftleft/shiftright take a literal bit count.)"""
-    counters = F.aggregate(
-        tokens_col,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                    ).otherwise(F.lit(-1))
-                    for j in range(64)
-                ]
-            ),
-            lambda a, v: a + v.cast("long"),
-        ),
-    )
-    bit_terms = [
-        F.when(F.element_at(counters, j + 1) > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-            F.lit(0).cast("long")
-        )
+def simhash_vote_aggs(token_col: Column) -> list[Column]:
+    """SimHash bit votes as plain aggregates over an *exploded* token
+    column: vote[j] = SUM(bit_j(xxhash64(token)) ? +1 : -1). Same
+    explode-not-HOF rationale as minhash_aggs (codegen + map-side
+    combine)."""
+    h = F.xxhash64(token_col)
+    return [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{j}")
         for j in range(64)
     ]
-    out = bit_terms[0]
-    for term in bit_terms[1:]:
-        out = out.bitwiseOR(term)
+
+
+def simhash_from_votes() -> Column:
+    """Recombine the v0..v63 vote columns into the 64-bit signature."""
+    out = F.lit(0).cast("long")
+    for j in range(64):
+        out = out.bitwiseOR(
+            F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        )
     return out
 
 

@@ -110,9 +110,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = _with_shingles(docs)
-    sig = sh.select("doc_id", "sh", H.minhash_signature(F.col("sh"), 64).alias("sig"))
+    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    sig = exploded.groupBy("doc_id").agg(*H.minhash_aggs(F.col("s"), 64))
     bands = sig.select(
-        "doc_id", F.explode(H.lsh_bands(F.col("sig"), bands=32, rows=2)).alias("band")
+        "doc_id", F.explode(H.lsh_band_structs(num_perm=64, bands=32)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
     cand = (
         bands.alias("x")
@@ -136,7 +137,9 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit chunks (any pair within hamming ≤ 3 shares ≥ 1 chunk),
     verify hamming ≤ 8. Rows-only driver check (xxhash64)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select("doc_id", H.simhash64(T.tokens(F.col("text"))).alias("sig"))
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
+    votes = toks.groupBy("doc_id").agg(*H.simhash_vote_aggs(F.col("t")))
+    sigs = votes.select("doc_id", H.simhash_from_votes().alias("sig"))
     chunks = sigs.select(
         "doc_id",
         "sig",

@@ -1,0 +1,87 @@
+"""Source/sink registry: the reference's storage engine
+(Kernel/Source/Utility/Buffer.h — page sources over files and memory;
+FileBuffer.h / InMemoryBuffer.h) maps onto Spark's datasource API.
+Where herodb pages + WAL give durability and buffer management, Spark
+delegates to columnar files + the commit protocol; what remains *our*
+responsibility is physical layout — the analog of herodb's declared
+indexes (draft:44-47):
+
+  index Hash(k)     → partitionBy(k) directory layout (partition
+                      pruning = hash-index lookup)
+  index Ordered(k)  → sortWithinPartitions(k) (+ parquet min/max row-
+                      group stats = range-index scan)
+  index Unique(k)   → dedup-on-write enforcement
+
+Readers return lazy DataFrames so Catalyst pushes filters/projection
+into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+READ_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read a table from any supported format. CSV/JSON get explicit
+    schemas in production paths — runtime inference reads the data
+    twice and can drift between runs."""
+    if fmt not in READ_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {READ_FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", "true")
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    sort_within_by: list[str] | None = None,
+    unique_key: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write with declared-index layout semantics.
+
+    - partition_by → `index Hash(...)`: directory partitioning; scans
+      filtered on these columns prune whole directories.
+    - sort_within_by → `index Ordered(...)`: rows sorted inside each
+      file so parquet row-group min/max stats skip pages on range
+      predicates.
+    - unique_key → `index Unique(...)`: keep one row per key
+      (deterministically: the min of a total ordering over remaining
+      columns), enforcing the constraint on write like herodb's
+      unique index does on insert.
+    """
+    if unique_key:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        others = [c for c in df.columns if c not in unique_key]
+        w = Window.partitionBy(*unique_key).orderBy(*[F.col(c).asc_nulls_last() for c in others])
+        df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    if sort_within_by:
+        if partition_by:
+            df = df.repartition(*[df[c] for c in partition_by])
+        df = df.sortWithinPartitions(*sort_within_by)
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
