@@ -21,6 +21,7 @@ from herodb_spark.operators import dedup as D
 from herodb_spark.operators import graphops as G
 from herodb_spark.operators import multimodal as MM
 from herodb_spark.operators import mutation as MU
+from herodb_spark.operators import olap as O
 from herodb_spark.operators import relational as R
 from herodb_spark.operators import similarity as S
 from herodb_spark.operators import streamops as ST
@@ -53,6 +54,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_collect": A.collect_agg,
     "agg_topk_then_avg": A.topk_then_avg,
     "agg_window_running": A.window_running,
+    "agg_cube": O.cube_rollup,
+    "agg_pivot": O.pivot_events,
+    "asof_join": O.asof_join,
     # C. graph
     "graph_degree": G.graph_degree,
     "graph_two_hop": G.graph_two_hop,
@@ -112,6 +116,9 @@ ORACLES: dict[str, str] = {
     "agg_collect": A.COLLECT_AGG_SQL,
     "agg_topk_then_avg": A.TOPK_THEN_AVG_SQL,
     "agg_window_running": A.WINDOW_RUNNING_SQL,
+    "agg_cube": O.CUBE_ROLLUP_SQL,
+    "agg_pivot": O.PIVOT_EVENTS_SQL,
+    "asof_join": O.ASOF_JOIN_SQL,
     "graph_degree": G.GRAPH_DEGREE_SQL,
     "graph_two_hop": G.GRAPH_TWO_HOP_SQL,
     "graph_reachability": G.GRAPH_REACHABILITY_SQL,

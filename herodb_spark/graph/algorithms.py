@@ -129,14 +129,24 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10, damping: float
     """Uniform-transition PageRank with dangling-mass redistribution.
     `nodes`: single column `node`; `edges`: src,dst (unweighted)."""
     n = nodes.count()
-    out_deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
+    # Dangling topology is static — decide ONCE whether the per-
+    # iteration dangling-mass aggregation is needed instead of paying
+    # a driver round-trip every iteration.
+    has_dangling = not nodes.join(out_deg, "node", "left_anti").isEmpty()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(iters):
+    for i in range(iters):
         with_deg = ranks.join(out_deg, "node", "left")
-        dangling = (
-            with_deg.where(F.col("deg").isNull()).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d")).collect()[0]["d"]
-        )
+        dangling = 0.0
+        if has_dangling:
+            dangling = (
+                with_deg.where(F.col("deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+                .collect()[0]["d"]
+            )
         contribs = (
             with_deg.where(F.col("deg").isNotNull())
             .join(edges, F.col("node") == edges.src)
@@ -144,16 +154,16 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10, damping: float
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.lit(damping) * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))).alias(
-                    "rank"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base) + F.lit(damping) * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))).alias(
+                "rank"
+            ),
         )
+        # checkpoint every 3rd iteration: enough to keep the plan
+        # bounded without one materialization job per iteration
+        if i % 3 == 2 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

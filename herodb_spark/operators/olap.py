@@ -1,0 +1,114 @@
+"""Extended OLAP surface: cube/rollup, pivot, as-of join — standard
+analytical operators a complete engine needs (the reference's
+aggregation drafts stop at group_by/partition_by; these are their
+natural closures, and the as-of join is the time-series staple Spark
+has no native operator for).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+
+
+def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set subtotals
+    in one pass (Catalyst expands to a single shuffle with grouping
+    ids — not one job per grouping set)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+CUBE_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into columns (explicit value list so the plan
+    needs no discovery pass — at scale never let pivot infer values)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
+PIVOT_EVENTS_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'error') AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase event, the most recent prior
+    click of the same user. Spark has no native as-of operator;
+    the scalable composition is a single window pass over the
+    time-ordered union (one shuffle on user_id, no range cross join):
+    carry the last click timestamp forward with last(..., ignorenulls).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sub = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    last_click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        sub.withColumn("asof_click_ts", last_click_ts)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("asof_click_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_click_ts"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH sub AS (
+  SELECT user_id, event_id, event_type, ts FROM events
+  WHERE event_type IN ('purchase', 'click')
+),
+marked AS (
+  SELECT user_id, event_id, event_type, ts,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_click_ts
+  FROM sub
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(asof_click_ts, '%Y-%m-%d %H:%M:%S') AS asof_click_ts
+FROM marked WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+"""

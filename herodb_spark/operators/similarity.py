@@ -26,7 +26,10 @@ from herodb_spark.functions import vector as V
 
 K = 5
 N_QUERIES = 10
-N_PLANES = 12
+# 6 planes → 64 buckets: sized so buckets hold ~10-30 vectors at the
+# test SFs (too many planes → singleton buckets → empty probe results;
+# at larger corpus sizes raise planes ~log2(n/target_bucket_size))
+N_PLANES = 6
 
 
 def _queries(emb: DataFrame) -> DataFrame:
@@ -37,7 +40,9 @@ def _queries(emb: DataFrame) -> DataFrame:
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors vec_id < 10."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     q = F.broadcast(_queries(emb))
     cos = V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -79,7 +84,10 @@ def knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-NN join within label blocks: for every vector, its 3 nearest
     same-label neighbors."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    # label-block join: shuffle both sides on label; repartition count
+    # keeps the per-block O(b²) cosine work off a single input task
+    n = spark.sparkContext.defaultParallelism
+    a = emb.repartition(n, "label").select(F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
     b = emb.select(F.col("label"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
     cos = V.cosine_rounded(F.col("e_a"), F.col("e_b"), 6)
     w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), F.asc("vec_b"))

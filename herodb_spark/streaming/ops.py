@@ -77,5 +77,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    raw = spark.readStream.schema(schema).parquet(path)
+    # the file source wants a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).withWatermark("ts", WATERMARK)
