@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from herodb_spark.operators import aggregation as A
 from herodb_spark.operators import dedup as D
+from herodb_spark.operators import extra as E
 from herodb_spark.operators import graphops as G
 from herodb_spark.operators import multimodal as MM
 from herodb_spark.operators import mutation as MU
@@ -65,6 +66,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_connected_components": G.graph_connected_components,
     "graph_triangles": G.graph_triangles,
     "graph_pagerank": G.graph_pagerank,  # rows-only: iterative agg not SQL-recursive
+    "graph_weighted_sssp": E.graph_weighted_sssp,
     # D. mutation statements
     "mut_upsert": MU.upsert_table,
     "mut_update_where": MU.update_where,
@@ -74,6 +76,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": tpch.q3_shipping_priority,
     "tpch_q5": tpch.q5_local_supplier_volume,
     "tpch_q18": tpch.q18_large_volume_customer,
+    "tpch_q7": E.tpch_q7_nation_volume,
+    "tpch_q10": E.tpch_q10_returned_revenue,
     # F. dedup
     "dedup_exact": D.exact_dedup,
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs,
@@ -96,6 +100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling_agg": ST.stream_tumbling_agg,
     "stream_sessionize": ST.stream_sessionize,
     "stream_late_dedup": ST.stream_late_dedup,
+    "stream_sliding_agg": E.stream_sliding_agg,
 }
 
 
@@ -124,6 +129,7 @@ ORACLES: dict[str, str] = {
     "graph_reachability": G.GRAPH_REACHABILITY_SQL,
     "graph_shortest_hops": G.GRAPH_SHORTEST_HOPS_SQL,
     "graph_connected_components": G.GRAPH_CC_SQL,
+    "graph_weighted_sssp": E.GRAPH_WEIGHTED_SSSP_SQL,
     "graph_triangles": G.GRAPH_TRIANGLES_SQL,
     "mut_upsert": MU.UPSERT_TABLE_SQL,
     "mut_update_where": MU.UPDATE_WHERE_SQL,
@@ -132,6 +138,8 @@ ORACLES: dict[str, str] = {
     "tpch_q3": tpch.Q3_SQL,
     "tpch_q5": tpch.Q5_SQL,
     "tpch_q18": tpch.Q18_SQL,
+    "tpch_q7": E.TPCH_Q7_SQL,
+    "tpch_q10": E.TPCH_Q10_SQL,
     "dedup_exact": D.EXACT_DEDUP_SQL,
     "dedup_ngram_jaccard": D.NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": D.EMBEDDING_NEARDUP_SQL,
@@ -146,6 +154,7 @@ ORACLES: dict[str, str] = {
     "stream_tumbling_agg": ST.STREAM_TUMBLING_AGG_SQL,
     "stream_sessionize": ST.STREAM_SESSIONIZE_SQL,
     "stream_late_dedup": ST.STREAM_LATE_DEDUP_SQL,
+    "stream_sliding_agg": E.STREAM_SLIDING_AGG_SQL,
 }
 
 

@@ -70,6 +70,26 @@ sparse AS (
 )
 
 
+def sparse_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 outgoing edges per src, keeping the weight column."""
+    e = nation_trade_edges(spark, sf_dir)
+    w = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    return e.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3).select("src", "dst", "w")
+
+
+SPARSE_W_SQL = (
+    EDGES_SQL
+    + """,
+sparse_w AS (
+  SELECT src, dst, w FROM (
+    SELECT src, dst, w, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
+    FROM edges
+  ) WHERE rk <= 3
+)
+"""
+)
+
+
 def undirected_sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric closure of the sparse graph (for components /
     triangles)."""

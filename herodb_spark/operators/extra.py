@@ -1,0 +1,173 @@
+"""Round-out coverage: sliding windows, weighted shortest path, two
+more TPC-H-pattern queries. All oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+from herodb_spark.graph import edges as GE
+
+
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h window, 15-min slide) per event_type —
+    F.window with a slide assigns each event to duration/slide
+    windows; the oracle enumerates the same 4 offsets explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+STREAM_SLIDING_AGG_SQL = """
+SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events, generate_series(0, 3) t(k)
+GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest path from nation 0 over the SPARSE trade
+    graph (top-3 out-edges — the full graph is near-complete, which
+    makes the oracle's path recursion explode combinatorially:
+    24^6 ≈ 2e8 paths vs 3^6 = 729); edge cost = 1/w scaled to an
+    integer 'latency' so costs are exact across engines. Bounded
+    Bellman-Ford: 6 relaxation rounds, same bound in the oracle."""
+    e = GE.sparse_weighted_edges(spark, sf_dir)
+    # integer cost: bigger trade volume → cheaper edge; exact arithmetic
+    # explicit floor: DuckDB '/' is float division and its double→int
+    # cast rounds, Spark's truncates — floor pins both to the same value
+    edges = e.select(
+        "src", "dst", F.floor(F.lit(1_000_000) / F.col("w")).cast("long").alias("cost")
+    ).localCheckpoint(eager=True)
+    spark_dtype = dict(edges.dtypes)["src"]
+    dist = spark.createDataFrame([(0, 0)], "node int, dist long").withColumn(
+        "node", F.col("node").cast(spark_dtype)
+    )
+    for _ in range(6):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("dist"))
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist = relaxed
+    return dist.orderBy("node")
+
+
+GRAPH_WEIGHTED_SSSP_SQL = (
+    "WITH RECURSIVE "
+    + GE.SPARSE_W_SQL
+    + """
+, wedges AS (
+  SELECT src, dst, CAST(FLOOR(1000000 / w) AS BIGINT) AS cost FROM sparse_w
+),
+paths(node, dist, depth) AS (
+  SELECT 0, CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, p.dist + e.cost, p.depth + 1
+  FROM wedges e, paths p
+  WHERE e.src = p.node AND p.depth < 6
+)
+SELECT node, MIN(dist) AS dist FROM paths GROUP BY node ORDER BY node
+"""
+)
+
+
+def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 pattern: revenue lost to returned items per customer
+    in a quarter; top 20."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+TPCH_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 pattern: shipping volume between two nations by year."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("supp_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("cust_nk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(volume), 2).cast("double").alias("volume"))
+        .where(F.col("volume") > 50000)
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, volume FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name < n2.n_name
+  GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+)
+WHERE volume > 50000
+ORDER BY supp_nation, cust_nation, l_year
+"""
