@@ -23,6 +23,7 @@ from herodb_spark.operators import graphops as G
 from herodb_spark.operators import multimodal as MM
 from herodb_spark.operators import mutation as MU
 from herodb_spark.operators import olap as O
+from herodb_spark.operators import pipeline as PL
 from herodb_spark.operators import relational as R
 from herodb_spark.operators import similarity as S
 from herodb_spark.operators import streamops as ST
@@ -101,6 +102,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessionize": ST.stream_sessionize,
     "stream_late_dedup": ST.stream_late_dedup,
     "stream_sliding_agg": E.stream_sliding_agg,
+    # K. compositions
+    "recursive_fib": PL.recursive_fib,
+    "pipeline_clean_corpus": PL.pipeline_clean_corpus,
 }
 
 
@@ -155,6 +159,8 @@ ORACLES: dict[str, str] = {
     "stream_sessionize": ST.STREAM_SESSIONIZE_SQL,
     "stream_late_dedup": ST.STREAM_LATE_DEDUP_SQL,
     "stream_sliding_agg": E.STREAM_SLIDING_AGG_SQL,
+    "recursive_fib": PL.RECURSIVE_FIB_SQL,
+    "pipeline_clean_corpus": PL.PIPELINE_CLEAN_CORPUS_SQL,
 }
 
 
