@@ -25,6 +25,7 @@ from herodb_spark.operators import mutation as MU
 from herodb_spark.operators import olap as O
 from herodb_spark.operators import pipeline as PL
 from herodb_spark.operators import relational as R
+from herodb_spark.operators import scale as SK
 from herodb_spark.operators import similarity as S
 from herodb_spark.operators import streamops as ST
 from herodb_spark.operators import textops as X
@@ -89,6 +90,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce_topk": S.ann_bruteforce_topk,
     "ann_lsh_topk": S.ann_lsh_topk,  # rows-only: approximate by construction
     "knn_join_blocked": S.knn_join_blocked,
+    "ann_ivf_topk": SK.ann_ivf_topk,  # rows-only: KMeans cells have no SQL equivalent
+    "skew_join_salted": SK.skew_join_salted,
     # H. text analysis
     "text_token_count": X.token_count,
     "text_quality_score": X.quality_score,
@@ -149,6 +152,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": D.EMBEDDING_NEARDUP_SQL,
     "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
     "knn_join_blocked": S.KNN_JOIN_SQL,
+    "skew_join_salted": SK.SKEW_JOIN_SALTED_SQL,
     "text_token_count": X.TOKEN_COUNT_SQL,
     "text_quality_score": X.QUALITY_SCORE_SQL,
     "text_lang_id": X.LANG_ID_SQL,

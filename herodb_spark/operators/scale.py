@@ -1,0 +1,132 @@
+"""Scale-technique operators: the patterns that matter at 100 TB,
+each demonstrated as a real operator on the test tables.
+
+- `ann_ivf_topk`: IVF (inverted-file) ANN — KMeans-partition the
+  corpus once, probe only the nearest N_PROBE partitions per query,
+  exact rerank inside. The standard billion-vector layout: centroids
+  broadcast, buckets are co-located partitions.
+- `skew_join_salted`: hot-key join with deterministic salting —
+  results hash-identical to the plain join (oracle-checked); the
+  salt spreads the hot key across SALT_BUCKETS reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+from herodb_spark.functions import vector as V
+
+IVF_K = 16
+N_PROBE = 2
+TOP_K = 5
+N_QUERIES = 10
+SALT_BUCKETS = 16
+
+
+def _kmeans_centroids(spark: SparkSession, emb: DataFrame):
+    """Fit KMeans(seed=42) on the embedding column (MLlib; one pass
+    over the corpus at scale, centroids are tiny and broadcastable)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select("vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    model = KMeans(k=IVF_K, seed=42, maxIter=20).fit(train)
+    return model
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign corpus to KMeans cells, probe the N_PROBE
+    nearest cells per query, exact cosine rerank. Driver check is
+    rows-only (KMeans has no SQL equivalent); determinism (fixed
+    seed) and neighbor validity are pinned in tests."""
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    model = _kmeans_centroids(spark, emb)
+    assigned = model.transform(
+        emb.select(
+            "vec_id",
+            "embedding",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        )
+    ).select("vec_id", "embedding", F.col("prediction").alias("cell"))
+
+    # nearest N_PROBE cells per query = rank cells by cosine(query, centroid)
+    centroids = [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent_df = F.broadcast(
+        spark.createDataFrame(centroids, "cell int, centroid array<double>")
+    )
+    q = F.broadcast(
+        assigned.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    cell_rank = Window.partitionBy("q_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    probe = (
+        q.crossJoin(cent_df)
+        .select("q_id", "q_emb", "cell", V.cosine(F.col("q_emb"), F.col("centroid")).alias("cell_cos"))
+        .withColumn("crk", F.row_number().over(cell_rank))
+        .where(F.col("crk") <= N_PROBE)
+        .select("q_id", "q_emb", "cell")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        probe.join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6).alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "rk", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .orderBy("q_id", "rk")
+    )
+
+
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join, salted. Key construction makes user_id<50 all
+    collapse onto key 0 (a deliberate hot key ~25% of events). The
+    small side is exploded ×SALT_BUCKETS; the big side salts by
+    event_id — deterministic, no RNG. Result is semantically the
+    plain join (oracle checks against the unsalted SQL)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.when(F.col("user_id") < 50, F.lit(0)).otherwise(F.col("user_id")).alias("k"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.when(F.col("user_id") < 50, F.lit(0)).otherwise(F.col("user_id")).alias("k"))
+        .distinct()
+        .withColumn("k_label", F.concat(F.lit("grp_"), F.col("k")))
+    )
+    salted_dim = dim.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))))
+    salted_ev = ev.withColumn("salt", (F.col("event_id") % SALT_BUCKETS).cast("int"))
+    return (
+        salted_ev.join(salted_dim, ["k", "salt"])
+        .groupBy("k", "k_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("k")
+    )
+
+
+SKEW_JOIN_SALTED_SQL = """
+WITH ev AS (
+  SELECT event_id, value,
+         CASE WHEN user_id < 50 THEN 0 ELSE user_id END AS k
+  FROM events
+),
+dim AS (
+  SELECT DISTINCT CASE WHEN user_id < 50 THEN 0 ELSE user_id END AS k FROM events
+)
+SELECT ev.k, 'grp_' || ev.k AS k_label,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM ev JOIN dim ON ev.k = dim.k
+GROUP BY ev.k ORDER BY ev.k
+"""
