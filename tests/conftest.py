@@ -25,6 +25,13 @@ def sf_dir():
 
 
 @pytest.fixture(scope="session")
+def spark_prop():
+    """Session for property tests (hypothesis drives many tiny jobs —
+    same session, low parallelism overhead)."""
+    return get_spark("herodb_spark_tests")
+
+
+@pytest.fixture(scope="session")
 def duck(sf_dir):
     con = duckdb_con(sf_dir)
     yield con

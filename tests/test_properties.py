@@ -1,0 +1,60 @@
+"""Property-based checks (hypothesis) for operator invariants on
+generated inputs — the guarantees that must hold for ANY data, not
+just the fixture tables."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from herodb_spark.functions import text as T
+from herodb_spark.sources import lakehouse
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # key
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ROWS)
+def test_exact_dedup_keeps_one_per_key(spark_prop, rows):
+    df = spark_prop.createDataFrame(rows, "k int, v double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("v")
+    deduped = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    got = deduped.groupBy("k").count().where(F.col("count") > 1).count()
+    assert got == 0
+    assert deduped.count() == len({k for k, _ in rows})
+
+
+TEXTS = st.lists(
+    st.text(alphabet=st.sampled_from("ab c.d!"), min_size=1, max_size=40),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=TEXTS)
+def test_fingerprint_invariant_under_whitespace(spark_prop, texts):
+    """normalize→md5 fingerprint must be identical for a text and its
+    double-spaced variant (the normalization contract)."""
+    rows = [(i, t, t.replace(" ", "  ")) for i, t in enumerate(texts)]
+    df = spark_prop.createDataFrame(rows, "i int, a string, b string")
+    bad = df.where(T.fingerprint(F.col("a")) != T.fingerprint(F.col("b"))).count()
+    assert bad == 0
+
+
+def test_lakehouse_stub_degrades_clearly(spark_prop):
+    import pytest
+
+    df = spark_prop.createDataFrame([(1, "x")], "k int, v string")
+    with pytest.raises(NotImplementedError, match="delta-spark jars"):
+        lakehouse.merge_upsert(spark_prop, "/tmp/nope", df, ["k"])
