@@ -73,6 +73,18 @@ def lang_guess(col: Column | str) -> Column:
     return F.when(nstop / nt >= 0.03, F.lit("en")).otherwise(F.lit("other"))
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style, simplified to the
+# RE2-compatible subset so the DuckDB oracle matches: no lookahead):
+# runs of letters / digits / other-symbols, each optionally preceded
+# by one space.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0)))
+
+
 def normalize_text(col: Column | str) -> Column:
     """Normalization for fingerprinting: lowercase, strip punctuation,
     collapse whitespace."""

@@ -17,11 +17,14 @@ _STOP_SQL_LIST = "['" + "','".join(T.STOPWORDS_EN) + "']"
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens, punct chars, and BPE-ish subword-ish token
+    count (GPT-2-style pre-tokenization regex) per document."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(
             "doc_id",
             T.token_count("text").alias("n_tokens"),
+            T.bpe_token_count("text").alias("n_bpe_tokens"),
             T.punct_count("text").alias("n_punct"),
             F.length("text").alias("n_chars_computed"),
         )
@@ -29,9 +32,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TOKEN_COUNT_SQL = r"""
+TOKEN_COUNT_SQL = rf"""
 SELECT doc_id,
        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS n_bpe_tokens,
        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
        length(text) AS n_chars_computed
 FROM documents ORDER BY doc_id
