@@ -105,6 +105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessionize": ST.stream_sessionize,
     "stream_late_dedup": ST.stream_late_dedup,
     "stream_sliding_agg": E.stream_sliding_agg,
+    "stream_interval_join": ST.stream_interval_join,
     # K. compositions
     "recursive_fib": PL.recursive_fib,
     "pipeline_clean_corpus": PL.pipeline_clean_corpus,
@@ -163,6 +164,7 @@ ORACLES: dict[str, str] = {
     "stream_sessionize": ST.STREAM_SESSIONIZE_SQL,
     "stream_late_dedup": ST.STREAM_LATE_DEDUP_SQL,
     "stream_sliding_agg": E.STREAM_SLIDING_AGG_SQL,
+    "stream_interval_join": ST.STREAM_INTERVAL_JOIN_SQL,
     "recursive_fib": PL.RECURSIVE_FIB_SQL,
     "pipeline_clean_corpus": PL.PIPELINE_CLEAN_CORPUS_SQL,
 }

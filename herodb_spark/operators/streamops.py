@@ -5,6 +5,7 @@ same transforms through readStream)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from herodb_spark.catalog import load_table
 from herodb_spark.streaming import ops as SO
@@ -50,6 +51,31 @@ SELECT user_id,
        COUNT(*) AS n_events,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
 FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
+"""
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-parity form of the stream-stream interval join."""
+    ev = load_table(spark, sf_dir, "events")
+    out = SO.purchase_click_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+    )
+    return out.orderBy("user_id", "purchase_id", "click_id")
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY p.user_id, purchase_id, click_id
 """
 
 

@@ -67,6 +67,39 @@ def dedup_keep_first(events: DataFrame) -> DataFrame:
     return first.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
 
 
+def purchase_click_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding 30 minutes. In streaming mode both
+    sides carry watermarks and the time-range condition bounds the
+    join state (the canonical Structured Streaming stream-stream
+    join); in batch mode the same expression is an equi-join + range
+    filter."""
+    p = purchases.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user_id)
+            & (c.c_ts <= p.p_ts)
+            & (c.c_ts >= p.p_ts - F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        )
+    )
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream version of the events table (file source). The ns
     timestamp is read as long (same conf as the batch catalog) and

@@ -34,6 +34,33 @@ def test_stream_sessionize_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """True stream-stream join: both sides are streams with
+    watermarks; availableNow run must equal the batch interval join."""
+    s1 = SO.stream_events(spark, sf_dir)
+    s2 = SO.stream_events(spark, sf_dir)
+    joined = SO.purchase_click_join(
+        s1.where(F.col("event_type") == "purchase"),
+        s2.where(F.col("event_type") == "click"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM t_ssjoin").collect())
+    ev = load_table(spark, sf_dir, "events")
+    batch = SO.purchase_click_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+
+
 def test_stream_dedup_dropduplicates(spark, sf_dir):
     """Streaming-native dedup: dropDuplicates on event_id over the
     stream equals the batch keep-first counts (event_ids are unique in
