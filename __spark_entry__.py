@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from herodb_spark.operators import aggregation as A
 from herodb_spark.operators import dedup as D
 from herodb_spark.operators import extra as E
+from herodb_spark.graph import extra_algos as GX
 from herodb_spark.operators import graphops as G
 from herodb_spark.operators import multimodal as MM
 from herodb_spark.operators import mutation as MU
@@ -69,6 +70,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": G.graph_triangles,
     "graph_pagerank": G.graph_pagerank,  # rows-only: iterative agg not SQL-recursive
     "graph_weighted_sssp": E.graph_weighted_sssp,
+    "graph_common_neighbors": GX.graph_common_neighbors,
+    "graph_kcore": GX.graph_kcore,  # rows-only: per-iteration aggregation not SQL-recursive
     # D. mutation statements
     "mut_upsert": MU.upsert_table,
     "mut_update_where": MU.update_where,
@@ -138,6 +141,7 @@ ORACLES: dict[str, str] = {
     "graph_shortest_hops": G.GRAPH_SHORTEST_HOPS_SQL,
     "graph_connected_components": G.GRAPH_CC_SQL,
     "graph_weighted_sssp": E.GRAPH_WEIGHTED_SSSP_SQL,
+    "graph_common_neighbors": GX.GRAPH_COMMON_NEIGHBORS_SQL,
     "graph_triangles": G.GRAPH_TRIANGLES_SQL,
     "mut_upsert": MU.UPSERT_TABLE_SQL,
     "mut_update_where": MU.UPDATE_WHERE_SQL,

@@ -1,0 +1,84 @@
+"""Additional graph analytics: link prediction and k-core.
+
+- common-neighbors link prediction: score non-adjacent node pairs by
+  |N(a) ∩ N(b)| — a two-hop self-join, fully SQL-expressible.
+- k-core decomposition: iteratively strip nodes with degree < k until
+  fixpoint. Per-iteration aggregation makes it non-SQL-recursive
+  (rows-only driver check); the defining invariant — every surviving
+  node has ≥ k surviving neighbors — is asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from herodb_spark.graph import edges as GE
+
+KCORE_K = 3
+MAX_ITERS = 30
+
+
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the sparse undirected trade graph: for every
+    non-adjacent pair a<b, the number of common neighbors (≥ 2)."""
+    und = GE.undirected_sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e1 = und.select(F.col("src").alias("a"), F.col("dst").alias("n"))
+    e2 = und.select(F.col("src").alias("n"), F.col("dst").alias("b"))
+    pairs = (
+        e1.join(e2, "n")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    adjacent = und.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    return (
+        pairs.join(adjacent, ["a", "b"], "left_anti")
+        .where(F.col("common_neighbors") >= 2)
+        .orderBy("a", "b")
+    )
+
+
+GRAPH_COMMON_NEIGHBORS_SQL = (
+    "WITH "
+    + GE.UNDIRECTED_SQL
+    + """
+, pairs AS (
+  SELECT e1.src AS a, e2.dst AS b, COUNT(*) AS common_neighbors
+  FROM undirected e1 JOIN undirected e2 ON e1.dst = e2.src
+  WHERE e1.src < e2.dst
+  GROUP BY e1.src, e2.dst
+)
+SELECT a, b, common_neighbors
+FROM pairs
+WHERE common_neighbors >= 2
+  AND NOT EXISTS (
+    SELECT 1 FROM undirected u WHERE u.src = pairs.a AND u.dst = pairs.b
+  )
+ORDER BY a, b
+"""
+)
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=3) of the sparse undirected trade graph: nodes with
+    core degree ≥ 3 after iterative peeling."""
+    und = GE.undirected_sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = und
+    for _ in range(MAX_ITERS):
+        deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+        weak = deg.where(F.col("deg") < KCORE_K).select("node").localCheckpoint(eager=True)
+        if weak.isEmpty():
+            break
+        edges = (
+            edges.join(weak.select(F.col("node").alias("src")), "src", "left_anti")
+            .join(weak.select(F.col("node").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("node")
+    )
