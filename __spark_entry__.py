@@ -68,10 +68,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_shortest_hops": G.graph_shortest_hops,
     "graph_connected_components": G.graph_connected_components,
     "graph_triangles": G.graph_triangles,
-    "graph_pagerank": G.graph_pagerank,  # rows-only: iterative agg not SQL-recursive
+    "graph_pagerank": G.graph_pagerank,
     "graph_weighted_sssp": E.graph_weighted_sssp,
     "graph_common_neighbors": GX.graph_common_neighbors,
-    "graph_kcore": GX.graph_kcore,  # rows-only: per-iteration aggregation not SQL-recursive
+    "graph_kcore": GX.graph_kcore,
     # D. mutation statements
     "mut_upsert": MU.upsert_table,
     "mut_update_where": MU.update_where,
@@ -143,6 +143,8 @@ ORACLES: dict[str, str] = {
     "graph_weighted_sssp": E.GRAPH_WEIGHTED_SSSP_SQL,
     "graph_common_neighbors": GX.GRAPH_COMMON_NEIGHBORS_SQL,
     "graph_triangles": G.GRAPH_TRIANGLES_SQL,
+    "graph_pagerank": G.GRAPH_PAGERANK_SQL,
+    "graph_kcore": GX.GRAPH_KCORE_SQL,
     "mut_upsert": MU.UPSERT_TABLE_SQL,
     "mut_update_where": MU.UPDATE_WHERE_SQL,
     "mut_delete_where": MU.DELETE_WHERE_SQL,

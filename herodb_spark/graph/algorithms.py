@@ -140,13 +140,6 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10, damping: float
     base = (1.0 - damping) / n
     for i in range(iters):
         with_deg = ranks.join(out_deg, "node", "left")
-        dangling = 0.0
-        if has_dangling:
-            dangling = (
-                with_deg.where(F.col("deg").isNull())
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-                .collect()[0]["d"]
-            )
         contribs = (
             with_deg.where(F.col("deg").isNotNull())
             .join(edges, F.col("node") == edges.src)
@@ -154,12 +147,30 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10, damping: float
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (F.lit(base) + F.lit(damping) * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))).alias(
-                "rank"
-            ),
-        )
+        incoming = F.coalesce(F.col("c"), F.lit(0.0))
+        if has_dangling:
+            # dangling mass as a broadcast 1-row DataFrame crossJoined
+            # into the update — the whole iteration stays lazy (no
+            # per-iteration driver round-trip; round-1 weak spot #5)
+            dang = with_deg.where(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+            )
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * (incoming + F.col("_dang") / F.lit(float(n)))
+                    ).alias("rank"),
+                )
+            )
+        else:
+            ranks = nodes.join(contribs, "node", "left").select(
+                "node",
+                (F.lit(base) + F.lit(damping) * incoming).alias("rank"),
+            )
         # checkpoint every 3rd iteration: enough to keep the plan
         # bounded without one materialization job per iteration
         if i % 3 == 2 or i == iters - 1:

@@ -37,12 +37,15 @@ def nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EDGES_SQL = """
-edges AS (
+li_supp AS MATERIALIZED (
+  SELECT l_orderkey, s_nationkey FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+),
+ord_cust AS MATERIALIZED (
+  SELECT o_orderkey, c_nationkey FROM orders JOIN customer ON o_custkey = c_custkey
+),
+edges AS MATERIALIZED (
   SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN supplier ON l_suppkey = s_suppkey
+  FROM li_supp JOIN ord_cust ON l_orderkey = o_orderkey
   WHERE c_nationkey <> s_nationkey
   GROUP BY c_nationkey, s_nationkey
 )
@@ -60,7 +63,7 @@ def sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARSE_SQL = (
     EDGES_SQL
     + """,
-sparse AS (
+sparse AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
     FROM edges
@@ -80,7 +83,7 @@ def sparse_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARSE_W_SQL = (
     EDGES_SQL
     + """,
-sparse_w AS (
+sparse_w AS MATERIALIZED (
   SELECT src, dst, w FROM (
     SELECT src, dst, w, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
     FROM edges
@@ -104,7 +107,7 @@ def undirected_sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNDIRECTED_SQL = (
     SPARSE_SQL
     + """,
-undirected AS (
+undirected AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
     SELECT src, dst FROM sparse UNION ALL SELECT dst AS src, src AS dst FROM sparse
   )

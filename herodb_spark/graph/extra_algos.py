@@ -82,3 +82,33 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .orderBy("node")
     )
+
+
+def _kcore_unrolled_sql(rounds: int = 10, k: int = KCORE_K) -> str:
+    """DuckDB oracle for graph_kcore: peeling unrolled into `rounds`
+    chained CTEs. A round past the fixpoint removes nothing, so any
+    `rounds` ≥ the true peel depth yields the exact k-core; the Spark
+    side iterates to fixpoint and tests assert convergence within the
+    unroll budget at the graded SFs. Every per-round CTE is
+    MATERIALIZED: e{{i}} is referenced by both w{{i+1}} and e{{i+1}},
+    so unfenced CTE inlining would duplicate the subtree 2^rounds
+    times (same pitfall as the PageRank oracle)."""
+    parts = ["WITH ", GE.UNDIRECTED_SQL, ", e0 AS MATERIALIZED (SELECT src, dst FROM undirected)"]
+    for i in range(1, rounds + 1):
+        prev = f"e{i - 1}"
+        parts.append(
+            f""",
+w{i} AS MATERIALIZED (SELECT src AS node FROM {prev} GROUP BY src HAVING COUNT(*) < {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  WHERE NOT EXISTS (SELECT 1 FROM w{i} w WHERE w.node = e.src)
+    AND NOT EXISTS (SELECT 1 FROM w{i} w WHERE w.node = e.dst)
+)"""
+        )
+    parts.append(
+        f"\nSELECT src AS node, COUNT(*) AS core_degree FROM e{rounds} GROUP BY src ORDER BY node"
+    )
+    return "".join(parts)
+
+
+GRAPH_KCORE_SQL = _kcore_unrolled_sql()

@@ -140,18 +140,21 @@ LIMIT 20 OFFSET 10
 
 def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`Collect` aggregation (draft:166-168): per-nation sorted list of
-    supplier names. sort_array makes the array order deterministic
-    (collect_list order is partition-dependent otherwise)."""
+    supplier names. sort_array makes the order deterministic
+    (collect_list order is partition-dependent otherwise); the list is
+    emitted as a '|'-joined string scalar because the gate's pandas
+    canonicalizer cannot hash array cells (round-1 ERROR). The
+    array-typed variant stays pinned in tests/test_aggregation.py."""
     supp = load_table(spark, sf_dir, "supplier")
     return (
         supp.groupBy("s_nationkey")
-        .agg(F.sort_array(F.collect_list("s_name")).alias("suppliers"))
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("s_name"))).alias("suppliers"))
         .orderBy("s_nationkey")
     )
 
 
 COLLECT_AGG_SQL = """
-SELECT s_nationkey, list_sort(list(s_name)) AS suppliers
+SELECT s_nationkey, array_to_string(list_sort(list(s_name)), '|') AS suppliers
 FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
 """
 

@@ -24,8 +24,8 @@ GRAPH_DEGREE_SQL = (
 SELECT COALESCE(o.node, i.node) AS node,
        COALESCE(o.out_deg, 0) AS out_deg,
        COALESCE(i.in_deg, 0) AS in_deg,
-       COALESCE(o.out_w, 0) AS out_w,
-       COALESCE(i.in_w, 0) AS in_w
+       CAST(COALESCE(o.out_w, 0) AS BIGINT) AS out_w,
+       CAST(COALESCE(i.in_w, 0) AS BIGINT) AS in_w
 FROM (SELECT src AS node, COUNT(*) AS out_deg, SUM(w) AS out_w FROM edges GROUP BY src) o
 FULL OUTER JOIN (SELECT dst AS node, COUNT(*) AS in_deg, SUM(w) AS in_w FROM edges GROUP BY dst) i
   ON o.node = i.node
@@ -135,11 +135,54 @@ JOIN canon ac ON ac.src = ab.src AND ac.dst = bc.dst
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-iteration PageRank over the sparse trade graph; all 25
-    nations as the node set. Rows-only driver check — per-iteration
-    normalization isn't expressible in a recursive CTE — invariants
-    (sum of ranks = 1, determinism) are pinned in tests."""
+    nations as the node set. The iteration count is static, so the
+    oracle unrolls the 10 rank updates into chained (non-recursive)
+    CTEs — this is a full hash-checked oracle, not rows-only."""
     from herodb_spark.catalog import load_table
 
     nodes = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node")).localCheckpoint(eager=True)
     e = GE.sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
     return GA.pagerank(nodes, e, iters=10).orderBy("node")
+
+
+def _pagerank_unrolled_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """DuckDB oracle mirroring GA.pagerank bit-for-bit: identical
+    IEEE-double expression shapes per iteration (base + d*(c + dang/n)),
+    ROUND(...,6) at the end. Static iteration count → plain chained
+    CTEs, no recursion needed. Every per-iteration CTE is MATERIALIZED:
+    r{{i}} is referenced twice (c and d of the next level), so without
+    the fence DuckDB's CTE inlining duplicates the subtree 2^iters
+    times and planning never finishes."""
+    parts = [
+        "WITH ",
+        GE.SPARSE_SQL,
+        ", nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation)",
+        ", cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        ", deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM sparse GROUP BY src)",
+        ", r0 AS MATERIALIZED (SELECT node, 1.0 / cnt.n AS rank FROM nodes, cnt)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f""",
+c{i} AS MATERIALIZED (
+  SELECT s.dst AS node, SUM(r.rank / g.deg) AS c
+  FROM {prev} r JOIN deg g ON r.node = g.src JOIN sparse s ON s.src = r.node
+  GROUP BY s.dst
+),
+d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS dang
+  FROM {prev} r LEFT JOIN deg g ON r.node = g.src WHERE g.src IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         (1.0 - {damping!r}) / cnt.n
+         + {damping!r} * (COALESCE(c.c, 0.0) + d.dang / cnt.n) AS rank
+  FROM nodes n CROSS JOIN cnt CROSS JOIN d{i} d LEFT JOIN c{i} c ON n.node = c.node
+)"""
+        )
+    parts.append(f"\nSELECT node, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY node")
+    return "".join(parts)
+
+
+GRAPH_PAGERANK_SQL = _pagerank_unrolled_sql()

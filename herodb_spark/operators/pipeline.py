@@ -97,7 +97,7 @@ q AS (SELECT * FROM scored WHERE quality >= 0.5),
 keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM q GROUP BY fp),
 clean AS (SELECT q.* FROM q JOIN keepers USING (fp, doc_id))
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) AS sum_quality
 FROM clean GROUP BY lang ORDER BY lang
 """

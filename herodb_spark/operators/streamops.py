@@ -88,7 +88,7 @@ STREAM_LATE_DEDUP_SQL = """
 WITH first AS (
   SELECT * FROM (
     SELECT event_type,
-           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id, event_type, value) AS rn
     FROM events
   ) WHERE rn = 1
 )

@@ -62,7 +62,10 @@ def dedup_keep_first(events: DataFrame) -> DataFrame:
     then count survivors per type."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    # fully-determining order: a duplicate event_id tying on (ts,
+    # user_id) but differing in event_type/value would otherwise make
+    # the kept row — and the per-type counts — nondeterministic
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id", "event_type", "value")
     first = events.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
     return first.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
 

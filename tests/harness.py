@@ -28,7 +28,11 @@ def _norm_cell(v):
     if v is None:
         return None
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        # the driver's hasher is TYPE-sensitive: DuckDB HUGEINT/DECIMAL
+        # results must not silently compare equal to Spark LONG/DOUBLE
+        # (round-1 graph_degree hash mismatch). Tag the type so any
+        # Decimal-vs-number skew fails here the way it fails there.
+        return ("decimal", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -39,7 +43,13 @@ def _norm_cell(v):
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
+        # the driver canonicalizes through pandas sort_values, which
+        # raises "unhashable type: 'list'" on array cells (round-1
+        # agg_collect ERROR). Mimic the gate: array cells are a bug.
+        raise TypeError(
+            "unhashable type: 'list' — the official gate cannot hash array "
+            "cells; emit a deterministic scalar (e.g. concat_ws of sort_array)"
+        )
     return v
 
 
@@ -69,6 +79,29 @@ def compare(spark_df, oracle_sql: str, con) -> dict:
         "duck_rows": len(d_rows),
         "detail": [],
     }
+    # Driver-fidelity type audit: DuckDB promotes integer SUMs to
+    # HUGEINT/DECIMAL(38,0); fetchall() hides that as plain int but the
+    # official gate's pandas canonicalization does not (round-1
+    # graph_degree hash mismatch). Fail on any oracle column whose
+    # declared type Spark cannot emit bit-identically.
+    s_dtypes = dict(spark_df.dtypes)
+    for col, dtype in zip(d_cols, rel.types):
+        t = str(dtype).upper()
+        s_t = s_dtypes.get(col, "")
+        if t in ("HUGEINT", "INT128", "UHUGEINT"):
+            result["ok"] = False
+            result["detail"].append(
+                f"oracle type skew: {col} is {t} (DuckDB integer-SUM promotion); "
+                f"CAST(... AS BIGINT) in the oracle"
+            )
+        elif t.startswith("DECIMAL") and not s_t.startswith("decimal"):
+            result["ok"] = False
+            result["detail"].append(
+                f"oracle type skew: {col} is {t} but Spark emits {s_t}; "
+                f"cast both sides identically"
+            )
+    if not result["ok"]:
+        return result
     if sorted(s_cols) != sorted(d_cols):
         result["ok"] = False
         result["detail"].append(f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}")

@@ -20,3 +20,19 @@ CASES = [
 def test_aggregation_oracle(spark, sf_dir, duck, fn, sql):
     res = compare(fn(spark, sf_dir), sql, duck)
     assert res["ok"], res
+
+
+def test_collect_agg_array_variant(spark, sf_dir):
+    """The gate emits the collection as a '|'-joined scalar (pandas
+    canonicalizers can't hash lists); pin the underlying array
+    semantics here: splitting recovers a sorted, complete list."""
+    rows = A.collect_agg(spark, sf_dir).collect()
+    assert rows, "collect_agg returned no rows"
+    total = 0
+    for r in rows:
+        names = r["suppliers"].split("|")
+        assert names == sorted(names)
+        total += len(names)
+    from herodb_spark.catalog import load_table
+
+    assert total == load_table(spark, sf_dir, "supplier").count()
