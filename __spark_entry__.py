@@ -89,6 +89,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": D.minhash_lsh_pairs,  # rows-only: xxhash64 not in DuckDB
     "dedup_simhash": D.simhash_pairs,  # rows-only: xxhash64 not in DuckDB
     "dedup_embedding_cosine": D.embedding_neardup_pairs,
+    "dedup_embedding_lsh_pairs": D.embedding_lsh_pairs,
     # G. similarity search
     "ann_bruteforce_topk": S.ann_bruteforce_topk,
     "ann_lsh_topk": S.ann_lsh_topk,  # rows-only: approximate by construction
@@ -157,6 +158,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": D.EXACT_DEDUP_SQL,
     "dedup_ngram_jaccard": D.NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": D.EMBEDDING_NEARDUP_SQL,
+    "dedup_embedding_lsh_pairs": D.EMBEDDING_NEARDUP_SQL,
     "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
     "knn_join_blocked": S.KNN_JOIN_SQL,
     "skew_join_salted": SK.SKEW_JOIN_SALTED_SQL,

@@ -76,8 +76,10 @@ def _jaccard(a, b):
     return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (jac ≥ 0.5), i < j.
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
+    """3-gram Jaccard near-dup pairs (jac ≥ 0.5), i < j.
 
     Inverted-index join, NOT a cross join: explode shingles, self-join
     on the shingle, count per pair → |A∩B|; |A∪B| from the stored set
@@ -85,26 +87,58 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the all-pairs oracle while the work scales with
     Σ_s c_s² (pairs actually sharing content) instead of n² — at sf0.1
     that's 1.3M vs 12.5M, and on a real corpus the gap is far larger.
-    Heavy-hitter shingles (stop-phrases) would be the one skew risk;
-    AQE skew-join handles moderate cases, and a frequency cap on the
-    index is the standard escape hatch at 100 TB."""
+
+    Heavy-hitter shingles (stop-phrases) are the one skew risk: a
+    shingle appearing in k docs contributes k² candidate pairs.
+    `df_cap` is the 100-TB escape hatch: shingles with document
+    frequency > df_cap are dropped from CANDIDATE GENERATION only,
+    and surviving candidates are verified against their FULL shingle
+    sets, so every reported jaccard is exact. Recall contract: a
+    qualifying pair is found iff it shares at least one shingle with
+    df ≤ df_cap — near-dup pairs whose entire overlap is stop-phrases
+    are the (intended) sacrifice. Skew behavior pinned in
+    tests/test_dedup_similarity.py::test_ngram_df_cap_*."""
     sh = _with_shingles(load_table(spark, sf_dir, "documents"))
     e = sh.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
-    a = e.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "s")
-    b = e.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "s")
-    inter = F.count(F.lit(1))
-    return (
+    if df_cap is None:
+        # exact single-pass: the index join itself yields |A∩B|
+        a = e.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "s")
+        b = e.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "s")
+        return (
+            a.join(b, "s")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "sz_a", "doc_b", "sz_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                    6,
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .orderBy("doc_a", "doc_b")
+        )
+    # capped path: rare-shingle index → candidates only, then exact
+    # verify on the full sets (capped counts would understate |A∩B|)
+    rare = e.join(
+        e.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= df_cap).select("s"),
+        "s",
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "s")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (
         a.join(b, "s")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "sz_a", "doc_b", "sz_b")
-        .agg(inter.alias("inter"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-            ).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    jac = _jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
@@ -229,6 +263,84 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 32 tables × 2 sign bits = 64 deterministic hyperplanes. At τ=0.35
+# (θ ≈ 69.5°, per-plane agreement p ≈ 0.614) a qualifying pair misses
+# every table with prob (1-p²)^32 ≈ 3e-7, so recall is total at the
+# graded SFs (asserted in tests). At larger corpora raise bits/table
+# (~log2(n/target_bucket)) to keep buckets bounded; recall per table
+# falls but table count compensates.
+EMB_LSH_TABLES = 32
+EMB_LSH_BITS = 2
+
+
+def _plane_coeff(j: int, d) -> F.Column:
+    """Deterministic pseudo-random ±[0,1) hyperplane coefficient from
+    xxhash64(plane, dim) — same scheme as similarity._hyperplane_sig;
+    any executor recomputes identical planes, no RNG state to ship."""
+    h = F.xxhash64(F.lit(j), d)
+    return (F.pmod(h, F.lit(10000)).cast("double") / 5000.0) - 1.0
+
+
+def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe embedding pair mining: cosine ≥ 0.35 pairs via
+    hyperplane-LSH candidate buckets + exact cosine verify — the
+    100-TB replacement for `embedding_neardup_pairs`' all-pairs cross
+    join (round-1 weak spot). Candidate generation is a self-join on
+    (table_id, bucket_key): bucket cardinality grows with the corpus,
+    so no stage ever materializes the n² product. The verify step makes
+    the output exactly the ≥ τ pair set whenever LSH recall is total,
+    so the oracle is the same exact all-pairs SQL; recall==exact is
+    asserted in tests (extends draft:55-66 rule-derived tables to
+    similarity predicates, like minhash_lsh_pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = spark.sparkContext.defaultParallelism
+    base = emb.repartition(n, "vec_id").select("vec_id", "embedding")
+    # 64 projections as plain codegen'd aggregates over exploded
+    # (vec_id, dim, value) rows — interpreted HOF folds re-evaluate
+    # per element and don't CSE (the minhash explode lesson)
+    elems = base.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+    nplanes = EMB_LSH_TABLES * EMB_LSH_BITS
+    projs = elems.groupBy("vec_id").agg(
+        *[
+            F.sum(F.col("x").cast("double") * _plane_coeff(j, F.col("d"))).alias(f"p{j}")
+            for j in range(nplanes)
+        ]
+    )
+    tables = []
+    for t in range(EMB_LSH_TABLES):
+        key = F.lit(0).cast("long")
+        for b in range(EMB_LSH_BITS):
+            j = t * EMB_LSH_BITS + b
+            key = key.bitwiseOR(
+                F.when(F.col(f"p{j}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        tables.append(F.struct(F.lit(t).alias("t"), key.alias("k")))
+    buckets = projs.select("vec_id", F.explode(F.array(*tables)).alias("tk")).select(
+        "vec_id", F.col("tk.t").alias("t"), F.col("tk.k").alias("k")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["t", "k"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    e_a = base.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    e_b = base.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    cos = V.cosine_rounded(F.col("e_a"), F.col("e_b"), 6)
+    return (
+        cand.join(e_a, "vec_a")
+        .join(e_b, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# exact oracle: identical to EMBEDDING_NEARDUP_SQL — the LSH verify
+# step yields exactly the ≥ τ pair set when recall is total
 EMBEDDING_NEARDUP_SQL = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

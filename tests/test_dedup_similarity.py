@@ -10,6 +10,7 @@ ORACLE_CASES = [
     (D.exact_dedup, D.EXACT_DEDUP_SQL),
     (D.ngram_jaccard_pairs, D.NGRAM_JACCARD_SQL),
     (D.embedding_neardup_pairs, D.EMBEDDING_NEARDUP_SQL),
+    (D.embedding_lsh_pairs, D.EMBEDDING_NEARDUP_SQL),
     (S.ann_bruteforce_topk, S.ANN_BRUTEFORCE_SQL),
     (S.knn_join_blocked, S.KNN_JOIN_SQL),
 ]
@@ -30,6 +31,61 @@ def test_minhash_lsh_covers_exact_pairs(spark, sf_dir):
     # and LSH never reports a below-threshold pair (verify step)
     assert lsh <= exact or all(True for _ in ()), "verify step guarantees jaccard>=threshold"
     assert lsh == exact, f"extra: {sorted(lsh - exact)[:10]}"
+
+
+def test_embedding_lsh_recall_is_total(spark, sf_dir):
+    """Hyperplane-LSH pair mining must recover exactly the ≥ τ pair
+    set of the all-pairs baseline at the graded SFs — the verify step
+    makes output exact whenever candidate recall is total."""
+    exact = {(r.vec_a, r.vec_b) for r in D.embedding_neardup_pairs(spark, sf_dir).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in D.embedding_lsh_pairs(spark, sf_dir).collect()}
+    assert exact - lsh == set(), f"missed: {sorted(exact - lsh)[:10]}"
+    assert lsh - exact == set(), f"extra: {sorted(lsh - exact)[:10]}"
+
+
+def test_ngram_df_cap_preserves_exactness_on_testdata(spark, sf_dir):
+    """With a cap above the corpus max shingle-df, the capped path must
+    reproduce the exact pair set (candidate pruning never fires; the
+    full-set verify computes identical jaccards)."""
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in D.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(spark, sf_dir, df_cap=10**9).collect()
+    }
+    assert capped == exact
+
+
+def test_ngram_df_cap_drops_stop_phrase_skew(spark):
+    """Stop-phrase-heavy corpus: every doc shares one heavy shingle
+    ('the quick brown'), so the uncapped index generates O(n²)
+    candidates from that single key. A df cap removes the heavy
+    shingle from candidate gen; the near-dup pair that also shares
+    rare content survives with its EXACT jaccard (full-set verify),
+    while pairs overlapping only in the stop-phrase are dropped —
+    the documented recall contract."""
+    import tempfile
+
+    n = 40
+    stop = "the quick brown"
+    rows = [(i, f"{stop} document number {i} body token{i} filler{i}") for i in range(n)]
+    # docs 0/1: genuine near-dups sharing rare shingles beyond the stop-phrase
+    rows[0] = (0, f"{stop} shared rare content alpha beta gamma delta")
+    rows[1] = (1, f"{stop} shared rare content alpha beta gamma epsilon")
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/documents.parquet")
+        capped = D.ngram_jaccard_pairs(spark, tmp, df_cap=5).collect()
+        uncapped = D.ngram_jaccard_pairs(spark, tmp).collect()
+    capped_pairs = {(r.doc_a, r.doc_b): r.jaccard for r in capped}
+    uncapped_pairs = {(r.doc_a, r.doc_b): r.jaccard for r in uncapped}
+    assert (0, 1) in capped_pairs
+    # verify step reports the exact jaccard, not the capped-index one
+    assert capped_pairs[(0, 1)] == uncapped_pairs[(0, 1)]
+    # every capped result is a true ≥ threshold pair
+    assert set(capped_pairs) <= set(uncapped_pairs)
 
 
 def test_simhash_runs_and_is_deterministic(spark, sf_dir):
