@@ -25,6 +25,7 @@ from herodb_spark.operators import multimodal as MM
 from herodb_spark.operators import mutation as MU
 from herodb_spark.operators import olap as O
 from herodb_spark.operators import pipeline as PL
+from herodb_spark.operators import recursion as RC
 from herodb_spark.operators import relational as R
 from herodb_spark.operators import scale as SK
 from herodb_spark.operators import similarity as S
@@ -112,6 +113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interval_join": ST.stream_interval_join,
     # K. compositions
     "recursive_fib": PL.recursive_fib,
+    "recursive_bom_rollup": RC.recursive_bom_rollup,
     "pipeline_clean_corpus": PL.pipeline_clean_corpus,
 }
 
@@ -174,6 +176,7 @@ ORACLES: dict[str, str] = {
     "stream_sliding_agg": E.STREAM_SLIDING_AGG_SQL,
     "stream_interval_join": ST.STREAM_INTERVAL_JOIN_SQL,
     "recursive_fib": PL.RECURSIVE_FIB_SQL,
+    "recursive_bom_rollup": RC.RECURSIVE_BOM_SQL,
     "pipeline_clean_corpus": PL.PIPELINE_CLEAN_CORPUS_SQL,
 }
 

@@ -29,6 +29,90 @@ from pyspark.sql import functions as F
 MAX_ITERS = 30
 
 
+def closure(step, init: DataFrame, key: list[str], max_iters: int = MAX_ITERS,
+            probe_every: int | None = 1, dedup_new: bool = True,
+            subtract_state: bool = True) -> DataFrame:
+    """General bounded recursion, accumulate form — the reusable
+    operator behind the reference's parameterized recursive rules
+    (Kernel/Drafts/draft:77-89 `func Fib(...); case ... :- Fib(a-1,x),
+    Fib(a-2,y)`): semi-naive datalog evaluation.
+
+        state₀ = init;  Δ₀ = init
+        Δᵢ₊₁  = step(Δᵢ) \\ state (on `key`);  state += Δᵢ₊₁
+
+    `step` sees only the latest delta, so per-iteration work scales
+    with the frontier, not the accumulated state — the property that
+    makes closure viable on 100-TB fact tables. `step` must emit at
+    most one row per `key` within an iteration (BFS frontiers, tree
+    expansion, and linear recurrences all satisfy this).
+
+    With the anti-join on (the general case — cyclic or re-deriving
+    rules), every delta AND the state are localCheckpoint'ed per
+    iteration: the anti-join references the state, so unmaterialized
+    lineage would nest the whole history into each plan (exponential
+    blowup). Two blocking jobs per shuffle round — the right trade
+    when a step moves real data.
+
+    `subtract_state=False` declares the rule MONOTONE-ACYCLIC (a step
+    never re-derives a key from an earlier iteration — linear
+    recurrences, tree expansion); the anti-join is then skipped, which
+    breaks the delta's dependence on the accumulated state and lets
+    `probe_every` batch several steps into one blocking job (40 tiny
+    steps shouldn't cost 40 job launches; segment lineage truncates at
+    each probe's checkpoint, and overshooting past the fixpoint is
+    harmless — empty frontiers derive nothing). probe_every=None runs
+    all max_iters steps in one fully-lazy plan — right when the
+    iteration count is statically known. `dedup_new=False`
+    additionally declares a step emits unique keys, skipping the
+    per-step shuffle. Keep tiny inits on ONE partition (coalesce):
+    every delta inherits the init's partitioning, and a 1-row
+    recurrence spread over 8 partitions turns the final union into
+    hundreds of empty tasks."""
+    state = init.localCheckpoint(eager=True)
+    frontier = state
+    for i in range(1, max_iters + 1):
+        new = step(frontier)
+        if dedup_new:
+            new = new.dropDuplicates(key)
+        if subtract_state:
+            new = new.join(state.select(*key), key, "left_anti")
+            new = new.localCheckpoint(eager=True)
+            if new.isEmpty():
+                break
+            state = state.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+        else:
+            state = state.unionByName(new)
+            frontier = new
+            if probe_every is not None and (i % probe_every == 0 or i == max_iters):
+                frontier = frontier.localCheckpoint(eager=True)
+                if frontier.isEmpty():
+                    break
+    return state
+
+
+def fixpoint(step, init: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
+    """General bounded recursion, re-aggregate form: iterate a
+    full-state transformer `state ← step(state)` until the state stops
+    changing (set equality) or `max_iters` is reached. Covers
+    iterations that REVISE rows (Bellman-Ford relaxation, label
+    propagation, peeling) rather than only adding them — the other
+    half of the reference's recursive-rule surface (draft:77-89).
+    Change detection is two anti-join emptiness probes per round; each
+    round is checkpointed so lineage stays bounded."""
+    state = init.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        new = step(state).localCheckpoint(eager=True)
+        changed = (
+            not new.exceptAll(state).isEmpty()
+            or not state.exceptAll(new).isEmpty()
+        )
+        state = new
+        if not changed:
+            break
+    return state
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """In/out degree + weight per node from a weighted edge list."""
     out_d = edges.groupBy(F.col("src").alias("node")).agg(
@@ -66,25 +150,23 @@ def two_hop_counts(edges: DataFrame) -> DataFrame:
 
 
 def shortest_hops(edges: DataFrame, seed: int, max_iters: int = MAX_ITERS) -> DataFrame:
-    """BFS min-hop distances from `seed`. Frontier-based: iteration i
-    joins only the new frontier against edges."""
+    """BFS min-hop distances from `seed`, expressed through the
+    general `closure` operator: the frontier-only step keeps
+    per-iteration work proportional to the frontier, and the
+    semi-naive anti-join assigns each node the hop count of its FIRST
+    discovery — i.e. the minimum."""
     spark = edges.sparkSession
-    visited = spark.createDataFrame([(seed, 0)], "node int, hops int")
-    visited = visited.withColumn("node", F.col("node").cast(dict(edges.dtypes)["src"]))
-    frontier = visited
-    for i in range(1, max_iters + 1):
-        nxt = (
+    init = spark.createDataFrame([(seed, 0)], "node int, hops int").withColumn(
+        "node", F.col("node").cast(dict(edges.dtypes)["src"])
+    ).coalesce(1)
+
+    def step(frontier: DataFrame) -> DataFrame:
+        return (
             frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"), F.lit(i).alias("hops"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
         )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    return visited
+
+    return closure(step, init, key=["node"], max_iters=max_iters)
 
 
 def reachable_set(edges: DataFrame, seed: int, max_iters: int = MAX_ITERS) -> DataFrame:

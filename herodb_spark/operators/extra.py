@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from herodb_spark.catalog import load_table
+from herodb_spark.graph import algorithms as GA
 from herodb_spark.graph import edges as GE
 
 
@@ -51,20 +52,24 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst", F.floor(F.lit(1_000_000) / F.col("w")).cast("long").alias("cost")
     ).localCheckpoint(eager=True)
     spark_dtype = dict(edges.dtypes)["src"]
-    dist = spark.createDataFrame([(0, 0)], "node int, dist long").withColumn(
+    init = spark.createDataFrame([(0, 0)], "node int, dist long").withColumn(
         "node", F.col("node").cast(spark_dtype)
     )
-    for _ in range(6):
-        relaxed = (
+
+    # one Bellman-Ford relaxation round as a full-state transformer,
+    # run through the general re-aggregate fixpoint operator; 6 rounds
+    # bounds it to the oracle's depth-6 path recursion (early
+    # convergence ≤ 6 rounds yields the identical state)
+    def relax(dist):
+        return (
             dist.join(edges, dist.node == edges.src)
             .select(F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("dist"))
             .unionByName(dist)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
-        dist = relaxed
-    return dist.orderBy("node")
+
+    return GA.fixpoint(relax, init, max_iters=6).orderBy("node")
 
 
 GRAPH_WEIGHTED_SSSP_SQL = (

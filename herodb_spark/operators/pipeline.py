@@ -22,16 +22,33 @@ FIB_N = 40
 
 
 def recursive_fib(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fib(1..40) — the Fib rule as bounded iteration. The driver
-    fold happens on literals (no data), so the 'loop' builds a static
-    40-row plan; the point is semantic parity with the reference's
-    recursive case syntax."""
-    rows = []
-    a, b = 0, 1
-    for n in range(1, FIB_N + 1):
-        rows.append((n, b))
-        a, b = b, a + b
-    return spark.createDataFrame(rows, "n int, fib bigint").orderBy("n")
+    """fib(1..40) — the reference's recursive function example run
+    through the general `closure` operator (draft:88-100 `case
+    Fib(a,b) :- Fib(a-1,x), Fib(a-2,y), b=x+y`): the linear recurrence
+    is a one-row frontier carrying (n, fib, prev); each step derives
+    the next term until the n < 40 guard stops producing rows. The
+    driver loop holds no values — all arithmetic happens in the
+    DataFrame plan, exactly like a user-defined recursive rule
+    would."""
+    from herodb_spark.graph.algorithms import closure
+
+    init = spark.createDataFrame([(1, 1, 0)], "n int, fib bigint, prev bigint").coalesce(1)
+
+    def step(frontier: DataFrame) -> DataFrame:
+        return frontier.where(F.col("n") < FIB_N).select(
+            (F.col("n") + 1).alias("n"),
+            (F.col("fib") + F.col("prev")).alias("fib"),
+            F.col("fib").alias("prev"),
+        )
+
+    # the recurrence is monotone-acyclic with unique keys per step and
+    # a statically-known iteration count: no anti-join, no per-step
+    # dedup, no emptiness probes — the whole 40-term recurrence is ONE
+    # lazy plan evaluated in a single job
+    return closure(
+        step, init, key=["n"], max_iters=FIB_N - 1, probe_every=None,
+        dedup_new=False, subtract_state=False,
+    ).select("n", "fib").orderBy("n")
 
 
 RECURSIVE_FIB_SQL = f"""
