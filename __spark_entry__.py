@@ -24,8 +24,11 @@ from herodb_spark.operators import graphops as G
 from herodb_spark.operators import multimodal as MM
 from herodb_spark.operators import mutation as MU
 from herodb_spark.operators import olap as O
+from herodb_spark.operators import constraints as CN
+from herodb_spark.operators import matview as MV
 from herodb_spark.operators import pipeline as PL
 from herodb_spark.operators import recursion as RC
+from herodb_spark.operators import typed as TY
 from herodb_spark.operators import relational as R
 from herodb_spark.operators import scale as SK
 from herodb_spark.operators import similarity as S
@@ -114,6 +117,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # K. compositions
     "recursive_fib": PL.recursive_fib,
     "recursive_bom_rollup": RC.recursive_bom_rollup,
+    "ensure_constraints": CN.ensure_constraints,
+    "typed_struct_enum": TY.typed_struct_enum,
+    "incremental_mv_refresh": MV.incremental_mv_refresh,
     "pipeline_clean_corpus": PL.pipeline_clean_corpus,
 }
 
@@ -177,6 +183,9 @@ ORACLES: dict[str, str] = {
     "stream_interval_join": ST.STREAM_INTERVAL_JOIN_SQL,
     "recursive_fib": PL.RECURSIVE_FIB_SQL,
     "recursive_bom_rollup": RC.RECURSIVE_BOM_SQL,
+    "ensure_constraints": CN.ENSURE_CONSTRAINTS_SQL,
+    "typed_struct_enum": TY.TYPED_STRUCT_ENUM_SQL,
+    "incremental_mv_refresh": MV.INCREMENTAL_MV_SQL,
     "pipeline_clean_corpus": PL.PIPELINE_CLEAN_CORPUS_SQL,
 }
 

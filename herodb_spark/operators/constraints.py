@@ -1,0 +1,164 @@
+"""Constraint enforcement — the reference's `ensure` surface
+(Kernel/Drafts/draft:111 `ensure X` throws if not X; draft:36-38
+bidirectional invariants `a.spouse == b ⇒ b.spouse == a`; draft:40-42
+`Unique`). The Spark-native expression of an invariant is its
+VIOLATION SET: a declarative query that must be empty. That keeps
+enforcement distributed (one pruned scan per rule, no driver-side
+row checks) and oracle-able (violation counts are plain SQL).
+
+API:
+- rule constructors (`unique`, `domain`, `not_null`, `check`,
+  `foreign_key`, `symmetric`) return (name, violations-DataFrame)
+  pairs;
+- `violation_counts(rules)` folds them into one (rule, n_violations)
+  DataFrame — the monitoring/reporting shape;
+- `ensure(rules)` is the throwing form: raises ConstraintViolation
+  listing every non-empty rule (one job — the counts DataFrame is
+  collected once, not per rule).
+
+Scale: each violation set is an aggregation or anti-join keyed on the
+constrained columns — one shuffle per rule, map-side combined; the
+final union is a handful of 1-row aggregates.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+from herodb_spark.graph import edges as GE
+
+
+class ConstraintViolation(Exception):
+    """Raised by `ensure` when any rule's violation set is non-empty."""
+
+
+def unique(name: str, df: DataFrame, cols: list[str]) -> tuple[str, DataFrame]:
+    """`Unique` (draft:40-42): rows beyond the first per key are
+    violations — count(*) - count(distinct key) over one shuffle."""
+    v = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n")).where(F.col("_n") > 1)
+    return name, v.select((F.col("_n") - 1).alias("_violation"))
+
+
+def domain(name: str, df: DataFrame, col: str, allowed: list) -> tuple[str, DataFrame]:
+    """Enum-domain membership (draft_type enum declarations): values
+    outside `allowed` (NULL is a violation too — enums are total)."""
+    cond = F.col(col).isin(allowed)
+    return name, df.where(~F.coalesce(cond, F.lit(False))).select(F.lit(1).alias("_violation"))
+
+
+def not_null(name: str, df: DataFrame, col: str) -> tuple[str, DataFrame]:
+    return name, df.where(F.col(col).isNull()).select(F.lit(1).alias("_violation"))
+
+
+def check(name: str, df: DataFrame, predicate) -> tuple[str, DataFrame]:
+    """`ensure <boolean expr>` (draft:111): rows failing the predicate."""
+    return name, df.where(~F.coalesce(predicate, F.lit(False))).select(
+        F.lit(1).alias("_violation")
+    )
+
+
+def foreign_key(
+    name: str, child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
+) -> tuple[str, DataFrame]:
+    """Referential integrity: child keys with no parent — an anti-join
+    (broadcast when the parent is a dim table)."""
+    v = child.select(F.col(child_col).alias("_k")).join(
+        parent.select(F.col(parent_col).alias("_k")), "_k", "left_anti"
+    )
+    return name, v.select(F.lit(1).alias("_violation"))
+
+
+def symmetric(name: str, edges: DataFrame) -> tuple[str, DataFrame]:
+    """Bidirectional-relation invariant (draft:36-38): edge(a,b) with
+    no edge(b,a). Self-anti-join on the reversed key."""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return name, fwd.join(rev, ["src", "dst"], "left_anti").select(
+        F.lit(1).alias("_violation")
+    )
+
+
+def violation_counts(rules: list[tuple[str, DataFrame]]) -> DataFrame:
+    """(rule, n_violations) — each rule contributes a 1-row aggregate;
+    the union is a constant-size driver-visible report."""
+    counted = [
+        v.agg(F.coalesce(F.sum("_violation"), F.lit(0)).cast("long").alias("n_violations"))
+        .select(F.lit(name).alias("rule"), "n_violations")
+        for name, v in rules
+    ]
+    return reduce(lambda a, b: a.unionByName(b), counted).orderBy("rule")
+
+
+def ensure(rules: list[tuple[str, DataFrame]]) -> None:
+    """Throwing form of draft:111 `ensure`: one job over all rules."""
+    bad = [r for r in violation_counts(rules).collect() if r.n_violations > 0]
+    if bad:
+        raise ConstraintViolation(
+            "; ".join(f"{r.rule}: {r.n_violations} violations" for r in bad)
+        )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _testdata_rules(spark: SparkSession, sf_dir: str) -> list[tuple[str, DataFrame]]:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+    sparse = GE.sparse_edges(spark, sf_dir)
+    return [
+        unique("unique_order_key", orders, ["o_orderkey"]),
+        domain("enum_event_type", events, "event_type", EVENT_TYPES),
+        not_null("not_null_doc_text", documents, "text"),
+        check("check_nonneg_acctbal", customer, F.col("c_acctbal") >= 0),
+        foreign_key("fk_orders_customer", orders, "o_custkey", customer, "c_custkey"),
+        symmetric("symmetric_sparse_trade", sparse),
+    ]
+
+
+def ensure_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: per-rule violation counts over the testdata —
+    six rules across five constraint kinds (unique / enum domain /
+    not-null / boolean check / foreign key / symmetric relation).
+    Constraints that hold report 0; the negative-balance check and the
+    top-3-out-edge trade graph's asymmetry report real counts."""
+    return violation_counts(_testdata_rules(spark, sf_dir))
+
+
+ENSURE_CONSTRAINTS_SQL = (
+    "WITH "
+    + GE.SPARSE_SQL
+    + """
+SELECT 'check_nonneg_acctbal' AS rule,
+       CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM customer WHERE NOT COALESCE(c_acctbal >= 0, FALSE)
+UNION ALL
+SELECT 'enum_event_type',
+       CAST(COUNT(*) AS BIGINT)
+FROM events WHERE NOT COALESCE(event_type IN ('click','error','purchase','signup','view'), FALSE)
+UNION ALL
+SELECT 'fk_orders_customer',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'not_null_doc_text',
+       CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE text IS NULL
+UNION ALL
+SELECT 'symmetric_sparse_trade',
+       CAST(COUNT(*) AS BIGINT)
+FROM sparse f WHERE NOT EXISTS (
+  SELECT 1 FROM sparse r WHERE r.src = f.dst AND r.dst = f.src
+)
+UNION ALL
+SELECT 'unique_order_key',
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+ORDER BY rule
+"""
+)

@@ -1,0 +1,87 @@
+"""Constraints / typed-schema / incremental-MV operators (reference
+draft:111 ensure, draft_type declarations, draft:67-72 cached
+computed tables)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from herodb_spark.operators import constraints as CN
+from herodb_spark.operators import matview as MV
+from herodb_spark.operators import typed as TY
+from tests.harness import compare
+
+CASES = [
+    (CN.ensure_constraints, CN.ENSURE_CONSTRAINTS_SQL),
+    (TY.typed_struct_enum, TY.TYPED_STRUCT_ENUM_SQL),
+    (MV.incremental_mv_refresh, MV.INCREMENTAL_MV_SQL),
+]
+
+
+@pytest.mark.parametrize("fn,sql", CASES, ids=[f.__name__ for f, _ in CASES])
+def test_oracle(spark, sf_dir, duck, fn, sql):
+    res = compare(fn(spark, sf_dir), sql, duck)
+    assert res["ok"], res
+
+
+def test_ensure_raises_on_violation(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    rules = [CN.unique("uniq_k", df, ["k"])]
+    with pytest.raises(CN.ConstraintViolation, match="uniq_k: 1"):
+        CN.ensure(rules)
+
+
+def test_ensure_passes_on_clean_rules(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    CN.ensure(
+        [
+            CN.unique("uniq_k", df, ["k"]),
+            CN.not_null("nn_v", df, "v"),
+            CN.domain("dom_v", df, "v", ["a", "b"]),
+            CN.check("pos_k", df, F.col("k") > 0),
+        ]
+    )
+
+
+def test_enum_ordinal_roundtrip_and_invalid(spark):
+    e = TY.EVENT_TYPE_ENUM
+    df = spark.createDataFrame([("click",), ("view",), ("bogus",), (None,)], "t string")
+    out = df.select(
+        e.ordinal(F.col("t")).alias("o"), e.is_valid(F.col("t")).alias("ok")
+    ).collect()
+    assert [(r.o, r.ok) for r in out] == [(0, True), (4, True), (None, False), (None, False)]
+    back = df.select(e.label(e.ordinal(F.col("t"))).alias("l")).collect()
+    assert [r.l for r in back] == ["click", "view", None, None]
+
+
+def test_refresh_equals_rebuild(spark, sf_dir):
+    """Algebraic merge over an arbitrary date split must equal a full
+    rebuild (a different cutoff than the registered query uses)."""
+    from herodb_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    specs = MV._order_specs()
+    keys = ["o_orderpriority"]
+    cutoff = "1996-06-01"
+    mv = MV.build_mv(orders.where(F.col("o_orderdate") < cutoff), keys, specs)
+    refreshed = MV.refresh_mv(
+        mv, orders.where(F.col("o_orderdate") >= cutoff), keys, specs
+    )
+    full = MV.build_mv(orders, keys, specs)
+    a = {tuple(r) for r in refreshed.collect()}
+    b = {tuple(r) for r in full.collect()}
+    assert a == b
+
+
+def test_refresh_scans_only_delta(spark, sf_dir):
+    """The refresh plan's parquet scans must push the date filters —
+    i.e. the delta path reads the delta, not the full base table."""
+    df = MV.incremental_mv_refresh(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    date_pushes = [p for p in pushed if "o_orderdate" in p]
+    assert len(date_pushes) >= 2, f"expected both MV and delta scans filtered: {pushed}"
