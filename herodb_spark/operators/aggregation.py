@@ -52,6 +52,41 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`group_by exam(Count, Average)` + post-aggregation predicate
+    `:- average_score > 5` (draft:151-157) in one derived table — the
+    registered merge of `group_by_agg` and `having_filter` (each kept
+    for unit tests): per-user count/sum/avg/distinct aggregates,
+    HAVING avg_value > 55."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .where(F.col("avg_value") > 55)
+        .orderBy("user_id")
+    )
+
+
+GROUP_HAVING_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+HAVING ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) > 55
+ORDER BY user_id
+"""
+
+
 def partition_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`partition_by exam(student, OrderByDesc(score, 3))`
     (draft_students:35-39): top-3 orders by totalprice per priority

@@ -48,6 +48,64 @@ def with_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
+def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal batch shape in ONE Arrow-batched
+    mapInPandas pass — the registered merge of `mm_binary_meta`
+    (typed metadata per blob) and `mm_frame_sample` (per-frame
+    fan-out), each kept for unit tests. For every 'video' blob: the
+    blob-level metadata columns (kind, n_bytes, n_frames) carried on
+    every sampled-frame row — exactly what a real decode-and-featurize
+    stage emits."""
+    blobs = with_blobs(load_table(spark, sf_dir, "documents")).where(F.col("kind") == "video")
+
+    def meta_and_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(pdf["doc_id"], pdf["kind"], pdf["blob"]):
+                n_bytes = len(blob)
+                n_frames = (n_bytes + FRAME_SIZE - 1) // FRAME_SIZE
+                for idx in range(0, n_frames, FRAME_STEP):
+                    chunk = blob[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]
+                    rows.append(
+                        (doc_id, kind, n_bytes, n_frames, idx, len(chunk), int(chunk[0]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kind", "n_bytes", "n_frames",
+                    "frame_idx", "frame_len", "first_byte",
+                ],
+            )
+
+    out = blobs.mapInPandas(
+        meta_and_sample,
+        "doc_id long, kind string, n_bytes long, n_frames long, "
+        "frame_idx int, frame_len int, first_byte int",
+    )
+    return out.orderBy("doc_id", "frame_idx")
+
+
+MM_PIPELINE_SQL = f"""
+WITH v AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+  FROM documents
+  WHERE source NOT IN ('src0','src1','src2','src3')
+),
+frames AS (
+  SELECT doc_id, 'video' AS kind,
+         CAST(n_bytes AS BIGINT) AS n_bytes,
+         CAST(ceil(n_bytes / {FRAME_SIZE}.0) AS BIGINT) AS n_frames,
+         CAST(i AS INT) AS frame_idx,
+         CAST(least({FRAME_SIZE}, n_bytes - i * {FRAME_SIZE}) AS INT) AS frame_len,
+         ascii(substr(text, CAST(i * {FRAME_SIZE} + 1 AS INT), 1)) AS first_byte
+  FROM v, generate_series(0, {65536 // FRAME_SIZE - 1}, {FRAME_STEP}) t(i)
+  WHERE i * {FRAME_SIZE} < n_bytes
+)
+SELECT doc_id, kind, n_bytes, n_frames, frame_idx, frame_len, first_byte
+FROM frames ORDER BY doc_id, frame_idx
+"""
+
+
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata extraction over binary blobs via mapInPandas —
     the Arrow-batched shape a real feature extractor uses. Output is

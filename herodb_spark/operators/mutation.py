@@ -18,6 +18,96 @@ from pyspark.sql import functions as F
 from herodb_spark.catalog import load_table
 
 
+def mutation_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full statement pipeline of draft:132-150 — `set` (upsert),
+    `update ... :- pred`, `remove ... :- pred` — applied sequentially
+    to ONE table, returning the final state's per-priority summary.
+    This is the registered merge of the three individual statement
+    operators (each kept, with its own oracle, for unit tests).
+
+    Pipeline over `orders`:
+    1. upsert: 5 synthetic orders (keys 9M+) inserted, and every
+       URGENT order replaced with totalprice + 1000;
+    2. update: orders with totalprice > 400000 get priority
+       '1-URGENT';
+    3. remove: orders of negative-balance customers are deleted.
+
+    Each statement is a join/projection against a derived change set —
+    exactly the plan MERGE/UPDATE/DELETE compile to on a lakehouse
+    table; the chain stays one declarative Catalyst plan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice").cast("decimal(18,4)"), 2).alias("price"),
+        "o_orderpriority",
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    # 1) set/upsert
+    replaced = orders.where(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "price", F.round(F.col("price") + 1000, 2)
+    )
+    inserted = spark.range(1, 6).select(
+        (F.lit(9_000_000) + F.col("id")).alias("o_orderkey"),
+        (F.col("id") % 100).alias("o_custkey"),
+        F.lit(500000).cast("decimal(18,4)").alias("price"),
+        F.lit("5-LOW").alias("o_orderpriority"),
+    )
+    changes = replaced.unionByName(inserted)
+    after_upsert = orders.join(changes.select("o_orderkey"), "o_orderkey", "left_anti").unionByName(
+        changes
+    )
+    # 2) update :- price > 400000
+    after_update = after_upsert.withColumn(
+        "o_orderpriority",
+        F.when(F.col("price") > 400000, F.lit("1-URGENT")).otherwise(F.col("o_orderpriority")),
+    )
+    # 3) remove :- customer balance < 0
+    bad = cust.where(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("o_custkey"))
+    survivors = after_update.join(bad, "o_custkey", "left_anti")
+    return (
+        survivors.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("price"), 2).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+MUTATION_STATEMENTS_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS price,
+         o_orderpriority
+  FROM orders
+),
+changes AS (
+  SELECT o_orderkey, o_custkey, ROUND(price + 1000, 2) AS price, o_orderpriority
+  FROM base WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT 9000000 + i, i % 100, CAST(500000 AS DECIMAL(18,4)), '5-LOW'
+  FROM range(1, 6) t(i)
+),
+after_upsert AS (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+  UNION ALL
+  SELECT * FROM changes
+),
+after_update AS (
+  SELECT o_orderkey, o_custkey, price,
+         CASE WHEN price > 400000 THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority
+  FROM after_upsert
+),
+survivors AS (
+  SELECT * FROM after_update
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(price), 2) AS DOUBLE) AS total_price
+FROM survivors GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`set Table(...)` with Unique(id) semantics (draft:134,
     draft:46): upsert a change set into customer on c_custkey.

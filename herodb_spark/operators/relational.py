@@ -148,6 +148,53 @@ ORDER BY p_partkey
 """
 
 
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`exists` + `not` subgoals (draft:108, 142-146) in one derived
+    table: the registered merge of `semijoin_exists` and `antijoin_not`
+    (each kept for unit tests). Both rule heads share the
+    (key, name, attr) shape, so the union is natural:
+
+        Interesting(k,n,a,'exists_urgent_customer') :- Customer(...), exists Orders(urgent)
+        Interesting(k,n,a,'never_ordered_part')     :- Part(...), not Lineitem(...)
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    semi = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select(
+            F.lit("exists_urgent_customer").alias("rule"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("attr"),
+        )
+    )
+    anti = (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select(
+            F.lit("never_ordered_part").alias("rule"),
+            F.col("p_partkey").alias("key"),
+            F.col("p_name").alias("name"),
+            F.col("p_brand").alias("attr"),
+        )
+    )
+    return semi.unionByName(anti).orderBy("rule", "key")
+
+
+SEMI_ANTI_JOIN_SQL = """
+SELECT * FROM (
+  SELECT 'exists_urgent_customer' AS rule, c_custkey AS key, c_name AS name, c_mktsegment AS attr
+  FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+  UNION ALL
+  SELECT 'never_ordered_part', p_partkey, p_name, p_brand
+  FROM part
+  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+) ORDER BY rule, key
+"""
+
+
 def union_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple rule cases for one head (draft:84-87):
     HighValue(k, src) :- Orders(k, price>X)  |  Customer(k, bal>Y)."""
@@ -208,31 +255,42 @@ FROM orders GROUP BY 1 ORDER BY tier
 
 
 def pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union-type pattern matching (draft:124-131): events form a
-    tagged union on event_type; dispatch computes a per-variant value
-    and aggregates. `purchase{v} → v; error{} → 0; _ → v/2`."""
+    """Union-type pattern matching (draft:124-131) + if-then-else
+    boolean expr (draft:107) in one derived table (the registered
+    merge of the tag-dispatch and CASE-tier operators —
+    `conditional_expr` is kept for unit tests). Events form a tagged
+    union on event_type; dispatch computes a per-variant value
+    (`purchase{v} → v; error{} → 0; _ → v/2`), and the if-then-else
+    tiers each event's raw value; aggregation is per (variant, tier).
+    """
     events = load_table(spark, sf_dir, "events")
     dispatched = (
         F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(18,4)"))
         .when(F.col("event_type") == "error", F.lit(0).cast("decimal(18,4)"))
         .otherwise((F.col("value").cast("decimal(18,4)") / 2).cast("decimal(18,4)"))
     )
+    tier = (
+        F.when(F.col("value") > 66, F.lit("high"))
+        .when(F.col("value") > 33, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
     return (
-        events.select(F.col("event_type"), dispatched.alias("val"))
-        .groupBy("event_type")
+        events.select(F.col("event_type"), tier.alias("tier"), dispatched.alias("val"))
+        .groupBy("event_type", "tier")
         .agg(
             F.round(F.sum("val"), 2).cast("double").alias("total_val"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("event_type")
+        .orderBy("event_type", "tier")
     )
 
 
 PATTERN_MATCH_SQL = """
 SELECT event_type,
+       CASE WHEN value > 66 THEN 'high' WHEN value > 33 THEN 'mid' ELSE 'low' END AS tier,
        CAST(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4))
                            WHEN event_type = 'error' THEN CAST(0 AS DECIMAL(18,4))
                            ELSE CAST(CAST(value AS DECIMAL(18,4)) / 2 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS total_val,
        COUNT(*) AS n
-FROM events GROUP BY event_type ORDER BY event_type
+FROM events GROUP BY event_type, tier ORDER BY event_type, tier
 """

@@ -54,6 +54,53 @@ FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
 """
 
 
+def stream_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1h) AND sliding (1h window / 15min slide) windowed
+    aggregates in one derived table, tagged by `win_kind` — the
+    registered merge of `stream_tumbling_agg` and `stream_sliding_agg`
+    (each kept for unit/streaming tests). Both run as F.window
+    group-bys, which is exactly the Structured Streaming plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    tumbling = SO.tumbling_agg(ev).select(
+        F.lit("tumbling_1h").alias("win_kind"), "window_start", "event_type", "n_events", "total_value"
+    )
+    sliding = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.lit("sliding_1h_15m").alias("win_kind"),
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return tumbling.unionByName(sliding).orderBy("win_kind", "window_start", "event_type")
+
+
+STREAM_WINDOW_AGGS_SQL = """
+SELECT * FROM (
+  SELECT 'tumbling_1h' AS win_kind,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'sliding_1h_15m',
+         strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S'),
+         event_type,
+         COUNT(*),
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+  FROM events, generate_series(0, 3) t(k)
+  GROUP BY 2, 3
+) ORDER BY win_kind, window_start, event_type
+"""
+
+
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-parity form of the stream-stream interval join."""
     ev = load_table(spark, sf_dir, "events")

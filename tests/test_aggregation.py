@@ -13,6 +13,7 @@ CASES = [
     (A.collect_agg, A.COLLECT_AGG_SQL),
     (A.topk_then_avg, A.TOPK_THEN_AVG_SQL),
     (A.window_running, A.WINDOW_RUNNING_SQL),
+    (A.group_having, A.GROUP_HAVING_SQL),
 ]
 
 

@@ -16,6 +16,8 @@ CASES = [
     (ST.stream_late_dedup, ST.STREAM_LATE_DEDUP_SQL),
     (MM.mm_binary_meta, MM.MM_BINARY_META_SQL),
     (MM.mm_frame_sample, MM.MM_FRAME_SAMPLE_SQL),
+    (MU.mutation_statements, MU.MUTATION_STATEMENTS_SQL),
+    (ST.stream_window_aggs, ST.STREAM_WINDOW_AGGS_SQL),
 ]
 
 

@@ -21,7 +21,7 @@ spec = importlib.util.spec_from_file_location("spark_entry_h", os.path.join(HERE
 entry_mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(entry_mod)
 
-PANDAS_ALLOWED = {"mm_binary_meta", "mm_frame_sample"}
+PANDAS_ALLOWED = {"mm_pipeline"}
 QUERIES = entry_mod.queries()
 
 

@@ -15,6 +15,7 @@ CASES = [
     (R.distinct_rows, R.DISTINCT_ROWS_SQL),
     (R.conditional_expr, R.CONDITIONAL_EXPR_SQL),
     (R.pattern_match, R.PATTERN_MATCH_SQL),
+    (R.semi_anti_join, R.SEMI_ANTI_JOIN_SQL),
 ]
 
 

@@ -10,6 +10,7 @@ CASES = [
     (X.quality_score, X.QUALITY_SCORE_SQL),
     (X.lang_id, X.LANG_ID_SQL),
     (X.fingerprint, X.FINGERPRINT_SQL),
+    (X.text_analysis, X.TEXT_ANALYSIS_SQL),
 ]
 
 
