@@ -5,9 +5,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec",
  "queries": {name: sec}, "sf": dir}.
 
-Each query is fully materialized via a count() over the final plan
-(no driver-side collect of payloads). One warm-up run of the smallest
-query absorbs JVM/codegen startup so timings measure the plans.
+Each query is materialized through the noop write sink: every row of
+the FULL physical plan (final sorts, top-k ordering, all projections)
+is produced and discarded executor-side — unlike count(), which lets
+Catalyst eliminate ordering work and unreferenced projections, and
+unlike collect(), which adds driver transfer to the timing. One
+warm-up run of the smallest query absorbs JVM/codegen startup so
+timings measure the plans.
 """
 
 from __future__ import annotations
@@ -34,10 +38,17 @@ BENCH_QUERIES = {
     "tpch_q5": tpch.q5_local_supplier_volume,
     "tpch_q18": tpch.q18_large_volume_customer,
     "dedup_minhash_lsh": D.minhash_lsh_pairs,
+    "dedup_embedding_lsh_pairs": D.embedding_lsh_pairs,
     "ann_bruteforce_topk": S.ann_bruteforce_topk,
     "graph_pagerank": G.graph_pagerank,
     "stream_sessionize": ST.stream_sessionize,
 }
+
+
+def materialize(df) -> None:
+    """Noop-format write: full plan executes, rows are discarded on
+    the executors."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -45,13 +56,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM + parquet footer caches + codegen
-    tpch.q1_pricing_summary(spark, SF_DIR).count()
+    materialize(tpch.q1_pricing_summary(spark, SF_DIR))
 
     timings: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
+        materialize(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # between queries (outside the timed region): trigger a JVM GC
+        # so the ContextCleaner releases dead localCheckpoint blocks —
+        # otherwise a heavy query's leftovers inflate its successors
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

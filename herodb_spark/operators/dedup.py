@@ -294,7 +294,13 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity predicates, like minhash_lsh_pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = spark.sparkContext.defaultParallelism
-    base = emb.repartition(n, "vec_id").select("vec_id", "embedding")
+    # norm precomputed per VECTOR (n values), so the per-PAIR verify
+    # pays one interpreted HOF fold (the dot) instead of three —
+    # sqrt(Σx²) is the identical expression the oracle computes, just
+    # hoisted out of the pair loop
+    base = emb.repartition(n, "vec_id").select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    ).localCheckpoint(eager=True)
     # 64 projections as plain codegen'd aggregates over exploded
     # (vec_id, dim, value) rows — interpreted HOF folds re-evaluate
     # per element and don't CSE (the minhash explode lesson)
@@ -317,23 +323,56 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         tables.append(F.struct(F.lit(t).alias("t"), key.alias("k")))
-    buckets = projs.select("vec_id", F.explode(F.array(*tables)).alias("tk")).select(
-        "vec_id", F.col("tk.t").alias("t"), F.col("tk.k").alias("k")
+    # pin the join partitioning: the (t, k) self-join fans out ~n²/buckets
+    # rows from a few MB of signatures, so AQE (sizing by input bytes)
+    # would run it on one task; repartitioning both sides on the exact
+    # join keys also makes the join co-partitioned (no extra exchange)
+    buckets = (
+        projs.select("vec_id", F.explode(F.array(*tables)).alias("tk"))
+        .select("vec_id", F.col("tk.t").alias("t"), F.col("tk.k").alias("k"))
+        .repartition(n, "t", "k")
     )
+    # explicit repartition after the distinct: the verify stage
+    # explodes each pair 64× — AQE sizes partitions by the candidate
+    # shuffle's (small) pre-explode bytes and would coalesce it onto
+    # one task (the explode-after-shuffle trap)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["t", "k"])
         .where(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
         .distinct()
+        .repartition(n, "vec_a", "vec_b")
     )
-    e_a = base.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
-    e_b = base.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
-    cos = V.cosine_rounded(F.col("e_a"), F.col("e_b"), 6)
-    return (
+    e_a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("e_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    e_b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("e_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    # Exact-cosine verify WITHOUT interpreted HOF folds: at a weak τ
+    # the candidate set approaches all-pairs, and a lambda-fold dot
+    # over millions of pairs is the bottleneck (HOFs are interpreted
+    # and never codegen). posexplode(arrays_zip(...)) + a plain SUM is
+    # whole-stage-codegen end to end. Determinism: a pair's 64 product
+    # rows are generated contiguously in ONE partition, so the partial
+    # hash-aggregate accumulates them left-to-right — bit-identical to
+    # the oracle's sequential list_sum fold.
+    z = F.posexplode(F.arrays_zip(F.col("e_a"), F.col("e_b")))
+    prods = (
         cand.join(e_a, "vec_a")
         .join(e_b, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .select("vec_a", "vec_b", "nrm_a", "nrm_b", z.alias("pos", "z"))
+        .select("vec_a", "vec_b", "nrm_a", "nrm_b", (F.col("z.e_a") * F.col("z.e_b")).alias("p"))
+    )
+    cos = F.round(F.sum("p") / (F.first("nrm_a") * F.first("nrm_b")), 6)
+    return (
+        prods.groupBy("vec_a", "vec_b")
+        .agg(cos.alias("cosine"))
         .where(F.col("cosine") >= COSINE_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
