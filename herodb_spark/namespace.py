@@ -1,0 +1,155 @@
+"""Namespace / database / module organization — the reference's
+symbol-organization layer (Kernel/Drafts/draft:168-197):
+
+- namespaces nest (`namespace Nodes { class Node }`), symbols resolve
+  by qualified name (`Nodes::Node`) or through `using namespace`
+  search paths;
+- a database is a group of files (here: a group of named DataFrames);
+  if a database references another database, all PUBLIC symbols of
+  the referenced database are usable;
+- a module hosts a group of database instances; modules cannot
+  exchange data between each other (assembly/appdomain analogy).
+
+Spark mapping: symbols are lazy DataFrames (a "class/table" = a
+parquet-backed or derived DataFrame), so organization is pure
+metadata — resolution returns the DataFrame unevaluated and Catalyst
+still sees the full plan. `Database.sql()` materializes a module-safe
+temp-view namespace (qualified names mangled to legal view names) so
+`spark.sql` queries work against organized symbols.
+
+Also here: the cached-computed-table statements `uncache Table` and
+`uncache Table(...) :- pred` (draft:135-136) — `cache` pins a derived
+table (persist + symbol registration), `uncache` drops it entirely or
+invalidates the rows matching a predicate (filter + re-pin), the
+batch analog of partial cache invalidation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+
+SEP = "::"
+
+
+class SymbolNotFound(KeyError):
+    pass
+
+
+class ModuleIsolationError(RuntimeError):
+    pass
+
+
+class Database:
+    """A group of named symbols organized in nested namespaces.
+    Qualified names use `::`; `public=False` symbols are invisible to
+    referencing databases (draft:191: "all public symbol is usable")."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._symbols: dict[str, DataFrame] = {}
+        self._private: set[str] = set()
+        self._references: list[Database] = []
+        self._cached: dict[str, DataFrame] = {}
+
+    # -- symbol organization ------------------------------------------------
+    def register(self, qualified: str, df: DataFrame, public: bool = True) -> None:
+        """Register `df` under a (possibly nested) qualified name,
+        e.g. "tpch::fact::lineitem"."""
+        self._symbols[qualified] = df
+        if not public:
+            self._private.add(qualified)
+
+    def reference(self, other: "Database") -> None:
+        """Use another database's public symbols (draft:189-191)."""
+        self._references.append(other)
+
+    def resolve(self, name: str, using: list[str] | None = None) -> DataFrame:
+        """Resolve a symbol: exact qualified name first, then each
+        `using namespace` prefix (draft:177 `using namespace Nodes`),
+        then referenced databases' public symbols (same order)."""
+        candidates = [name] + [f"{ns}{SEP}{name}" for ns in (using or [])]
+        for cand in candidates:
+            if cand in self._symbols:
+                return self._symbols[cand]
+        for ref in self._references:
+            for cand in candidates:
+                if cand in ref._symbols and cand not in ref._private:
+                    return ref._symbols[cand]
+        raise SymbolNotFound(f"{self.name}: no symbol {name!r} (using={using or []})")
+
+    def namespace(self, prefix: str) -> list[str]:
+        """List the symbols under a namespace prefix."""
+        p = prefix + SEP
+        return sorted(k for k in self._symbols if k.startswith(p))
+
+    # -- cached computed tables (draft:67-72, 135-136) ----------------------
+    def cache(self, qualified: str, df: DataFrame) -> DataFrame:
+        """`index ... Cache(...)`: pin a derived table. The DataFrame
+        is persisted (memory-and-disk on a cluster) and registered as
+        a symbol; consumers resolve it like any table."""
+        pinned = df.persist()
+        self._cached[qualified] = pinned
+        self.register(qualified, pinned)
+        return pinned
+
+    def uncache(self, qualified: str, predicate: Column | None = None) -> None:
+        """`uncache Table` drops the cached table entirely;
+        `uncache Table(...) :- pred` invalidates only the rows
+        matching `pred` (the rest stay pinned)."""
+        if qualified not in self._cached:
+            raise SymbolNotFound(f"{self.name}: {qualified!r} is not cached")
+        old = self._cached[qualified]
+        if predicate is None:
+            old.unpersist()
+            del self._cached[qualified]
+            del self._symbols[qualified]
+            return
+        kept = old.where(~predicate).persist()
+        old.unpersist()
+        self._cached[qualified] = kept
+        self._symbols[qualified] = kept
+
+    # -- sql surface --------------------------------------------------------
+    def view_name(self, qualified: str) -> str:
+        """Mangle a qualified symbol to a legal temp-view name,
+        prefixed with the database so modules/databases don't
+        collide."""
+        return f"{self.name}__{qualified.replace(SEP, '__')}"
+
+    def sql_register(self) -> None:
+        """Register every symbol as a temp view under its mangled
+        qualified name so `spark.sql` works against the catalog."""
+        for qualified, df in self._symbols.items():
+            df.createOrReplaceTempView(self.view_name(qualified))
+
+
+class ModuleInstance:
+    """Hosts database instances; each database has at most one
+    instance per module, and modules cannot exchange data
+    (draft:193-197)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._databases: dict[str, Database] = {}
+
+    def install(self, db: Database) -> Database:
+        if db.name in self._databases:
+            raise ValueError(f"module {self.name}: database {db.name!r} already installed")
+        self._databases[db.name] = db
+        return db
+
+    def database(self, name: str) -> Database:
+        if name not in self._databases:
+            raise SymbolNotFound(f"module {self.name}: no database {name!r}")
+        return self._databases[name]
+
+    def resolve(self, db_name: str, symbol: str, using: list[str] | None = None) -> DataFrame:
+        return self.database(db_name).resolve(symbol, using)
+
+    def check_same_module(self, db: Database) -> None:
+        """Guard used by cross-database operations: both ends must be
+        installed in THIS module (modules cannot exchange data)."""
+        if db.name not in self._databases or self._databases[db.name] is not db:
+            raise ModuleIsolationError(
+                f"database {db.name!r} is not installed in module {self.name!r}"
+            )

@@ -18,6 +18,84 @@ from pyspark.sql import functions as F
 from herodb_spark.catalog import load_table
 
 
+def for_query_apply(
+    base: DataFrame,
+    driving: DataFrame,
+    key: str | list[str],
+    assignments: dict[str, F.Column],
+) -> DataFrame:
+    """Query-driven mutation (draft:138-143):
+
+        for query(x) :- <rule> ( set x.col = expr )
+
+    `driving` is the rule's result projected to the key column(s);
+    every base row whose key appears in it gets the `assignments`
+    applied; all other rows pass through unchanged. The Spark-native
+    plan is a left SEMI-join-derived flag (broadcast when the driving
+    query is selective) feeding CASE projections — no cursor, no
+    driver loop, one pass over the base table; on a lakehouse table
+    this is exactly `MERGE INTO ... WHEN MATCHED THEN UPDATE`."""
+    keys = [key] if isinstance(key, str) else list(key)
+    flagged = base.join(
+        driving.select(*keys).distinct().withColumn("_hit", F.lit(True)),
+        keys,
+        "left",
+    )
+    out = flagged
+    for col, expr in assignments.items():
+        out = out.withColumn(
+            col, F.when(F.col("_hit").isNotNull(), expr).otherwise(F.col(col))
+        )
+    return out.drop("_hit")
+
+
+def for_query_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concrete `for query(...) (set ...)` over the testdata: for every
+    customer having an URGENT order (the driving rule), set the market
+    segment to 'PRIORITY' and bump the balance by 10; return the
+    post-mutation per-segment summary."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    driving = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    mutated = for_query_apply(
+        cust,
+        driving,
+        "c_custkey",
+        {
+            "c_mktsegment": F.lit("PRIORITY"),
+            "c_acctbal": (F.col("c_acctbal").cast("decimal(18,4)") + 10).cast("double"),
+        },
+    )
+    return (
+        mutated.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+FOR_QUERY_SET_SQL = """
+WITH hits AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+mutated AS (
+  SELECT c.c_custkey,
+         CASE WHEN h.c_custkey IS NOT NULL THEN 'PRIORITY' ELSE c.c_mktsegment END AS c_mktsegment,
+         CASE WHEN h.c_custkey IS NOT NULL
+              THEN CAST(CAST(c.c_acctbal AS DECIMAL(18,4)) + 10 AS DOUBLE)
+              ELSE c.c_acctbal END AS c_acctbal
+  FROM customer c LEFT JOIN hits h ON c.c_custkey = h.c_custkey
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+FROM mutated GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def mutation_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full statement pipeline of draft:132-150 — `set` (upsert),
     `update ... :- pred`, `remove ... :- pred` — applied sequentially

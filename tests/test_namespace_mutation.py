@@ -1,0 +1,105 @@
+"""Namespace/database/module organization (draft:168-197),
+query-driven mutation (draft:138-143) and cache/uncache
+(draft:67-72, 135-136)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from herodb_spark import namespace as NS
+from herodb_spark.catalog import load_table
+from herodb_spark.operators import mutation as MU
+from tests.harness import compare
+
+
+def test_for_query_set_oracle(spark, sf_dir, duck):
+    res = compare(MU.for_query_set(spark, sf_dir), MU.FOR_QUERY_SET_SQL, duck)
+    assert res["ok"], res
+
+
+def test_for_query_apply_leaves_unmatched_rows(spark):
+    base = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k int, s string, v int")
+    driving = spark.createDataFrame([(1,)], "k int")
+    out = {
+        r.k: (r.s, r.v)
+        for r in MU.for_query_apply(
+            base, driving, "k", {"s": F.lit("HIT"), "v": F.col("v") + 1}
+        ).collect()
+    }
+    assert out == {1: ("HIT", 11), 2: ("b", 20)}
+
+
+@pytest.fixture()
+def module(spark, sf_dir):
+    trade = NS.Database("trade")
+    trade.register("tpch::customer", load_table(spark, sf_dir, "customer"))
+    trade.register("tpch::orders", load_table(spark, sf_dir, "orders"))
+    trade.register("internal::audit", load_table(spark, sf_dir, "nation"), public=False)
+    content = NS.Database("content")
+    content.register("docs::documents", load_table(spark, sf_dir, "documents"))
+    content.reference(trade)
+    mod = NS.ModuleInstance("prod")
+    mod.install(trade)
+    mod.install(content)
+    return mod, trade, content
+
+
+def test_namespace_resolution_and_using(module):
+    mod, trade, content = module
+    # qualified
+    assert trade.resolve("tpch::customer").columns[0] == "c_custkey"
+    # via using-namespace search path
+    assert trade.resolve("orders", using=["tpch"]).columns[0] == "o_orderkey"
+    # namespace listing
+    assert trade.namespace("tpch") == ["tpch::customer", "tpch::orders"]
+    with pytest.raises(NS.SymbolNotFound):
+        trade.resolve("nonexistent")
+
+
+def test_cross_database_public_only(module):
+    mod, trade, content = module
+    # content references trade: public symbols usable...
+    assert content.resolve("customer", using=["tpch"]).columns[0] == "c_custkey"
+    # ...private ones are not
+    with pytest.raises(NS.SymbolNotFound):
+        content.resolve("audit", using=["internal"])
+
+
+def test_module_isolation(module, spark, sf_dir):
+    mod, trade, content = module
+    other = NS.ModuleInstance("staging")
+    foreign = NS.Database("trade")  # same name, different instance
+    other.install(foreign)
+    with pytest.raises(NS.ModuleIsolationError):
+        mod.check_same_module(foreign)
+    # a database installed twice in one module is rejected
+    with pytest.raises(ValueError):
+        mod.install(NS.Database("trade"))
+
+
+def test_sql_surface(module, spark):
+    mod, trade, content = module
+    trade.sql_register()
+    n = spark.sql("SELECT COUNT(*) AS n FROM trade__tpch__customer").collect()[0].n
+    assert n == trade.resolve("tpch::customer").count()
+
+
+def test_cache_and_partial_uncache(module, spark, sf_dir):
+    mod, trade, content = module
+    orders = load_table(spark, sf_dir, "orders")
+    mv = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    trade.cache("derived::priority_counts", mv)
+    full = {r.o_orderpriority: r.n for r in trade.resolve("derived::priority_counts").collect()}
+    assert len(full) == 5
+    # uncache Table(...) :- pred — invalidate one group only
+    trade.uncache("derived::priority_counts", F.col("o_orderpriority") == "1-URGENT")
+    part = {r.o_orderpriority: r.n for r in trade.resolve("derived::priority_counts").collect()}
+    assert set(full) - set(part) == {"1-URGENT"}
+    assert all(part[k] == full[k] for k in part)
+    # uncache Table — drop entirely
+    trade.uncache("derived::priority_counts")
+    with pytest.raises(NS.SymbolNotFound):
+        trade.resolve("derived::priority_counts")
+    with pytest.raises(NS.SymbolNotFound):
+        trade.uncache("derived::priority_counts")
