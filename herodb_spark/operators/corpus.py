@@ -1,0 +1,158 @@
+"""Corpus-management operators a large-scale training-data pipeline
+needs beyond dedup/quality: benchmark decontamination, reproducible
+sampling, vocabulary statistics. All pure DataFrame plans (extends the
+draft:55-66 rule-derived-table surface to corpus hygiene rules); each
+has a DuckDB oracle exercised in tests/test_corpus.py — the 50-slot
+grading window is full, so these are unit-gated rather than
+driver-gated.
+
+Scale notes:
+- decontamination is the ngram inverted-index shape (work ∝ shared
+  n-grams, never |corpus| × |benchmark|); the benchmark side is tiny
+  and broadcast.
+- sampling must be DETERMINISTIC at 100 TB (re-runs, spot recovery,
+  audits): rows are kept by an md5-prefix threshold on a stable key —
+  no RNG state, identical on any engine, and stratum rates hold
+  per-stratum because the hash is uniform within each stratum.
+- vocabulary is explode → count — one shuffle, map-side combined; the
+  top-k cut is a single ordered limit (driver receives k rows only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+from herodb_spark.functions import hashing as H
+from herodb_spark.functions import text as T
+
+DECON_NGRAM = 5
+SAMPLE_FRACTION = 0.25
+VOCAB_K = 50
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
+    """Remove documents sharing any word n-gram with the benchmark
+    set. Inverted-index semi-join: explode doc n-grams, semi-join the
+    (broadcast) benchmark n-gram vocabulary, anti-join the hit doc ids
+    back out. Exactly the MinHash candidate-generation shape, with the
+    benchmark as the index side."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    doc_grams = (
+        docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .repartition(par, "doc_id")
+        .select("doc_id", F.explode(H.word_shingles(F.col("toks"), n)).alias("g"))
+    )
+    bench_grams = (
+        benchmark.select(T.tokens(F.col("text")).alias("toks"))
+        .select(F.explode(H.word_shingles(F.col("toks"), n)).alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), "g", "left_semi").select("doc_id").distinct()
+    )
+    return docs.join(contaminated, "doc_id", "left_anti")
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test query: every 50th document stands in as the benchmark set;
+    report per-language counts of the surviving corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 50 == 0)
+    clean = decontaminate(docs, benchmark)
+    return clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang")
+
+
+def _shingle_sql(n: int) -> str:
+    """DuckDB n-gram fragment mirroring H.word_shingles over a `toks`
+    list column."""
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
+        f"i -> {parts}))"
+    )
+
+
+CORPUS_DECONTAMINATE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest({_shingle_sql(DECON_NGRAM)}) AS g
+  FROM tok WHERE len(toks) >= {DECON_NGRAM}
+),
+bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench)
+)
+SELECT lang, COUNT(*) AS n_docs
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def sample_hash_keep(key: F.Column, fraction: float) -> F.Column:
+    """Deterministic keep-predicate: md5 hex prefix of the stable key
+    below the fraction threshold. Engine-portable (md5 of an ASCII
+    string is identical everywhere), uniform, and reproducible — the
+    sampling contract a 100-TB pipeline needs for audits and re-runs."""
+    threshold = format(int(fraction * 16**8), "08x")
+    return F.substring(F.md5(key.cast("string").cast("binary")), 1, 8) < threshold
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of documents (~25% per
+    language): per-stratum counts of sampled vs total."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.where(sample_hash_keep(F.col("doc_id"), SAMPLE_FRACTION))
+    tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    samp = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        tot.join(samp, "lang", "left")
+        .select("lang", "n_total", F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, COUNT(*) AS n_total,
+       CAST(COALESCE(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                   < '{format(int(SAMPLE_FRACTION * 16**8), "08x")}'
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sampled
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by document frequency (ties by
+    token asc so the cut is deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .repartition(par, "doc_id")
+        .select("doc_id", F.explode(F.array_distinct("toks")).alias("token"))
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(VOCAB_K)
+    )
+
+
+VOCAB_TOPK_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS doc_freq
+FROM tok GROUP BY token
+ORDER BY doc_freq DESC, token ASC
+LIMIT {VOCAB_K}
+"""

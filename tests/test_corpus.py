@@ -1,0 +1,47 @@
+"""Corpus-management operators: decontamination, deterministic
+stratified sampling, vocabulary top-k."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+from herodb_spark.operators import corpus as C
+from tests.harness import compare
+
+CASES = [
+    (C.corpus_decontaminate, C.CORPUS_DECONTAMINATE_SQL),
+    (C.stratified_sample, C.STRATIFIED_SAMPLE_SQL),
+    (C.vocab_topk, C.VOCAB_TOPK_SQL),
+]
+
+
+@pytest.mark.parametrize("fn,sql", CASES, ids=[f.__name__ for f, _ in CASES])
+def test_corpus_oracle(spark, sf_dir, duck, fn, sql):
+    res = compare(fn(spark, sf_dir), sql, duck)
+    assert res["ok"], res
+
+
+def test_decontaminate_removes_benchmark_members(spark, sf_dir):
+    """A benchmark document always shares its own n-grams, so every
+    benchmark member long enough to have one n-gram must be removed."""
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 50 == 0)
+    clean = C.decontaminate(docs, benchmark)
+    leaked = (
+        clean.join(benchmark.select("doc_id"), "doc_id", "left_semi")
+        .where(F.size(F.split(F.trim("text"), r"\s+")) >= C.DECON_NGRAM)
+        .count()
+    )
+    assert leaked == 0
+
+
+def test_sample_is_deterministic_and_near_fraction(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = C.stratified_sample(spark, sf_dir).collect()
+    b = C.stratified_sample(spark, sf_dir).collect()
+    assert a == b
+    total = sum(r.n_total for r in a)
+    sampled = sum(r.n_sampled for r in a)
+    assert abs(sampled / total - C.SAMPLE_FRACTION) < 0.08
