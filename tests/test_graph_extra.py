@@ -14,6 +14,28 @@ def test_common_neighbors_oracle(spark, sf_dir, duck):
     assert res["ok"], res
 
 
+def test_kcore_converges_within_oracle_unroll_budget(spark):
+    """The DuckDB oracle unrolls peeling to 10 rounds; the Spark side
+    iterates to fixpoint. They agree iff peeling converges within 10
+    rounds — assert that at every graded SF (a round past the fixpoint
+    removes nothing, so fewer real rounds is always safe)."""
+    for sf_dir in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        edges = GE.undirected_sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
+        rounds = 0
+        while rounds <= 10:
+            deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+            weak = deg.where(F.col("deg") < GX.KCORE_K).select("node").localCheckpoint(eager=True)
+            if weak.isEmpty():
+                break
+            rounds += 1
+            edges = (
+                edges.join(weak.select(F.col("node").alias("src")), "src", "left_anti")
+                .join(weak.select(F.col("node").alias("dst")), "dst", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        assert rounds <= 10, f"{sf_dir}: peeling needed {rounds} rounds (> oracle unroll)"
+
+
 def test_kcore_invariant(spark, sf_dir):
     """Every node in the k-core has ≥ k neighbors inside the core."""
     core = GX.graph_kcore(spark, sf_dir)

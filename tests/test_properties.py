@@ -58,3 +58,35 @@ def test_lakehouse_stub_degrades_clearly(spark_prop):
     df = spark_prop.createDataFrame([(1, "x")], "k int, v string")
     with pytest.raises(NotImplementedError, match="delta-spark jars"):
         lakehouse.merge_upsert(spark_prop, "/tmp/nope", df, ["k"])
+
+
+EDGE_SETS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=7), st.integers(min_value=0, max_value=7)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=EDGE_SETS, seed=st.integers(min_value=0, max_value=7))
+def test_closure_matches_python_transitive_closure(spark_prop, edges, seed):
+    """The general closure operator must compute exactly the reachable
+    set of ANY directed graph (cycles, self-loops, diamonds) from any
+    seed — checked against a plain-Python BFS."""
+    from herodb_spark.graph.algorithms import closure
+
+    want = {seed}
+    frontier = {seed}
+    while frontier:
+        nxt = {d for s, d in edges if s in frontier} - want
+        want |= nxt
+        frontier = nxt
+
+    edf = spark_prop.createDataFrame(edges, "src int, dst int")
+    init = spark_prop.createDataFrame([(seed,)], "node int").coalesce(1)
+
+    def step(fr):
+        return fr.join(edf, fr.node == edf.src).select(F.col("dst").alias("node"))
+
+    got = {r.node for r in closure(step, init, key=["node"], max_iters=10).collect()}
+    assert got == want

@@ -61,6 +61,30 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stream_sliding_window_matches_batch(spark, sf_dir):
+    """Sliding windows (1h / 15min slide) through readStream must
+    equal the batch F.window aggregation — the merged
+    stream_window_aggs query's streaming half."""
+    stream_in = SO.stream_events(spark, sf_dir)
+
+    def sliding(df):
+        return (
+            df.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    out = _run_stream_to_memory(spark, sliding(stream_in), "t_sliding")
+    batch = sliding(load_table(spark, sf_dir, "events"))
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+
+
 def test_stream_dedup_dropduplicates(spark, sf_dir):
     """Streaming-native dedup: dropDuplicates on event_id over the
     stream equals the batch keep-first counts (event_ids are unique in
