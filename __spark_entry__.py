@@ -112,8 +112,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "typed_struct_enum": TY.typed_struct_enum,
     "incremental_mv_refresh": MV.incremental_mv_refresh,
     "pipeline_clean_corpus": PL.pipeline_clean_corpus,
-    # --- rows-only beyond slot 50 (no DuckDB-expressible oracle) ---
-    "dedup_minhash_lsh": D.minhash_lsh_pairs,  # xxhash64 not in DuckDB
+    # --- beyond slot 50 (ungraded by the driver) ---
+    # minhash's exact-jaccard verify makes its output the exact ≥ τ
+    # pair set whenever LSH recall is total (asserted in tests), so it
+    # carries the exact all-pairs oracle despite xxhash64 having no
+    # DuckDB equivalent — same contract as dedup_embedding_lsh_pairs
+    "dedup_minhash_lsh": D.minhash_lsh_pairs,
     "dedup_simhash": D.simhash_pairs,  # xxhash64 not in DuckDB
     "ann_lsh_topk": S.ann_lsh_topk,  # approximate by construction
     "ann_ivf_topk": SK.ann_ivf_topk,  # KMeans cells have no SQL equivalent
@@ -154,6 +158,7 @@ ORACLES: dict[str, str] = {
     "tpch_q10": E.TPCH_Q10_SQL,
     "dedup_exact": D.EXACT_DEDUP_SQL,
     "dedup_ngram_jaccard": D.NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": D.NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": D.EMBEDDING_NEARDUP_SQL,
     "dedup_embedding_lsh_pairs": D.EMBEDDING_NEARDUP_SQL,
     "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
