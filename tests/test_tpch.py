@@ -10,7 +10,28 @@ CASES = [
     (tpch.q3_shipping_priority, tpch.Q3_SQL),
     (tpch.q5_local_supplier_volume, tpch.Q5_SQL),
     (tpch.q18_large_volume_customer, tpch.Q18_SQL),
+    (tpch.q4_order_priority, tpch.Q4_SQL),
+    (tpch.q6_revenue_forecast, tpch.Q6_SQL),
+    (tpch.q12_ship_delay, tpch.Q12_SQL),
 ]
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6's whole cost is the scan: every predicate must reach the
+    parquet reader and the schema must prune to the 4 used columns.
+    (formatted explain — the simple plan string truncates long
+    FileScan lines, hiding PushedFilters.)"""
+    df = tpch.q6_revenue_forecast(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "PushedFilters" in plan
+    import re
+
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    read_cols = {c.split(":")[0] for c in schema.split(",")}
+    assert read_cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, read_cols
 
 
 @pytest.mark.parametrize("fn,sql", CASES, ids=[f.__name__ for f, _ in CASES])
