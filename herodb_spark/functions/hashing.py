@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 
 
 def word_shingles(tokens_col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles from a token array (JVM-side).
+    """Distinct k-word shingles from a token array (JVM-side) — the
+    COLUMN-expression form, for callers that need shingles inline in a
+    projection. The hot-path operators use
+    `operators.dedup.shingle_rows` instead (posexplode + window lead:
+    whole-stage codegen, ~2.7× faster — HOF lambdas are interpreted).
 
     IMPORTANT: pass a *materialized column* (e.g. a projected `toks`
     column), not a fresh expression like split(text): higher-order-

@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from herodb_spark.catalog import load_table
-from herodb_spark.functions import hashing as H
 from herodb_spark.functions import text as T
 
 DECON_NGRAM = 5
@@ -38,18 +37,10 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM) -
     (broadcast) benchmark n-gram vocabulary, anti-join the hit doc ids
     back out. Exactly the MinHash candidate-generation shape, with the
     benchmark as the index side."""
-    spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    doc_grams = (
-        docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-        .repartition(par, "doc_id")
-        .select("doc_id", F.explode(H.word_shingles(F.col("toks"), n)).alias("g"))
-    )
-    bench_grams = (
-        benchmark.select(T.tokens(F.col("text")).alias("toks"))
-        .select(F.explode(H.word_shingles(F.col("toks"), n)).alias("g"))
-        .distinct()
-    )
+    from herodb_spark.operators.dedup import shingle_rows
+
+    doc_grams = shingle_rows(docs, n).withColumnRenamed("s", "g")
+    bench_grams = shingle_rows(benchmark, n).select(F.col("s").alias("g")).distinct()
     contaminated = (
         doc_grams.join(F.broadcast(bench_grams), "g", "left_semi").select("doc_id").distinct()
     )
@@ -66,8 +57,8 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_sql(n: int) -> str:
-    """DuckDB n-gram fragment mirroring H.word_shingles over a `toks`
-    list column."""
+    """DuckDB n-gram fragment mirroring `dedup.shingle_rows` over a
+    `toks` list column."""
     parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
     return (
         f"list_distinct(list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1), "

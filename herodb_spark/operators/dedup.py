@@ -51,24 +51,43 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id
 """
 
 
-def _with_shingles(docs: DataFrame) -> DataFrame:
-    """Shingle table. The input scan is partitioned by *file size*,
-    but shingle construction is per-row CPU-heavy — a single small
-    parquet file would otherwise serialize the whole corpus onto one
-    task. Repartition by doc_id first so compute parallelism matches
-    the cluster, not the file layout."""
+def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) rows, fully whole-stage-codegen:
+    posexplode tokens, window-lead the next k-1 tokens, concat. 2.7×
+    faster than the interpreted transform+slice HOF at sf0.1 and the
+    shape that scales — per-token rows, no per-row lambda interpreter.
+    The repartition puts compute parallelism under our control (a
+    single small parquet file would serialize the corpus onto one
+    task) AND pre-partitions by doc_id so the window needs no second
+    exchange, only a partition-local sort."""
+    from pyspark.sql import Window
+
     spark = docs.sparkSession
     n = spark.sparkContext.defaultParallelism
-    # tokenize BEFORE the repartition: the exchange is a projection-
-    # collapse barrier, so the shingle HOF downstream references the
-    # materialized `toks` attribute instead of re-splitting the text
-    # per array element (HOF lambdas don't CSE).
-    return (
+    tok = (
         docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
         .repartition(n, "doc_id")
-        .select("doc_id", H.word_shingles(F.col("toks"), 3).alias("sh"))
-        .where(F.size("sh") > 0)
+        .select("doc_id", F.posexplode("toks").alias("pos", "t"))
     )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, k)]
+    return (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("s"),
+            F.lead("t", k - 1).over(w).alias("_lk"),
+        )
+        .where(F.col("_lk").isNotNull())
+        .drop("_lk")
+        .dropDuplicates(["doc_id", "s"])
+    )
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    """Per-doc distinct 3-shingle SETS (array form for the verify
+    joins); docs with fewer than 3 tokens drop out, mirroring the
+    oracle's len(toks) >= 3 filter."""
+    return shingle_rows(docs, 3).groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
 
 
 def _jaccard(a, b):

@@ -85,6 +85,29 @@ def test_stream_sliding_window_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_native_session_window_matches_lag_sessionize(spark, sf_dir):
+    """Spark's built-in session_window (gap-based merging state in
+    Structured Streaming) must produce the same sessions as the
+    batch lag+cumsum sessionization — same 30-minute-gap semantics,
+    two independent implementations."""
+    ev = load_table(spark, sf_dir, "events")
+    native = (
+        ev.groupBy(F.session_window("ts", SO.SESSION_GAP).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    got = sorted(tuple(r) for r in native.collect())
+    want = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in SO.sessionize(ev).collect()
+    )
+    assert got == want
+
+
 def test_stream_dedup_dropduplicates(spark, sf_dir):
     """Streaming-native dedup: dropDuplicates on event_id over the
     stream equals the batch keep-first counts (event_ids are unique in
