@@ -149,6 +149,34 @@ ORDER BY user_id
 """
 
 
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90 of order value per
+    priority) — Spark's `percentile` matches DuckDB's `quantile_cont`
+    bit-for-bit (same linear interpolation). Exact percentiles sort
+    each group; at 100 TB swap in `approx_percentile` (t-digest sketch,
+    one pass, mergeable) — same call shape, bounded error instead of a
+    per-group sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 6).alias("median_price"),
+            F.round(F.percentile("o_totalprice", 0.9), 6).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def order_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`order_by x range_by 11..30` (draft:158-159): rows 11-30 of
     customers by balance. OFFSET+LIMIT after a global range sort."""

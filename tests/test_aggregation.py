@@ -14,6 +14,7 @@ CASES = [
     (A.topk_then_avg, A.TOPK_THEN_AVG_SQL),
     (A.window_running, A.WINDOW_RUNNING_SQL),
     (A.group_having, A.GROUP_HAVING_SQL),
+    (A.percentiles, A.PERCENTILES_SQL),
 ]
 
 
