@@ -123,6 +123,50 @@ SELECT label, vec_a, rk, vec_b AS neighbor_id, cosine FROM ranked WHERE rk <= 3 
 """
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via grouped applyInPandas — the
+    Arrow-batched custom-aggregation shape (each label's vectors
+    arrive as one pandas DataFrame; numpy does the math). Output is
+    exploded (label, dim, centroid) rows so results stay scalar-typed
+    for oracle hashing. Rows are accumulated in vec_id order so the
+    float sum is deterministic run-to-run; ROUND(6) absorbs the
+    (≤1e-12) engine-vs-engine summation-order skew. At 100 TB the
+    groupBy shuffles once on label and each group streams through one
+    Arrow batch pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "label"
+    )
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        acc = np.zeros(mat.shape[1])
+        for row in mat:  # sequential accumulation: deterministic order
+            acc += row
+        c = np.round(acc / mat.shape[0], 6)
+        return pd.DataFrame(
+            {"label": pdf["label"].iloc[0], "dim": range(len(c)), "centroid": c}
+        )
+
+    out = emb.groupBy("label").applyInPandas(centroid, "label int, dim int, centroid double")
+    return out.orderBy("label", "dim")
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT label, CAST(dim - 1 AS INT) AS dim,
+       ROUND(SUM(CAST(x AS DOUBLE)) / COUNT(*), 6) AS centroid
+FROM (
+  SELECT label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+GROUP BY label, dim ORDER BY label, dim
+"""
+
+
 def _hyperplane_sig(emb_col: F.Column) -> F.Column:
     """LSH signature: bit j = sign of dot(v, plane_j); plane_j[d] is a
     deterministic pseudo-random ±[0,1) coefficient from xxhash64(j,d).

@@ -13,6 +13,7 @@ ORACLE_CASES = [
     (D.embedding_lsh_pairs, D.EMBEDDING_NEARDUP_SQL),
     (S.ann_bruteforce_topk, S.ANN_BRUTEFORCE_SQL),
     (S.knn_join_blocked, S.KNN_JOIN_SQL),
+    (S.label_centroids, S.LABEL_CENTROIDS_SQL),
 ]
 
 
