@@ -12,25 +12,6 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def word_shingles(tokens_col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles from a token array (JVM-side) — the
-    COLUMN-expression form, for callers that need shingles inline in a
-    projection. The hot-path operators use
-    `operators.dedup.shingle_rows` instead (posexplode + window lead:
-    whole-stage codegen, ~2.7× faster — HOF lambdas are interpreted).
-
-    IMPORTANT: pass a *materialized column* (e.g. a projected `toks`
-    column), not a fresh expression like split(text): higher-order-
-    function lambdas are interpreted and do NOT common-subexpression-
-    eliminate, so an expression argument would re-evaluate the split
-    for every element access (measured ~10× slowdown). One slice per
-    shingle keeps per-row work O(tokens × k)."""
-    n = F.size(tokens_col)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, k)))
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array())
-
-
 def minhash_aggs(shingle_col: Column, num_perm: int = 64) -> list[Column]:
     """MinHash as plain aggregates over an *exploded* shingle column:
     sig[i] = MIN(xxhash64(i, shingle)).

@@ -27,6 +27,7 @@ batch analog of partial cache invalidation.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 SEP = "::"
 
@@ -54,7 +55,13 @@ class Database:
     # -- symbol organization ------------------------------------------------
     def register(self, qualified: str, df: DataFrame, public: bool = True) -> None:
         """Register `df` under a (possibly nested) qualified name,
-        e.g. "tpch::fact::lineitem"."""
+        e.g. "tpch::fact::lineitem". Segments may not contain `__`:
+        the SQL-surface mangling maps `::` to `__`, and allowing both
+        would let two distinct symbols collide on one view name."""
+        if "__" in qualified or "__" in self.name:
+            raise ValueError(
+                f"'__' is reserved for view-name mangling: {self.name!r}/{qualified!r}"
+            )
         self._symbols[qualified] = df
         if not public:
             self._private.add(qualified)
@@ -104,7 +111,10 @@ class Database:
             del self._cached[qualified]
             del self._symbols[qualified]
             return
-        kept = old.where(~predicate).persist()
+        # keep every row NOT definitively matching: a NULL predicate
+        # result means "did not match", so ~coalesce(pred, false) —
+        # plain ~pred would silently drop NULL-evaluating rows
+        kept = old.where(~F.coalesce(predicate, F.lit(False))).persist()
         old.unpersist()
         self._cached[qualified] = kept
         self._symbols[qualified] = kept

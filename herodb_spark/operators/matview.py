@@ -71,10 +71,17 @@ def refresh_mv(
         else:  # max
             merged = F.greatest(old, new)
         merge_cols.append(merged.alias(name))
-    return (
-        mv.alias("mv")
-        .join(d.alias("d"), keys, "full_outer")
-        .select(*keys, *merge_cols)
+    # NULL-SAFE key equality: groupBy treats NULL as a real group, so
+    # the merge join must too — a plain equi-join would leave the
+    # NULL group's MV row and delta row un-merged (refresh != rebuild)
+    mva, da = mv.alias("mv"), d.alias("d")
+    cond = None
+    for k in keys:
+        c = F.col(f"mv.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else (cond & c)
+    return mva.join(da, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"mv.{k}"), F.col(f"d.{k}")).alias(k) for k in keys],
+        *merge_cols,
     )
 
 

@@ -36,17 +36,26 @@ def for_query_apply(
     driver loop, one pass over the base table; on a lakehouse table
     this is exactly `MERGE INTO ... WHEN MATCHED THEN UPDATE`."""
     keys = [key] if isinstance(key, str) else list(key)
+    hit = "_hit"
+    while hit in base.columns:  # collision-proof internal flag name
+        hit += "_"
     flagged = base.join(
-        driving.select(*keys).distinct().withColumn("_hit", F.lit(True)),
+        driving.select(*keys).distinct().withColumn(hit, F.lit(True)),
         keys,
         "left",
     )
-    out = flagged
-    for col, expr in assignments.items():
-        out = out.withColumn(
-            col, F.when(F.col("_hit").isNotNull(), expr).otherwise(F.col(col))
-        )
-    return out.drop("_hit")
+    # ONE simultaneous projection: every assignment expression reads
+    # the PRE-mutation row (MERGE/UPDATE pre-image semantics) — a
+    # sequential withColumn chain would let later assignments see
+    # earlier ones' results, making output depend on dict order
+    matched = F.col(hit).isNotNull()
+    return flagged.select(
+        *[
+            (F.when(matched, assignments[c]).otherwise(F.col(c)).alias(c)
+             if c in assignments else F.col(c))
+            for c in base.columns
+        ]
+    )
 
 
 def for_query_set(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -129,8 +129,10 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive as one pandas DataFrame; numpy does the math). Output is
     exploded (label, dim, centroid) rows so results stay scalar-typed
     for oracle hashing. Rows are accumulated in vec_id order so the
-    float sum is deterministic run-to-run; ROUND(6) absorbs the
-    (≤1e-12) engine-vs-engine summation-order skew. At 100 TB the
+    float sum is deterministic run-to-run; the final ROUND(6) happens
+    in SPARK (HALF_UP, matching DuckDB's round-away-from-zero — numpy
+    rounds half-even) and absorbs the (≤1e-12) engine-vs-engine
+    summation-order skew. At 100 TB the
     groupBy shuffles once on label and each group streams through one
     Arrow batch pipeline."""
     import numpy as np
@@ -146,13 +148,15 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc = np.zeros(mat.shape[1])
         for row in mat:  # sequential accumulation: deterministic order
             acc += row
-        c = np.round(acc / mat.shape[0], 6)
+        c = acc / mat.shape[0]
         return pd.DataFrame(
             {"label": pdf["label"].iloc[0], "dim": range(len(c)), "centroid": c}
         )
 
     out = emb.groupBy("label").applyInPandas(centroid, "label int, dim int, centroid double")
-    return out.orderBy("label", "dim")
+    return out.select("label", "dim", F.round("centroid", 6).alias("centroid")).orderBy(
+        "label", "dim"
+    )
 
 
 LABEL_CENTROIDS_SQL = """

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from herodb_spark import namespace as NS
 from herodb_spark.catalog import load_table
+from herodb_spark.operators import matview as MV
 from herodb_spark.operators import mutation as MU
 from tests.harness import compare
 
@@ -28,6 +29,43 @@ def test_for_query_apply_leaves_unmatched_rows(spark):
         ).collect()
     }
     assert out == {1: ("HIT", 11), 2: ("b", 20)}
+
+
+def test_for_query_apply_uses_pre_image(spark):
+    """MERGE pre-image semantics: every assignment expression must see
+    the PRE-mutation row, regardless of dict order."""
+    base = spark.createDataFrame([(1, 10, 0)], "k int, bal int, tot int")
+    driving = spark.createDataFrame([(1,)], "k int")
+    out = MU.for_query_apply(
+        base, driving, "k", {"bal": F.lit(0), "tot": F.col("bal") * 2}
+    ).collect()[0]
+    assert (out.bal, out.tot) == (0, 20), out  # tot from OLD bal
+
+
+def test_uncache_predicate_keeps_null_evaluating_rows(spark):
+    db = NS.Database("t")
+    df = spark.createDataFrame([(1, "URGENT"), (2, None), (3, "LOW")], "k int, x string")
+    db.cache("c::t", df)
+    db.uncache("c::t", F.col("x") == "URGENT")
+    kept = {r.k for r in db.resolve("c::t").collect()}
+    assert kept == {2, 3}, kept  # NULL-evaluating row 2 must survive
+
+
+def test_refresh_mv_merges_null_group_keys(spark):
+    base = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("a", 3.0)], "g string, v double"
+    )
+    specs = [("n", "count", None), ("s", "sum", F.col("v"))]
+    mv = MV.build_mv(base.where(F.col("v") <= 1.5), ["g"], specs)
+    refreshed = MV.refresh_mv(mv, base.where(F.col("v") > 1.5), ["g"], specs)
+    full = MV.build_mv(base, ["g"], specs)
+    assert set(map(tuple, refreshed.collect())) == set(map(tuple, full.collect()))
+
+
+def test_register_rejects_mangling_ambiguous_names(spark, sf_dir):
+    db = NS.Database("t2")
+    with pytest.raises(ValueError, match="reserved"):
+        db.register("a__b", load_table(spark, sf_dir, "nation"))
 
 
 @pytest.fixture()
