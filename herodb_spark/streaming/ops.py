@@ -104,9 +104,14 @@ def purchase_click_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream version of the events table (file source). The ns
-    timestamp is read as long (same conf as the batch catalog) and
-    converted to µs."""
+    """readStream version of the events table (file source).
+
+    The testdata has shipped ``ts`` both as TIMESTAMP(NANOS) (read as
+    int64 under ``nanosAsLong``) and as plain ``timestamp[us]`` —
+    branch on the inferred schema instead of assuming one encoding
+    (the batch catalog does the same, catalog.py:50-52)."""
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     import os
@@ -119,4 +124,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).withWatermark("ts", WATERMARK)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        # ns → µs by floor division, matching DuckDB's ns→µs truncation.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # watermark needs TIMESTAMP; under UTC session tz this cast is
+        # value-identity with the batch reader's naive semantics
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif not isinstance(schema["ts"].dataType, T.TimestampType):
+        raise TypeError(f"events.ts has unsupported type {schema['ts'].dataType}")
+    return raw.withWatermark("ts", WATERMARK)

@@ -121,3 +121,41 @@ def test_stream_dedup_dropduplicates(spark, sf_dir):
     got = sorted(tuple(r) for r in out.collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
+
+
+def test_stream_events_handles_both_ts_encodings(spark, tmp_path):
+    """Schema-drift regression (round-3 breakage): the testdata has
+    shipped events.ts both as TIMESTAMP(NANOS) — surfaced as int64
+    under nanosAsLong — and as timestamp[us]. stream_events must read
+    both and produce identical TIMESTAMP values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts_us = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    rows = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["click", "purchase"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    dirs = {}
+    for enc, arr in {
+        "ns": pa.array([t * 1000 for t in ts_us], type=pa.timestamp("ns")),
+        "us": pa.array(ts_us, type=pa.timestamp("us")),
+    }.items():
+        d = tmp_path / enc
+        d.mkdir()
+        pq.write_table(pa.table({**rows, "ts": arr}), d / "events.parquet")
+        dirs[enc] = str(d)
+
+    out = {}
+    for enc, d in dirs.items():
+        sdf = SO.stream_events(spark, d)
+        assert dict(sdf.dtypes)["ts"] == "timestamp"
+        res = _run_stream_to_memory(
+            spark, sdf.groupBy("event_id").agg(F.max("ts").alias("ts")), f"t_enc_{enc}"
+        )
+        out[enc] = sorted(tuple(r) for r in res.collect())
+    assert out["ns"] == out["us"]
+    assert len(out["us"]) == 2
