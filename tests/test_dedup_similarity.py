@@ -23,25 +23,49 @@ def test_dedup_similarity_oracle(spark, sf_dir, duck, fn, sql):
     assert res["ok"], res
 
 
-def test_minhash_lsh_covers_exact_pairs(spark, sf_dir):
+# every SF the driver may grade at — recall==exact asserted at each
+# (round-2 ADVICE: fixtures only covered sf0.001 while grading ran
+# larger SFs)
+ALL_SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+@pytest.mark.parametrize("sfd", ALL_SF_DIRS, ids=["sf0.001", "sf0.01", "sf0.1"])
+def test_minhash_lsh_covers_exact_pairs(spark, sfd):
     """LSH recall: every exact-jaccard pair must be found by the
-    banded MinHash candidate generation + verify."""
-    exact = {(r.doc_a, r.doc_b) for r in D.ngram_jaccard_pairs(spark, sf_dir).collect()}
-    lsh = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(spark, sf_dir).collect()}
+    banded MinHash candidate generation + verify — at every SF the
+    driver grades."""
+    exact = {(r.doc_a, r.doc_b) for r in D.ngram_jaccard_pairs(spark, sfd).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(spark, sfd).collect()}
     assert exact <= lsh, f"missed: {sorted(exact - lsh)[:10]}"
     # and LSH never reports a below-threshold pair (verify step)
-    assert lsh <= exact or all(True for _ in ()), "verify step guarantees jaccard>=threshold"
     assert lsh == exact, f"extra: {sorted(lsh - exact)[:10]}"
 
 
-def test_embedding_lsh_recall_is_total(spark, sf_dir):
+@pytest.mark.parametrize("sfd", ALL_SF_DIRS, ids=["sf0.001", "sf0.01", "sf0.1"])
+def test_embedding_lsh_recall_is_total(spark, sfd):
     """Hyperplane-LSH pair mining must recover exactly the ≥ τ pair
-    set of the all-pairs baseline at the graded SFs — the verify step
-    makes output exact whenever candidate recall is total."""
-    exact = {(r.vec_a, r.vec_b) for r in D.embedding_neardup_pairs(spark, sf_dir).collect()}
-    lsh = {(r.vec_a, r.vec_b) for r in D.embedding_lsh_pairs(spark, sf_dir).collect()}
+    set of the all-pairs baseline at every SF the driver grades — the
+    verify step makes output exact whenever candidate recall is
+    total. Also pins the cross-table first-collision dedup: pair
+    multiplicity in the output must be exactly 1."""
+    exact = {(r.vec_a, r.vec_b) for r in D.embedding_neardup_pairs(spark, sfd).collect()}
+    rows = D.embedding_lsh_pairs(spark, sfd).collect()
+    lsh = {(r.vec_a, r.vec_b) for r in rows}
+    assert len(rows) == len(lsh), "first-collision dedup emitted a duplicate pair"
     assert exact - lsh == set(), f"missed: {sorted(exact - lsh)[:10]}"
     assert lsh - exact == set(), f"extra: {sorted(lsh - exact)[:10]}"
+
+
+def test_label_centroids_pandas_variant_matches_builtin(spark, sf_dir):
+    """The grouped-applyInPandas centroid demo must equal the graded
+    built-in posexplode+partial-agg plan."""
+    a = S.label_centroids(spark, sf_dir).collect()
+    b = S.label_centroids_pandas(spark, sf_dir).collect()
+    assert a == b
 
 
 def test_ngram_df_cap_preserves_exactness_on_testdata(spark, sf_dir):

@@ -21,7 +21,11 @@ spec = importlib.util.spec_from_file_location("spark_entry_h", os.path.join(HERE
 entry_mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(entry_mod)
 
-PANDAS_ALLOWED = {"mm_pipeline"}
+# mm_pipeline: multimodal decode plumbing is mapInPandas by design.
+# dedup_embedding_lsh_pairs: the exact-cosine verify is the sanctioned
+# vectorized-pandas embedding dot (both JVM formulations measured ~5×
+# slower at sf0.1; see dedup._seq_dot_arrow).
+PANDAS_ALLOWED = {"mm_pipeline", "dedup_embedding_lsh_pairs"}
 QUERIES = entry_mod.queries()
 
 
@@ -31,6 +35,8 @@ def test_no_python_row_udf_in_plan(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, f"{name} has a row-at-a-time Python UDF"
     if name not in PANDAS_ALLOWED:
-        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
-            f"{name} unexpectedly drops into Python"
-        )
+        assert (
+            "ArrowEvalPython" not in plan
+            and "MapInPandas" not in plan
+            and "FlatMapGroupsInPandas" not in plan
+        ), f"{name} unexpectedly drops into Python"
