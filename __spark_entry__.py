@@ -25,6 +25,7 @@ from herodb_spark.operators import multimodal as MM
 from herodb_spark.operators import mutation as MU
 from herodb_spark.operators import olap as O
 from herodb_spark.operators import constraints as CN
+from herodb_spark.operators import corpus as CO
 from herodb_spark.operators import matview as MV
 from herodb_spark.operators import pipeline as PL
 from herodb_spark.operators import recursion as RC
@@ -59,7 +60,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_union_cases": R.union_cases,  # union of rule cases + Datalog DISTINCT set semantics
     "rel_pattern_match": R.pattern_match,  # union-type dispatch + if-then-else tiering
     # B. aggregation pipeline
-    "agg_group_having": A.group_having,  # merges group_by_agg + having_filter
+    "agg_group_having": A.group_having,  # merges group_by_agg + having_filter + percentiles
     "agg_partition_topk": A.partition_topk,
     "agg_order_range": A.order_range,
     "agg_collect": A.collect_agg,
@@ -69,17 +70,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pivot": O.pivot_events,
     "asof_join": O.asof_join,
     # C. graph
-    "graph_degree": G.graph_degree,
-    "graph_two_hop": G.graph_two_hop,
-    "graph_shortest_hops": G.graph_shortest_hops,  # hop counts ⊇ reachable set
-    "graph_connected_components": G.graph_connected_components,
+    "graph_node_metrics": G.graph_node_metrics,  # merges degree + two_hop + connected_components + kcore
+    "graph_seed_paths": G.graph_seed_paths,  # merges shortest_hops (⊇ reachable set) + weighted_sssp
     "graph_triangles": G.graph_triangles,
     "graph_pagerank": G.graph_pagerank,
-    "graph_weighted_sssp": E.graph_weighted_sssp,
     "graph_common_neighbors": GX.graph_common_neighbors,
-    "graph_kcore": GX.graph_kcore,
     # D. mutation statements
     "mut_statements": MU.mutation_statements,  # merges upsert + update_where + delete_where
+    "for_query_set": MU.for_query_set,  # `for query(...) (set ...)` bulk rule-driven update
     # E. TPC-H headline
     "tpch_q1": tpch.q1_pricing_summary,
     "tpch_q3": tpch.q3_shipping_priority,
@@ -87,15 +85,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18": tpch.q18_large_volume_customer,
     "tpch_q7": E.tpch_q7_nation_volume,
     "tpch_q10": E.tpch_q10_returned_revenue,
-    # F. dedup
+    "tpch_q4_q6_q12": tpch.q4_q6_q12_union,  # merges q4 + q6 + q12 (tag-union)
+    # F. dedup — ngram runs the df-capped skew-bounded path; minhash's
+    # exact-jaccard verify makes its output the exact ≥ τ pair set
+    # whenever LSH recall is total (asserted in tests at every SF), so
+    # it carries the exact all-pairs oracle despite xxhash64 having no
+    # DuckDB equivalent — same contract as dedup_embedding_lsh_pairs
     "dedup_exact": D.exact_dedup,
-    "dedup_ngram_jaccard": D.ngram_jaccard_pairs,
-    "dedup_embedding_cosine": D.embedding_neardup_pairs,
+    "dedup_ngram_jaccard": D.ngram_jaccard_pairs_capped,
+    "dedup_minhash_lsh": D.minhash_lsh_pairs,
     "dedup_embedding_lsh_pairs": D.embedding_lsh_pairs,
-    # G. similarity search
+    # G. similarity search / corpus pipeline
     "ann_bruteforce_topk": S.ann_bruteforce_topk,
     "knn_join_blocked": S.knn_join_blocked,
     "skew_join_salted": SK.skew_join_salted,
+    "label_centroids": S.label_centroids,
+    "corpus_ops": CO.corpus_ops,  # merges decontaminate + stratified_sample + vocab_topk
     # H. text analysis (merges token_count/quality/lang_id/fingerprint)
     "text_analysis": X.text_analysis,
     # I. multimodal plumbing (merges binary_meta + frame_sample)
@@ -113,11 +118,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_mv_refresh": MV.incremental_mv_refresh,
     "pipeline_clean_corpus": PL.pipeline_clean_corpus,
     # --- beyond slot 50 (ungraded by the driver) ---
-    # minhash's exact-jaccard verify makes its output the exact ≥ τ
-    # pair set whenever LSH recall is total (asserted in tests), so it
-    # carries the exact all-pairs oracle despite xxhash64 having no
-    # DuckDB equivalent — same contract as dedup_embedding_lsh_pairs
-    "dedup_minhash_lsh": D.minhash_lsh_pairs,
+    # embedding_cosine is the exact all-pairs baseline; its LSH twin
+    # above matches the identical oracle, so the graded slot belongs
+    # to the scale-safe plan and the baseline keeps a rows-only run +
+    # full unit-test oracle coverage
+    "dedup_embedding_cosine": D.embedding_neardup_pairs,
     "dedup_simhash": D.simhash_pairs,  # xxhash64 not in DuckDB
     "ann_lsh_topk": S.ann_lsh_topk,  # approximate by construction
     "ann_ivf_topk": SK.ann_ivf_topk,  # KMeans cells have no SQL equivalent
@@ -140,22 +145,20 @@ ORACLES: dict[str, str] = {
     "agg_cube": O.CUBE_ROLLUP_SQL,
     "agg_pivot": O.PIVOT_EVENTS_SQL,
     "asof_join": O.ASOF_JOIN_SQL,
-    "graph_degree": G.GRAPH_DEGREE_SQL,
-    "graph_two_hop": G.GRAPH_TWO_HOP_SQL,
-    "graph_shortest_hops": G.GRAPH_SHORTEST_HOPS_SQL,
-    "graph_connected_components": G.GRAPH_CC_SQL,
+    "graph_node_metrics": G.GRAPH_NODE_METRICS_SQL,
+    "graph_seed_paths": G.GRAPH_SEED_PATHS_SQL,
     "graph_triangles": G.GRAPH_TRIANGLES_SQL,
     "graph_pagerank": G.GRAPH_PAGERANK_SQL,
-    "graph_weighted_sssp": E.GRAPH_WEIGHTED_SSSP_SQL,
     "graph_common_neighbors": GX.GRAPH_COMMON_NEIGHBORS_SQL,
-    "graph_kcore": GX.GRAPH_KCORE_SQL,
     "mut_statements": MU.MUTATION_STATEMENTS_SQL,
+    "for_query_set": MU.FOR_QUERY_SET_SQL,
     "tpch_q1": tpch.Q1_SQL,
     "tpch_q3": tpch.Q3_SQL,
     "tpch_q5": tpch.Q5_SQL,
     "tpch_q18": tpch.Q18_SQL,
     "tpch_q7": E.TPCH_Q7_SQL,
     "tpch_q10": E.TPCH_Q10_SQL,
+    "tpch_q4_q6_q12": tpch.Q4_Q6_Q12_SQL,
     "dedup_exact": D.EXACT_DEDUP_SQL,
     "dedup_ngram_jaccard": D.NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": D.NGRAM_JACCARD_SQL,
@@ -164,6 +167,8 @@ ORACLES: dict[str, str] = {
     "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
     "knn_join_blocked": S.KNN_JOIN_SQL,
     "skew_join_salted": SK.SKEW_JOIN_SALTED_SQL,
+    "label_centroids": S.LABEL_CENTROIDS_SQL,
+    "corpus_ops": CO.CORPUS_OPS_SQL,
     "text_analysis": X.TEXT_ANALYSIS_SQL,
     "mm_pipeline": MM.MM_PIPELINE_SQL,
     "stream_window_aggs": ST.STREAM_WINDOW_AGGS_SQL,

@@ -55,8 +55,10 @@ FROM events GROUP BY event_type ORDER BY event_type
 def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`group_by exam(Count, Average)` + post-aggregation predicate
     `:- average_score > 5` (draft:151-157) in one derived table — the
-    registered merge of `group_by_agg` and `having_filter` (each kept
-    for unit tests): per-user count/sum/avg/distinct aggregates,
+    registered merge of `group_by_agg`, `having_filter`, and
+    `percentiles` (each kept for unit tests): per-user count/sum/avg/
+    distinct aggregates PLUS exact interpolated median/p90 of value
+    (Spark `percentile` matches DuckDB `quantile_cont` bit-for-bit),
     HAVING avg_value > 55."""
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -68,6 +70,8 @@ def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)), 6
             ).alias("avg_value"),
             F.countDistinct("event_type").alias("n_types"),
+            F.round(F.percentile("value", 0.5), 6).alias("median_value"),
+            F.round(F.percentile("value", 0.9), 6).alias("p90_value"),
         )
         .where(F.col("avg_value") > 55)
         .orderBy("user_id")
@@ -79,7 +83,9 @@ SELECT user_id,
        COUNT(*) AS n_events,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
-       COUNT(DISTINCT event_type) AS n_types
+       COUNT(DISTINCT event_type) AS n_types,
+       ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90_value
 FROM events
 GROUP BY user_id
 HAVING ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) > 55

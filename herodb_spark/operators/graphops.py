@@ -186,3 +186,69 @@ r{i} AS MATERIALIZED (
 
 
 GRAPH_PAGERANK_SQL = _pagerank_unrolled_sql()
+
+
+def graph_node_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of graph_degree + graph_two_hop +
+    graph_connected_components + graph_kcore (each kept as its own
+    function/oracle for unit tests): one wide per-node metrics row so
+    all four per-node graph operators earn a driver-graded hash row in
+    a single slot. Left joins from the degree node set (the full trade
+    graph); nodes outside a constituent's domain carry NULLs on both
+    engines."""
+    from herodb_spark.graph import extra_algos as GX
+
+    d = graph_degree(spark, sf_dir)
+    t = graph_two_hop(spark, sf_dir)
+    c = graph_connected_components(spark, sf_dir)
+    k = GX.graph_kcore(spark, sf_dir)
+    return (
+        d.join(t, "node", "left")
+        .join(c, "node", "left")
+        .join(k, "node", "left")
+        .orderBy("node")
+    )
+
+
+def _graph_node_metrics_sql() -> str:
+    from herodb_spark.graph import extra_algos as GX
+
+    return f"""
+SELECT d.node, d.out_deg, d.in_deg, d.out_w, d.in_w,
+       t.n_reachable_2hop, c.comp, k.core_degree
+FROM ({GRAPH_DEGREE_SQL}) d
+LEFT JOIN ({GRAPH_TWO_HOP_SQL}) t ON d.node = t.node
+LEFT JOIN ({GRAPH_CC_SQL}) c ON d.node = c.node
+LEFT JOIN ({GX.GRAPH_KCORE_SQL}) k ON d.node = k.node
+ORDER BY d.node
+"""
+
+
+GRAPH_NODE_METRICS_SQL = _graph_node_metrics_sql()
+
+
+def graph_seed_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of graph_shortest_hops + graph_weighted_sssp
+    (each kept for unit tests): per reachable node from the seed, the
+    unweighted hop count and the weighted shortest distance in one
+    row. Reachable sets coincide (same sparse edge set), so an inner
+    join is exact on both engines."""
+    from herodb_spark.operators import extra as E
+
+    h = graph_shortest_hops(spark, sf_dir)
+    s = E.graph_weighted_sssp(spark, sf_dir)
+    return h.join(s, "node").orderBy("node")
+
+
+def _graph_seed_paths_sql() -> str:
+    from herodb_spark.operators import extra as E
+
+    return f"""
+SELECT h.node, h.hops, s.dist
+FROM ({GRAPH_SHORTEST_HOPS_SQL}) h
+JOIN ({E.GRAPH_WEIGHTED_SSSP_SQL}) s ON h.node = s.node
+ORDER BY h.node
+"""
+
+
+GRAPH_SEED_PATHS_SQL = _graph_seed_paths_sql()

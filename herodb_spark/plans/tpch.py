@@ -301,3 +301,47 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1 ORDER BY delay_class
 """
+
+
+def q4_q6_q12_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of tpch_q4 + tpch_q6 + tpch_q12 (each kept as
+    its own function/oracle for unit tests): the three results are
+    tag-unioned into one (q, k, v1, v2) relation so all three earn a
+    driver-graded hash row in a single slot. Counts cast to double
+    exactly (far below 2^53); each constituent plan — Q4's semi-join
+    with date pushdown, Q6's pure scan-filter-agg, Q12's
+    conditional-agg fact join — executes unchanged inside the union
+    (Catalyst plans union branches independently)."""
+    nul = F.lit(None).cast("double")
+    q4 = q4_order_priority(spark, sf_dir).select(
+        F.lit("q4").alias("q"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("order_count").cast("double").alias("v1"),
+        nul.alias("v2"),
+    )
+    q6 = q6_revenue_forecast(spark, sf_dir).select(
+        F.lit("q6").alias("q"),
+        F.lit("revenue").alias("k"),
+        F.col("revenue").alias("v1"),
+        nul.alias("v2"),
+    )
+    q12 = q12_ship_delay(spark, sf_dir).select(
+        F.lit("q12").alias("q"),
+        F.col("delay_class").alias("k"),
+        F.col("high_line_count").cast("double").alias("v1"),
+        F.col("low_line_count").cast("double").alias("v2"),
+    )
+    return q4.unionByName(q6).unionByName(q12).orderBy("q", "k")
+
+
+Q4_Q6_Q12_SQL = f"""
+SELECT 'q4' AS q, o_orderpriority AS k, CAST(order_count AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+FROM ({Q4_SQL})
+UNION ALL
+SELECT 'q6' AS q, 'revenue' AS k, revenue AS v1, CAST(NULL AS DOUBLE) AS v2
+FROM ({Q6_SQL})
+UNION ALL
+SELECT 'q12' AS q, delay_class AS k, CAST(high_line_count AS DOUBLE) AS v1, CAST(low_line_count AS DOUBLE) AS v2
+FROM ({Q12_SQL})
+ORDER BY q, k
+"""
