@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from herodb_spark.operators import adt as ADT
 from herodb_spark.operators import aggregation as A
 from herodb_spark.operators import dedup as D
 from herodb_spark.operators import extra as E
@@ -106,13 +107,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # I. multimodal plumbing (merges binary_meta + frame_sample)
     "mm_pipeline": MM.mm_pipeline,
     # J. streaming (batch-parity; streaming versions in tests)
-    "stream_window_aggs": ST.stream_window_aggs,  # merges tumbling + sliding
+    "stream_window_aggs": ST.stream_window_aggs,  # merges tumbling + sliding + late_dedup
     "stream_sessionize": ST.stream_sessionize,
-    "stream_late_dedup": ST.stream_late_dedup,
     "stream_interval_join": ST.stream_interval_join,
-    # K. compositions / schema / recursion
-    "recursive_fib": PL.recursive_fib,
-    "recursive_bom_rollup": RC.recursive_bom_rollup,
+    # K. compositions / schema / recursion / type system
+    "recursive_programs": RC.recursive_programs,  # merges recursive_fib + recursive_bom_rollup
+    "adt_list_ops": ADT.adt_list_ops,  # tagged-union term table + reverse/concat (draft_type:5-15)
+    "class_hierarchy": ADT.class_hierarchy,  # subtype closure + shared-prefix dispatch (draft_type:19-110)
     "ensure_constraints": CN.ensure_constraints,
     "typed_struct_enum": TY.typed_struct_enum,
     "incremental_mv_refresh": MV.incremental_mv_refresh,
@@ -173,10 +174,10 @@ ORACLES: dict[str, str] = {
     "mm_pipeline": MM.MM_PIPELINE_SQL,
     "stream_window_aggs": ST.STREAM_WINDOW_AGGS_SQL,
     "stream_sessionize": ST.STREAM_SESSIONIZE_SQL,
-    "stream_late_dedup": ST.STREAM_LATE_DEDUP_SQL,
     "stream_interval_join": ST.STREAM_INTERVAL_JOIN_SQL,
-    "recursive_fib": PL.RECURSIVE_FIB_SQL,
-    "recursive_bom_rollup": RC.RECURSIVE_BOM_SQL,
+    "recursive_programs": RC.RECURSIVE_PROGRAMS_SQL,
+    "adt_list_ops": ADT.ADT_LIST_OPS_SQL,
+    "class_hierarchy": ADT.CLASS_HIERARCHY_SQL,
     "ensure_constraints": CN.ENSURE_CONSTRAINTS_SQL,
     "typed_struct_enum": TY.TYPED_STRUCT_ENUM_SQL,
     "incremental_mv_refresh": MV.INCREMENTAL_MV_SQL,

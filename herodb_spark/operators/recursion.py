@@ -93,3 +93,43 @@ SELECT assembly, COUNT(*) AS n_parts,
 FROM comp JOIN part ON comp.node = part.p_partkey
 GROUP BY assembly ORDER BY assembly
 """
+
+
+def recursive_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of recursive_fib + recursive_bom_rollup (each
+    kept as its own function/oracle for unit tests): the two bounded
+    recursions tag-unioned into one (prog, k, v1, v2) relation so both
+    earn a driver-graded hash row in a single slot. fib(40) and the
+    counts fit a double exactly (< 2^53)."""
+    from herodb_spark.operators.pipeline import recursive_fib
+
+    nul = F.lit(None).cast("double")
+    fib = recursive_fib(spark, sf_dir).select(
+        F.lit("fib").alias("prog"),
+        F.col("n").cast("long").alias("k"),
+        F.col("fib").cast("double").alias("v1"),
+        nul.alias("v2"),
+    )
+    bom = recursive_bom_rollup(spark, sf_dir).select(
+        F.lit("bom").alias("prog"),
+        F.col("assembly").alias("k"),
+        F.col("n_parts").cast("double").alias("v1"),
+        F.col("total_value").alias("v2"),
+    )
+    return fib.unionByName(bom).orderBy("prog", "k")
+
+
+def _recursive_programs_sql() -> str:
+    from herodb_spark.operators.pipeline import RECURSIVE_FIB_SQL
+
+    return f"""
+SELECT 'fib' AS prog, CAST(n AS BIGINT) AS k, CAST(fib AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+FROM ({RECURSIVE_FIB_SQL})
+UNION ALL
+SELECT 'bom' AS prog, assembly AS k, CAST(n_parts AS DOUBLE) AS v1, total_value AS v2
+FROM ({RECURSIVE_BOM_SQL})
+ORDER BY prog, k
+"""
+
+
+RECURSIVE_PROGRAMS_SQL = _recursive_programs_sql()

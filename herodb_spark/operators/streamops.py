@@ -55,14 +55,24 @@ FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
 
 
 def stream_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling (1h) AND sliding (1h window / 15min slide) windowed
-    aggregates in one derived table, tagged by `win_kind` — the
-    registered merge of `stream_tumbling_agg` and `stream_sliding_agg`
-    (each kept for unit/streaming tests). Both run as F.window
-    group-bys, which is exactly the Structured Streaming plan shape."""
+    """Tumbling (1h), sliding (1h window / 15min slide), and all-time
+    keep-first-dedup aggregates in one derived table, tagged by
+    `win_kind` — the registered merge of `stream_tumbling_agg`,
+    `stream_sliding_agg`, and `stream_late_dedup` (each kept for
+    unit/streaming tests). The windowed branches run as F.window
+    group-bys — exactly the Structured Streaming plan shape; the dedup
+    branch is the batch parity of dropDuplicates-with-watermark
+    (window = all time)."""
     ev = load_table(spark, sf_dir, "events")
     tumbling = SO.tumbling_agg(ev).select(
         F.lit("tumbling_1h").alias("win_kind"), "window_start", "event_type", "n_events", "total_value"
+    )
+    dedup = SO.dedup_keep_first(ev).select(
+        F.lit("dedup_all_time").alias("win_kind"),
+        F.lit(None).cast("string").alias("window_start"),
+        "event_type",
+        F.col("n_unique_events").alias("n_events"),
+        F.lit(None).cast("double").alias("total_value"),
     )
     sliding = (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
@@ -78,7 +88,11 @@ def stream_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return tumbling.unionByName(sliding).orderBy("win_kind", "window_start", "event_type")
+    return (
+        tumbling.unionByName(sliding)
+        .unionByName(dedup)
+        .orderBy("win_kind", "window_start", "event_type")
+    )
 
 
 STREAM_WINDOW_AGGS_SQL = """
@@ -97,6 +111,22 @@ SELECT * FROM (
          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
   FROM events, generate_series(0, 3) t(k)
   GROUP BY 2, 3
+  UNION ALL
+  SELECT 'dedup_all_time',
+         CAST(NULL AS VARCHAR),
+         event_type,
+         n_unique_events,
+         CAST(NULL AS DOUBLE)
+  FROM (
+    WITH first AS (
+      SELECT * FROM (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id, event_type, value) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT event_type, COUNT(*) AS n_unique_events FROM first GROUP BY event_type
+  )
 ) ORDER BY win_kind, window_start, event_type
 """
 
