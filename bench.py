@@ -51,6 +51,9 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+
+
 def main() -> None:
     spark = get_spark("herodb_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,24 +61,37 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches + codegen
     materialize(tpch.q1_pricing_summary(spark, SF_DIR))
 
+    # median-of-ITERS per query: a single sample on a shared box is
+    # noise-dominated (the round-3 official bench measured unchanged
+    # code 3.2× slower); the median plus the per-query spread makes
+    # real regressions distinguishable from sandbox contention
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
-        t0 = time.perf_counter()
-        materialize(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # between queries (outside the timed region): trigger a JVM GC
-        # so the ContextCleaner releases dead localCheckpoint blocks —
-        # otherwise a heavy query's leftovers inflate its successors
-        spark._jvm.System.gc()
+        samples = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+            # between runs (outside the timed region): trigger a JVM GC
+            # so the ContextCleaner releases dead localCheckpoint
+            # blocks — otherwise a heavy query's leftovers inflate its
+            # successors
+            spark._jvm.System.gc()
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = round(samples[-1] / max(samples[0], 1e-9), 2)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "herodb_spark headline suite wall-clock",
+                "metric": "herodb_spark headline suite wall-clock (median of %d)" % ITERS,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread_max_over_min": spread,
+                "iters": ITERS,
                 "sf": SF_DIR,
             }
         )

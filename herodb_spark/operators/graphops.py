@@ -95,8 +95,11 @@ SELECT node, CAST(MIN(hops) AS INT) AS hops FROM p GROUP BY node ORDER BY node
 
 
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the O(log n)-round large-star/small-star contraction (the
+    100-TB path); min-label propagation kept as the property-test
+    baseline (tests/test_graph_extra.py)."""
     e = GE.undirected_sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
-    return GA.connected_components(e).orderBy("node")
+    return GA.connected_components_twophase(e).orderBy("node")
 
 
 GRAPH_CC_SQL = (

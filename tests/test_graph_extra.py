@@ -51,3 +51,15 @@ def test_kcore_invariant(spark, sf_dir):
             inside[e.src] = inside.get(e.src, 0) + 1
     for n in nodes:
         assert inside.get(n, 0) >= GX.KCORE_K, (n, inside.get(n, 0))
+
+
+def test_twophase_cc_equals_minlabel_on_trade_graph(spark, sf_dir):
+    """Large-star/small-star contraction must produce exactly the
+    min-label propagation components on the testdata graph."""
+    from herodb_spark.graph import algorithms as GA
+    from herodb_spark.graph import edges as GE
+
+    und = GE.undirected_sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
+    two = sorted((r.node, r.comp) for r in GA.connected_components_twophase(und).collect())
+    lab = sorted((r.node, r.comp) for r in GA.connected_components(und).collect())
+    assert two == lab

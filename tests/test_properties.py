@@ -90,3 +90,40 @@ def test_closure_matches_python_transitive_closure(spark_prop, edges, seed):
 
     got = {r.node for r in closure(step, init, key=["node"], max_iters=10).collect()}
     assert got == want
+
+
+CC_EDGE_SETS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=24), st.integers(min_value=0, max_value=24)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=CC_EDGE_SETS)
+def test_twophase_cc_matches_union_find(spark_prop, edges):
+    """connected_components_twophase == a driver-side union-find on
+    arbitrary small graphs (self-loops and duplicates included)."""
+    from pyspark.sql import functions as F
+
+    from herodb_spark.graph.algorithms import connected_components_twophase
+
+    df = spark_prop.createDataFrame(edges, "src int, dst int")
+    und = df.unionByName(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    got = {(r.node, r.comp) for r in connected_components_twophase(und).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {(n, find(n)) for n in nodes}
+    assert got == want
