@@ -35,8 +35,10 @@ def merge_upsert(
     if fmt == "delta" and not _delta_available(spark):
         raise NotImplementedError(
             "delta-spark jars not present in this environment; use "
-            "operators.mutation.upsert_table for the snapshot-rewrite "
-            "equivalent (same join plan MERGE compiles to)"
+            "sources.snapshot.SnapshotTable for a real copy-on-write "
+            "MERGE (manifest commits, partition-scoped rewrite, time "
+            "travel), or operators.mutation.upsert_table for the "
+            "plan-shape equivalent"
         )
     if fmt not in ("delta", "iceberg"):
         raise ValueError(f"unsupported lakehouse format {fmt!r}")

@@ -1,0 +1,238 @@
+"""Copy-on-write snapshot tables: a minimal lakehouse commit protocol
+in plain parquet + a JSON manifest — the executable form of the
+reference's durability surface (Rewrite.md: ordered log of updates,
+replay on recovery; draft:132-150 `set/update/remove` statements).
+Delta/Iceberg jars are absent from this image (sources/lakehouse.py
+stays the import-gated connector), so the mechanism they implement is
+built here directly:
+
+- A table is a MANIFEST (versioned JSON) pointing at immutable parquet
+  partition directories. Readers resolve the manifest, never a live
+  directory listing — writers can work ahead without breaking them.
+- Commits are copy-on-write: a mutation writes NEW directories for the
+  partitions it touches and re-links every untouched partition from
+  the previous version — file-level reuse, exactly how snapshot
+  formats make MERGE affordable at 100 TB (rewrite ∝ touched
+  partitions, not table size).
+- The commit point is an atomic manifest rename (os.replace): a crash
+  before it leaves the previous version intact (single-writer
+  protocol; lakehouse engines add a log/CAS for multi-writer).
+- Old versions stay readable: time travel = resolving an older
+  manifest entry.
+
+Operations mirror operators/mutation.py's oracle-checked semantics:
+`merge_upsert` (set = MERGE INTO), `update_where` (update :- pred),
+`delete_where` (remove :- pred).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "_manifest.json"
+_UNPARTITIONED = "_all"
+
+
+class SnapshotTable:
+    """Handle to a snapshot table rooted at `path`."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _load(self) -> dict:
+        with open(self._manifest_path()) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path())  # atomic commit point
+
+    # -- creation ----------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        key_cols: list[str],
+        partition_col: str | None = None,
+    ) -> "SnapshotTable":
+        """Write version 0. `partition_col` bounds every future
+        mutation's rewrite to the touched partitions."""
+        t = cls(spark, path)
+        os.makedirs(path, exist_ok=True)
+        parts = t._write_partitions(df, 0, partition_col)
+        t._commit(
+            {
+                "key_cols": key_cols,
+                "partition_col": partition_col,
+                "current": 0,
+                "versions": {"0": {"op": "create", "partitions": parts}},
+            }
+        )
+        return t
+
+    def _write_partitions(
+        self, df: DataFrame, version: int, partition_col: str | None, only: set | None = None
+    ) -> dict:
+        """Write `df` under data/v=<version>/, one directory per
+        partition value (or one directory for unpartitioned tables).
+        Returns {partition_value_str: relative_dir}. `only` restricts
+        the write to those partition values."""
+        out: dict[str, str] = {}
+        if partition_col is None:
+            rel = f"data/v={version}/{_UNPARTITIONED}"
+            df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
+            return {_UNPARTITIONED: rel}
+        values = [
+            r.p for r in df.select(F.col(partition_col).cast("string").alias("p")).distinct().collect()
+        ]
+        for v in values:
+            if only is not None and v not in only:
+                continue
+            rel = f"data/v={version}/p={v}"
+            df.where(F.col(partition_col).cast("string") == v).write.mode("overwrite").parquet(
+                os.path.join(self.path, rel)
+            )
+            out[v] = rel
+        return out
+
+    # -- reads -------------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current snapshot, or time travel to `version`. Resolves the
+        manifest to concrete directories; the scan itself is ordinary
+        parquet (pushdown/pruning intact), and listing only manifest
+        dirs doubles as partition pruning bookkeeping."""
+        m = self._load()
+        v = m["current"] if version is None else version
+        entry = m["versions"].get(str(v))
+        if entry is None:
+            raise ValueError(f"{self.path}: no version {v}")
+        dirs = [os.path.join(self.path, rel) for rel in entry["partitions"].values()]
+        return self.spark.read.parquet(*dirs)
+
+    def history(self) -> list[dict]:
+        m = self._load()
+        return [
+            {"version": int(v), "op": e["op"], "n_partitions": len(e["partitions"])}
+            for v, e in sorted(m["versions"].items(), key=lambda kv: int(kv[0]))
+        ]
+
+    # -- mutations (each = one copy-on-write commit) ------------------------
+    def _next(self, m: dict) -> int:
+        return m["current"] + 1
+
+    def _carry_forward(self, m: dict, touched: set) -> dict:
+        """Re-link every untouched partition of the current version —
+        the file-reuse half of copy-on-write."""
+        cur = m["versions"][str(m["current"])]["partitions"]
+        return {pv: rel for pv, rel in cur.items() if pv not in touched}
+
+    def merge_upsert(self, updates: DataFrame) -> int:
+        """MERGE INTO this USING updates ON key_cols
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *.
+        Only partitions holding an updated key (plus new-key
+        partitions) are rewritten. Update rows must carry the full
+        schema (SET *), and — like real MERGE — a key may appear at
+        most once in `updates`."""
+        m = self._load()
+        keys = m["key_cols"]
+        pcol = m["partition_col"]
+        target = self.read()
+        if updates.isEmpty():
+            return m["current"]
+        if pcol is None:
+            touched = {_UNPARTITIONED}
+            affected_target = target
+        else:
+            touched = {
+                r.p
+                for r in updates.select(F.col(pcol).cast("string").alias("p")).distinct().collect()
+            }
+            # a matched key may live in a partition the update row
+            # moves it OUT of — those source partitions rewrite too
+            old_parts = (
+                target.join(updates.select(*keys), keys, "left_semi")
+                .select(F.col(pcol).cast("string").alias("p"))
+                .distinct()
+            )
+            touched |= {r.p for r in old_parts.collect()}
+            affected_target = target.where(
+                F.col(pcol).cast("string").isin(*touched) if touched else F.lit(False)
+            )
+        merged = affected_target.join(updates.select(*keys), keys, "left_anti").unionByName(
+            updates
+        )
+        version = self._next(m)
+        parts = self._write_partitions(merged, version, pcol, only=touched)
+        new_parts = self._carry_forward(m, touched)
+        new_parts.update(parts)
+        m["versions"][str(version)] = {"op": "merge_upsert", "partitions": new_parts}
+        m["current"] = version
+        self._commit(m)
+        return version
+
+    def update_where(self, predicate: Column, assignments: dict[str, Column]) -> int:
+        """`update T(...) :- pred` (draft:135): CASE projection over
+        the pre-image, copy-on-write. The whole table is scanned to
+        evaluate the predicate, but only partitions containing a
+        matching row are rewritten."""
+        m = self._load()
+        pcol = m["partition_col"]
+        target = self.read()
+        matched = F.coalesce(predicate, F.lit(False))
+        mutated = target.select(
+            *[
+                (F.when(matched, assignments[c]).otherwise(F.col(c)).alias(c)
+                 if c in assignments else F.col(c))
+                for c in target.columns
+            ]
+        )
+        return self._rewrite_touched(m, target, mutated, matched, "update_where")
+
+    def delete_where(self, predicate: Column) -> int:
+        """`remove T(...) :- pred` (draft:136-138): anti-filter,
+        copy-on-write on the touched partitions."""
+        m = self._load()
+        target = self.read()
+        matched = F.coalesce(predicate, F.lit(False))
+        kept = target.where(~matched)
+        return self._rewrite_touched(m, target, kept, matched, "delete_where")
+
+    def _rewrite_touched(
+        self, m: dict, target: DataFrame, result: DataFrame, matched: Column, op: str
+    ) -> int:
+        pcol = m["partition_col"]
+        if pcol is None:
+            touched = {_UNPARTITIONED}
+            to_write = result
+        else:
+            touched = {
+                r.p
+                for r in target.where(matched)
+                .select(F.col(pcol).cast("string").alias("p"))
+                .distinct()
+                .collect()
+            }
+            if not touched:  # no-op mutation: commit nothing new
+                return m["current"]
+            to_write = result.where(F.col(pcol).cast("string").isin(*touched))
+        version = self._next(m)
+        parts = self._write_partitions(to_write, version, pcol, only=touched)
+        new_parts = self._carry_forward(m, touched)
+        new_parts.update(parts)
+        m["versions"][str(version)] = {"op": op, "partitions": new_parts}
+        m["current"] = version
+        self._commit(m)
+        return version

@@ -46,3 +46,103 @@ def test_csv_json_roundtrip(spark, sf_dir):
             got = {tuple(r) for r in back.select("n_nationkey", "n_name", "n_regionkey").collect()}
             want = {tuple(r) for r in nation.collect()}
             assert got == want
+
+
+# ---------------------------------------------------------------------------
+# snapshot tables: copy-on-write MERGE / UPDATE / DELETE + time travel
+# ---------------------------------------------------------------------------
+
+
+def _snap_fixture(spark, tmp_path, partitioned=True):
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    rows = [(i, f"u{i}", i % 3, float(i * 10)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "id long, name string, grp int, bal double")
+    return SnapshotTable.create(
+        spark, str(tmp_path / "t"), df, ["id"], partition_col="grp" if partitioned else None
+    )
+
+
+def test_snapshot_create_read_roundtrip(spark, tmp_path):
+    t = _snap_fixture(spark, tmp_path)
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert len(got) == 9 and got[0][0] == 1
+
+
+def test_snapshot_merge_upsert_semantics(spark, tmp_path):
+    """MERGE: matched keys fully replaced, unmatched inserted; result
+    equals the plain anti-join+union the statement compiles to."""
+    t = _snap_fixture(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [(3, "u3x", 0, 999.0), (42, "new", 0, 1.0)],
+        "id long, name string, grp int, bal double",
+    )
+    v = t.merge_upsert(updates)
+    assert v == 1
+    got = {r.id: (r.name, r.grp, r.bal) for r in t.read().collect()}
+    assert got[3] == ("u3x", 0, 999.0)
+    assert got[42] == ("new", 0, 1.0)
+    assert len(got) == 10
+    # time travel: v0 unchanged
+    old = {r.id: r.name for r in t.read(version=0).collect()}
+    assert old[3] == "u3" and 42 not in old
+
+
+def test_snapshot_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """File-level reuse: partitions untouched by the MERGE keep their
+    exact directory from the previous version in the manifest."""
+    t = _snap_fixture(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [(3, "u3x", 0, 999.0)], "id long, name string, grp int, bal double"
+    )
+    t.merge_upsert(updates)
+    m = t._load()
+    v0, v1 = m["versions"]["0"]["partitions"], m["versions"]["1"]["partitions"]
+    assert v1["0"].startswith("data/v=1/")  # grp=0 rewritten
+    assert v1["1"] == v0["1"] and v1["2"] == v0["2"]  # others re-linked
+
+
+def test_snapshot_merge_moves_key_across_partitions(spark, tmp_path):
+    """An update that changes a row's partition value must remove the
+    old copy (both source and destination partitions rewrite)."""
+    t = _snap_fixture(spark, tmp_path)
+    # id=4 lives in grp=1; move it to grp=2
+    updates = spark.createDataFrame(
+        [(4, "u4moved", 2, 40.0)], "id long, name string, grp int, bal double"
+    )
+    t.merge_upsert(updates)
+    rows = [r for r in t.read().collect() if r.id == 4]
+    assert len(rows) == 1 and rows[0].grp == 2
+
+
+def test_snapshot_update_delete_where(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _snap_fixture(spark, tmp_path)
+    t.update_where(F.col("bal") > 50, {"bal": F.col("bal") + 1})
+    got = {r.id: r.bal for r in t.read().collect()}
+    assert got[6] == 61.0 and got[4] == 40.0
+    t.delete_where(F.col("id") == 9)
+    assert 9 not in {r.id for r in t.read().collect()}
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["create", "update_where", "delete_where"]
+
+
+def test_snapshot_unpartitioned_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _snap_fixture(spark, tmp_path, partitioned=False)
+    t.merge_upsert(
+        spark.createDataFrame([(1, "x", 9, 0.0)], "id long, name string, grp int, bal double")
+    )
+    t.delete_where(F.col("id") == 2)
+    got = {r.id: r.name for r in t.read().collect()}
+    assert got[1] == "x" and 2 not in got and len(got) == 8
+
+
+def test_snapshot_noop_mutation_commits_nothing(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _snap_fixture(spark, tmp_path)
+    v = t.delete_where(F.col("id") == 12345)
+    assert v == 0 and len(t.history()) == 1
