@@ -337,9 +337,12 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10, damping: float
                 "node",
                 (F.lit(base) + F.lit(damping) * incoming).alias("rank"),
             )
-        # checkpoint every 3rd iteration: enough to keep the plan
-        # bounded without one materialization job per iteration
-        if i % 3 == 2 or i == iters - 1:
+        # checkpoint every 5th iteration: enough to keep the plan
+        # bounded without one materialization job per iteration (each
+        # blocking job costs a full scheduler round-trip; at 10
+        # iterations the cadence-3 version spent more wall-clock on
+        # the extra jobs than the longer lazy segments cost)
+        if i % 5 == 4 or i == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 

@@ -26,6 +26,11 @@ def nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # note: pre-aggregating lineitem to (orderkey, supplier-nation)
+    # counts before the orderkey shuffle was measured and REJECTED —
+    # distinct supplier nations per order ≈ lines per order here, so
+    # almost nothing collapses and the extra aggregation stage costs
+    # more than the shuffled bytes it saves
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
