@@ -67,3 +67,140 @@ def running_spend_batch(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# custom gap sessionization with EVENT-TIME TIMEOUT — the full custom
+# stateful-operator shape (state + watermark-driven expiry), vs the
+# built-in F.session_window used by streaming/ops.sessionize.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start string, session_end string, n_events long, total_value double"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long, total double"  # µs epoch
+
+
+def _fmt_us(us: int) -> str:
+    return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _update_session_state(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user gap sessionization. Sessions close two ways:
+    (a) a later event for the same user arrives > gap after the last
+    one (observed in-batch), or (b) the event-time watermark passes
+    last_ts + gap with no new event — the state TIMEOUT, which is what
+    applyInPandasWithState adds over a stateless transform. Emitted
+    rows are CLOSED sessions only (append semantics); the open tail
+    session stays in the state store."""
+    import numpy as np
+
+    (user_id,) = key
+    closed: list[dict] = []
+
+    def emit(s: int, l: int, n: int, t: float) -> None:
+        closed.append(
+            {
+                "user_id": user_id,
+                "session_start": _fmt_us(s),
+                "session_end": _fmt_us(l),
+                "n_events": n,
+                "total_value": round(t, 2),
+            }
+        )
+
+    if state.hasTimedOut:
+        if state.exists:
+            s, l, n, t = state.get
+            emit(s, l, n, t)
+        state.remove()
+    else:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("ts")
+        ts = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1_000
+        vals = pdf["value"].to_numpy(dtype="float64")
+        if state.exists:
+            s, l, n, t = state.get
+        else:
+            s = l = None  # type: ignore[assignment]
+            n, t = 0, 0.0
+        # vectorized gap split: new-session flags, then one pass over
+        # the (few) session segments instead of every event
+        # prev[0] = carried last_ts (or a sentinel forcing a fresh
+        # session when no state exists)
+        prev = np.concatenate(([l if l is not None else ts[0] - 2 * SESSION_GAP_US], ts[:-1]))
+        new_flag = (ts - prev) > SESSION_GAP_US
+        seg = np.cumsum(new_flag)
+        for g in range(int(seg[0]), int(seg[-1]) + 1):
+            m = seg == g
+            seg_ts, seg_v = ts[m], vals[m]
+            if g == 0 and s is not None:
+                # continuation of the carried open session
+                l = max(l, int(seg_ts[-1]))
+                n += int(m.sum())
+                t += float(seg_v.sum())
+            else:
+                if s is not None:
+                    emit(s, l, n, t)  # the previous session closed by gap
+                s, l = int(seg_ts[0]), int(seg_ts[-1])
+                n, t = int(m.sum()), float(seg_v.sum())
+        state.update((int(s), int(l), int(n), float(t)))
+        # expire when the watermark passes last + gap (epoch millis)
+        state.setTimeoutTimestamp((int(l) + SESSION_GAP_US) // 1_000)
+    yield pd.DataFrame(
+        closed
+        or {
+            "user_id": pd.Series(dtype="int64"),
+            "session_start": pd.Series(dtype="object"),
+            "session_end": pd.Series(dtype="object"),
+            "n_events": pd.Series(dtype="int64"),
+            "total_value": pd.Series(dtype="float64"),
+        }
+    )
+
+
+def sessionize_stateful_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming form: custom gap sessionization with event-time
+    timeout expiry. Input must carry a watermark on `ts`."""
+    return (
+        events_stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_session_state,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_sessions_batch(events: DataFrame) -> DataFrame:
+    """Batch oracle: the same sessions via lag + cumsum (start, end,
+    count, total per session)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sec = F.col("ts").cast("timestamp").cast("long")  # NTZ needs the two-step cast
+    gap = F.when(sec - F.lag(sec).over(w) > 30 * 60, 1).otherwise(0)
+    sess = (
+        F.sum(
+            F.when(F.lag("ts").over(w).isNull(), 1).otherwise(gap)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    return (
+        events.withColumn("sess", sess)
+        .groupBy("user_id", "sess")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .drop("sess")
+    )

@@ -30,3 +30,70 @@ def test_stateful_running_spend_matches_batch(spark, sf_dir):
         gn, gt = got[uid]
         assert gn == n, (uid, gn, n)
         assert abs(gt - total) < 0.05, (uid, gt, total)
+
+
+def test_stateful_sessionize_across_microbatches(spark, sf_dir, tmp_path):
+    """Custom gap sessionization with EventTimeTimeout, driven through
+    THREE time-ordered micro-batches so sessions genuinely span batch
+    boundaries and close both ways (in-batch gap AND watermark
+    timeout). Every session that ended comfortably before the final
+    watermark must be emitted exactly once with batch-identical stats;
+    the open tails may legitimately stay in the state store."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    src = tmp_path / "batches"
+    src.mkdir()
+    for i in range(3):
+        part = ev.where(
+            (F.col("ts") >= lo + i * span) & (F.col("ts") < lo + (i + 1) * span)
+            if i < 2
+            else (F.col("ts") >= lo + 2 * span)
+        )
+        # the file-stream source lists plain files, not nested write
+        # dirs — flatten each batch to a single parquet file
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        (pf,) = [p for p in stage.iterdir() if p.name.endswith(".parquet")]
+        pf.rename(src / f"b{i}.parquet")
+    schema = spark.read.parquet(str(src / "b0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        SS.sessionize_stateful_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_sess_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_sess_state").collect()
+    }
+    batch = SS.sessionize_sessions_batch(ev).collect()
+    want_all = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in batch
+    }
+    # sessions ended well before the final watermark MUST have closed
+    import datetime
+
+    cutoff = (hi - datetime.timedelta(minutes=31 + 2)).strftime("%Y-%m-%d %H:%M:%S")
+    must_close = {k: v for k, v in want_all.items() if v[0] < cutoff}
+    assert set(got) <= set(want_all), sorted(set(got) - set(want_all))[:5]
+    missing = set(must_close) - set(got)
+    assert not missing, sorted(missing)[:5]
+    for k in must_close:
+        ge, gn, gt = got[k]
+        we, wn, wt = want_all[k]
+        assert ge == we and gn == wn, (k, got[k], want_all[k])
+        assert abs(gt - wt) < 0.05, (k, gt, wt)
