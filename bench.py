@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -79,7 +80,7 @@ def main() -> None:
             # successors
             spark._jvm.System.gc()
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+        timings[name] = round(statistics.median(samples), 3)
         spread[name] = round(samples[-1] / max(samples[0], 1e-9), 2)
 
     total = round(sum(timings.values()), 3)

@@ -314,14 +314,6 @@ EMB_LSH_BITS = 2
 _EMB_CHUNK_MASK = (1 << EMB_LSH_BITS) - 1
 
 
-def _plane_coeff(j: int, d) -> F.Column:
-    """Deterministic pseudo-random ±[0,1) hyperplane coefficient from
-    xxhash64(plane, dim) — same scheme as similarity._hyperplane_sig;
-    any executor recomputes identical planes, no RNG state to ship."""
-    h = F.xxhash64(F.lit(j), d)
-    return (F.pmod(h, F.lit(10000)).cast("double") / 5000.0) - 1.0
-
-
 _EMB_PLANE_SEED = 0x5EED10C4
 
 

@@ -131,16 +131,24 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     full vector set (the round-2 weak spot: the grouped-applyInPandas
     version pulls every hot-label vector into one Python worker —
     at 100 TB a skewed label OOMs the task; the partial-agg plan
-    instead reduces within each input partition first). ROUND(6)
-    absorbs the engine-vs-engine float summation-order skew (≤1e-12
-    here) exactly as the DuckDB oracle does."""
+    instead reduces within each input partition first). The per-dim
+    sum follows the repo's decimal-cast contract: double sums are
+    accumulation-order-dependent (partial aggregation order varies run
+    to run), so each element is cast to DECIMAL(27,9) — exact,
+    order-independent addition, bit-identical across engines; the
+    ≤5e-10 per-element cast rounding is three orders below the final
+    ROUND(6) grain."""
     emb = load_table(spark, sf_dir, "embeddings")
     el = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
     )
     return (
         el.groupBy("label", "dim")
-        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("centroid"))
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(27,9)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("centroid")
+        )
         .orderBy("label", "dim")
     )
 
@@ -179,7 +187,7 @@ def label_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LABEL_CENTROIDS_SQL = """
 SELECT label, CAST(dim - 1 AS INT) AS dim,
-       ROUND(SUM(CAST(x AS DOUBLE)) / COUNT(*), 6) AS centroid
+       ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*), 6) AS centroid
 FROM (
   SELECT label, unnest(embedding) AS x,
          generate_subscripts(embedding, 1) AS dim

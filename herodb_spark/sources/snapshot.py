@@ -95,17 +95,32 @@ class SnapshotTable:
             rel = f"data/v={version}/{_UNPARTITIONED}"
             df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
             return {_UNPARTITIONED: rel}
-        values = [
-            r.p for r in df.select(F.col(partition_col).cast("string").alias("p")).distinct().collect()
-        ]
-        for v in values:
-            if only is not None and v not in only:
-                continue
-            rel = f"data/v={version}/p={v}"
-            df.where(F.col(partition_col).cast("string") == v).write.mode("overwrite").parquet(
-                os.path.join(self.path, rel)
-            )
-            out[v] = rel
+        # one materialization feeds the distinct-values collect AND
+        # every per-partition write — without it each write would
+        # re-execute the whole mutation join (k+1 evaluations)
+        df = df.persist()
+        try:
+            values = [
+                r.p
+                for r in df.select(
+                    F.col(partition_col).cast("string").alias("p")
+                ).distinct().collect()
+            ]
+            if None in values:
+                raise ValueError(
+                    f"{self.path}: NULL {partition_col!r} values are not supported "
+                    "as snapshot partition keys"
+                )
+            for v in values:
+                if only is not None and v not in only:
+                    continue
+                rel = f"data/v={version}/p={v}"
+                df.where(F.col(partition_col).cast("string") == v).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(self.path, rel))
+                out[v] = rel
+        finally:
+            df.unpersist()
         return out
 
     # -- reads -------------------------------------------------------------
@@ -187,7 +202,9 @@ class SnapshotTable:
         """`update T(...) :- pred` (draft:135): CASE projection over
         the pre-image, copy-on-write. The whole table is scanned to
         evaluate the predicate, but only partitions containing a
-        matching row are rewritten."""
+        matching row (or receiving a moved row, when the partition
+        column itself is assigned) are rewritten. Assignments must not
+        change key columns — keys identify rows across the rewrite."""
         m = self._load()
         pcol = m["partition_col"]
         target = self.read()
@@ -218,15 +235,30 @@ class SnapshotTable:
             touched = {_UNPARTITIONED}
             to_write = result
         else:
-            touched = {
+            # touched = pre-image partitions of matched rows PLUS the
+            # post-image partitions of the result's matched rows — an
+            # update assigning the partition column moves rows between
+            # partitions, and both ends must rewrite (otherwise the
+            # moved row would be filtered out of the write and vanish)
+            pre = {
                 r.p
                 for r in target.where(matched)
                 .select(F.col(pcol).cast("string").alias("p"))
                 .distinct()
                 .collect()
             }
-            if not touched:  # no-op mutation: commit nothing new
+            if not pre:  # no-op mutation: commit nothing new
                 return m["current"]
+            post = {
+                r.p
+                for r in result.join(
+                    target.where(matched).select(*m["key_cols"]), m["key_cols"], "left_semi"
+                )
+                .select(F.col(pcol).cast("string").alias("p"))
+                .distinct()
+                .collect()
+            }
+            touched = pre | post
             to_write = result.where(F.col(pcol).cast("string").isin(*touched))
         version = self._next(m)
         parts = self._write_partitions(to_write, version, pcol, only=touched)

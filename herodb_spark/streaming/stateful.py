@@ -140,7 +140,10 @@ def _update_session_state(
             m = seg == g
             seg_ts, seg_v = ts[m], vals[m]
             if g == 0 and s is not None:
-                # continuation of the carried open session
+                # continuation of the carried open session; a late
+                # (out-of-order but within-watermark) event can extend
+                # the session BACKWARDS, so the start takes a min
+                s = min(s, int(seg_ts[0]))
                 l = max(l, int(seg_ts[-1]))
                 n += int(m.sum())
                 t += float(seg_v.sum())
@@ -186,8 +189,11 @@ def sessionize_sessions_batch(events: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
-    sec = F.col("ts").cast("timestamp").cast("long")  # NTZ needs the two-step cast
-    gap = F.when(sec - F.lag(sec).over(w) > 30 * 60, 1).otherwise(0)
+    # microsecond precision, matching the stateful operator's gap
+    # compare — whole-second truncation would disagree on gaps within
+    # 1s of the 30-min boundary
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = F.when(us - F.lag(us).over(w) > SESSION_GAP_US, 1).otherwise(0)
     sess = (
         F.sum(
             F.when(F.lag("ts").over(w).isNull(), 1).otherwise(gap)

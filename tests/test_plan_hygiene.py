@@ -22,9 +22,10 @@ entry_mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(entry_mod)
 
 # mm_pipeline: multimodal decode plumbing is mapInPandas by design.
-# dedup_embedding_lsh_pairs: the exact-cosine verify is the sanctioned
-# vectorized-pandas embedding dot (both JVM formulations measured ~5×
-# slower at sf0.1; see dedup._seq_dot_arrow).
+# dedup_embedding_lsh_pairs: signature + in-bucket block-matmul verify
+# are the sanctioned vectorized-pandas embedding math (the JVM
+# formulations — interpreted HOF fold, 64×-explode — measured ~5×
+# slower at sf0.1; see dedup._bucket_verify_pairs).
 PANDAS_ALLOWED = {"mm_pipeline", "dedup_embedding_lsh_pairs"}
 QUERIES = entry_mod.queries()
 

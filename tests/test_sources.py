@@ -146,3 +146,28 @@ def test_snapshot_noop_mutation_commits_nothing(spark, tmp_path):
     t = _snap_fixture(spark, tmp_path)
     v = t.delete_where(F.col("id") == 12345)
     assert v == 0 and len(t.history()) == 1
+
+
+def test_snapshot_update_where_can_move_partition(spark, tmp_path):
+    """Regression: an update assigning the partition column must land
+    the row in its new partition (both source and destination
+    partitions rewrite) — not silently drop it."""
+    from pyspark.sql import functions as F
+
+    t = _snap_fixture(spark, tmp_path)
+    t.update_where(F.col("id") == 4, {"grp": F.lit(2)})
+    rows = [r for r in t.read().collect() if r.id == 4]
+    assert len(rows) == 1 and rows[0].grp == 2
+    assert len(t.read().collect()) == 9
+
+
+def test_snapshot_null_partition_value_rejected(spark, tmp_path):
+    import pytest
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(1, "a", None, 1.0), (2, "b", 1, 2.0)], "id long, name string, grp int, bal double"
+    )
+    with pytest.raises(ValueError, match="NULL 'grp'"):
+        SnapshotTable.create(spark, str(tmp_path / "t"), df, ["id"], partition_col="grp")

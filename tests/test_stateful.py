@@ -97,3 +97,48 @@ def test_stateful_sessionize_across_microbatches(spark, sf_dir, tmp_path):
         we, wn, wt = want_all[k]
         assert ge == we and gn == wn, (k, got[k], want_all[k])
         assert abs(gt - wt) < 0.05, (k, gt, wt)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the update fn."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+
+def test_stateful_sessionize_late_event_extends_backwards():
+    """Regression: a late (out-of-order, within-watermark) event
+    earlier than the carried session_start must pull the start back,
+    matching what the batch oracle computes over the full log."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 10:00:00").value // 1_000  # µs
+    MIN = 60 * 1_000_000
+    state = _FakeState(value=(base, base + 5 * MIN, 2, 10.0))  # open 10:00-10:05
+    late = pd.DataFrame(
+        {"user_id": [7], "ts": [pd.Timestamp("2024-01-01 09:45:00")], "value": [1.0]}
+    )
+    out = list(SS._update_session_state((7,), iter([late]), state))
+    assert len(out) == 1 and out[0].empty  # nothing closed
+    s, l, n, t = state.get
+    assert s == base - 15 * MIN, "session_start must move back to 09:45"
+    assert l == base + 5 * MIN and n == 3 and abs(t - 11.0) < 1e-9
