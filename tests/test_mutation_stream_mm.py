@@ -43,3 +43,11 @@ def test_corpus_fits_frame_series_bound(duck):
 def test_decode_blob_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM.decode_blob(b"xx", "image")
+
+
+def test_mm_resize_features_oracle(spark, sf_dir, duck):
+    from herodb_spark.operators import multimodal as MM
+    from tests.harness import compare
+
+    res = compare(MM.mm_resize_features(spark, sf_dir), MM.MM_RESIZE_FEATURES_SQL, duck)
+    assert res["ok"], res
