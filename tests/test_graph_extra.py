@@ -63,3 +63,19 @@ def test_twophase_cc_equals_minlabel_on_trade_graph(spark, sf_dir):
     two = sorted((r.node, r.comp) for r in GA.connected_components_twophase(und).collect())
     lab = sorted((r.node, r.comp) for r in GA.connected_components(und).collect())
     assert two == lab
+
+
+def test_twophase_cc_converges_logarithmically_on_path_graph(spark):
+    """The O(log n) claim, pinned: a 25-node path has diameter 24, so
+    min-label propagation needs ~24 rounds — the star contraction must
+    finish the same graph within 8 alternations or return wrong
+    labels (max_iters caps the loop; no convergence = wrong comp)."""
+    from pyspark.sql import functions as F
+
+    from herodb_spark.graph.algorithms import connected_components_twophase
+
+    edges = [(i, i + 1) for i in range(24)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    und = df.unionByName(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    got = {(r.node, r.comp) for r in connected_components_twophase(und, max_iters=8).collect()}
+    assert got == {(i, 0) for i in range(25)}
