@@ -31,6 +31,11 @@ def lsh_band_structs(num_perm: int = 64, bands: int = 32) -> Column:
     (band_id, band_key) gives LSH buckets — key cardinality scales
     with the corpus, so buckets stay small at any scale (no global
     structure, no driver state)."""
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm}: integer division "
+            "would silently drop the top signature slots and degrade recall"
+        )
     rows = num_perm // bands
     return F.array(
         *[

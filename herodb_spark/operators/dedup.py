@@ -122,7 +122,12 @@ def ngram_jaccard_pairs(
     df ≤ df_cap — near-dup pairs whose entire overlap is stop-phrases
     are the (intended) sacrifice. Skew behavior pinned in
     tests/test_dedup_similarity.py::test_ngram_df_cap_*."""
-    sh = _with_shingles(load_table(spark, sf_dir, "documents"))
+    # materialize the shingle sets once: the index join references the
+    # exploded form twice (a/b sides) and the capped path's verify
+    # joins the set form twice more — without this the window+explode+
+    # collect_set derivation re-evaluates per reference (the measured
+    # minhash_lsh_pairs lesson)
+    sh = _with_shingles(load_table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
     e = sh.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
     if df_cap is None:
         # exact single-pass: the index join itself yields |A∩B|

@@ -35,7 +35,10 @@ ORDER BY node
 
 
 def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = GE.sparse_edges(spark, sf_dir)
+    # materialize once: two_hop_counts uses the edge table in BOTH the
+    # one-hop and two-hop branches, and the 4-table derivation must
+    # not run twice (same discipline as graph_reachability/triangles)
+    e = GE.sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
     return GA.two_hop_counts(e).orderBy("node")
 
 
@@ -75,9 +78,17 @@ SELECT node FROM r ORDER BY node
 )
 
 
+# both engines pin the same search depth (like graph_weighted_sssp's
+# 6-round bound): the oracle's recursive CTE enumerates paths, so an
+# unbounded depth explodes combinatorially, and a Spark-only deeper
+# bound would silently diverge from the oracle if a node ever sat
+# beyond it. Convergence within the bound is asserted in tests.
+HOPS_BOUND = 8
+
+
 def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = GE.sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
-    return GA.shortest_hops(e, SEED).orderBy("node")
+    return GA.shortest_hops(e, SEED, max_iters=HOPS_BOUND).orderBy("node")
 
 
 GRAPH_SHORTEST_HOPS_SQL = (
@@ -87,7 +98,7 @@ GRAPH_SHORTEST_HOPS_SQL = (
 , p(node, hops) AS (
   SELECT {SEED}, 0
   UNION ALL
-  SELECT s.dst, p.hops + 1 FROM sparse s, p WHERE s.src = p.node AND p.hops < 8
+  SELECT s.dst, p.hops + 1 FROM sparse s, p WHERE s.src = p.node AND p.hops < {HOPS_BOUND}
 )
 SELECT node, CAST(MIN(hops) AS INT) AS hops FROM p GROUP BY node ORDER BY node
 """

@@ -209,6 +209,8 @@ def mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 resized = np.frombuffer(blob, dtype=np.uint8)[::RESIZE_STEP]
+                if len(resized) == 0:
+                    continue  # empty blob: the oracle emits no rows either
                 hist = np.bincount(resized // (256 // HIST_BINS), minlength=HIST_BINS)
                 rows.extend(
                     (doc_id, len(resized), b, int(hist[b])) for b in range(HIST_BINS)

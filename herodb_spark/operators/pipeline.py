@@ -89,7 +89,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STOP_SQL_LIST = "['" + "','".join(T.STOPWORDS_EN) + "']"
+from herodb_spark.operators.textops import _STOP_SQL_LIST  # single derivation point
 
 PIPELINE_CLEAN_CORPUS_SQL = rf"""
 WITH feats AS (

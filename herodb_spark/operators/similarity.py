@@ -9,9 +9,10 @@ Scale design:
   the blocked self-join shuffles once on the key; block sizes bound
   memory. This is the pattern for partitioned/IVF-style ANN: replace
   `label` with a learned/deterministic bucket id.
-- `ann_lsh_topk`: random-hyperplane LSH: 16 deterministic hyperplanes
-  (coefficients derived from xxhash64 — no RNG state to ship), sign
-  bits → bucket key; probe joins on bucket, exact cosine rerank.
+- `ann_lsh_topk`: random-hyperplane LSH: N_PLANES (6 → 64 buckets)
+  deterministic hyperplanes (coefficients derived from xxhash64 — no
+  RNG state to ship), sign bits → bucket key; probe joins on bucket,
+  exact cosine rerank.
   The IVF/LSH scale path: corpus bucketed once, probes touch one
   bucket each.
 """

@@ -27,3 +27,17 @@ def test_pagerank_invariants(spark, sf_dir):
     total = sum(r.rank for r in rows)
     assert abs(total - 1.0) < 1e-3, total
     assert all(r.rank > 0 for r in rows)
+
+
+def test_shortest_hops_converges_within_pinned_bound(spark, sf_dir):
+    """Both engines pin HOPS_BOUND; BFS must reach every node within
+    it at the test SFs (otherwise the bound itself is stale and both
+    sides silently truncate)."""
+    from herodb_spark.graph import algorithms as GA
+    from herodb_spark.graph import edges as GE
+    from herodb_spark.operators.graphops import HOPS_BOUND, SEED
+
+    e = GE.sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
+    bounded = sorted(tuple(r) for r in GA.shortest_hops(e, SEED, max_iters=HOPS_BOUND).collect())
+    free = sorted(tuple(r) for r in GA.shortest_hops(e, SEED, max_iters=30).collect())
+    assert bounded == free

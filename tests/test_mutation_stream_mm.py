@@ -51,3 +51,29 @@ def test_mm_resize_features_oracle(spark, sf_dir, duck):
 
     res = compare(MM.mm_resize_features(spark, sf_dir), MM.MM_RESIZE_FEATURES_SQL, duck)
     assert res["ok"], res
+
+
+def test_mm_resize_features_empty_blob_matches_oracle(spark, tmp_path):
+    """Regression: a zero-byte blob must yield NO rows (the oracle's
+    position filter emits none), not a row of zero-count bins."""
+    import duckdb
+
+    from herodb_spark.operators import multimodal as MM
+    from tests.harness import compare
+
+    rows = [
+        (1, "", "src0", "en", 0.9),
+        (2, "some real text here", "src1", "en", 0.9),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string, lang string, quality double").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    res = compare(MM.mm_resize_features(spark, str(tmp_path)), MM.MM_RESIZE_FEATURES_SQL, con)
+    assert res["ok"], res
+    out = MM.mm_resize_features(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in out} == {2}
