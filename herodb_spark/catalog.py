@@ -48,7 +48,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns → µs by floor division, matching DuckDB's ns→µs truncation.
+        # ns → µs by `div` — truncation TOWARD ZERO, matching DuckDB's
+        # ns→µs cast on the same values. (Pre-epoch timestamps would
+        # differ from floor semantics by 1 µs; the synthetic log is
+        # post-epoch, and any oracle must use the same truncation.)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

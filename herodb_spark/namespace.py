@@ -51,6 +51,7 @@ class Database:
         self._private: set[str] = set()
         self._references: list[Database] = []
         self._cached: dict[str, DataFrame] = {}
+        self._module: "ModuleInstance | None" = None  # set by ModuleInstance.install
 
     # -- symbol organization ------------------------------------------------
     def register(self, qualified: str, df: DataFrame, public: bool = True) -> None:
@@ -60,7 +61,10 @@ class Database:
         would let two distinct symbols collide on one view name."""
         self._validate_name(qualified)
         self._symbols[qualified] = df
-        if not public:
+        if public:
+            # re-registering publicly lifts an earlier private marking
+            self._private.discard(qualified)
+        else:
             self._private.add(qualified)
 
     def _validate_name(self, qualified: str) -> None:
@@ -68,6 +72,14 @@ class Database:
             raise ValueError(
                 f"'__' is reserved for view-name mangling: {self.name!r}/{qualified!r}"
             )
+        # empty segments or '_'-adjacent separators would still mangle
+        # two distinct names onto one view ('a_::_b' vs 'a::::b')
+        for seg in qualified.split(SEP):
+            if not seg or seg.startswith("_") or seg.endswith("_"):
+                raise ValueError(
+                    f"invalid namespace segment {seg!r} in {qualified!r}: segments "
+                    "must be non-empty and not start/end with '_' (mangling safety)"
+                )
 
     def reference(self, other: "Database") -> None:
         """Use another database's public symbols (draft:189-191)."""
@@ -99,9 +111,13 @@ class Database:
         a symbol; consumers resolve it like any table.
 
         Name validation runs BEFORE persist — a bad name must not
-        leave an orphaned pinned DataFrame behind."""
+        leave an orphaned pinned DataFrame behind. The pin is EAGER
+        (persist + count): `index Cache(...)` snapshots the derived
+        table at cache time, so later source mutations cannot leak
+        into supposedly-pinned rows (persist alone is lazy)."""
         self._validate_name(qualified)
         pinned = df.persist()
+        pinned.count()
         self._cached[qualified] = pinned
         self.register(qualified, pinned)
         return pinned
@@ -122,22 +138,36 @@ class Database:
         # result means "did not match", so ~coalesce(pred, false) —
         # plain ~pred would silently drop NULL-evaluating rows
         kept = old.where(~F.coalesce(predicate, F.lit(False))).persist()
+        # materialize the kept rows BEFORE releasing the old cache:
+        # persist() is lazy, so unpersisting first would leave the
+        # "still pinned" rows to be recomputed from original lineage —
+        # over a mutated source they would change value or resurrect
+        kept.count()
         old.unpersist()
         self._cached[qualified] = kept
         self._symbols[qualified] = kept
 
     # -- sql surface --------------------------------------------------------
-    def view_name(self, qualified: str) -> str:
+    def view_name(self, qualified: str, module: str | None = None) -> str:
         """Mangle a qualified symbol to a legal temp-view name,
-        prefixed with the database so modules/databases don't
-        collide."""
-        return f"{self.name}__{qualified.replace(SEP, '__')}"
+        prefixed with the database — and the owning module when given,
+        since temp views are session-global and two modules may host
+        same-named databases (draft:193-197 isolation)."""
+        prefix = f"{module}__" if module else ""
+        return f"{prefix}{self.name}__{qualified.replace(SEP, '__')}"
 
-    def sql_register(self) -> None:
-        """Register every symbol as a temp view under its mangled
-        qualified name so `spark.sql` works against the catalog."""
+    def sql_register(self, module: str | None = None, include_private: bool = False) -> None:
+        """Register symbols as temp views under their mangled
+        qualified names so `spark.sql` works against the catalog.
+        Private symbols are skipped by default — a session-global view
+        would bypass the public/private distinction `resolve`
+        enforces. Pass the owning module's name when databases live in
+        modules, so same-named databases don't overwrite each other's
+        views."""
         for qualified, df in self._symbols.items():
-            df.createOrReplaceTempView(self.view_name(qualified))
+            if not include_private and qualified in self._private:
+                continue
+            df.createOrReplaceTempView(self.view_name(qualified, module))
 
 
 class ModuleInstance:
@@ -152,6 +182,13 @@ class ModuleInstance:
     def install(self, db: Database) -> Database:
         if db.name in self._databases:
             raise ValueError(f"module {self.name}: database {db.name!r} already installed")
+        owner = getattr(db, "_module", None)
+        if owner is not None and owner is not self:
+            raise ModuleIsolationError(
+                f"database {db.name!r} is already installed in module "
+                f"{owner.name!r}; modules cannot share database instances"
+            )
+        db._module = self
         self._databases[db.name] = db
         return db
 

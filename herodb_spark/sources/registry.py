@@ -73,8 +73,18 @@ def write_table(
         from pyspark.sql import functions as F
 
         others = [c for c in df.columns if c not in unique_key]
-        w = Window.partitionBy(*unique_key).orderBy(*[F.col(c).asc_nulls_last() for c in others])
-        df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+        if not others:
+            # key covers every column: plain full-row dedup (an empty
+            # window ordering would make row_number() unresolvable)
+            df = df.dropDuplicates(unique_key)
+        else:
+            rn = "_rn"
+            while rn in df.columns:  # never clobber a user column
+                rn += "_"
+            w = Window.partitionBy(*unique_key).orderBy(
+                *[F.col(c).asc_nulls_last() for c in others]
+            )
+            df = df.withColumn(rn, F.row_number().over(w)).where(F.col(rn) == 1).drop(rn)
     if sort_within_by:
         if partition_by:
             df = df.repartition(*[df[c] for c in partition_by])

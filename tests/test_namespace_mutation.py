@@ -141,3 +141,58 @@ def test_cache_and_partial_uncache(module, spark, sf_dir):
         trade.resolve("derived::priority_counts")
     with pytest.raises(NS.SymbolNotFound):
         trade.uncache("derived::priority_counts")
+
+
+def test_register_public_lifts_private_marking(module, spark, sf_dir):
+    mod, trade, content = module
+    trade.register("internal::audit", load_table(spark, sf_dir, "nation"), public=True)
+    assert content.resolve("audit", using=["internal"]).columns[0] == "n_nationkey"
+
+
+def test_mangling_collision_segments_rejected(spark, sf_dir):
+    db = NS.Database("d3")
+    df = load_table(spark, sf_dir, "nation")
+    for bad in ["a_::_b", "a::::b", "::a", "a::"]:
+        with pytest.raises(ValueError):
+            db.register(bad, df)
+
+
+def test_database_cannot_join_two_modules(module):
+    mod, trade, content = module
+    other = NS.ModuleInstance("staging")
+    with pytest.raises(NS.ModuleIsolationError):
+        other.install(trade)
+
+
+def test_sql_register_skips_private_and_scopes_by_module(module, spark):
+    mod, trade, content = module
+    trade.sql_register(module=mod.name)
+    assert spark.catalog.tableExists("prod__trade__tpch__customer")
+    # private symbols never get a session-global view by default
+    assert not spark.catalog.tableExists("prod__trade__internal__audit")
+    trade.sql_register(module=mod.name, include_private=True)
+    assert spark.catalog.tableExists("prod__trade__internal__audit")
+
+
+def test_partial_uncache_pins_survivors_against_source_mutation(spark, tmp_path):
+    """The kept rows of a partial uncache must be MATERIALIZED before
+    the old cache is released — recomputing them later from a mutated
+    source would change pinned values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "src.parquet")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").coalesce(1).write.parquet(p)
+    db = NS.Database("pin")
+    db.cache("t", spark.read.parquet(p))
+    # source mutates AFTER caching — outside Spark's writer (whose
+    # overwrite path triggers an automatic recache) like an external
+    # producer would
+    (part,) = [f for f in __import__("os").listdir(p) if f.endswith(".parquet")]
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], type=pa.int32()), "v": ["MUT", "MUT"]}),
+        f"{p}/{part}",
+    )
+    db.uncache("t", F.col("k") == 1)
+    got = {(r.k, r.v) for r in db.resolve("t").collect()}
+    assert got == {(2, "b")}, got

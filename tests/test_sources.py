@@ -171,3 +171,22 @@ def test_snapshot_null_partition_value_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL 'grp'"):
         SnapshotTable.create(spark, str(tmp_path / "t"), df, ["id"], partition_col="grp")
+
+
+def test_write_table_unique_key_covering_all_columns(spark, tmp_path):
+    import herodb_spark.sources.registry as SR
+
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k int, v string")
+    path = str(tmp_path / "t")
+    SR.write_table(df, path, unique_key=["k", "v"])
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == [(1, "a"), (2, "b")]
+
+
+def test_write_table_preserves_user_rn_column(spark, tmp_path):
+    import herodb_spark.sources.registry as SR
+
+    df = spark.createDataFrame([(1, 10, "x"), (1, 20, "y")], "k int, _rn int, v string")
+    path = str(tmp_path / "t")
+    SR.write_table(df, path, unique_key=["k"])
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1 and set(rows[0].asDict()) == {"k", "_rn", "v"}
