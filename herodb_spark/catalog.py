@@ -44,15 +44,36 @@ def _ensure_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def normalize_event_ts(df: DataFrame, streaming: bool = False) -> DataFrame:
+    """Shared `events.ts` normalization — the testdata has shipped the
+    column both as TIMESTAMP(NANOS) (surfacing as int64 under
+    ``nanosAsLong``) and as timestamp[us], and the batch and stream
+    readers must branch identically (they drifted once; round-3
+    breakage).
+
+    - int64 nanos → µs by `div`: truncation TOWARD ZERO, matching
+      DuckDB's ns→µs cast. (Pre-epoch values would differ from floor
+      by 1 µs; the synthetic log is post-epoch.) Result: TIMESTAMP.
+    - timestamp_ntz: kept as-is for batch (naive semantics match the
+      DuckDB oracles); cast to TIMESTAMP for streaming — watermarks
+      reject NTZ, and under the pinned UTC session tz the cast is
+      value-identity.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp")) if streaming else df
+    if dt != "timestamp":
+        raise TypeError(f"events.ts has unsupported type {dt}")
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns → µs by `div` — truncation TOWARD ZERO, matching DuckDB's
-        # ns→µs cast on the same values. (Pre-epoch timestamps would
-        # differ from floor semantics by 1 µs; the synthetic log is
-        # post-epoch, and any oracle must use the same truncation.)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

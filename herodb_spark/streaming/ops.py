@@ -57,16 +57,32 @@ def sessionize(events: DataFrame) -> DataFrame:
 
 
 def dedup_keep_first(events: DataFrame) -> DataFrame:
-    """Idempotent ingestion: keep the first occurrence per event_id
-    (streaming: dropDuplicates with watermark; batch: min-ts filter),
-    then count survivors per type."""
-    from pyspark.sql import Window
+    """Idempotent ingestion: keep the first occurrence per event_id,
+    then count survivors per type — ONE function for both modes, like
+    every transform in this module.
 
-    # fully-determining order: a duplicate event_id tying on (ts,
-    # user_id) but differing in event_type/value would otherwise make
-    # the kept row — and the per-type counts — nondeterministic
-    w = Window.partitionBy("event_id").orderBy("ts", "user_id", "event_type", "value")
-    first = events.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    Streaming input → dropDuplicates on event_id (state bounded by
+    the input's watermark): "first" = first ARRIVAL. Batch input →
+    row_number over a fully-determining order: "first" = minimum of
+    (ts, user_id, event_type, value). The two coincide whenever
+    event_ids are unique (the synthetic log — asserted by the
+    streaming parity test); with true duplicate ids, arrival order is
+    the only "first" a stream can know."""
+    if events.isStreaming:
+        first = events.dropDuplicates(["event_id"])
+    else:
+        from pyspark.sql import Window
+
+        # fully-determining order: a duplicate event_id tying on (ts,
+        # user_id) but differing in event_type/value would otherwise
+        # make the kept row — and the per-type counts —
+        # nondeterministic
+        w = Window.partitionBy("event_id").orderBy("ts", "user_id", "event_type", "value")
+        first = (
+            events.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     return first.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
 
 
@@ -104,18 +120,15 @@ def purchase_click_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream version of the events table (file source).
-
-    The testdata has shipped ``ts`` both as TIMESTAMP(NANOS) (read as
-    int64 under ``nanosAsLong``) and as plain ``timestamp[us]`` —
-    branch on the inferred schema instead of assuming one encoding
-    (the batch catalog does the same, catalog.py:50-52)."""
-    from pyspark.sql import types as T
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """readStream version of the events table (file source), sharing
+    the batch catalog's conf-setting and ts normalization
+    (catalog.normalize_event_ts handles both ts encodings; the stream
+    side additionally gets TIMESTAMP for watermark eligibility)."""
     import os
 
+    from herodb_spark.catalog import _ensure_confs, normalize_event_ts
+
+    _ensure_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # the file source wants a directory; glob-filter to the events file
@@ -124,13 +137,4 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, T.LongType):
-        # ns → µs by floor division, matching DuckDB's ns→µs truncation.
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
-        # watermark needs TIMESTAMP; under UTC session tz this cast is
-        # value-identity with the batch reader's naive semantics
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    elif not isinstance(schema["ts"].dataType, T.TimestampType):
-        raise TypeError(f"events.ts has unsupported type {schema['ts'].dataType}")
-    return raw.withWatermark("ts", WATERMARK)
+    return normalize_event_ts(raw, streaming=True).withWatermark("ts", WATERMARK)

@@ -46,9 +46,13 @@ def _norm_cell(v):
         # the driver canonicalizes through pandas sort_values, which
         # raises "unhashable type: 'list'" on array cells (round-1
         # agg_collect ERROR). Mimic the gate: array cells are a bug.
+        # (PySpark Row is a tuple subclass — report struct cells by
+        # their real name so nobody hunts a nonexistent array column.)
+        kind = "struct (Row)" if type(v).__name__ == "Row" else "list"
         raise TypeError(
-            "unhashable type: 'list' — the official gate cannot hash array "
-            "cells; emit a deterministic scalar (e.g. concat_ws of sort_array)"
+            f"unhashable cell type: {kind} — the official gate cannot hash "
+            "non-scalar cells; emit deterministic scalars (e.g. concat_ws of "
+            "sort_array, or flatten the struct to columns)"
         )
     return v
 
@@ -65,7 +69,7 @@ def _norm_rows(columns, rows):
 def compare(spark_df, oracle_sql: str, con) -> dict:
     """Compare a Spark DataFrame against a DuckDB oracle query.
 
-    Returns dict with keys ok/rows/schema/detail.
+    Returns dict with keys ok / spark_rows / duck_rows / detail.
     """
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -79,6 +83,12 @@ def compare(spark_df, oracle_sql: str, con) -> dict:
         "duck_rows": len(d_rows),
         "detail": [],
     }
+    # schema first: a renamed/missing column must be reported as a
+    # schema mismatch, not as a nonsensical type skew against ''
+    if sorted(s_cols) != sorted(d_cols):
+        result["ok"] = False
+        result["detail"].append(f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return result
     # Driver-fidelity type audit: DuckDB promotes integer SUMs to
     # HUGEINT/DECIMAL(38,0); fetchall() hides that as plain int but the
     # official gate's pandas canonicalization does not (round-1
@@ -102,10 +112,6 @@ def compare(spark_df, oracle_sql: str, con) -> dict:
             )
     if not result["ok"]:
         return result
-    if sorted(s_cols) != sorted(d_cols):
-        result["ok"] = False
-        result["detail"].append(f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        return result
     if len(s_rows) != len(d_rows):
         result["ok"] = False
         result["detail"].append(f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}")
@@ -113,9 +119,11 @@ def compare(spark_df, oracle_sql: str, con) -> dict:
     nd = _norm_rows(d_cols, d_rows)
     if ns != nd:
         result["ok"] = False
-        diffs = [(a, b) for a, b in zip(ns, nd) if a != b][:5]
-        only_s = [r for r in ns if r not in set(nd)][:3]
-        only_d = [r for r in nd if r not in set(ns)][:3]
-        result["detail"].append(f"value mismatch; first_pair_diffs={diffs}")
-        result["detail"].append(f"spark_only={only_s} duck_only={only_d}")
+        # set differences are the meaningful signal (positional pairing
+        # of two sorted lists misaligns after one extra row); sets are
+        # hoisted so the diagnostic stays O(n), not O(n*m)
+        snd, sns = set(nd), set(ns)
+        only_s = [r for r in ns if r not in snd][:3]
+        only_d = [r for r in nd if r not in sns][:3]
+        result["detail"].append(f"value mismatch; spark_only={only_s} duck_only={only_d}")
     return result

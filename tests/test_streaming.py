@@ -109,14 +109,12 @@ def test_native_session_window_matches_lag_sessionize(spark, sf_dir):
 
 
 def test_stream_dedup_dropduplicates(spark, sf_dir):
-    """Streaming-native dedup: dropDuplicates on event_id over the
-    stream equals the batch keep-first counts (event_ids are unique in
-    the synthetic log, so keep-first == distinct)."""
+    """Batch/stream parity through the SAME function: dedup_keep_first
+    dispatches to dropDuplicates on the streaming side and must equal
+    the batch keep-first counts (event_ids are unique in the synthetic
+    log, so keep-first == distinct)."""
     stream_in = SO.stream_events(spark, sf_dir)
-    deduped = stream_in.dropDuplicates(["event_id"]).groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_unique_events")
-    )
-    out = _run_stream_to_memory(spark, deduped, "t_dedup")
+    out = _run_stream_to_memory(spark, SO.dedup_keep_first(stream_in), "t_dedup")
     batch = SO.dedup_keep_first(load_table(spark, sf_dir, "events"))
     got = sorted(tuple(r) for r in out.collect())
     want = sorted(tuple(r) for r in batch.collect())
