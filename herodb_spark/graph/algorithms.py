@@ -98,7 +98,8 @@ def closure(step, init: DataFrame, key: list[str], max_iters: int = MAX_ITERS,
     return state
 
 
-def fixpoint(step, init: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
+def fixpoint(step, init: DataFrame, max_iters: int = MAX_ITERS,
+             probe_change: bool = True) -> DataFrame:
     """General bounded recursion, re-aggregate form: iterate a
     full-state transformer `state ← step(state)` until the state stops
     changing (set equality) or `max_iters` is reached. Covers
@@ -106,16 +107,23 @@ def fixpoint(step, init: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
     propagation, peeling) rather than only adding them — the other
     half of the reference's recursive-rule surface (draft:77-89).
     Change detection is two anti-join emptiness probes per round; each
-    round is checkpointed so lineage stays bounded."""
+    round is checkpointed so lineage stays bounded.
+
+    `probe_change=False` declares the iteration STATICALLY BOUNDED
+    (the caller pins max_iters and extra rounds past convergence are
+    idempotent — e.g. a k-round Bellman-Ford whose oracle unrolls the
+    same k rounds): the two probe jobs per round are skipped, leaving
+    one blocking checkpoint per round."""
     state = init.localCheckpoint(eager=True)
     for _ in range(max_iters):
         new = step(state).localCheckpoint(eager=True)
-        changed = (
-            not new.exceptAll(state).isEmpty()
-            or not state.exceptAll(new).isEmpty()
-        )
+        if probe_change:
+            changed = (
+                not new.exceptAll(state).isEmpty()
+                or not state.exceptAll(new).isEmpty()
+            )
         state = new
-        if not changed:
+        if probe_change and not changed:
             break
     return state
 

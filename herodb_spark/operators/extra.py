@@ -69,7 +69,11 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
         )
 
-    return GA.fixpoint(relax, init, max_iters=6).orderBy("node")
+    # statically-bounded relaxation: the oracle unrolls the SAME 6
+    # rounds and extra rounds are idempotent, so skip the per-round
+    # change probes (2 jobs/round — they dominated this operator's
+    # correctness-gate latency)
+    return GA.fixpoint(relax, init, max_iters=6, probe_change=False).orderBy("node")
 
 
 GRAPH_WEIGHTED_SSSP_SQL = (
