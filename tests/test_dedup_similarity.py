@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
 from herodb_spark.operators import dedup as D
 from herodb_spark.operators import similarity as S
 from tests.harness import compare
@@ -127,3 +128,28 @@ def test_ann_lsh_subset_of_bruteforce_space(spark, sf_dir):
     for r in rows:
         assert r.q_id != r.neighbor_id
         assert r.rk <= S.K
+
+
+def test_simhash_reports_exact_and_near_duplicates(spark, tmp_path):
+    """Semantic anchor for the rows-only simhash check, on a corpus
+    with KNOWN duplicates (the testdata has none): identical texts
+    hash to identical signatures, so exact-dup pairs must appear with
+    hamming 0; a one-token near-dup of a long text must also be
+    reported; unrelated texts must not collide below the bound; and
+    every reported pair satisfies hamming ≤ 8."""
+    base = " ".join(f"token{i} word{i * 7 % 23}" for i in range(60))
+    rows = [
+        (0, base),
+        (1, base),  # exact duplicate of 0
+        (2, base.replace("token3", "changed", 1)),  # near-dup of 0/1
+        (3, " ".join(f"other{i} thing{i * 5 % 17}" for i in range(60))),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = D.simhash_pairs(spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    assert got.get((0, 1)) == 0, f"exact dup pair missing/nonzero: {got}"
+    assert (0, 2) in got and (1, 2) in got, f"near-dup pair missing: {got}"
+    assert all(h <= 8 for h in got.values())
+    assert not any(3 in pair for pair in got), f"unrelated doc collided: {got}"
