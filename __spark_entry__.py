@@ -37,6 +37,7 @@ from herodb_spark.operators import similarity as S
 from herodb_spark.operators import streamops as ST
 from herodb_spark.operators import textops as X
 from herodb_spark.plans import tpch
+from herodb_spark.plans import tpch_more
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -127,6 +128,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": D.simhash_pairs,  # xxhash64 not in DuckDB
     "ann_lsh_topk": S.ann_lsh_topk,  # approximate by construction
     "ann_ivf_topk": SK.ann_ivf_topk,  # KMeans cells have no SQL equivalent
+    # the remaining TPC-H patterns (full 22-query suite; adapted to the
+    # reduced schema like q4/q12) — each holds a DuckDB oracle here AND
+    # a hash-checked unit test at sf0.001+sf0.01 (tests/test_tpch.py)
+    **{k: v[0] for k, v in tpch_more.ALL_QUERIES.items()},
 }
 
 
@@ -182,6 +187,7 @@ ORACLES: dict[str, str] = {
     "typed_struct_enum": TY.TYPED_STRUCT_ENUM_SQL,
     "incremental_mv_refresh": MV.INCREMENTAL_MV_SQL,
     "pipeline_clean_corpus": PL.PIPELINE_CLEAN_CORPUS_SQL,
+    **{k: v[1] for k, v in tpch_more.ALL_QUERIES.items()},
 }
 
 

@@ -2,7 +2,7 @@ from __future__ import annotations
 
 import pytest
 
-from herodb_spark.plans import tpch
+from herodb_spark.plans import tpch, tpch_more
 from tests.harness import compare
 
 CASES = [
@@ -13,7 +13,7 @@ CASES = [
     (tpch.q4_order_priority, tpch.Q4_SQL),
     (tpch.q6_revenue_forecast, tpch.Q6_SQL),
     (tpch.q12_ship_delay, tpch.Q12_SQL),
-]
+] + [(fn, sql) for fn, sql in tpch_more.ALL_QUERIES.values()]
 
 
 def test_q6_all_predicates_pushed(spark, sf_dir):
