@@ -132,6 +132,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # reduced schema like q4/q12) — each holds a DuckDB oracle here AND
     # a hash-checked unit test at sf0.001+sf0.01 (tests/test_tpch.py)
     **{k: v[0] for k, v in tpch_more.ALL_QUERIES.items()},
+    # pairs → connected components → canonical keep/drop mapping
+    "dedup_cluster_canonical": D.dedup_cluster_canonical,
 }
 
 
@@ -188,6 +190,7 @@ ORACLES: dict[str, str] = {
     "incremental_mv_refresh": MV.INCREMENTAL_MV_SQL,
     "pipeline_clean_corpus": PL.PIPELINE_CLEAN_CORPUS_SQL,
     **{k: v[1] for k, v in tpch_more.ALL_QUERIES.items()},
+    "dedup_cluster_canonical": D.DEDUP_CLUSTER_SQL,
 }
 
 

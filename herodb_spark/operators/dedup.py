@@ -500,3 +500,78 @@ p AS (
 )
 SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.35 ORDER BY vec_a, vec_b
 """
+
+
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → clusters → one canonical doc per cluster: the
+    step that turns pair mining into an actual deduplicated corpus
+    (reference surface: draft:55-66 rule-derived sets + draft:136-138
+    `remove :- pred` applied to the dup relation).
+
+    Pipeline: MinHash-LSH pairs (the 100-TB miner; recall == exact is
+    asserted at every SF) → large-star/small-star connected components
+    over the dup graph (O(log n) rounds — dup chains A~B~C must
+    collapse even when A,C never pair directly) → canonical = min
+    doc_id per cluster. Output is the full keep/drop mapping: one row
+    per document with its canonical id, whether it survives, and its
+    cluster size. Cluster sizes come from a groupBy on canonical_id
+    (map-side combinable), not a window over all docs.
+
+    Oracle: exact all-pairs jaccard + WITH RECURSIVE min-label closure.
+    """
+    from herodb_spark.graph.algorithms import connected_components_twophase
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components_twophase(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mapping = (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("canonical_id"),
+        )
+        .localCheckpoint(eager=True)  # referenced twice (sizes + output)
+    )
+    sizes = mapping.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        mapping.join(sizes, "canonical_id")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTER_SQL = (
+    "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+    + NGRAM_JACCARD_SQL
+    + """)),
+undirected AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+r(start, node) AS (
+  SELECT src, src FROM undirected
+  UNION
+  SELECT r.start, u.dst FROM undirected u, r WHERE u.src = r.node
+),
+comp AS (SELECT start AS node, MIN(node) AS comp FROM r GROUP BY start),
+mapping AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT m.doc_id, m.canonical_id,
+       (m.doc_id = m.canonical_id) AS is_canonical,
+       s.cluster_size
+FROM mapping m
+JOIN (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM mapping GROUP BY canonical_id) s USING (canonical_id)
+ORDER BY m.doc_id
+"""
+)

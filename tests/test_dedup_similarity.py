@@ -153,3 +153,22 @@ def test_simhash_reports_exact_and_near_duplicates(spark, tmp_path):
     assert (0, 2) in got and (1, 2) in got, f"near-dup pair missing: {got}"
     assert all(h <= 8 for h in got.values())
     assert not any(3 in pair for pair in got), f"unrelated doc collided: {got}"
+
+
+def test_dedup_cluster_canonical_oracle(spark, sf_dir, duck):
+    res = compare(D.dedup_cluster_canonical(spark, sf_dir), D.DEDUP_CLUSTER_SQL, duck)
+    assert res["ok"], res
+
+
+def test_dedup_cluster_transitivity(spark, sf_dir):
+    """Chained dups A~B~C collapse to one canonical even when A,C
+    never pair directly: every pair's two docs must share a canonical,
+    and canonicals must be cluster minima (idempotent mapping)."""
+    mapping = D.dedup_cluster_canonical(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(spark, sf_dir)
+    m = {r["doc_id"]: r["canonical_id"] for r in mapping.collect()}
+    for r in pairs.collect():
+        assert m[r["doc_a"]] == m[r["doc_b"]], (r["doc_a"], r["doc_b"])
+    for doc, canon in m.items():
+        assert m[canon] == canon, (doc, canon)
+        assert canon <= doc
