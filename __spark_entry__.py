@@ -134,6 +134,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: v[0] for k, v in tpch_more.ALL_QUERIES.items()},
     # pairs → connected components → canonical keep/drop mapping
     "dedup_cluster_canonical": D.dedup_cluster_canonical,
+    # Gopher-style repetition filters + PII scrub (synthetic-PII injected)
+    "text_repetition_pii": X.text_repetition_pii,
 }
 
 
@@ -191,6 +193,7 @@ ORACLES: dict[str, str] = {
     "pipeline_clean_corpus": PL.PIPELINE_CLEAN_CORPUS_SQL,
     **{k: v[1] for k, v in tpch_more.ALL_QUERIES.items()},
     "dedup_cluster_canonical": D.DEDUP_CLUSTER_SQL,
+    "text_repetition_pii": X.TEXT_REPETITION_PII_SQL,
 }
 
 

@@ -158,3 +158,141 @@ SELECT doc_id,
        md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))) AS fp
 FROM documents ORDER BY doc_id
 """
+
+
+# Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1) + PII scrubbing. The synthetic corpus
+# carries no real PII, so a deterministic synthetic email/phone is
+# injected for doc_id % 5 == 0 BEFORE scrubbing — the redaction logic
+# is exercised on known ground truth instead of vacuously matching
+# nothing.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def text_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality metrics + PII scrub in one pass:
+
+    - dup_word_frac: fraction of words that repeat an earlier word
+      (1 - distinct/total) — pure in-row column math, no shuffle.
+    - top_bigram_frac: share of bigram occurrences taken by the most
+      frequent bigram. Computed by explode → count per (doc, gram) →
+      max per doc: work scales with total gram count (the shingle-
+      dedup shape), NOT O(words²) per row — a 100k-word document
+      would break any in-row quadratic formulation.
+    - dup_trigram_frac: fraction of trigram occurrences belonging to
+      trigrams seen more than once in the document.
+    - n_redactions / scrubbed_fp: email+phone regex redaction count
+      and md5 of the scrubbed text (scalar fingerprint for the gate).
+
+    The two gram branches share one exchange key (doc_id) and join
+    back to the base row; everything stays JVM-side (regexp_count /
+    array ops are codegen'd Catalyst expressions).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("w"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ph 555-0142"),
+            ),
+        ).otherwise(F.col("text")).alias("pt"),
+    )
+    grams2 = base.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+        ).alias("g"),
+    ).where(F.col("g").isNotNull())
+    g2_stats = (
+        grams2.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max2"), F.sum("c").alias("tot2"))
+    )
+    grams3 = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))"
+            )
+        ).alias("g"),
+    ).where(F.col("g").isNotNull())
+    g3_stats = (
+        grams3.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup3"),
+            F.sum("c").alias("tot3"),
+        )
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("pt", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        base.join(g2_stats, "doc_id", "left")
+        .join(g3_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                (F.size("w") - F.size(F.array_distinct("w"))).cast("double") / F.size("w"), 6
+            ).alias("dup_word_frac"),
+            F.round(F.col("max2").cast("double") / F.col("tot2"), 6).alias("top_bigram_frac"),
+            F.round(F.col("dup3").cast("double") / F.col("tot3"), 6).alias("dup_trigram_frac"),
+            (
+                F.regexp_count("pt", F.lit(_EMAIL_RE)) + F.regexp_count("pt", F.lit(_PHONE_RE))
+            ).cast("bigint").alias("n_redactions"),
+            F.md5(scrubbed).alias("scrubbed_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_PII_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS w,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ph 555-0142'
+              ELSE text END AS pt
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+  FROM base
+),
+g2_stats AS (
+  SELECT doc_id, MAX(c) AS max2, CAST(SUM(c) AS BIGINT) AS tot2
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM base
+),
+g3_stats AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3,
+         CAST(SUM(c) AS BIGINT) AS tot3
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       ROUND(CAST(len(b.w) - len(list_distinct(b.w)) AS DOUBLE) / len(b.w), 6) AS dup_word_frac,
+       ROUND(CAST(g2_stats.max2 AS DOUBLE) / g2_stats.tot2, 6) AS top_bigram_frac,
+       ROUND(CAST(g3_stats.dup3 AS DOUBLE) / g3_stats.tot3, 6) AS dup_trigram_frac,
+       CAST(len(regexp_extract_all(b.pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(b.pt, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_redactions,
+       md5(regexp_replace(regexp_replace(b.pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                          '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_fp
+FROM base b
+LEFT JOIN g2_stats ON b.doc_id = g2_stats.doc_id
+LEFT JOIN g3_stats ON b.doc_id = g3_stats.doc_id
+ORDER BY b.doc_id
+"""
