@@ -36,6 +36,7 @@ from herodb_spark.operators import scale as SK
 from herodb_spark.operators import similarity as S
 from herodb_spark.operators import streamops as ST
 from herodb_spark.operators import textops as X
+from herodb_spark.operators import traindata as TD
 from herodb_spark.plans import tpch
 from herodb_spark.plans import tpch_more
 
@@ -136,6 +137,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_canonical": D.dedup_cluster_canonical,
     # Gopher-style repetition filters + PII scrub (synthetic-PII injected)
     "text_repetition_pii": X.text_repetition_pii,
+    # training-data export: span dedup, mixture sampling, shard
+    # manifests, sequence packing (operators/traindata.py)
+    "dedup_span_exact": TD.dedup_span_exact,
+    "mixture_sample_domains": TD.mixture_sample_domains,
+    "export_shard_manifest": TD.export_shard_manifest,
+    "pack_sequences_budget": TD.pack_sequences_budget,
 }
 
 
@@ -194,6 +201,10 @@ ORACLES: dict[str, str] = {
     **{k: v[1] for k, v in tpch_more.ALL_QUERIES.items()},
     "dedup_cluster_canonical": D.DEDUP_CLUSTER_SQL,
     "text_repetition_pii": X.TEXT_REPETITION_PII_SQL,
+    "dedup_span_exact": TD.DEDUP_SPAN_EXACT_SQL,
+    "mixture_sample_domains": TD.MIXTURE_SAMPLE_SQL,
+    "export_shard_manifest": TD.EXPORT_SHARD_MANIFEST_SQL,
+    "pack_sequences_budget": TD.PACK_SEQUENCES_SQL,
 }
 
 

@@ -1,0 +1,321 @@
+"""Training-data EXPORT operators: the last mile of an LLM data
+pipeline after cleaning/dedup — exact duplicate-span detection,
+domain-mixture sampling toward target weights, deterministic shard
+manifests, and token-budget sequence packing.
+
+Extends the reference's rule-derived-table surface (draft:55-66 —
+derived relations computed by rules over base tables) to the corpus
+export rules a 100-TB training run needs. All pure Catalyst plans;
+every operator has an exact DuckDB oracle (tests/test_traindata.py,
+hash-checked at sf0.001 AND sf0.01). Registered beyond the 50-slot
+graded window (window is full), same contract as plans/tpch_more.py.
+
+Scale notes (100 TB / 1000 executors):
+- span detection is the inverted-index shape: work ∝ total n-grams
+  (one shuffle on the gram key, map-side combined), never docs².
+- mixture sampling is deterministic hash-threshold (md5-prefix →
+  uniform [0,1) draw), so re-runs, audits, and spot recovery see the
+  SAME sample; the per-domain rate table is a ~|domains|-row
+  broadcast, and the keep-filter is a codegen'd scan predicate.
+- shard assignment is a stateless hash of the doc key — any executor
+  can compute any row's shard without coordination, and the manifest
+  is one partial-agg'd groupBy(shard).
+- packing partitions by shard: the window cumsum is one exchange on
+  shard and the bin agg reuses that partitioning. At 100 TB you run
+  tens of thousands of shards (shards ≫ cores), so the per-shard
+  sequential cumsum is the parallel unit, not a bottleneck —
+  N_SHARDS is 8 here only to keep test output small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+from herodb_spark.functions import text as T
+from herodb_spark.operators.corpus import _shingle_sql
+from herodb_spark.operators.dedup import shingle_rows
+
+SPAN_N = 10  # exact-dup span length (word n-gram), Lee-et-al-style
+SPAN_TAU = 0.2  # drop docs with > 20% duplicated spans
+MIX_BUDGET_FRAC = 0.5  # mixture target: half the corpus
+N_SHARDS = 8
+SEQ_BUDGET = 512  # tokens per packed training sequence
+
+
+def hash_unit(key: F.Column) -> F.Column:
+    """Deterministic uniform [0,1) draw from a stable key: the first
+    8 hex chars of md5, as an integer over 2^32. Engine-portable
+    (identical in DuckDB), stateless (any executor, any re-run), and
+    uniform — the sampling primitive for mixture/shard decisions."""
+    prefix = F.substring(F.md5(key.cast("string").cast("binary")), 1, 8)
+    return F.conv(prefix, 16, 10).cast("double") / F.lit(4294967296.0)
+
+
+def _hash_unit_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+
+
+def shard_of(key: F.Column, n_shards: int = N_SHARDS) -> F.Column:
+    """Stable shard id in [0, n_shards): integer md5 prefix mod n."""
+    prefix = F.substring(F.md5(key.cast("string").cast("binary")), 1, 8)
+    return (F.conv(prefix, 16, 10).cast("long") % n_shards).alias("shard")
+
+
+def _shard_sql(expr: str, n_shards: int = N_SHARDS) -> str:
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % {n_shards})"
+
+
+# ---------------------------------------------------------------- span dedup
+
+
+def span_dup_stats(docs: DataFrame, n: int = SPAN_N, tau: float = SPAN_TAU) -> DataFrame:
+    """Exact duplicate-span detection: for every document, the
+    fraction of its word n-grams that also appear in at least one
+    OTHER document (n-gram-granular exact-substring dedup — the
+    scalable stand-in for suffix-array substring dedup). Inverted
+    index on the gram: one shuffle ∝ total grams, never docs².
+
+    Docs with fewer than n tokens have no spans and are kept with
+    zero counts (dup_frac 0.0)."""
+    grams = shingle_rows(docs, n)  # distinct (doc_id, s), codegen'd
+    # grams shared by >= 2 docs; rows are distinct per doc so count(*)
+    # counts documents
+    dup_grams = (
+        grams.groupBy("s").agg(F.count(F.lit(1)).alias("ndocs")).where(F.col("ndocs") >= 2)
+    )
+    per_doc = (
+        grams.join(dup_grams.select("s"), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    totals = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    frac = F.when(
+        F.col("n_spans") > 0,
+        F.round(F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+        )
+        .select("doc_id", "n_spans", "n_dup_spans", frac.alias("dup_frac"))
+        .withColumn("keep", F.col("dup_frac") <= F.lit(tau))
+    )
+
+
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: per-document duplicated-span stats + keep
+    decision over the documents corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dup_stats(docs).orderBy("doc_id")
+
+
+DEDUP_SPAN_EXACT_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest({_shingle_sql(SPAN_N)}) AS g
+  FROM tok WHERE len(toks) >= {SPAN_N}
+),
+dup AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+),
+per AS (
+  SELECT doc_id,
+         COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN g IN (SELECT g FROM dup) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans
+  FROM grams GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       CASE WHEN COALESCE(p.n_spans, 0) > 0
+            THEN ROUND(CAST(COALESCE(p.n_dup_spans, 0) AS DOUBLE) / p.n_spans, 6)
+            ELSE 0.0 END AS dup_frac,
+       (CASE WHEN COALESCE(p.n_spans, 0) > 0
+             THEN ROUND(CAST(COALESCE(p.n_dup_spans, 0) AS DOUBLE) / p.n_spans, 6)
+             ELSE 0.0 END) <= {SPAN_TAU} AS keep
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# ------------------------------------------------------------- domain mixture
+
+
+def mixture_rates(docs: DataFrame, budget_frac: float = MIX_BUDGET_FRAC) -> DataFrame:
+    """Per-source keep-rate table toward a target domain mixture.
+    Target weight for source 'srcN' is (1 + N % 4) / 50 (a synthetic
+    but deterministic non-uniform mixture over the 20 sources); the
+    keep rate is capped at 1.0 when a domain is too small to fill its
+    share. Tiny (|domains| rows) — broadcast to the keep-filter."""
+    src_idx = F.substring(F.col("source"), 4, 8).cast("int")
+    w = (F.lit(1.0) + (src_idx % 4).cast("double")) / F.lit(50.0)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    total = docs.count()  # scalar: corpus size (one job; cached plans upstream)
+    budget = float(budget_frac) * float(total)
+    return counts.select(
+        "source",
+        "n_total",
+        F.least(F.lit(1.0), F.lit(budget) * w / F.col("n_total").cast("double")).alias(
+            "keep_rate"
+        ),
+    )
+
+
+def mixture_sample_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: deterministic domain-mixture sample report —
+    per source, the corpus count, the target keep rate, and how many
+    docs the hash-threshold filter actually kept."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = mixture_rates(docs)
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "keep_rate")), "source")
+        .where(hash_unit(F.col("doc_id")) < F.col("keep_rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH rates AS (
+  SELECT source,
+         COUNT(*) AS n_total,
+         LEAST(1.0,
+               ({MIX_BUDGET_FRAC} * (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents))
+               * ((1.0 + CAST(CAST(substr(source, 4) AS INTEGER) % 4 AS DOUBLE)) / 50.0)
+               / CAST(COUNT(*) AS DOUBLE)) AS keep_rate
+  FROM documents GROUP BY source
+),
+kept AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN rates r USING (source)
+  WHERE {_hash_unit_sql("d.doc_id")} < r.keep_rate
+  GROUP BY d.source
+)
+SELECT r.source, r.n_total, ROUND(r.keep_rate, 6) AS keep_rate,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k USING (source)
+ORDER BY r.source
+"""
+
+
+# ------------------------------------------------------------ shard manifest
+
+
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: deterministic training-export shard manifest
+    — per shard (stable hash of doc_id mod N_SHARDS): doc count,
+    token and char totals, doc-id range. The manifest is the audit
+    artifact a 100-TB export writes next to its shards; computing it
+    is one partial-agg'd groupBy on a stateless scan column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            shard_of(F.col("doc_id")).alias("shard"),
+            T.token_count(F.col("text")).cast("long").alias("tok"),
+            F.col("n_chars").cast("long").alias("nc"),
+            "doc_id",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.sum("nc").alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+EXPORT_SHARD_MANIFEST_SQL = rf"""
+SELECT {_shard_sql("doc_id")} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1 ORDER BY shard
+"""
+
+
+# ------------------------------------------------------------------- packing
+
+
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: token-budget sequence packing
+    (concat-and-chunk): within each shard, documents are concatenated
+    in doc_id order and chunked into SEQ_BUDGET-token training
+    sequences; each doc is attributed to the bin where it starts.
+    Per (shard, bin): docs, tokens, and the doc-id span — the index a
+    sequence-packing writer needs. One exchange on shard; the running
+    cumsum is a partition-local window and the bin agg reuses the
+    shard partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        shard_of(F.col("doc_id")).alias("shard"),
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("tok").over(w)
+    return (
+        base.select(
+            "shard",
+            "doc_id",
+            "tok",
+            F.floor((cum - F.col("tok")) / F.lit(float(SEQ_BUDGET))).cast("long").alias("bin"),
+        )
+        .groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH base AS (
+  SELECT {_shard_sql("doc_id")} AS shard,
+         doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok
+  FROM documents
+),
+cums AS (
+  SELECT shard, doc_id, tok,
+         SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM base
+)
+SELECT shard,
+       CAST(FLOOR((cum - tok) / {float(SEQ_BUDGET)}) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM cums
+GROUP BY 1, 2 ORDER BY shard, bin
+"""

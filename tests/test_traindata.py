@@ -1,0 +1,96 @@
+"""Training-data export operators: exact span dedup, domain-mixture
+sampling, shard manifests, token-budget sequence packing — oracle
+hash-checked at sf0.001 AND sf0.01, plus semantic property tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from herodb_spark.operators import traindata as TD
+from tests.harness import compare, duckdb_con
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+CASES = [
+    (TD.dedup_span_exact, TD.DEDUP_SPAN_EXACT_SQL),
+    (TD.mixture_sample_domains, TD.MIXTURE_SAMPLE_SQL),
+    (TD.export_shard_manifest, TD.EXPORT_SHARD_MANIFEST_SQL),
+    (TD.pack_sequences_budget, TD.PACK_SEQUENCES_SQL),
+]
+
+
+@pytest.fixture(scope="module", params=SF_DIRS, ids=["sf0.001", "sf0.01"])
+def sf_and_duck(request):
+    con = duckdb_con(request.param)
+    yield request.param, con
+    con.close()
+
+
+@pytest.mark.parametrize("fn,sql", CASES, ids=[f.__name__ for f, _ in CASES])
+def test_traindata_oracle(spark, sf_and_duck, fn, sql):
+    sfd, con = sf_and_duck
+    res = compare(fn(spark, sfd), sql, con)
+    assert res["ok"], res
+
+
+def test_span_dup_flags_identical_docs(spark):
+    """Two identical long docs must see EVERY span duplicated
+    (dup_frac 1.0, dropped); a unique doc must see none."""
+    words = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"u{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, words), (2, words), (3, other)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in TD.span_dup_stats(docs).collect()}
+    assert rows[1].dup_frac == 1.0 and not rows[1].keep
+    assert rows[2].dup_frac == 1.0 and not rows[2].keep
+    assert rows[3].dup_frac == 0.0 and rows[3].keep
+    # short doc: no spans, kept with zero counts
+    short = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+    r9 = TD.span_dup_stats(short).collect()[0]
+    assert r9.n_spans == 0 and r9.keep
+
+
+def test_mixture_rates_capped_and_deterministic(spark):
+    sfd = SF_DIRS[1]
+    a = TD.mixture_sample_domains(spark, sfd).collect()
+    b = TD.mixture_sample_domains(spark, sfd).collect()
+    assert a == b
+    for r in a:
+        assert 0.0 <= r.keep_rate <= 1.0
+        assert r.n_kept <= r.n_total
+        # hash-threshold keeps should land near the target rate
+        if r.n_total >= 20:
+            assert abs(r.n_kept / r.n_total - r.keep_rate) < 0.25
+
+
+def test_shards_partition_corpus(spark):
+    """Every document lands in exactly one shard; totals reconcile."""
+    sfd = SF_DIRS[1]
+    man = TD.export_shard_manifest(spark, sfd).collect()
+    assert {r.shard for r in man} <= set(range(TD.N_SHARDS))
+    from herodb_spark.catalog import load_table
+
+    docs = load_table(spark, sfd, "documents")
+    assert sum(r.n_docs for r in man) == docs.count()
+    assert sum(r.n_chars for r in man) == docs.agg(F.sum("n_chars")).collect()[0][0]
+
+
+def test_packing_conserves_tokens_and_docs(spark):
+    """Bins per shard tile the shard: doc and token totals match the
+    manifest, every bin holds >= 1 doc, and bin ids per shard are the
+    contiguous prefix 0..max (concat-and-chunk leaves no gaps)."""
+    sfd = SF_DIRS[1]
+    bins = TD.pack_sequences_budget(spark, sfd).collect()
+    man = {r.shard: r for r in TD.export_shard_manifest(spark, sfd).collect()}
+    by_shard: dict[int, list] = {}
+    for r in bins:
+        assert r.n_docs >= 1
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == set(man)
+    for shard, rows in by_shard.items():
+        assert sum(r.n_docs for r in rows) == man[shard].n_docs
+        assert sum(r.bin_tokens for r in rows) == man[shard].n_tokens
+        got = sorted(r.bin for r in rows)
+        assert got == list(range(len(rows))), f"shard {shard} bins not contiguous: {got}"
