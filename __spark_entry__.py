@@ -22,6 +22,7 @@ from herodb_spark.operators import dedup as D
 from herodb_spark.operators import extra as E
 from herodb_spark.graph import extra_algos as GX
 from herodb_spark.operators import graphops as G
+from herodb_spark.operators import heroql_ops as HQ
 from herodb_spark.operators import multimodal as MM
 from herodb_spark.operators import mutation as MU
 from herodb_spark.operators import olap as O
@@ -69,8 +70,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_collect": A.collect_agg,
     "agg_topk_then_avg": A.topk_then_avg,
     "agg_window_running": A.window_running,
-    "agg_cube": O.cube_rollup,
-    "agg_pivot": O.pivot_events,
+    "agg_cube_pivot": O.cube_pivot_union,  # merges agg_cube + agg_pivot (tag-union)
     "asof_join": O.asof_join,
     # C. graph
     "graph_node_metrics": G.graph_node_metrics,  # merges degree + two_hop + connected_components + kcore
@@ -86,8 +86,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": tpch.q3_shipping_priority,
     "tpch_q5": tpch.q5_local_supplier_volume,
     "tpch_q18": tpch.q18_large_volume_customer,
-    "tpch_q7": E.tpch_q7_nation_volume,
-    "tpch_q10": E.tpch_q10_returned_revenue,
+    "tpch_q7_q10": E.tpch_q7_q10_union,  # merges q7 + q10 (tag-union)
     "tpch_q4_q6_q12": tpch.q4_q6_q12_union,  # merges q4 + q6 + q12 (tag-union)
     # F. dedup — ngram runs the df-capped skew-bounded path; minhash's
     # exact-jaccard verify makes its output the exact ≥ τ pair set
@@ -114,6 +113,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interval_join": ST.stream_interval_join,
     # K. compositions / schema / recursion / type system
     "recursive_programs": RC.recursive_programs,  # merges recursive_fib + recursive_bom_rollup
+    # HeroQL: the reference's query LANGUAGE (draft:1-198) parsed and
+    # compiled to DataFrame plans — rules/not/deref and the full
+    # aggregation pipeline run as programs, graded against plain SQL
+    "heroql_rules": HQ.heroql_rules,
+    "heroql_pipeline": HQ.heroql_pipeline,
     "adt_list_ops": ADT.adt_list_ops,  # tagged-union term table + reverse/concat (draft_type:5-15)
     "class_hierarchy": ADT.class_hierarchy,  # subtype closure + shared-prefix dispatch (draft_type:19-110)
     "ensure_constraints": CN.ensure_constraints,
@@ -133,6 +137,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # reduced schema like q4/q12) — each holds a DuckDB oracle here AND
     # a hash-checked unit test at sf0.001+sf0.01 (tests/test_tpch.py)
     **{k: v[0] for k, v in tpch_more.ALL_QUERIES.items()},
+    # HeroQL recursion + mutation programs (oracle-backed unit tests;
+    # graded window is full) and the unmerged cube/pivot/q7/q10
+    # constituents, each still holding its own oracle here
+    "heroql_recursive": HQ.heroql_recursive,
+    "heroql_mutations": HQ.heroql_mutations,
+    "agg_cube": O.cube_rollup,
+    "agg_pivot": O.pivot_events,
+    "tpch_q7": E.tpch_q7_nation_volume,
+    "tpch_q10": E.tpch_q10_returned_revenue,
     # pairs → connected components → canonical keep/drop mapping
     "dedup_cluster_canonical": D.dedup_cluster_canonical,
     # Gopher-style repetition filters + PII scrub (synthetic-PII injected)
@@ -159,8 +172,7 @@ ORACLES: dict[str, str] = {
     "agg_collect": A.COLLECT_AGG_SQL,
     "agg_topk_then_avg": A.TOPK_THEN_AVG_SQL,
     "agg_window_running": A.WINDOW_RUNNING_SQL,
-    "agg_cube": O.CUBE_ROLLUP_SQL,
-    "agg_pivot": O.PIVOT_EVENTS_SQL,
+    "agg_cube_pivot": O.CUBE_PIVOT_SQL,
     "asof_join": O.ASOF_JOIN_SQL,
     "graph_node_metrics": G.GRAPH_NODE_METRICS_SQL,
     "graph_seed_paths": G.GRAPH_SEED_PATHS_SQL,
@@ -173,8 +185,7 @@ ORACLES: dict[str, str] = {
     "tpch_q3": tpch.Q3_SQL,
     "tpch_q5": tpch.Q5_SQL,
     "tpch_q18": tpch.Q18_SQL,
-    "tpch_q7": E.TPCH_Q7_SQL,
-    "tpch_q10": E.TPCH_Q10_SQL,
+    "tpch_q7_q10": E.TPCH_Q7_Q10_SQL,
     "tpch_q4_q6_q12": tpch.Q4_Q6_Q12_SQL,
     "dedup_exact": D.EXACT_DEDUP_SQL,
     "dedup_ngram_jaccard": D.NGRAM_JACCARD_SQL,
@@ -192,6 +203,14 @@ ORACLES: dict[str, str] = {
     "stream_sessionize": ST.STREAM_SESSIONIZE_SQL,
     "stream_interval_join": ST.STREAM_INTERVAL_JOIN_SQL,
     "recursive_programs": RC.RECURSIVE_PROGRAMS_SQL,
+    "heroql_rules": HQ.HEROQL_RULES_SQL,
+    "heroql_pipeline": HQ.HEROQL_PIPELINE_SQL,
+    "heroql_recursive": HQ.HEROQL_RECURSIVE_SQL,
+    "heroql_mutations": HQ.HEROQL_MUTATIONS_SQL,
+    "agg_cube": O.CUBE_ROLLUP_SQL,
+    "agg_pivot": O.PIVOT_EVENTS_SQL,
+    "tpch_q7": E.TPCH_Q7_SQL,
+    "tpch_q10": E.TPCH_Q10_SQL,
     "adt_list_ops": ADT.ADT_LIST_OPS_SQL,
     "class_hierarchy": ADT.CLASS_HIERARCHY_SQL,
     "ensure_constraints": CN.ENSURE_CONSTRAINTS_SQL,

@@ -1,0 +1,1369 @@
+"""HeroQL → DataFrame compiler.
+
+Each rule body compiles to ONE declarative DataFrame expression —
+joins for positive atoms, left-anti / left-semi joins for `not` /
+`exists` (draft:108-111), filters for comparisons, `withColumn` for
+`=` bindings — so Catalyst sees the whole rule as a single logical
+plan: predicate pushdown, join reordering and broadcast selection all
+apply exactly as if the query had been hand-written against the
+DataFrame API. There is no row-at-a-time interpretation anywhere.
+
+Semantics (bottom-up / safe Datalog):
+- Rules are evaluated bottom-up with set semantics (DISTINCT per
+  head), so every rule must be RANGE-RESTRICTED: each head variable
+  bound by a positive body atom or an `=` binding. Non-ground facts
+  (e.g. the accumulator base case `case Fib_(a, b, index, index, b);`
+  of draft:87) are top-down constructs and are rejected with a clear
+  error — the bounded-recursion operators in graph/algorithms.py are
+  the mapping for those.
+- Recursive rule sets (draft:80-89) evaluate as an INFLATIONARY
+  FIXPOINT per dependency-graph SCC, capped at `max_iters` rounds:
+  state grows monotonically, each round is localCheckpoint'ed (bounded
+  lineage — the iterative-DataFrame trap), and a count probe detects
+  the fixpoint. The draft's doubly-recursive Fib runs verbatim: round
+  k derives Fib(k+2), so `query (o) :- Fib(10, o)` needs 8 rounds.
+- Pattern arguments may be linear expressions of ONE unbound variable
+  (`Fib(a-1, x)` binds a = i+1 from the matched row) — the inversion
+  that makes the draft's recursive cases range-restricted.
+- `data class` atoms bind ROW variables: `Person(p)` binds p to the
+  class key and every field as p.field (draft:30-42, 59-62); fields
+  typed as another data class deref through ONE key join per
+  (variable, class) — a broadcast-friendly equi-join at scale.
+- Relation members (`parents * children : Person, n..n`, draft:36-38)
+  are edge tables `<Class>__<member>`; the inverse member reads the
+  same table swapped. `p.parents(q)` / `exists p.children(_)` compile
+  to joins / semi-joins on them.
+
+Scale notes: a HeroQL program's non-recursive rules cost exactly what
+the equivalent hand-written DataFrame program costs — the compiler
+adds projections only. Recursive SCCs re-derive from the full state
+each round (naive iteration): correct for the language surface, and
+the dedicated closure()/fixpoint() operators remain the tuned path
+for 100-TB graph workloads (semi-naive frontiers). Mutations rewrite
+the table DataFrame lazily and localCheckpoint every few statements
+so statement loops don't accumulate unbounded lineage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from herodb_spark.heroql import parser as P
+
+
+class HeroQLError(Exception):
+    pass
+
+
+class _Unbound(HeroQLError):
+    """A variable was referenced before any atom bound it."""
+
+    def __init__(self, name: str):
+        super().__init__(f"unbound variable {name!r}")
+        self.name = name
+
+
+class _SkipRule(Exception):
+    """A recursive atom's state is still empty this round."""
+
+
+_TYPE_MAP = {
+    "int": T.LongType(),
+    "float": T.DoubleType(),
+    "string": T.StringType(),
+    "char": T.StringType(),
+    "bool": T.BooleanType(),
+}
+
+
+@dataclass
+class TableDef:
+    name: str
+    fields: list[str]
+    types: list[str] | None = None  # HeroQL type names, parallel to fields
+    is_class: bool = False
+    key: str | None = None
+    where: object = None
+    indexes: list = dc_field(default_factory=list)
+
+
+class Frame:
+    """A partially-evaluated rule body: `df` holds one column per
+    bound variable (plus `var__field` columns for deref'd class
+    fields); `vars` maps each variable to its data-class name (None
+    for scalars) so later derefs know which table to join."""
+
+    def __init__(self, hql: "HeroQL"):
+        self.hql = hql
+        self.df: DataFrame | None = None
+        self.vars: dict[str, str | None] = {}
+
+    def has(self, v: str) -> bool:
+        return v in self.vars
+
+    def col(self, v: str):
+        if not self.has(v):
+            raise _Unbound(v)
+        return self.df[v]
+
+    def ensure_field(self, v: str, fname: str) -> str:
+        """Make `v__fname` available, deref-joining v's class table
+        once per variable if needed."""
+        cname = f"{v}__{fname}"
+        if self.df is not None and cname in self.df.columns:
+            return cname
+        cls = self.vars.get(v)
+        if cls is None:
+            raise HeroQLError(f"variable {v!r} is a scalar; cannot access field {fname!r}")
+        cdef = self.hql._def(cls)
+        if fname not in cdef.fields:
+            raise HeroQLError(f"{cls} has no field {fname!r}")
+        ctab = self.hql.table(cls)
+        missing = [f for f in cdef.fields if f"{v}__{f}" not in self.df.columns]
+        add = ctab.select(
+            F.col(cdef.key).alias("__dk"),
+            *[F.col(f).alias(f"{v}__{f}") for f in missing],
+        )
+        self.df = self.df.join(add, self.df[v] == add["__dk"], "inner").drop("__dk")
+        return cname
+
+
+class _ExprCtx:
+    """Resolves variables for expression compilation. `extra` maps
+    atom-local binds (var -> Column over the atom's selection)."""
+
+    def __init__(self, hql: "HeroQL", frame: Frame | None, extra: dict | None = None):
+        self.hql = hql
+        self.frame = frame
+        self.extra = extra or {}
+
+    def resolve(self, name: str):
+        if name in self.extra:
+            return self.extra[name]
+        if self.frame is not None and self.frame.has(name):
+            return self.frame.col(name)
+        member = self.hql._enum_member(name)
+        if member is not None:
+            return F.lit(member)
+        raise _Unbound(name)
+
+
+class RunResult:
+    """Outcome of HeroQL.run(): `queries` holds one DataFrame per
+    `query` / `collection_query` in program order; `named` the
+    `let`-bound ones by name."""
+
+    def __init__(self):
+        self.queries: list[DataFrame] = []
+        self.named: dict[str, DataFrame] = {}
+
+
+class HeroQL:
+    """A HeroQL session bound to a SparkSession.
+
+    register() binds base (`data`) tables to DataFrames; run() parses
+    and executes a program. Derived (rule-defined) tables are
+    evaluated on demand and memoized; any mutation invalidates the
+    memo (draft:67-72 cached computation tables — `uncache` does the
+    same selectively)."""
+
+    _CHECKPOINT_EVERY = 8  # mutations between lineage truncations
+
+    def __init__(self, spark: SparkSession, max_iters: int = 32):
+        self.spark = spark
+        self.max_iters = max_iters
+        self.defs: dict[str, TableDef] = {}
+        self.enums: dict[str, list[str]] = {}
+        self.types: dict[str, dict] = {}  # struct/union/class TYPE decls (draft:1-24)
+        self.tables: dict[str, DataFrame] = {}
+        self.rules: dict[str, list[P.Rule]] = {}
+        self.relations: dict[tuple, tuple] = {}  # (class, member) -> (edge_table, swapped)
+        self._pending: dict[str, list[tuple]] = {}
+        self._memo: dict[str, DataFrame] = {}
+        self._mutations = 0
+        self._ns: list[str] = []  # namespace stack, active while executing a program
+        self._using: list[str] = []  # `using namespace` search paths (session-wide)
+
+    # ------------------------------------------------------------ setup
+
+    def register(
+        self,
+        name: str,
+        df: DataFrame,
+        fields: list[str] | None = None,
+        is_class: bool = False,
+        key: str | None = None,
+    ) -> None:
+        """Bind a base table. `fields` renames/reorders positional
+        arguments (defaults to the DataFrame's columns)."""
+        cols = list(df.columns)
+        if fields is not None:
+            if len(fields) != len(cols):
+                raise HeroQLError(f"{name}: {len(fields)} fields for {len(cols)} columns")
+            df = df.select([F.col(c).alias(f) for c, f in zip(cols, fields)])
+            cols = fields
+        self.tables[name] = df
+        if name not in self.defs:
+            self.defs[name] = TableDef(name, cols, None, is_class, key or self._guess_key(cols))
+        else:
+            d = self.defs[name]
+            if d.fields != cols:
+                raise HeroQLError(f"{name}: registered columns {cols} != declared {d.fields}")
+        self._memo.clear()
+
+    @staticmethod
+    def _guess_key(cols: list[str]) -> str:
+        return "id" if "id" in cols else cols[0]
+
+    def _def(self, name: str) -> TableDef:
+        if name not in self.defs:
+            raise HeroQLError(f"unknown table {name!r}")
+        return self.defs[name]
+
+    def _enum_member(self, name: str) -> str | None:
+        hits = [m for members in self.enums.values() for m in members if m == name]
+        return hits[0] if len(hits) == 1 else None
+
+    # ------------------------------------------------------------ run
+
+    def run(self, text: str) -> RunResult:
+        prog = P.parse(text)
+        out = RunResult()
+        for item in prog.items:
+            self._exec_item(item, out)
+        return out
+
+    # ---- namespaces (draft:168-197): declarations inside a namespace
+    # block register under `NS::name`; references canonicalize at
+    # declaration time (innermost namespace outward, then `using`
+    # paths), so lazily-evaluated rules keep working after the block
+    # closes. Databases/modules proper live in herodb_spark/namespace.py.
+
+    def _qualify(self, name: str) -> str:
+        if self._ns and "::" not in name:
+            return "::".join(self._ns + [name])
+        return name
+
+    def _resolve_type(self, t: str) -> str:
+        return t if t in _TYPE_MAP else self._resolve_ref(t)
+
+    def _resolve_ref(self, name: str) -> str:
+        def known(n: str) -> bool:
+            return (
+                n in self.defs or n in self.rules or n in self.tables
+                or n in self.enums or n in self.types
+            )
+
+        if known(name):
+            return name
+        for i in range(len(self._ns), 0, -1):
+            cand = "::".join(self._ns[:i] + [name])
+            if known(cand):
+                return cand
+        hits = [f"{u}::{name}" for u in self._using if known(f"{u}::{name}")]
+        if len(hits) > 1:
+            raise HeroQLError(f"ambiguous name {name!r}: {sorted(hits)}")
+        if hits:
+            return hits[0]
+        return self._qualify(name)  # forward reference in the current namespace
+
+    def _canon_atom(self, atom: P.Atom) -> None:
+        if atom.member_of is None:
+            atom.name = self._resolve_ref(atom.name)
+        for a in atom.args:
+            self._canon_expr(a)
+
+    def _canon_expr(self, e) -> None:
+        if isinstance(e, P.FieldAccess) and isinstance(e.base, P.Var):
+            r = self._resolve_ref(e.base.name)
+            if r in self.enums:
+                e.base.name = r
+            return
+        if isinstance(e, P.BinOp):
+            self._canon_expr(e.left)
+            self._canon_expr(e.right)
+        elif isinstance(e, P.UnaryOp):
+            self._canon_expr(e.operand)
+        elif isinstance(e, P.IfExpr):
+            self._canon_expr(e.cond)
+            self._canon_expr(e.then)
+            if e.other is not None:
+                self._canon_expr(e.other)
+
+    def _canon_body(self, body: list) -> None:
+        for lit in body:
+            if isinstance(lit, P.Atom):
+                self._canon_atom(lit)
+            elif isinstance(lit, (P.NotLit, P.ExistsLit)):
+                self._canon_atom(lit.atom)
+            elif isinstance(lit, P.AssignLit):
+                self._canon_expr(lit.expr)
+            elif isinstance(lit, (P.CompareLit, P.EnsureLit)):
+                self._canon_expr(lit.expr)
+
+    def _exec_item(self, item, out: RunResult) -> None:
+        if isinstance(item, P.DatabaseDecl):
+            return
+        if isinstance(item, P.NamespaceDecl):
+            self._ns.append(item.name)
+            try:
+                for child in item.items:
+                    self._exec_item(child, out)
+            finally:
+                self._ns.pop()
+            return
+        if isinstance(item, P.UsingDecl):
+            if item.name not in self._using:
+                self._using.append(item.name)
+            return
+        if isinstance(item, P.StructDecl):
+            self.types[self._qualify(item.name)] = {
+                "kind": "struct",
+                "fields": [(f.name, self._resolve_type(f.type)) for f in item.fields],
+            }
+            return
+        if isinstance(item, P.UnionDecl):
+            self.types[self._qualify(item.name)] = {
+                "kind": "union",
+                "members": [self._resolve_ref(m) for m in item.members],
+            }
+            return
+        if isinstance(item, P.ClassDecl):
+            self.types[self._qualify(item.name)] = {
+                "kind": "class",
+                "base": self._resolve_ref(item.base) if item.base else None,
+                "fields": [(f.name, self._resolve_type(f.type)) for f in item.fields],
+            }
+            return
+        if isinstance(item, P.EnumDecl):
+            self.enums[self._qualify(item.name)] = item.members
+            return
+        if isinstance(item, P.DataDecl):
+            self._declare_data(item)
+            return
+        if isinstance(item, P.FuncDecl):
+            name = self._qualify(item.name)
+            fields = [p[1] for p in item.params]
+            self.defs.setdefault(name, TableDef(name, fields, None))
+            if item.body:
+                head = P.Atom(name, [P.Var(f) for f in fields])
+                self._add_rule(P.Rule(head, item.body))
+            return
+        if isinstance(item, P.Rule):
+            self._add_rule(item)
+            return
+        if isinstance(item, P.QueryDecl):
+            self._canon_body(item.body)
+            for a in item.args:
+                self._canon_expr(a)
+            df = self._eval_query(item)
+            out.queries.append(df)
+            if item.name:
+                out.named[item.name] = df
+                self.tables[item.name] = df
+                self.defs.setdefault(item.name, TableDef(item.name, list(df.columns), None))
+            return
+        if isinstance(item, P.CollectionQuery):
+            self._canon_body(item.body)
+            for st in item.stages:
+                if isinstance(st, P.WhereStage):
+                    self._canon_expr(st.expr)
+                elif isinstance(st, (P.PartitionByStage, P.GroupByStage)):
+                    for k in st.keys:
+                        self._canon_expr(k)
+                    for it in st.items:
+                        if it.arg is not None:
+                            self._canon_expr(it.arg)
+                    if isinstance(st, P.GroupByStage) and st.having is not None:
+                        self._canon_expr(st.having)
+                elif isinstance(st, P.OrderByStage):
+                    self._canon_expr(st.expr)
+            df = self._eval_collection(item)
+            out.queries.append(df)
+            if item.name:
+                out.named[item.name] = df
+                self.tables[item.name] = df
+                self.defs.setdefault(item.name, TableDef(item.name, list(df.columns), None))
+            return
+        if isinstance(item, P.SetStmt):
+            self._canon_atom(item.atom)
+            self._exec_set(item.atom)
+            return
+        if isinstance(item, P.UpdateStmt):
+            item.name = self._resolve_ref(item.name)
+            self._canon_body(item.body)
+            self._exec_update(item)
+            return
+        if isinstance(item, P.RemoveStmt):
+            item.name = self._resolve_ref(item.name)
+            self._canon_body(item.body)
+            self._exec_remove(item)
+            return
+        if isinstance(item, P.UncacheStmt):
+            item.name = self._resolve_ref(item.name)
+            self._exec_uncache(item)
+            return
+        if isinstance(item, P.ForQueryStmt):
+            self._canon_body(item.body)
+            for a in item.actions:
+                if isinstance(a, P.SetStmt):
+                    self._canon_atom(a.atom)
+                elif isinstance(a, P.RemoveStmt):
+                    a.name = self._resolve_ref(a.name)
+            self._exec_for_query(item)
+            return
+        raise HeroQLError(f"unsupported program item {type(item).__name__}")
+
+    def _declare_data(self, d: P.DataDecl) -> None:
+        d.name = self._resolve_ref(d.name) if d.name in self.defs else self._qualify(d.name)
+        fields = [f.name for f in d.fields]
+        types = [self._resolve_type(f.type) for f in d.fields]
+        for rel in d.relations:
+            rel.target = self._resolve_ref(rel.target)
+        key = None
+        for ix in d.indexes:
+            if "Unique" in ix.kinds and len(ix.cols) == 1 and "." not in ix.cols[0]:
+                key = ix.cols[0]
+        if key is None:
+            key = self._guess_key(fields)
+        self.defs[d.name] = TableDef(d.name, fields, types, d.is_class, key, d.where, d.indexes)
+        for rel in d.relations:
+            edge = f"{d.name}__{rel.name}"
+            self.relations[(d.name, rel.name)] = (edge, False)
+            self.relations[(rel.target, rel.inverse)] = (edge, True)
+            if edge not in self.defs:
+                self.defs[edge] = TableDef(edge, ["src", "dst"], [d.name, rel.target])
+
+    def _add_rule(self, rule: P.Rule) -> None:
+        rule.head.name = self._resolve_ref(rule.head.name)
+        for a in rule.head.args:
+            self._canon_expr(a)
+        self._canon_body(rule.body)
+        name = rule.head.name
+        if not rule.body:
+            for a in rule.head.args:
+                if not isinstance(a, P.Const) and self._const_value(a) is None:
+                    raise HeroQLError(
+                        f"non-ground fact for {name!r}: bottom-up evaluation needs "
+                        "range-restricted cases (draft:87's accumulator form is "
+                        "top-down; use the closure()/fixpoint() operators)"
+                    )
+        self.rules.setdefault(name, []).append(rule)
+        self.defs.setdefault(
+            name, TableDef(name, [f"arg{i}" for i in range(len(rule.head.args))], None)
+        )
+        self._memo.clear()
+
+    # ------------------------------------------------------------ tables
+
+    def table(self, name: str) -> DataFrame:
+        """Resolve a table: base rows (with pending inserts flushed),
+        plus rule derivations if the name is rule-defined (memoized)."""
+        self._flush(name)
+        if name in self.rules:
+            if name not in self._memo:
+                self._eval_idb(name)
+            return self._memo[name]
+        if name in self.tables:
+            return self.tables[name]
+        if name in self.defs:  # declared, never populated
+            d = self.defs[name]
+            schema = self._schema_for(d)
+            self.tables[name] = self.spark.createDataFrame([], schema)
+            return self.tables[name]
+        raise HeroQLError(f"unknown table {name!r}")
+
+    def _schema_for(self, d: TableDef, _seen: frozenset = frozenset()) -> T.StructType:
+        out = []
+        for i, f in enumerate(d.fields):
+            tname = d.types[i] if d.types else "string"
+            if tname in _TYPE_MAP:
+                st = _TYPE_MAP[tname]
+            elif tname in self.enums:
+                st = T.StringType()
+            elif tname in self.defs and tname not in _seen:  # class ref → its key type
+                kd = self.defs[tname]
+                if tname in self.tables:
+                    st = self.tables[tname].schema[kd.key].dataType
+                else:
+                    st = self._schema_for(kd, _seen | {d.name})[kd.key].dataType
+            elif tname in _seen:  # self-referential class: keys default to long
+                st = T.LongType()
+            else:
+                st = T.StringType()
+            out.append(T.StructField(f, st, True))
+        return T.StructType(out)
+
+    def _flush(self, name: str) -> None:
+        rows = self._pending.pop(name, None)
+        if not rows:
+            return
+        d = self.defs.get(name)
+        schema = self._schema_for(d) if d and d.types else None
+        if schema is not None:
+            batch = self.spark.createDataFrame(rows, schema)
+        elif name in self.tables:
+            batch = self.spark.createDataFrame(rows, self.tables[name].schema)
+        else:
+            raise HeroQLError(f"cannot infer schema for inserts into undeclared {name!r}")
+        if d is not None and d.where is not None:
+            bad = batch.where(~self._row_predicate(d, batch))
+            if not bad.isEmpty():
+                raise HeroQLError(f"set violates `where` constraint of {name!r}")
+        if name in self.tables:
+            self.tables[name] = self.tables[name].unionByName(batch)
+        else:
+            self.tables[name] = batch
+        self._after_mutation(name)
+
+    def _row_predicate(self, d: TableDef, df: DataFrame):
+        frame = Frame(self)
+        frame.df = df
+        for i, f in enumerate(d.fields):
+            frame.vars[f] = d.types[i] if d.types and d.types[i] in self.defs else None
+        return self._expr(d.where, _ExprCtx(self, frame))
+
+    def _after_mutation(self, name: str) -> None:
+        self._memo.clear()
+        self._mutations += 1
+        if self._mutations % self._CHECKPOINT_EVERY == 0 and name in self.tables:
+            self.tables[name] = self.tables[name].localCheckpoint(eager=False)
+
+    # ------------------------------------------------------------ IDB evaluation
+
+    def _idb_deps(self, name: str) -> set[str]:
+        deps = set()
+        for rule in self.rules.get(name, ()):
+            for lit in rule.body:
+                a = None
+                if isinstance(lit, P.Atom):
+                    a = lit
+                elif isinstance(lit, (P.NotLit, P.ExistsLit)):
+                    a = lit.atom
+                if a is not None and a.member_of is None and a.name in self.rules:
+                    deps.add(a.name)
+        return deps
+
+    def _scc_of(self, name: str) -> set[str]:
+        """Tables mutually recursive with `name` (inclusive)."""
+        fwd: dict[str, set[str]] = {}
+        stack = [name]
+        while stack:
+            n = stack.pop()
+            if n in fwd:
+                continue
+            fwd[n] = self._idb_deps(n)
+            stack.extend(fwd[n])
+
+        def reach(start: str, graph) -> set[str]:
+            seen, st = set(), [start]
+            while st:
+                n = st.pop()
+                for m in graph.get(n, ()):
+                    if m not in seen:
+                        seen.add(m)
+                        st.append(m)
+            return seen
+
+        back: dict[str, set[str]] = {}
+        for n, ds in fwd.items():
+            for m in ds:
+                back.setdefault(m, set()).add(n)
+        return (reach(name, fwd) & reach(name, back)) | {name}
+
+    def _eval_idb(self, name: str) -> None:
+        scc = self._scc_of(name)
+        recursive = any(self._idb_deps(n) & scc for n in scc)
+        if not recursive:
+            self._memo[name] = self._finalize(name, self._derive(name, {}))
+            return
+        state: dict[str, DataFrame | None] = {n: None for n in scc}
+        counts = {n: -1 for n in scc}
+        for _ in range(self.max_iters):
+            changed = False
+            for n in scc:
+                new = self._derive(n, state)
+                if new is None:
+                    continue
+                cur = state[n]
+                merged = new if cur is None else cur.unionByName(new).distinct()
+                merged = merged.localCheckpoint(eager=True)
+                c = merged.count()
+                if c != counts[n]:
+                    changed = True
+                    counts[n] = c
+                    state[n] = merged
+            if not changed:
+                break
+        for n in scc:
+            df = state[n]
+            if df is None:
+                raise HeroQLError(f"recursive table {n!r} has no derivable base case")
+            self._memo[n] = self._finalize(n, df)
+
+    def _finalize(self, name: str, df: DataFrame) -> DataFrame:
+        d = self._def(name)
+        if d.where is not None:
+            df = df.where(self._row_predicate(d, df))
+        # declared Hash index → co-partition hint for downstream joins
+        for ix in d.indexes:
+            if "Hash" in ix.kinds and ix.cols and all("." not in c for c in ix.cols):
+                df = df.repartition(*[F.col(c) for c in ix.cols])
+                break
+        return df
+
+    def _derive(self, name: str, state: dict) -> DataFrame | None:
+        """Union of all rule derivations for `name` (facts + bodies),
+        with recursive atoms reading `state`. None → nothing derivable
+        yet (all recursive rules blocked on empty state)."""
+        d = self._def(name)
+        parts: list[DataFrame] = []
+        facts: list[tuple] = []
+        for rule in self.rules.get(name, ()):
+            if not rule.body:
+                facts.append(tuple(self._const_value(a) for a in rule.head.args))
+                continue
+            try:
+                frame = self._compile_body(rule.body, state)
+                parts.append(self._project_head(rule.head, frame, d.fields))
+            except _SkipRule:
+                continue
+        if facts:
+            schema = self._schema_for(d) if d.types else None
+            if schema is not None:
+                parts.insert(0, self.spark.createDataFrame(facts, schema))
+            elif parts:
+                parts.insert(0, self.spark.createDataFrame(facts, parts[0].schema))
+            else:
+                parts.insert(0, self.spark.createDataFrame(facts, d.fields))
+        if name in self.tables or self._pending.get(name):
+            self._flush(name)
+            if name in self.tables:
+                parts.insert(0, self.tables[name])
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    def _const_value(self, a):
+        if isinstance(a, P.Const):
+            return a.value
+        if isinstance(a, P.UnaryOp) and a.op == "-" and isinstance(a.operand, P.Const):
+            return -a.operand.value
+        if isinstance(a, P.FieldAccess) and isinstance(a.base, P.Var) and a.base.name in self.enums:
+            if a.name not in self.enums[a.base.name]:
+                raise HeroQLError(f"{a.base.name} has no member {a.name!r}")
+            return a.name
+        if isinstance(a, P.Var):
+            return self._enum_member(a.name)
+        return None
+
+    # ------------------------------------------------------------ body compilation
+
+    def _compile_body(self, body: list, state: dict | None = None) -> Frame:
+        frame = Frame(self)
+        for lit in body:
+            if isinstance(lit, P.Atom):
+                self._join_atom(lit, frame, "inner", state)
+            elif isinstance(lit, P.NotLit):
+                self._join_atom(lit.atom, frame, "left_anti", state)
+            elif isinstance(lit, P.ExistsLit):
+                self._join_atom(lit.atom, frame, "left_semi", state)
+            elif isinstance(lit, P.AssignLit):
+                self._force_derefs(lit.expr, frame)
+                ctx = _ExprCtx(self, frame)
+                val = self._expr(lit.expr, ctx)
+                if frame.has(lit.var):
+                    frame.df = frame.df.where(frame.col(lit.var) == val)
+                else:
+                    if frame.df is None:
+                        raise HeroQLError("`=` binding before any atom")
+                    frame.df = frame.df.withColumn(lit.var, val)
+                    frame.vars[lit.var] = None
+            elif isinstance(lit, P.CompareLit):
+                self._force_derefs(lit.expr, frame)
+                frame.df = frame.df.where(self._expr(lit.expr, _ExprCtx(self, frame)))
+            elif isinstance(lit, P.EnsureLit):
+                self._force_derefs(lit.expr, frame)
+                cond = self._expr(lit.expr, _ExprCtx(self, frame))
+                if not frame.df.where(~cond).isEmpty():
+                    raise HeroQLError("ensure violated (draft:111)")
+            else:
+                raise HeroQLError(f"unsupported literal {type(lit).__name__}")
+        if frame.df is None:
+            raise HeroQLError("rule body binds no atoms")
+        return frame
+
+    def _atom_source(self, atom: P.Atom, frame: Frame, state: dict | None):
+        """→ (df, field_names, field_types, row_class_name|None, patterns)."""
+        if atom.member_of is not None:
+            base = atom.member_of.name
+            if not frame.has(base):
+                raise _Unbound(base)
+            cls = frame.vars.get(base)
+            if cls is None:
+                raise HeroQLError(f"{base!r} is not a class row; member atoms need one")
+            rel = self.relations.get((cls, atom.name))
+            if rel is None:
+                raise HeroQLError(f"{cls} has no relation member {atom.name!r}")
+            edge_name, swapped = rel
+            df = self.table(edge_name)
+            if swapped:
+                df = df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            tdef = self._def(edge_name)
+            ftypes = list(tdef.types or [None, None])
+            if swapped:
+                ftypes = ftypes[::-1]
+            if len(atom.args) != 1:
+                raise HeroQLError(f"member atom {atom.name!r} takes exactly one argument")
+            return df, ["src", "dst"], ftypes, None, [atom.member_of] + list(atom.args)
+
+        name = atom.name
+        if state is not None and name in state:
+            df = state[name]
+            if df is None:
+                raise _SkipRule()
+        else:
+            df = self.table(name)
+        tdef = self._def(name)
+        ftypes = list(tdef.types) if tdef.types else [None] * len(tdef.fields)
+        # class-typed field names refer to other tables → deref-able
+        ftypes = [t if (t in self.defs and (self.defs[t].is_class or t in self.rules or t in self.tables)) else None for t in ftypes]
+        rowcls = name if tdef.is_class else None
+        return df, list(tdef.fields), ftypes, rowcls, list(atom.args)
+
+    def _join_atom(self, atom: P.Atom, frame: Frame, how: str, state: dict | None) -> None:
+        df, fields, ftypes, rowcls, args = self._atom_source(atom, frame, state)
+
+        # row-variable form: Person(p) (draft:59)
+        if rowcls is not None and len(args) == 1 and isinstance(args[0], P.Var) and len(fields) > 1:
+            self._bind_row_var(atom.name, args[0].name, df, frame, how)
+            return
+
+        if len(args) != len(fields):
+            raise HeroQLError(f"{atom.name}: arity {len(args)} != {len(fields)}")
+
+        # pre-resolve derefs in already-bound-side expressions so the
+        # frame's df is stable before we capture column references
+        for a in args:
+            self._force_derefs(a, frame, only_bound=True)
+
+        tmp = [f"__h{j}" for j in range(len(fields))]
+        sel = df.select([F.col(c).alias(t) for c, t in zip(fields, tmp)])
+        binds: dict[str, tuple] = {}  # var -> (Column over sel, class|None)
+        filters = []  # sel-only predicates
+        conds = []  # join predicates (frame side vs sel side)
+        deferred = []
+
+        for j, pat in enumerate(args):
+            if isinstance(pat, P.Wildcard):
+                continue
+            if isinstance(pat, P.Var) and self._enum_member(pat.name) is None:
+                v = pat.name
+                if v in binds:
+                    filters.append(binds[v][0] == sel[tmp[j]])
+                elif frame.has(v):
+                    conds.append(frame.col(v) == sel[tmp[j]])
+                else:
+                    binds[v] = (sel[tmp[j]], ftypes[j])
+                continue
+            cv = self._const_value(pat)
+            if cv is not None or isinstance(pat, P.Const):
+                filters.append(sel[tmp[j]] == F.lit(cv))
+                continue
+            deferred.append((j, pat))
+
+        for j, pat in deferred:
+            ctx = _ExprCtx(self, frame if frame.df is not None else None,
+                           {v: c for v, (c, _t) in binds.items()})
+            try:
+                e = self._expr(pat, ctx)
+                side = self._expr_side(pat, frame, binds)
+                if side == "sel":
+                    filters.append(sel[tmp[j]] == e)
+                else:
+                    conds.append(sel[tmp[j]] == e)
+            except _Unbound as ub:
+                solved = self._invert(pat, sel[tmp[j]], ub.name, ctx)
+                if solved is None:
+                    raise HeroQLError(
+                        f"argument {j + 1} of {atom.name} is not range-restricted: "
+                        f"cannot solve for {ub.name!r}"
+                    ) from None
+                binds[ub.name] = (solved, None)
+
+        if how in ("left_anti", "left_semi"):
+            if frame.df is None:
+                raise HeroQLError("not/exists before any positive atom")
+            if not conds:
+                raise HeroQLError(f"not/exists atom {atom.name!r} shares no bound variable")
+            sub = sel.where(self._and(filters)) if filters else sel
+            frame.df = frame.df.join(sub, self._and(conds), how)
+            return
+
+        if filters:
+            sel = sel.where(self._and(filters))
+        keep = [F.col(f"__h{j}") for j in range(len(fields))]
+        bind_cols = []
+        for v, (c, _t) in binds.items():
+            bind_cols.append(c.alias(f"__b_{v}"))
+        sel = sel.select(*keep, *bind_cols)
+
+        if frame.df is None:
+            if conds:
+                raise HeroQLError("internal: join condition with empty frame")
+            frame.df = sel.select([F.col(f"__b_{v}").alias(v) for v in binds])
+        else:
+            joined = frame.df.join(sel, self._and(conds), "inner") if conds else frame.df.crossJoin(sel)
+            frame.df = joined.select(
+                *[F.col(c) for c in frame.df.columns],
+                *[F.col(f"__b_{v}").alias(v) for v in binds],
+            )
+        for v, (_c, t) in binds.items():
+            frame.vars[v] = t
+
+    def _bind_row_var(self, cls: str, v: str, df: DataFrame, frame: Frame, how: str) -> None:
+        cdef = self._def(cls)
+        if how in ("left_anti", "left_semi"):
+            if not frame.has(v):
+                raise HeroQLError(f"not/exists {cls}({v}) needs {v!r} bound")
+            sub = df.select(F.col(cdef.key).alias("__k"))
+            frame.df = frame.df.join(sub, frame.col(v) == sub["__k"], how)
+            return
+        if frame.has(v):
+            missing = [f for f in cdef.fields if f"{v}__{f}" not in frame.df.columns]
+            add = df.select(
+                F.col(cdef.key).alias("__k"),
+                *[F.col(f).alias(f"{v}__{f}") for f in missing],
+            )
+            frame.df = frame.df.join(add, frame.col(v) == add["__k"], "inner").drop("__k")
+            frame.vars[v] = cls
+            return
+        sel = df.select(
+            F.col(cdef.key).alias(v),
+            *[F.col(f).alias(f"{v}__{f}") for f in cdef.fields],
+        )
+        frame.df = sel if frame.df is None else frame.df.crossJoin(sel)
+        frame.vars[v] = cls
+
+    @staticmethod
+    def _and(cols: list):
+        out = cols[0]
+        for c in cols[1:]:
+            out = out & c
+        return out
+
+    def _expr_side(self, pat, frame: Frame, binds: dict) -> str:
+        """'join' if the expression references any frame-bound variable
+        (→ a join predicate between the two sides), else 'sel' (a plain
+        filter over this atom's selection — its own binds and/or
+        constants)."""
+        names = self._var_names(pat)
+        if any(frame.has(n) and n not in binds for n in names):
+            return "join"
+        return "sel"
+
+    def _var_names(self, e, out: set | None = None) -> set:
+        out = set() if out is None else out
+        if isinstance(e, P.Var):
+            if self._enum_member(e.name) is None:
+                out.add(e.name)
+        elif isinstance(e, P.BinOp):
+            self._var_names(e.left, out)
+            self._var_names(e.right, out)
+        elif isinstance(e, P.UnaryOp):
+            self._var_names(e.operand, out)
+        elif isinstance(e, P.FieldAccess):
+            if isinstance(e.base, P.Var) and e.base.name in self.enums:
+                return out
+            self._var_names(e.base, out)
+        elif isinstance(e, P.IfExpr):
+            self._var_names(e.cond, out)
+            self._var_names(e.then, out)
+            if e.other is not None:
+                self._var_names(e.other, out)
+        return out
+
+    def _invert(self, pat, target, unknown: str, ctx: _ExprCtx):
+        """Solve `pat == target` for the single unbound variable in
+        linear +/- forms: v, v±c, c±v (draft:84 `Fib(a-1, x)`)."""
+        if isinstance(pat, P.Var) and pat.name == unknown:
+            return target
+        if isinstance(pat, P.BinOp) and pat.op in ("+", "-"):
+            lnames = self._var_names(pat.left)
+            rnames = self._var_names(pat.right)
+            if unknown in lnames and unknown not in rnames:
+                try:
+                    rhs = self._expr(pat.right, ctx)
+                except _Unbound:
+                    return None
+                inner = target - rhs if pat.op == "+" else target + rhs
+                return self._invert(pat.left, inner, unknown, ctx)
+            if unknown in rnames and unknown not in lnames:
+                try:
+                    lhs = self._expr(pat.left, ctx)
+                except _Unbound:
+                    return None
+                inner = target - lhs if pat.op == "+" else lhs - target
+                return self._invert(pat.right, inner, unknown, ctx)
+        return None
+
+    # ------------------------------------------------------------ expressions
+
+    def _force_derefs(self, e, frame: Frame, only_bound: bool = False) -> None:
+        """Materialize every `var.field` deref reachable from `e` into
+        the frame BEFORE column references are captured."""
+        if isinstance(e, P.FieldAccess):
+            chain = []
+            base = e
+            while isinstance(base, P.FieldAccess):
+                chain.append(base.name)
+                base = base.base
+            if isinstance(base, P.Var) and base.name not in self.enums:
+                v = base.name
+                if frame.has(v):
+                    for fname in reversed(chain):
+                        cname = frame.ensure_field(v, fname)
+                        cdef = self._def(frame.vars[v])
+                        i = cdef.fields.index(fname)
+                        t = cdef.types[i] if cdef.types else None
+                        if t in self.defs and len(chain) > 1:
+                            # promote the deref'd column to a row var for
+                            # the next hop
+                            frame.vars[cname] = t
+                            v = cname
+                        else:
+                            break
+                elif not only_bound:
+                    raise _Unbound(v)
+            return
+        if isinstance(e, P.BinOp):
+            self._force_derefs(e.left, frame, only_bound)
+            self._force_derefs(e.right, frame, only_bound)
+        elif isinstance(e, P.UnaryOp):
+            self._force_derefs(e.operand, frame, only_bound)
+        elif isinstance(e, P.IfExpr):
+            self._force_derefs(e.cond, frame, only_bound)
+            self._force_derefs(e.then, frame, only_bound)
+            if e.other is not None:
+                self._force_derefs(e.other, frame, only_bound)
+
+    def _expr(self, e, ctx: _ExprCtx):
+        if isinstance(e, P.Const):
+            return F.lit(e.value)
+        if isinstance(e, P.Var):
+            return ctx.resolve(e.name)
+        if isinstance(e, P.FieldAccess):
+            if isinstance(e.base, P.Var) and e.base.name in self.enums:
+                if e.name not in self.enums[e.base.name]:
+                    raise HeroQLError(f"{e.base.name} has no member {e.name!r}")
+                return F.lit(e.name)
+            chain = []
+            base = e
+            while isinstance(base, P.FieldAccess):
+                chain.append(base.name)
+                base = base.base
+            if not isinstance(base, P.Var):
+                raise HeroQLError("field access must start from a variable")
+            if ctx.frame is None:
+                raise _Unbound(base.name)
+            v = base.name
+            if not ctx.frame.has(v):
+                raise _Unbound(v)
+            for fname in reversed(chain):
+                v = ctx.frame.ensure_field(v, fname)
+            return ctx.frame.df[v]
+        if isinstance(e, P.BinOp):
+            left = self._expr(e.left, ctx)
+            right = self._expr(e.right, ctx)
+            return {
+                "==": lambda: left == right,
+                "!=": lambda: left != right,
+                "<": lambda: left < right,
+                "<=": lambda: left <= right,
+                ">": lambda: left > right,
+                ">=": lambda: left >= right,
+                "+": lambda: left + right,
+                "-": lambda: left - right,
+                "*": lambda: left * right,
+                "/": lambda: left / right,
+                "and": lambda: left & right,
+                "or": lambda: left | right,
+            }[e.op]()
+        if isinstance(e, P.UnaryOp):
+            operand = self._expr(e.operand, ctx)
+            return ~operand if e.op == "not" else -operand
+        if isinstance(e, P.IfExpr):
+            cond = self._expr(e.cond, ctx)
+            then = self._expr(e.then, ctx)
+            other = F.lit(True) if e.other is None else self._expr(e.other, ctx)
+            return F.when(cond, then).otherwise(other)
+        raise HeroQLError(f"unsupported expression {type(e).__name__}")
+
+    def _project_head(self, head: P.Atom, frame: Frame, fields: list[str]) -> DataFrame:
+        if len(head.args) != len(fields):
+            raise HeroQLError(f"{head.name}: head arity {len(head.args)} != {len(fields)}")
+        for a in head.args:
+            self._force_derefs(a, frame)
+        ctx = _ExprCtx(self, frame)
+        cols = []
+        for a, f in zip(head.args, fields):
+            if isinstance(a, P.Wildcard):
+                raise HeroQLError("wildcard not allowed in a rule head")
+            cols.append(self._expr(a, ctx).alias(f))
+        return frame.df.select(cols).distinct()
+
+    # ------------------------------------------------------------ queries
+
+    def _eval_query(self, q: P.QueryDecl) -> DataFrame:
+        frame = self._compile_body(q.body)
+        ctx = _ExprCtx(self, frame)
+        cols = []
+        for i, a in enumerate(q.args):
+            if isinstance(a, P.Wildcard):
+                continue
+            self._force_derefs(a, frame)
+            name = a.name if isinstance(a, P.Var) else f"col{i}"
+            cols.append(self._expr(a, ctx).alias(name))
+        if not cols:
+            raise HeroQLError("query projects no columns")
+        return frame.df.select(cols).distinct()
+
+    def _eval_collection(self, q: P.CollectionQuery) -> DataFrame:
+        frame = self._compile_body(q.body)
+        # header projection (draft:149): named vars only; frame keeps
+        # var typing so later stages can deref (group_by student.class)
+        keep: list[str] = []
+        for a in q.args:
+            if isinstance(a, P.Wildcard):
+                continue
+            if not isinstance(a, P.Var):
+                raise HeroQLError("collection_query header takes variables or _")
+            if not frame.has(a.name):
+                raise _Unbound(a.name)
+            keep.append(a.name)
+        nf = Frame(self)
+        nf.df = frame.df.select(keep)
+        nf.vars = {v: frame.vars[v] for v in keep}
+        frame = nf
+
+        order: tuple | None = None  # (expr-Column builder, desc)
+        for stage in q.stages:
+            if isinstance(stage, P.WhereStage):
+                self._force_derefs(stage.expr, frame)
+                frame.df = frame.df.where(self._expr(stage.expr, _ExprCtx(self, frame)))
+            elif isinstance(stage, P.PartitionByStage):
+                frame = self._stage_partition_by(stage, frame)
+            elif isinstance(stage, P.GroupByStage):
+                frame = self._stage_group_by(stage, frame)
+            elif isinstance(stage, P.OrderByStage):
+                self._force_derefs(stage.expr, frame)
+                order = (self._expr(stage.expr, _ExprCtx(self, frame)), stage.desc)
+                frame.df = frame.df.orderBy(order[0].desc() if stage.desc else order[0])
+            elif isinstance(stage, P.RangeByStage):
+                cols = [F.col(c) for c in frame.df.columns]
+                if order is not None:
+                    first = order[0].desc() if order[1] else order[0]
+                    ordering = [first] + cols
+                else:
+                    ordering = cols
+                w = Window.orderBy(*ordering)
+                frame.df = (
+                    frame.df.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn").between(stage.first, stage.last))
+                    .drop("__rn")
+                )
+            else:
+                raise HeroQLError(f"unsupported stage {type(stage).__name__}")
+        return frame.df
+
+    def _stage_partition_by(self, stage: P.PartitionByStage, frame: Frame) -> Frame:
+        for k in stage.keys:
+            self._force_derefs(k, frame)
+        for it in stage.items:
+            if it.arg is not None:
+                self._force_derefs(it.arg, frame)
+        ctx = _ExprCtx(self, frame)
+        keys = [self._expr(k, ctx) for k in stage.keys]
+        ordered = [it for it in stage.items if it.func in ("OrderBy", "OrderByDesc")]
+        if len(ordered) != 1:
+            raise HeroQLError("partition_by needs exactly one OrderBy/OrderByDesc item")
+        oit = ordered[0]
+        ocol = self._expr(oit.arg, ctx)
+        ocol = ocol.desc() if oit.func == "OrderByDesc" else ocol.asc()
+        tiebreak = [F.col(c) for c in frame.df.columns]
+        w = Window.partitionBy(*keys).orderBy(ocol, *tiebreak)
+        df = frame.df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= oit.k)
+        out_cols, out_vars = [], {}
+        for it in stage.items:
+            if it.func in ("OrderBy", "OrderByDesc"):
+                out_cols.append(self._expr(it.arg, ctx).alias(it.alias))
+                out_vars[it.alias] = None
+            else:
+                out_cols.append(self._expr(it.arg, ctx).alias(it.alias))
+                out_vars[it.alias] = (
+                    frame.vars.get(it.arg.name) if isinstance(it.arg, P.Var) else None
+                )
+        nf = Frame(self)
+        nf.df = df.select(out_cols)
+        nf.vars = out_vars
+        return nf
+
+    _AGGS = {
+        "Count": lambda c: F.count(c if c is not None else F.lit(1)),
+        "Average": lambda c: F.avg(c),
+        "Sum": lambda c: F.sum(c),
+        "Min": lambda c: F.min(c),
+        "Max": lambda c: F.max(c),
+        "Collect": lambda c: F.concat_ws("|", F.sort_array(F.collect_list(c.cast("string")))),
+    }
+
+    def _stage_group_by(self, stage: P.GroupByStage, frame: Frame) -> Frame:
+        for k in stage.keys:
+            self._force_derefs(k, frame)
+        for it in stage.items:
+            if it.arg is not None:
+                self._force_derefs(it.arg, frame)
+        ctx = _ExprCtx(self, frame)
+        key_alias: list[str] = []
+        for i, k in enumerate(stage.keys):
+            alias = None
+            for it in stage.items:
+                if it.func == "" and it.arg == k:
+                    alias = it.alias
+            key_alias.append(alias or (k.name if isinstance(k, P.Var) else f"_k{i}"))
+        gb = frame.df.groupBy(
+            *[self._expr(k, ctx).alias(a) for k, a in zip(stage.keys, key_alias)]
+        )
+        aggs, out_vars = [], {}
+        for a, k in zip(key_alias, stage.keys):
+            out_vars[a] = frame.vars.get(k.name) if isinstance(k, P.Var) else None
+        for it in stage.items:
+            if it.func == "":
+                if it.arg not in stage.keys:
+                    raise HeroQLError(
+                        f"group_by passthrough {it.alias!r} must be a grouping key"
+                    )
+                continue
+            if it.func in ("OrderBy", "OrderByDesc"):
+                raise HeroQLError("OrderBy belongs in partition_by, not group_by")
+            fn = self._AGGS[it.func]
+            arg = self._expr(it.arg, ctx) if it.arg is not None else None
+            aggs.append(fn(arg).alias(it.alias))
+            out_vars[it.alias] = None
+        nf = Frame(self)
+        nf.df = gb.agg(*aggs) if aggs else gb.agg(F.count(F.lit(1)).alias("count"))
+        nf.vars = out_vars
+        if stage.having is not None:
+            nf.df = nf.df.where(self._expr(stage.having, _ExprCtx(self, nf)))
+        return nf
+
+    # ------------------------------------------------------------ mutations
+
+    def _exec_set(self, atom: P.Atom) -> None:
+        if atom.member_of is not None:
+            raise HeroQLError("member set is only valid inside `for query` actions")
+        row = []
+        for a in atom.args:
+            v = self._const_value(a)
+            if v is None and not isinstance(a, P.Const):
+                raise HeroQLError("set statement arguments must be constants (draft:130)")
+            row.append(v)
+        self._pending.setdefault(atom.name, []).append(tuple(row))
+        self._memo.clear()
+
+    def _pattern_frame(self, name: str, patterns: list) -> tuple:
+        """Bind positional patterns of a mutation to the table's
+        columns → (df, var→column map, wildcard-ok)."""
+        self._flush(name)
+        d = self._def(name)
+        if name in self.rules:
+            raise HeroQLError(f"{name!r} is rule-defined; mutate base tables only")
+        df = self.table(name)
+        if len(patterns) != len(d.fields):
+            raise HeroQLError(f"{name}: pattern arity {len(patterns)} != {len(d.fields)}")
+        mapping: dict[str, str] = {}
+        consts = []
+        for pat, f in zip(patterns, d.fields):
+            if isinstance(pat, P.Wildcard):
+                continue
+            if isinstance(pat, P.Var) and self._enum_member(pat.name) is None:
+                mapping[pat.name] = f
+                continue
+            cv = self._const_value(pat)
+            if cv is None and not isinstance(pat, P.Const):
+                raise HeroQLError("mutation patterns are variables, constants or _")
+            consts.append(F.col(f) == F.lit(cv))
+        return df, mapping, consts
+
+    def _mut_expr(self, e, mapping: dict, local: dict):
+        """Expression over a mutation's pattern variables (column refs
+        by field name) + local `=` bindings."""
+        if isinstance(e, P.Var):
+            if e.name in local:
+                return local[e.name]
+            if e.name in mapping:
+                return F.col(mapping[e.name])
+            m = self._enum_member(e.name)
+            if m is not None:
+                return F.lit(m)
+            raise _Unbound(e.name)
+        if isinstance(e, P.Const):
+            return F.lit(e.value)
+        if isinstance(e, P.FieldAccess):
+            if isinstance(e.base, P.Var) and e.base.name in self.enums:
+                return F.lit(e.name)
+            raise HeroQLError("field access is not supported in mutation bodies")
+        if isinstance(e, P.BinOp):
+            left = self._mut_expr(e.left, mapping, local)
+            right = self._mut_expr(e.right, mapping, local)
+            return {
+                "==": left == right, "!=": left != right, "<": left < right,
+                "<=": left <= right, ">": left > right, ">=": left >= right,
+                "+": left + right, "-": left - right, "*": left * right,
+                "/": left / right, "and": left & right, "or": left | right,
+            }[e.op]
+        if isinstance(e, P.UnaryOp):
+            op = self._mut_expr(e.operand, mapping, local)
+            return ~op if e.op == "not" else -op
+        if isinstance(e, P.IfExpr):
+            cond = self._mut_expr(e.cond, mapping, local)
+            then = self._mut_expr(e.then, mapping, local)
+            other = F.lit(True) if e.other is None else self._mut_expr(e.other, mapping, local)
+            return F.when(cond, then).otherwise(other)
+        raise HeroQLError(f"unsupported mutation expression {type(e).__name__}")
+
+    def _exec_update(self, u: P.UpdateStmt) -> None:
+        """`update T(a,b,c) :- a == b, c = a + b;` (draft:131): body
+        comparisons select rows; `=` to a pattern variable sets its
+        column SIMULTANEOUSLY from the old values."""
+        df, mapping, consts = self._pattern_frame(u.name, u.patterns)
+        conds = list(consts)
+        local: dict = {}
+        updates: dict[str, object] = {}
+        for lit in u.body:
+            if isinstance(lit, P.CompareLit):
+                conds.append(self._mut_expr(lit.expr, mapping, local))
+            elif isinstance(lit, P.AssignLit):
+                val = self._mut_expr(lit.expr, mapping, local)
+                if lit.var in mapping:
+                    updates[mapping[lit.var]] = val
+                else:
+                    local[lit.var] = val
+            else:
+                raise HeroQLError("update bodies take comparisons and `=` only")
+        if not updates:
+            raise HeroQLError("update assigns no pattern variable")
+        cond = self._and(conds) if conds else F.lit(True)
+        out = df.select(
+            *[
+                (F.when(cond, updates[c]).otherwise(F.col(c)).alias(c) if c in updates else F.col(c))
+                for c in df.columns
+            ]
+        )
+        self.tables[u.name] = out
+        self._after_mutation(u.name)
+
+    def _exec_remove(self, r: P.RemoveStmt) -> None:
+        self._flush(r.name)
+        if r.patterns is None:  # remove T;  (draft:134)
+            df = self.table(r.name)
+            self.tables[r.name] = df.where(F.lit(False))
+            self._after_mutation(r.name)
+            return
+        df, mapping, consts = self._pattern_frame(r.name, r.patterns)
+        conds = list(consts)
+        local: dict = {}
+        for lit in r.body:
+            if isinstance(lit, P.CompareLit):
+                conds.append(self._mut_expr(lit.expr, mapping, local))
+            elif isinstance(lit, P.AssignLit):
+                local[lit.var] = self._mut_expr(lit.expr, mapping, local)
+            else:
+                raise HeroQLError("remove bodies take comparisons and `=` only")
+        cond = self._and(conds) if conds else F.lit(True)
+        self.tables[r.name] = df.where(~cond)
+        self._after_mutation(r.name)
+
+    def _exec_uncache(self, u: P.UncacheStmt) -> None:
+        """Cached computed tables (draft:67-72, 135-136): drop the
+        memoized derivation (partial predicates conservatively drop the
+        whole entry) and unpersist any pinned storage."""
+        self._memo.pop(u.name, None)
+        df = self.tables.get(u.name)
+        if df is not None:
+            df.unpersist()
+
+    def _exec_for_query(self, fq: P.ForQueryStmt) -> None:
+        """`for query(x) :- body ( set ... )` (draft:138-143): run the
+        query once, apply each action to every result row — compiled
+        as set-at-a-time DataFrame inserts/deletes, not a row loop."""
+        frame = self._compile_body(fq.body)
+        for action in fq.actions:
+            if isinstance(action, P.SetStmt):
+                atom = action.atom
+                if atom.member_of is not None:
+                    base = atom.member_of.name
+                    cls = frame.vars.get(base)
+                    if cls is None:
+                        raise HeroQLError(f"{base!r} is not a class row")
+                    rel = self.relations.get((cls, atom.name))
+                    if rel is None:
+                        raise HeroQLError(f"{cls} has no relation member {atom.name!r}")
+                    edge_name, swapped = rel
+                    ctx = _ExprCtx(self, frame)
+                    self._force_derefs(atom.args[0], frame)
+                    other = self._expr(atom.args[0], ctx)
+                    me = frame.col(base)
+                    src, dst = (other, me) if swapped else (me, other)
+                    rows = frame.df.select(src.alias("src"), dst.alias("dst")).distinct()
+                    self._flush(edge_name)
+                    cur = self.table(edge_name)
+                    if not cur.columns:
+                        self.tables[edge_name] = rows
+                    else:
+                        self.tables[edge_name] = cur.unionByName(
+                            rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
+                        ).distinct()
+                    self._after_mutation(edge_name)
+                else:
+                    d = self._def(atom.name)
+                    ctx = _ExprCtx(self, frame)
+                    for a in atom.args:
+                        self._force_derefs(a, frame)
+                    rows = frame.df.select(
+                        [self._expr(a, ctx).alias(f) for a, f in zip(atom.args, d.fields)]
+                    ).distinct()
+                    self._flush(atom.name)
+                    cur = self.table(atom.name)
+                    self.tables[atom.name] = cur.unionByName(
+                        rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
+                    ).distinct()
+                    self._after_mutation(atom.name)
+            elif isinstance(action, P.RemoveStmt):
+                d = self._def(action.name)
+                ctx = _ExprCtx(self, frame)
+                pats = action.patterns or [P.Wildcard()] * len(d.fields)
+                on = []
+                proj = []
+                for pat, f in zip(pats, d.fields):
+                    if isinstance(pat, P.Wildcard):
+                        continue
+                    self._force_derefs(pat, frame)
+                    proj.append(self._expr(pat, ctx).alias(f))
+                    on.append(f)
+                if not on:
+                    raise HeroQLError("for-query remove needs at least one bound column")
+                keys = frame.df.select(proj).distinct()
+                self._flush(action.name)
+                cur = self.table(action.name)
+                self.tables[action.name] = cur.join(keys, on, "left_anti")
+                self._after_mutation(action.name)
+            else:
+                raise HeroQLError("for-query actions are set/remove")

@@ -1,0 +1,1022 @@
+"""HeroQL lexer + recursive-descent parser.
+
+Grammar follows the reference drafts directly:
+- declarations & tables ........ Kernel/Drafts/draft:26-72
+- functions / cases ............ Kernel/Drafts/draft:74-89
+- queries ...................... Kernel/Drafts/draft:91-100
+- expression grammar ........... Kernel/Drafts/draft:102-118
+- mutation statements .......... Kernel/Drafts/draft:128-144
+- aggregation pipeline ......... Kernel/Drafts/draft:146-162, draft_students:36-53
+
+The parser produces a flat AST (plain dataclasses below); all name
+resolution / typing happens in compiler.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+class HeroQLSyntaxError(Exception):
+    pass
+
+
+# ------------------------------------------------------------------ lexer
+
+KEYWORDS = {
+    "data", "class", "enum", "union", "struct", "index", "where", "func",
+    "case", "query", "collection_query", "partition_by", "group_by",
+    "order_by", "order_by_desc", "range_by", "set", "update", "remove",
+    "uncache", "not", "exists", "ensure", "if", "then", "else", "and",
+    "or", "in", "out", "namespace", "using", "database", "for", "let",
+    "true", "false",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>//[^\n]*|\#[^\n]*)
+  | (?P<float>\d+\.\d+(?!\.))
+  | (?P<int>\d+)
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<id>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
+  | (?P<op>::|:-|\.\.|==|!=|<=|>=|\*|[()\{\},;.:=<>+\-/|])
+    """,
+    re.VERBOSE,
+)
+
+
+# keywords that may still serve as variable / alias names in
+# expression positions (the draft itself uses `index` as a variable,
+# draft:86-88, and `count` as an output alias, draft_students:45);
+# only the words with expression-level meaning stay reserved there
+HARD_EXPR_KEYWORDS = {"if", "then", "else", "true", "false", "not", "and", "or", "exists", "ensure"}
+SOFT_KEYWORDS = KEYWORDS - HARD_EXPR_KEYWORDS
+
+
+@dataclass
+class Tok:
+    kind: str  # 'id' | 'kw' | 'int' | 'float' | 'string' | op text
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise HeroQLSyntaxError(f"unexpected character {src[i]!r} at offset {i}")
+        i = m.end()
+        if m.lastgroup in ("ws", "comment"):
+            continue
+        text = m.group()
+        kind = m.lastgroup
+        if kind == "id":
+            if text.startswith("`"):  # quoted identifier (draft_students:51)
+                text = text[1:-1]
+            elif text in KEYWORDS:
+                kind = "kw"
+        elif kind == "op":
+            kind = text
+        toks.append(Tok(kind, text, m.start()))
+    toks.append(Tok("eof", "", len(src)))
+    return toks
+
+
+# ------------------------------------------------------------------ AST
+
+@dataclass
+class Var:
+    name: str
+
+
+@dataclass
+class Wildcard:
+    pass
+
+
+@dataclass
+class Const:
+    value: object  # int | float | str | bool
+
+
+@dataclass
+class BinOp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class UnaryOp:
+    op: str  # 'not' | '-'
+    operand: object
+
+
+@dataclass
+class FieldAccess:
+    base: object  # Var (enum ref or row var)
+    name: str
+
+
+@dataclass
+class IfExpr:
+    cond: object
+    then: object
+    other: object  # None → draft:110 "returns true" form
+
+
+@dataclass
+class Atom:
+    name: str              # table / func name (may be 'A::B')
+    args: list
+    member_of: object = None  # Var → relation-member atom `p.Children(x)` (draft:139)
+
+
+@dataclass
+class NotLit:
+    atom: Atom
+
+
+@dataclass
+class ExistsLit:
+    atom: Atom
+
+
+@dataclass
+class EnsureLit:
+    expr: object
+
+
+@dataclass
+class CompareLit:
+    expr: object  # a boolean expression used as a filter
+
+
+@dataclass
+class AssignLit:
+    var: str
+    expr: object
+
+
+@dataclass
+class FieldDef:
+    name: str
+    type: str  # 'int' | 'float' | 'string' | 'bool' | 'char' | class/enum name
+
+
+@dataclass
+class RelationDef:
+    """`spouse * spouse : Person, 1..1` (draft:36-38)."""
+    name: str
+    inverse: str
+    target: str
+    card: str  # '1..1' | 'n..n' | 'n..1'
+
+
+@dataclass
+class IndexDef:
+    kinds: list[str]  # Ordered / Hash / Unique / Cache
+    cols: list[str]
+
+
+@dataclass
+class DataDecl:
+    name: str
+    fields: list[FieldDef]
+    relations: list[RelationDef]
+    is_class: bool
+    indexes: list[IndexDef]
+    where: object  # expr | None
+
+
+@dataclass
+class EnumDecl:
+    name: str
+    members: list[str]
+
+
+@dataclass
+class Rule:
+    head: Atom
+    body: list  # literals; [] → ground fact
+
+
+@dataclass
+class FuncDecl:
+    name: str
+    params: list[tuple]  # (mode, name); mode in ('', 'in', 'out')
+    body: list  # [] if pure declaration
+
+
+@dataclass
+class QueryDecl:
+    args: list  # patterns (Var/Wildcard/expr)
+    body: list
+    name: str = ""  # set by `let name = query ...`
+
+
+@dataclass
+class AggItem:
+    alias: str
+    func: str   # '' (passthrough) | Count/Average/Sum/Min/Max/Collect/OrderBy/OrderByDesc
+    arg: object  # expr for passthrough/agg; None for Count()
+    k: int = 0  # OrderBy(Desc) top-k
+
+
+@dataclass
+class WhereStage:
+    expr: object
+
+
+@dataclass
+class PartitionByStage:
+    keys: list  # exprs
+    items: list  # AggItem
+
+
+@dataclass
+class GroupByStage:
+    keys: list
+    items: list
+    having: object  # expr | None
+
+
+@dataclass
+class OrderByStage:
+    expr: object
+    desc: bool
+
+
+@dataclass
+class RangeByStage:
+    first: int
+    last: int
+
+
+@dataclass
+class CollectionQuery:
+    args: list
+    body: list
+    stages: list
+    name: str = ""
+
+
+@dataclass
+class SetStmt:
+    atom: Atom
+
+
+@dataclass
+class UpdateStmt:
+    name: str
+    patterns: list
+    body: list
+
+
+@dataclass
+class RemoveStmt:
+    name: str
+    patterns: list  # None → `remove T;`
+    body: list
+
+
+@dataclass
+class UncacheStmt:
+    name: str
+    patterns: list
+    body: list
+
+
+@dataclass
+class ForQueryStmt:
+    args: list
+    body: list
+    actions: list  # SetStmt / RemoveStmt (atoms may reference query vars)
+
+
+@dataclass
+class DatabaseDecl:
+    name: str
+
+
+@dataclass
+class NamespaceDecl:
+    """`namespace Nodes { ... }` (draft:170-175); nesting allowed."""
+    name: str
+    items: list
+
+
+@dataclass
+class UsingDecl:
+    """`using namespace Nodes;` (draft:177)."""
+    name: str
+
+
+@dataclass
+class StructDecl:
+    """`struct Head(head : int, next : List);` (draft:6-10, 21-22)."""
+    name: str
+    fields: list  # FieldDef
+
+
+@dataclass
+class UnionDecl:
+    """`union List = Head | End;` (draft:23)."""
+    name: str
+    members: list
+
+
+@dataclass
+class ClassDecl:
+    """`class BinaryExpression : Expression ( fields );` (draft:14-19)
+    — a TYPE declaration (no table); inheritance recorded for the
+    subtype-closure surface (operators/adt.py class_hierarchy)."""
+    name: str
+    base: str | None
+    fields: list  # FieldDef
+
+
+@dataclass
+class Program:
+    items: list = field(default_factory=list)
+
+
+# ------------------------------------------------------------------ parser
+
+class Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.i = 0
+
+    # -- token helpers
+    def peek(self, k: int = 0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def at(self, kind: str, text: str | None = None) -> bool:
+        t = self.peek()
+        return t.kind == kind and (text is None or t.text == text)
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind == "kw" and t.text in words
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.peek()
+        if not self.at(kind, text):
+            raise HeroQLSyntaxError(
+                f"expected {text or kind!r}, got {t.text!r} at offset {t.pos}"
+            )
+        return self.next()
+
+    def expect_kw(self, word: str) -> Tok:
+        t = self.peek()
+        if not self.at_kw(word):
+            raise HeroQLSyntaxError(f"expected {word!r}, got {t.text!r} at offset {t.pos}")
+        return self.next()
+
+    # -- entry
+    def parse_program(self) -> Program:
+        prog = Program()
+        while not self.at("eof"):
+            prog.items.append(self.parse_item())
+        return prog
+
+    def parse_item(self):
+        if self.at_kw("database"):
+            self.next()
+            name = self.qualified_name()
+            self.expect(";")
+            return DatabaseDecl(name)
+        if self.at_kw("namespace"):
+            self.next()
+            name = self.qualified_name()
+            self.expect("{")
+            items = []
+            while not self.at("}"):
+                items.append(self.parse_item())
+            self.expect("}")
+            return NamespaceDecl(name, items)
+        if self.at_kw("using"):
+            self.next()
+            self.expect_kw("namespace")
+            name = self.qualified_name()
+            self.expect(";")
+            return UsingDecl(name)
+        if self.at_kw("struct"):
+            self.next()
+            name = self.qualified_name()
+            fields = self.parse_typed_fields()
+            self.expect(";")
+            return StructDecl(name, fields)
+        if self.at_kw("union"):
+            self.next()
+            name = self.qualified_name()
+            self.expect("=")
+            members = [self.qualified_name()]
+            while self.at("|"):
+                self.next()
+                members.append(self.qualified_name())
+            self.expect(";")
+            return UnionDecl(name, members)
+        if self.at_kw("class"):
+            self.next()
+            name = self.qualified_name()
+            base = None
+            if self.at(":"):
+                self.next()
+                base = self.qualified_name()
+            fields: list[FieldDef] = []
+            if self.at("("):
+                fields = self.parse_typed_fields()
+            elif self.at("{"):  # draft:172-174 block form (member decls)
+                self.next()
+                while not self.at("}"):
+                    fname = self.expect("id").text
+                    self.expect(":")
+                    ftype = self.qualified_name()
+                    fields.append(FieldDef(fname, ftype))
+                    if self.at(";") or self.at(","):
+                        self.next()
+                self.expect("}")
+                if self.at(";"):
+                    self.next()
+                return ClassDecl(name, base, fields)
+            if self.at(";"):
+                self.next()
+            return ClassDecl(name, base, fields)
+        if self.at_kw("data"):
+            return self.parse_data_decl()
+        if self.at_kw("enum"):
+            return self.parse_enum_decl()
+        if self.at_kw("func"):
+            return self.parse_func_decl()
+        if self.at_kw("case"):
+            self.next()
+            atom = self.parse_atom()
+            body = self.parse_rule_body_opt()
+            self.expect(";")
+            return Rule(atom, body)
+        if self.at_kw("query"):
+            return self.parse_query_decl()
+        if self.at_kw("collection_query"):
+            return self.parse_collection_query()
+        if self.at_kw("let"):
+            self.next()
+            name = self.expect("id").text
+            self.expect("=")
+            if self.at_kw("collection_query"):
+                q = self.parse_collection_query()
+            else:
+                q = self.parse_query_decl()
+            q.name = name
+            return q
+        if self.at_kw("set"):
+            self.next()
+            atom = self.parse_atom()
+            self.expect(";")
+            return SetStmt(atom)
+        if self.at_kw("update"):
+            self.next()
+            name = self.qualified_name()
+            pats = self.parse_pattern_list()
+            self.expect(":-")
+            body = self.parse_body()
+            self.expect(";")
+            return UpdateStmt(name, pats, body)
+        if self.at_kw("remove") or self.at_kw("uncache"):
+            cls = RemoveStmt if self.peek().text == "remove" else UncacheStmt
+            self.next()
+            name = self.qualified_name()
+            pats = None
+            body = []
+            if self.at("("):
+                pats = self.parse_pattern_list()
+                body = self.parse_rule_body_opt()
+            self.expect(";")
+            return cls(name, pats, body)
+        if self.at_kw("for"):
+            return self.parse_for_query()
+        t = self.peek()
+        # a bare rule:  Head(args) :- body ;     (draft:58-62)
+        if t.kind == "id":
+            atom = self.parse_atom()
+            self.expect(":-")
+            body = self.parse_body()
+            self.expect(";")
+            return Rule(atom, body)
+        raise HeroQLSyntaxError(f"unexpected token {t.text!r} at offset {t.pos}")
+
+    # -- declarations
+    def parse_typed_fields(self) -> list[FieldDef]:
+        """`( name : type, ... )` — struct/class field lists
+        (draft:6-10, 14-19). Trailing commas tolerated as in the
+        draft."""
+        self.expect("(")
+        fields: list[FieldDef] = []
+        while not self.at(")"):
+            fname = self.expect("id").text
+            self.expect(":")
+            ftype = self.qualified_name()
+            if self.at("["):
+                self.next()
+                self.expect("]")
+            fields.append(FieldDef(fname, ftype))
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        return fields
+
+    def parse_data_decl(self) -> DataDecl:
+        self.expect_kw("data")
+        is_class = False
+        if self.at_kw("class"):
+            is_class = True
+            self.next()
+        name = self.qualified_name()
+        fields: list[FieldDef] = []
+        relations: list[RelationDef] = []
+        self.expect("(")
+        while not self.at(")"):
+            fname = self.expect("id").text
+            if self.at("*"):  # relation member: spouse * spouse : Person, 1..1
+                self.next()
+                inverse = self.expect("id").text
+                self.expect(":")
+                target = self.qualified_name()
+                card = "n..n"
+                if self.at(","):
+                    # could be cardinality or next field; cardinality looks
+                    # like  1..1 / n..n / n..1
+                    nxt, nxt2 = self.peek(1), self.peek(2)
+                    if (nxt.kind in ("int", "id")) and nxt2.kind == "..":
+                        self.next()  # ','
+                        lo = self.next().text
+                        self.expect("..")
+                        hi = self.next().text
+                        card = f"{lo}..{hi}"
+                relations.append(RelationDef(fname, inverse, target, card))
+            else:
+                self.expect(":")
+                ftype = self.qualified_name()
+                if self.at("["):  # unsupported array-of-class sugar; skip
+                    self.next()
+                    self.expect("]")
+                fields.append(FieldDef(fname, ftype))
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        indexes = self.parse_index_clause_opt()
+        where = None
+        if self.at_kw("where"):
+            self.next()
+            where = self.parse_expr()
+        self.expect(";")
+        return DataDecl(name, fields, relations, is_class, indexes, where)
+
+    def parse_index_clause_opt(self) -> list[IndexDef]:
+        out: list[IndexDef] = []
+        if not self.at_kw("index"):
+            return out
+        self.next()
+        kind_words = ("Ordered", "Hash", "Unique", "Cache")
+        while True:
+            kinds: list[str] = []
+            cols: list[str] = []
+            while self.at("id") and self.peek().text in kind_words:
+                kinds.append(self.next().text)
+                had_cols = False
+                if self.at("("):
+                    self.next()
+                    while not self.at(")"):
+                        cols.append(self.dotted_name())
+                        if self.at("("):  # nested hint, e.g. Hash(exam, Ordered(score))
+                            depth = 0
+                            while True:
+                                t = self.next()
+                                if t.kind == "(":
+                                    depth += 1
+                                elif t.kind == ")":
+                                    depth -= 1
+                                    if depth == 0:
+                                        break
+                        if self.at(","):
+                            self.next()
+                    self.expect(")")
+                    had_cols = True
+                # `Ordered, Unique, Cache(husband.name)` (draft:69): a
+                # col-less kind followed by another kind word continues
+                # the SAME index def; a kind with cols ends it
+                if (
+                    not had_cols
+                    and self.at(",")
+                    and self.peek(1).kind == "id"
+                    and self.peek(1).text in kind_words
+                ):
+                    self.next()
+                    continue
+                break
+            if not kinds:
+                break
+            out.append(IndexDef(kinds, cols))
+            if self.at(","):
+                self.next()
+                continue
+            break
+        return out
+
+    def parse_enum_decl(self) -> EnumDecl:
+        self.expect_kw("enum")
+        name = self.expect("id").text
+        self.expect("=")
+        members = [self.expect("id").text]
+        while self.at("|"):
+            self.next()
+            members.append(self.expect("id").text)
+        self.expect(";")
+        return EnumDecl(name, members)
+
+    def parse_func_decl(self) -> FuncDecl:
+        self.expect_kw("func")
+        name = self.qualified_name()
+        self.expect("(")
+        params: list[tuple] = []
+
+        def nameish() -> bool:
+            t = self.peek()
+            return t.kind == "id" or (t.kind == "kw" and t.text in SOFT_KEYWORDS)
+
+        while not self.at(")"):
+            mode = ""
+            if self.at_kw("in") or self.at_kw("out"):
+                mode = self.next().text
+            if not nameish():
+                t = self.peek()
+                raise HeroQLSyntaxError(f"expected parameter name at offset {t.pos}")
+            first = self.next().text
+            # `func Fib_(int a, in index, ...)` (draft:86): an optional
+            # type name precedes the parameter name
+            if nameish():
+                first = self.next().text
+            params.append((mode, first))
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        body = self.parse_rule_body_opt()
+        self.expect(";")
+        return FuncDecl(name, params, body)
+
+    def parse_query_decl(self) -> QueryDecl:
+        self.expect_kw("query")
+        self.expect("(")
+        args = []
+        while not self.at(")"):
+            args.append(self.parse_pattern())
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        self.expect(":-")
+        body = self.parse_body()
+        self.expect(";")
+        return QueryDecl(args, body)
+
+    def parse_collection_query(self) -> CollectionQuery:
+        self.expect_kw("collection_query")
+        self.expect("(")
+        args = []
+        while not self.at(")"):
+            args.append(self.parse_pattern())
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        self.expect(":-")
+        body = self.parse_body()
+        stages = []
+        while True:
+            if self.at_kw("where"):
+                self.next()
+                stages.append(WhereStage(self.parse_expr()))
+            elif self.at_kw("partition_by"):
+                self.next()
+                keys, items = self.parse_stage_head()
+                stages.append(PartitionByStage(keys, items))
+            elif self.at_kw("group_by"):
+                self.next()
+                keys, items = self.parse_stage_head()
+                having = None
+                if self.at(":-"):
+                    self.next()
+                    having = self.parse_expr()
+                stages.append(GroupByStage(keys, items, having))
+            elif self.at_kw("order_by") or self.at_kw("order_by_desc"):
+                desc = self.next().text == "order_by_desc"
+                stages.append(OrderByStage(self.parse_expr(), desc))
+            elif self.at_kw("range_by"):
+                self.next()
+                first = int(self.expect("int").text)
+                self.expect("..")
+                last = int(self.expect("int").text)
+                stages.append(RangeByStage(first, last))
+            else:
+                break
+        self.expect(";")
+        return CollectionQuery(args, body, stages)
+
+    def parse_stage_head(self):
+        """`exam(student, exam, OrderByDesc(score, 3))` — keys before '(',
+        items inside (draft_students:39,45,51)."""
+        keys = [self.parse_expr()]
+        while self.at(",") and not self.at("("):
+            self.next()
+            keys.append(self.parse_expr())
+        self.expect("(")
+        items = []
+        while not self.at(")"):
+            items.append(self.parse_agg_item())
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        return keys, items
+
+    AGG_FUNCS = ("Count", "Average", "Sum", "Min", "Max", "Collect", "OrderBy", "OrderByDesc")
+
+    def parse_agg_item(self) -> AggItem:
+        alias = ""
+        nameish = self.at("id") or (self.peek().kind == "kw" and self.peek().text in SOFT_KEYWORDS)
+        if nameish and self.peek(1).kind == "=":
+            alias = self.next().text
+            self.next()
+        if self.at("id") and self.peek().text in self.AGG_FUNCS and self.peek(1).kind == "(":
+            fn = self.next().text
+            self.expect("(")
+            arg = None
+            k = 0
+            if not self.at(")"):
+                arg = self.parse_expr()
+                if self.at(","):
+                    self.next()
+                    k = int(self.expect("int").text)
+            self.expect(")")
+            if not alias:
+                # bare Average(score) names its output after the argument
+                # column (draft_students:51-52 orders by `score`)
+                alias = arg.name if isinstance(arg, Var) else (
+                    arg.name if isinstance(arg, FieldAccess) else fn.lower()
+                )
+            return AggItem(alias, fn, arg, k)
+        expr = self.parse_expr()
+        if not alias:
+            if isinstance(expr, Var):
+                alias = expr.name
+            elif isinstance(expr, FieldAccess):
+                alias = expr.name
+            else:
+                raise HeroQLSyntaxError("aggregation item needs an alias")
+        return AggItem(alias, "", expr, 0)
+
+    def parse_for_query(self) -> ForQueryStmt:
+        self.expect_kw("for")
+        self.expect_kw("query")
+        self.expect("(")
+        args = []
+        while not self.at(")"):
+            args.append(self.parse_pattern())
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        self.expect(":-")
+        body = self.parse_body()
+        self.expect("(")
+        actions = []
+        while not self.at(")"):
+            if self.at_kw("set"):
+                self.next()
+                actions.append(SetStmt(self.parse_atom()))
+            elif self.at_kw("remove"):
+                self.next()
+                name = self.qualified_name()
+                pats = self.parse_pattern_list() if self.at("(") else None
+                actions.append(RemoveStmt(name, pats, []))
+            else:
+                t = self.peek()
+                raise HeroQLSyntaxError(f"unsupported for-query action {t.text!r} at {t.pos}")
+            if self.at(";"):
+                self.next()
+        self.expect(")")
+        if self.at(";"):
+            self.next()
+        return ForQueryStmt(args, body, actions)
+
+    # -- rule bodies
+    def parse_rule_body_opt(self) -> list:
+        if self.at(":-"):
+            self.next()
+            return self.parse_body()
+        return []
+
+    def parse_body(self) -> list:
+        lits = [self.parse_literal()]
+        while self.at(","):
+            self.next()
+            lits.append(self.parse_literal())
+        return lits
+
+    def parse_literal(self):
+        if self.at_kw("not"):
+            self.next()
+            return NotLit(self.parse_atom())
+        if self.at_kw("exists"):
+            self.next()
+            return ExistsLit(self.parse_atom())
+        if self.at_kw("ensure"):
+            self.next()
+            return EnsureLit(self.parse_expr())
+        # atom?  ID[::ID...] '('     or member atom  var.Rel '('
+        if self.peek().kind == "id":
+            save = self.i
+            try:
+                atom = self.try_parse_atom()
+                if atom is not None:
+                    return atom
+            except HeroQLSyntaxError:
+                pass
+            self.i = save
+        expr = self.parse_expr()
+        if self.at("=") :
+            if not isinstance(expr, Var):
+                t = self.peek()
+                raise HeroQLSyntaxError(f"assignment target must be a variable at {t.pos}")
+            self.next()
+            return AssignLit(expr.name, self.parse_expr())
+        return CompareLit(expr)
+
+    def try_parse_atom(self):
+        """Parse `T(...)`, `A::B(...)` or `var.Member(...)`; None if the
+        lookahead is not an atom."""
+        if self.peek().kind != "id":
+            return None
+        # member atom: id '.' id '('
+        if self.peek(1).kind == "." and self.peek(2).kind == "id" and self.peek(3).kind == "(":
+            base = Var(self.next().text)
+            self.next()
+            member = self.next().text
+            args = self.parse_pattern_list()
+            return Atom(member, args, member_of=base)
+        # plain/qualified atom
+        j = self.i
+        while self.toks[j].kind == "id" and self.toks[j + 1].kind == "::":
+            j += 2
+        if self.toks[j].kind == "id" and self.toks[j + 1].kind == "(":
+            name = self.qualified_name()
+            args = self.parse_pattern_list()
+            return Atom(name, args)
+        return None
+
+    def parse_atom(self) -> Atom:
+        atom = self.try_parse_atom()
+        if atom is None:
+            t = self.peek()
+            raise HeroQLSyntaxError(f"expected atom at offset {t.pos}, got {t.text!r}")
+        return atom
+
+    def parse_pattern_list(self) -> list:
+        self.expect("(")
+        pats = []
+        while not self.at(")"):
+            pats.append(self.parse_pattern())
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        return pats
+
+    def parse_pattern(self):
+        if self.at("id") and self.peek().text == "_" :
+            self.next()
+            return Wildcard()
+        return self.parse_expr()
+
+    # -- expressions (draft:102-118 precedence)
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.at_kw("or"):
+            self.next()
+            left = BinOp("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while self.at_kw("and"):
+            self.next()
+            left = BinOp("and", left, self.parse_not())
+        return left
+
+    def parse_not(self):
+        if self.at_kw("not"):
+            self.next()
+            return UnaryOp("not", self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self):
+        left = self.parse_additive()
+        if self.peek().kind in ("==", "!=", "<", "<=", ">", ">="):
+            op = self.next().kind
+            return BinOp(op, left, self.parse_additive())
+        return left
+
+    def parse_additive(self):
+        left = self.parse_multiplicative()
+        while self.peek().kind in ("+", "-"):
+            op = self.next().kind
+            left = BinOp(op, left, self.parse_multiplicative())
+        return left
+
+    def parse_multiplicative(self):
+        left = self.parse_unary()
+        while self.peek().kind in ("*", "/"):
+            op = self.next().kind
+            left = BinOp(op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self.at("-"):
+            self.next()
+            return UnaryOp("-", self.parse_unary())
+        return self.parse_postfix()
+
+    def parse_postfix(self):
+        e = self.parse_primary()
+        # field names may collide with keywords (`student.class`,
+        # draft_students:51) — accept either after the dot
+        while self.at(".") and self.peek(1).kind in ("id", "kw"):
+            self.next()
+            e = FieldAccess(e, self.next().text)
+        return e
+
+    def parse_primary(self):
+        t = self.peek()
+        if t.kind == "int":
+            self.next()
+            return Const(int(t.text))
+        if t.kind == "float":
+            self.next()
+            return Const(float(t.text))
+        if t.kind == "string":
+            self.next()
+            return Const(t.text[1:-1])
+        if self.at_kw("true"):
+            self.next()
+            return Const(True)
+        if self.at_kw("false"):
+            self.next()
+            return Const(False)
+        if self.at_kw("if"):
+            self.next()
+            cond = self.parse_expr()
+            self.expect_kw("then")
+            then = self.parse_expr()
+            other = None
+            if self.at_kw("else"):
+                self.next()
+                other = self.parse_expr()
+            return IfExpr(cond, then, other)
+        if t.kind == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect(")")
+            return e
+        if t.kind == "id":
+            return Var(self.qualified_name())
+        if t.kind == "kw" and t.text in SOFT_KEYWORDS:
+            self.next()
+            return Var(t.text)
+        raise HeroQLSyntaxError(f"unexpected token {t.text!r} at offset {t.pos}")
+
+    # -- names
+    def qualified_name(self) -> str:
+        parts = [self.expect("id").text]
+        while self.at("::"):
+            self.next()
+            parts.append(self.expect("id").text)
+        return "::".join(parts)
+
+    def dotted_name(self) -> str:
+        parts = [self.expect("id").text]
+        while self.at("."):
+            self.next()
+            parts.append(self.expect("id").text)
+        return ".".join(parts)
+
+
+def parse(src: str) -> Program:
+    return Parser(src).parse_program()

@@ -180,3 +180,37 @@ SELECT supp_nation, cust_nation, l_year, volume FROM (
 WHERE volume > 50000
 ORDER BY supp_nation, cust_nation, l_year
 """
+
+
+def tpch_q7_q10_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of tpch_q7 + tpch_q10 (same tag-union contract
+    as plans/tpch.py q4_q6_q12_union: both keep their own functions
+    and oracles for unit tests; the union earns both a driver-graded
+    hash row in one slot). Each constituent plan — Q7's two-nation
+    broadcast join chain, Q10's returned-revenue top-20 — executes
+    unchanged inside its union branch."""
+    q7 = tpch_q7_nation_volume(spark, sf_dir).select(
+        F.lit("q7").alias("q"),
+        F.col("supp_nation").alias("k1"),
+        F.col("cust_nation").alias("k2"),
+        F.col("l_year").cast("string").alias("k3"),
+        F.col("volume").alias("v"),
+    )
+    q10 = tpch_q10_returned_revenue(spark, sf_dir).select(
+        F.lit("q10").alias("q"),
+        F.col("c_custkey").cast("string").alias("k1"),
+        F.col("c_name").alias("k2"),
+        F.col("n_name").alias("k3"),
+        F.col("revenue").alias("v"),
+    )
+    return q7.unionByName(q10).orderBy("q", "k1", "k2", "k3")
+
+
+TPCH_Q7_Q10_SQL = f"""
+SELECT 'q7' AS q, supp_nation AS k1, cust_nation AS k2, CAST(l_year AS VARCHAR) AS k3, volume AS v
+FROM ({TPCH_Q7_SQL})
+UNION ALL
+SELECT 'q10' AS q, CAST(c_custkey AS VARCHAR) AS k1, c_name AS k2, n_name AS k3, revenue AS v
+FROM ({TPCH_Q10_SQL})
+ORDER BY q, k1, k2, k3
+"""

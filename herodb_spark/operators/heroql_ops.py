@@ -1,0 +1,164 @@
+"""Graded queries driven through the HeroQL front-end.
+
+These operators don't hand-build DataFrames: each one feeds a HeroQL
+PROGRAM — the reference's own query language (Kernel/Drafts/draft,
+draft_students) — through herodb_spark.heroql and returns the
+compiled DataFrame. The oracle SQL describes the same semantics
+directly, so the driver gate checks the WHOLE front-end (lexer →
+parser → compiler → Catalyst plan) for value-identical results.
+
+Scale: the compiler emits ordinary declarative plans — the rule
+bodies below become the same join/anti-join/window/aggregate plans a
+hand-written operator would produce, with pushdown and broadcast
+decided by Catalyst. See herodb_spark/heroql/compiler.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from herodb_spark.catalog import load_table
+from herodb_spark.heroql import HeroQL
+
+
+def _session(spark: SparkSession, sf_dir: str, tables: list[str]) -> HeroQL:
+    hql = HeroQL(spark)
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        hql.register(name, df)
+    return hql
+
+
+def heroql_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog rule surface end-to-end (draft:55-66, 102-117): a
+    `data class` row variable with field deref, union of two rule
+    cases, a `not` anti-join, and a final three-way rule query —
+    written in HeroQL, compiled to one Catalyst plan."""
+    hql = HeroQL(spark)
+    hql.register("Cust", load_table(spark, sf_dir, "customer"), is_class=True, key="c_custkey")
+    hql.register("orders", load_table(spark, sf_dir, "orders"))
+    hql.register("nation", load_table(spark, sf_dir, "nation"))
+    res = hql.run("""
+        data Flagged(cust : int, why : string);
+        Flagged(c, "no_urgent") :- Cust(c), not orders(_, c, _, _, _, "1-URGENT");
+        Flagged(c, "negative")  :- Cust(c), c.c_acctbal < 0.0;
+
+        query (cust, nname, why) :-
+            Flagged(cust, why), Cust(cust), nation(cust.c_nationkey, nname, _);
+    """)
+    return res.queries[0]
+
+
+HEROQL_RULES_SQL = """
+SELECT DISTINCT f.cust, n_name AS nname, f.why
+FROM (
+  SELECT c_custkey AS cust, 'no_urgent' AS why FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+  UNION
+  SELECT c_custkey AS cust, 'negative' AS why FROM customer WHERE c_acctbal < 0.0
+) f
+JOIN customer ON c_custkey = f.cust
+JOIN nation ON n_nationkey = c_nationkey
+"""
+
+
+def heroql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The draft's aggregation pipeline verbatim (draft:146-162,
+    draft_students:36-53): collection_query → partition_by with
+    OrderByDesc top-k → group_by with Count/Average and a `:- having`
+    → order_by_desc → range_by. Average stays exact: l_quantity is
+    integer-valued, so double sums are associativity-free.
+
+    Determinism contract (pinned in the compiler): partition_by
+    breaks order ties with the header columns in header order, and
+    range_by's row_number orders by the last order_by expression then
+    every current column."""
+    hql = _session(spark, sf_dir, ["lineitem"])
+    res = hql.run("""
+        collection_query(suppkey, orderkey, linenumber, quantity) :-
+            lineitem(orderkey, _, suppkey, linenumber, quantity, _, _, _, _, _, _)
+        partition_by suppkey(suppkey, orderkey, linenumber, sample = OrderByDesc(quantity, 3))
+        group_by suppkey(suppkey, n_top = Count(sample), avg_top = Average(sample))
+            :- avg_top >= 30.0
+        order_by_desc avg_top
+        range_by 1..20;
+    """)
+    return res.queries[0]
+
+
+HEROQL_PIPELINE_SQL = """
+WITH topk AS (
+  SELECT l_suppkey AS suppkey, l_quantity AS sample,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_quantity DESC, l_suppkey, l_orderkey, l_linenumber, l_quantity
+         ) AS rn
+  FROM lineitem
+),
+grouped AS (
+  SELECT suppkey, COUNT(sample) AS n_top, AVG(sample) AS avg_top
+  FROM topk WHERE rn <= 3 GROUP BY suppkey
+  HAVING AVG(sample) >= 30.0
+)
+SELECT suppkey, n_top, avg_top FROM (
+  SELECT suppkey, n_top, avg_top,
+         ROW_NUMBER() OVER (ORDER BY avg_top DESC, suppkey, n_top, avg_top) AS rn2
+  FROM grouped
+) WHERE rn2 BETWEEN 1 AND 20
+"""
+
+
+def heroql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The draft's recursive Fib VERBATIM (draft:81-84) through the
+    inflationary-fixpoint rule evaluator, plus the bounded projection
+    query. sf_dir is unused — the program is self-contained."""
+    hql = HeroQL(spark, max_iters=16)
+    res = hql.run("""
+        func Fib(in i, out o);
+        case Fib(1, 1);
+        case Fib(2, 1);
+        case Fib(a, b) :- Fib(a-1, x), Fib(a-2, y), b = x + y;
+
+        query (i, o) :- Fib(i, o), i <= 15;
+    """)
+    return res.queries[0]
+
+
+HEROQL_RECURSIVE_SQL = """
+WITH RECURSIVE f(i, a, b) AS (
+  SELECT 1, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT i + 1, b, a + b FROM f WHERE i < 15
+)
+SELECT i, a AS o FROM f
+"""
+
+
+def heroql_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutation statements (draft:128-136): set inserts, a
+    simultaneous-from-old-values update, a predicate remove, then a
+    query over the final state. Self-contained and deterministic;
+    sf_dir unused."""
+    hql = HeroQL(spark)
+    res = hql.run("""
+        data Ledger(k : int, v : int);
+        set Ledger(1, 10);
+        set Ledger(2, 20);
+        set Ledger(3, 30);
+        set Ledger(4, 0);
+        update Ledger(k, v) :- k <= 2, v = v * 10;
+        remove Ledger(_, v) :- v == 0;
+
+        query (k, v) :- Ledger(k, v);
+    """)
+    return res.queries[0]
+
+
+HEROQL_MUTATIONS_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(100 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(200 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(30  AS BIGINT))
+) t(k, v)
+"""

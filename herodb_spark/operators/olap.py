@@ -112,3 +112,46 @@ SELECT user_id, event_id,
 FROM marked WHERE event_type = 'purchase'
 ORDER BY user_id, event_id
 """
+
+
+def cube_pivot_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of agg_cube + agg_pivot (tag-union, same
+    contract as tpch q4_q6_q12): CUBE's grouping-set subtotals and the
+    explicit-value pivot each keep their own function/oracle for unit
+    tests and share one graded slot here."""
+    nd = F.lit(None).cast("double")
+    cube = cube_rollup(spark, sf_dir).select(
+        F.lit("cube").alias("q"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("n_rows").cast("double").alias("v1"),
+        F.col("sum_qty").alias("v2"),
+        nd.alias("v3"),
+        nd.alias("v4"),
+        nd.alias("v5"),
+    )
+    piv = pivot_events(spark, sf_dir).select(
+        F.lit("pivot").alias("q"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("click").cast("double").alias("v1"),
+        F.col("error").cast("double").alias("v2"),
+        F.col("purchase").cast("double").alias("v3"),
+        F.col("signup").cast("double").alias("v4"),
+        F.col("view").cast("double").alias("v5"),
+    )
+    return cube.unionByName(piv).orderBy("q", "k1", "k2")
+
+
+CUBE_PIVOT_SQL = f"""
+SELECT 'cube' AS q, l_returnflag AS k1, l_linestatus AS k2,
+       CAST(n_rows AS DOUBLE) AS v1, sum_qty AS v2,
+       CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4, CAST(NULL AS DOUBLE) AS v5
+FROM ({CUBE_ROLLUP_SQL})
+UNION ALL
+SELECT 'pivot' AS q, CAST(user_id AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2,
+       CAST(click AS DOUBLE) AS v1, CAST(error AS DOUBLE) AS v2,
+       CAST(purchase AS DOUBLE) AS v3, CAST(signup AS DOUBLE) AS v4, CAST("view" AS DOUBLE) AS v5
+FROM ({PIVOT_EVENTS_SQL})
+ORDER BY q, k1, k2
+"""

@@ -1,0 +1,414 @@
+"""HeroQL front-end tests: the reference's query language
+(Kernel/Drafts/draft, draft_students) parsed and compiled to
+DataFrame plans.
+
+Three layers:
+1. language semantics on tiny inline tables — each scenario is a
+   draft example (family rules draft:55-62, recursive Fib draft:81-84,
+   students pipeline draft_students:36-53, mutations draft:128-136,
+   for-query draft:138-143);
+2. DuckDB-oracle hash checks for the four registered heroql_* queries
+   at sf0.001 AND sf0.01 (driver-gate fidelity);
+3. plan shape: a compiled rule body is ONE Catalyst plan with the
+   filter pushed to the scan, no Python row UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from herodb_spark.heroql import HeroQL, HeroQLError
+from herodb_spark.heroql.parser import HeroQLSyntaxError, parse
+from herodb_spark.operators import heroql_ops as HQ
+from tests.harness import compare, duckdb_con
+
+ALL_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------------------ language
+
+
+def test_family_rules_draft_55_62(spark):
+    """The draft's Spouses program verbatim (modulo field-name case):
+    class row vars, field deref, enum constants."""
+    hql = HeroQL(spark)
+    hql.run("""
+        enum Gender = Male | Female;
+        data class Person
+        (
+            name    : string,
+            id      : int,
+            gender  : Gender,
+        )
+        index   Ordered(name),
+                Hash(id), Unique(id)
+        ;
+        data Parents(child : Person, parent : Person);
+        set Parents(1, 10);
+        set Parents(1, 11);
+        set Parents(2, 10);
+        set Parents(2, 11);
+
+        data Spouses(husband : Person, wife : Person);
+        Spouses(husband, wife) :-
+            Person(child),
+            Parents(child, husband), husband.gender == Gender.Male,
+            Parents(child, wife), wife.gender == Gender.Female
+            ;
+    """)
+    people = spark.createDataFrame(
+        [("Bob", 1, "Male"), ("Alice", 2, "Female"), ("Jeff", 10, "Male"), ("Kate", 11, "Female")],
+        "name string, id long, gender string",
+    )
+    hql.register("Person", people, is_class=True, key="id")
+    assert rows(hql.table("Spouses")) == [(10, 11)]
+
+
+def test_recursive_fib_draft_81_84(spark):
+    hql = HeroQL(spark, max_iters=16)
+    res = hql.run("""
+        func Fib(in i, out o);
+        case Fib(1, 1);
+        case Fib(2, 1);
+        case Fib(a, b) :- Fib(a-1, x), Fib(a-2, y), b = x + y;
+        query (o) :- Fib(10, o);
+    """)
+    assert rows(res.queries[0]) == [(55,)]
+
+
+def test_nonground_fact_rejected(spark):
+    """draft:87's accumulator base case is top-down; bottom-up safety
+    requires ground facts — must fail loudly, not silently."""
+    hql = HeroQL(spark)
+    with pytest.raises(HeroQLError, match="range-restricted"):
+        hql.run("case Fib_(a, b, index, index, b);")
+
+
+def test_students_pipeline_draft_students_36_53(spark):
+    hql = HeroQL(spark)
+    exams = spark.createDataFrame(
+        [("s1", "e1", 90), ("s2", "e1", 80), ("s3", "e1", 70), ("s4", "e1", 60),
+         ("s1", "e2", 50), ("s2", "e2", 100), ("s3", "e2", 95), ("s4", "e2", 40)],
+        "student string, exam string, score long",
+    )
+    hql.register("AttendExam", exams)
+    top3 = hql.run("""
+        collection_query(student, exam, score) :-
+            AttendExam(student, exam, score)
+        partition_by exam(student, exam, OrderByDesc(score, 3))
+        ;
+    """).queries[0]
+    got = rows(top3)
+    assert len(got) == 6
+    assert ("s4", "e1", 60) not in got and ("s4", "e2", 40) not in got
+
+    piped = hql.run("""
+        collection_query(student, score) :-
+            AttendExam(student, _, score)
+        partition_by student(student, sample_score = OrderByDesc(score, 1))
+        group_by student(student, average_score = Average(sample_score))
+            :- average_score > 85
+        order_by average_score
+        range_by 1..2;
+    """).queries[0]
+    assert [tuple(r) for r in piped.collect()] == [("s1", 90.0), ("s3", 95.0)]
+
+
+def test_where_stage_and_count(spark):
+    """draft_students:42-46 — count of 100-scores per student."""
+    hql = HeroQL(spark)
+    exams = spark.createDataFrame(
+        [("s1", "e1", 100), ("s1", "e2", 100), ("s2", "e1", 100), ("s2", "e2", 99)],
+        "student string, exam string, score long",
+    )
+    hql.register("AttendExam", exams)
+    res = hql.run("""
+        collection_query(student, score) :-
+            AttendExam(student, _, score)
+        where score == 100
+        group_by student(student, count = Count(score))
+        ;
+    """).queries[0]
+    assert rows(res) == [("s1", 2), ("s2", 1)]
+
+
+def test_mutations_draft_128_136(spark):
+    hql = HeroQL(spark)
+    hql.run("""
+        data T(a : int, b : int, c : int);
+        set T(1, 1, 0);
+        set T(1, 2, 0);
+        set T(3, 3, 0);
+        update T(a, b, c) :- a == b, c = a + b;
+        remove T(a, b, _) :- a != b;
+    """)
+    assert rows(hql.table("T")) == [(1, 1, 2), (3, 3, 6)]
+
+
+def test_remove_all_and_constants(spark):
+    hql = HeroQL(spark)
+    hql.run("""
+        data T(a : int, b : int);
+        set T(1, 1);
+        set T(2, 2);
+        remove T(1, 1);
+    """)
+    assert rows(hql.table("T")) == [(2, 2)]
+    hql.run("remove T;")
+    assert rows(hql.table("T")) == []
+
+
+def test_not_exists(spark):
+    hql = HeroQL(spark)
+    hql.register("Orders", spark.createDataFrame([(1, 100), (2, 100), (3, 200)], "oid long, cust long"))
+    hql.register("Cust", spark.createDataFrame([(100, "a"), (200, "b"), (300, "c")], "cid long, cname string"))
+    anti = hql.run("query (cid, cname) :- Cust(cid, cname), not Orders(_, cid);").queries[0]
+    assert rows(anti) == [(300, "c")]
+    semi = hql.run("query (cname) :- Cust(cid, cname), exists Orders(_, cid);").queries[0]
+    assert rows(semi) == [("a",), ("b",)]
+
+
+def test_if_then_else_and_assignment(spark):
+    hql = HeroQL(spark)
+    hql.register("V", spark.createDataFrame([(1,), (10,)], "x long"))
+    res = hql.run("""
+        query (x, tier) :- V(x), tier = if x >= 5 then "big" else "small";
+    """).queries[0]
+    assert rows(res) == [(1, "small"), (10, "big")]
+
+
+def test_for_query_relation_member_draft_138_143(spark):
+    hql = HeroQL(spark)
+    hql.run("""
+        data class Person
+        (
+            name : string,
+            id   : int,
+            parents * children : Person, n..n,
+        ) index Hash(id), Unique(id);
+        data Flagged(person : Person);
+    """)
+    hql.register(
+        "Person",
+        spark.createDataFrame([("Bob", 1), ("Jeff", 10), ("Kate", 11)], "name string, id long"),
+        is_class=True, key="id",
+    )
+    hql.register("Person__parents", spark.createDataFrame([(1, 10), (1, 11)], "src long, dst long"))
+    hql.run("""
+        for query(person) :-
+            Person(person), exists person.children(_)
+        (
+            set Flagged(person)
+        )
+    """)
+    assert rows(hql.table("Flagged")) == [(10,), (11,)]
+    # forward member atom: Bob's parents
+    res = hql.run("query (p) :- Person(me), me.name == \"Bob\", me.parents(p);").queries[0]
+    assert rows(res) == [(10,), (11,)]
+
+
+def test_union_cases_distinct(spark):
+    """Two rule cases for one head — Datalog set semantics dedups."""
+    hql = HeroQL(spark)
+    hql.register("E", spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"))
+    hql.run("""
+        data Touch(n : int);
+        Touch(a) :- E(a, _);
+        Touch(b) :- E(_, b);
+    """)
+    assert rows(hql.table("Touch")) == [(1,), (2,), (3,)]
+
+
+def test_collect_aggregation(spark):
+    hql = HeroQL(spark)
+    hql.register("S", spark.createDataFrame(
+        [("g1", 3), ("g1", 1), ("g2", 2)], "g string, v long"))
+    res = hql.run("""
+        collection_query(g, v) :- S(g, v)
+        group_by g(g, vs = Collect(v))
+        ;
+    """).queries[0]
+    assert rows(res) == [("g1", "1|3"), ("g2", "2")]
+
+
+def test_ensure_violation_raises(spark):
+    hql = HeroQL(spark)
+    hql.register("V", spark.createDataFrame([(1,), (10,)], "x long"))
+    with pytest.raises(HeroQLError, match="ensure"):
+        hql.run("query (x) :- V(x), ensure x < 5;")
+
+
+def test_where_constraint_on_insert(spark):
+    """draft:48-52 `where husband != wife` rejects violating facts."""
+    hql = HeroQL(spark)
+    hql.run("data S(h : int, w : int) where h != w;")
+    hql.run("set S(1, 2);")
+    assert rows(hql.table("S")) == [(1, 2)]
+    with pytest.raises(HeroQLError, match="where"):
+        hql.run("set S(3, 3);")
+        hql.table("S")
+
+
+def test_uncache_invalidates_memo(spark):
+    """draft:67-72/135-136: cached computation tables recompute after
+    uncache + base mutation."""
+    hql = HeroQL(spark)
+    hql.run("""
+        data Base(x : int);
+        set Base(1);
+        data Derived(x : int);
+        Derived(y) :- Base(x), y = x * 10;
+    """)
+    assert rows(hql.table("Derived")) == [(10,)]
+    hql.run("set Base(2); uncache Derived;")
+    assert rows(hql.table("Derived")) == [(10,), (20,)]
+
+
+def test_syntax_error_position(spark):
+    with pytest.raises(HeroQLSyntaxError):
+        parse("data (x : int);")
+
+
+def test_mutual_recursion_two_tables(spark):
+    """Even/Odd mutual recursion through one SCC fixpoint."""
+    hql = HeroQL(spark, max_iters=12)
+    res = hql.run("""
+        func Even(in n);
+        func Odd(in n);
+        case Even(0);
+        case Odd(n) :- Even(n-1), n <= 9;
+        case Even(n) :- Odd(n-1), n <= 9;
+        query (n) :- Even(n);
+    """)
+    assert rows(res.queries[0]) == [(0,), (2,), (4,), (6,), (8,)]
+
+
+def test_namespace_and_using_draft_168_186(spark):
+    """Declarations inside `namespace` register qualified; unqualified
+    references resolve innermost-out and through `using namespace`."""
+    hql = HeroQL(spark)
+    hql.run("""
+        namespace Warehouse
+        {
+            enum Status = Ok | Bad;
+            data Items(sku : int, status : Status);
+            set Items(1, Ok);
+            set Items(2, Bad);
+            data Good(sku : int);
+            Good(s) :- Items(s, status), status == Status.Ok;
+        }
+    """)
+    # absolute qualified access from outside the namespace
+    assert rows(hql.table("Warehouse::Good")) == [(1,)]
+    # `using` makes the short names visible
+    res = hql.run("""
+        using namespace Warehouse;
+        query (s) :- Good(s);
+    """)
+    assert rows(res.queries[0]) == [(1,)]
+
+
+def test_type_declarations_draft_1_24(spark):
+    """struct / union / class-with-inheritance TYPE declarations parse
+    and record (the relational encodings live in operators/adt.py —
+    adt_list_ops and class_hierarchy)."""
+    hql = HeroQL(spark)
+    hql.run("""
+        struct Point
+        (
+            x : int,
+            y : int
+        );
+        enum Operator = Add | Sub | Mul | Div;
+        class Expression();
+        class BinaryExpression : Expression
+        (
+            left    : Expression,
+            right   : Expression,
+            op      : Operator,
+        );
+        struct Head(head : int, next : List);
+        struct End();
+        union List = Head | End;
+    """)
+    assert hql.types["Point"]["fields"] == [("x", "int"), ("y", "int")]
+    assert hql.types["BinaryExpression"]["base"] == "Expression"
+    assert hql.types["List"] == {"kind": "union", "members": ["Head", "End"]}
+    assert hql.enums["Operator"] == ["Add", "Sub", "Mul", "Div"]
+
+
+def test_namespace_class_block_form(spark):
+    """draft:170-186 block-form classes inside namespaces, with an
+    absolute `Nodes::Node` member type reference."""
+    hql = HeroQL(spark)
+    hql.run("""
+        namespace Nodes
+        {
+            class Node { }
+        }
+        using namespace Nodes;
+        namespace Program
+        {
+            class TestCase
+            {
+                a : Node;
+                b : Nodes::Node;
+            }
+        }
+    """)
+    tc = hql.types["Program::TestCase"]
+    assert tc["fields"] == [("a", "Nodes::Node"), ("b", "Nodes::Node")]
+
+
+# ------------------------------------------------------------ oracle gate
+
+
+@pytest.mark.parametrize("sf", ALL_SF_DIRS, ids=["sf0.001", "sf0.01"])
+@pytest.mark.parametrize(
+    "fn,sql",
+    [
+        (HQ.heroql_rules, HQ.HEROQL_RULES_SQL),
+        (HQ.heroql_pipeline, HQ.HEROQL_PIPELINE_SQL),
+        (HQ.heroql_recursive, HQ.HEROQL_RECURSIVE_SQL),
+        (HQ.heroql_mutations, HQ.HEROQL_MUTATIONS_SQL),
+    ],
+    ids=["rules", "pipeline", "recursive", "mutations"],
+)
+def test_heroql_oracle(spark, fn, sql, sf):
+    con = duckdb_con(sf)
+    try:
+        res = compare(fn(spark, sf), sql, con)
+        assert res["ok"], res
+    finally:
+        con.close()
+
+
+def test_heroql_rules_nonempty(spark):
+    """Both rule cases must actually fire on the testdata (an empty
+    branch would make the oracle check vacuous)."""
+    df = HQ.heroql_rules(spark, "/root/testdata/sf0.001")
+    whys = {r["why"] for r in df.select("why").distinct().collect()}
+    assert whys == {"no_urgent", "negative"}
+
+
+# ------------------------------------------------------------ plan shape
+
+
+def test_rule_compiles_to_single_plan_no_udf(spark):
+    """A HeroQL rule is ONE declarative plan: constant filters reach
+    the scan side (pushable) and no Python eval nodes appear."""
+    hql = HeroQL(spark)
+    from herodb_spark.catalog import load_table
+
+    hql.register("Cust", load_table(spark, "/root/testdata/sf0.001", "customer"))
+    df = hql.run("""
+        query (c, bal) :- Cust(c, _, _, bal, _), bal < 0.0;
+    """).queries[0]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "c_acctbal" in opt  # predicate survives into the optimized plan
