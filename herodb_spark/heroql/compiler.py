@@ -278,6 +278,11 @@ class HeroQL:
             self._canon_expr(a)
 
     def _canon_expr(self, e) -> None:
+        if isinstance(e, P.StructPattern):
+            e.ctor = self._resolve_ref(e.ctor)
+            for a in e.args:
+                self._canon_expr(a)
+            return
         if isinstance(e, P.FieldAccess) and isinstance(e.base, P.Var):
             r = self._resolve_ref(e.base.name)
             if r in self.enums:
@@ -733,8 +738,9 @@ class HeroQL:
             df = self.table(name)
         tdef = self._def(name)
         ftypes = list(tdef.types) if tdef.types else [None] * len(tdef.fields)
-        # class-typed field names refer to other tables → deref-able
-        ftypes = [t if (t in self.defs and (self.defs[t].is_class or t in self.rules or t in self.tables)) else None for t in ftypes]
+        # field types that name another declared table (class rows,
+        # union term tables) stay deref-able; scalars drop to None
+        ftypes = [t if t in self.defs else None for t in ftypes]
         rowcls = name if tdef.is_class else None
         return df, list(tdef.fields), ftypes, rowcls, list(atom.args)
 
@@ -761,8 +767,16 @@ class HeroQL:
         conds = []  # join predicates (frame side vs sel side)
         deferred = []
 
+        struct_post: list[tuple] = []  # (hidden id var, StructPattern, declared type)
         for j, pat in enumerate(args):
             if isinstance(pat, P.Wildcard):
+                continue
+            if isinstance(pat, P.StructPattern):
+                if how != "inner":
+                    raise HeroQLError("constructor patterns are not supported in not/exists atoms")
+                hidden = f"__u{j}"
+                binds[hidden] = (sel[tmp[j]], ftypes[j])
+                struct_post.append((hidden, pat, ftypes[j]))
                 continue
             if isinstance(pat, P.Var) and self._enum_member(pat.name) is None:
                 v = pat.name
@@ -827,6 +841,78 @@ class HeroQL:
             )
         for v, (_c, t) in binds.items():
             frame.vars[v] = t
+        for hidden, pat, hint in struct_post:
+            self._apply_struct_pattern(frame, hidden, pat, hint)
+            frame.df = frame.df.drop(hidden)
+            del frame.vars[hidden]
+
+    def _union_of_ctor(self, ctor: str, hint: str | None) -> str:
+        if hint and self.types.get(hint, {}).get("kind") == "union" and ctor in self.types[hint]["members"]:
+            return hint
+        cands = sorted(
+            n for n, t in self.types.items()
+            if t["kind"] == "union" and ctor in t.get("members", ())
+        )
+        if len(cands) != 1:
+            raise HeroQLError(
+                f"constructor {ctor!r} belongs to {len(cands)} unions; "
+                "declare the field's union type or disambiguate"
+            )
+        return cands[0]
+
+    def _apply_struct_pattern(self, frame: Frame, idvar: str, pat: P.StructPattern,
+                              hint: str | None) -> None:
+        """`Type{p1, p2, ...}` (draft:123) against a tagged-union TERM
+        TABLE: a union-typed field stores a term id; the union's data
+        table (same name as the union) holds (key, tag, <fields of
+        every constructor>) — the relational ADT encoding of
+        operators/adt.py. The pattern compiles to one key join +
+        a tag filter + field binds; nested patterns recurse, one join
+        per nesting level."""
+        ctor = self._resolve_ref(pat.ctor)
+        cdef = self.types.get(ctor)
+        if cdef is None or cdef["kind"] != "struct":
+            raise HeroQLError(f"unknown constructor {pat.ctor!r}")
+        union = self._union_of_ctor(ctor, hint)
+        udef = self._def(union)
+        if "tag" not in udef.fields:
+            raise HeroQLError(f"union term table {union!r} needs a 'tag' column")
+        sfields = cdef["fields"]
+        if len(pat.args) != len(sfields):
+            raise HeroQLError(f"{pat.ctor}: pattern arity {len(pat.args)} != {len(sfields)}")
+        term = self.table(union)
+        simple = ctor.split("::")[-1]
+
+        aliases: dict[str, str] = {}  # struct field -> hidden column
+        sel_cols = [F.col(udef.key).alias("__dk")]
+        for fname, _ftype in sfields:
+            if fname not in udef.fields:
+                raise HeroQLError(f"term table {union!r} lacks constructor field {fname!r}")
+            hid = f"__sf_{len(frame.df.columns)}_{fname}"
+            aliases[fname] = hid
+            sel_cols.append(F.col(fname).alias(hid))
+        sel = term.where(F.col("tag") == F.lit(simple)).select(sel_cols)
+        frame.df = frame.df.join(sel, frame.df[idvar] == sel["__dk"], "inner").drop("__dk")
+
+        ctx = _ExprCtx(self, frame)
+        for sub, (fname, ftype) in zip(pat.args, sfields):
+            hid = aliases[fname]
+            if isinstance(sub, P.Wildcard):
+                frame.df = frame.df.drop(hid)
+                continue
+            if isinstance(sub, P.StructPattern):
+                frame.vars[hid] = ftype
+                self._apply_struct_pattern(frame, hid, sub, ftype)
+                frame.df = frame.df.drop(hid)
+                del frame.vars[hid]
+                continue
+            if isinstance(sub, P.Var) and self._enum_member(sub.name) is None and not frame.has(sub.name):
+                frame.df = frame.df.withColumnRenamed(hid, sub.name)
+                frame.vars[sub.name] = ftype if ftype in self.defs else None
+                continue
+            # bound variable / constant / expression → equality filter
+            self._force_derefs(sub, frame)
+            frame.df = frame.df.where(F.col(hid) == self._expr(sub, ctx)).drop(hid)
 
     def _bind_row_var(self, cls: str, v: str, df: DataFrame, frame: Frame, how: str) -> None:
         cdef = self._def(cls)

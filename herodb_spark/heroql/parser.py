@@ -99,6 +99,14 @@ class Wildcard:
 
 
 @dataclass
+class StructPattern:
+    """`Type{pattern1, pattern2, ...}` (draft:123) — matches a
+    tagged-union / struct value by constructor, binding its fields."""
+    ctor: str
+    args: list
+
+
+@dataclass
 class Const:
     value: object  # int | float | str | bool
 
@@ -901,6 +909,21 @@ class Parser:
         if self.at("id") and self.peek().text == "_" :
             self.next()
             return Wildcard()
+        # constructor pattern: Type{p1, p2, ...} (draft:123)
+        if self.at("id"):
+            j = self.i
+            while self.toks[j].kind == "id" and self.toks[j + 1].kind == "::":
+                j += 2
+            if self.toks[j].kind == "id" and self.toks[j + 1].kind == "{":
+                ctor = self.qualified_name()
+                self.expect("{")
+                args = []
+                while not self.at("}"):
+                    args.append(self.parse_pattern())
+                    if self.at(","):
+                        self.next()
+                self.expect("}")
+                return StructPattern(ctor, args)
         return self.parse_expr()
 
     # -- expressions (draft:102-118 precedence)

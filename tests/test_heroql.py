@@ -287,6 +287,37 @@ def test_mutual_recursion_two_tables(spark):
     assert rows(res.queries[0]) == [(0,), (2,), (4,), (6,), (8,)]
 
 
+def test_struct_pattern_matching_draft_120_126(spark):
+    """`Type{p1, p2}` constructor patterns against the relational ADT
+    encoding (union term table = id/tag/constructor-fields, the
+    operators/adt.py layout): tag dispatch + field binds + one join
+    per nesting level. The term list [1,2,3] is draft:21-23's
+    `union List = Head | End`."""
+    hql = HeroQL(spark)
+    hql.run("""
+        struct Head(head : int, next : List);
+        struct End();
+        union List = Head | End;
+        data List(id : int, tag : string, head : int, next : int);
+        set List(0, "End", 0, 0);
+        set List(1, "Head", 3, 0);
+        set List(2, "Head", 2, 1);
+        set List(3, "Head", 1, 2);
+        data Cell(cid : int, v : List);
+        set Cell(10, 3);
+        set Cell(11, 0);
+    """)
+    # first two elements via a nested pattern
+    res = hql.run("query (cid, h, h2) :- Cell(cid, Head{h, Head{h2, _}});").queries[0]
+    assert rows(res) == [(10, 1, 2)]
+    # tag dispatch: cells holding the empty list
+    res2 = hql.run("query (cid) :- Cell(cid, End{});").queries[0]
+    assert rows(res2) == [(11,)]
+    # constant sub-pattern filters
+    res3 = hql.run("query (cid) :- Cell(cid, Head{1, _});").queries[0]
+    assert rows(res3) == [(10,)]
+
+
 def test_namespace_and_using_draft_168_186(spark):
     """Declarations inside `namespace` register qualified; unqualified
     references resolve innermost-out and through `using namespace`."""
