@@ -692,9 +692,13 @@ class HeroQL:
                     frame.df = frame.df.withColumn(lit.var, val)
                     frame.vars[lit.var] = None
             elif isinstance(lit, P.CompareLit):
+                if frame.df is None:
+                    raise HeroQLError("comparison before any atom")
                 self._force_derefs(lit.expr, frame)
                 frame.df = frame.df.where(self._expr(lit.expr, _ExprCtx(self, frame)))
             elif isinstance(lit, P.EnsureLit):
+                if frame.df is None:
+                    raise HeroQLError("`ensure` before any atom")
                 self._force_derefs(lit.expr, frame)
                 cond = self._expr(lit.expr, _ExprCtx(self, frame))
                 if not frame.df.where(~cond).isEmpty():
@@ -1183,9 +1187,14 @@ class HeroQL:
         oit = ordered[0]
         ocol = self._expr(oit.arg, ctx)
         ocol = ocol.desc() if oit.func == "OrderByDesc" else ocol.asc()
-        tiebreak = [F.col(c) for c in frame.df.columns]
-        w = Window.partitionBy(*keys).orderBy(ocol, *tiebreak)
-        df = frame.df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= oit.k)
+        if oit.k > 0:
+            tiebreak = [F.col(c) for c in frame.df.columns]
+            w = Window.partitionBy(*keys).orderBy(ocol, *tiebreak)
+            df = frame.df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= oit.k)
+        else:
+            # OrderByDesc(score) without a k is a pure sequence
+            # function (draft:162) — no top-k filter
+            df = frame.df
         out_cols, out_vars = [], {}
         for it in stage.items:
             if it.func in ("OrderBy", "OrderByDesc"):
@@ -1244,7 +1253,14 @@ class HeroQL:
             aggs.append(fn(arg).alias(it.alias))
             out_vars[it.alias] = None
         nf = Frame(self)
-        nf.df = gb.agg(*aggs) if aggs else gb.agg(F.count(F.lit(1)).alias("count"))
+        if aggs:
+            nf.df = gb.agg(*aggs)
+        else:
+            # passthrough-only group_by = the distinct key set; don't
+            # invent columns the program never declared
+            nf.df = frame.df.select(
+                *[self._expr(k, ctx).alias(a) for k, a in zip(stage.keys, key_alias)]
+            ).distinct()
         nf.vars = out_vars
         if stage.having is not None:
             nf.df = nf.df.where(self._expr(stage.having, _ExprCtx(self, nf)))
@@ -1304,6 +1320,8 @@ class HeroQL:
             return F.lit(e.value)
         if isinstance(e, P.FieldAccess):
             if isinstance(e.base, P.Var) and e.base.name in self.enums:
+                if e.name not in self.enums[e.base.name]:
+                    raise HeroQLError(f"{e.base.name} has no member {e.name!r}")
                 return F.lit(e.name)
             raise HeroQLError("field access is not supported in mutation bodies")
         if isinstance(e, P.BinOp):
@@ -1353,6 +1371,12 @@ class HeroQL:
                 for c in df.columns
             ]
         )
+        # the declared `where` constraint guards updates exactly like
+        # inserts (draft:48-52) — a rewrite must not smuggle in rows
+        # that `set` would reject
+        d = self._def(u.name)
+        if d.where is not None and not out.where(~self._row_predicate(d, out)).isEmpty():
+            raise HeroQLError(f"update violates `where` constraint of {u.name!r}")
         self.tables[u.name] = out
         self._after_mutation(u.name)
 

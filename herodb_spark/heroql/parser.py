@@ -41,7 +41,7 @@ _TOKEN_RE = re.compile(
   | (?P<int>\d+)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<id>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
-  | (?P<op>::|:-|\.\.|==|!=|<=|>=|\*|[()\{\},;.:=<>+\-/|])
+  | (?P<op>::|:-|\.\.|==|!=|<=|>=|\*|[()\{\}\[\],;.:=<>+\-/|])
     """,
     re.VERBOSE,
 )
@@ -60,6 +60,25 @@ class Tok:
     kind: str  # 'id' | 'kw' | 'int' | 'float' | 'string' | op text
     text: str
     pos: int
+
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
+
+
+def _decode_string(raw: str) -> str:
+    """Decode a quoted string literal's escape sequences."""
+    body = raw[1:-1]
+    out = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            out.append(_ESCAPES.get(body[i + 1], body[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def tokenize(src: str) -> list[Tok]:
@@ -531,17 +550,25 @@ class Parser:
         self.expect("(")
         fields: list[FieldDef] = []
         while not self.at(")"):
-            fname = self.expect("id").text
-            self.expect(":")
-            ftype = self.qualified_name()
-            if self.at("["):
-                self.next()
-                self.expect("]")
-            fields.append(FieldDef(fname, ftype))
+            fields.append(self.parse_field_def())
             if self.at(","):
                 self.next()
         self.expect(")")
         return fields
+
+    def parse_field_def(self) -> FieldDef:
+        t = self.peek()
+        # field names may be soft keywords (`class`, draft_students:51)
+        if t.kind == "id" or (t.kind == "kw" and t.text in SOFT_KEYWORDS):
+            fname = self.next().text
+        else:
+            raise HeroQLSyntaxError(f"expected field name at offset {t.pos}, got {t.text!r}")
+        self.expect(":")
+        ftype = self.qualified_name()
+        if self.at("["):  # array-of sugar, e.g. `classes : Class[]` (draft_students:6)
+            self.next()
+            self.expect("]")
+        return FieldDef(fname, ftype)
 
     def parse_data_decl(self) -> DataDecl:
         self.expect_kw("data")
@@ -554,8 +581,11 @@ class Parser:
         relations: list[RelationDef] = []
         self.expect("(")
         while not self.at(")"):
-            fname = self.expect("id").text
-            if self.at("*"):  # relation member: spouse * spouse : Person, 1..1
+            t = self.peek()
+            if not (t.kind == "id" or (t.kind == "kw" and t.text in SOFT_KEYWORDS)):
+                raise HeroQLSyntaxError(f"expected field name at offset {t.pos}, got {t.text!r}")
+            if self.peek(1).kind == "*":  # relation member: spouse * spouse : Person, 1..1
+                fname = self.next().text
                 self.next()
                 inverse = self.expect("id").text
                 self.expect(":")
@@ -573,12 +603,7 @@ class Parser:
                         card = f"{lo}..{hi}"
                 relations.append(RelationDef(fname, inverse, target, card))
             else:
-                self.expect(":")
-                ftype = self.qualified_name()
-                if self.at("["):  # unsupported array-of-class sugar; skip
-                    self.next()
-                    self.expect("]")
-                fields.append(FieldDef(fname, ftype))
+                fields.append(self.parse_field_def())
             if self.at(","):
                 self.next()
         self.expect(")")
@@ -742,7 +767,7 @@ class Parser:
         """`exam(student, exam, OrderByDesc(score, 3))` — keys before '(',
         items inside (draft_students:39,45,51)."""
         keys = [self.parse_expr()]
-        while self.at(",") and not self.at("("):
+        while self.at(","):  # expression parsing stops at '(' for us
             self.next()
             keys.append(self.parse_expr())
         self.expect("(")
@@ -996,7 +1021,7 @@ class Parser:
             return Const(float(t.text))
         if t.kind == "string":
             self.next()
-            return Const(t.text[1:-1])
+            return Const(_decode_string(t.text))
         if self.at_kw("true"):
             self.next()
             return Const(True)

@@ -287,6 +287,83 @@ def test_mutual_recursion_two_tables(spark):
     assert rows(res.queries[0]) == [(0,), (2,), (4,), (6,), (8,)]
 
 
+def test_update_respects_where_constraint(spark):
+    """A rewrite must not smuggle in rows `set` would reject."""
+    hql = HeroQL(spark)
+    hql.run("data S2(h : int, w : int) where h != w; set S2(1, 2);")
+    with pytest.raises(HeroQLError, match="where"):
+        hql.run("update S2(h, w) :- w = h;")
+
+
+def test_string_escape_decoding(spark):
+    hql = HeroQL(spark)
+    hql.register("T", spark.createDataFrame([('a"b',), ("x\\y",)], "s string"))
+    res = hql.run('query (s) :- T(s), s == "a\\"b";').queries[0]
+    assert rows(res) == [('a"b',)]
+    res2 = hql.run('query (s) :- T(s), s == "x\\\\y";').queries[0]
+    assert rows(res2) == [("x\\y",)]
+
+
+def test_orderby_without_k_keeps_all_rows(spark):
+    """OrderByDesc(score) with no k is a pure sequence function
+    (draft:162), not a silent top-0 filter."""
+    hql = HeroQL(spark)
+    hql.register("S", spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "g string, v long"))
+    res = hql.run("""
+        collection_query(g, v) :- S(g, v)
+        partition_by g(g, s = OrderByDesc(v))
+        ;
+    """).queries[0]
+    assert len(res.collect()) == 3
+
+
+def test_groupby_passthrough_only_is_distinct_keys(spark):
+    hql = HeroQL(spark)
+    hql.register("S", spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "g string, v long"))
+    res = hql.run("""
+        collection_query(g, v) :- S(g, v)
+        group_by g(g)
+        ;
+    """).queries[0]
+    assert res.columns == ["g"]
+    assert rows(res) == [("a",), ("b",)]
+
+
+def test_array_sugar_and_keyword_fields_parse(spark):
+    """draft_students:3-14: `classes : Class[]` array sugar and field
+    names that collide with keywords."""
+    prog = parse("""
+        data class Grade
+        (
+            startYear : int,
+            classes : Class[]
+        ) index Ordered(startYear);
+        data T(class : string);
+    """)
+    assert prog.items[0].fields[1].name == "classes"
+    assert prog.items[1].fields[0].name == "class"
+
+
+def test_update_enum_member_validated(spark):
+    hql = HeroQL(spark)
+    hql.run("""
+        enum Status = Ok | Bad;
+        data T(s : Status, x : int);
+        set T(Ok, 1);
+    """)
+    with pytest.raises(HeroQLError, match="no member"):
+        hql.run("update T(s, x) :- s == Status.Typo, x = 2;")
+
+
+def test_comparison_before_atom_raises_heroql_error(spark):
+    hql = HeroQL(spark)
+    hql.register("T", spark.createDataFrame([(1,)], "x long"))
+    with pytest.raises(HeroQLError, match="before any atom"):
+        hql.run("query (x) :- ensure 1 == 1, T(x);")
+
+
 def test_struct_pattern_matching_draft_120_126(spark):
     """`Type{p1, p2}` constructor patterns against the relational ADT
     encoding (union term table = id/tag/constructor-fields, the
