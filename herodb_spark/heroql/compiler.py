@@ -580,11 +580,75 @@ class HeroQL:
                 back.setdefault(m, set()).add(n)
         return (reach(name, fwd) & reach(name, back)) | {name}
 
+    def _scc_atoms(self, rule: P.Rule, scc: set) -> tuple[list, list]:
+        """(positive, negated/exists) body atoms referencing the SCC."""
+        pos, neg = [], []
+        for lit in rule.body:
+            if isinstance(lit, P.Atom) and lit.member_of is None and lit.name in scc:
+                pos.append(lit)
+            elif isinstance(lit, (P.NotLit, P.ExistsLit)) and lit.atom.member_of is None \
+                    and lit.atom.name in scc:
+                neg.append(lit)
+        return pos, neg
+
+    def _seminaive_ok(self, name: str, scc: set) -> bool:
+        """Semi-naive evaluation applies when the SCC is a single table
+        whose recursive rules are LINEAR (≤1 positive recursive atom)
+        and negation-free within the SCC — the common shape (ancestor /
+        reachability programs). Fib's two recursive atoms fall back to
+        naive rounds."""
+        if scc != {name}:
+            return False
+        for rule in self.rules.get(name, ()):
+            pos, neg = self._scc_atoms(rule, scc)
+            if neg or len(pos) > 1:
+                return False
+        return True
+
+    def _eval_seminaive(self, name: str) -> DataFrame:
+        """Semi-naive fixpoint (the 100-TB path, same shape as
+        graph/algorithms.closure): recursive rules see only the latest
+        DELTA, so per-round work scales with the frontier, not the
+        accumulated state; exceptAll (null-safe set difference) against
+        the state guarantees convergence; every round's delta and state
+        are localCheckpoint'ed to bound lineage."""
+        scc = {name}
+        base_rules = [r for r in self.rules.get(name, ()) if not self._scc_atoms(r, scc)[0]]
+        rec_rules = [r for r in self.rules.get(name, ()) if self._scc_atoms(r, scc)[0]]
+        seed = self._derive_rules(name, base_rules, {})
+        if seed is None:
+            raise HeroQLError(f"recursive table {name!r} has no derivable base case")
+        state = seed.localCheckpoint(eager=True)
+        delta = state
+        for _ in range(self.max_iters):
+            outs: list[DataFrame] = []
+            d = self._def(name)
+            for rule in rec_rules:
+                try:
+                    frame = self._compile_body(rule.body, {name: delta})
+                    outs.append(self._project_head(rule.head, frame, d.fields))
+                except _SkipRule:
+                    continue
+            if not outs:
+                break
+            new = outs[0]
+            for p in outs[1:]:
+                new = new.unionByName(p)
+            new = new.distinct().exceptAll(state).localCheckpoint(eager=True)
+            if new.isEmpty():
+                break
+            state = state.unionByName(new).localCheckpoint(eager=True)
+            delta = new
+        return state
+
     def _eval_idb(self, name: str) -> None:
         scc = self._scc_of(name)
         recursive = any(self._idb_deps(n) & scc for n in scc)
         if not recursive:
             self._memo[name] = self._finalize(name, self._derive(name, {}))
+            return
+        if self._seminaive_ok(name, scc):
+            self._memo[name] = self._finalize(name, self._eval_seminaive(name))
             return
         state: dict[str, DataFrame | None] = {n: None for n in scc}
         counts = {n: -1 for n in scc}
@@ -622,13 +686,17 @@ class HeroQL:
         return df
 
     def _derive(self, name: str, state: dict) -> DataFrame | None:
-        """Union of all rule derivations for `name` (facts + bodies),
-        with recursive atoms reading `state`. None → nothing derivable
-        yet (all recursive rules blocked on empty state)."""
+        return self._derive_rules(name, self.rules.get(name, ()), state)
+
+    def _derive_rules(self, name: str, rules, state: dict) -> DataFrame | None:
+        """Union of the given rule derivations for `name` (facts +
+        bodies + any base rows), with recursive atoms reading `state`.
+        None → nothing derivable yet (all rules blocked on empty
+        state)."""
         d = self._def(name)
         parts: list[DataFrame] = []
         facts: list[tuple] = []
-        for rule in self.rules.get(name, ()):
+        for rule in rules:
             if not rule.body:
                 facts.append(tuple(self._const_value(a) for a in rule.head.args))
                 continue

@@ -273,6 +273,40 @@ def test_syntax_error_position(spark):
         parse("data (x : int);")
 
 
+def test_linear_recursion_seminaive(spark):
+    """Transitive closure — a LINEAR recursive rule set takes the
+    semi-naive path (delta-driven; per-round work ∝ frontier)."""
+    hql = HeroQL(spark, max_iters=16)
+    hql.register("Edge", spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"))
+    assert hql._seminaive_ok  # API sanity
+    res = hql.run("""
+        data Reach(x : int, y : int);
+        Reach(x, y) :- Edge(x, y);
+        Reach(x, z) :- Reach(x, y), Edge(y, z);
+        query (x, y) :- Reach(x, y);
+    """)
+    got = rows(res.queries[0])
+    assert got == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (10, 11)]
+    # the semi-naive path was actually selected for this program
+    assert hql._seminaive_ok("Reach", {"Reach"})
+
+
+def test_linear_recursion_with_cycle_terminates(spark):
+    """A cyclic graph converges via the exceptAll state subtraction
+    (no new facts → fixpoint), not the max_iters cap."""
+    hql = HeroQL(spark, max_iters=30)
+    hql.register("Edge", spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "a long, b long"))
+    res = hql.run("""
+        data Reach(x : int, y : int);
+        Reach(x, y) :- Edge(x, y);
+        Reach(x, z) :- Reach(x, y), Edge(y, z);
+        query (x, y) :- Reach(x, y);
+    """)
+    assert len(rows(res.queries[0])) == 9  # complete digraph on the 3-cycle
+
+
 def test_mutual_recursion_two_tables(spark):
     """Even/Odd mutual recursion through one SCC fixpoint."""
     hql = HeroQL(spark, max_iters=12)
