@@ -81,6 +81,23 @@ _TYPE_MAP = {
 
 
 @dataclass
+class RelEntry:
+    """How a class member name reaches its edge table: `swapped` reads
+    the inverse direction; `card` is the member's cardinality as seen
+    from this side (draft:36-38); `symmetric` unions both directions
+    on read (self-inverse members like spouse)."""
+    edge: str
+    swapped: bool
+    card: str
+    symmetric: bool
+
+
+def _invert_card(card: str) -> str:
+    lo, hi = card.split("..")
+    return f"{hi}..{lo}"
+
+
+@dataclass
 class TableDef:
     name: str
     fields: list[str]
@@ -438,8 +455,15 @@ class HeroQL:
         self.defs[d.name] = TableDef(d.name, fields, types, d.is_class, key, d.where, d.indexes)
         for rel in d.relations:
             edge = f"{d.name}__{rel.name}"
-            self.relations[(d.name, rel.name)] = (edge, False)
-            self.relations[(rel.target, rel.inverse)] = (edge, True)
+            # `spouse * spouse : Person, 1..1` (draft:36): a member that
+            # is its own inverse is SYMMETRIC — a.spouse == b ⇒
+            # b.spouse == a — stored once, read in both directions
+            symmetric = rel.name == rel.inverse and rel.target == d.name
+            self.relations[(d.name, rel.name)] = RelEntry(edge, False, rel.card, symmetric)
+            if not symmetric:
+                self.relations[(rel.target, rel.inverse)] = RelEntry(
+                    edge, True, _invert_card(rel.card), False
+                )
             if edge not in self.defs:
                 self.defs[edge] = TableDef(edge, ["src", "dst"], [d.name, rel.target])
 
@@ -789,13 +813,17 @@ class HeroQL:
             rel = self.relations.get((cls, atom.name))
             if rel is None:
                 raise HeroQLError(f"{cls} has no relation member {atom.name!r}")
-            edge_name, swapped = rel
-            df = self.table(edge_name)
-            if swapped:
+            df = self.table(rel.edge)
+            if rel.symmetric:
+                # self-inverse member (spouse): stored once, read both ways
+                df = df.unionByName(
+                    df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                )
+            elif rel.swapped:
                 df = df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            tdef = self._def(edge_name)
+            tdef = self._def(rel.edge)
             ftypes = list(tdef.types or [None, None])
-            if swapped:
+            if rel.swapped:
                 ftypes = ftypes[::-1]
             if len(atom.args) != 1:
                 raise HeroQLError(f"member atom {atom.name!r} takes exactly one argument")
@@ -1469,6 +1497,26 @@ class HeroQL:
         self.tables[r.name] = df.where(~cond)
         self._after_mutation(r.name)
 
+    def _validate_card(self, rel: RelEntry) -> None:
+        """Cardinality enforcement at language-level insert time
+        (draft:36-38): `x..y` reads (entries per forward source ..
+        entries per inverse source); a `1` on either side caps that
+        side's fan-out at one. Symmetric members check total degree
+        over both directions."""
+        fwd, inv = rel.card.split("..")
+        df = self.table(rel.edge)
+        if rel.symmetric:
+            deg = df.unionByName(
+                df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            if fwd == "1" and not deg.groupBy("src").count().where(F.col("count") > 1).isEmpty():
+                raise HeroQLError(f"cardinality {rel.card} violated on {rel.edge!r}")
+            return
+        if fwd == "1" and not df.groupBy("src").count().where(F.col("count") > 1).isEmpty():
+            raise HeroQLError(f"cardinality {rel.card} violated on {rel.edge!r} (src side)")
+        if inv == "1" and not df.groupBy("dst").count().where(F.col("count") > 1).isEmpty():
+            raise HeroQLError(f"cardinality {rel.card} violated on {rel.edge!r} (dst side)")
+
     def _exec_uncache(self, u: P.UncacheStmt) -> None:
         """Cached computed tables (draft:67-72, 135-136): drop the
         memoized derivation (partial predicates conservatively drop the
@@ -1494,12 +1542,12 @@ class HeroQL:
                     rel = self.relations.get((cls, atom.name))
                     if rel is None:
                         raise HeroQLError(f"{cls} has no relation member {atom.name!r}")
-                    edge_name, swapped = rel
+                    edge_name = rel.edge
                     ctx = _ExprCtx(self, frame)
                     self._force_derefs(atom.args[0], frame)
                     other = self._expr(atom.args[0], ctx)
                     me = frame.col(base)
-                    src, dst = (other, me) if swapped else (me, other)
+                    src, dst = (other, me) if rel.swapped else (me, other)
                     rows = frame.df.select(src.alias("src"), dst.alias("dst")).distinct()
                     self._flush(edge_name)
                     cur = self.table(edge_name)
@@ -1509,6 +1557,7 @@ class HeroQL:
                         self.tables[edge_name] = cur.unionByName(
                             rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
                         ).distinct()
+                    self._validate_card(rel)
                     self._after_mutation(edge_name)
                 else:
                     d = self._def(atom.name)

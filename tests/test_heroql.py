@@ -211,6 +211,62 @@ def test_for_query_relation_member_draft_138_143(spark):
     assert rows(res) == [(10,), (11,)]
 
 
+def test_symmetric_relation_and_cardinality_draft_36_38(spark):
+    """`spouse * spouse : Person, 1..1`: self-inverse member reads in
+    both directions (a.spouse == b ⇒ b.spouse == a) and the 1..1
+    cardinality rejects a second spouse; `manages * manager, n..1`
+    caps the manager side at one."""
+    hql = HeroQL(spark)
+    hql.run("""
+        data class Person
+        (
+            name : string,
+            id   : int,
+            spouse * spouse   : Person, 1..1,
+            manages * manager : Person, n..1,
+        ) index Hash(id), Unique(id);
+        data Pairs(a : int, b : int);
+        set Pairs(1, 2);
+    """)
+    hql.register(
+        "Person",
+        spark.createDataFrame(
+            [("Ann", 1), ("Bob", 2), ("Cat", 3)], "name string, id long"),
+        is_class=True, key="id",
+    )
+    hql.run("""
+        for query(a, b) :- Pairs(a, b), Person(p), p.id == a
+        (
+            set p.spouse(b)
+        )
+    """)
+    # symmetric read: both directions visible from ONE stored row
+    res = hql.run("query (s) :- Person(p), p.name == \"Bob\", p.spouse(s);").queries[0]
+    assert rows(res) == [(1,)]
+    # second spouse for person 1 violates 1..1
+    hql.run("set Pairs(1, 3);")
+    with pytest.raises(HeroQLError, match="cardinality"):
+        hql.run("""
+            for query(a, b) :- Pairs(a, b), Person(p), p.id == a
+            (
+                set p.spouse(b)
+            )
+        """)
+    # n..1: two managers for one report violates the dst side
+    hql.run("""
+        data M(boss : int, rep : int);
+        set M(1, 3);
+        set M(2, 3);
+    """)
+    with pytest.raises(HeroQLError, match="cardinality"):
+        hql.run("""
+            for query(a, b) :- M(a, b), Person(p), p.id == a
+            (
+                set p.manages(b)
+            )
+        """)
+
+
 def test_union_cases_distinct(spark):
     """Two rule cases for one head — Datalog set semantics dedups."""
     hql = HeroQL(spark)
