@@ -154,18 +154,36 @@ class SnapshotTable:
         cur = m["versions"][str(m["current"])]["partitions"]
         return {pv: rel for pv, rel in cur.items() if pv not in touched}
 
-    def merge_upsert(self, updates: DataFrame) -> int:
+    def last_txn(self, sink_id: str) -> int:
+        """Highest batch id committed by `sink_id`, or -1. The txn
+        watermark lives in the manifest, so it commits atomically WITH
+        the data it covers — the exactly-once invariant for streaming
+        sinks (streaming/sink.py)."""
+        return int(self._load().get("txns", {}).get(sink_id, -1))
+
+    def merge_upsert(self, updates: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """MERGE INTO this USING updates ON key_cols
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *.
         Only partitions holding an updated key (plus new-key
         partitions) are rewritten. Update rows must carry the full
         schema (SET *), and — like real MERGE — a key may appear at
-        most once in `updates`."""
+        most once in `updates`.
+
+        `txn=(sink_id, batch_id)` makes the merge IDEMPOTENT per sink:
+        a batch id at or below the sink's committed watermark is
+        skipped (the replay a streaming engine performs after a crash
+        between sink write and checkpoint commit), and the watermark
+        advances in the same atomic manifest commit as the data."""
         m = self._load()
+        if txn is not None and txn[1] <= int(m.get("txns", {}).get(txn[0], -1)):
+            return m["current"]
         keys = m["key_cols"]
         pcol = m["partition_col"]
         target = self.read()
         if updates.isEmpty():
+            if txn is not None:
+                m.setdefault("txns", {})[txn[0]] = int(txn[1])
+                self._commit(m)
             return m["current"]
         if pcol is None:
             touched = {_UNPARTITIONED}
@@ -195,6 +213,8 @@ class SnapshotTable:
         new_parts.update(parts)
         m["versions"][str(version)] = {"op": "merge_upsert", "partitions": new_parts}
         m["current"] = version
+        if txn is not None:
+            m.setdefault("txns", {})[txn[0]] = int(txn[1])
         self._commit(m)
         return version
 

@@ -190,3 +190,80 @@ def test_write_table_preserves_user_rn_column(spark, tmp_path):
     SR.write_table(df, path, unique_key=["k"])
     rows = spark.read.parquet(path).collect()
     assert len(rows) == 1 and set(rows[0].asDict()) == {"k", "_rn", "v"}
+
+
+# -- exactly-once streaming sink (streaming/sink.py) ---------------------
+
+
+def test_snapshot_merge_txn_idempotent(spark, tmp_path):
+    """The replay a streaming engine performs after a crash between
+    sink write and checkpoint commit must be a no-op: same
+    (sink_id, batch_id) applied twice changes nothing, and the txn
+    watermark advances atomically with the data."""
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    df = spark.createDataFrame([(1, "a", 10.0)], "id long, grp string, v double")
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df, ["id"], partition_col="grp")
+    up = spark.createDataFrame([(1, "a", 99.0), (2, "b", 5.0)], "id long, grp string, v double")
+    v1 = t.merge_upsert(up, txn=("s", 0))
+    assert t.last_txn("s") == 0
+    # replay of batch 0: skipped, version unchanged
+    assert t.merge_upsert(up, txn=("s", 0)) == v1
+    assert t.read().count() == 2
+    # a different sink id is independent
+    assert t.last_txn("other") == -1
+    # empty batch still advances the watermark (commit-only)
+    empty = up.where("id < 0")
+    t.merge_upsert(empty, txn=("s", 1))
+    assert t.last_txn("s") == 1 and t.read().count() == 2
+
+
+def test_snapshot_streaming_sink_exactly_once(spark, tmp_path, sf_dir):
+    """End-to-end: a per-user running-spend aggregation streams out of
+    the events log through foreachBatch into a snapshot table; the
+    final snapshot equals the batch aggregate, and manually replaying
+    the last batch does not double-apply."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from herodb_spark.catalog import load_table
+    from herodb_spark.sources.snapshot import SnapshotTable
+    from herodb_spark.streaming.ops import stream_events
+    from herodb_spark.streaming.sink import SnapshotUpsertSink
+
+    seed = spark.createDataFrame([], "user_id long, total double")
+    table = SnapshotTable.create(spark, str(tmp_path / "spend"), seed, ["user_id"])
+    sink = SnapshotUpsertSink(table, sink_id="spend")
+
+    agg = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total"))
+    )
+    got = table.read()
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    # crash-replay simulation: re-apply the last committed batch id
+    last = table.last_txn("spend")
+    assert last >= 0
+    version_before = table.history()[-1]["version"]
+    sink(want.limit(5), last)  # replay → must no-op
+    assert table.history()[-1]["version"] == version_before
