@@ -15,8 +15,11 @@ built here directly:
   formats make MERGE affordable at 100 TB (rewrite ∝ touched
   partitions, not table size).
 - The commit point is an atomic manifest rename (os.replace): a crash
-  before it leaves the previous version intact (single-writer
-  protocol; lakehouse engines add a log/CAS for multi-writer).
+  before it leaves the previous version intact. Writers race through
+  optimistic concurrency: a commit re-validates under a lock file
+  (O_CREAT|O_EXCL) that the version it read is still current and
+  raises ConcurrentWriteError otherwise — the same
+  validate-then-swap protocol lakehouse logs implement with CAS.
 - Old versions stay readable: time travel = resolving an older
   manifest entry.
 
@@ -37,6 +40,11 @@ _MANIFEST = "_manifest.json"
 _UNPARTITIONED = "_all"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this mutation's read and its
+    commit — re-read and retry (optimistic concurrency)."""
+
+
 class SnapshotTable:
     """Handle to a snapshot table rooted at `path`."""
 
@@ -52,11 +60,41 @@ class SnapshotTable:
         with open(self._manifest_path()) as f:
             return json.load(f)
 
-    def _commit(self, manifest: dict) -> None:
+    def _commit(self, manifest: dict, expected_current: int | None = None) -> None:
+        """Atomic commit; with `expected_current`, an optimistic-
+        concurrency commit: under a short-lived lock file, re-validate
+        that the version this mutation read is still current, else
+        raise ConcurrentWriteError (the caller's writes land in
+        version-scoped directories no reader resolves, so an aborted
+        commit leaks only unreferenced files)."""
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
-        os.replace(tmp, self._manifest_path())  # atomic commit point
+        if expected_current is None:
+            os.replace(tmp, self._manifest_path())  # atomic commit point
+            return
+        lock = os.path.join(self.path, "_commit.lock")
+        fd = None
+        try:
+            for _ in range(2000):  # ~20s of 10ms retries
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    import time
+
+                    time.sleep(0.01)
+            if fd is None:
+                raise ConcurrentWriteError(f"{self.path}: commit lock held too long")
+            if self._load()["current"] != expected_current:
+                raise ConcurrentWriteError(
+                    f"{self.path}: version advanced past {expected_current} during this mutation"
+                )
+            os.replace(tmp, self._manifest_path())
+        finally:
+            if fd is not None:
+                os.close(fd)
+                os.unlink(lock)
 
     # -- creation ----------------------------------------------------------
     @classmethod
@@ -175,6 +213,7 @@ class SnapshotTable:
         between sink write and checkpoint commit), and the watermark
         advances in the same atomic manifest commit as the data."""
         m = self._load()
+        read_version = m["current"]
         if txn is not None and txn[1] <= int(m.get("txns", {}).get(txn[0], -1)):
             return m["current"]
         keys = m["key_cols"]
@@ -183,7 +222,7 @@ class SnapshotTable:
         if updates.isEmpty():
             if txn is not None:
                 m.setdefault("txns", {})[txn[0]] = int(txn[1])
-                self._commit(m)
+                self._commit(m, expected_current=read_version)
             return m["current"]
         if pcol is None:
             touched = {_UNPARTITIONED}
@@ -215,7 +254,7 @@ class SnapshotTable:
         m["current"] = version
         if txn is not None:
             m.setdefault("txns", {})[txn[0]] = int(txn[1])
-        self._commit(m)
+        self._commit(m, expected_current=read_version)
         return version
 
     def update_where(self, predicate: Column, assignments: dict[str, Column]) -> int:
@@ -250,6 +289,7 @@ class SnapshotTable:
     def _rewrite_touched(
         self, m: dict, target: DataFrame, result: DataFrame, matched: Column, op: str
     ) -> int:
+        read_version = m["current"]
         pcol = m["partition_col"]
         if pcol is None:
             touched = {_UNPARTITIONED}
@@ -286,5 +326,5 @@ class SnapshotTable:
         new_parts.update(parts)
         m["versions"][str(version)] = {"op": op, "partitions": new_parts}
         m["current"] = version
-        self._commit(m)
+        self._commit(m, expected_current=read_version)
         return version

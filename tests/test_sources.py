@@ -267,3 +267,28 @@ def test_snapshot_streaming_sink_exactly_once(spark, tmp_path, sf_dir):
     version_before = table.history()[-1]["version"]
     sink(want.limit(5), last)  # replay → must no-op
     assert table.history()[-1]["version"] == version_before
+
+
+def test_snapshot_concurrent_write_detected(spark, tmp_path):
+    """Optimistic concurrency: a writer whose read version was
+    overtaken must get ConcurrentWriteError, and the winner's commit
+    must remain intact (no lost update)."""
+    from herodb_spark.sources.snapshot import ConcurrentWriteError, SnapshotTable
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    path = str(tmp_path / "occ")
+    t1 = SnapshotTable.create(spark, path, df, ["id"])
+    t2 = SnapshotTable(spark, path)
+
+    # t2 reads version 0, then t1 commits version 1 under it
+    m2 = t2._load()
+    t1.merge_upsert(spark.createDataFrame([(2, 2.0)], "id long, v double"))
+    m2["current"] = 1
+    m2["versions"]["1"] = {"op": "merge_upsert", "partitions": m2["versions"]["0"]["partitions"]}
+    with _pytest.raises(ConcurrentWriteError, match="advanced"):
+        t2._commit(m2, expected_current=0)
+    # winner intact
+    assert t1.read().count() == 2
+    assert not os.path.exists(os.path.join(path, "_commit.lock"))
