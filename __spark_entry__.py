@@ -34,6 +34,7 @@ from herodb_spark.operators import recursion as RC
 from herodb_spark.operators import typed as TY
 from herodb_spark.operators import relational as R
 from herodb_spark.operators import scale as SK
+from herodb_spark.operators import sketches as SKE
 from herodb_spark.operators import similarity as S
 from herodb_spark.operators import streamops as ST
 from herodb_spark.operators import textops as X
@@ -146,6 +147,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pivot": O.pivot_events,
     "tpch_q7": E.tpch_q7_nation_volume,
     "tpch_q10": E.tpch_q10_returned_revenue,
+    # HLL distinct + approx-percentile corpus profile: deterministic
+    # but not DuckDB-reproducible → rows-only; exact columns oracle-
+    # checked and sketch error bounds property-tested in unit tests
+    "sketch_profile": SKE.sketch_profile,
     # pairs → connected components → canonical keep/drop mapping
     "dedup_cluster_canonical": D.dedup_cluster_canonical,
     # Gopher-style repetition filters + PII scrub (synthetic-PII injected)
