@@ -1,0 +1,74 @@
+"""HeroQL program runner.
+
+    python -m herodb_spark.heroql program.hql --data /root/testdata/sf0.01
+    python -m herodb_spark.heroql program.hql --table Person=people.parquet
+
+Every `*.parquet` under --data registers as a base table under its
+file stem (the full testdata catalog by default); --table adds or
+overrides individual bindings, with `name=path[:class:keycol]` marking
+a `data class` table. Each `query` / `collection_query` in the program
+prints its first --max-rows rows; derived tables stay lazy unless
+queried.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m herodb_spark.heroql", description=__doc__)
+    ap.add_argument("program", help="HeroQL source file")
+    ap.add_argument("--data", help="directory of <name>.parquet base tables")
+    ap.add_argument(
+        "--table", action="append", default=[],
+        metavar="NAME=PATH[:class:KEY]",
+        help="bind one table; ':class:KEY' registers a data class row table",
+    )
+    ap.add_argument("--max-rows", type=int, default=20)
+    ap.add_argument("--max-iters", type=int, default=32, help="recursion round cap")
+    args = ap.parse_args(argv)
+
+    from herodb_spark.heroql import HeroQL
+
+    if spark is None:
+        from herodb_spark.session import get_spark
+
+        spark = get_spark("heroql")
+        spark.sparkContext.setLogLevel("ERROR")
+    hql = HeroQL(spark, max_iters=args.max_iters)
+
+    if args.data:
+        from herodb_spark.catalog import TABLE_NAMES, load_table
+
+        for path in sorted(glob.glob(os.path.join(args.data, "*.parquet"))):
+            name = os.path.splitext(os.path.basename(path))[0]
+            if name in TABLE_NAMES:
+                hql.register(name, load_table(spark, args.data, name))
+            else:
+                hql.register(name, spark.read.parquet(path))
+    for spec in args.table:
+        name, _, rest = spec.partition("=")
+        if not rest:
+            ap.error(f"--table needs NAME=PATH, got {spec!r}")
+        path, *opts = rest.split(":")
+        is_class = bool(opts) and opts[0] == "class"
+        key = opts[1] if len(opts) > 1 else None
+        hql.register(name, spark.read.parquet(path), is_class=is_class, key=key)
+
+    with open(args.program) as f:
+        text = f.read()
+    res = hql.run(text)
+    for i, df in enumerate(res.queries):
+        name = next((n for n, d in res.named.items() if d is df), f"query {i + 1}")
+        print(f"-- {name} ({', '.join(df.columns)})")
+        for row in df.limit(args.max_rows).collect():
+            print("   " + " | ".join(str(v) for v in row))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -593,6 +593,29 @@ def test_heroql_rules_nonempty(spark):
     assert whys == {"no_urgent", "negative"}
 
 
+def test_cli_runner(spark, tmp_path):
+    """python -m herodb_spark.heroql — program file against the
+    testdata catalog, results printed per query."""
+    import contextlib
+    import io
+
+    from herodb_spark.heroql.__main__ import main
+
+    prog = tmp_path / "p.hql"
+    prog.write_text("""
+        data Big(k : int, total : float);
+        Big(o, t) :- orders(o, _, _, t, _, _), t > 400000.0;
+        let big = query (k, total) :- Big(k, total);
+    """)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([str(prog), "--data", "/root/testdata/sf0.001", "--max-rows", "5"], spark=spark)
+    assert rc == 0
+    out = buf.getvalue()
+    assert out.startswith("-- big (k, total)")
+    assert len(out.strip().splitlines()) >= 2  # header + at least one row
+
+
 # ------------------------------------------------------------ plan shape
 
 
