@@ -201,6 +201,13 @@ class HeroQL:
         self.relations: dict[tuple, tuple] = {}  # (class, member) -> (edge_table, swapped)
         self._pending: dict[str, list[tuple]] = {}
         self._memo: dict[str, DataFrame] = {}
+        # incremental maintenance of memoized derivations (draft:67-72
+        # Cache'd computation tables): inserts append (base, batch) to
+        # the delta log; each memo records the log position it has
+        # absorbed. Non-monotone mutations (update/remove) wipe both.
+        self._delta_log: list[tuple[str, DataFrame]] = []
+        self._memo_pos: dict[str, int] = {}
+        self._incremental_hits = 0  # observable in tests
         self._mutations = 0
         self._ns: list[str] = []  # namespace stack, active while executing a program
         self._using: list[str] = []  # `using namespace` search paths (session-wide)
@@ -231,6 +238,8 @@ class HeroQL:
             if d.fields != cols:
                 raise HeroQLError(f"{name}: registered columns {cols} != declared {d.fields}")
         self._memo.clear()
+        self._memo_pos.clear()
+        self._delta_log.clear()
 
     @staticmethod
     def _guess_key(cols: list[str]) -> str:
@@ -486,16 +495,33 @@ class HeroQL:
             name, TableDef(name, [f"arg{i}" for i in range(len(rule.head.args))], None)
         )
         self._memo.clear()
+        self._memo_pos.clear()
+        self._delta_log.clear()
 
     # ------------------------------------------------------------ tables
 
     def table(self, name: str) -> DataFrame:
         """Resolve a table: base rows (with pending inserts flushed),
-        plus rule derivations if the name is rule-defined (memoized)."""
+        plus rule derivations if the name is rule-defined. Derivations
+        memoize; insert deltas since the memo was built are folded in
+        INCREMENTALLY when the rule shape allows (see
+        _maintain_incrementally), else the memo rebuilds."""
         self._flush(name)
         if name in self.rules:
+            if name in self._memo:
+                # flush every pending insert first so the delta log is
+                # complete before deciding how to maintain
+                for t in list(self._pending):
+                    self._flush(t)
+                pos = self._memo_pos.get(name, len(self._delta_log))
+                if pos < len(self._delta_log):
+                    if self._maintain_incrementally(name, self._delta_log[pos:]):
+                        self._memo_pos[name] = len(self._delta_log)
+                    else:
+                        self._memo.pop(name, None)
             if name not in self._memo:
                 self._eval_idb(name)
+                self._memo_pos[name] = len(self._delta_log)
             return self._memo[name]
         if name in self.tables:
             return self.tables[name]
@@ -547,7 +573,9 @@ class HeroQL:
             self.tables[name] = self.tables[name].unionByName(batch)
         else:
             self.tables[name] = batch
-        self._after_mutation(name)
+        # inserts are MONOTONE: memos stay valid modulo the delta log
+        self._delta_log.append((name, batch))
+        self._bump_checkpoint(name)
 
     def _row_predicate(self, d: TableDef, df: DataFrame):
         frame = Frame(self)
@@ -557,7 +585,14 @@ class HeroQL:
         return self._expr(d.where, _ExprCtx(self, frame))
 
     def _after_mutation(self, name: str) -> None:
+        """Non-monotone mutation (update/remove/edge rewrite): every
+        memoized derivation could shrink — wipe memos and the log."""
         self._memo.clear()
+        self._memo_pos.clear()
+        self._delta_log.clear()
+        self._bump_checkpoint(name)
+
+    def _bump_checkpoint(self, name: str) -> None:
         self._mutations += 1
         if self._mutations % self._CHECKPOINT_EVERY == 0 and name in self.tables:
             self.tables[name] = self.tables[name].localCheckpoint(eager=False)
@@ -670,9 +705,11 @@ class HeroQL:
         recursive = any(self._idb_deps(n) & scc for n in scc)
         if not recursive:
             self._memo[name] = self._finalize(name, self._derive(name, {}))
+            self._memo_pos[name] = len(self._delta_log)
             return
         if self._seminaive_ok(name, scc):
             self._memo[name] = self._finalize(name, self._eval_seminaive(name))
+            self._memo_pos[name] = len(self._delta_log)
             return
         state: dict[str, DataFrame | None] = {n: None for n in scc}
         counts = {n: -1 for n in scc}
@@ -697,6 +734,73 @@ class HeroQL:
             if df is None:
                 raise HeroQLError(f"recursive table {n!r} has no derivable base case")
             self._memo[n] = self._finalize(n, df)
+            self._memo_pos[n] = len(self._delta_log)
+
+    def _maintain_incrementally(self, name: str, entries: list[tuple]) -> bool:
+        """Fold insert deltas into a memoized derivation using the
+        delta rule Δ(A₁⋈…⋈Aₖ) ⊆ ⋃ᵢ (A₁⋈…⋈ΔAᵢ⋈…⋈Aₖ) — evaluated with
+        the already-updated full tables in the non-delta slots, then
+        exactified by exceptAll against the memo. Work scales with the
+        delta, not the base tables (the reference's Cache'd computed
+        tables, draft:67-72, done the matview.py way at language
+        level). Applies to non-recursive rules over base tables with
+        no negation/exists/member atom over a delta'd table; anything
+        else reports False and the memo rebuilds."""
+        rules = self.rules.get(name, ())
+        touched: dict[str, list[DataFrame]] = {}
+        for base, df in entries:
+            touched.setdefault(base, []).append(df)
+        if name in touched:
+            return False
+        relevant = []  # (rule, [delta'd atom objects])
+        for rule in rules:
+            if not rule.body:
+                continue
+            datoms = []
+            for lit in rule.body:
+                if isinstance(lit, P.Atom):
+                    if lit.member_of is not None:
+                        if touched:  # edge-table identity is dynamic; stay safe
+                            return False
+                        continue
+                    if lit.name in self.rules:
+                        return False  # derived dependency: rebuild
+                    if lit.name in touched:
+                        datoms.append(lit)
+                elif isinstance(lit, (P.NotLit, P.ExistsLit)):
+                    if lit.atom.name in touched:
+                        return False  # not insert-monotone (or semi-join delta)
+            if datoms:
+                relevant.append((rule, datoms))
+        if not relevant:  # deltas don't feed this table at all
+            self._incremental_hits += 1
+            return True
+        deltas = {}
+        for base, dfs in touched.items():
+            acc = dfs[0]
+            for extra in dfs[1:]:
+                acc = acc.unionByName(extra)
+            deltas[base] = acc
+        d = self._def(name)
+        parts: list[DataFrame] = []
+        for rule, datoms in relevant:
+            for atom in datoms:
+                frame = self._compile_body(
+                    rule.body, None, overrides={id(atom): deltas[atom.name]}
+                )
+                parts.append(self._project_head(rule.head, frame, d.fields))
+        fresh = parts[0]
+        for p in parts[1:]:
+            fresh = fresh.unionByName(p)
+        fresh = fresh.distinct()
+        if d.where is not None:
+            fresh = fresh.where(self._row_predicate(d, fresh))
+        fresh = fresh.exceptAll(self._memo[name].select(d.fields))
+        self._memo[name] = (
+            self._memo[name].unionByName(fresh).localCheckpoint(eager=False)
+        )
+        self._incremental_hits += 1
+        return True
 
     def _finalize(self, name: str, df: DataFrame) -> DataFrame:
         d = self._def(name)
@@ -763,15 +867,16 @@ class HeroQL:
 
     # ------------------------------------------------------------ body compilation
 
-    def _compile_body(self, body: list, state: dict | None = None) -> Frame:
+    def _compile_body(self, body: list, state: dict | None = None,
+                      overrides: dict | None = None) -> Frame:
         frame = Frame(self)
         for lit in body:
             if isinstance(lit, P.Atom):
-                self._join_atom(lit, frame, "inner", state)
+                self._join_atom(lit, frame, "inner", state, overrides)
             elif isinstance(lit, P.NotLit):
-                self._join_atom(lit.atom, frame, "left_anti", state)
+                self._join_atom(lit.atom, frame, "left_anti", state, overrides)
             elif isinstance(lit, P.ExistsLit):
-                self._join_atom(lit.atom, frame, "left_semi", state)
+                self._join_atom(lit.atom, frame, "left_semi", state, overrides)
             elif isinstance(lit, P.AssignLit):
                 self._force_derefs(lit.expr, frame)
                 ctx = _ExprCtx(self, frame)
@@ -801,8 +906,18 @@ class HeroQL:
             raise HeroQLError("rule body binds no atoms")
         return frame
 
-    def _atom_source(self, atom: P.Atom, frame: Frame, state: dict | None):
-        """→ (df, field_names, field_types, row_class_name|None, patterns)."""
+    def _atom_source(self, atom: P.Atom, frame: Frame, state: dict | None,
+                     overrides: dict | None = None):
+        """→ (df, field_names, field_types, row_class_name|None, patterns).
+        `overrides` maps a specific atom instance (by id) to a
+        replacement DataFrame — the delta slot of incremental
+        maintenance."""
+        if overrides is not None and id(atom) in overrides and atom.member_of is None:
+            tdef = self._def(atom.name)
+            ftypes = list(tdef.types) if tdef.types else [None] * len(tdef.fields)
+            ftypes = [t if t in self.defs else None for t in ftypes]
+            rowcls = atom.name if tdef.is_class else None
+            return overrides[id(atom)], list(tdef.fields), ftypes, rowcls, list(atom.args)
         if atom.member_of is not None:
             base = atom.member_of.name
             if not frame.has(base):
@@ -844,8 +959,9 @@ class HeroQL:
         rowcls = name if tdef.is_class else None
         return df, list(tdef.fields), ftypes, rowcls, list(atom.args)
 
-    def _join_atom(self, atom: P.Atom, frame: Frame, how: str, state: dict | None) -> None:
-        df, fields, ftypes, rowcls, args = self._atom_source(atom, frame, state)
+    def _join_atom(self, atom: P.Atom, frame: Frame, how: str, state: dict | None,
+                   overrides: dict | None = None) -> None:
+        df, fields, ftypes, rowcls, args = self._atom_source(atom, frame, state, overrides)
 
         # row-variable form: Person(p) (draft:59)
         if rowcls is not None and len(args) == 1 and isinstance(args[0], P.Var) and len(fields) > 1:
@@ -1374,7 +1490,6 @@ class HeroQL:
                 raise HeroQLError("set statement arguments must be constants (draft:130)")
             row.append(v)
         self._pending.setdefault(atom.name, []).append(tuple(row))
-        self._memo.clear()
 
     def _pattern_frame(self, name: str, patterns: list) -> tuple:
         """Bind positional patterns of a mutation to the table's

@@ -309,6 +309,62 @@ def test_where_constraint_on_insert(spark):
         hql.table("S")
 
 
+def test_incremental_maintenance_inserts(spark):
+    """Insert deltas fold into a memoized derivation via the delta
+    rule (work ∝ delta); result equals a cold full evaluation."""
+    hql = HeroQL(spark)
+    hql.register("E", spark.createDataFrame([(1, 2), (2, 3)], "a long, b long"))
+    hql.register("L", spark.createDataFrame([(2, 7), (3, 8)], "n long, c long"))
+    hql.run("""
+        data J(a : int, c : int);
+        J(a, c) :- E(a, b), L(b, c);
+    """)
+    assert rows(hql.table("J")) == [(1, 7), (2, 8)]  # builds the memo
+    hql.run("""
+        data E(a : int, b : int);
+        data L(n : int, c : int);
+        set E(5, 3);
+        set L(2, 9);
+    """)
+    got = rows(hql.table("J"))
+    assert hql._incremental_hits >= 1
+    # cold evaluation for comparison
+    cold = HeroQL(spark)
+    cold.register("E", spark.createDataFrame([(1, 2), (2, 3), (5, 3)], "a long, b long"))
+    cold.register("L", spark.createDataFrame([(2, 7), (3, 8), (2, 9)], "n long, c long"))
+    cold.run("data J(a : int, c : int); J(a, c) :- E(a, b), L(b, c);")
+    assert got == rows(cold.table("J"))
+
+
+def test_incremental_fallback_on_negation(spark):
+    """Inserts into a negated table can REMOVE derived rows — the
+    memo must rebuild, not maintain."""
+    hql = HeroQL(spark)
+    hql.register("L", spark.createDataFrame([(1, 0), (2, 0)], "n long, c long"))
+    hql.register("E", spark.createDataFrame([(2, 9)], "a long, b long"))
+    hql.run("""
+        data NoOut(n : int);
+        NoOut(n) :- L(n, _), not E(n, _);
+    """)
+    assert rows(hql.table("NoOut")) == [(1,)]
+    before = hql._incremental_hits
+    hql.run("data E(a : int, b : int); set E(1, 5);")
+    assert rows(hql.table("NoOut")) == []  # row 1 correctly disappears
+    assert hql._incremental_hits == before  # rebuild path, not maintenance
+
+
+def test_incremental_wiped_by_update(spark):
+    hql = HeroQL(spark)
+    hql.register("L", spark.createDataFrame([(1, 5)], "n long, c long"))
+    hql.run("""
+        data Big(n : int);
+        Big(n) :- L(n, c), c >= 5;
+    """)
+    assert rows(hql.table("Big")) == [(1,)]
+    hql.run("data L(n : int, c : int); update L(n, c) :- c = 0;")
+    assert rows(hql.table("Big")) == []
+
+
 def test_uncache_invalidates_memo(spark):
     """draft:67-72/135-136: cached computation tables recompute after
     uncache + base mutation."""
