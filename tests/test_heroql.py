@@ -672,6 +672,44 @@ def test_cli_runner(spark, tmp_path):
     assert len(out.strip().splitlines()) >= 2  # header + at least one row
 
 
+def test_streaming_base_table(spark, sf_dir, tmp_path):
+    """HeroQL programs run unchanged over STREAMS: registering a
+    readStream DataFrame as a base table makes a collection_query
+    (filter + group_by stages) a streaming query — the language
+    compiles to plain DataFrame ops, so Structured Streaming's
+    batch/stream parity carries over for free. partition_by /
+    range_by (window row_number) are batch-only, as in Spark
+    itself."""
+    from herodb_spark.catalog import load_table
+    from herodb_spark.streaming.ops import stream_events
+
+    prog = """
+        collection_query(user_id, value) :-
+            ev(_, _, user_id, "purchase", value, _)
+        where value > 50.0
+        group_by user_id(user_id, total = Sum(value))
+        ;
+    """
+    hql = HeroQL(spark)
+    hql.register("ev", stream_events(spark, sf_dir))
+    sdf = hql.run(prog).queries[0]
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory").queryName("hql_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], round(r["total"], 2)) for r in spark.sql("SELECT * FROM hql_stream").collect()}
+
+    batch = HeroQL(spark)
+    batch.register("ev", load_table(spark, sf_dir, "events"))
+    want = {
+        (r["user_id"], round(r["total"], 2))
+        for r in batch.run(prog).queries[0].collect()
+    }
+    assert got == want and got
+
+
 # ------------------------------------------------------------ plan shape
 
 
