@@ -54,9 +54,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         name, _, rest = spec.partition("=")
         if not rest:
             ap.error(f"--table needs NAME=PATH, got {spec!r}")
-        path, *opts = rest.split(":")
-        is_class = bool(opts) and opts[0] == "class"
-        key = opts[1] if len(opts) > 1 else None
+        # split the class marker from the RIGHT so URI paths
+        # (s3a://, hdfs://) survive intact
+        is_class, key = False, None
+        path = rest
+        if ":class" in rest:
+            path, _, marker = rest.rpartition(":class")
+            is_class = True
+            if marker.startswith(":"):
+                key = marker[1:]
         hql.register(name, spark.read.parquet(path), is_class=is_class, key=key)
 
     with open(args.program) as f:

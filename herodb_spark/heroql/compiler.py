@@ -522,6 +522,7 @@ class HeroQL:
             if name not in self._memo:
                 self._eval_idb(name)
                 self._memo_pos[name] = len(self._delta_log)
+            self._prune_delta_log()
             return self._memo[name]
         if name in self.tables:
             return self.tables[name]
@@ -736,6 +737,19 @@ class HeroQL:
             self._memo[n] = self._finalize(n, df)
             self._memo_pos[n] = len(self._delta_log)
 
+    def _prune_delta_log(self) -> None:
+        """Drop delta batches every memo has absorbed (rebasing the
+        recorded positions) so a long insert-only session doesn't
+        retain every batch's lineage forever."""
+        if not self._delta_log:
+            return
+        floor = min(self._memo_pos.values()) if self._memo_pos else len(self._delta_log)
+        if floor <= 0:
+            return
+        del self._delta_log[:floor]
+        for k in self._memo_pos:
+            self._memo_pos[k] -= floor
+
     def _maintain_incrementally(self, name: str, entries: list[tuple]) -> bool:
         """Fold insert deltas into a memoized derivation using the
         delta rule Δ(A₁⋈…⋈Aₖ) ⊆ ⋃ᵢ (A₁⋈…⋈ΔAᵢ⋈…⋈Aₖ) — evaluated with
@@ -768,8 +782,15 @@ class HeroQL:
                     if lit.name in touched:
                         datoms.append(lit)
                 elif isinstance(lit, (P.NotLit, P.ExistsLit)):
-                    if lit.atom.name in touched:
-                        return False  # not insert-monotone (or semi-join delta)
+                    if lit.atom.member_of is not None:
+                        if touched:
+                            return False
+                        continue
+                    # direct delta: not insert-monotone (or semi-join
+                    # delta); derived table: its content may have
+                    # changed through ITS bases — either way rebuild
+                    if lit.atom.name in touched or lit.atom.name in self.rules:
+                        return False
             if datoms:
                 relevant.append((rule, datoms))
         if not relevant:  # deltas don't feed this table at all
@@ -930,10 +951,12 @@ class HeroQL:
                 raise HeroQLError(f"{cls} has no relation member {atom.name!r}")
             df = self.table(rel.edge)
             if rel.symmetric:
-                # self-inverse member (spouse): stored once, read both ways
+                # self-inverse member (spouse): stored once (canonical
+                # least/greatest), read both ways; distinct guards the
+                # self-loop double
                 df = df.unionByName(
                     df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-                )
+                ).distinct()
             elif rel.swapped:
                 df = df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             tdef = self._def(rel.edge)
@@ -1612,25 +1635,30 @@ class HeroQL:
         self.tables[r.name] = df.where(~cond)
         self._after_mutation(r.name)
 
-    def _validate_card(self, rel: RelEntry) -> None:
+    def _validate_card(self, rel: RelEntry, df: DataFrame | None = None) -> None:
         """Cardinality enforcement at language-level insert time
         (draft:36-38): `x..y` reads (entries per forward source ..
         entries per inverse source); a `1` on either side caps that
         side's fan-out at one. Symmetric members check total degree
-        over both directions."""
-        fwd, inv = rel.card.split("..")
-        df = self.table(rel.edge)
+        over both directions. Pass `df` to validate a CANDIDATE table
+        before committing it. The edge always stores the FORWARD
+        orientation, so a swapped (inverse-member) entry's card is
+        re-inverted before checking columns."""
+        card = _invert_card(rel.card) if rel.swapped else rel.card
+        fwd, inv = card.split("..")
+        if df is None:
+            df = self.table(rel.edge)
         if rel.symmetric:
             deg = df.unionByName(
                 df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
             if fwd == "1" and not deg.groupBy("src").count().where(F.col("count") > 1).isEmpty():
-                raise HeroQLError(f"cardinality {rel.card} violated on {rel.edge!r}")
+                raise HeroQLError(f"cardinality {card} violated on {rel.edge!r}")
             return
         if fwd == "1" and not df.groupBy("src").count().where(F.col("count") > 1).isEmpty():
-            raise HeroQLError(f"cardinality {rel.card} violated on {rel.edge!r} (src side)")
+            raise HeroQLError(f"cardinality {card} violated on {rel.edge!r} (src side)")
         if inv == "1" and not df.groupBy("dst").count().where(F.col("count") > 1).isEmpty():
-            raise HeroQLError(f"cardinality {rel.card} violated on {rel.edge!r} (dst side)")
+            raise HeroQLError(f"cardinality {card} violated on {rel.edge!r} (dst side)")
 
     def _exec_uncache(self, u: P.UncacheStmt) -> None:
         """Cached computed tables (draft:67-72, 135-136): drop the
@@ -1663,16 +1691,25 @@ class HeroQL:
                     other = self._expr(atom.args[0], ctx)
                     me = frame.col(base)
                     src, dst = (other, me) if rel.swapped else (me, other)
+                    if rel.symmetric:
+                        # canonical (least, greatest) storage: restating
+                        # the symmetric fact from the other side dedups
+                        # instead of doubling the edge
+                        src, dst = F.least(src, dst), F.greatest(src, dst)
                     rows = frame.df.select(src.alias("src"), dst.alias("dst")).distinct()
                     self._flush(edge_name)
                     cur = self.table(edge_name)
                     if not cur.columns:
-                        self.tables[edge_name] = rows
+                        candidate = rows
                     else:
-                        self.tables[edge_name] = cur.unionByName(
+                        candidate = cur.unionByName(
                             rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
                         ).distinct()
-                    self._validate_card(rel)
+                    # validate BEFORE committing — a violating insert
+                    # must not leave the bad row behind (same contract
+                    # as _flush's where-constraint check)
+                    self._validate_card(rel, candidate)
+                    self.tables[edge_name] = candidate
                     self._after_mutation(edge_name)
                 else:
                     d = self._def(atom.name)
@@ -1682,6 +1719,12 @@ class HeroQL:
                     rows = frame.df.select(
                         [self._expr(a, ctx).alias(f) for a, f in zip(atom.args, d.fields)]
                     ).distinct()
+                    if d.where is not None and not rows.where(
+                        ~self._row_predicate(d, rows)
+                    ).isEmpty():
+                        raise HeroQLError(
+                            f"for-query set violates `where` constraint of {atom.name!r}"
+                        )
                     self._flush(atom.name)
                     cur = self.table(atom.name)
                     self.tables[atom.name] = cur.unionByName(

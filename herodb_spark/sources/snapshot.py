@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import json
 import os
+import time
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,8 +83,16 @@ class SnapshotTable:
                     fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                     break
                 except FileExistsError:
-                    import time
-
+                    # a writer killed inside its critical section (the
+                    # section is manifest-swap only, sub-second) would
+                    # wedge every future commit — treat a lock older
+                    # than 60s as abandoned and break it
+                    try:
+                        if time.time() - os.path.getmtime(lock) > 60:
+                            os.unlink(lock)
+                            continue
+                    except OSError:
+                        continue
                     time.sleep(0.01)
             if fd is None:
                 raise ConcurrentWriteError(f"{self.path}: commit lock held too long")
@@ -124,13 +134,18 @@ class SnapshotTable:
     def _write_partitions(
         self, df: DataFrame, version: int, partition_col: str | None, only: set | None = None
     ) -> dict:
-        """Write `df` under data/v=<version>/, one directory per
-        partition value (or one directory for unpartitioned tables).
+        """Write `df` under data/v=<version>-<token>/, one directory
+        per partition value (or one directory for unpartitioned
+        tables). The token is WRITER-UNIQUE: two racing mutations that
+        both compute the same next version write disjoint directories,
+        so the OCC loser's files can never alias into the winner's
+        committed snapshot (they become unreferenced garbage).
         Returns {partition_value_str: relative_dir}. `only` restricts
         the write to those partition values."""
         out: dict[str, str] = {}
+        vdir = f"v={version}-{uuid.uuid4().hex[:8]}"
         if partition_col is None:
-            rel = f"data/v={version}/{_UNPARTITIONED}"
+            rel = f"data/{vdir}/{_UNPARTITIONED}"
             df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
             return {_UNPARTITIONED: rel}
         # one materialization feeds the distinct-values collect AND
@@ -152,7 +167,7 @@ class SnapshotTable:
             for v in values:
                 if only is not None and v not in only:
                     continue
-                rel = f"data/v={version}/p={v}"
+                rel = f"data/{vdir}/p={v}"
                 df.where(F.col(partition_col).cast("string") == v).write.mode(
                     "overwrite"
                 ).parquet(os.path.join(self.path, rel))

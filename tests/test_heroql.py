@@ -267,6 +267,122 @@ def test_symmetric_relation_and_cardinality_draft_36_38(spark):
         """)
 
 
+def test_symmetric_restatement_is_one_edge(spark):
+    """Restating a symmetric fact from the other side must dedup into
+    ONE logical edge (canonical storage), not violate 1..1."""
+    hql = HeroQL(spark)
+    hql.run("""
+        data class Person
+        (
+            name : string,
+            id   : int,
+            spouse * spouse : Person, 1..1,
+        ) index Hash(id), Unique(id);
+        data P2(a : int, b : int);
+        set P2(1, 2);
+        set P2(2, 1);
+    """)
+    hql.register(
+        "Person",
+        spark.createDataFrame([("Ann", 1), ("Bob", 2)], "name string, id long"),
+        is_class=True, key="id",
+    )
+    hql.run("""
+        for query(a, b) :- P2(a, b), Person(p), p.id == a
+        (
+            set p.spouse(b)
+        )
+    """)
+    assert rows(hql.table("Person__spouse")) == [(1, 2)]
+    res = hql.run("query (s) :- Person(p), p.name == \"Ann\", p.spouse(s);").queries[0]
+    assert rows(res) == [(2,)]
+
+
+def test_inverse_member_cardinality_orientation(spark):
+    """`manages * manager, n..1` written through the INVERSE member:
+    many reports per boss is legal; two bosses for one report is the
+    violation — and a rejected insert must leave the edge table
+    unchanged."""
+    hql = HeroQL(spark)
+    hql.run("""
+        data class Person
+        (
+            name : string,
+            id   : int,
+            manages * manager : Person, n..1,
+        ) index Hash(id), Unique(id);
+        data M2(rep : int, boss : int);
+        set M2(2, 1);
+        set M2(3, 1);
+    """)
+    hql.register(
+        "Person",
+        spark.createDataFrame(
+            [("A", 1), ("B", 2), ("C", 3), ("D", 4)], "name string, id long"),
+        is_class=True, key="id",
+    )
+    # two reports, one boss — legal under n..1, written via rep.manager
+    hql.run("""
+        for query(r, b) :- M2(r, b), Person(p), p.id == r
+        (
+            set p.manager(b)
+        )
+    """)
+    assert rows(hql.table("Person__manages")) == [(1, 2), (1, 3)]
+    # a second boss for report 2 violates, and nothing is committed
+    hql.run("data M3(rep : int, boss : int); set M3(2, 4);")
+    with pytest.raises(HeroQLError, match="cardinality"):
+        hql.run("""
+            for query(r, b) :- M3(r, b), Person(p), p.id == r
+            (
+                set p.manager(b)
+            )
+        """)
+    assert rows(hql.table("Person__manages")) == [(1, 2), (1, 3)]
+
+
+def test_for_query_set_respects_where(spark):
+    hql = HeroQL(spark)
+    hql.run("""
+        data S(a : int, b : int) where a < b;
+        data Src(x : int);
+        set Src(3);
+    """)
+    with pytest.raises(HeroQLError, match="where"):
+        hql.run("for query(x) :- Src(x) ( set S(x, x) )")
+    assert rows(hql.table("S")) == []
+
+
+def test_incremental_rebuild_on_negated_derived_table(spark):
+    """`not B(x)` where B is itself rule-derived: inserts into B's
+    BASE must rebuild the memo, not report it maintained."""
+    hql = HeroQL(spark)
+    hql.register("A", spark.createDataFrame([(1,)], "x long"))
+    hql.register("T", spark.createDataFrame([(9,)], "x long"))
+    hql.run("""
+        data B(x : int);
+        B(x) :- T(x);
+        data R(x : int);
+        R(x) :- A(x), not B(x);
+    """)
+    assert rows(hql.table("R")) == [(1,)]
+    hql.run("data T(x : int); set T(1);")
+    assert rows(hql.table("R")) == []  # stale memo would still say [(1,)]
+
+
+def test_delta_log_pruned_after_absorption(spark):
+    hql = HeroQL(spark)
+    hql.register("L", spark.createDataFrame([(1, 5)], "n long, c long"))
+    hql.run("""
+        data Big(n : int);
+        Big(n) :- L(n, c), c >= 5;
+    """)
+    hql.table("Big")
+    hql.run("data L(n : int, c : int); set L(2, 7);")
+    assert rows(hql.table("Big")) == [(1,), (2,)]
+    assert hql._delta_log == []  # absorbed entries pruned
+
+
 def test_union_cases_distinct(spark):
     """Two rule cases for one head — Datalog set semantics dedups."""
     hql = HeroQL(spark)
@@ -391,7 +507,6 @@ def test_linear_recursion_seminaive(spark):
     hql = HeroQL(spark, max_iters=16)
     hql.register("Edge", spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"))
-    assert hql._seminaive_ok  # API sanity
     res = hql.run("""
         data Reach(x : int, y : int);
         Reach(x, y) :- Edge(x, y);

@@ -98,7 +98,7 @@ def test_snapshot_merge_rewrites_only_touched_partitions(spark, tmp_path):
     t.merge_upsert(updates)
     m = t._load()
     v0, v1 = m["versions"]["0"]["partitions"], m["versions"]["1"]["partitions"]
-    assert v1["0"].startswith("data/v=1/")  # grp=0 rewritten
+    assert v1["0"].startswith("data/v=1-")  # grp=0 rewritten (writer-unique dir)
     assert v1["1"] == v0["1"] and v1["2"] == v0["2"]  # others re-linked
 
 
@@ -292,3 +292,36 @@ def test_snapshot_concurrent_write_detected(spark, tmp_path):
     # winner intact
     assert t1.read().count() == 2
     assert not os.path.exists(os.path.join(path, "_commit.lock"))
+
+
+def test_snapshot_writer_unique_data_dirs(spark, tmp_path):
+    """Two mutations computing the SAME next version must write
+    disjoint directories — the OCC loser's files can never alias into
+    the winner's committed snapshot."""
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    t = SnapshotTable.create(spark, str(tmp_path / "u"), df, ["id"])
+    p1 = t._write_partitions(df, 5, None)
+    p2 = t._write_partitions(df, 5, None)
+    assert p1["_all"] != p2["_all"]
+
+
+def test_snapshot_stale_lock_broken(spark, tmp_path):
+    """A lock file orphaned by a killed writer (old mtime) must not
+    wedge future commits."""
+    import time as _time
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    path = str(tmp_path / "sl")
+    t = SnapshotTable.create(spark, path, df, ["id"])
+    lock = os.path.join(path, "_commit.lock")
+    with open(lock, "w"):
+        pass
+    old = _time.time() - 120
+    os.utime(lock, (old, old))
+    v = t.merge_upsert(spark.createDataFrame([(2, 2.0)], "id long, v double"))
+    assert v == 1 and t.read().count() == 2
+    assert not os.path.exists(lock)
