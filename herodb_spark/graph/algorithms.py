@@ -170,10 +170,12 @@ def shortest_hops(edges: DataFrame, seed: int, max_iters: int = MAX_ITERS) -> Da
     per-iteration work proportional to the frontier, and the
     semi-naive anti-join assigns each node the hop count of its FIRST
     discovery — i.e. the minimum."""
+    from herodb_spark.session import literal_df
+
     spark = edges.sparkSession
-    init = spark.createDataFrame([(seed, 0)], "node int, hops int").withColumn(
+    init = literal_df(spark, [(seed, 0)], "node int, hops int").withColumn(
         "node", F.col("node").cast(dict(edges.dtypes)["src"])
-    ).coalesce(1)
+    )
 
     def step(frontier: DataFrame) -> DataFrame:
         return (

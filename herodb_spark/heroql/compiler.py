@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from herodb_spark.heroql import parser as P
+from herodb_spark.session import literal_df
 
 
 class HeroQLError(Exception):
@@ -561,9 +562,9 @@ class HeroQL:
         d = self.defs.get(name)
         schema = self._schema_for(d) if d and d.types else None
         if schema is not None:
-            batch = self.spark.createDataFrame(rows, schema)
+            batch = literal_df(self.spark, rows, schema)
         elif name in self.tables:
-            batch = self.spark.createDataFrame(rows, self.tables[name].schema)
+            batch = literal_df(self.spark, rows, self.tables[name].schema)
         else:
             raise HeroQLError(f"cannot infer schema for inserts into undeclared {name!r}")
         if d is not None and d.where is not None:
@@ -857,11 +858,11 @@ class HeroQL:
         if facts:
             schema = self._schema_for(d) if d.types else None
             if schema is not None:
-                parts.insert(0, self.spark.createDataFrame(facts, schema))
+                parts.insert(0, literal_df(self.spark, facts, schema))
             elif parts:
-                parts.insert(0, self.spark.createDataFrame(facts, parts[0].schema))
+                parts.insert(0, literal_df(self.spark, facts, parts[0].schema))
             else:
-                parts.insert(0, self.spark.createDataFrame(facts, d.fields))
+                parts.insert(0, literal_df(self.spark, facts, d.fields))
         if name in self.tables or self._pending.get(name):
             self._flush(name)
             if name in self.tables:

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from herodb_spark.catalog import load_table
 from herodb_spark.graph.algorithms import closure
+from herodb_spark.session import literal_df
 
 MAX_LIST_LEN = 30
 
@@ -205,6 +206,26 @@ CLASS_EDGES = [
 _EXPR_KINDS = ["NumExpr", "RefExpr", "LambdaExpr", "ApplyExpr", "MatchExpr"]
 
 
+def _hierarchy_height() -> int:
+    """Longest child chain in CLASS_EDGES — computed driver-side (the
+    hierarchy is static metadata), so the closure below runs EXACTLY
+    the needed number of steps with zero convergence probes. The
+    previous fixed max_iters=10 built a 10-deep nested-join plan whose
+    Catalyst analysis alone cost ~15 s at every call — iteration
+    bounds on static metadata should come from the metadata."""
+    children: dict[str, list[str]] = {}
+    for child, parent in CLASS_EDGES:
+        children.setdefault(parent, []).append(child)
+    memo: dict[str, int] = {}
+
+    def depth(c: str) -> int:
+        if c not in memo:
+            memo[c] = 1 + max((depth(k) for k in children.get(c, ())), default=-1)
+        return memo[c]
+
+    return max(depth(p) for p in children)
+
+
 def subtype_closure(spark: SparkSession, root: str) -> DataFrame:
     """(cls, depth) for every transitive subtype of `root`, computed
     with the general `closure` operator over the inheritance edges —
@@ -212,17 +233,18 @@ def subtype_closure(spark: SparkSession, root: str) -> DataFrame:
     relation, materialized."""
     # distinct column name (`child`): the frontier shares lineage with
     # the edge table after the first hop
-    edges = spark.createDataFrame(CLASS_EDGES, "child string, parent string").coalesce(1)
-    init = spark.createDataFrame([(root, 0)], "cls string, depth int").coalesce(1)
+    edges = literal_df(spark, CLASS_EDGES, "child string, parent string")
+    init = literal_df(spark, [(root, 0)], "cls string, depth int")
 
     def step(frontier: DataFrame) -> DataFrame:
         return frontier.join(edges, frontier.cls == edges.parent).select(
             F.col("child").alias("cls"), (F.col("depth") + 1).alias("depth")
         )
 
-    # the hierarchy is a tree: monotone-acyclic, unique classes per step
+    # the hierarchy is a tree: monotone-acyclic, unique classes per
+    # step, statically bounded → one fully-lazy plan, no probes
     return closure(
-        step, init, key=["cls"], max_iters=10, probe_every=10,
+        step, init, key=["cls"], max_iters=_hierarchy_height(), probe_every=None,
         dedup_new=False, subtract_state=False,
     )
 

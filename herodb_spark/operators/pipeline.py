@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from herodb_spark.catalog import load_table
 from herodb_spark.functions import text as T
+from herodb_spark.session import literal_df
 
 FIB_N = 40
 
@@ -32,7 +33,7 @@ def recursive_fib(spark: SparkSession, sf_dir: str) -> DataFrame:
     would."""
     from herodb_spark.graph.algorithms import closure
 
-    init = spark.createDataFrame([(1, 1, 0)], "n int, fib bigint, prev bigint").coalesce(1)
+    init = literal_df(spark, [(1, 1, 0)], "n int, fib bigint, prev bigint")
 
     def step(frontier: DataFrame) -> DataFrame:
         return frontier.where(F.col("n") < FIB_N).select(

@@ -14,6 +14,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def literal_df(spark: SparkSession, rows: list, schema) -> "DataFrame":
+    """Single-partition DataFrame from driver-side literal rows.
+
+    ``createDataFrame(list)`` parallelizes tiny literals across
+    defaultParallelism partitions; a follow-up ``coalesce(1)`` then
+    pays one Python-worker round-trip PER source partition on every
+    action (~5 s at local[32] — measured on the 13-row class-hierarchy
+    edge list), and without coalescing, iterative operators inherit 32
+    near-empty partitions into every union. Parallelizing to ONE slice
+    up front makes each action a single worker round-trip. Seeds,
+    edge-list metadata, and ground facts should all come through
+    here."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def get_spark(app_name: str = "herodb_spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
