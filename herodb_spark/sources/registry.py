@@ -95,3 +95,40 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table — the CO-LOCATION half of `index
+    Hash(k)` (draft:44-47): two tables bucketed the same way join with
+    NO shuffle on either side (tests assert zero Exchange in the
+    plan), which at 100 TB turns every fact-fact equi-join on the
+    bucket key from the dominant shuffle into a local merge. Bucketing
+    requires the session catalog (saveAsTable); directory-layout
+    `partitionBy` (write_table) remains the pruning half."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # an in-memory catalog forgets managed tables between sessions
+        # but their warehouse directories persist — drop both, or
+        # saveAsTable fails with LOCATION_ALREADY_EXISTS
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read — preserves the bucket spec, so Catalyst plans
+    bucket-aware scans (`spark.sql.sources.bucketing.enabled`)."""
+    return spark.table(table)
