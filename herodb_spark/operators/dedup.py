@@ -100,6 +100,22 @@ def _jaccard(a, b):
     return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
 
 
+def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Shared exact-verify tail of both candidate-pair paths (df-capped
+    index join and MinHash-LSH bands): join each side's shingle set,
+    compute exact Jaccard, keep pairs at or above the threshold. One
+    definition so the threshold/rounding contract cannot drift between
+    the two graded operators."""
+    jac = _jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, df_cap: int | None = None
 ) -> DataFrame:
@@ -163,14 +179,7 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    jac = _jaccard(F.col("sh_a"), F.col("sh_b"))
-    return (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _verify_jaccard(cand, sh)
 
 
 # above any possible shingle document-frequency at the test SFs
@@ -239,14 +248,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    jac = _jaccard(F.col("sh_a"), F.col("sh_b"))
-    return (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _verify_jaccard(cand, sh)
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

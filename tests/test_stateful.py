@@ -142,3 +142,75 @@ def test_stateful_sessionize_late_event_extends_backwards():
     s, l, n, t = state.get
     assert s == base - 15 * MIN, "session_start must move back to 09:45"
     assert l == base + 5 * MIN and n == 3 and abs(t - 11.0) < 1e-9
+
+
+def test_stateful_sessionize_out_of_order_batches(spark, tmp_path):
+    """Regression for the two carried-state bugs: (a) a late
+    within-watermark event must BRIDGE the carried session to a
+    following event instead of splitting it (the gap compare must use
+    the carried interval, not the batch-local predecessor); (b) a late
+    event more than gap BEFORE the carried start must form its own
+    closed session, not silently extend the carried one backwards."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, 0) + dt.timedelta(minutes=m)
+
+    # b0: user 1 = one continuous session 10:00..12:00 (20-min steps);
+    #     user 2 = open session 12:00..12:10
+    b0 = [(1, t(10, 0 + 20 * i), 1.0) for i in range(4)] + [
+        (1, t(11, 20), 1.0), (1, t(11, 40), 1.0), (1, t(12, 0), 1.0),
+        (2, t(12, 0), 5.0), (2, t(12, 10), 5.0),
+    ]
+    # b1: late arrivals — user 1 @11:00 (inside carried span) + 12:20
+    #     (bridged); user 2 @11:00 (60min before carried start)
+    b1 = [(1, t(11, 0), 1.0), (1, t(12, 20), 1.0), (2, t(11, 0), 5.0)]
+    # b2: user 1 @15:00 closes the bridged session by gap
+    b2 = [(1, t(15, 0), 1.0)]
+
+    src = tmp_path / "ooo"
+    src.mkdir()
+    for i, rows in enumerate((b0, b1, b2)):
+        stage = tmp_path / f"s{i}"
+        spark.createDataFrame(rows, "user_id long, ts timestamp, value double").coalesce(
+            1
+        ).write.parquet(str(stage))
+        (pf,) = [p for p in stage.iterdir() if p.name.endswith(".parquet")]
+        pf.rename(src / f"b{i}.parquet")
+
+    schema = spark.read.parquet(str(src / "b0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        SS.sessionize_stateful_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_sess_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_sess_ooo").collect()
+    }
+    # (b) user 2's late 11:00 = its own closed 1-event session
+    assert got[(2, "2024-01-01 11:00:00")] == ("2024-01-01 11:00:00", 1, 5.0)
+    # (a) user 1's carried session bridged through 11:00/12:20 and
+    # closed by the 15:00 gap as ONE session of 9 events
+    assert got[(1, "2024-01-01 10:00:00")] == ("2024-01-01 12:20:00", 9, 9.0)
+    # the only other legitimate emission is user 2's carried session
+    # closed by watermark TIMEOUT; the buggy phantom ([10:00..12:00])
+    # is excluded by the exact-match assertions above
+    assert set(got) <= {
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 11:00:00"),
+        (2, "2024-01-01 12:00:00"),
+    }, got
