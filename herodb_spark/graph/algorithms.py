@@ -202,6 +202,7 @@ def connected_components(undirected: DataFrame, max_iters: int = MAX_ITERS) -> D
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             undirected.join(labels, undirected.dst == labels.node)
@@ -220,7 +221,16 @@ def connected_components(undirected: DataFrame, max_iters: int = MAX_ITERS) -> D
         )
         labels = new_labels
         if changed.isEmpty():
+            converged = True
             break
+    if not converged:
+        # silently returning a half-propagated labeling would hand
+        # multiple comp ids to one true component — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds max_iters; raise it or use "
+            "connected_components_twophase)"
+        )
     return labels
 
 
@@ -266,6 +276,7 @@ def connected_components_twophase(undirected: DataFrame, max_iters: int = MAX_IT
             F.least(F.min("dst"), F.first("src")).alias("m")
         )
 
+    done = False
     for _ in range(max_iters):
         # large-star: from the full symmetric view, point every
         # strictly larger neighbor at u's minimum
@@ -294,7 +305,16 @@ def connected_components_twophase(undirected: DataFrame, max_iters: int = MAX_IT
         converged = ss.exceptAll(edges).isEmpty() and edges.exceptAll(ss).isEmpty()
         edges = ss
         if converged:
+            done = True
             break
+    if not done:
+        # the final read-off assumes a star fixpoint; a premature exit
+        # would fan out the left join into duplicate (node, comp) rows
+        raise RuntimeError(
+            f"connected_components_twophase did not converge in {max_iters} "
+            "rounds (O(log n) expected — this indicates a bug or an "
+            "adversarial graph; raise max_iters)"
+        )
     # at the star fixpoint each child points directly at its root
     return orig_nodes.join(
         edges.select(F.col("src").alias("node"), F.col("dst").alias("root")), "node", "left"

@@ -57,34 +57,22 @@ edges AS MATERIALIZED (
 """
 
 
-def sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 outgoing edges per src (by weight desc, dst asc) — a
-    deterministic bounded-out-degree subgraph for traversal ops."""
-    e = nation_trade_edges(spark, sf_dir)
-    w = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
-    return e.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3).select("src", "dst")
-
-
-SPARSE_SQL = (
-    EDGES_SQL
-    + """,
-sparse AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
-    FROM edges
-  ) WHERE rk <= 3
-)
-"""
-)
-
-
 def sparse_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 outgoing edges per src, keeping the weight column."""
+    """Top-3 outgoing edges per src (by weight desc, dst asc),
+    keeping the weight — THE deterministic bounded-out-degree
+    subgraph; the unweighted variant projects from it so the bound and
+    tie-break live in exactly one place."""
     e = nation_trade_edges(spark, sf_dir)
     w = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
     return e.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3).select("src", "dst", "w")
 
 
+def sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted projection of `sparse_weighted_edges`."""
+    return sparse_weighted_edges(spark, sf_dir).select("src", "dst")
+
+
+# one shared top-3 fragment; the unweighted CTE projects from it
 SPARSE_W_SQL = (
     EDGES_SQL
     + """,
@@ -93,6 +81,15 @@ sparse_w AS MATERIALIZED (
     SELECT src, dst, w, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
     FROM edges
   ) WHERE rk <= 3
+)
+"""
+)
+
+SPARSE_SQL = (
+    SPARSE_W_SQL
+    + """,
+sparse AS MATERIALIZED (
+  SELECT src, dst FROM sparse_w
 )
 """
 )

@@ -32,6 +32,18 @@ from pyspark.sql import functions as F
 SEP = "::"
 
 
+def _validate_component(name: str, what: str) -> None:
+    """Database and module names participate in `__`-separated view
+    mangling; a name containing `__` or touching the separator with
+    its own `_` would let distinct (module, database, symbol) triples
+    collide on one temp-view name."""
+    if not name or "__" in name or name.startswith("_") or name.endswith("_"):
+        raise ValueError(
+            f"invalid {what} {name!r}: must be non-empty, contain no '__', "
+            "and not start/end with '_' (view-name mangling safety)"
+        )
+
+
 class SymbolNotFound(KeyError):
     pass
 
@@ -46,6 +58,7 @@ class Database:
     referencing databases (draft:191: "all public symbol is usable")."""
 
     def __init__(self, name: str):
+        _validate_component(name, "database name")
         self.name = name
         self._symbols: dict[str, DataFrame] = {}
         self._private: set[str] = set()
@@ -82,8 +95,25 @@ class Database:
                 )
 
     def reference(self, other: "Database") -> None:
-        """Use another database's public symbols (draft:189-191)."""
+        """Use another database's public symbols (draft:189-191).
+        Module isolation (draft:193-197) is ENFORCED here and re-
+        checked at resolve time (a module may be assigned after the
+        reference is taken): two databases installed in different
+        modules cannot exchange data."""
+        self._check_isolation(other)
         self._references.append(other)
+
+    def _check_isolation(self, other: "Database") -> None:
+        if (
+            self._module is not None
+            and other._module is not None
+            and other._module is not self._module
+        ):
+            raise ModuleIsolationError(
+                f"{self.name!r} (module {self._module.name!r}) cannot reference "
+                f"{other.name!r} (module {other._module.name!r}): modules cannot "
+                "exchange data"
+            )
 
     def resolve(self, name: str, using: list[str] | None = None) -> DataFrame:
         """Resolve a symbol: exact qualified name first, then each
@@ -94,6 +124,7 @@ class Database:
             if cand in self._symbols:
                 return self._symbols[cand]
         for ref in self._references:
+            self._check_isolation(ref)
             for cand in candidates:
                 if cand in ref._symbols and cand not in ref._private:
                     return ref._symbols[cand]
@@ -164,6 +195,11 @@ class Database:
         enforces. Pass the owning module's name when databases live in
         modules, so same-named databases don't overwrite each other's
         views."""
+        if module is None and self._module is not None:
+            # the owning module recorded by install() is the default
+            # disambiguator — same-named databases in different
+            # modules must not overwrite each other's views
+            module = self._module.name
         for qualified, df in self._symbols.items():
             if not include_private and qualified in self._private:
                 continue
@@ -176,6 +212,7 @@ class ModuleInstance:
     (draft:193-197)."""
 
     def __init__(self, name: str):
+        _validate_component(name, "module name")
         self.name = name
         self._databases: dict[str, Database] = {}
 

@@ -25,9 +25,9 @@ from pyspark.sql import functions as F
 
 from herodb_spark.catalog import load_table
 
-# (output column, kind, input expression builder) — kind drives both
-# the per-side aggregate and the merge expression
-MergeSpec = tuple[str, str]  # (col, one of "count" | "sum" | "min" | "max")
+# a merge spec is (output column, kind, input expression) with kind in
+# {"count", "sum", "min", "max"} — the kind drives both the per-side
+# aggregate and the merge expression
 
 
 def _agg_exprs(specs: list[tuple[str, str, F.Column]]):
@@ -64,8 +64,15 @@ def refresh_mv(
     for name, kind, _ in specs:
         old = F.col(f"mv.{name}")
         new = F.col(f"d.{name}")
-        if kind in ("count", "sum"):
+        if kind == "count":
             merged = F.coalesce(old, F.lit(0)) + F.coalesce(new, F.lit(0))
+        elif kind == "sum":
+            # SUM of all-NULL inputs is NULL, and a refresh must be
+            # indistinguishable from a rebuild: only coalesce to 0
+            # when at least one side carries a value
+            merged = F.when(old.isNull() & new.isNull(), F.lit(None)).otherwise(
+                F.coalesce(old, F.lit(0)) + F.coalesce(new, F.lit(0))
+            )
         elif kind == "min":
             merged = F.least(old, new)  # least/greatest skip NULLs
         else:  # max
@@ -108,7 +115,11 @@ def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     specs = _order_specs()
     keys = ["o_orderpriority"]
     mv = build_mv(orders.where(F.col("o_orderdate") < CUTOFF), keys, specs)
-    refreshed = refresh_mv(mv, orders.where(F.col("o_orderdate") >= CUTOFF), keys, specs)
+    # NULL order dates satisfy neither side of a <,>= split and would
+    # vanish from the refresh while the oracle's full-table GROUP BY
+    # counts them — route them into the delta branch explicitly
+    delta = orders.where((F.col("o_orderdate") >= CUTOFF) | F.col("o_orderdate").isNull())
+    refreshed = refresh_mv(mv, delta, keys, specs)
     return refreshed.select(
         "o_orderpriority",
         F.col("n_orders").cast("long").alias("n_orders"),

@@ -176,7 +176,7 @@ changes AS (
   FROM range(1, 6) t(i)
 ),
 after_upsert AS (
-  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+  SELECT * FROM base b WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey)
   UNION ALL
   SELECT * FROM changes
 ),
@@ -187,7 +187,7 @@ after_update AS (
 ),
 survivors AS (
   SELECT * FROM after_update
-  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal < 0)
 )
 SELECT o_orderpriority, COUNT(*) AS n_orders,
        CAST(ROUND(SUM(price), 2) AS DOUBLE) AS total_price
@@ -245,7 +245,7 @@ changes AS (
   FROM range(1, 6) t(i)
 )
 SELECT * FROM (
-  SELECT * FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+  SELECT * FROM base b WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.c_custkey = b.c_custkey)
   UNION ALL
   SELECT * FROM changes
 ) ORDER BY c_custkey
@@ -302,6 +302,6 @@ def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 DELETE_WHERE_SQL = """
 SELECT o_orderpriority, COUNT(*) AS n_orders
 FROM orders
-WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal < 0)
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """

@@ -85,3 +85,21 @@ def test_refresh_scans_only_delta(spark, sf_dir):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     date_pushes = [p for p in pushed if "o_orderdate" in p]
     assert len(date_pushes) >= 2, f"expected both MV and delta scans filtered: {pushed}"
+
+
+def test_refresh_mv_all_null_sum_group(spark):
+    """A group whose sum inputs are all NULL must refresh to NULL
+    (indistinguishable from a rebuild), not 0."""
+    from pyspark.sql import functions as F
+
+    from herodb_spark.operators.matview import build_mv, refresh_mv
+
+    base = spark.createDataFrame(
+        [("g1", None), ("g2", 5.0)], "k string, v double"
+    )
+    delta = spark.createDataFrame([("g1", None)], "k string, v double")
+    specs = [("n", "count", F.lit(1)), ("s", "sum", F.col("v"))]
+    mv = build_mv(base, ["k"], specs)
+    out = {r.k: (r.n, r.s) for r in refresh_mv(mv, delta, ["k"], specs).collect()}
+    assert out["g1"] == (2, None)  # all-NULL sums stay NULL
+    assert out["g2"] == (1, 5.0)

@@ -41,3 +41,18 @@ def test_shortest_hops_converges_within_pinned_bound(spark, sf_dir):
     bounded = sorted(tuple(r) for r in GA.shortest_hops(e, SEED, max_iters=HOPS_BOUND).collect())
     free = sorted(tuple(r) for r in GA.shortest_hops(e, SEED, max_iters=30).collect())
     assert bounded == free
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iters without a fixpoint must fail loudly —
+    silently returning a half-propagated labeling hands several comp
+    ids to one true component."""
+    import pytest
+
+    from herodb_spark.graph.algorithms import connected_components
+    from herodb_spark.session import literal_df
+
+    chain = literal_df(spark, [(i, i + 1) for i in range(12)], "src long, dst long")
+    sym = chain.unionByName(chain.selectExpr("dst AS src", "src AS dst"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(sym, max_iters=3)

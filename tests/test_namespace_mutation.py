@@ -117,10 +117,44 @@ def test_module_isolation(module, spark, sf_dir):
 
 
 def test_sql_surface(module, spark):
+    """An installed database's views default to the OWNING MODULE's
+    prefix (install() records it; same-named databases in different
+    modules must not overwrite each other's views)."""
     mod, trade, content = module
     trade.sql_register()
-    n = spark.sql("SELECT COUNT(*) AS n FROM trade__tpch__customer").collect()[0].n
+    n = spark.sql("SELECT COUNT(*) AS n FROM prod__trade__tpch__customer").collect()[0].n
     assert n == trade.resolve("tpch::customer").count()
+    # a standalone (uninstalled) database keeps the unprefixed name
+    solo = NS.Database("solo")
+    solo.register("t", trade.resolve("tpch::customer"))
+    solo.sql_register()
+    assert spark.sql("SELECT COUNT(*) AS n FROM solo__t").collect()[0].n == n
+
+
+def test_module_isolation_enforced(module, spark, sf_dir):
+    """draft:193-197: databases installed in DIFFERENT modules cannot
+    reference or resolve each other's symbols."""
+    mod, trade, content = module
+    other = NS.ModuleInstance("staging")
+    foreign = NS.Database("foreign")
+    foreign.register("t", load_table(spark, sf_dir, "nation"))
+    other.install(foreign)
+    with pytest.raises(NS.ModuleIsolationError):
+        foreign.reference(trade)
+    # a reference taken BEFORE installation is re-checked at resolve
+    loose = NS.Database("loose")
+    loose.reference(trade)  # both sides uninstalled/one-sided: allowed
+    other2 = NS.ModuleInstance("qa")
+    other2.install(loose)
+    with pytest.raises(NS.ModuleIsolationError):
+        loose.resolve("tpch::customer")
+
+
+def test_mangling_collision_components_rejected():
+    with pytest.raises(ValueError, match="mangling"):
+        NS.Database("x_")
+    with pytest.raises(ValueError, match="mangling"):
+        NS.ModuleInstance("m__x")
 
 
 def test_cache_and_partial_uncache(module, spark, sf_dir):
