@@ -55,9 +55,13 @@ def quality_score(col: Column | str) -> Column:
     nc = F.length(c).cast("double")
     npunct = punct_count(c).cast("double")
     nstop = stopword_count(c).cast("double")
+    # nc can be 0 for an empty document and Spark 4 runs ANSI mode by
+    # default (DIVIDE_BY_ZERO raises instead of yielding NULL) — guard
+    # the denominator; npunct is 0 whenever nc is, so the ratio is 0
+    # either way. nt is always >= 1 (split of '' yields ['']).
     score = (
         0.4 * F.least(F.lit(1.0), nt / 100.0)
-        + 0.3 * (1.0 - F.least(F.lit(1.0), 10.0 * npunct / nc))
+        + 0.3 * (1.0 - F.least(F.lit(1.0), 10.0 * npunct / F.greatest(nc, F.lit(1.0))))
         + 0.3 * F.least(F.lit(1.0), 5.0 * nstop / nt)
     )
     return F.round(score, 6)

@@ -57,19 +57,21 @@ edges AS MATERIALIZED (
 """
 
 
-def sparse_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sparse_weighted_edges(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
     """Top-3 outgoing edges per src (by weight desc, dst asc),
     keeping the weight — THE deterministic bounded-out-degree
     subgraph; the unweighted variant projects from it so the bound and
-    tie-break live in exactly one place."""
-    e = nation_trade_edges(spark, sf_dir)
+    tie-break live in exactly one place. Pass `base` (a materialized
+    nation_trade_edges) to reuse one fact-join derivation across
+    several graph operators in a merged query."""
+    e = base if base is not None else nation_trade_edges(spark, sf_dir)
     w = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
     return e.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3).select("src", "dst", "w")
 
 
-def sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sparse_edges(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
     """Unweighted projection of `sparse_weighted_edges`."""
-    return sparse_weighted_edges(spark, sf_dir).select("src", "dst")
+    return sparse_weighted_edges(spark, sf_dir, base).select("src", "dst")
 
 
 # one shared top-3 fragment; the unweighted CTE projects from it
@@ -95,10 +97,10 @@ sparse AS MATERIALIZED (
 )
 
 
-def undirected_sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def undirected_sparse_edges(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
     """Symmetric closure of the sparse graph (for components /
     triangles)."""
-    e = sparse_edges(spark, sf_dir)
+    e = sparse_edges(spark, sf_dir, base)
     return (
         e.select("src", "dst")
         .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

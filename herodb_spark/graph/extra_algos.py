@@ -62,10 +62,10 @@ ORDER BY a, b
 )
 
 
-def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_kcore(spark: SparkSession, sf_dir: str, edges=None) -> DataFrame:
     """k-core (k=3) of the sparse undirected trade graph: nodes with
     core degree ≥ 3 after iterative peeling."""
-    und = GE.undirected_sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = GE.undirected_sparse_edges(spark, sf_dir, edges).localCheckpoint(eager=True)
     edges = und
     for _ in range(MAX_ITERS):
         deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))

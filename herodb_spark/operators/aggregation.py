@@ -236,7 +236,11 @@ def topk_then_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single-shuffle form: sort_array(collect_list) + slice beats a
     window + re-aggregate (two shuffles) when k is small & bounded.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # explicit NULL contract: Spark's collect_list silently drops
+    # NULLs while DuckDB's list() keeps them — filter on BOTH sides so
+    # a NULL value can neither skew the top-3 nor (all-NULL group)
+    # divide by an empty list under ANSI mode
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     top3 = F.slice(F.sort_array(F.collect_list(F.col("value").cast("decimal(18,4)")), asc=False), 1, 3)
     return (
         ev.groupBy("event_type")
@@ -263,7 +267,7 @@ SELECT event_type,
 FROM (
   SELECT event_type,
          (list_sort(list(CAST(value AS DECIMAL(18,4))), 'DESC'))[1:3] AS top3
-  FROM events GROUP BY event_type
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
 )
 ORDER BY event_type
 """

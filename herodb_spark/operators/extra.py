@@ -37,14 +37,17 @@ GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
 
-def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str, edges=None) -> DataFrame:
     """Weighted shortest path from nation 0 over the SPARSE trade
     graph (top-3 out-edges — the full graph is near-complete, which
     makes the oracle's path recursion explode combinatorially:
-    24^6 ≈ 2e8 paths vs 3^6 = 729); edge cost = 1/w scaled to an
+    24^8 ≈ 1e11 paths vs 3^8 = 6561); edge cost = 1/w scaled to an
     integer 'latency' so costs are exact across engines. Bounded
-    Bellman-Ford: 6 relaxation rounds, same bound in the oracle."""
-    e = GE.sparse_weighted_edges(spark, sf_dir)
+    Bellman-Ford: 8 relaxation rounds — the SAME bound as
+    graphops.HOPS_BOUND, so graph_seed_paths' inner join of the two
+    reachable sets cannot silently drop a node discovered at hop 7-8
+    by only one of them."""
+    e = GE.sparse_weighted_edges(spark, sf_dir, edges)
     # integer cost: bigger trade volume → cheaper edge; exact arithmetic
     # explicit floor: DuckDB '/' is float division and its double→int
     # cast rounds, Spark's truncates — floor pins both to the same value
@@ -57,9 +60,9 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # one Bellman-Ford relaxation round as a full-state transformer,
-    # run through the general re-aggregate fixpoint operator; 6 rounds
-    # bounds it to the oracle's depth-6 path recursion (early
-    # convergence ≤ 6 rounds yields the identical state)
+    # run through the general re-aggregate fixpoint operator; 8 rounds
+    # bounds it to the oracle's depth-8 path recursion (early
+    # convergence ≤ 8 rounds yields the identical state)
     def relax(dist):
         return (
             dist.join(edges, dist.node == edges.src)
@@ -69,11 +72,11 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
         )
 
-    # statically-bounded relaxation: the oracle unrolls the SAME 6
+    # statically-bounded relaxation: the oracle unrolls the SAME 8
     # rounds and extra rounds are idempotent, so skip the per-round
     # change probes (2 jobs/round — they dominated this operator's
     # correctness-gate latency)
-    return GA.fixpoint(relax, init, max_iters=6, probe_change=False).orderBy("node")
+    return GA.fixpoint(relax, init, max_iters=8, probe_change=False).orderBy("node")
 
 
 GRAPH_WEIGHTED_SSSP_SQL = (
@@ -88,7 +91,7 @@ paths(node, dist, depth) AS (
   UNION ALL
   SELECT e.dst, p.dist + e.cost, p.depth + 1
   FROM wedges e, paths p
-  WHERE e.src = p.node AND p.depth < 6
+  WHERE e.src = p.node AND p.depth < 8
 )
 SELECT node, MIN(dist) AS dist FROM paths GROUP BY node ORDER BY node
 """

@@ -12,8 +12,8 @@ from herodb_spark.graph import edges as GE
 SEED = 0
 
 
-def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = GE.nation_trade_edges(spark, sf_dir)
+def graph_degree(spark: SparkSession, sf_dir: str, edges: DataFrame | None = None) -> DataFrame:
+    e = edges if edges is not None else GE.nation_trade_edges(spark, sf_dir)
     return GA.degrees(e).orderBy("node")
 
 
@@ -34,11 +34,11 @@ ORDER BY node
 )
 
 
-def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_two_hop(spark: SparkSession, sf_dir: str, edges: DataFrame | None = None) -> DataFrame:
     # materialize once: two_hop_counts uses the edge table in BOTH the
     # one-hop and two-hop branches, and the 4-table derivation must
     # not run twice (same discipline as graph_reachability/triangles)
-    e = GE.sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = GE.sparse_edges(spark, sf_dir, edges).localCheckpoint(eager=True)
     return GA.two_hop_counts(e).orderBy("node")
 
 
@@ -78,16 +78,17 @@ SELECT node FROM r ORDER BY node
 )
 
 
-# both engines pin the same search depth (like graph_weighted_sssp's
-# 6-round bound): the oracle's recursive CTE enumerates paths, so an
+# both engines pin the same search depth (graph_weighted_sssp shares
+# the SAME 8-round bound so graph_seed_paths' inner join cannot drop
+# a node reachable at hop 7-8 from only one side): the oracle's recursive CTE enumerates paths, so an
 # unbounded depth explodes combinatorially, and a Spark-only deeper
 # bound would silently diverge from the oracle if a node ever sat
 # beyond it. Convergence within the bound is asserted in tests.
 HOPS_BOUND = 8
 
 
-def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = GE.sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
+def graph_shortest_hops(spark: SparkSession, sf_dir: str, edges: DataFrame | None = None) -> DataFrame:
+    e = GE.sparse_edges(spark, sf_dir, edges).localCheckpoint(eager=True)
     return GA.shortest_hops(e, SEED, max_iters=HOPS_BOUND).orderBy("node")
 
 
@@ -105,11 +106,11 @@ SELECT node, CAST(MIN(hops) AS INT) AS hops FROM p GROUP BY node ORDER BY node
 )
 
 
-def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_connected_components(spark: SparkSession, sf_dir: str, edges: DataFrame | None = None) -> DataFrame:
     """Runs the O(log n)-round large-star/small-star contraction (the
     100-TB path); min-label propagation kept as the property-test
     baseline (tests/test_graph_extra.py)."""
-    e = GE.undirected_sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = GE.undirected_sparse_edges(spark, sf_dir, edges).localCheckpoint(eager=True)
     return GA.connected_components_twophase(e).orderBy("node")
 
 
@@ -212,10 +213,14 @@ def graph_node_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     from herodb_spark.graph import extra_algos as GX
 
-    d = graph_degree(spark, sf_dir)
-    t = graph_two_hop(spark, sf_dir)
-    c = graph_connected_components(spark, sf_dir)
-    k = GX.graph_kcore(spark, sf_dir)
+    # ONE fact-join derivation feeds all four constituents — the
+    # 4-table lineitem/orders/customer/supplier join is the dominant
+    # cost and must not run once per metric
+    trade = GE.nation_trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    d = graph_degree(spark, sf_dir, edges=trade)
+    t = graph_two_hop(spark, sf_dir, edges=trade)
+    c = graph_connected_components(spark, sf_dir, edges=trade)
+    k = GX.graph_kcore(spark, sf_dir, edges=trade)
     return (
         d.join(t, "node", "left")
         .join(c, "node", "left")
@@ -249,8 +254,9 @@ def graph_seed_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is exact on both engines."""
     from herodb_spark.operators import extra as E
 
-    h = graph_shortest_hops(spark, sf_dir)
-    s = E.graph_weighted_sssp(spark, sf_dir)
+    trade = GE.nation_trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    h = graph_shortest_hops(spark, sf_dir, edges=trade)
+    s = E.graph_weighted_sssp(spark, sf_dir, edges=trade)
     return h.join(s, "node").orderBy("node")
 
 

@@ -55,7 +55,7 @@ SELECT doc_id, lang,
        len(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS n_bpe_tokens,
        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
        ROUND(0.4 * least(1.0, nt / 100.0)
-           + 0.3 * (1.0 - least(1.0, 10.0 * npunct / nc))
+           + 0.3 * (1.0 - least(1.0, 10.0 * npunct / greatest(nc, 1.0)))
            + 0.3 * least(1.0, 5.0 * nstop / nt), 6) AS quality,
        CASE WHEN nstop / nt >= 0.03 THEN 'en' ELSE 'other' END AS guess,
        md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))) AS fp
@@ -110,11 +110,11 @@ WITH feats AS (
 )
 SELECT doc_id,
        ROUND(0.4 * least(1.0, nt / 100.0)
-           + 0.3 * (1.0 - least(1.0, 10.0 * npunct / nc))
+           + 0.3 * (1.0 - least(1.0, 10.0 * npunct / greatest(nc, 1.0)))
            + 0.3 * least(1.0, 5.0 * nstop / nt), 6) AS quality
 FROM feats
 WHERE ROUND(0.4 * least(1.0, nt / 100.0)
-          + 0.3 * (1.0 - least(1.0, 10.0 * npunct / nc))
+          + 0.3 * (1.0 - least(1.0, 10.0 * npunct / greatest(nc, 1.0)))
           + 0.3 * least(1.0, 5.0 * nstop / nt), 6) >= 0.5
 ORDER BY doc_id
 """
@@ -192,7 +192,7 @@ def text_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
-        F.split(F.trim("text"), r"\s+").alias("w"),
+        T.tokens("text").alias("w"),
         F.when(
             F.col("doc_id") % 5 == 0,
             F.concat(
@@ -203,10 +203,20 @@ def text_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.col("text")).alias("pt"),
     )
+    # base feeds both gram branches AND the final join — a lazy local
+    # checkpoint materializes the scan+split once instead of three times
+    base = base.localCheckpoint(eager=False)
     grams2 = base.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+            # empty array for <2-token docs: sequence(0, -1) is a
+            # DESCENDING range under Spark 4 ANSI semantics and w[i+1]
+            # would throw INVALID_ARRAY_INDEX on a 1-token doc
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN "
+                "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1])) "
+                "ELSE array() END"
+            )
         ).alias("g"),
     ).where(F.col("g").isNotNull())
     g2_stats = (
@@ -219,7 +229,9 @@ def text_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))"
+                "CASE WHEN size(w) >= 3 THEN "
+                "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2])) "
+                "ELSE array() END"
             )
         ).alias("g"),
     ).where(F.col("g").isNotNull())

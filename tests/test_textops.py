@@ -41,3 +41,34 @@ def test_text_repetition_pii_redacts_injected(spark, sf_dir):
         | (F.col("doc_id") % 5 != 0) & (F.col("n_redactions") != 0)
     )
     assert bad.isEmpty(), bad.limit(5).collect()
+
+
+def test_quality_score_empty_text_no_ansi_crash(spark):
+    """Spark 4 runs ANSI mode by default: an empty document must not
+    raise DIVIDE_BY_ZERO out of the quality expression."""
+    from herodb_spark.functions import text as T
+
+    df = spark.createDataFrame([(1, ""), (2, "hello world")], "doc_id long, text string")
+    rows = df.select("doc_id", T.quality_score("text").alias("q")).collect()
+    got = {r.doc_id: r.q for r in rows}
+    assert got[1] is not None and 0.0 <= got[1] <= 1.0
+    assert got[2] is not None
+
+
+def test_repetition_short_docs_no_ansi_crash(spark, tmp_path, monkeypatch):
+    """1- and 2-token documents must flow through the repetition
+    filters (empty gram arrays → NULL fracs, like the oracle's empty
+    range), not crash with INVALID_ARRAY_INDEX."""
+    import herodb_spark.operators.textops as X
+    from herodb_spark.catalog import load_table as real_load
+
+    short = spark.createDataFrame(
+        [(1, "hello", "en", "src0", 5), (2, "two words", "en", "src0", 9),
+         (3, "three token doc", "en", "src1", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(X, "load_table", lambda s, d, n: short)
+    rows = {r.doc_id: r for r in X.text_repetition_pii(spark, "unused").collect()}
+    assert rows[1].top_bigram_frac is None and rows[1].dup_trigram_frac is None
+    assert rows[2].top_bigram_frac == 1.0 and rows[2].dup_trigram_frac is None
+    assert rows[3].dup_trigram_frac == 0.0
