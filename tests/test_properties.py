@@ -4,7 +4,7 @@ just the fixture tables."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
@@ -127,3 +127,63 @@ def test_twophase_cc_matches_union_find(spark_prop, edges):
     nodes = {n for e in edges for n in e}
     want = {(n, find(n)) for n in nodes}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# snapshot tables: model-based testing — random mutation sequences vs
+# an in-memory dict model (the lakehouse commit protocol must agree
+# with naive semantics at every step, and time travel must replay any
+# historical version)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("merge"), st.integers(1, 12), st.integers(0, 2), st.floats(0, 100)),
+            st.tuples(st.just("update"), st.integers(1, 12), st.just(0), st.floats(0, 100)),
+            st.tuples(st.just("delete"), st.integers(1, 12), st.just(0), st.just(0.0)),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_snapshot_mutations_match_dict_model(spark_prop, tmp_path_factory, ops):
+    from pyspark.sql import functions as F
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    tmp = tmp_path_factory.mktemp("snapmodel")
+    rows = [(i, i % 3, float(i)) for i in range(1, 6)]
+    df = spark_prop.createDataFrame(rows, "id long, grp int, v double")
+    t = SnapshotTable.create(spark_prop, str(tmp / "t"), df, ["id"], partition_col="grp")
+    model = {i: (g, v) for i, g, v in rows}
+    history = [dict(model)]
+
+    for kind, key, grp, val in ops:
+        if kind == "merge":
+            up = spark_prop.createDataFrame([(key, grp, val)], "id long, grp int, v double")
+            t.merge_upsert(up)
+            model[key] = (grp, val)
+        elif kind == "update":
+            t.update_where(F.col("id") == key, {"v": F.lit(val)})
+            if key in model:
+                model[key] = (model[key][0], val)
+        else:
+            t.delete_where(F.col("id") == key)
+            model.pop(key, None)
+        history.append(dict(model))
+        got = {r.id: (r.grp, r.v) for r in t.read().collect()}
+        assert got == model, (kind, key, got, model)
+
+    # time travel: every committed version replays its model snapshot.
+    # no-op mutations commit nothing, so walk versions in order and
+    # match them against the (possibly longer) model history.
+    versions = [h["version"] for h in t.history()]
+    hi = 0
+    for v in versions:
+        got = {r.id: (r.grp, r.v) for r in t.read(version=v).collect()}
+        while hi < len(history) and history[hi] != got:
+            hi += 1
+        assert hi < len(history), (v, got)
