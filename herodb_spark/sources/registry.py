@@ -36,12 +36,15 @@ def read_source(
     if fmt not in READ_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {READ_FORMATS}")
     reader = spark.read.format(fmt)
+    if fmt == "csv":
+        # write_table always writes headers — the header option must be
+        # set on BOTH branches or the explicit-schema (production) path
+        # parses the header line as a data row
+        reader = reader.option("header", "true")
     if schema is not None:
         reader = reader.schema(schema)
     elif fmt in ("csv", "json"):
         reader = reader.option("inferSchema", "true")
-        if fmt == "csv":
-            reader = reader.option("header", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
@@ -119,10 +122,14 @@ def write_bucketed(
         # saveAsTable fails with LOCATION_ALREADY_EXISTS
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         import shutil
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+        wh = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+        if "." in table:  # qualified names live under <db>.db/<table>
+            db, _, t = table.rpartition(".")
+            shutil.rmtree(f"{wh}/{db.lower()}.db/{t.lower()}", ignore_errors=True)
+        else:
+            shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
     writer.saveAsTable(table)

@@ -107,3 +107,23 @@ def test_class_hierarchy_field_dispatch(spark, sf_dir):
             assert r.n_named == 0
         if cls != "NumExpr":
             assert r.sum_number == 0
+
+
+def test_list_length_within_traversal_bound(spark):
+    """adt_list_ops truncates silently if a region chain ever exceeds
+    MAX_LIST_LEN while the SQL oracle walks unbounded — pin the data
+    assumption the bound rests on at both unit SFs."""
+    from pyspark.sql import functions as F
+
+    from herodb_spark.operators.adt import MAX_LIST_LEN, list_terms
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        longest = (
+            list_terms(spark, sf)
+            .where(F.col("tag") == "cons")
+            .groupBy("region")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert longest < MAX_LIST_LEN, (sf, longest)

@@ -172,3 +172,21 @@ def test_dedup_cluster_transitivity(spark, sf_dir):
     for doc, canon in m.items():
         assert m[canon] == canon, (doc, canon)
         assert canon <= doc
+
+
+def test_cosine_zero_vector_no_ansi_crash(spark):
+    """A zero (padded/missing) embedding must yield similarity 0, not
+    an ANSI DIVIDE_BY_ZERO crash."""
+    from herodb_spark.functions import vector as V
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "id long, e array<double>"
+    )
+    got = {
+        r.id: r.c
+        for r in df.select(
+            "id", V.cosine_rounded(F.col("e"), F.array(F.lit(1.0), F.lit(1.0))).alias("c")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    assert abs(got[2] - 0.707107) < 1e-6

@@ -359,3 +359,18 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_cust")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_csv_explicit_schema_keeps_header_option(spark, sf_dir):
+    """The documented production path (explicit schema) must not parse
+    the header line write_table always emits as a data row."""
+    nation = load_table(spark, sf_dir, "nation")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "nation_csv_schema")
+        SR.write_table(nation, path, fmt="csv")
+        back = SR.read_source(
+            spark, path, fmt="csv",
+            schema="n_nationkey int, n_name string, n_regionkey int",
+        )
+        assert back.count() == 25
+        assert {r.n_nationkey for r in back.collect()} == set(range(25))
