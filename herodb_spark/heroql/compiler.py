@@ -713,6 +713,19 @@ class HeroQL:
             self._memo[name] = self._finalize(name, self._eval_seminaive(name))
             self._memo_pos[name] = len(self._delta_log)
             return
+        # stratification check: `not`/`exists` over a table in the SAME
+        # recursive component has no well-defined bottom-up semantics
+        # (the inflationary rounds would pick an arbitrary fixpoint
+        # depending on derivation order) — reject like Datalog does
+        for n in scc:
+            for rule in self.rules.get(n, ()):
+                _, neg = self._scc_atoms(rule, scc)
+                if neg:
+                    raise HeroQLError(
+                        f"unstratified negation: rule for {n!r} negates a table in "
+                        f"its own recursive component {sorted(scc)} — move the "
+                        "negated table to a lower stratum"
+                    )
         state: dict[str, DataFrame | None] = {n: None for n in scc}
         counts = {n: -1 for n in scc}
         for _ in range(self.max_iters):

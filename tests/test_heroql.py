@@ -534,6 +534,36 @@ def test_linear_recursion_with_cycle_terminates(spark):
     assert len(rows(res.queries[0])) == 9  # complete digraph on the 3-cycle
 
 
+def test_unstratified_negation_rejected(spark):
+    """`not` over a table in the same recursive component has no
+    well-defined bottom-up semantics — must error, not silently pick
+    an arbitrary fixpoint."""
+    hql = HeroQL(spark)
+    hql.register("E", spark.createDataFrame([(1, 2)], "a long, b long"))
+    hql.run("""
+        data Win(x : int);
+        Win(x) :- E(x, y), not Win(y);
+    """)
+    with pytest.raises(HeroQLError, match="unstratified"):
+        hql.table("Win")
+
+
+def test_stratified_negation_still_works(spark):
+    """Negation over a LOWER stratum (a non-recursive derived table)
+    is fine."""
+    hql = HeroQL(spark)
+    hql.register("E", spark.createDataFrame([(1, 2), (2, 3)], "a long, b long"))
+    res = hql.run("""
+        data Sink(n : int);
+        Sink(b) :- E(_, b), not E(b, _);
+        data Reach(x : int, y : int);
+        Reach(x, y) :- E(x, y);
+        Reach(x, z) :- Reach(x, y), E(y, z);
+        query (x, y) :- Reach(x, y), not Sink(y);
+    """)
+    assert rows(res.queries[0]) == [(1, 2)]
+
+
 def test_mutual_recursion_two_tables(spark):
     """Even/Odd mutual recursion through one SCC fixpoint."""
     hql = HeroQL(spark, max_iters=12)
