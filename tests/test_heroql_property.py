@@ -123,3 +123,36 @@ def test_update_remove_vs_python(spark_prop, lab, lo, hi):
         if not v > hi * 10
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# parser robustness: arbitrary input must either parse or raise
+# HeroQLSyntaxError — never an internal IndexError/KeyError/loop
+# ---------------------------------------------------------------------------
+
+from herodb_spark.heroql.parser import HeroQLSyntaxError, parse
+
+_fragments = st.sampled_from([
+    "data", "query", ":-", "(", ")", "{", "}", ";", ",", "::", "..",
+    "T", "x", "1", "1.5", '"s"', "==", "=", "not", "exists", "if",
+    "then", "else", "partition_by", "group_by", "set", "update",
+    "func", "case", "namespace", "using", "|", "*", "_", "index",
+])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_fragments, max_size=12).map(" ".join))
+def test_parser_never_crashes_on_token_soup(src):
+    try:
+        parse(src)
+    except HeroQLSyntaxError:
+        pass  # the only acceptable failure mode
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=40))
+def test_parser_never_crashes_on_arbitrary_text(src):
+    try:
+        parse(src)
+    except HeroQLSyntaxError:
+        pass
