@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import re
 import sys
 
 
@@ -54,15 +55,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         name, _, rest = spec.partition("=")
         if not rest:
             ap.error(f"--table needs NAME=PATH, got {spec!r}")
-        # split the class marker from the RIGHT so URI paths
-        # (s3a://, hdfs://) survive intact
+        # the class marker is anchored to the END of the spec, so URI
+        # paths (s3a://, hdfs://) and even paths that happen to contain
+        # the literal ':class' (data:classes/x.parquet) survive intact
         is_class, key = False, None
         path = rest
-        if ":class" in rest:
-            path, _, marker = rest.rpartition(":class")
+        m = re.match(r"^(.*?):class(?::([^:]+))?$", rest)
+        if m:
+            path, key = m.group(1), m.group(2)
             is_class = True
-            if marker.startswith(":"):
-                key = marker[1:]
         hql.register(name, spark.read.parquet(path), is_class=is_class, key=key)
 
     with open(args.program) as f:

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -69,27 +70,42 @@ class SnapshotTable:
         raise ConcurrentWriteError (the caller's writes land in
         version-scoped directories no reader resolves, so an aborted
         commit leaks only unreferenced files)."""
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
+        # writer-UNIQUE tmp name: with a shared fixed name, two racing
+        # writers could overwrite each other's serialized manifest
+        # before either reached the lock, making the lock-holder
+        # install the loser's manifest (silent lost update)
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         if expected_current is None:
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
             os.replace(tmp, self._manifest_path())  # atomic commit point
             return
         lock = os.path.join(self.path, "_commit.lock")
         fd = None
+        lock_ino = None
         try:
             for _ in range(2000):  # ~20s of 10ms retries
                 try:
                     fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    lock_ino = os.fstat(fd).st_ino
                     break
                 except FileExistsError:
                     # a writer killed inside its critical section (the
                     # section is manifest-swap only, sub-second) would
                     # wedge every future commit — treat a lock older
-                    # than 60s as abandoned and break it
+                    # than 60s as abandoned and break it. The break is
+                    # an atomic rename-aside: of N waiters that all see
+                    # the lock as stale, exactly ONE wins the rename
+                    # (the rest get ENOENT), so no waiter can ever
+                    # delete a lock a new writer just created.
                     try:
                         if time.time() - os.path.getmtime(lock) > 60:
-                            os.unlink(lock)
+                            aside = lock + f".stale-{uuid.uuid4().hex[:8]}"
+                            try:
+                                os.rename(lock, aside)
+                                os.unlink(aside)
+                            except OSError:
+                                pass  # another breaker won the rename
                             continue
                     except OSError:
                         continue
@@ -100,11 +116,28 @@ class SnapshotTable:
                 raise ConcurrentWriteError(
                     f"{self.path}: version advanced past {expected_current} during this mutation"
                 )
+            # serialize INSIDE the critical section, after validation,
+            # to the writer-private file — nothing outside the lock can
+            # replace these bytes between write and install
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
             os.replace(tmp, self._manifest_path())
         finally:
             if fd is not None:
                 os.close(fd)
-                os.unlink(lock)
+                # unlink only if we still OWN the lock path: a stale-
+                # breaker may have renamed ours aside while we were
+                # (slowly) inside the critical section, and the path may
+                # now be another writer's lock
+                try:
+                    if os.stat(lock).st_ino == lock_ino:
+                        os.unlink(lock)
+                except OSError:
+                    pass
+            try:  # failed/aborted commit: drop the private tmp file
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     # -- creation ----------------------------------------------------------
     @classmethod
@@ -136,44 +169,46 @@ class SnapshotTable:
     ) -> dict:
         """Write `df` under data/v=<version>-<token>/, one directory
         per partition value (or one directory for unpartitioned
-        tables). The token is WRITER-UNIQUE: two racing mutations that
+        tables), in ONE Spark job: a `partitionBy` dynamic-partition
+        write on a shadow string column, with the manifest entries
+        derived from the produced directory listing afterwards (the
+        manifest-from-written-files pattern real lakehouse commits
+        use). The previous shape — collect distinct values, then one
+        `df.where(p==v).write` job per value — paid O(partitions)
+        scheduler round-trips and re-evaluated the mutation plan per
+        partition; a 5,000-partition MERGE at 100 TB would launch
+        5,000 jobs. The shadow column keeps the REAL partition column
+        inside the data files, so manifest-resolved leaf-directory
+        reads see the full original schema with zero partition-
+        discovery dependence.
+
+        The version token is WRITER-UNIQUE: two racing mutations that
         both compute the same next version write disjoint directories,
         so the OCC loser's files can never alias into the winner's
         committed snapshot (they become unreferenced garbage).
         Returns {partition_value_str: relative_dir}. `only` restricts
         the write to those partition values."""
-        out: dict[str, str] = {}
         vdir = f"v={version}-{uuid.uuid4().hex[:8]}"
         if partition_col is None:
             rel = f"data/{vdir}/{_UNPARTITIONED}"
             df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
             return {_UNPARTITIONED: rel}
-        # one materialization feeds the distinct-values collect AND
-        # every per-partition write — without it each write would
-        # re-execute the whole mutation join (k+1 evaluations)
-        df = df.persist()
-        try:
-            values = [
-                r.p
-                for r in df.select(
-                    F.col(partition_col).cast("string").alias("p")
-                ).distinct().collect()
-            ]
-            if None in values:
+        pstr = F.col(partition_col).cast("string")
+        if only is not None:
+            df = df.where(pstr.isin(*only) if only else F.lit(False))
+        base = os.path.join(self.path, "data", vdir)
+        df.withColumn("__p", pstr).write.partitionBy("__p").mode("overwrite").parquet(base)
+        out: dict[str, str] = {}
+        for d in sorted(os.listdir(base)):
+            if not d.startswith("__p="):
+                continue
+            val = urllib.parse.unquote(d[len("__p="):])
+            if val == "__HIVE_DEFAULT_PARTITION__":
                 raise ValueError(
                     f"{self.path}: NULL {partition_col!r} values are not supported "
                     "as snapshot partition keys"
                 )
-            for v in values:
-                if only is not None and v not in only:
-                    continue
-                rel = f"data/{vdir}/p={v}"
-                df.where(F.col(partition_col).cast("string") == v).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(self.path, rel))
-                out[v] = rel
-        finally:
-            df.unpersist()
+            out[val] = f"data/{vdir}/{d}"
         return out
 
     # -- reads -------------------------------------------------------------

@@ -327,6 +327,38 @@ def test_snapshot_stale_lock_broken(spark, tmp_path):
     assert not os.path.exists(lock)
 
 
+def test_snapshot_write_job_count_constant_in_partitions(spark, tmp_path):
+    """The copy-on-write writer must launch a CONSTANT number of Spark
+    jobs regardless of how many partitions a mutation touches (one
+    partitionBy dynamic write + the touched-set collects), not one job
+    per partition value: a 5,000-partition MERGE at 100 TB must not pay
+    5,000 scheduler round-trips."""
+    from pyspark.sql import functions as F
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    n_parts = 100
+    df = spark.range(n_parts * 3).select(
+        F.col("id"), (F.col("id") % n_parts).alias("grp"), F.lit(1.0).alias("v")
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "many"), df, ["id"], partition_col="grp")
+    sc = spark.sparkContext
+    sc.setJobGroup("snap-jobcount", "update touching all partitions")
+    try:
+        t.update_where(F.col("v") > 0, {"v": F.col("v") + 1})
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("snap-jobcount")
+    # pre/post touched-set collects + the single dynamic write (+ AQE
+    # sub-jobs); the point is O(1), far below the 100 partition values
+    assert 0 < len(jobs) <= 10, f"expected O(1) jobs, got {len(jobs)}"
+    got = t.read().agg(F.sum("v")).collect()[0][0]
+    assert got == n_parts * 3 * 2.0
+    # every partition rewritten into the single new version directory
+    parts = t._load()["versions"]["1"]["partitions"]
+    assert len(parts) == n_parts and all(rel.startswith("data/v=1-") for rel in parts.values())
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir):
     """Co-bucketed tables must join with ZERO Exchange: the physical
     realization of `index Hash(custkey)` co-location (draft:44-47).
