@@ -61,6 +61,63 @@ def test_embedding_lsh_recall_is_total(spark, sfd):
     assert lsh - exact == set(), f"extra: {sorted(lsh - exact)[:10]}"
 
 
+def test_emb_lsh_dims_sizing_rule():
+    """Geometry derivation: bits ~ log2(n/target) with the 64-bit
+    signature-width invariant tables × bits ≤ 64, and the default
+    (32, 2) regime — where recall is provably total and the exact
+    oracle applies — at every testdata corpus size."""
+    for n in (0, 1, 500, 2000, 4 * D.EMB_LSH_TARGET_BUCKET):
+        assert D.emb_lsh_dims(n) == (32, 2)
+    import math
+
+    for n in (10_000, 100_000, 10_000_000, 10**12):
+        tables, bits = D.emb_lsh_dims(n)
+        assert tables * bits <= 64
+        assert 2 <= bits <= 16 and tables >= 4
+        # expected bucket size stays at/below target once bits derive
+        # from n (until the 16-bit width cap)
+        if bits < 16:
+            assert n / 2**bits <= D.EMB_LSH_TARGET_BUCKET
+    # monotone: more data never means coarser buckets
+    dims = [D.emb_lsh_dims(n)[1] for n in (10**3, 10**4, 10**5, 10**6, 10**7)]
+    assert dims == sorted(dims)
+
+
+def test_emb_lsh_bucket_sizes_bounded_beyond_default_regime(spark):
+    """Property pinning the scale contract: on a corpus large enough
+    that the derived bits EXCEED the default 2, no (table, bucket)
+    group — the unit of applyInPandas memory — exceeds ~2× the target
+    bucket size. This is what makes an unattended 100× scale-up safe:
+    the knob the round-4 review flagged now moves with the data."""
+    import numpy as np
+    import pandas as pd
+
+    n = 8 * D.EMB_LSH_TARGET_BUCKET  # 8192 → bits=3, tables=21
+    n_tables, n_bits = D.emb_lsh_dims(n)
+    assert n_bits > 2, "corpus chosen to leave the default regime"
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": list(rng.standard_normal((n, 16)).astype("float32"))}
+    )
+    emb = spark.createDataFrame(pdf)
+    with_sig = emb.withColumn("sig", D._sign_signature_udf(n_tables, n_bits)(F.col("embedding")))
+    chunk_mask = (1 << n_bits) - 1
+    tables = [
+        F.struct(
+            F.lit(t).alias("t"),
+            F.shiftright(F.col("sig"), t * n_bits).bitwiseAND(F.lit(chunk_mask)).alias("k"),
+        )
+        for t in range(n_tables)
+    ]
+    sizes = (
+        with_sig.select(F.explode(F.array(*tables)).alias("tk"))
+        .groupBy("tk.t", "tk.k")
+        .count()
+    )
+    biggest = sizes.agg(F.max("count")).collect()[0][0]
+    assert biggest <= 2 * D.EMB_LSH_TARGET_BUCKET, biggest
+
+
 def test_label_centroids_pandas_variant_matches_builtin(spark, sf_dir):
     """The grouped-applyInPandas centroid demo must equal the graded
     built-in posexplode+partial-agg plan."""
