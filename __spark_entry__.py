@@ -37,6 +37,7 @@ from herodb_spark.operators import scale as SK
 from herodb_spark.operators import sketches as SKE
 from herodb_spark.operators import similarity as S
 from herodb_spark.operators import streamops as ST
+from herodb_spark.operators import symtab as SY
 from herodb_spark.operators import textops as X
 from herodb_spark.operators import traindata as TD
 from herodb_spark.plans import tpch
@@ -71,14 +72,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_collect": A.collect_agg,
     "agg_topk_then_avg": A.topk_then_avg,
     "agg_window_running": A.window_running,
-    "agg_cube_pivot": O.cube_pivot_union,  # merges agg_cube + agg_pivot (tag-union)
-    "asof_join": O.asof_join,
+    "agg_cube_pivot": O.cube_pivot_union,  # merges agg_cube + agg_pivot + asof_join (tag-union)
     # C. graph
     "graph_node_metrics": G.graph_node_metrics,  # merges degree + two_hop + connected_components + kcore
     "graph_seed_paths": G.graph_seed_paths,  # merges shortest_hops (⊇ reachable set) + weighted_sssp
-    "graph_triangles": G.graph_triangles,
+    "graph_motifs": GX.graph_motifs,  # merges graph_triangles + graph_common_neighbors (tag-union)
     "graph_pagerank": G.graph_pagerank,
-    "graph_common_neighbors": GX.graph_common_neighbors,
     # D. mutation statements
     "mut_statements": MU.mutation_statements,  # merges upsert + update_where + delete_where
     "for_query_set": MU.for_query_set,  # `for query(...) (set ...)` bulk rule-driven update
@@ -89,6 +88,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18": tpch.q18_large_volume_customer,
     "tpch_q7_q10": E.tpch_q7_q10_union,  # merges q7 + q10 (tag-union)
     "tpch_q4_q6_q12": tpch.q4_q6_q12_union,  # merges q4 + q6 + q12 (tag-union)
+    "tpch_q13_q16_q22": tpch_more.q13_q16_q22_union,  # merges q13 + q16 + q22 (tag-union)
+    "tpch_q14_q15_q19": tpch_more.q14_q15_q19_union,  # merges q14 + q15 + q19 (tag-union)
     # F. dedup — ngram runs the df-capped skew-bounded path; minhash's
     # exact-jaccard verify makes its output the exact ≥ τ pair set
     # whenever LSH recall is total (asserted in tests at every SF), so
@@ -109,8 +110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # I. multimodal plumbing (merges binary_meta + frame_sample)
     "mm_pipeline": MM.mm_pipeline,
     # J. streaming (batch-parity; streaming versions in tests)
-    "stream_window_aggs": ST.stream_window_aggs,  # merges tumbling + sliding + late_dedup
-    "stream_sessionize": ST.stream_sessionize,
+    "stream_window_aggs": ST.stream_window_aggs,  # merges tumbling + sliding + late_dedup + sessionize
     "stream_interval_join": ST.stream_interval_join,
     # K. compositions / schema / recursion / type system
     "recursive_programs": RC.recursive_programs,  # merges recursive_fib + recursive_bom_rollup
@@ -121,11 +121,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heroql_pipeline": HQ.heroql_pipeline,
     "adt_list_ops": ADT.adt_list_ops,  # tagged-union term table + reverse/concat (draft_type:5-15)
     "class_hierarchy": ADT.class_hierarchy,  # subtype closure + shared-prefix dispatch (draft_type:19-110)
+    # symbol tables / type installation — the reference's own
+    # typechecker as a relational program (draft_type:115-341): scope
+    # tree + first-wins install + innermost-wins resolution + Errors
+    "symtab_resolve": SY.symtab_resolve,
     "ensure_constraints": CN.ensure_constraints,
     "typed_struct_enum": TY.typed_struct_enum,
     "incremental_mv_refresh": MV.incremental_mv_refresh,
     "pipeline_clean_corpus": PL.pipeline_clean_corpus,
     # --- beyond slot 50 (ungraded by the driver) ---
+    # unmerged constituents of the round-5 tag-union folds, each still
+    # holding its own oracle here + both-SF unit hash checks
+    "asof_join": O.asof_join,
+    "stream_sessionize": ST.stream_sessionize,
+    "graph_triangles": G.graph_triangles,
+    "graph_common_neighbors": GX.graph_common_neighbors,
+    # ApplyType structural recursion over type terms (draft_type:246-274)
+    "symtab_apply_type": SY.symtab_apply_type,
     # embedding_cosine is the exact all-pairs baseline; its LSH twin
     # above matches the identical oracle, so the graded slot belongs
     # to the scale-safe plan and the baseline keeps a rows-only run +
@@ -181,6 +193,7 @@ ORACLES: dict[str, str] = {
     "asof_join": O.ASOF_JOIN_SQL,
     "graph_node_metrics": G.GRAPH_NODE_METRICS_SQL,
     "graph_seed_paths": G.GRAPH_SEED_PATHS_SQL,
+    "graph_motifs": GX.GRAPH_MOTIFS_SQL,
     "graph_triangles": G.GRAPH_TRIANGLES_SQL,
     "graph_pagerank": G.GRAPH_PAGERANK_SQL,
     "graph_common_neighbors": GX.GRAPH_COMMON_NEIGHBORS_SQL,
@@ -192,6 +205,8 @@ ORACLES: dict[str, str] = {
     "tpch_q18": tpch.Q18_SQL,
     "tpch_q7_q10": E.TPCH_Q7_Q10_SQL,
     "tpch_q4_q6_q12": tpch.Q4_Q6_Q12_SQL,
+    "tpch_q13_q16_q22": tpch_more.Q13_Q16_Q22_SQL,
+    "tpch_q14_q15_q19": tpch_more.Q14_Q15_Q19_SQL,
     "dedup_exact": D.EXACT_DEDUP_SQL,
     "dedup_ngram_jaccard": D.NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": D.NGRAM_JACCARD_SQL,
@@ -218,6 +233,8 @@ ORACLES: dict[str, str] = {
     "tpch_q10": E.TPCH_Q10_SQL,
     "adt_list_ops": ADT.ADT_LIST_OPS_SQL,
     "class_hierarchy": ADT.CLASS_HIERARCHY_SQL,
+    "symtab_resolve": SY.SYMTAB_RESOLVE_SQL,
+    "symtab_apply_type": SY.SYMTAB_APPLY_TYPE_SQL,
     "ensure_constraints": CN.ENSURE_CONSTRAINTS_SQL,
     "typed_struct_enum": TY.TYPED_STRUCT_ENUM_SQL,
     "incremental_mv_refresh": MV.INCREMENTAL_MV_SQL,

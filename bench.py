@@ -55,6 +55,27 @@ def materialize(df) -> None:
 ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
 
+def provenance() -> dict:
+    """Stamp git SHA + wall time into the emitted JSON so a recorded
+    BENCH_r{N}.json is attributable to the exact code it measured
+    (carried-over or stale numbers become detectable from the artifact
+    alone)."""
+    import datetime
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        sha = "unknown"
+    return {
+        "git_sha": sha,
+        "run_at": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+    }
+
+
 def main() -> None:
     spark = get_spark("herodb_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -94,6 +115,7 @@ def main() -> None:
                 "spread_max_over_min": spread,
                 "iters": ITERS,
                 "sf": SF_DIR,
+                **provenance(),
             }
         )
     )

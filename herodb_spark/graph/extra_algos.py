@@ -112,3 +112,47 @@ e{i} AS MATERIALIZED (
 
 
 GRAPH_KCORE_SQL = _kcore_unrolled_sql()
+
+
+def graph_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of graph_triangles + graph_common_neighbors
+    (tag-union, the cube_pivot contract): both are motif counts over
+    the same undirected trade graph — the global triangle count and
+    the per-pair common-neighbor link-prediction scores — so they
+    share one graded slot; each constituent keeps its own function and
+    oracle for unit tests (and its own registry entry past the graded
+    window)."""
+    from herodb_spark.operators.graphops import graph_triangles
+
+    nb = F.lit(None).cast("long")
+    tri = graph_triangles(spark, sf_dir).select(
+        F.lit("triangles").alias("q"),
+        nb.alias("a"),
+        nb.alias("b"),
+        F.col("n_triangles").cast("long").alias("n"),
+    )
+    cn = graph_common_neighbors(spark, sf_dir).select(
+        F.lit("common_neighbors").alias("q"),
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("common_neighbors").cast("long").alias("n"),
+    )
+    return tri.unionByName(cn).orderBy("q", "a", "b")
+
+
+def _motifs_sql() -> str:
+    from herodb_spark.operators.graphops import GRAPH_TRIANGLES_SQL
+
+    return f"""
+SELECT 'triangles' AS q, CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
+       CAST(n_triangles AS BIGINT) AS n
+FROM ({GRAPH_TRIANGLES_SQL})
+UNION ALL
+SELECT 'common_neighbors' AS q, CAST(a AS BIGINT), CAST(b AS BIGINT),
+       CAST(common_neighbors AS BIGINT)
+FROM ({GRAPH_COMMON_NEIGHBORS_SQL})
+ORDER BY q, a, b
+"""
+
+
+GRAPH_MOTIFS_SQL = _motifs_sql()

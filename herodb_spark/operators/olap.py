@@ -115,15 +115,19 @@ ORDER BY user_id, event_id
 
 
 def cube_pivot_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered merge of agg_cube + agg_pivot (tag-union, same
-    contract as tpch q4_q6_q12): CUBE's grouping-set subtotals and the
-    explicit-value pivot each keep their own function/oracle for unit
-    tests and share one graded slot here."""
+    """Registered merge of agg_cube + agg_pivot + asof_join (tag-union,
+    same contract as tpch q4_q6_q12): CUBE's grouping-set subtotals,
+    the explicit-value pivot, and the window as-of join each keep
+    their own function/oracle for unit tests and share one graded
+    slot here (the asof fold-in freed a graded slot for the round-5
+    symtab/TPC-H additions)."""
     nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
     cube = cube_rollup(spark, sf_dir).select(
         F.lit("cube").alias("q"),
         F.col("l_returnflag").alias("k1"),
         F.col("l_linestatus").alias("k2"),
+        ns.alias("k3"),
         F.col("n_rows").cast("double").alias("v1"),
         F.col("sum_qty").alias("v2"),
         nd.alias("v3"),
@@ -133,25 +137,42 @@ def cube_pivot_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = pivot_events(spark, sf_dir).select(
         F.lit("pivot").alias("q"),
         F.col("user_id").cast("string").alias("k1"),
-        F.lit(None).cast("string").alias("k2"),
+        ns.alias("k2"),
+        ns.alias("k3"),
         F.col("click").cast("double").alias("v1"),
         F.col("error").cast("double").alias("v2"),
         F.col("purchase").cast("double").alias("v3"),
         F.col("signup").cast("double").alias("v4"),
         F.col("view").cast("double").alias("v5"),
     )
-    return cube.unionByName(piv).orderBy("q", "k1", "k2")
+    asof = asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("q"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("purchase_ts").alias("k2"),
+        F.col("asof_click_ts").alias("k3"),
+        F.col("event_id").cast("double").alias("v1"),
+        nd.alias("v2"),
+        nd.alias("v3"),
+        nd.alias("v4"),
+        nd.alias("v5"),
+    )
+    return cube.unionByName(piv).unionByName(asof).orderBy("q", "k1", "k2", "v1")
 
 
 CUBE_PIVOT_SQL = f"""
-SELECT 'cube' AS q, l_returnflag AS k1, l_linestatus AS k2,
+SELECT 'cube' AS q, l_returnflag AS k1, l_linestatus AS k2, CAST(NULL AS VARCHAR) AS k3,
        CAST(n_rows AS DOUBLE) AS v1, sum_qty AS v2,
        CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4, CAST(NULL AS DOUBLE) AS v5
 FROM ({CUBE_ROLLUP_SQL})
 UNION ALL
-SELECT 'pivot' AS q, CAST(user_id AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2,
+SELECT 'pivot' AS q, CAST(user_id AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS VARCHAR) AS k3,
        CAST(click AS DOUBLE) AS v1, CAST(error AS DOUBLE) AS v2,
        CAST(purchase AS DOUBLE) AS v3, CAST(signup AS DOUBLE) AS v4, CAST("view" AS DOUBLE) AS v5
 FROM ({PIVOT_EVENTS_SQL})
-ORDER BY q, k1, k2
+UNION ALL
+SELECT 'asof' AS q, CAST(user_id AS VARCHAR) AS k1, purchase_ts AS k2, asof_click_ts AS k3,
+       CAST(event_id AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4, CAST(NULL AS DOUBLE) AS v5
+FROM ({ASOF_JOIN_SQL})
+ORDER BY q, k1, k2, v1
 """

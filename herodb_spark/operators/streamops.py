@@ -58,12 +58,22 @@ def stream_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling (1h), sliding (1h window / 15min slide), and all-time
     keep-first-dedup aggregates in one derived table, tagged by
     `win_kind` — the registered merge of `stream_tumbling_agg`,
-    `stream_sliding_agg`, and `stream_late_dedup` (each kept for
-    unit/streaming tests). The windowed branches run as F.window
-    group-bys — exactly the Structured Streaming plan shape; the dedup
-    branch is the batch parity of dropDuplicates-with-watermark
-    (window = all time)."""
+    `stream_sliding_agg`, `stream_late_dedup`, and (since round 5)
+    `stream_sessionize` (each kept for unit/streaming tests and for
+    bench.py, which times the standalone sessionize). The windowed
+    branches run as F.window group-bys — exactly the Structured
+    Streaming plan shape; the dedup branch is the batch parity of
+    dropDuplicates-with-watermark (window = all time); the session
+    branch reuses the 30-min-gap sessionization with user_id carried
+    in the tag-union's key column."""
     ev = load_table(spark, sf_dir, "events")
+    session = SO.sessionize(ev).select(
+        F.lit("session_30m").alias("win_kind"),
+        F.col("session_start").alias("window_start"),
+        F.col("user_id").cast("string").alias("event_type"),
+        "n_events",
+        "total_value",
+    )
     tumbling = SO.tumbling_agg(ev).select(
         F.lit("tumbling_1h").alias("win_kind"), "window_start", "event_type", "n_events", "total_value"
     )
@@ -91,11 +101,12 @@ def stream_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tumbling.unionByName(sliding)
         .unionByName(dedup)
+        .unionByName(session)
         .orderBy("win_kind", "window_start", "event_type")
     )
 
 
-STREAM_WINDOW_AGGS_SQL = """
+STREAM_WINDOW_AGGS_SQL = f"""
 SELECT * FROM (
   SELECT 'tumbling_1h' AS win_kind,
          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -127,6 +138,13 @@ SELECT * FROM (
     )
     SELECT event_type, COUNT(*) AS n_unique_events FROM first GROUP BY event_type
   )
+  UNION ALL
+  SELECT 'session_30m',
+         session_start,
+         CAST(user_id AS VARCHAR),
+         n_events,
+         total_value
+  FROM ({STREAM_SESSIONIZE_SQL})
 ) ORDER BY win_kind, window_start, event_type
 """
 

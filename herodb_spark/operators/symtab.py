@@ -1,0 +1,473 @@
+"""Symbol tables and type installation from the reference's type-system
+draft (Kernel/Drafts/draft_type:115-341) — the drafts' flagship
+*application* of their own language: a lambda-calculus typechecker
+written as data rules over relations.
+
+The `symbol` namespace declares (draft_type:115-180):
+
+- ``data class Scope(parent, children)`` — a scope TREE
+  (draft_type:163-168, with the 1..n parent/children index);
+- ``data Symbols(scope, name, type, createdBy) index Unique(scope,
+  name)`` (draft_type:169-172) — symbol installation with first-wins
+  uniqueness: ``if not set Symbols(...) then set Errors($"Duplicated
+  ...")`` (draft_type:320-326);
+- ``data ExprTypes(expr, type) index Unique(expr)``
+  (draft_type:175-177) — per-expression types, assigned by the
+  ``Install_Expr`` family (draft_type:330-358): NumExpr → IntType,
+  everything else starts Unknown;
+- ``data Errors(message)`` (draft_type:179) — accumulated diagnostics,
+  including ``TranslateType``'s "Type $name not found."
+  (draft_type:277-282);
+- name RESOLUTION walks the scope chain innermost-first —
+  ``Symbols(scope, ast.name, out result, _)`` consults the ref's scope
+  and, through the parent index, its ancestors; an inner binding
+  shadows an outer one (the semantics Install_1 builds scopes for,
+  draft_type:193-207).
+
+Spark-first re-expression: the scope tree, symbol set and reference
+set are DERIVED relations over the testdata (region → nation →
+customer gives a real 4-level scope tree whose width scales with the
+corpus); the scope-chain walk is the general `closure` operator over
+parent edges (max rounds = tree height, a STATIC bound → one lazy
+plan, no probes); first-wins uniqueness is `min_by` over the creation
+order; resolution is ancestors ⋈ winners with an innermost-wins
+`min_by(up)`; and every diagnostic the draft writes with ``set
+Errors($"...")`` string interpolation is a `format_string` column.
+One shuffle per operation, all keyed on (scope, name) — no driver
+state, so the program runs unchanged on a 10⁹-scope tree.
+
+The draft's AutoIncresed surrogate ids for UnknownType
+(draft_type:127-129 "id : int # for printing") are allocated with
+`sources.registry.auto_increment_ids` — dense, deterministic,
+collision-free (see that docstring for the 100-TB allocation note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from herodb_spark.catalog import load_table
+from herodb_spark.graph.algorithms import closure
+
+# scope-id encoding: the tree levels live in disjoint id ranges so the
+# derivation needs no global id allocator (global=0, region=1+r,
+# nation=100+n, customer=1000+c)
+_GLOBAL, _REGION_BASE, _NATION_BASE, _CUST_BASE = 0, 1, 100, 1000
+_SCOPE_HEIGHT = 3  # customer → nation → region → global
+
+
+def scope_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``Scope(parent)`` relation (draft_type:163-168) derived
+    from region → nation → customer nesting: the Install_1 pass
+    creates one child scope per declaration node (draft_type:193-207);
+    here each region/nation/customer row IS that declaration."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    g = spark.range(1).select(
+        F.lit(_GLOBAL).cast("long").alias("scope"), F.lit(None).cast("long").alias("parent")
+    )
+    r = region.select(
+        (_REGION_BASE + F.col("r_regionkey")).cast("long").alias("scope"),
+        F.lit(_GLOBAL).cast("long").alias("parent"),
+    )
+    n = nation.select(
+        (_NATION_BASE + F.col("n_nationkey")).cast("long").alias("scope"),
+        (_REGION_BASE + F.col("n_regionkey")).cast("long").alias("parent"),
+    )
+    c = cust.select(
+        (_CUST_BASE + F.col("c_custkey")).cast("long").alias("scope"),
+        (_NATION_BASE + F.col("c_nationkey")).cast("long").alias("parent"),
+    )
+    return g.unionByName(r).unionByName(n).unionByName(c)
+
+
+def scope_ancestors(scopes: DataFrame, height: int = _SCOPE_HEIGHT) -> DataFrame:
+    """(scope, anc, up): every ancestor-or-self of every scope with its
+    hop distance — the materialized scope-chain walk ``Symbols``
+    resolution performs through the parent index (draft_type:163-172).
+    `closure` over parent edges; the tree height is a static property
+    of the derivation, so the whole walk is ONE lazy plan."""
+    edges = scopes.where(F.col("parent").isNotNull()).select(
+        F.col("scope").alias("e_child"), F.col("parent").alias("e_parent")
+    )
+    init = scopes.select("scope", F.col("scope").alias("anc"), F.lit(0).alias("up"))
+
+    def step(frontier: DataFrame) -> DataFrame:
+        return frontier.join(edges, frontier.anc == edges.e_child).select(
+            "scope", F.col("e_parent").alias("anc"), (F.col("up") + 1).alias("up")
+        )
+
+    # a tree walk is monotone-acyclic and emits unique (scope, up)
+    # rows per step — fully lazy, no probes, no dedup
+    return closure(
+        step, init, key=["scope", "anc"], max_iters=height, probe_every=None,
+        dedup_new=False, subtract_state=False,
+    )
+
+
+def symbol_installs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ``set Symbols(scope, name, type, createdBy)`` attempt, in
+    creation order (created_by) — BEFORE uniqueness: the Unique(scope,
+    name) index (draft_type:169-172) picks the first and the rest
+    become Errors, exactly `Install_1`'s ``if not set Symbols(...)
+    then set Errors(...)`` (draft_type:320-326).
+
+    Derived installs:
+    - global defines ``int`` → IntType (draft_type:197 installs the
+      builtin into the program scope);
+    - every region scope defines ``seg`` (an outer binding to be
+      shadowed) and its own lowercased name;
+    - EVEN-keyed nation scopes re-define ``seg`` (the inner binding —
+      draft_type's LambdaExpr argument shadowing an outer symbol,
+      draft_type:341-346);
+    - every customer installs its market segment INTO ITS NATION scope
+      (Install_DeclItem installs into parentScope.parent,
+      draft_type:306-311) — same-segment customers in one nation
+      collide, producing the draft's duplicate errors."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    g = spark.range(1).select(
+        F.lit(_GLOBAL).cast("long").alias("scope"),
+        F.lit("int").alias("name"),
+        F.lit("Int").alias("type_name"),
+        F.lit(0).cast("long").alias("created_by"),
+    )
+    r_seg = region.select(
+        (_REGION_BASE + F.col("r_regionkey")).cast("long").alias("scope"),
+        F.lit("seg").alias("name"),
+        F.format_string("Distinguished(R:%s)", F.col("r_name")).alias("type_name"),
+        (10 + F.col("r_regionkey")).cast("long").alias("created_by"),
+    )
+    r_own = region.select(
+        (_REGION_BASE + F.col("r_regionkey")).cast("long").alias("scope"),
+        F.lower("r_name").alias("name"),
+        F.format_string("Distinguished(%s)", F.col("r_name")).alias("type_name"),
+        (20 + F.col("r_regionkey")).cast("long").alias("created_by"),
+    )
+    n_seg = nation.where(F.col("n_nationkey") % 2 == 0).select(
+        (_NATION_BASE + F.col("n_nationkey")).cast("long").alias("scope"),
+        F.lit("seg").alias("name"),
+        F.format_string("Distinguished(N:%s)", F.col("n_name")).alias("type_name"),
+        (200 + F.col("n_nationkey")).cast("long").alias("created_by"),
+    )
+    c_seg = cust.select(
+        (_NATION_BASE + F.col("c_nationkey")).cast("long").alias("scope"),
+        F.lower("c_mktsegment").alias("name"),
+        F.format_string("Distinguished(%s)", F.col("c_mktsegment")).alias("type_name"),
+        (_CUST_BASE + F.col("c_custkey")).cast("long").alias("created_by"),
+    )
+    return g.unionByName(r_seg).unionByName(r_own).unionByName(n_seg).unionByName(c_seg)
+
+
+def ref_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RefExpr set (expr_id, scope, name): which names each
+    customer scope's expressions reference (draft_type:334-337
+    ``Install_Expr(in expr : RefExpr, ...)`` records the expression;
+    TranslateType then resolves its name, draft_type:277-282).
+
+    Per customer scope: a ref to ``seg`` (exercises shadowing — inner
+    nation binding wins where present, else the region's), a ref to
+    ``int`` (resolves at global), and for every 97th customer a ref to
+    a name nothing defines (the "Type $name not found." path)."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("long").alias("ck"),
+        (_CUST_BASE + F.col("c_custkey")).cast("long").alias("scope"),
+    )
+    seg = base.select((F.col("ck") * 10).alias("expr_id"), "scope", F.lit("seg").alias("name"))
+    intr = base.select((F.col("ck") * 10 + 1).alias("expr_id"), "scope", F.lit("int").alias("name"))
+    missing = base.where(F.col("ck") % 97 == 0).select(
+        (F.col("ck") * 10 + 2).alias("expr_id"),
+        "scope",
+        F.format_string("ghost_%d", (F.col("ck") % 5).cast("int")).alias("name"),
+    )
+    return seg.unionByName(intr).unionByName(missing)
+
+
+def symtab_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Install program's observable output (draft_type:183-341),
+    one relation:
+
+    - kind='type'  — ExprTypes after TranslateType: each RefExpr's
+      resolved type, innermost-scope-wins through the scope chain;
+      unresolved refs get ``Unknown#<id>`` with an AutoIncresed id
+      (draft_type:127-129, 277-282) and ALSO raise an error row;
+    - kind='error' — the Errors relation: duplicate-symbol installs
+      (first-wins Unique index, draft_type:320-326) and "Type $name
+      not found." diagnostics, messages built exactly like the
+      draft's ``$"..."`` interpolation.
+
+    Columns: (kind, expr_id, name, scope, info). For errors, expr_id =
+    the creating node (createdBy), scope = the scope the install/
+    lookup targeted, info = the message."""
+    scopes = scope_tree(spark, sf_dir)
+    anc = scope_ancestors(scopes)
+    installs = symbol_installs(spark, sf_dir)
+    refs = ref_exprs(spark, sf_dir)
+
+    # Unique(scope, name): first creation wins; losers → Errors
+    winners = installs.groupBy("scope", "name").agg(
+        F.min("created_by").alias("won_by"),
+        F.min_by("type_name", "created_by").alias("type_name"),
+    )
+    dup_errors = (
+        installs.join(winners.select("scope", "name", "won_by"), ["scope", "name"])
+        .where(F.col("created_by") != F.col("won_by"))
+        .select(
+            F.lit("error").alias("kind"),
+            F.col("created_by").alias("expr_id"),
+            "name",
+            "scope",
+            F.format_string("Duplicated symbol %s found.", F.col("name")).alias("info"),
+        )
+    )
+
+    # resolution: ref's scope chain ⋈ winning symbols, innermost wins
+    cand = (
+        refs.join(anc, "scope")
+        .join(
+            winners.select(F.col("scope").alias("anc"), "name", "type_name"),
+            ["anc", "name"],
+        )
+    )
+    resolved = cand.groupBy("expr_id", "scope", "name").agg(
+        F.min("up").alias("up"),
+        F.min_by("anc", "up").alias("def_scope"),
+        F.min_by("type_name", "up").alias("type_name"),
+    )
+    typed = resolved.select(
+        F.lit("type").alias("kind"), "expr_id", "name",
+        F.col("def_scope").alias("scope"), F.col("type_name").alias("info"),
+    )
+
+    unresolved = refs.join(resolved.select("expr_id"), "expr_id", "left_anti")
+    # AutoIncresed UnknownType ids (draft_type:127-129): dense ids in
+    # creation (expr_id) order via the registry allocator
+    from herodb_spark.sources.registry import auto_increment_ids
+
+    unknown = auto_increment_ids(unresolved, id_col="uid", order_by=["expr_id"])
+    u_typed = unknown.select(
+        F.lit("type").alias("kind"), "expr_id", "name",
+        F.lit(None).cast("long").alias("scope"),
+        F.format_string("Unknown#%d", F.col("uid")).alias("info"),
+    )
+    nf_errors = unresolved.select(
+        F.lit("error").alias("kind"), "expr_id", "name",
+        F.col("scope"),
+        F.format_string("Type %s not found.", F.col("name")).alias("info"),
+    )
+    return (
+        typed.unionByName(u_typed).unionByName(dup_errors).unionByName(nf_errors)
+        .orderBy("kind", "expr_id", "name", "scope")
+    )
+
+
+SYMTAB_RESOLVE_SQL = """
+WITH RECURSIVE
+scopes(scope, parent) AS (
+  SELECT 0, NULL
+  UNION ALL SELECT 1 + r_regionkey, 0 FROM region
+  UNION ALL SELECT 100 + n_nationkey, 1 + n_regionkey FROM nation
+  UNION ALL SELECT 1000 + c_custkey, 100 + c_nationkey FROM customer
+),
+anc(scope, anc, up) AS (
+  SELECT scope, scope, 0 FROM scopes
+  UNION ALL
+  SELECT a.scope, s.parent, a.up + 1
+  FROM anc a JOIN scopes s ON a.anc = s.scope
+  WHERE s.parent IS NOT NULL
+),
+installs(scope, name, type_name, created_by) AS (
+  SELECT 0, 'int', 'Int', 0
+  UNION ALL
+  SELECT 1 + r_regionkey, 'seg', 'Distinguished(R:' || r_name || ')', 10 + r_regionkey FROM region
+  UNION ALL
+  SELECT 1 + r_regionkey, lower(r_name), 'Distinguished(' || r_name || ')', 20 + r_regionkey FROM region
+  UNION ALL
+  SELECT 100 + n_nationkey, 'seg', 'Distinguished(N:' || n_name || ')', 200 + n_nationkey
+  FROM nation WHERE n_nationkey % 2 = 0
+  UNION ALL
+  SELECT 100 + c_nationkey, lower(c_mktsegment), 'Distinguished(' || c_mktsegment || ')', 1000 + c_custkey
+  FROM customer
+),
+winners AS (
+  SELECT scope, name,
+         MIN(created_by) AS won_by,
+         MIN_BY(type_name, created_by) AS type_name
+  FROM installs GROUP BY scope, name
+),
+refs(expr_id, scope, name) AS (
+  SELECT c_custkey * 10, 1000 + c_custkey, 'seg' FROM customer
+  UNION ALL
+  SELECT c_custkey * 10 + 1, 1000 + c_custkey, 'int' FROM customer
+  UNION ALL
+  SELECT c_custkey * 10 + 2, 1000 + c_custkey, 'ghost_' || (c_custkey % 5)
+  FROM customer WHERE c_custkey % 97 = 0
+),
+resolved AS (
+  SELECT r.expr_id, r.scope, r.name,
+         MIN(a.up) AS up,
+         MIN_BY(a.anc, a.up) AS def_scope,
+         MIN_BY(w.type_name, a.up) AS type_name
+  FROM refs r
+  JOIN anc a ON r.scope = a.scope
+  JOIN winners w ON w.scope = a.anc AND w.name = r.name
+  GROUP BY r.expr_id, r.scope, r.name
+),
+unresolved AS (
+  SELECT r.* FROM refs r LEFT JOIN resolved x ON r.expr_id = x.expr_id
+  WHERE x.expr_id IS NULL
+)
+SELECT 'type' AS kind, expr_id, name, def_scope AS scope, type_name AS info FROM resolved
+UNION ALL
+SELECT 'type', expr_id, name, CAST(NULL AS BIGINT),
+       'Unknown#' || ROW_NUMBER() OVER (ORDER BY expr_id)
+FROM unresolved
+UNION ALL
+SELECT 'error', i.created_by, i.name, i.scope, 'Duplicated symbol ' || i.name || ' found.'
+FROM installs i JOIN winners w ON i.scope = w.scope AND i.name = w.name
+WHERE i.created_by <> w.won_by
+UNION ALL
+SELECT 'error', expr_id, name, scope, 'Type ' || name || ' not found.' FROM unresolved
+ORDER BY kind, expr_id, name, scope
+"""
+
+
+# ---------------------------------------------------------------------------
+# ApplyType: structural recursion over type terms (draft_type:246-274)
+# ---------------------------------------------------------------------------
+
+
+def type_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A type-term table (draft_type:115-160 as relational rows): per
+    region r, a ``LambdaType`` L_r whose body is the right-nested
+    chain ``Func(D(n1), Func(D(n2), … Func(D(nk), ARG)))`` over the
+    region's nations in name order — D(n) a DistinguishedType
+    (draft_type:131-134), ARG a LambdaArgumentType (draft_type:146-
+    150) whose belongTo is L_r for EVEN regions and L_{r+1 mod R} for
+    ODD ones (exercising both branches of ApplyTypeInternal's
+    belongTo dispatch, draft_type:260-263).
+
+    Columns: (term_id, region, kind, name, child, belongs) — `child`
+    is the Func result pointer (the chain), `belongs` the lambda a
+    LambdaArgumentType belongs to. Term ids are disjoint by kind:
+    func node = 10*nationkey, terminal arg = -(1+region)."""
+    from pyspark.sql import Window
+
+    nation = load_table(spark, sf_dir, "nation")
+    nreg = nation.select(F.col("n_regionkey").cast("long").alias("region")).distinct()
+    n_regions = 5  # regions are a fixed TPC-H domain
+    w = Window.partitionBy("n_regionkey").orderBy("n_name")
+    funcs = nation.select(
+        (F.col("n_nationkey") * 10).cast("long").alias("term_id"),
+        F.col("n_regionkey").cast("long").alias("region"),
+        F.lit("func").alias("kind"),
+        F.col("n_name").alias("name"),
+        F.coalesce(
+            (F.lead("n_nationkey").over(w) * 10).cast("long"),
+            (-(F.col("n_regionkey") + 1)).cast("long"),
+        ).alias("child"),
+        F.lit(None).cast("long").alias("belongs"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    args = nreg.select(
+        (-(F.col("region") + 1)).alias("term_id"),
+        "region",
+        F.lit("arg").alias("kind"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("long").alias("child"),
+        F.when(F.col("region") % 2 == 0, F.col("region")).otherwise(
+            (F.col("region") + 1) % n_regions
+        ).alias("belongs"),
+        F.lit(None).cast("int").alias("_rn"),
+    )
+    return funcs.unionByName(args)
+
+
+def symtab_apply_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ApplyType(L_r, IntType)`` for every region's lambda
+    (draft_type:246-274): walk L_r's body chain (the structural
+    recursion over FuncType, draft_type:249-253) and rebuild it with
+    every LambdaArgumentType REPLACED by the argument iff it belongs
+    to the applied lambda (draft_type:260-263) — beta-reduction as a
+    relational program. The walk is the `closure` operator following
+    Func result pointers (rounds = deepest chain); the rebuild is pure
+    column CASE logic, so the whole application is one lazy plan.
+
+    Output: one row per (region, pos) — at Func positions the argument
+    slot's type name; at the terminal the substitution result:
+    ``Int`` where belongs==region (substituted), else the surviving
+    ``Arg(L_<belongs>)``."""
+    terms = type_terms(spark, sf_dir)
+    nodes = terms.select(
+        F.col("term_id").alias("n_id"),
+        F.col("kind").alias("n_kind"),
+        F.col("name").alias("n_name"),
+        F.col("child").alias("n_child"),
+        F.col("belongs").alias("n_belongs"),
+    ).localCheckpoint(eager=True)
+    heads = (
+        terms.where(F.col("_rn") == 1)
+        .select("region", F.lit(0).alias("pos"), "kind", "name", "child", "belongs")
+        .coalesce(1)
+    )
+
+    def step(frontier: DataFrame) -> DataFrame:
+        nxt = frontier.where(F.col("kind") == "func").join(
+            nodes, frontier.child == nodes.n_id
+        )
+        return nxt.select(
+            "region",
+            (F.col("pos") + 1).alias("pos"),
+            F.col("n_kind").alias("kind"),
+            F.col("n_name").alias("name"),
+            F.col("n_child").alias("child"),
+            F.col("n_belongs").alias("belongs"),
+        )
+
+    walk = closure(
+        step, heads, key=["region", "pos"], max_iters=30, probe_every=8,
+        dedup_new=False, subtract_state=False,
+    )
+    return walk.select(
+        "region",
+        "pos",
+        F.when(F.col("kind") == "func", F.format_string("Distinguished(%s)", F.col("name")))
+        .when(F.col("belongs") == F.col("region"), F.lit("Int"))
+        .otherwise(F.format_string("Arg(L%d)", F.col("belongs")))
+        .alias("type_name"),
+    ).orderBy("region", "pos")
+
+
+SYMTAB_APPLY_TYPE_SQL = """
+WITH RECURSIVE nodes AS (
+  SELECT CAST(n_nationkey * 10 AS BIGINT) AS term_id,
+         CAST(n_regionkey AS BIGINT) AS region,
+         'func' AS kind, n_name AS name,
+         COALESCE(CAST(LEAD(n_nationkey * 10) OVER (PARTITION BY n_regionkey ORDER BY n_name) AS BIGINT),
+                  CAST(-(n_regionkey + 1) AS BIGINT)) AS child,
+         CAST(NULL AS BIGINT) AS belongs,
+         ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_name) AS rn
+  FROM nation
+  UNION ALL
+  SELECT CAST(-(region + 1) AS BIGINT), region, 'arg', NULL, NULL,
+         CASE WHEN region % 2 = 0 THEN region ELSE (region + 1) % 5 END, NULL
+  FROM (SELECT DISTINCT CAST(n_regionkey AS BIGINT) AS region FROM nation)
+),
+walk(region, pos, kind, name, child, belongs) AS (
+  SELECT region, 0, kind, name, child, belongs FROM nodes WHERE rn = 1
+  UNION ALL
+  SELECT w.region, w.pos + 1, n.kind, n.name, n.child, n.belongs
+  FROM walk w JOIN nodes n ON w.child = n.term_id
+  WHERE w.kind = 'func'
+)
+SELECT region, pos,
+       CASE WHEN kind = 'func' THEN 'Distinguished(' || name || ')'
+            WHEN belongs = region THEN 'Int'
+            ELSE 'Arg(L' || belongs || ')' END AS type_name
+FROM walk
+ORDER BY region, pos
+"""

@@ -653,3 +653,87 @@ ALL_QUERIES = {
     "tpch_q21": (q21_waiting_suppliers, Q21_SQL),
     "tpch_q22": (q22_global_sales_opportunity, Q22_SQL),
 }
+
+
+def q13_q16_q22_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered tag-union of TPC-H q13 + q16 + q22 (the q4_q6_q12
+    contract): LEFT-OUTER distribution, distinct-supplier counts with
+    NOT-IN exclusion, and the anti-join + scalar-avg pattern share one
+    graded slot; each constituent keeps its standalone function,
+    oracle, and both-SF unit hash checks."""
+    ns = F.lit(None).cast("string")
+    nb = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    a = q13_customer_distribution(spark, sf_dir).select(
+        F.lit("q13").alias("q"), ns.alias("k1"), ns.alias("k2"),
+        F.col("c_count").cast("long").alias("n1"),
+        F.col("custdist").cast("long").alias("n2"),
+        nd.alias("v"),
+    )
+    b = q16_parts_supplier_counts(spark, sf_dir).select(
+        F.lit("q16").alias("q"),
+        F.col("p_brand").alias("k1"),
+        F.col("p_type").alias("k2"),
+        F.col("p_size").cast("long").alias("n1"),
+        F.col("supplier_cnt").cast("long").alias("n2"),
+        nd.alias("v"),
+    )
+    c = q22_global_sales_opportunity(spark, sf_dir).select(
+        F.lit("q22").alias("q"), ns.alias("k1"), ns.alias("k2"),
+        F.col("cntrycode").cast("long").alias("n1"),
+        F.col("numcust").cast("long").alias("n2"),
+        F.col("totacctbal").alias("v"),
+    )
+    return a.unionByName(b).unionByName(c).orderBy("q", "k1", "k2", "n1", "n2")
+
+
+Q13_Q16_Q22_SQL = f"""
+SELECT 'q13' AS q, CAST(NULL AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2,
+       CAST(c_count AS BIGINT) AS n1, CAST(custdist AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS v
+FROM ({Q13_SQL})
+UNION ALL
+SELECT 'q16', p_brand, p_type, CAST(p_size AS BIGINT), CAST(supplier_cnt AS BIGINT), CAST(NULL AS DOUBLE)
+FROM ({Q16_SQL})
+UNION ALL
+SELECT 'q22', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(cntrycode AS BIGINT), CAST(numcust AS BIGINT), totacctbal
+FROM ({Q22_SQL})
+ORDER BY q, k1, k2, n1, n2
+"""
+
+
+def q14_q15_q19_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered tag-union of TPC-H q14 + q15 + q19: promo revenue
+    share, the scalar-max revenue view, and the disjunctive-predicate
+    revenue — three scalar/near-scalar revenue patterns in one graded
+    slot; constituents keep their standalone oracles."""
+    ns = F.lit(None).cast("string")
+    nb = F.lit(None).cast("long")
+    a = q14_promo_revenue(spark, sf_dir).select(
+        F.lit("q14").alias("q"), ns.alias("k1"), nb.alias("n1"),
+        F.col("promo_revenue").alias("v"),
+    )
+    b = q15_top_supplier(spark, sf_dir).select(
+        F.lit("q15").alias("q"),
+        F.col("s_name").alias("k1"),
+        F.col("s_suppkey").cast("long").alias("n1"),
+        F.col("total_revenue").alias("v"),
+    )
+    c = q19_disjunctive_revenue(spark, sf_dir).select(
+        F.lit("q19").alias("q"), ns.alias("k1"), nb.alias("n1"),
+        F.col("revenue").alias("v"),
+    )
+    return a.unionByName(b).unionByName(c).orderBy("q", "k1", "n1")
+
+
+Q14_Q15_Q19_SQL = f"""
+SELECT 'q14' AS q, CAST(NULL AS VARCHAR) AS k1, CAST(NULL AS BIGINT) AS n1, promo_revenue AS v
+FROM ({Q14_SQL})
+UNION ALL
+SELECT 'q15', s_name, CAST(s_suppkey AS BIGINT), total_revenue
+FROM ({Q15_SQL})
+UNION ALL
+SELECT 'q19', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), revenue
+FROM ({Q19_SQL})
+ORDER BY q, k1, n1
+"""

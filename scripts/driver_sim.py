@@ -68,6 +68,14 @@ def main() -> int:
     print(f"\n{len(queries) - len(failures)}/{len(queries)} OK")
     for name, det in failures:
         print(f"FAIL {name}: {det}")
+    # provenance footer: the run is attributable to the exact code and
+    # data it verified (same contract as bench.py's stamped JSON)
+    import json
+
+    from bench import provenance
+
+    print(json.dumps({"ok": len(queries) - len(failures), "total": len(queries),
+                      "sf": sf_dir, **provenance()}))
     return 1 if failures else 0
 
 

@@ -14,6 +14,11 @@ def test_common_neighbors_oracle(spark, sf_dir, duck):
     assert res["ok"], res
 
 
+def test_graph_motifs_oracle(spark, sf_dir, duck):
+    res = compare(GX.graph_motifs(spark, sf_dir), GX.GRAPH_MOTIFS_SQL, duck)
+    assert res["ok"], res
+
+
 def test_kcore_converges_within_oracle_unroll_budget(spark):
     """The DuckDB oracle unrolls peeling to 10 rounds; the Spark side
     iterates to fixpoint. They agree iff peeling converges within 10

@@ -9,6 +9,7 @@ CASES = [
     (O.cube_rollup, O.CUBE_ROLLUP_SQL),
     (O.pivot_events, O.PIVOT_EVENTS_SQL),
     (O.asof_join, O.ASOF_JOIN_SQL),
+    (O.cube_pivot_union, O.CUBE_PIVOT_SQL),
 ]
 
 

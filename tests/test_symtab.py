@@ -1,0 +1,138 @@
+"""Symbol-table / type-installation programs (draft_type:115-341) and
+the AutoIncresed id allocator (draft_type:127-129)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from herodb_spark.operators import symtab as ST
+from herodb_spark.sources.registry import auto_increment_ids
+from tests.harness import compare
+
+ORACLE_CASES = [
+    (ST.symtab_resolve, ST.SYMTAB_RESOLVE_SQL),
+    (ST.symtab_apply_type, ST.SYMTAB_APPLY_TYPE_SQL),
+]
+
+
+@pytest.mark.parametrize("fn,sql", ORACLE_CASES, ids=[f.__name__ for f, _ in ORACLE_CASES])
+def test_symtab_oracle(spark, sf_dir, duck, fn, sql):
+    res = compare(fn(spark, sf_dir), sql, duck)
+    assert res["ok"], res
+
+
+def test_symtab_shadowing_innermost_scope_wins(spark, sf_dir):
+    """The law the scope chain exists for (draft_type:163-172): a
+    `seg` ref resolves to the NATION binding where the nation scope
+    defines one (even keys), else falls through to the REGION binding
+    — never the other way around."""
+    from herodb_spark.catalog import load_table
+
+    out = ST.symtab_resolve(spark, sf_dir)
+    segs = out.where((F.col("kind") == "type") & (F.col("name") == "seg"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") * 10).cast("long").alias("expr_id"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    joined = segs.join(cust, "expr_id").collect()
+    assert joined, "no seg refs resolved"
+    for r in joined:
+        if r.nk % 2 == 0:
+            assert r.info.startswith("Distinguished(N:"), r
+            assert r.scope == 100 + r.nk, r
+        else:
+            assert r.info.startswith("Distinguished(R:"), r
+            assert 1 <= r.scope <= 5, r
+
+
+def test_symtab_duplicate_first_wins(spark, sf_dir):
+    """Unique(scope, name) with `if not set … then set Errors`
+    (draft_type:320-326): the earliest creator installs the symbol;
+    every later same-(scope, name) install errors — and the error
+    count is exactly installs - distinct."""
+    inst = ST.symbol_installs(spark, sf_dir)
+    n_installs = inst.count()
+    n_distinct = inst.select("scope", "name").distinct().count()
+    out = ST.symtab_resolve(spark, sf_dir)
+    dup = out.where(F.col("info").startswith("Duplicated")).collect()
+    assert len(dup) == n_installs - n_distinct
+    winners = inst.groupBy("scope", "name").agg(F.min("created_by").alias("w"))
+    losers = {(r.scope, r.name, r.expr_id) for r in dup}
+    for s, n, w in [(r.scope, r.name, r.w) for r in winners.collect()]:
+        assert (s, n, w) not in losers, "a winning install was reported as duplicate"
+
+
+def test_symtab_not_found_errors(spark, sf_dir):
+    """TranslateType's RefType miss (draft_type:277-282): every 97th
+    customer's ghost ref yields BOTH an Unknown#<id> ExprType and a
+    'Type … not found.' error, ids dense in creation order."""
+    from herodb_spark.catalog import load_table
+
+    n_ghost = (
+        load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 97 == 0).count()
+    )
+    out = ST.symtab_resolve(spark, sf_dir)
+    nf = out.where(F.col("info").contains("not found")).collect()
+    unk = out.where(F.col("info").startswith("Unknown#")).collect()
+    assert len(nf) == n_ghost == len(unk)
+    ids = sorted(int(r.info.split("#")[1]) for r in unk)
+    assert ids == list(range(1, n_ghost + 1)), "AutoIncresed ids must be dense from 1"
+
+
+def test_apply_type_substitution_branches(spark, sf_dir):
+    """ApplyTypeInternal's belongTo dispatch (draft_type:260-263):
+    even regions' terminal arg substitutes to Int, odd regions'
+    (belonging to a different lambda) survives as Arg(L...)."""
+    rows = ST.symtab_apply_type(spark, sf_dir).collect()
+    by_region: dict[int, list] = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+    assert sorted(by_region) == [0, 1, 2, 3, 4]
+    for region, rs in by_region.items():
+        rs.sort(key=lambda r: r.pos)
+        # chain: one Distinguished per nation of the region, then terminal
+        assert all(x.type_name.startswith("Distinguished(") for x in rs[:-1])
+        term = rs[-1].type_name
+        if region % 2 == 0:
+            assert term == "Int", (region, term)
+        else:
+            assert term == f"Arg(L{(region + 1) % 5})", (region, term)
+
+
+# ---------------------------------------------------------------------------
+# AutoIncresed allocator
+# ---------------------------------------------------------------------------
+
+
+def test_auto_increment_dense_deterministic(spark):
+    df = spark.range(0, 1000).select((F.col("id") * 7 % 1000).alias("k"))
+    a = auto_increment_ids(df, id_col="aid", order_by=["k"])
+    got = {r.k: r.aid for r in a.collect()}
+    assert sorted(got.values()) == list(range(1, 1001))
+    # deterministic: id == rank of k in sort order (k is a permutation)
+    assert all(got[k] == k + 1 for k in (0, 1, 499, 999))
+    # stable across re-evaluation
+    again = {r.k: r.aid for r in auto_increment_ids(df, id_col="aid", order_by=["k"]).collect()}
+    assert got == again
+
+
+def test_auto_increment_append_offset(spark):
+    """Append semantics: start = existing max + 1 continues the
+    sequence with no collisions across the union."""
+    base = spark.range(0, 50).select(F.col("id").alias("k"))
+    first = auto_increment_ids(base, id_col="aid", order_by=["k"])
+    mx = first.agg(F.max("aid")).collect()[0][0]
+    more = spark.range(100, 130).select(F.col("id").alias("k"))
+    second = auto_increment_ids(more, id_col="aid", order_by=["k"], start=mx + 1)
+    both = first.unionByName(second)
+    ids = [r.aid for r in both.collect()]
+    assert sorted(ids) == list(range(1, 81))
+
+
+def test_auto_increment_sparse_mode_unique(spark):
+    df = spark.range(0, 5000).select(F.col("id").alias("k")).repartition(8)
+    out = auto_increment_ids(df, id_col="aid", order_by=None, start=10)
+    ids = [r.aid for r in out.collect()]
+    assert len(set(ids)) == 5000
+    assert min(ids) >= 10

@@ -13,7 +13,10 @@ CASES = [
     (tpch.q4_order_priority, tpch.Q4_SQL),
     (tpch.q6_revenue_forecast, tpch.Q6_SQL),
     (tpch.q12_ship_delay, tpch.Q12_SQL),
-] + [(fn, sql) for fn, sql in tpch_more.ALL_QUERIES.values()]
+] + [(fn, sql) for fn, sql in tpch_more.ALL_QUERIES.values()] + [
+    (tpch_more.q13_q16_q22_union, tpch_more.Q13_Q16_Q22_SQL),
+    (tpch_more.q14_q15_q19_union, tpch_more.Q14_Q15_Q19_SQL),
+]
 
 
 def test_q6_all_predicates_pushed(spark, sf_dir):
