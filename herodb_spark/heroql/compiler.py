@@ -325,6 +325,10 @@ class HeroQL:
             self._canon_expr(e.then)
             if e.other is not None:
                 self._canon_expr(e.other)
+        elif isinstance(e, P.InterpString):
+            for p in e.parts:
+                if not isinstance(p, str):
+                    self._canon_expr(p)
 
     def _canon_body(self, body: list) -> None:
         for lit in body:
@@ -441,14 +445,28 @@ class HeroQL:
             return
         if isinstance(item, P.ForQueryStmt):
             self._canon_body(item.body)
-            for a in item.actions:
-                if isinstance(a, P.SetStmt):
-                    self._canon_atom(a.atom)
-                elif isinstance(a, P.RemoveStmt):
-                    a.name = self._resolve_ref(a.name)
+            self._canon_actions(item.actions)
             self._exec_for_query(item)
             return
         raise HeroQLError(f"unsupported program item {type(item).__name__}")
+
+    def _canon_actions(self, actions: list) -> None:
+        for a in actions:
+            if isinstance(a, P.SetStmt):
+                self._canon_atom(a.atom)
+            elif isinstance(a, P.RemoveStmt):
+                a.name = self._resolve_ref(a.name)
+            elif isinstance(a, P.EnsureSetAction):
+                self._canon_atom(a.atom)
+            elif isinstance(a, P.LetCtorAction):
+                a.ctor = self._resolve_ref(a.ctor)
+                for _, expr in a.fields:
+                    self._canon_expr(expr)
+            elif isinstance(a, P.IfNotSetAction):
+                self._canon_atom(a.atom)
+                self._canon_actions(a.then)
+            elif isinstance(a, P.ForMemberAction):
+                self._canon_actions(a.actions)
 
     def _declare_data(self, d: P.DataDecl) -> None:
         d.name = self._resolve_ref(d.name) if d.name in self.defs else self._qualify(d.name)
@@ -1227,6 +1245,10 @@ class HeroQL:
             self._var_names(e.then, out)
             if e.other is not None:
                 self._var_names(e.other, out)
+        elif isinstance(e, P.InterpString):
+            for p in e.parts:
+                if not isinstance(p, str):
+                    self._var_names(p, out)
         return out
 
     def _invert(self, pat, target, unknown: str, ctx: _ExprCtx):
@@ -1292,6 +1314,10 @@ class HeroQL:
             self._force_derefs(e.then, frame, only_bound)
             if e.other is not None:
                 self._force_derefs(e.other, frame, only_bound)
+        elif isinstance(e, P.InterpString):
+            for p in e.parts:
+                if not isinstance(p, str):
+                    self._force_derefs(p, frame, only_bound)
 
     def _expr(self, e, ctx: _ExprCtx):
         if isinstance(e, P.Const):
@@ -1343,6 +1369,14 @@ class HeroQL:
             then = self._expr(e.then, ctx)
             other = F.lit(True) if e.other is None else self._expr(e.other, ctx)
             return F.when(cond, then).otherwise(other)
+        if isinstance(e, P.InterpString):
+            # $"..." (draft_type:257): literals stay literal, every
+            # $(ref) renders through CAST(.. AS STRING)
+            cols = [
+                F.lit(p) if isinstance(p, str) else self._expr(p, ctx).cast("string")
+                for p in e.parts
+            ]
+            return F.concat(*cols) if cols else F.lit("")
         raise HeroQLError(f"unsupported expression {type(e).__name__}")
 
     def _project_head(self, head: P.Atom, frame: Frame, fields: list[str]) -> DataFrame:
@@ -1684,85 +1718,300 @@ class HeroQL:
             df.unpersist()
 
     def _exec_for_query(self, fq: P.ForQueryStmt) -> None:
-        """`for query(x) :- body ( set ... )` (draft:138-143): run the
-        query once, apply each action to every result row — compiled
-        as set-at-a-time DataFrame inserts/deletes, not a row loop."""
+        """`for query(x) :- body ( actions )` (draft:138-143, extended
+        to the draft_type dialect: `let x = Type{...}` constructors,
+        `ensure set`, `if not set … then …`, nested `for x.member(y)
+        ( … )` blocks, draft_type:193-207): run the query once, apply
+        each action to every result row — compiled as set-at-a-time
+        DataFrame transforms, never a row loop. Actions run
+        SEQUENTIALLY: each commit is visible to the next action (the
+        draft's statement order)."""
         frame = self._compile_body(fq.body)
-        for action in fq.actions:
+        self._exec_actions(frame, fq.actions)
+
+    # -- for-query actions (set-at-a-time) ---------------------------------
+
+    @staticmethod
+    def _unique_cols(d: TableDef) -> list[str] | None:
+        """Columns of the table's Unique index (multi-column allowed;
+        dotted index columns are storage hints, not keys)."""
+        for ix in d.indexes:
+            if "Unique" in ix.kinds and ix.cols and all("." not in c for c in ix.cols):
+                return list(ix.cols)
+        return None
+
+    @staticmethod
+    def _auto_col(d: TableDef) -> str | None:
+        for ix in d.indexes:
+            if "AutoIncresed" in ix.kinds and ix.cols:
+                return ix.cols[0]
+        return None
+
+    def _ensure_ord(self, frame: Frame) -> None:
+        """Give every driving row a dense deterministic ordinal
+        (`__ord` = 1..n over the row's full content) — the creation
+        order fresh-id allocation and first-wins installs key on.
+        Allocated once per frame via the registry's zipWithIndex-shaped
+        allocator (per-partition counts + offset fold, no global
+        single-partition window)."""
+        if "__ord" in frame.df.columns:
+            return
+        from herodb_spark.sources.registry import auto_increment_ids
+
+        df = frame.df.dropDuplicates()
+        frame.df = auto_increment_ids(df, id_col="__ord", order_by=list(df.columns))
+
+    def _exec_actions(self, frame: Frame, actions: list) -> None:
+        for action in actions:
             if isinstance(action, P.SetStmt):
-                atom = action.atom
-                if atom.member_of is not None:
-                    base = atom.member_of.name
-                    cls = frame.vars.get(base)
-                    if cls is None:
-                        raise HeroQLError(f"{base!r} is not a class row")
-                    rel = self.relations.get((cls, atom.name))
-                    if rel is None:
-                        raise HeroQLError(f"{cls} has no relation member {atom.name!r}")
-                    edge_name = rel.edge
-                    ctx = _ExprCtx(self, frame)
-                    self._force_derefs(atom.args[0], frame)
-                    other = self._expr(atom.args[0], ctx)
-                    me = frame.col(base)
-                    src, dst = (other, me) if rel.swapped else (me, other)
-                    if rel.symmetric:
-                        # canonical (least, greatest) storage: restating
-                        # the symmetric fact from the other side dedups
-                        # instead of doubling the edge
-                        src, dst = F.least(src, dst), F.greatest(src, dst)
-                    rows = frame.df.select(src.alias("src"), dst.alias("dst")).distinct()
-                    self._flush(edge_name)
-                    cur = self.table(edge_name)
-                    if not cur.columns:
-                        candidate = rows
-                    else:
-                        candidate = cur.unionByName(
-                            rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
-                        ).distinct()
-                    # validate BEFORE committing — a violating insert
-                    # must not leave the bad row behind (same contract
-                    # as _flush's where-constraint check)
-                    self._validate_card(rel, candidate)
-                    self.tables[edge_name] = candidate
-                    self._after_mutation(edge_name)
-                else:
-                    d = self._def(atom.name)
-                    ctx = _ExprCtx(self, frame)
-                    for a in atom.args:
-                        self._force_derefs(a, frame)
-                    rows = frame.df.select(
-                        [self._expr(a, ctx).alias(f) for a, f in zip(atom.args, d.fields)]
-                    ).distinct()
-                    if d.where is not None and not rows.where(
-                        ~self._row_predicate(d, rows)
-                    ).isEmpty():
-                        raise HeroQLError(
-                            f"for-query set violates `where` constraint of {atom.name!r}"
-                        )
-                    self._flush(atom.name)
-                    cur = self.table(atom.name)
-                    self.tables[atom.name] = cur.unionByName(
-                        rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
-                    ).distinct()
-                    self._after_mutation(atom.name)
+                self._action_set(frame, action.atom)
             elif isinstance(action, P.RemoveStmt):
-                d = self._def(action.name)
-                ctx = _ExprCtx(self, frame)
-                pats = action.patterns or [P.Wildcard()] * len(d.fields)
-                on = []
-                proj = []
-                for pat, f in zip(pats, d.fields):
-                    if isinstance(pat, P.Wildcard):
-                        continue
-                    self._force_derefs(pat, frame)
-                    proj.append(self._expr(pat, ctx).alias(f))
-                    on.append(f)
-                if not on:
-                    raise HeroQLError("for-query remove needs at least one bound column")
-                keys = frame.df.select(proj).distinct()
-                self._flush(action.name)
-                cur = self.table(action.name)
-                self.tables[action.name] = cur.join(keys, on, "left_anti")
-                self._after_mutation(action.name)
+                self._action_remove(frame, action)
+            elif isinstance(action, P.EnsureSetAction):
+                self._action_ensure_set(frame, action.atom)
+            elif isinstance(action, P.LetCtorAction):
+                self._action_let_ctor(frame, action)
+            elif isinstance(action, P.IfNotSetAction):
+                self._action_if_not_set(frame, action)
+            elif isinstance(action, P.ForMemberAction):
+                self._action_for_member(frame, action)
             else:
-                raise HeroQLError("for-query actions are set/remove")
+                raise HeroQLError(
+                    f"unsupported for-query action {type(action).__name__}"
+                )
+
+    def _action_let_ctor(self, frame: Frame, a: P.LetCtorAction) -> None:
+        """`let x = Type{ field = expr, ... }` (draft_type:193,226):
+        one fresh instance per driving row. Fresh ids are
+        `current_max + __ord` — the AutoIncresed allocation
+        (draft_type:127-129) with zero extra shuffle, since `__ord` is
+        already dense from 1. The new rows insert immediately (visible
+        to subsequent actions and derefs); `x` binds as a class row
+        variable whose value is the new instance's id."""
+        cname = a.ctor
+        d = self._def(cname)
+        auto = self._auto_col(d)
+        if auto is None:
+            raise HeroQLError(
+                f"let {a.var} = {cname}{{...}} needs `index AutoIncresed(<id>)` on "
+                f"{cname} (draft_type:127) to allocate instance ids"
+            )
+        if frame.has(a.var):
+            raise HeroQLError(f"let target {a.var!r} is already bound")
+        self._ensure_ord(frame)
+        self._flush(cname)
+        cur = self.table(cname)
+        start = (cur.agg(F.max(F.col(auto))).collect()[0][0] or 0) + 1
+        frame.df = frame.df.withColumn(a.var, (F.lit(start - 1) + F.col("__ord")).cast("long"))
+        frame.vars[a.var] = cname if d.is_class else None
+        ctx = _ExprCtx(self, frame)
+        fieldmap = {}
+        for fname, expr in a.fields:
+            if fname not in d.fields:
+                raise HeroQLError(f"{cname} has no field {fname!r}")
+            if fname == auto:
+                raise HeroQLError(f"{cname}.{auto} is AutoIncresed; it cannot be assigned")
+            self._force_derefs(expr, frame)
+            fieldmap[fname] = self._expr(expr, ctx)
+        cols = []
+        for f in d.fields:
+            if f == auto:
+                cols.append(F.col(a.var).alias(f))
+            elif f in fieldmap:
+                cols.append(fieldmap[f].alias(f))
+            else:
+                cols.append(F.lit(None).alias(f))
+        rows = frame.df.select(cols)
+        if not cur.columns:
+            self.tables[cname] = rows
+        else:
+            self.tables[cname] = cur.unionByName(
+                rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
+            )
+        self._after_mutation(cname)
+
+    def _atom_rows(self, frame: Frame, atom: P.Atom, tmp: bool = False):
+        """Project the atom's argument expressions over the frame →
+        (TableDef, projected df). With `tmp`, fields are aliased
+        __f0.. so they cannot collide with frame variable names."""
+        d = self._def(atom.name)
+        if atom.name in self.rules:
+            raise HeroQLError(f"{atom.name!r} is rule-defined; mutate base tables only")
+        if len(atom.args) != len(d.fields):
+            raise HeroQLError(f"{atom.name}: arity {len(atom.args)} != {len(d.fields)}")
+        ctx = _ExprCtx(self, frame)
+        for arg in atom.args:
+            self._force_derefs(arg, frame)
+        names = [f"__f{i}" for i in range(len(d.fields))] if tmp else list(d.fields)
+        cols = [self._expr(arg, ctx).alias(n) for arg, n in zip(atom.args, names)]
+        if tmp:
+            return d, frame.df.select(*frame.df.columns, *cols)
+        return d, frame.df.select(cols)
+
+    def _action_ensure_set(self, frame: Frame, atom: P.Atom) -> None:
+        """`ensure set T(args)` (draft_type:194-195,219): insert rows
+        whose Unique key (whole row when no Unique index) is absent; a
+        present key is fine and stays untouched — never an error."""
+        if atom.member_of is not None:
+            # relation-member ensure == plain member set (edge inserts
+            # already dedupe + re-validate)
+            self._action_set(frame, atom)
+            return
+        d, rows = self._atom_rows(frame, atom)
+        ucols = self._unique_cols(d) or list(d.fields)
+        rows = rows.dropDuplicates(ucols)
+        if d.where is not None and not rows.where(~self._row_predicate(d, rows)).isEmpty():
+            raise HeroQLError(f"ensure set violates `where` constraint of {atom.name!r}")
+        self._flush(atom.name)
+        cur = self.table(atom.name)
+        cast_rows = rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
+        fresh = cast_rows.join(cur.select(ucols), ucols, "left_anti")
+        self.tables[atom.name] = cur.unionByName(fresh)
+        self._after_mutation(atom.name)
+
+    def _action_if_not_set(self, frame: Frame, a: P.IfNotSetAction) -> None:
+        """`if not set T(args) then <actions>` (draft_type:203-205,
+        320-326): first-wins conditional install against T's Unique
+        index. Winners (first by driving order per key, key not yet
+        present) insert; every loser row — in-batch duplicate or
+        already-present key — runs the `then` actions with the same
+        variable bindings (the draft's `set Errors($"...")` arm)."""
+        atom = a.atom
+        if atom.member_of is not None:
+            raise HeroQLError("if not set applies to data tables, not relation members")
+        d = self._def(atom.name)
+        ucols = self._unique_cols(d)
+        if ucols is None:
+            raise HeroQLError(
+                f"if not set needs `index Unique(...)` on {atom.name!r} "
+                "(draft_type:169-172) to define the install key"
+            )
+        self._ensure_ord(frame)
+        d, proj = self._atom_rows(frame, atom, tmp=True)
+        names = {f: f"__f{i}" for i, f in enumerate(d.fields)}
+        key_tmp = [names[c] for c in ucols]
+        w = Window.partitionBy(*key_tmp).orderBy("__ord")
+        cand = proj.withColumn("__rk", F.row_number().over(w))
+        self._flush(atom.name)
+        cur = self.table(atom.name)
+        existing = cur.select([F.col(c).alias(names[c]) for c in ucols]).distinct()
+        winners = cand.where(F.col("__rk") == 1).join(existing, key_tmp, "left_anti")
+        winners = winners.localCheckpoint(eager=True)  # one eval feeds insert + loser anti-join
+        rows = winners.select([F.col(names[f]).alias(f) for f in d.fields])
+        if d.where is not None and not rows.where(~self._row_predicate(d, rows)).isEmpty():
+            raise HeroQLError(f"if-not-set insert violates `where` constraint of {atom.name!r}")
+        self.tables[atom.name] = cur.unionByName(
+            rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
+        )
+        self._after_mutation(atom.name)
+        losers = cand.join(winners.select("__ord"), "__ord", "left_anti")
+        sub = Frame(self)
+        sub.vars = dict(frame.vars)
+        drop = [c for c in losers.columns if c.startswith("__f") or c == "__rk"]
+        sub.df = losers.drop(*drop)
+        self._exec_actions(sub, a.then)
+
+    def _action_for_member(self, frame: Frame, a: P.ForMemberAction) -> None:
+        """`for x.member(y) ( actions )` (draft_type:198-201): join the
+        driving rows with x's relation member, bind `y` to the target,
+        and run the nested actions over the expanded set. The nested
+        frame allocates its own `__ord` (the expansion changes the
+        driving cardinality)."""
+        cls = frame.vars.get(a.base)
+        if not frame.has(a.base):
+            raise _Unbound(a.base)
+        if cls is None:
+            raise HeroQLError(f"{a.base!r} is not a class row; member blocks need one")
+        rel = self.relations.get((cls, a.member))
+        if rel is None:
+            raise HeroQLError(f"{cls} has no relation member {a.member!r}")
+        if frame.has(a.var):
+            raise HeroQLError(f"for-member target {a.var!r} is already bound")
+        df = self.table(rel.edge)
+        if rel.symmetric:
+            df = df.unionByName(
+                df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).distinct()
+        elif rel.swapped:
+            df = df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        edge = df.select(F.col("src").alias("__src"), F.col("dst").alias(a.var))
+        tdef = self._def(rel.edge)
+        ttypes = list(tdef.types or [None, None])
+        target = ttypes[0] if rel.swapped else ttypes[1]
+        sub = Frame(self)
+        sub.vars = dict(frame.vars)
+        sub.vars[a.var] = target if target in self.defs and self._def(target).is_class else None
+        base_df = frame.df.drop("__ord") if "__ord" in frame.df.columns else frame.df
+        sub.df = base_df.join(edge, base_df[a.base] == edge["__src"]).drop("__src")
+        self._exec_actions(sub, a.actions)
+
+    def _action_set(self, frame: Frame, atom: P.Atom) -> None:
+        if atom.member_of is not None:
+            base = atom.member_of.name
+            cls = frame.vars.get(base)
+            if cls is None:
+                raise HeroQLError(f"{base!r} is not a class row")
+            rel = self.relations.get((cls, atom.name))
+            if rel is None:
+                raise HeroQLError(f"{cls} has no relation member {atom.name!r}")
+            edge_name = rel.edge
+            ctx = _ExprCtx(self, frame)
+            self._force_derefs(atom.args[0], frame)
+            other = self._expr(atom.args[0], ctx)
+            me = frame.col(base)
+            src, dst = (other, me) if rel.swapped else (me, other)
+            if rel.symmetric:
+                # canonical (least, greatest) storage: restating
+                # the symmetric fact from the other side dedups
+                # instead of doubling the edge
+                src, dst = F.least(src, dst), F.greatest(src, dst)
+            rows = frame.df.select(src.alias("src"), dst.alias("dst")).distinct()
+            self._flush(edge_name)
+            cur = self.table(edge_name)
+            if not cur.columns:
+                candidate = rows
+            else:
+                candidate = cur.unionByName(
+                    rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
+                ).distinct()
+            # validate BEFORE committing — a violating insert
+            # must not leave the bad row behind (same contract
+            # as _flush's where-constraint check)
+            self._validate_card(rel, candidate)
+            self.tables[edge_name] = candidate
+            self._after_mutation(edge_name)
+            return
+        d, rows = self._atom_rows(frame, atom)
+        rows = rows.distinct()
+        if d.where is not None and not rows.where(
+            ~self._row_predicate(d, rows)
+        ).isEmpty():
+            raise HeroQLError(
+                f"for-query set violates `where` constraint of {atom.name!r}"
+            )
+        self._flush(atom.name)
+        cur = self.table(atom.name)
+        self.tables[atom.name] = cur.unionByName(
+            rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
+        ).distinct()
+        self._after_mutation(atom.name)
+
+    def _action_remove(self, frame: Frame, action: P.RemoveStmt) -> None:
+        d = self._def(action.name)
+        ctx = _ExprCtx(self, frame)
+        pats = action.patterns or [P.Wildcard()] * len(d.fields)
+        on = []
+        proj = []
+        for pat, f in zip(pats, d.fields):
+            if isinstance(pat, P.Wildcard):
+                continue
+            self._force_derefs(pat, frame)
+            proj.append(self._expr(pat, ctx).alias(f))
+            on.append(f)
+        if not on:
+            raise HeroQLError("for-query remove needs at least one bound column")
+        keys = frame.df.select(proj).distinct()
+        self._flush(action.name)
+        cur = self.table(action.name)
+        self.tables[action.name] = cur.join(keys, on, "left_anti")
+        self._after_mutation(action.name)

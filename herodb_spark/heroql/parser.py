@@ -39,6 +39,7 @@ _TOKEN_RE = re.compile(
   | (?P<comment>//[^\n]*|\#[^\n]*)
   | (?P<float>\d+\.\d+(?!\.))
   | (?P<int>\d+)
+  | (?P<istring>\$"(?:[^"\\]|\\.)*")
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<id>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
   | (?P<op>::|:-|\.\.|==|!=|<=|>=|\*|[()\{\}\[\],;.:=<>+\-/|])
@@ -79,6 +80,42 @@ def _decode_string(raw: str) -> str:
             out.append(c)
             i += 1
     return "".join(out)
+
+
+def _decode_istring(raw: str, pos: int) -> "InterpString":
+    """Decode `$"text $(x) $(x.name) ..."` (draft_type:257) into
+    alternating literal/reference parts."""
+    body = raw[2:-1]
+    parts: list = []
+    buf: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            buf.append(_ESCAPES.get(body[i + 1], body[i + 1]))
+            i += 2
+        elif c == "$" and i + 1 < len(body) and body[i + 1] == "(":
+            end = body.find(")", i)
+            if end < 0:
+                raise HeroQLSyntaxError(f"unterminated $( in interpolated string at {pos}")
+            ref = body[i + 2:end].strip()
+            if not ref:
+                raise HeroQLSyntaxError(f"empty $() in interpolated string at {pos}")
+            if buf:
+                parts.append("".join(buf))
+                buf = []
+            if "." in ref:
+                base, _, fld = ref.partition(".")
+                parts.append(FieldAccess(Var(base), fld))
+            else:
+                parts.append(Var(ref))
+            i = end + 1
+        else:
+            buf.append(c)
+            i += 1
+    if buf:
+        parts.append("".join(buf))
+    return InterpString(parts)
 
 
 def tokenize(src: str) -> list[Tok]:
@@ -316,6 +353,51 @@ class UncacheStmt:
     name: str
     patterns: list
     body: list
+
+
+@dataclass
+class InterpString:
+    """`$"text $(x.name) more"` (draft_type:257) — string
+    interpolation; parts alternate literal str and Var/FieldAccess."""
+    parts: list
+
+
+@dataclass
+class LetCtorAction:
+    """`let x = Type{ field = expr, ... }` (draft_type:193,226):
+    object construction with a fresh AutoIncresed instance id per
+    driving row."""
+    var: str
+    ctor: str
+    fields: list  # [(name, expr)]
+
+
+@dataclass
+class EnsureSetAction:
+    """`ensure set T(args)` (draft_type:194-195,219): insert-if-absent
+    on the table's Unique key — present rows are fine, never an
+    error."""
+    atom: Atom
+
+
+@dataclass
+class IfNotSetAction:
+    """`if not set T(args) then <action>` (draft_type:203-205,320):
+    first-wins conditional install; rows losing the Unique-key race
+    run the `then` actions instead (typically `set Errors($"...")`)."""
+    atom: Atom
+    then: list
+
+
+@dataclass
+class ForMemberAction:
+    """`for x.member(y) ( actions )` (draft_type:198-201): expand the
+    driving set along a relation member, binding `y`, and run the
+    nested actions set-at-a-time over the expanded rows."""
+    base: str
+    member: str
+    var: str
+    actions: list
 
 
 @dataclass
@@ -620,7 +702,7 @@ class Parser:
         if not self.at_kw("index"):
             return out
         self.next()
-        kind_words = ("Ordered", "Hash", "Unique", "Cache")
+        kind_words = ("Ordered", "Hash", "Unique", "Cache", "AutoIncresed")
         while True:
             kinds: list[str] = []
             cols: list[str] = []
@@ -827,26 +909,72 @@ class Parser:
         self.expect(")")
         self.expect(":-")
         body = self.parse_body()
-        self.expect("(")
-        actions = []
-        while not self.at(")"):
-            if self.at_kw("set"):
-                self.next()
-                actions.append(SetStmt(self.parse_atom()))
-            elif self.at_kw("remove"):
-                self.next()
-                name = self.qualified_name()
-                pats = self.parse_pattern_list() if self.at("(") else None
-                actions.append(RemoveStmt(name, pats, []))
-            else:
-                t = self.peek()
-                raise HeroQLSyntaxError(f"unsupported for-query action {t.text!r} at {t.pos}")
-            if self.at(";"):
-                self.next()
-        self.expect(")")
+        actions = self.parse_action_block()
         if self.at(";"):
             self.next()
         return ForQueryStmt(args, body, actions)
+
+    def parse_action_block(self) -> list:
+        """`( action [,|;] action ... )` — the draft separates actions
+        with commas (draft_type:193-207); `;` also accepted."""
+        self.expect("(")
+        actions = []
+        while not self.at(")"):
+            actions.append(self.parse_action())
+            if self.at(";") or self.at(","):
+                self.next()
+        self.expect(")")
+        return actions
+
+    def parse_action(self):
+        if self.at_kw("set"):
+            self.next()
+            return SetStmt(self.parse_atom())
+        if self.at_kw("remove"):
+            self.next()
+            name = self.qualified_name()
+            pats = self.parse_pattern_list() if self.at("(") else None
+            return RemoveStmt(name, pats, [])
+        if self.at_kw("ensure"):
+            self.next()
+            self.expect_kw("set")
+            return EnsureSetAction(self.parse_atom())
+        if self.at_kw("let"):
+            self.next()
+            var = self.expect("id").text
+            self.expect("=")
+            ctor = self.qualified_name()
+            self.expect("{")
+            fields = []
+            while not self.at("}"):
+                fname = self.expect("id").text
+                self.expect("=")
+                fields.append((fname, self.parse_expr()))
+                if self.at(","):
+                    self.next()
+            self.expect("}")
+            return LetCtorAction(var, ctor, fields)
+        if self.at_kw("if"):
+            self.next()
+            self.expect_kw("not")
+            self.expect_kw("set")
+            atom = self.parse_atom()
+            self.expect_kw("then")
+            then = self.parse_action_block() if self.at("(") else [self.parse_action()]
+            return IfNotSetAction(atom, then)
+        if self.at_kw("for"):
+            # nested member block: for x.member(y) ( actions )
+            self.next()
+            base = self.expect("id").text
+            self.expect(".")
+            member = self.expect("id").text
+            self.expect("(")
+            var = self.expect("id").text
+            self.expect(")")
+            actions = self.parse_action_block()
+            return ForMemberAction(base, member, var, actions)
+        t = self.peek()
+        raise HeroQLSyntaxError(f"unsupported for-query action {t.text!r} at {t.pos}")
 
     # -- rule bodies
     def parse_rule_body_opt(self) -> list:
@@ -1022,6 +1150,9 @@ class Parser:
         if t.kind == "string":
             self.next()
             return Const(_decode_string(t.text))
+        if t.kind == "istring":
+            self.next()
+            return _decode_istring(t.text, t.pos)
         if self.at_kw("true"):
             self.next()
             return Const(True)

@@ -872,3 +872,172 @@ def test_rule_compiles_to_single_plan_no_udf(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "c_acctbal" in opt  # predicate survives into the optimized plan
+
+
+# ------------------------------------------------------------ draft_type
+# dialect: let Type{...} / ensure set / if not set ... then / nested
+# for x.member(y) ( ... ) / $"..." interpolation (draft_type:183-341)
+
+
+def _install_fixture(spark):
+    hql = HeroQL(spark)
+    hql.run("""
+        data class Prog(pid : int, pname : string, declarations * owner : Decl, n..n) index Unique(pid);
+        data class Decl(did : int, dname : string) index Unique(did);
+        data class Scope(sid : int, parent : int) index AutoIncresed(sid), Unique(sid);
+        data AstScopes(scope : int, node : int) index Unique(scope, node);
+        data Symbols(scope : int, sname : string, stype : string, createdBy : int)
+            index Unique(scope, sname);
+        data Errors(message : string);
+    """)
+    hql.register(
+        "Prog",
+        spark.createDataFrame([(1, "main"), (2, "aux")], "pid long, pname string"),
+        is_class=True, key="pid",
+    )
+    hql.register(
+        "Decl",
+        spark.createDataFrame(
+            [(10, "f"), (11, "g"), (12, "f"), (20, "h"), (21, "h")], "did long, dname string"
+        ),
+        is_class=True, key="did",
+    )
+    hql.register(
+        "Prog__declarations",
+        spark.createDataFrame([(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)], "src long, dst long"),
+    )
+    return hql
+
+
+INSTALL_PROGRAM = """
+for query(p) :- Prog(p)
+(
+    let scope = Scope{ parent = 0 },
+    ensure set AstScopes(scope, p),
+    if not set Symbols(scope, "int", "Int", p) then set Errors($"int clash in $(p)"),
+    for p.declarations(decl)
+    (
+        if not set Symbols(scope, decl.dname, $"Fn($(decl.dname))", decl)
+            then set Errors($"Duplicated function $(decl.dname) found.")
+    )
+);
+"""
+
+
+def test_install_program_draft_type_193_207(spark):
+    """A trimmed Install_1 (draft_type:193-207, 318-326) runs end to
+    end: per-program scopes with fresh AutoIncresed ids, ensure-set
+    AstScopes, first-wins Symbols installs, duplicate diagnostics with
+    $-interpolated messages — and every produced table hash-matches a
+    DuckDB oracle over the same inputs."""
+    import duckdb
+
+    hql = _install_fixture(spark)
+    hql.run(INSTALL_PROGRAM)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE prog AS SELECT * FROM (VALUES (1), (2)) t(pid)")
+    con.execute(
+        "CREATE TABLE decl AS SELECT * FROM (VALUES (10,'f'),(11,'g'),(12,'f'),(20,'h'),(21,'h')) t(did, dname)"
+    )
+    con.execute(
+        "CREATE TABLE edges AS SELECT * FROM (VALUES (1,10),(1,11),(1,12),(2,20),(2,21)) t(src, dst)"
+    )
+    scopes_cte = """
+scopes AS (SELECT pid, ROW_NUMBER() OVER (ORDER BY pid) AS sid FROM prog),
+cand AS (
+  SELECT s.sid AS scope, d.dname AS sname, 'Fn(' || d.dname || ')' AS stype, d.did AS createdBy,
+         ROW_NUMBER() OVER (PARTITION BY s.sid, d.dname ORDER BY e.src, s.sid, e.dst) AS rk
+  FROM edges e JOIN scopes s ON e.src = s.pid JOIN decl d ON e.dst = d.did
+)
+"""
+    res = compare(hql.table("Scope"), f"WITH {scopes_cte} SELECT sid, 0 AS parent FROM scopes", con)
+    assert res["ok"], res
+    res = compare(
+        hql.table("AstScopes"), f"WITH {scopes_cte} SELECT sid AS scope, pid AS node FROM scopes", con
+    )
+    assert res["ok"], res
+    res = compare(
+        hql.table("Symbols"),
+        f"""WITH {scopes_cte}
+        SELECT sid AS scope, 'int' AS sname, 'Int' AS stype, pid AS createdBy FROM scopes
+        UNION ALL
+        SELECT scope, sname, stype, createdBy FROM cand WHERE rk = 1""",
+        con,
+    )
+    assert res["ok"], res
+    res = compare(
+        hql.table("Errors"),
+        f"WITH {scopes_cte} SELECT 'Duplicated function ' || sname || ' found.' AS message FROM cand WHERE rk > 1",
+        con,
+    )
+    assert res["ok"], res
+    con.close()
+
+
+def test_install_semantics_pinned(spark):
+    """The law-level assertions behind the oracle: first-wins installs,
+    loser rows become diagnostics, ensure-set never errors, fresh ids
+    are dense per driving order."""
+    hql = _install_fixture(spark)
+    hql.run(INSTALL_PROGRAM)
+    assert rows(hql.table("Scope")) == [(1, 0), (2, 0)]
+    assert rows(hql.table("AstScopes")) == [(1, 1), (2, 2)]
+    syms = rows(hql.table("Symbols"))
+    assert (1, "f", "Fn(f)", 10) in syms and (2, "h", "Fn(h)", 20) in syms
+    assert not any(r[3] in (12, 21) for r in syms), "a losing install landed in Symbols"
+    assert sorted(r[0] for r in rows(hql.table("Errors"))) == [
+        "Duplicated function f found.",
+        "Duplicated function h found.",
+    ]
+    # running the SAME install again: fresh Scope ids CONTINUE past the
+    # existing max (AutoIncresed), so each program gets a NEW scope and
+    # its installs succeed there — exactly the draft's instance
+    # semantics (a second Install builds a second scope tree); only the
+    # in-batch duplicates error again
+    hql.run(INSTALL_PROGRAM)
+    assert rows(hql.table("Scope")) == [(1, 0), (2, 0), (3, 0), (4, 0)]
+    assert rows(hql.table("AstScopes")) == [(1, 1), (2, 2), (3, 1), (4, 2)]
+    assert len(rows(hql.table("Symbols"))) == 10
+    # Errors is a `data` table — a SET of messages (draft_type:179):
+    # the second round's diagnostics are textually identical facts, so
+    # the set is unchanged
+    assert sorted(r[0] for r in rows(hql.table("Errors"))) == [
+        "Duplicated function f found.",
+        "Duplicated function h found.",
+    ]
+
+
+def test_let_ctor_requires_autoincresed(spark):
+    hql = HeroQL(spark)
+    hql.run("""
+        data class Box(bid : int) index Unique(bid);
+        data Seen(v : int);
+        set Seen(1);
+    """)
+    with pytest.raises(HeroQLError, match="AutoIncresed"):
+        hql.run("for query(v) :- Seen(v) ( let b = Box{ } );")
+
+
+def test_if_not_set_requires_unique_index(spark):
+    hql = HeroQL(spark)
+    hql.run("""
+        data Log(v : int);
+        data Seen(v : int);
+        set Seen(1);
+    """)
+    with pytest.raises(HeroQLError, match="Unique"):
+        hql.run("for query(v) :- Seen(v) ( if not set Log(v) then set Log(v) );")
+
+
+def test_interp_string_decoding():
+    from herodb_spark.heroql.parser import InterpString, Var, FieldAccess, _decode_istring
+
+    s = _decode_istring('$"Duplicated $(x.name) in $(decl) found."', 0)
+    assert isinstance(s, InterpString)
+    lit0, ref0, lit1, ref1, lit2 = s.parts
+    assert lit0 == "Duplicated " and lit1 == " in " and lit2 == " found."
+    assert isinstance(ref0, FieldAccess) and ref0.name == "name" and ref0.base.name == "x"
+    assert isinstance(ref1, Var) and ref1.name == "decl"
+    with pytest.raises(HeroQLSyntaxError):
+        _decode_istring('$"broken $(x"', 0)
