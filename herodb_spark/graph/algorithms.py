@@ -321,9 +321,12 @@ def connected_components_twophase(undirected: DataFrame, max_iters: int = MAX_IT
     ).select("node", F.coalesce("root", F.col("node")).alias("comp"))
 
 
-def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFrame:
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10, damping: float = 0.85,
+             checkpoint_every: int = 5) -> DataFrame:
     """Uniform-transition PageRank with dangling-mass redistribution.
-    `nodes`: single column `node`; `edges`: src,dst (unweighted)."""
+    `nodes`: single column `node`; `edges`: src,dst (unweighted).
+    `checkpoint_every` sets the localCheckpoint cadence (see the
+    comment at the loop tail; sweep results in BASELINE.md)."""
     n = nodes.count()
     out_deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
         eager=True
@@ -367,12 +370,14 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10, damping: float
                 "node",
                 (F.lit(base) + F.lit(damping) * incoming).alias("rank"),
             )
-        # checkpoint every 5th iteration: enough to keep the plan
-        # bounded without one materialization job per iteration (each
-        # blocking job costs a full scheduler round-trip; at 10
-        # iterations the cadence-3 version spent more wall-clock on
-        # the extra jobs than the longer lazy segments cost)
-        if i % 5 == 4 or i == iters - 1:
+        # checkpoint every `checkpoint_every` iterations: enough to
+        # keep the plan bounded without one materialization job per
+        # iteration (each blocking job costs a full scheduler
+        # round-trip; at 10 iterations the cadence-3 version spent
+        # more wall-clock on the extra jobs than the longer lazy
+        # segments cost). Cadence swept at sf0.1 median-of-5 in
+        # round 5 — see BASELINE.md.
+        if i % checkpoint_every == checkpoint_every - 1 or i == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
