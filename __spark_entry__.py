@@ -68,8 +68,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # B. aggregation pipeline
     "agg_group_having": A.group_having,  # merges group_by_agg + having_filter + percentiles
     "agg_partition_topk": A.partition_topk,
-    "agg_order_range": A.order_range,
-    "agg_collect": A.collect_agg,
+    "agg_order_collect": A.order_collect_union,  # merges agg_order_range + agg_collect (tag-union)
     "agg_topk_then_avg": A.topk_then_avg,
     "agg_window_running": A.window_running,
     "agg_cube_pivot": O.cube_pivot_union,  # merges agg_cube + agg_pivot + asof_join (tag-union)
@@ -90,6 +89,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q4_q6_q12": tpch.q4_q6_q12_union,  # merges q4 + q6 + q12 (tag-union)
     "tpch_q13_q16_q22": tpch_more.q13_q16_q22_union,  # merges q13 + q16 + q22 (tag-union)
     "tpch_q14_q15_q19": tpch_more.q14_q15_q19_union,  # merges q14 + q15 + q19 (tag-union)
+    # with these two, EVERY query of the 22-suite holds an official row
+    "tpch_q2_q11_q17": tpch_more.q2_q11_q17_union,
+    "tpch_q8_q9_q20_q21": tpch_more.q8_q9_q20_q21_union,
     # F. dedup — ngram runs the df-capped skew-bounded path; minhash's
     # exact-jaccard verify makes its output the exact ≥ τ pair set
     # whenever LSH recall is total (asserted in tests at every SF), so
@@ -117,8 +119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HeroQL: the reference's query LANGUAGE (draft:1-198) parsed and
     # compiled to DataFrame plans — rules/not/deref and the full
     # aggregation pipeline run as programs, graded against plain SQL
-    "heroql_rules": HQ.heroql_rules,
-    "heroql_pipeline": HQ.heroql_pipeline,
+    "heroql_programs": HQ.heroql_programs,  # merges heroql_rules + heroql_pipeline (tag-union)
     "adt_list_ops": ADT.adt_list_ops,  # tagged-union term table + reverse/concat (draft_type:5-15)
     "class_hierarchy": ADT.class_hierarchy,  # subtype closure + shared-prefix dispatch (draft_type:19-110)
     # symbol tables / type installation — the reference's own
@@ -132,6 +133,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- beyond slot 50 (ungraded by the driver) ---
     # unmerged constituents of the round-5 tag-union folds, each still
     # holding its own oracle here + both-SF unit hash checks
+    "agg_order_range": A.order_range,
+    "agg_collect": A.collect_agg,
+    "heroql_rules": HQ.heroql_rules,
+    "heroql_pipeline": HQ.heroql_pipeline,
     "asof_join": O.asof_join,
     "stream_sessionize": ST.stream_sessionize,
     "graph_triangles": G.graph_triangles,
@@ -185,6 +190,7 @@ ORACLES: dict[str, str] = {
     "rel_pattern_match": R.PATTERN_MATCH_SQL,
     "agg_group_having": A.GROUP_HAVING_SQL,
     "agg_partition_topk": A.PARTITION_TOPK_SQL,
+    "agg_order_collect": A.ORDER_COLLECT_SQL,
     "agg_order_range": A.ORDER_RANGE_SQL,
     "agg_collect": A.COLLECT_AGG_SQL,
     "agg_topk_then_avg": A.TOPK_THEN_AVG_SQL,
@@ -207,6 +213,8 @@ ORACLES: dict[str, str] = {
     "tpch_q4_q6_q12": tpch.Q4_Q6_Q12_SQL,
     "tpch_q13_q16_q22": tpch_more.Q13_Q16_Q22_SQL,
     "tpch_q14_q15_q19": tpch_more.Q14_Q15_Q19_SQL,
+    "tpch_q2_q11_q17": tpch_more.Q2_Q11_Q17_SQL,
+    "tpch_q8_q9_q20_q21": tpch_more.Q8_Q9_Q20_Q21_SQL,
     "dedup_exact": D.EXACT_DEDUP_SQL,
     "dedup_ngram_jaccard": D.NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": D.NGRAM_JACCARD_SQL,
@@ -223,6 +231,7 @@ ORACLES: dict[str, str] = {
     "stream_sessionize": ST.STREAM_SESSIONIZE_SQL,
     "stream_interval_join": ST.STREAM_INTERVAL_JOIN_SQL,
     "recursive_programs": RC.RECURSIVE_PROGRAMS_SQL,
+    "heroql_programs": HQ.HEROQL_PROGRAMS_SQL,
     "heroql_rules": HQ.HEROQL_RULES_SQL,
     "heroql_pipeline": HQ.HEROQL_PIPELINE_SQL,
     "heroql_recursive": HQ.HEROQL_RECURSIVE_SQL,

@@ -300,3 +300,35 @@ WHERE user_id < 200
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY user_id, seq
 """
+
+
+def order_collect_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of agg_order_range + agg_collect (tag-union,
+    the cube_pivot contract, round-5 window widening): ORDER BY /
+    LIMIT / OFFSET paging and the sorted-Collect scalar share one
+    graded slot; both constituents keep standalone functions, oracles,
+    and unit hash checks."""
+    ns = F.lit(None).cast("string")
+    a = order_range(spark, sf_dir).select(
+        F.lit("order_range").alias("q"),
+        F.col("c_name").alias("k1"),
+        F.col("c_custkey").cast("long").alias("n1"),
+        F.col("c_acctbal").cast("double").alias("v"),
+    )
+    b = collect_agg(spark, sf_dir).select(
+        F.lit("collect").alias("q"),
+        F.col("suppliers").alias("k1"),
+        F.col("s_nationkey").cast("long").alias("n1"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return a.unionByName(b).orderBy("q", "n1", "k1")
+
+
+ORDER_COLLECT_SQL = f"""
+SELECT 'order_range' AS q, c_name AS k1, CAST(c_custkey AS BIGINT) AS n1, CAST(c_acctbal AS DOUBLE) AS v
+FROM ({ORDER_RANGE_SQL})
+UNION ALL
+SELECT 'collect', suppliers, CAST(s_nationkey AS BIGINT), CAST(NULL AS DOUBLE)
+FROM ({COLLECT_AGG_SQL})
+ORDER BY q, n1, k1
+"""

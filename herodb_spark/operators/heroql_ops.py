@@ -16,6 +16,7 @@ decided by Catalyst. See herodb_spark/heroql/compiler.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from herodb_spark.catalog import load_table
 from herodb_spark.heroql import HeroQL
@@ -161,4 +162,44 @@ SELECT * FROM (VALUES
   (CAST(2 AS BIGINT), CAST(200 AS BIGINT)),
   (CAST(3 AS BIGINT), CAST(30  AS BIGINT))
 ) t(k, v)
+"""
+
+
+def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of heroql_rules + heroql_pipeline (tag-union,
+    round-5 window widening): the rule program and the full
+    collection_query pipeline — both compiled from HeroQL source —
+    share one graded slot; constituents keep standalone entries and
+    oracles."""
+    nb = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+    a = heroql_rules(spark, sf_dir).select(
+        F.lit("rules").alias("q"),
+        F.col("nname").alias("k1"),
+        F.col("why").alias("k2"),
+        F.col("cust").cast("long").alias("n1"),
+        nb.alias("n2"),
+        nd.alias("v"),
+    )
+    b = heroql_pipeline(spark, sf_dir).select(
+        F.lit("pipeline").alias("q"),
+        ns.alias("k1"),
+        ns.alias("k2"),
+        F.col("suppkey").cast("long").alias("n1"),
+        F.col("n_top").cast("long").alias("n2"),
+        F.col("avg_top").cast("double").alias("v"),
+    )
+    return a.unionByName(b).orderBy("q", "n1", "k1", "k2")
+
+
+HEROQL_PROGRAMS_SQL = f"""
+SELECT 'rules' AS q, nname AS k1, why AS k2, CAST(cust AS BIGINT) AS n1,
+       CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS v
+FROM ({HEROQL_RULES_SQL})
+UNION ALL
+SELECT 'pipeline', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(suppkey AS BIGINT),
+       CAST(n_top AS BIGINT), CAST(avg_top AS DOUBLE)
+FROM ({HEROQL_PIPELINE_SQL})
+ORDER BY q, n1, k1, k2
 """

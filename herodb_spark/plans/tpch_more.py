@@ -737,3 +737,105 @@ SELECT 'q19', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), revenue
 FROM ({Q19_SQL})
 ORDER BY q, k1, n1
 """
+
+
+def q2_q11_q17_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered tag-union of TPC-H q2 + q11 + q17 (round-5 window
+    widening): correlated window-MIN supplier selection, the
+    scalar-threshold stock subquery, and the correlated per-part AVG —
+    with these graded, EVERY query of the 22-suite holds an official
+    driver row. Constituents keep standalone functions/oracles."""
+    ns = F.lit(None).cast("string")
+    nb = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    a = q2_min_cost_supplier(spark, sf_dir).select(
+        F.lit("q2").alias("q"),
+        F.col("s_name").alias("k1"),
+        F.col("n_name").alias("k2"),
+        F.col("p_brand").alias("k3"),
+        F.col("p_partkey").cast("long").alias("n1"),
+        F.col("s_acctbal").cast("double").alias("v1"),
+        F.col("supply_cost").cast("double").alias("v2"),
+    )
+    b = q11_important_stock(spark, sf_dir).select(
+        F.lit("q11").alias("q"), ns.alias("k1"), ns.alias("k2"), ns.alias("k3"),
+        F.col("p_partkey").cast("long").alias("n1"),
+        F.col("part_value").cast("double").alias("v1"),
+        nd.alias("v2"),
+    )
+    c = q17_small_quantity_revenue(spark, sf_dir).select(
+        F.lit("q17").alias("q"), ns.alias("k1"), ns.alias("k2"), ns.alias("k3"),
+        nb.alias("n1"),
+        F.col("avg_yearly").cast("double").alias("v1"),
+        nd.alias("v2"),
+    )
+    return a.unionByName(b).unionByName(c).orderBy("q", "n1", "k1", "k2", "k3")
+
+
+Q2_Q11_Q17_SQL = f"""
+SELECT 'q2' AS q, s_name AS k1, n_name AS k2, p_brand AS k3,
+       CAST(p_partkey AS BIGINT) AS n1, s_acctbal AS v1, supply_cost AS v2
+FROM ({Q2_SQL})
+UNION ALL
+SELECT 'q11', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(p_partkey AS BIGINT), part_value, CAST(NULL AS DOUBLE)
+FROM ({Q11_SQL})
+UNION ALL
+SELECT 'q17', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), avg_yearly, CAST(NULL AS DOUBLE)
+FROM ({Q17_SQL})
+ORDER BY q, n1, k1, k2, k3
+"""
+
+
+def q8_q9_q20_q21_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered tag-union of TPC-H q8 + q9 + q20 + q21: market
+    share, profit rollup, the nested semi-join supplier chain, and the
+    exists/not-exists waiting-supplier count."""
+    ns = F.lit(None).cast("string")
+    nb = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    a = q8_market_share(spark, sf_dir).select(
+        F.lit("q8").alias("q"), ns.alias("k1"), ns.alias("k2"),
+        F.col("o_year").cast("long").alias("n1"),
+        F.col("mkt_share").cast("double").alias("v"),
+    )
+    b = q9_product_profit(spark, sf_dir).select(
+        F.lit("q9").alias("q"),
+        F.col("nation").alias("k1"),
+        ns.alias("k2"),
+        F.col("o_year").cast("long").alias("n1"),
+        F.col("sum_profit").cast("double").alias("v"),
+    )
+    c = q20_excess_suppliers(spark, sf_dir).select(
+        F.lit("q20").alias("q"),
+        F.col("s_name").alias("k1"),
+        ns.alias("k2"),
+        F.col("s_suppkey").cast("long").alias("n1"),
+        nd.alias("v"),
+    )
+    d = q21_waiting_suppliers(spark, sf_dir).select(
+        F.lit("q21").alias("q"),
+        F.col("s_name").alias("k1"),
+        F.col("n_name").alias("k2"),
+        F.col("numwait").cast("long").alias("n1"),
+        nd.alias("v"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).orderBy("q", "k1", "k2", "n1")
+
+
+Q8_Q9_Q20_Q21_SQL = f"""
+SELECT 'q8' AS q, CAST(NULL AS VARCHAR) AS k1, CAST(NULL AS VARCHAR) AS k2,
+       CAST(o_year AS BIGINT) AS n1, mkt_share AS v
+FROM ({Q8_SQL})
+UNION ALL
+SELECT 'q9', nation, CAST(NULL AS VARCHAR), CAST(o_year AS BIGINT), sum_profit
+FROM ({Q9_SQL})
+UNION ALL
+SELECT 'q20', s_name, CAST(NULL AS VARCHAR), CAST(s_suppkey AS BIGINT), CAST(NULL AS DOUBLE)
+FROM ({Q20_SQL})
+UNION ALL
+SELECT 'q21', s_name, n_name, CAST(numwait AS BIGINT), CAST(NULL AS DOUBLE)
+FROM ({Q21_SQL})
+ORDER BY q, k1, k2, n1
+"""

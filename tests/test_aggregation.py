@@ -15,6 +15,7 @@ CASES = [
     (A.window_running, A.WINDOW_RUNNING_SQL),
     (A.group_having, A.GROUP_HAVING_SQL),
     (A.percentiles, A.PERCENTILES_SQL),
+    (A.order_collect_union, A.ORDER_COLLECT_SQL),
 ]
 
 

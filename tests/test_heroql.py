@@ -772,10 +772,11 @@ def test_namespace_class_block_form(spark):
     [
         (HQ.heroql_rules, HQ.HEROQL_RULES_SQL),
         (HQ.heroql_pipeline, HQ.HEROQL_PIPELINE_SQL),
+        (HQ.heroql_programs, HQ.HEROQL_PROGRAMS_SQL),
         (HQ.heroql_recursive, HQ.HEROQL_RECURSIVE_SQL),
         (HQ.heroql_mutations, HQ.HEROQL_MUTATIONS_SQL),
     ],
-    ids=["rules", "pipeline", "recursive", "mutations"],
+    ids=["rules", "pipeline", "programs", "recursive", "mutations"],
 )
 def test_heroql_oracle(spark, fn, sql, sf):
     con = duckdb_con(sf)

@@ -16,6 +16,8 @@ CASES = [
 ] + [(fn, sql) for fn, sql in tpch_more.ALL_QUERIES.values()] + [
     (tpch_more.q13_q16_q22_union, tpch_more.Q13_Q16_Q22_SQL),
     (tpch_more.q14_q15_q19_union, tpch_more.Q14_Q15_Q19_SQL),
+    (tpch_more.q2_q11_q17_union, tpch_more.Q2_Q11_Q17_SQL),
+    (tpch_more.q8_q9_q20_q21_union, tpch_more.Q8_Q9_Q20_Q21_SQL),
 ]
 
 
