@@ -327,6 +327,8 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10, damping: float
     `nodes`: single column `node`; `edges`: src,dst (unweighted).
     `checkpoint_every` sets the localCheckpoint cadence (see the
     comment at the loop tail; sweep results in BASELINE.md)."""
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     n = nodes.count()
     out_deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
         eager=True

@@ -60,7 +60,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # the literal ':class' (data:classes/x.parquet) survive intact
         is_class, key = False, None
         path = rest
-        m = re.match(r"^(.*?):class(?::([^:]+))?$", rest)
+        m = re.match(r"^(.*?):class(?::(.+))?$", rest)
         if m:
             path, key = m.group(1), m.group(2)
             is_class = True

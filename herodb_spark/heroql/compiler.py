@@ -1371,9 +1371,12 @@ class HeroQL:
             return F.when(cond, then).otherwise(other)
         if isinstance(e, P.InterpString):
             # $"..." (draft_type:257): literals stay literal, every
-            # $(ref) renders through CAST(.. AS STRING)
+            # $(ref) renders through CAST(.. AS STRING). NULL refs
+            # render as 'null' (plain concat is null-propagating and
+            # would silently null the whole diagnostic message)
             cols = [
-                F.lit(p) if isinstance(p, str) else self._expr(p, ctx).cast("string")
+                F.lit(p) if isinstance(p, str)
+                else F.coalesce(self._expr(p, ctx).cast("string"), F.lit("null"))
                 for p in e.parts
             ]
             return F.concat(*cols) if cols else F.lit("")
@@ -1822,6 +1825,10 @@ class HeroQL:
             else:
                 cols.append(F.lit(None).alias(f))
         rows = frame.df.select(cols)
+        # the declared `where` constraint guards construction exactly
+        # like every other insert path (draft:48-52)
+        if d.where is not None and not rows.where(~self._row_predicate(d, rows)).isEmpty():
+            raise HeroQLError(f"let {a.var} = {cname}{{...}} violates `where` constraint of {cname!r}")
         if not cur.columns:
             self.tables[cname] = rows
         else:

@@ -147,6 +147,7 @@ def auto_increment_ids(
     id_col: str = "id",
     order_by: list[str] | None = None,
     start: int = 1,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """``index AutoIncresed(id)`` (Kernel/Drafts/draft_type:127-129,
     155-160): surrogate-key assignment for appended rows — the
@@ -170,20 +171,37 @@ def auto_increment_ids(
       is all the index promises.
 
     For APPEND on an existing table, pass ``start = current_max + 1``
-    (the max is manifest/statistics metadata in a snapshot table)."""
+    (the max is manifest/statistics metadata in a snapshot table).
+    ``num_partitions`` pins the range-shuffle width (otherwise AQE
+    sizes it); ids are correct either way — the partition id is
+    captured as a column on the materialized rows, so the offset map
+    and the window agree by construction."""
     from pyspark.sql import Window
 
     if order_by is None:
         return df.withColumn(id_col, F.monotonically_increasing_id() + F.lit(start))
     # materialize the range partitioning ONCE so the count pass and the
     # stamp pass see identical partitions (zipWithIndex's contract);
-    # `order_by` must be a unique key for ids to be deterministic
-    parted = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+    # `order_by` must be a unique key for ids to be deterministic.
+    # CRITICAL: the partition id must be captured as a REAL COLUMN on
+    # the materialized rows — a bare spark_partition_id() in the final
+    # projection evaluates ABOVE the window's Exchange and reads the
+    # post-shuffle pid, while the offsets are keyed by pre-shuffle
+    # pids (confirmed id collisions at multi-partition sizes; unit
+    # tests alone missed it because AQE coalesces tiny data to one
+    # partition).
+    parted = df.repartitionByRange(*order_by) if num_partitions is None else df.repartitionByRange(
+        num_partitions, *order_by
+    )
+    parted = parted.sortWithinPartitions(*order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
     parted = parted.localCheckpoint(eager=True)
-    pid = F.spark_partition_id()
     counts = dict(
         (r.p, r.c)
-        for r in parted.groupBy(pid.alias("p")).agg(F.count(F.lit(1)).alias("c")).collect()
+        for r in parted.groupBy(F.col("__pid").alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     )
     offsets, acc = {}, start
     for p in sorted(counts):
@@ -192,7 +210,7 @@ def auto_increment_ids(
     off_map = F.create_map(
         *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
     )
-    w = Window.partitionBy(pid).orderBy(*order_by)
+    w = Window.partitionBy("__pid").orderBy(*order_by)
     return parted.withColumn(
-        id_col, (off_map[pid] + F.row_number().over(w) - 1).cast("long")
-    )
+        id_col, (off_map[F.col("__pid")] + F.row_number().over(w) - 1).cast("long")
+    ).drop("__pid")

@@ -204,9 +204,13 @@ class SnapshotTable:
                 continue
             val = urllib.parse.unquote(d[len("__p="):])
             if val == "__HIVE_DEFAULT_PARTITION__":
+                # Spark's dynamic-partition writer routes BOTH NULL and
+                # empty-string values here, so neither can round-trip
+                # through directory names — say so precisely
                 raise ValueError(
-                    f"{self.path}: NULL {partition_col!r} values are not supported "
-                    "as snapshot partition keys"
+                    f"{self.path}: NULL or empty-string {partition_col!r} values are "
+                    "not supported as snapshot partition keys (the dynamic-partition "
+                    "layout cannot represent them distinctly)"
                 )
             out[val] = f"data/{vdir}/{d}"
         return out

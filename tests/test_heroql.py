@@ -1042,3 +1042,36 @@ def test_interp_string_decoding():
     assert isinstance(ref1, Var) and ref1.name == "decl"
     with pytest.raises(HeroQLSyntaxError):
         _decode_istring('$"broken $(x"', 0)
+
+
+def test_let_ctor_enforces_where_constraint(spark):
+    """Construction guards the declared `where` like every other
+    insert path (round-5 review finding)."""
+    hql = HeroQL(spark)
+    hql.run("""
+        data Pos(pid : int, v : int) index AutoIncresed(pid) where v > 0;
+        data Seen(x : int);
+        set Seen(3);
+    """)
+    with pytest.raises(HeroQLError, match="where"):
+        hql.run("for query(x) :- Seen(x) ( let p = Pos{ v = 0 - x } );")
+
+
+def test_interp_string_null_ref_renders_null(spark):
+    """A NULL interpolated reference must render as 'null', not
+    null-propagate the whole diagnostic (round-5 review finding)."""
+    hql = HeroQL(spark)
+    hql.run("""
+        data class Thing(tid : int, tag : string) index AutoIncresed(tid), Unique(tid);
+        data Msgs(message : string) index Unique(message);
+        data Seen(x : int);
+        set Seen(1);
+    """)
+    hql.run("""
+        for query(x) :- Seen(x)
+        (
+            let t = Thing{ },
+            ensure set Msgs($"tag=$(t.tag) id=$(x)")
+        );
+    """)
+    assert rows(hql.table("Msgs")) == [("tag=null id=1",)]

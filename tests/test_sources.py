@@ -169,7 +169,7 @@ def test_snapshot_null_partition_value_rejected(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a", None, 1.0), (2, "b", 1, 2.0)], "id long, name string, grp int, bal double"
     )
-    with pytest.raises(ValueError, match="NULL 'grp'"):
+    with pytest.raises(ValueError, match="NULL or empty-string 'grp'"):
         SnapshotTable.create(spark, str(tmp_path / "t"), df, ["id"], partition_col="grp")
 
 
@@ -406,3 +406,28 @@ def test_csv_explicit_schema_keeps_header_option(spark, sf_dir):
         )
         assert back.count() == 25
         assert {r.n_nationkey for r in back.collect()} == set(range(25))
+
+
+def test_snapshot_empty_string_partition_value_rejected(spark, tmp_path):
+    """Spark's dynamic-partition writer folds '' into the NULL
+    directory, so empty-string keys are rejected with an error that
+    SAYS so (round-5 review finding: the message previously claimed
+    NULL)."""
+    import pytest
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    df = spark.createDataFrame([(1, ""), (2, "a")], "id long, grp string")
+    with pytest.raises(ValueError, match="NULL or empty-string"):
+        SnapshotTable.create(spark, str(tmp_path / "es"), df, ["id"], partition_col="grp")
+
+
+def test_pagerank_rejects_nonpositive_cadence(spark):
+    import pytest
+
+    from herodb_spark.graph import algorithms as GA
+
+    nodes = spark.createDataFrame([(1,), (2,)], "node long")
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        GA.pagerank(nodes, edges, iters=2, checkpoint_every=0)

@@ -130,6 +130,30 @@ def test_auto_increment_append_offset(spark):
     assert sorted(ids) == list(range(1, 81))
 
 
+def test_auto_increment_dense_across_real_partitions(spark):
+    """Regression (round-5 review, CONFIRMED repro): the offset-map
+    lookup must read the SAME partition id the window grouped by — a
+    bare spark_partition_id() in the final projection evaluates above
+    the window's Exchange (post-shuffle pid) while offsets are keyed
+    by pre-shuffle pids, colliding at any multi-partition size. Unit
+    sizes hid it because AQE coalesces tiny shuffles to one
+    partition; pin BOTH a forced-8-partition layout and an AQE-default
+    large input."""
+    # forced multi-partition: 8 real partitions of 1000 rows
+    df = spark.range(0, 1000).select((F.col("id") * 13 % 1000).alias("k"))
+    out = auto_increment_ids(df, id_col="aid", order_by=["k"], num_partitions=8)
+    got = {r.k: r.aid for r in out.collect()}
+    assert sorted(got.values()) == list(range(1, 1001))
+    assert all(got[k] == k + 1 for k in (0, 1, 777, 999))
+    # AQE-default path, large enough that the shuffle keeps >1 partition
+    big = spark.range(0, 400_000).select((F.col("id") * 7 % 400_000).alias("k"))
+    ids = auto_increment_ids(big, id_col="aid", order_by=["k"])
+    stats = ids.agg(
+        F.countDistinct("aid").alias("n"), F.min("aid").alias("lo"), F.max("aid").alias("hi")
+    ).collect()[0]
+    assert (stats.n, stats.lo, stats.hi) == (400_000, 1, 400_000)
+
+
 def test_auto_increment_sparse_mode_unique(spark):
     df = spark.range(0, 5000).select(F.col("id").alias("k")).repartition(8)
     out = auto_increment_ids(df, id_col="aid", order_by=None, start=10)
