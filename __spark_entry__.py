@@ -143,6 +143,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_common_neighbors": GX.graph_common_neighbors,
     # ApplyType structural recursion over type terms (draft_type:246-274)
     "symtab_apply_type": SY.symtab_apply_type,
+    # relational type unification: decomposition closure + star-
+    # contraction congruence classes + conflict/occurs checks — the
+    # draft's "Build the unification graph" / "Type inference" roadmap
+    # (draft_type:375-381) implemented
+    "symtab_unify": SY.symtab_unify,
     # embedding_cosine is the exact all-pairs baseline; its LSH twin
     # above matches the identical oracle, so the graded slot belongs
     # to the scale-safe plan and the baseline keeps a rows-only run +
@@ -244,6 +249,7 @@ ORACLES: dict[str, str] = {
     "class_hierarchy": ADT.CLASS_HIERARCHY_SQL,
     "symtab_resolve": SY.SYMTAB_RESOLVE_SQL,
     "symtab_apply_type": SY.SYMTAB_APPLY_TYPE_SQL,
+    "symtab_unify": SY.SYMTAB_UNIFY_SQL,
     "ensure_constraints": CN.ENSURE_CONSTRAINTS_SQL,
     "typed_struct_enum": TY.TYPED_STRUCT_ENUM_SQL,
     "incremental_mv_refresh": MV.INCREMENTAL_MV_SQL,

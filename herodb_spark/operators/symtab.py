@@ -471,3 +471,268 @@ SELECT region, pos,
 FROM walk
 ORDER BY region, pos
 """
+
+
+# ---------------------------------------------------------------------------
+# Type unification: the draft's declared-but-unwritten final step
+# (draft_type:375-381 "Build the unification graph" / "Type inference")
+# ---------------------------------------------------------------------------
+
+
+def unification_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-term table (tid, kind, l, r) for the unification graph —
+    the `symbol` namespace's term shapes (draft_type:115-160) over the
+    customer table: per customer k, a type variable V=10k, the
+    function type F=10k+1 = Func(Int, L) with result variable
+    L=10k+2, and for even k a second function G=10k+3 = Func(Int, M)
+    with M=10k+4. Int is the single concrete leaf (tid=1)."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    nl = F.lit(None).cast("long")
+    leaf = spark.range(1).select(
+        F.lit(1).cast("long").alias("tid"), F.lit("int").alias("kind"), nl.alias("l"), nl.alias("r")
+    )
+    v = cust.select((k * 10).alias("tid"), F.lit("var").alias("kind"), nl.alias("l"), nl.alias("r"))
+    f = cust.select(
+        (k * 10 + 1).alias("tid"), F.lit("func").alias("kind"),
+        F.lit(1).cast("long").alias("l"), (k * 10 + 2).alias("r"),
+    )
+    lv = cust.select((k * 10 + 2).alias("tid"), F.lit("var").alias("kind"), nl.alias("l"), nl.alias("r"))
+    even = cust.where(F.col("c_custkey") % 2 == 0)
+    ke = F.col("c_custkey").cast("long")
+    g = even.select(
+        (ke * 10 + 3).alias("tid"), F.lit("func").alias("kind"),
+        F.lit(1).cast("long").alias("l"), (ke * 10 + 4).alias("r"),
+    )
+    m = even.select((ke * 10 + 4).alias("tid"), F.lit("var").alias("kind"), nl.alias("l"), nl.alias("r"))
+    return leaf.unionByName(v).unionByName(f).unionByName(lv).unionByName(g).unionByName(m)
+
+
+def unification_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unification graph's equation edges (a, b):
+    - V_k = F_k for every k (each variable constrained to its
+      function type);
+    - F_k = G_k for even k (function-function pairs that DECOMPOSE,
+      draft_type:249-253's structural recursion as edge rewriting);
+    - L_k = V_next within (nation, segment) chains (constraint
+      propagation across rows);
+    - V_k = Int for k % 37 == 0 (an inconsistent constraint → the
+      class holds both func and int: unification CONFLICT);
+    - L_k = V_k for k % 53 == 0 (the variable occurs inside its own
+      binding: OCCURS-CHECK failure, the infinite type)."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("c_custkey")
+    base = cust.select((k * 10).alias("a"), (k * 10 + 1).alias("b"))
+    fg = cust.where(F.col("c_custkey") % 2 == 0).select(
+        (k * 10 + 1).alias("a"), (k * 10 + 3).alias("b")
+    )
+    chain = (
+        cust.select(k.alias("k"), F.lead(F.col("c_custkey").cast("long")).over(w).alias("nk"))
+        .where(F.col("nk").isNotNull())
+        .select((F.col("k") * 10 + 2).alias("a"), (F.col("nk") * 10).alias("b"))
+    )
+    conflict = cust.where(F.col("c_custkey") % 37 == 0).select(
+        (k * 10).alias("a"), F.lit(1).cast("long").alias("b")
+    )
+    occurs = cust.where(F.col("c_custkey") % 53 == 0).select(
+        (k * 10 + 2).alias("a"), (k * 10).alias("b")
+    )
+    return base.unionByName(fg).unionByName(chain).unionByName(conflict).unionByName(occurs)
+
+
+def symtab_unify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational type unification — the algorithm behind the draft's
+    "Build the unification graph" / "Type inference" roadmap headers
+    (draft_type:375-381, the declared final step its text never
+    reached; ApplyTypeInternal draft_type:249-263 supplies the
+    structural-recursion semantics the decomposition step encodes):
+
+    1. DECOMPOSITION CLOSURE — `closure` over equation pairs:
+       Func(a,b) = Func(c,d) rewrites to {a=c, b=d}; rounds bounded by
+       term depth, work per round ∝ the frontier of new pairs.
+    2. CONGRUENCE CLASSES — connected components over the symmetrized
+       pair edges via large-star/small-star contraction (O(log n)
+       rounds at any corpus size — the 100-TB path, reused from
+       graph/algorithms.py).
+    3. CONFLICTS — a class holding two different concrete
+       constructors (func AND int) cannot unify.
+    4. OCCURS CHECK — a func term whose descendant variable (child
+       closure) lands in the SAME class denotes the infinite type.
+    5. BINDINGS — every type variable resolves to its class's unique
+       concrete constructor, or 'free' when the class has none;
+       conflicted/occurs classes emit error rows instead.
+
+    The term/equation derivation keeps func terms meeting only through
+    explicit pairs, so one decomposition pass is congruence-complete
+    here; the general case iterates steps 1-2 to fixpoint — the same
+    two operators in a loop. Output: (kind, term_id, rep, info),
+    kind ∈ {bind, conflict, occurs}."""
+    terms = unification_terms(spark, sf_dir).localCheckpoint(eager=True)
+    eqs = unification_equations(spark, sf_dir)
+
+    funcs = terms.where(F.col("kind") == "func").select(
+        F.col("tid").alias("f_tid"), F.col("l").alias("f_l"), F.col("r").alias("f_r")
+    )
+
+    def decompose(frontier: DataFrame) -> DataFrame:
+        fa = funcs.select(
+            F.col("f_tid").alias("a"), F.col("f_l").alias("a_l"), F.col("f_r").alias("a_r")
+        )
+        fb = funcs.select(
+            F.col("f_tid").alias("b"), F.col("f_l").alias("b_l"), F.col("f_r").alias("b_r")
+        )
+        ff = frontier.join(fa, "a").join(fb, "b")
+        left = ff.select(F.col("a_l").alias("a"), F.col("b_l").alias("b"))
+        right = ff.select(F.col("a_r").alias("a"), F.col("b_r").alias("b"))
+        return left.unionByName(right)
+
+    pairs = closure(decompose, eqs, key=["a", "b"], max_iters=12).localCheckpoint(eager=True)
+
+    from herodb_spark.graph.algorithms import connected_components_twophase
+
+    sym = pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct()
+    comp = connected_components_twophase(sym).select(
+        F.col("node").alias("tid"), F.col("comp").alias("rep")
+    )
+    # unconstrained terms form singleton classes
+    labeled = terms.join(comp, "tid", "left").withColumn(
+        "rep", F.coalesce("rep", F.col("tid"))
+    ).localCheckpoint(eager=True)
+
+    cls = labeled.groupBy("rep").agg(
+        F.count_distinct(F.when(F.col("kind") != "var", F.col("kind"))).alias("n_concrete"),
+        F.min(F.when(F.col("kind") != "var", F.col("kind"))).alias("concrete"),
+    )
+    conflicts = cls.where(F.col("n_concrete") >= 2).select("rep")
+
+    kids = funcs.select(F.col("f_tid").alias("t"), F.col("f_l").alias("d")).unionByName(
+        funcs.select(F.col("f_tid").alias("t"), F.col("f_r").alias("d"))
+    )
+
+    def down(frontier: DataFrame) -> DataFrame:
+        step_kids = kids.select(F.col("t").alias("d"), F.col("d").alias("d2"))
+        return frontier.join(step_kids, "d").select("t", F.col("d2").alias("d"))
+
+    desc = closure(down, kids, key=["t", "d"], max_iters=12)
+    t_lab = labeled.select(F.col("tid").alias("t"), F.col("rep").alias("t_rep"), "kind")
+    d_lab = labeled.select(F.col("tid").alias("d"), F.col("rep").alias("d_rep"),
+                           F.col("kind").alias("d_kind"))
+    occurs = (
+        desc.join(t_lab.where(F.col("kind") == "func"), "t")
+        .join(d_lab.where(F.col("d_kind") == "var"), "d")
+        .where(F.col("t_rep") == F.col("d_rep"))
+        .select(F.col("t_rep").alias("rep"))
+        .distinct()
+    )
+
+    bad = conflicts.unionByName(occurs).distinct()
+    binds = (
+        labeled.where(F.col("kind") == "var")
+        .join(bad, "rep", "left_anti")
+        .join(cls.select("rep", "concrete"), "rep", "left")
+        .select(
+            F.lit("bind").alias("kind"),
+            F.col("tid").alias("term_id"),
+            "rep",
+            F.coalesce("concrete", F.lit("free")).alias("info"),
+        )
+    )
+    conflict_rows = conflicts.select(
+        F.lit("conflict").alias("kind"), F.col("rep").alias("term_id"), "rep",
+        F.lit("Cannot unify func with int.").alias("info"),
+    )
+    occurs_rows = occurs.join(conflicts, "rep", "left_anti").select(
+        F.lit("occurs").alias("kind"), F.col("rep").alias("term_id"), "rep",
+        F.lit("Occurs check failed: infinite type.").alias("info"),
+    )
+    return (
+        binds.unionByName(conflict_rows).unionByName(occurs_rows)
+        .orderBy("kind", "term_id", "rep")
+    )
+
+
+SYMTAB_UNIFY_SQL = """
+WITH RECURSIVE
+terms(tid, kind, l, r) AS (
+  SELECT CAST(1 AS BIGINT), 'int', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  UNION ALL SELECT c_custkey * 10, 'var', NULL, NULL FROM customer
+  UNION ALL SELECT c_custkey * 10 + 1, 'func', 1, c_custkey * 10 + 2 FROM customer
+  UNION ALL SELECT c_custkey * 10 + 2, 'var', NULL, NULL FROM customer
+  UNION ALL SELECT c_custkey * 10 + 3, 'func', 1, c_custkey * 10 + 4 FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL SELECT c_custkey * 10 + 4, 'var', NULL, NULL FROM customer WHERE c_custkey % 2 = 0
+),
+chain AS (
+  SELECT c_custkey AS k,
+         LEAD(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey) AS nk
+  FROM customer
+),
+eqs(a, b) AS (
+  SELECT c_custkey * 10, c_custkey * 10 + 1 FROM customer
+  UNION ALL SELECT c_custkey * 10 + 1, c_custkey * 10 + 3 FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL SELECT k * 10 + 2, nk * 10 FROM chain WHERE nk IS NOT NULL
+  UNION ALL SELECT c_custkey * 10, 1 FROM customer WHERE c_custkey % 37 = 0
+  UNION ALL SELECT c_custkey * 10 + 2, c_custkey * 10 FROM customer WHERE c_custkey % 53 = 0
+),
+pairs(a, b) AS (
+  SELECT a, b FROM eqs
+  UNION
+  SELECT CASE WHEN s.i = 0 THEN x.l ELSE x.r END,
+         CASE WHEN s.i = 0 THEN y.l ELSE y.r END
+  FROM pairs p
+  JOIN terms x ON p.a = x.tid AND x.kind = 'func'
+  JOIN terms y ON p.b = y.tid AND y.kind = 'func'
+  CROSS JOIN (VALUES (0), (1)) s(i)
+),
+sym(src, dst) AS (
+  SELECT a, b FROM pairs WHERE a <> b
+  UNION SELECT b, a FROM pairs WHERE a <> b
+),
+reach(x, y) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.x, e.dst FROM reach r JOIN sym e ON r.y = e.src
+),
+comp AS (SELECT x AS tid, MIN(y) AS rep FROM reach GROUP BY x),
+labeled AS (
+  SELECT t.tid, t.kind, COALESCE(c.rep, t.tid) AS rep
+  FROM terms t LEFT JOIN comp c ON t.tid = c.tid
+),
+cls AS (
+  SELECT rep,
+         COUNT(DISTINCT CASE WHEN kind <> 'var' THEN kind END) AS n_concrete,
+         MIN(CASE WHEN kind <> 'var' THEN kind END) AS concrete
+  FROM labeled GROUP BY rep
+),
+conflicts AS (SELECT rep FROM cls WHERE n_concrete >= 2),
+kids(t, d) AS (
+  SELECT tid, l FROM terms WHERE kind = 'func'
+  UNION ALL SELECT tid, r FROM terms WHERE kind = 'func'
+),
+descs(t, d) AS (
+  SELECT t, d FROM kids
+  UNION
+  SELECT ds.t, k.d FROM descs ds JOIN kids k ON ds.d = k.t
+),
+occ AS (
+  SELECT DISTINCT tl.rep
+  FROM descs ds
+  JOIN labeled tl ON ds.t = tl.tid AND tl.kind = 'func'
+  JOIN labeled dl ON ds.d = dl.tid AND dl.kind = 'var'
+  WHERE tl.rep = dl.rep
+),
+bad AS (SELECT rep FROM conflicts UNION SELECT rep FROM occ)
+SELECT 'bind' AS kind, lv.tid AS term_id, lv.rep, COALESCE(c.concrete, 'free') AS info
+FROM labeled lv LEFT JOIN cls c ON lv.rep = c.rep
+WHERE lv.kind = 'var' AND lv.rep NOT IN (SELECT rep FROM bad)
+UNION ALL
+SELECT 'conflict', rep, rep, 'Cannot unify func with int.' FROM conflicts
+UNION ALL
+SELECT 'occurs', rep, rep, 'Occurs check failed: infinite type.'
+FROM occ WHERE rep NOT IN (SELECT rep FROM conflicts)
+ORDER BY kind, term_id, rep
+"""

@@ -160,3 +160,36 @@ def test_auto_increment_sparse_mode_unique(spark):
     ids = [r.aid for r in out.collect()]
     assert len(set(ids)) == 5000
     assert min(ids) >= 10
+
+
+def test_symtab_unify_oracle(spark, sf_dir, duck):
+    res = compare(ST.symtab_unify(spark, sf_dir), ST.SYMTAB_UNIFY_SQL, duck)
+    assert res["ok"], res
+
+
+def test_symtab_unify_laws(spark, sf_dir):
+    """Unification invariants: every conflict class really holds two
+    concrete constructors, every occurs class embeds a class-mate
+    variable under a func, binds never reference a bad class, and a
+    var unified with a function type resolves 'func'."""
+    from herodb_spark.catalog import load_table
+
+    out = ST.symtab_unify(spark, sf_dir).collect()
+    by_kind: dict[str, list] = {}
+    for r in out:
+        by_kind.setdefault(r.kind, []).append(r)
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    binds = by_kind.get("bind", [])
+    assert binds, "no bindings produced"
+    bad_reps = {r.rep for r in by_kind.get("conflict", [])} | {
+        r.rep for r in by_kind.get("occurs", [])
+    }
+    assert all(r.rep not in bad_reps for r in binds)
+    # V_k for ordinary k resolves to its Func binding
+    funcs = sum(1 for r in binds if r.info == "func")
+    assert funcs > n_cust  # every V_k (minus error ks) plus chained L_k classes
+    # conflict ks exist at every SF (k=37 < 150); they all share Int's
+    # class, so exactly ONE conflict class
+    assert len(by_kind.get("conflict", [])) == 1
+    # occurs ks exist at every SF (k=53)
+    assert len(by_kind.get("occurs", [])) >= 1
