@@ -159,6 +159,10 @@ class SnapshotTable:
                 "key_cols": key_cols,
                 "partition_col": partition_col,
                 "current": 0,
+                # schema is MANIFEST metadata (like real table formats):
+                # reads of an all-partitions-deleted version and schema
+                # checks never need to open a data file
+                "schema": df.schema.json(),
                 "versions": {"0": {"op": "create", "partitions": parts}},
             }
         )
@@ -225,9 +229,71 @@ class SnapshotTable:
         v = m["current"] if version is None else version
         entry = m["versions"].get(str(v))
         if entry is None:
-            raise ValueError(f"{self.path}: no version {v}")
+            raise ValueError(
+                f"{self.path}: no version {v}"
+                + (" (vacuumed)" if v < m["current"] else "")
+            )
+        if not entry["partitions"]:
+            # a mutation can delete every partition; the manifest
+            # schema keeps such versions readable as empty tables
+            if "schema" not in m:
+                raise ValueError(f"{self.path}: version {v} is empty and pre-dates manifest schemas")
+            from pyspark.sql import types as T
+
+            return self.spark.createDataFrame([], T.StructType.fromJson(json.loads(m["schema"])))
         dirs = [os.path.join(self.path, rel) for rel in entry["partitions"].values()]
         return self.spark.read.parquet(*dirs)
+
+    def vacuum(self, keep_last: int = 1) -> dict:
+        """Garbage-collect old versions: keep the newest `keep_last`
+        versions (always including current), drop the rest from the
+        manifest, then delete data directories no kept version
+        references — rewrite ∝ dropped files, exactly the
+        VACUUM/expire-snapshots operation of real table formats.
+
+        Ordering is crash-safe: the pruned manifest commits FIRST
+        (atomic replace under the OCC lock), and only then files are
+        deleted — a crash in between leaves unreferenced files (safe,
+        re-vacuumable), never a manifest pointing at deleted files.
+        Time travel to dropped versions becomes an error (named as
+        vacuumed). Returns {dropped_versions, removed_dirs}."""
+        import shutil
+
+        m = self._load()
+        read_version = m["current"]
+        versions = sorted(int(v) for v in m["versions"])
+        keep = set(versions[-max(1, keep_last):]) | {m["current"]}
+        dropped = [v for v in versions if v not in keep]
+        if not dropped:
+            return {"dropped_versions": [], "removed_dirs": []}
+        kept_dirs = {
+            rel for v in keep for rel in m["versions"][str(v)]["partitions"].values()
+        }
+        m["versions"] = {str(v): m["versions"][str(v)] for v in sorted(keep)}
+        self._commit(m, expected_current=read_version)
+        removed: list[str] = []
+        data_root = os.path.join(self.path, "data")
+        for vdir in sorted(os.listdir(data_root)):
+            vpath = os.path.join(data_root, vdir)
+            if not os.path.isdir(vpath):
+                continue
+            # _SUCCESS/.crc marker FILES belong to the version dir as a
+            # whole: keep them while any leaf of this dir is still
+            # referenced, drop them with the last leaf
+            kept_here = any(rel.startswith(f"data/{vdir}/") for rel in kept_dirs)
+            for leaf in sorted(os.listdir(vpath)):
+                full = os.path.join(vpath, leaf)
+                rel = f"data/{vdir}/{leaf}"
+                if rel in kept_dirs:
+                    continue
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(rel)
+                elif not kept_here:
+                    os.remove(full)
+            if not os.listdir(vpath):
+                os.rmdir(vpath)
+        return {"dropped_versions": dropped, "removed_dirs": removed}
 
     def history(self) -> list[dict]:
         m = self._load()

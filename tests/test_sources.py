@@ -431,3 +431,40 @@ def test_pagerank_rejects_nonpositive_cadence(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="checkpoint_every"):
         GA.pagerank(nodes, edges, iters=2, checkpoint_every=0)
+
+
+def test_snapshot_vacuum_and_empty_read(spark, tmp_path):
+    """VACUUM keeps the newest versions, physically removes directories
+    only the dropped versions referenced (file-level reuse respected:
+    a directory shared with a kept version survives), names vacuumed
+    versions in the time-travel error, and a delete-everything
+    mutation stays readable as an empty table via the manifest
+    schema."""
+    import os as _os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(1, 10)], "id long, grp int, v double"
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "vac"), df, ["id"], partition_col="grp")
+    t.update_where(F.col("grp") == 0, {"v": F.col("v") + 1})  # v1 rewrites grp=0 only
+    t.update_where(F.col("grp") == 1, {"v": F.col("v") + 1})  # v2 rewrites grp=1 only
+    res = t.vacuum(keep_last=1)
+    assert res["dropped_versions"] == [0, 1]
+    # v2 still reads fully: its manifest re-links grp=2 from v0 and
+    # grp=0 from v1 — those SHARED dirs must survive the vacuum
+    assert t.read().count() == 9
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[3] == 4.0 and got[4] == 5.0  # both updates visible
+    for rel in res["removed_dirs"]:
+        assert not _os.path.exists(str(tmp_path / "vac" / rel))
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(version=0)
+    # delete-all partitions: readable as empty with the full schema
+    t.delete_where(F.lit(True))
+    empty = t.read()
+    assert empty.count() == 0 and empty.columns == ["id", "grp", "v"]
