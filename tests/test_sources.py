@@ -468,3 +468,31 @@ def test_snapshot_vacuum_and_empty_read(spark, tmp_path):
     t.delete_where(F.lit(True))
     empty = t.read()
     assert empty.count() == 0 and empty.columns == ["id", "grp", "v"]
+
+
+def test_snapshot_read_changes_cdc(spark, tmp_path):
+    """Change data feed between versions: inserts, deletes, and
+    update pre/post images, computed only over partitions whose
+    directories differ between the two manifests."""
+    from pyspark.sql import functions as F
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(1, 10)], "id long, grp int, v double"
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "cdc"), df, ["id"], partition_col="grp")
+    t.merge_upsert(
+        spark.createDataFrame([(3, 0, 99.0), (42, 0, 1.0)], "id long, grp int, v double")
+    )
+    t.delete_where(F.col("id") == 7)
+    changes = {(r.id, r._change): r.v for r in t.read_changes(0).collect()}
+    assert changes[(42, "insert")] == 1.0
+    assert changes[(7, "delete")] == 7.0
+    assert changes[(3, "update_pre")] == 3.0 and changes[(3, "update_post")] == 99.0
+    assert len(changes) == 4, changes
+    # version-to-version slice: the delete-only step
+    step2 = {(r.id, r._change) for r in t.read_changes(1, 2).collect()}
+    assert step2 == {(7, "delete")}
+    # identical versions → empty feed
+    assert t.read_changes(2, 2).count() == 0
