@@ -181,6 +181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # manifests, sequence packing (operators/traindata.py)
     "dedup_span_exact": TD.dedup_span_exact,
     "mixture_sample_domains": TD.mixture_sample_domains,
+    "mixture_upsample_domains": TD.mixture_upsample_domains,
     "export_shard_manifest": TD.export_shard_manifest,
     "pack_sequences_budget": TD.pack_sequences_budget,
 }
@@ -259,6 +260,7 @@ ORACLES: dict[str, str] = {
     "text_repetition_pii": X.TEXT_REPETITION_PII_SQL,
     "dedup_span_exact": TD.DEDUP_SPAN_EXACT_SQL,
     "mixture_sample_domains": TD.MIXTURE_SAMPLE_SQL,
+    "mixture_upsample_domains": TD.MIXTURE_UPSAMPLE_SQL,
     "export_shard_manifest": TD.EXPORT_SHARD_MANIFEST_SQL,
     "pack_sequences_budget": TD.PACK_SEQUENCES_SQL,
 }

@@ -323,3 +323,102 @@ SELECT shard,
 FROM cums
 GROUP BY 1, 2 ORDER BY shard, bin
 """
+
+
+def mixture_upsample_rows(docs: DataFrame, budget_frac: float = 1.0) -> DataFrame:
+    """Expanded training rows toward a target mixture WITH upsampling —
+    the half `mixture_sample_domains`' capped keep-rate cannot express:
+    a rate of 1.6 means every doc appears once and a deterministic 60%
+    (by hash threshold) appear twice. n_copies = floor(rate) +
+    [hash_unit(doc_id) < frac(rate)]; the expansion is one explode of
+    a per-row sequence — stateless, reproducible, no RNG state to
+    ship, work ∝ output rows. Output: (source, doc_id, copy)."""
+    from pyspark.sql import Window
+
+    src_idx = F.substring(F.col("source"), 4, 8).cast("int")
+    w = (F.lit(1.0) + (src_idx % 4).cast("double")) / F.lit(50.0)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    total = F.sum("n_total").over(Window.partitionBy()).cast("double")
+    rates = counts.select(
+        "source",
+        "n_total",
+        (F.lit(float(budget_frac)) * total * w / F.col("n_total").cast("double")).alias("rate"),
+    )
+    u = hash_unit(F.col("doc_id"))
+    n_copies = (
+        F.floor("rate").cast("long")
+        + F.when(u < (F.col("rate") - F.floor("rate")), F.lit(1)).otherwise(F.lit(0))
+    ).alias("n_copies")
+    per_doc = docs.join(F.broadcast(rates.select("source", "rate")), "source").select(
+        "source", "doc_id", n_copies
+    )
+    return per_doc.where(F.col("n_copies") >= 1).select(
+        "source", "doc_id", F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy")
+    )
+
+
+def mixture_upsample_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: per-source upsampling report over the
+    expanded rows — corpus count, the (uncapped) target rate, how many
+    rows the mixture emits, and how many docs were duplicated."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = mixture_upsample_rows(docs)
+    out = rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_out"),
+        F.sum(F.when(F.col("copy") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+    )
+    from pyspark.sql import Window
+
+    src_idx = F.substring(F.col("source"), 4, 8).cast("int")
+    w = (F.lit(1.0) + (src_idx % 4).cast("double")) / F.lit(50.0)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    total = F.sum("n_total").over(Window.partitionBy()).cast("double")
+    rates = counts.select(
+        "source", "n_total",
+        F.round(F.lit(1.0) * total * w / F.col("n_total").cast("double"), 6).alias("rate"),
+    )
+    return (
+        rates.join(out, "source", "left")
+        .select(
+            "source", "n_total", "rate",
+            F.coalesce("n_out", F.lit(0).cast("long")).alias("n_out"),
+            F.coalesce("n_dup_docs", F.lit(0).cast("long")).alias("n_dup_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_UPSAMPLE_SQL = f"""
+WITH rates AS (
+  SELECT source,
+         COUNT(*) AS n_total,
+         (1.0 * (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents))
+           * ((1.0 + CAST(CAST(substr(source, 4) AS INTEGER) % 4 AS DOUBLE)) / 50.0)
+           / CAST(COUNT(*) AS DOUBLE) AS rate
+  FROM documents GROUP BY source
+),
+perdoc AS (
+  SELECT d.source,
+         CAST(FLOOR(r.rate) AS BIGINT)
+           + CASE WHEN {_hash_unit_sql("d.doc_id")} < (r.rate - FLOOR(r.rate)) THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN rates r USING (source)
+),
+expanded AS (
+  -- static copy series (DuckDB generate_series takes no lateral
+  -- column args); rates here stay well under 8 copies
+  SELECT p.source, g.c AS copy
+  FROM perdoc p
+  JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) g(c) ON g.c <= p.n_copies
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_out,
+         CAST(SUM(CASE WHEN copy >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+  FROM expanded GROUP BY source
+)
+SELECT r.source, r.n_total, ROUND(r.rate, 6) AS rate,
+       COALESCE(a.n_out, 0) AS n_out,
+       COALESCE(a.n_dup_docs, 0) AS n_dup_docs
+FROM rates r LEFT JOIN agg a USING (source)
+ORDER BY r.source
+"""

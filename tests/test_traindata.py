@@ -15,6 +15,7 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 CASES = [
     (TD.dedup_span_exact, TD.DEDUP_SPAN_EXACT_SQL),
     (TD.mixture_sample_domains, TD.MIXTURE_SAMPLE_SQL),
+    (TD.mixture_upsample_domains, TD.MIXTURE_UPSAMPLE_SQL),
     (TD.export_shard_manifest, TD.EXPORT_SHARD_MANIFEST_SQL),
     (TD.pack_sequences_budget, TD.PACK_SEQUENCES_SQL),
 ]
@@ -94,3 +95,27 @@ def test_packing_conserves_tokens_and_docs(spark):
         assert sum(r.bin_tokens for r in rows) == man[shard].n_tokens
         got = sorted(r.bin for r in rows)
         assert got == list(range(len(rows))), f"shard {shard} bins not contiguous: {got}"
+
+
+def test_mixture_upsample_expansion_laws(spark, sf_dir):
+    """Upsampling invariants: sources with rate > 1 keep EVERY doc at
+    least once and duplicate a deterministic fraction; expected output
+    size tracks rate * n_total within the hash-threshold tolerance;
+    the expansion is reproducible."""
+    from herodb_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    report = {r.source: r for r in TD.mixture_upsample_domains(spark, sf_dir).collect()}
+    assert any(r.rate > 1.0 for r in report.values()), "fixture should force upsampling"
+    rows = TD.mixture_upsample_rows(docs)
+    per_source_docs = {
+        r.source: r.n for r in rows.groupBy("source").agg(
+            F.count_distinct("doc_id").alias("n")).collect()
+    }
+    for src, r in report.items():
+        if r.rate >= 1.0:
+            # every doc appears: floor(rate) >= 1 copies guaranteed
+            assert per_source_docs.get(src, 0) == r.n_total, src
+        assert abs(r.n_out - r.rate * r.n_total) <= max(10, 0.15 * r.n_total), (src, r)
+    again = {r.source: r.n_out for r in TD.mixture_upsample_domains(spark, sf_dir).collect()}
+    assert again == {s: r.n_out for s, r in report.items()}
