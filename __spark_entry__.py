@@ -182,6 +182,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_exact": TD.dedup_span_exact,
     "mixture_sample_domains": TD.mixture_sample_domains,
     "mixture_upsample_domains": TD.mixture_upsample_domains,
+    # token-level decontamination: scrub matched spans, keep the doc
+    "corpus_scrub_spans": CO.corpus_scrub_spans,
     "export_shard_manifest": TD.export_shard_manifest,
     "pack_sequences_budget": TD.pack_sequences_budget,
 }
@@ -261,6 +263,7 @@ ORACLES: dict[str, str] = {
     "dedup_span_exact": TD.DEDUP_SPAN_EXACT_SQL,
     "mixture_sample_domains": TD.MIXTURE_SAMPLE_SQL,
     "mixture_upsample_domains": TD.MIXTURE_UPSAMPLE_SQL,
+    "corpus_scrub_spans": CO.CORPUS_SCRUB_SPANS_SQL,
     "export_shard_manifest": TD.EXPORT_SHARD_MANIFEST_SQL,
     "pack_sequences_budget": TD.PACK_SEQUENCES_SQL,
 }

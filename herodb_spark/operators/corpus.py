@@ -196,3 +196,143 @@ SELECT 'vocab' AS op, token AS k, doc_freq AS v1, CAST(NULL AS BIGINT) AS v2
 FROM ({VOCAB_TOPK_SQL})
 ORDER BY op, k
 """
+
+
+def scrub_spans(docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
+    """TOKEN-LEVEL decontamination: instead of dropping a contaminated
+    document (`decontaminate`), remove only the word spans that match
+    a benchmark n-gram and keep the rest — the surgical option a
+    training pipeline wants when contamination is a quote inside an
+    otherwise-good document.
+
+    Shape: posexplode words → window-lead n-grams with START
+    POSITIONS → semi-join the broadcast benchmark vocabulary → expand
+    each hit to its n covered positions → anti-join covered words out
+    → reassemble per doc from the position-sorted survivors. Every
+    stage is per-token rows keyed on doc_id (one shuffle), no
+    row-at-a-time Python; work ∝ tokens, reassembly memory ∝ one doc.
+
+    Returns (doc_id, n_words, n_removed, clean_md5) for AFFECTED docs
+    (n_removed > 0); clean_md5 = md5 of the space-rejoined remainder
+    ('' when everything was scrubbed)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    words = (
+        docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .repartition(par, "doc_id")
+        .select("doc_id", F.size("toks").alias("n_words"), F.posexplode("toks").alias("pos", "w"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(" ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, n)])
+    # BOTH window expressions in one projection over the full word set:
+    # filtering first would make the gram's lead() skip the removed
+    # tail rows and emit truncated grams
+    starts = (
+        words.select(
+            "doc_id", "pos", gram.alias("g"), F.lead("w", n - 1).over(win).alias("_last")
+        )
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "pos", "g")
+    )
+    from herodb_spark.operators.dedup import shingle_rows
+
+    bench = shingle_rows(benchmark, n).select(F.col("s").alias("g")).distinct()
+    hits = starts.join(F.broadcast(bench), "g", "left_semi")
+    covered = (
+        hits.select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("pos"))
+        .distinct()
+    )
+    clean = words.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = clean.groupBy("doc_id").agg(
+        F.first("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda x: x["w"]
+                ),
+            ).cast("binary")
+        ).alias("clean_md5"),
+    )
+    totals = words.groupBy("doc_id").agg(F.first("n_words").alias("n_words"))
+    out = (
+        totals.join(rebuilt.select("doc_id", "n_kept", "clean_md5"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce("clean_md5", F.md5(F.lit("").cast("binary"))).alias("clean_md5"),
+        )
+        .where(F.col("n_removed") > 0)
+    )
+    return out
+
+
+def corpus_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: every 10th doc is the benchmark (denser than
+    decontaminate's so the span surgery fires often enough to grade);
+    scrub the REST of the corpus at token level and report each
+    affected doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return scrub_spans(corpus, bench).orderBy("doc_id")
+
+
+_SCRUB_OFFSETS = ", ".join(f"({i})" for i in range(DECON_NGRAM))
+
+CORPUS_SCRUB_SPANS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest({_shingle_sql(DECON_NGRAM)}) AS g
+  FROM tok WHERE doc_id % 10 = 0 AND len(toks) >= {DECON_NGRAM}
+),
+words AS (
+  SELECT doc_id, u['pos'] AS pos, u['w'] AS w
+  FROM (
+    SELECT doc_id, unnest(list_transform(toks, (x, i) -> {{'pos': i - 1, 'w': x}})) AS u
+    FROM tok WHERE doc_id % 10 <> 0
+  )
+),
+starts AS (
+  SELECT doc_id, u['pos'] AS pos, u['g'] AS g
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - {DECON_NGRAM - 1}, 0) + 1),
+                  i -> {{'pos': i - 1,
+                        'g': {" || ' ' || ".join(f"toks[i+{j}]" for j in range(DECON_NGRAM))}}})) AS u
+    FROM tok WHERE doc_id % 10 <> 0
+  )
+),
+hits AS (
+  SELECT s.doc_id, s.pos FROM starts s WHERE s.g IN (SELECT g FROM bench)
+),
+covered AS (
+  SELECT DISTINCT h.doc_id, h.pos + o.off AS pos
+  FROM hits h JOIN (VALUES {_SCRUB_OFFSETS}) o(off) ON TRUE
+),
+clean AS (
+  SELECT w.* FROM words w
+  LEFT JOIN covered c ON w.doc_id = c.doc_id AND w.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+  FROM clean GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words FROM tok WHERE doc_id % 10 <> 0
+)
+SELECT t.doc_id, t.n_words,
+       CAST(t.n_words - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.clean_md5, md5('')) AS clean_md5
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+WHERE t.n_words - COALESCE(r.n_kept, 0) > 0
+ORDER BY t.doc_id
+"""

@@ -14,6 +14,7 @@ CASES = [
     (C.corpus_decontaminate, C.CORPUS_DECONTAMINATE_SQL),
     (C.stratified_sample, C.STRATIFIED_SAMPLE_SQL),
     (C.vocab_topk, C.VOCAB_TOPK_SQL),
+    (C.corpus_scrub_spans, C.CORPUS_SCRUB_SPANS_SQL),
 ]
 
 
@@ -45,3 +46,31 @@ def test_sample_is_deterministic_and_near_fraction(spark, sf_dir):
     total = sum(r.n_total for r in a)
     sampled = sum(r.n_sampled for r in a)
     assert abs(sampled / total - C.SAMPLE_FRACTION) < 0.08
+
+
+def test_scrub_spans_surgical_semantics(spark):
+    """The scrubber removes exactly the covered positions: a doc with
+    one contaminated 5-gram in the middle loses those 5 words, keeps
+    the rest in order; a doc fully made of benchmark text scrubs to
+    the empty string; untouched docs don't appear."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (2, "aa bb alpha beta gamma delta epsilon cc dd"),  # middle span
+            (3, "alpha beta gamma delta epsilon"),  # fully contaminated
+            (4, "totally unrelated words here now"),  # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in C.scrub_spans(corpus, bench).collect()}
+    assert set(out) == {2, 3}
+    assert (out[2].n_words, out[2].n_removed) == (9, 5)
+    assert out[2].clean_md5 == hashlib.md5(b"aa bb cc dd").hexdigest()
+    assert (out[3].n_words, out[3].n_removed) == (5, 5)
+    assert out[3].clean_md5 == hashlib.md5(b"").hexdigest()
