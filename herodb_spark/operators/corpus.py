@@ -209,8 +209,17 @@ def scrub_spans(docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM) -> 
     POSITIONS → semi-join the broadcast benchmark vocabulary → expand
     each hit to its n covered positions → anti-join covered words out
     → reassemble per doc from the position-sorted survivors. Every
-    stage is per-token rows keyed on doc_id (one shuffle), no
-    row-at-a-time Python; work ∝ tokens, reassembly memory ∝ one doc.
+    stage is per-token rows keyed on doc_id (one shuffle; the word set
+    is localCheckpoint'ed once and feeds the gram, survivor, and
+    total branches), no row-at-a-time Python; work ∝ tokens,
+    reassembly memory ∝ one doc.
+
+    SINGLE-PASS contract: removal can rejoin flanking tokens into a
+    NEW benchmark n-gram (…a b [bench] c d… where "a b c d" completes
+    another benchmark gram). Each pass strictly removes words, so
+    iterating the operator on the rebuilt text reaches a clean
+    fixpoint within ⌈len/n⌉ passes; run it in a loop when the
+    guarantee must be absolute (pinned in tests).
 
     Returns (doc_id, n_words, n_removed, clean_md5) for AFFECTED docs
     (n_removed > 0); clean_md5 = md5 of the space-rejoined remainder
@@ -219,10 +228,12 @@ def scrub_spans(docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM) -> 
 
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    totals = toks.select("doc_id", F.size("toks").cast("long").alias("n_words"))
     words = (
-        docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-        .repartition(par, "doc_id")
-        .select("doc_id", F.size("toks").alias("n_words"), F.posexplode("toks").alias("pos", "w"))
+        toks.repartition(par, "doc_id")
+        .select("doc_id", F.posexplode("toks").alias("pos", "w"))
+        .localCheckpoint(eager=True)  # one tokenize+shuffle feeds all three consumers
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
     gram = F.concat_ws(" ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, n)])
@@ -246,7 +257,6 @@ def scrub_spans(docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM) -> 
     )
     clean = words.join(covered, ["doc_id", "pos"], "left_anti")
     rebuilt = clean.groupBy("doc_id").agg(
-        F.first("n_words").alias("n_words"),
         F.count(F.lit(1)).alias("n_kept"),
         F.md5(
             F.concat_ws(
@@ -257,18 +267,16 @@ def scrub_spans(docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM) -> 
             ).cast("binary")
         ).alias("clean_md5"),
     )
-    totals = words.groupBy("doc_id").agg(F.first("n_words").alias("n_words"))
-    out = (
-        totals.join(rebuilt.select("doc_id", "n_kept", "clean_md5"), "doc_id", "left")
+    return (
+        totals.join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("n_words").cast("long").alias("n_words"),
+            "n_words",
             (F.col("n_words") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
             F.coalesce("clean_md5", F.md5(F.lit("").cast("binary"))).alias("clean_md5"),
         )
         .where(F.col("n_removed") > 0)
     )
-    return out
 
 
 def corpus_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -325,6 +325,22 @@ GROUP BY 1, 2 ORDER BY shard, bin
 """
 
 
+def _upsample_rates(docs: DataFrame, budget_frac: float) -> DataFrame:
+    """(source, n_total, rate) with the UNCAPPED rate — shared by the
+    row expansion and the report so the two can never drift."""
+    from pyspark.sql import Window
+
+    src_idx = F.substring(F.col("source"), 4, 8).cast("int")
+    w = (F.lit(1.0) + (src_idx % 4).cast("double")) / F.lit(50.0)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    total = F.sum("n_total").over(Window.partitionBy()).cast("double")
+    return counts.select(
+        "source",
+        "n_total",
+        (F.lit(float(budget_frac)) * total * w / F.col("n_total").cast("double")).alias("rate"),
+    )
+
+
 def mixture_upsample_rows(docs: DataFrame, budget_frac: float = 1.0) -> DataFrame:
     """Expanded training rows toward a target mixture WITH upsampling —
     the half `mixture_sample_domains`' capped keep-rate cannot express:
@@ -333,17 +349,7 @@ def mixture_upsample_rows(docs: DataFrame, budget_frac: float = 1.0) -> DataFram
     [hash_unit(doc_id) < frac(rate)]; the expansion is one explode of
     a per-row sequence — stateless, reproducible, no RNG state to
     ship, work ∝ output rows. Output: (source, doc_id, copy)."""
-    from pyspark.sql import Window
-
-    src_idx = F.substring(F.col("source"), 4, 8).cast("int")
-    w = (F.lit(1.0) + (src_idx % 4).cast("double")) / F.lit(50.0)
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
-    total = F.sum("n_total").over(Window.partitionBy()).cast("double")
-    rates = counts.select(
-        "source",
-        "n_total",
-        (F.lit(float(budget_frac)) * total * w / F.col("n_total").cast("double")).alias("rate"),
-    )
+    rates = _upsample_rates(docs, budget_frac)
     u = hash_unit(F.col("doc_id"))
     n_copies = (
         F.floor("rate").cast("long")
@@ -360,22 +366,16 @@ def mixture_upsample_rows(docs: DataFrame, budget_frac: float = 1.0) -> DataFram
 def mixture_upsample_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered query: per-source upsampling report over the
     expanded rows — corpus count, the (uncapped) target rate, how many
-    rows the mixture emits, and how many docs were duplicated."""
+    rows the mixture emits, and how many DISTINCT docs appear more
+    than once."""
     docs = load_table(spark, sf_dir, "documents")
     rows = mixture_upsample_rows(docs)
     out = rows.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_out"),
-        F.sum(F.when(F.col("copy") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+        F.count_distinct(F.when(F.col("copy") >= 2, F.col("doc_id"))).alias("n_dup_docs"),
     )
-    from pyspark.sql import Window
-
-    src_idx = F.substring(F.col("source"), 4, 8).cast("int")
-    w = (F.lit(1.0) + (src_idx % 4).cast("double")) / F.lit(50.0)
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
-    total = F.sum("n_total").over(Window.partitionBy()).cast("double")
-    rates = counts.select(
-        "source", "n_total",
-        F.round(F.lit(1.0) * total * w / F.col("n_total").cast("double"), 6).alias("rate"),
+    rates = _upsample_rates(docs, 1.0).select(
+        "source", "n_total", F.round("rate", 6).alias("rate")
     )
     return (
         rates.join(out, "source", "left")
@@ -398,22 +398,24 @@ WITH rates AS (
   FROM documents GROUP BY source
 ),
 perdoc AS (
-  SELECT d.source,
+  SELECT d.source, d.doc_id,
          CAST(FLOOR(r.rate) AS BIGINT)
            + CASE WHEN {_hash_unit_sql("d.doc_id")} < (r.rate - FLOOR(r.rate)) THEN 1 ELSE 0 END AS n_copies
   FROM documents d JOIN rates r USING (source)
 ),
 expanded AS (
-  -- static copy series (DuckDB generate_series takes no lateral
-  -- column args); rates here stay well under 8 copies
-  SELECT p.source, g.c AS copy
-  FROM perdoc p
-  JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) g(c) ON g.c <= p.n_copies
+  -- copy series via the constant-range table function (DuckDB's
+  -- generate_series/range take no lateral column args); 64 bounds any
+  -- plausible mixture — the Spark side is unbounded, so a rate past
+  -- the bound would show up as an immediate hash mismatch here rather
+  -- than silent truncation going unnoticed (fixture max is 1.6)
+  SELECT p.source, p.doc_id, g.c AS copy
+  FROM perdoc p JOIN range(1, 65) g(c) ON g.c <= p.n_copies
 ),
 agg AS (
   SELECT source,
          CAST(COUNT(*) AS BIGINT) AS n_out,
-         CAST(SUM(CASE WHEN copy >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+         CAST(COUNT(DISTINCT CASE WHEN copy >= 2 THEN doc_id END) AS BIGINT) AS n_dup_docs
   FROM expanded GROUP BY source
 )
 SELECT r.source, r.n_total, ROUND(r.rate, 6) AS rate,

@@ -63,13 +63,26 @@ class SnapshotTable:
         with open(self._manifest_path()) as f:
             return json.load(f)
 
-    def _commit(self, manifest: dict, expected_current: int | None = None) -> None:
+    @staticmethod
+    def _seq(m: dict) -> int:
+        """Monotone commit counter. Distinct from `current`: VACUUM
+        rewrites the manifest WITHOUT producing a new data version, so
+        OCC must fence on commits, not on versions — otherwise a
+        mutation that read pre-vacuum could commit a manifest that
+        resurrects dropped versions whose files are gone. Defaults to
+        `current` for manifests written before the counter existed."""
+        return int(m.get("seq", m["current"]))
+
+    def _commit(self, manifest: dict, expected_current: int | None = None,
+                expected_seq: int | None = None) -> None:
         """Atomic commit; with `expected_current`, an optimistic-
         concurrency commit: under a short-lived lock file, re-validate
-        that the version this mutation read is still current, else
-        raise ConcurrentWriteError (the caller's writes land in
-        version-scoped directories no reader resolves, so an aborted
-        commit leaks only unreferenced files)."""
+        that the version AND the commit counter this mutation read are
+        still current, else raise ConcurrentWriteError (the caller's
+        writes land in version-scoped directories no reader resolves,
+        so an aborted commit leaks only unreferenced files). Every OCC
+        commit bumps `seq`, so ANY intervening manifest rewrite —
+        including vacuum — fences out stale writers."""
         # writer-UNIQUE tmp name: with a shared fixed name, two racing
         # writers could overwrite each other's serialized manifest
         # before either reached the lock, making the lock-holder
@@ -112,10 +125,15 @@ class SnapshotTable:
                     time.sleep(0.01)
             if fd is None:
                 raise ConcurrentWriteError(f"{self.path}: commit lock held too long")
-            if self._load()["current"] != expected_current:
+            on_disk = self._load()
+            if on_disk["current"] != expected_current or (
+                expected_seq is not None and self._seq(on_disk) != expected_seq
+            ):
                 raise ConcurrentWriteError(
-                    f"{self.path}: version advanced past {expected_current} during this mutation"
+                    f"{self.path}: manifest advanced past (version {expected_current}, "
+                    f"seq {expected_seq}) during this mutation"
                 )
+            manifest["seq"] = self._seq(on_disk) + 1
             # serialize INSIDE the critical section, after validation,
             # to the writer-private file — nothing outside the lock can
             # replace these bytes between write and install
@@ -252,25 +270,29 @@ class SnapshotTable:
         VACUUM/expire-snapshots operation of real table formats.
 
         Ordering is crash-safe: the pruned manifest commits FIRST
-        (atomic replace under the OCC lock), and only then files are
-        deleted — a crash in between leaves unreferenced files (safe,
-        re-vacuumable), never a manifest pointing at deleted files.
-        Time travel to dropped versions becomes an error (named as
-        vacuumed). Returns {dropped_versions, removed_dirs}."""
+        (atomic replace under the OCC lock, bumping the commit seq so
+        every concurrent in-flight mutation fences out and retries),
+        and only then files are deleted — a crash in between leaves
+        unreferenced files, which the NEXT vacuum collects: the
+        physical sweep runs even when no versions are droppable, and
+        that orphan-only pass still commits a seq bump first, because
+        deleting unreferenced directories without fencing could race a
+        writer whose fresh (not-yet-committed) directories look like
+        orphans. Time travel to dropped versions becomes an error
+        (named as vacuumed). Returns {dropped_versions, removed_dirs}."""
         import shutil
 
         m = self._load()
         read_version = m["current"]
+        read_seq = self._seq(m)
         versions = sorted(int(v) for v in m["versions"])
         keep = set(versions[-max(1, keep_last):]) | {m["current"]}
         dropped = [v for v in versions if v not in keep]
-        if not dropped:
-            return {"dropped_versions": [], "removed_dirs": []}
         kept_dirs = {
             rel for v in keep for rel in m["versions"][str(v)]["partitions"].values()
         }
         m["versions"] = {str(v): m["versions"][str(v)] for v in sorted(keep)}
-        self._commit(m, expected_current=read_version)
+        self._commit(m, expected_current=read_version, expected_seq=read_seq)
         removed: list[str] = []
         data_root = os.path.join(self.path, "data")
         for vdir in sorted(os.listdir(data_root)):
@@ -321,6 +343,11 @@ class SnapshotTable:
         def _side(parts: dict) -> DataFrame:
             dirs = [os.path.join(self.path, parts[pv]) for pv in changed if pv in parts]
             if not dirs:
+                if "schema" not in m:
+                    raise ValueError(
+                        f"{self.path}: change feed needs a manifest schema for an "
+                        "empty side and this table pre-dates manifest schemas"
+                    )
                 from pyspark.sql import types as T
 
                 return self.spark.createDataFrame([], T.StructType.fromJson(json.loads(m["schema"])))
@@ -389,6 +416,7 @@ class SnapshotTable:
         advances in the same atomic manifest commit as the data."""
         m = self._load()
         read_version = m["current"]
+        read_seq = self._seq(m)
         if txn is not None and txn[1] <= int(m.get("txns", {}).get(txn[0], -1)):
             return m["current"]
         keys = m["key_cols"]
@@ -397,7 +425,7 @@ class SnapshotTable:
         if updates.isEmpty():
             if txn is not None:
                 m.setdefault("txns", {})[txn[0]] = int(txn[1])
-                self._commit(m, expected_current=read_version)
+                self._commit(m, expected_current=read_version, expected_seq=read_seq)
             return m["current"]
         if pcol is None:
             touched = {_UNPARTITIONED}
@@ -429,7 +457,7 @@ class SnapshotTable:
         m["current"] = version
         if txn is not None:
             m.setdefault("txns", {})[txn[0]] = int(txn[1])
-        self._commit(m, expected_current=read_version)
+        self._commit(m, expected_current=read_version, expected_seq=read_seq)
         return version
 
     def update_where(self, predicate: Column, assignments: dict[str, Column]) -> int:
@@ -465,6 +493,7 @@ class SnapshotTable:
         self, m: dict, target: DataFrame, result: DataFrame, matched: Column, op: str
     ) -> int:
         read_version = m["current"]
+        read_seq = self._seq(m)
         pcol = m["partition_col"]
         if pcol is None:
             touched = {_UNPARTITIONED}
@@ -501,5 +530,5 @@ class SnapshotTable:
         new_parts.update(parts)
         m["versions"][str(version)] = {"op": op, "partitions": new_parts}
         m["current"] = version
-        self._commit(m, expected_current=read_version)
+        self._commit(m, expected_current=read_version, expected_seq=read_seq)
         return version

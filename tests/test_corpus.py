@@ -74,3 +74,31 @@ def test_scrub_spans_surgical_semantics(spark):
     assert out[2].clean_md5 == hashlib.md5(b"aa bb cc dd").hexdigest()
     assert (out[3].n_words, out[3].n_removed) == (5, 5)
     assert out[3].clean_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_scrub_spans_single_pass_contract_and_fixpoint(spark):
+    """The documented single-pass limitation: removing a span can
+    rejoin flanking tokens into a NEW benchmark n-gram; iterating the
+    operator on the rebuilt text reaches a clean fixpoint (each pass
+    strictly removes words)."""
+    import hashlib
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    # only matching start is pos 2; scrubbing 2-6 rejoins
+    # "alpha beta" + "gamma delta epsilon" into the benchmark gram
+    corpus = spark.createDataFrame(
+        [(2, "alpha beta alpha beta gamma delta epsilon gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    first = {r.doc_id: r for r in C.scrub_spans(corpus, bench).collect()}
+    assert first[2].n_removed == 5
+    assert first[2].clean_md5 == hashlib.md5(b"alpha beta gamma delta epsilon").hexdigest()
+    # pass 2 over the rebuilt text scrubs the rejoined gram to empty
+    rebuilt = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    second = {r.doc_id: r for r in C.scrub_spans(rebuilt, bench).collect()}
+    assert second[2].n_removed == 5
+    assert second[2].clean_md5 == hashlib.md5(b"").hexdigest()

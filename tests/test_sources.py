@@ -496,3 +496,37 @@ def test_snapshot_read_changes_cdc(spark, tmp_path):
     assert step2 == {(7, "delete")}
     # identical versions → empty feed
     assert t.read_changes(2, 2).count() == 0
+
+
+def test_vacuum_seq_fences_stale_writers_and_sweeps_orphans(spark, tmp_path):
+    """Round-5 review findings: (1) vacuum bumps the commit seq, so a
+    mutation that read the manifest BEFORE the vacuum cannot commit a
+    manifest resurrecting dropped versions whose files are gone;
+    (2) a vacuum with nothing to drop still sweeps orphaned
+    directories (the crash-between-commit-and-delete recovery path)."""
+    import os as _os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from herodb_spark.sources.snapshot import ConcurrentWriteError, SnapshotTable
+
+    df = spark.createDataFrame([(1, 0, 1.0), (2, 1, 2.0)], "id long, grp int, v double")
+    t = SnapshotTable.create(spark, str(tmp_path / "f"), df, ["id"], partition_col="grp")
+    t.update_where(F.col("grp") == 0, {"v": F.col("v") + 1})
+    # stale snapshot of the manifest, taken before the vacuum
+    stale = t._load()
+    stale_seq = t._seq(stale)
+    t.vacuum(keep_last=1)
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(stale, expected_current=stale["current"], expected_seq=stale_seq)
+    # orphan-only sweep: plant an unreferenced version dir, vacuum with
+    # nothing droppable still collects it
+    orphan = tmp_path / "f" / "data" / "v=9-deadbeef" / "__p=0"
+    orphan.mkdir(parents=True)
+    (orphan / "junk.parquet").write_bytes(b"x")
+    res = t.vacuum(keep_last=5)
+    assert res["dropped_versions"] == []
+    assert "data/v=9-deadbeef/__p=0" in res["removed_dirs"]
+    assert not _os.path.exists(str(orphan))
+    assert t.read().count() == 2
