@@ -156,6 +156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": D.simhash_pairs,  # xxhash64 not in DuckDB
     "ann_lsh_topk": S.ann_lsh_topk,  # approximate by construction
     "ann_ivf_topk": SK.ann_ivf_topk,  # KMeans cells have no SQL equivalent
+    "ann_quantized_topk": S.ann_quantized_topk,  # int8 quantize→overfetch→rerank; recall property-tested
     # the remaining TPC-H patterns (full 22-query suite; adapted to the
     # reduced schema like q4/q12) — each holds a DuckDB oracle here AND
     # a hash-checked unit test at sf0.001+sf0.01 (tests/test_tpch.py)

@@ -247,3 +247,43 @@ def test_cosine_zero_vector_no_ansi_crash(spark):
     }
     assert got[1] == 0.0
     assert abs(got[2] - 0.707107) < 1e-6
+
+
+@pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+                         ids=["sf0.001", "sf0.01"])
+def test_ann_quantized_recall_and_exact_rerank(spark, sfd):
+    """int8 quantize→overfetch→rerank: recall vs the exact baseline
+    must be ≥ 0.9 (near-1 in practice at 8 bits), and every reported
+    score is the EXACT full-precision cosine (rerank contract) —
+    identical to the brute-force score for the same pair."""
+    exact_rows = S.ann_bruteforce_topk(spark, sfd).collect()
+    quant_rows = S.ann_quantized_topk(spark, sfd).collect()
+    exact = {(r.q_id, r.neighbor_id): r.cosine for r in exact_rows}
+    quant = {(r.q_id, r.neighbor_id): r.cosine for r in quant_rows}
+    hits = set(exact) & set(quant)
+    assert len(hits) / len(exact) >= 0.9, f"recall {len(hits)/len(exact)}"
+    for pair in hits:
+        assert exact[pair] == quant[pair], f"rerank score drifted for {pair}"
+
+
+def test_quantization_roundtrip_error_bound(spark):
+    """Affine int8 codec law: |x - dequant(quant(x))| <= scale_d/2
+    for every value of every dimension."""
+    from herodb_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qemb, mins, scales = S.quantize_embeddings(emb)
+    mn = F.array(*[F.lit(v) for v in mins])
+    sc = F.array(*[F.lit(v) for v in scales])
+    deq = F.transform(
+        F.col("q_emb"), lambda v, i: v.cast("double") * F.element_at(sc, i + 1) + F.element_at(mn, i + 1)
+    )
+    err = F.zip_with(F.col("embedding").cast("array<double>"), deq, lambda a, b: F.abs(a - b))
+    half = F.transform(F.sequence(F.lit(1), F.lit(len(scales))),
+                       lambda i: F.element_at(sc, i) / 2 + F.lit(1e-9))
+    viol = qemb.select(
+        F.aggregate(
+            F.zip_with(err, half, lambda e, h: (e > h).cast("int")), F.lit(0), lambda acc, x: acc + x
+        ).alias("n_bad")
+    ).agg(F.sum("n_bad")).collect()[0][0]
+    assert viol == 0
