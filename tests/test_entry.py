@@ -15,7 +15,9 @@ def test_oracle_keys_subset_of_queries():
     assert set(o) <= set(q), set(o) - set(q)
     rows_only = set(q) - set(o)
     # every rows-only op is one of the documented non-SQL-expressible ones
-    assert rows_only == {"dedup_simhash", "ann_lsh_topk", "ann_ivf_topk", "sketch_profile"}, rows_only
+    assert rows_only == {
+        "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk", "sketch_profile"
+    }, rows_only
 
 
 def test_first_fifty_slots_all_oracle_backed():
