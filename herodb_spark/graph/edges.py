@@ -21,7 +21,7 @@ from herodb_spark.catalog import load_table
 def nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed weighted edges src_nation → dst_nation. The heavy
     lifting is the fact-table join (lineitem⋈orders shuffles on
-    orderkey; customer/supplier broadcast); the result is tiny."""
+    orderkey; customer/supplier AQE-sized); the result is tiny."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -33,8 +33,8 @@ def nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # more than the shuffled bytes it saves
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .where(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))

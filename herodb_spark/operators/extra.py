@@ -112,7 +112,7 @@ def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
@@ -154,8 +154,8 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("supp_nk"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("cust_nk"))
         .where(F.col("supp_nation") < F.col("cust_nation"))
@@ -190,7 +190,7 @@ def tpch_q7_q10_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     as plans/tpch.py q4_q6_q12_union: both keep their own functions
     and oracles for unit tests; the union earns both a driver-graded
     hash row in one slot). Each constituent plan — Q7's two-nation
-    broadcast join chain, Q10's returned-revenue top-20 — executes
+    nation-join chain, Q10's returned-revenue top-20 — executes
     unchanged inside its union branch."""
     q7 = tpch_q7_nation_volume(spark, sf_dir).select(
         F.lit("q7").alias("q"),

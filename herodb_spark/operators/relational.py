@@ -76,7 +76,8 @@ ORDER BY part1, part2
 
 def multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-predicate rule body (draft:102-117): 5-way join
-    lineitem⋈orders⋈customer⋈nation⋈region; all dims broadcast."""
+    lineitem⋈orders⋈customer⋈nation⋈region; nation/region
+    hint-broadcast, customer AQE-sized."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -84,7 +85,7 @@ def multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")

@@ -11,8 +11,10 @@ aggregates are not reproducible run-to-run, decimals are.
 
 Plan shape notes (verified via .explain("formatted")):
 - q1: single scan → partial agg → final agg; filter pushed to parquet.
-- q3/q5/q18: dimension sides broadcast; fact-fact joins shuffle on
-  key with AQE skew handling.
+- q3/q5/q18: nation/region keep explicit broadcast hints (fixed
+  cardinality); customer/supplier sizing is left to AQE, which picks
+  broadcast at test SFs and falls back to shuffle joins at scale.
+  Fact-fact joins shuffle on key with AQE skew handling.
 """
 
 from __future__ import annotations
@@ -70,15 +72,16 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: unshipped-order revenue. customer is the small side →
-    broadcast; orders⋈lineitem shuffles on orderkey."""
+    """TPC-H Q3: unshipped-order revenue. customer's join strategy is
+    AQE-sized (broadcast at test SFs, shuffle at 100×);
+    orders⋈lineitem shuffles on orderkey."""
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15"))
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15"))
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     out = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .select(
@@ -113,7 +116,8 @@ LIMIT 10
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: revenue by nation where customer and supplier share a
-    nation. All dims broadcast; the only big shuffle is
+    nation. nation/region are hint-broadcast (fixed cardinality);
+    customer/supplier are AQE-sized. The only big shuffle is
     lineitem⋈orders."""
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
@@ -126,8 +130,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     out = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .where(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -173,7 +177,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.join(big, "l_orderkey")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"))
         .select(

@@ -16,8 +16,11 @@ Determinism contract (same as plans/tpch.py): money math in DECIMAL
 (exact, order-independent partial sums), final values ROUNDed and
 cast to DOUBLE, ties broken by explicit keys.
 
-Scale notes: every query's big side is lineitem (or orders); all
-dims (part/supplier/nation/region/customer) are broadcast. The
+Scale notes: every query's big side is lineitem (or orders).
+Broadcast hints are pinned ONLY on fixed-cardinality frames (nation,
+region, 1-row scalar aggregates); part/supplier/customer scale
+linearly with SF, so their join strategy is left to AQE — broadcast
+at test SFs, graceful shuffle fallback at 100 TB. The
 derived supplier×part aggregates shuffle once on their group key;
 correlated subqueries are expressed as self-aggregate + join-back on
 the same key, so Catalyst reuses the exchange where possible. No
@@ -61,8 +64,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost = (
-        li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(euro_supp), li.l_suppkey == euro_supp.s_suppkey)
+        li.join(part.select("p_partkey", "p_brand"), li.l_partkey == F.col("p_partkey"))
+        .join(euro_supp, li.l_suppkey == euro_supp.s_suppkey)
         .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.sum(_dec("l_extendedprice")).alias("supply_cost"))
     )
@@ -110,7 +113,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: NATION_2's market share of ECONOMY-part revenue among
     ASIA-region customers, per order year. Share = conditional
     decimal sum / total decimal sum (exact), divided as double at the
-    end. All dims broadcast; one shuffle (lineitem⋈orders) + one agg."""
+    end. nation/region hint-broadcast, part/supplier/customer
+    AQE-sized; one shuffle (lineitem⋈orders) + one agg."""
     part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
     supp = load_table(spark, sf_dir, "supplier")
     nation_s = load_table(spark, sf_dir, "nation").alias("ns")
@@ -123,12 +127,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     vol = _dec("l_extendedprice") * (_one() - _dec("l_discount"))
     out = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation_c), cust.c_nationkey == F.col("nc.n_nationkey"))
         .join(F.broadcast(region), F.col("nc.n_regionkey") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation_s), supp.s_nationkey == F.col("ns.n_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -182,8 +186,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dec("p_retailprice") * F.lit(0.5).cast("decimal(18,4)") * _dec("l_quantity")
     )
     out = (
-        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part.select("p_partkey", "p_retailprice"), li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -222,7 +226,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     li = load_table(spark, sf_dir, "lineitem")
     nat_li = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("l_partkey", _dec("l_extendedprice").alias("_v"))
     )
@@ -295,14 +299,14 @@ ORDER BY custdist DESC, c_count DESC
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: share of revenue from PROMO parts in one ship
-    month. Conditional decimal sums; single broadcast join."""
+    month. Conditional decimal sums; single AQE-sized part join."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-03-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     vol = _dec("l_extendedprice") * (_one() - _dec("l_discount"))
     out = (
-        li.join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("_promo"),
             F.sum(vol).alias("_tot"),
@@ -340,7 +344,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         revenue.crossJoin(F.broadcast(max_rev))
         .where(F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             F.col("s_suppkey"),
             F.col("s_name"),
@@ -371,8 +375,9 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 pattern (adapted: supplier×part pairs from lineitem;
     the complaint-comment exclusion becomes s_acctbal < 0): distinct
     supplier counts per (brand, type, size) for a size set, excluding
-    Brand#1 and PROMO. The NOT-IN supplier set is tiny → broadcast
-    anti join; distinct-count shuffles once on the group key."""
+    Brand#1 and PROMO. The NOT-IN supplier set is an SF-scaling
+    filter of supplier, so the anti join is AQE-sized;
+    distinct-count shuffles once on the group key."""
     part = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
@@ -381,8 +386,8 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
     li = load_table(spark, sf_dir, "lineitem")
     out = (
-        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        li.join(part.select("p_partkey", "p_brand", "p_type", "p_size"), li.l_partkey == F.col("p_partkey"))
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size"))
@@ -413,7 +418,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     branded = li.join(
-        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+        part.select("p_partkey"), li.l_partkey == F.col("p_partkey")
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     per_part = branded.groupBy("l_partkey").agg(
         F.sum(_dec("l_quantity")).alias("_sum_qty"),
@@ -465,7 +470,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
     )
     out = (
-        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey", "p_brand", "p_size"), li.l_partkey == F.col("p_partkey"))
         .where(cond)
         .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue"))
     )
@@ -486,8 +491,8 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     some SMALL part during 1996" replaces the half-of-stock
     threshold): NATION_1 suppliers reached through two nested
     semi-joins (supplier ← qualifying supplier×part agg ← part set).
-    The per-(supp,part) aggregate shuffles once; everything else is
-    broadcast."""
+    The per-(supp,part) aggregate shuffles once; nation is
+    hint-broadcast, supplier/part joins AQE-sized."""
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
     part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "SMALL")
@@ -495,7 +500,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
     )
     qualifying = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_dec("l_quantity")).alias("_qty"))
         .where(F.col("_qty") > 50)
@@ -551,7 +556,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_name", "n_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_name"))

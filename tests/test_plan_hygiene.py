@@ -5,6 +5,14 @@
    (ArrowEvalPython / mapInPandas are allowed there only).
 2. Every query that scans parquet prunes columns (ReadSchema never
    equals the full table schema when the operator projects).
+3. No forced broadcast hint on an SF-scaling TPC-H frame
+   (customer/supplier/part/orders/lineitem). An explicit
+   F.broadcast() OVERRIDES AQE's size-based strategy choice, so a
+   hint that is fine at sf0.1 becomes an executor OOM at 100 TB.
+   Hints are allowed only on fixed-cardinality frames: nation (25),
+   region (5), and ≤1-row global aggregates. AQE still picks
+   broadcast for the small sides at runtime — we just stop
+   hard-coding the decision.
 
 This is the "UDFs are the slow path" contract enforced as a test.
 """
@@ -41,3 +49,57 @@ def test_no_python_row_udf_in_plan(spark, sf_dir, name):
             and "MapInPandas" not in plan
             and "FlatMapGroupsInPandas" not in plan
         ), f"{name} unexpectedly drops into Python"
+
+
+# Column-name prefixes of the TPC-H tables that grow linearly with
+# scale factor. nation (n_) and region (r_) are fixed-cardinality and
+# therefore always safe to broadcast; documents/embeddings broadcasts
+# are bounded by benchmark/query-set semantics, not table size.
+_SCALING_PREFIXES = ("c_", "s_", "p_", "l_", "o_")
+
+
+def _jnodes(jnode):
+    yield jnode
+    children = jnode.children()
+    for i in range(children.size()):
+        yield from _jnodes(children.apply(i))
+
+
+def _is_bounded_subtree(jhint_child):
+    """A hinted frame is bounded if it contains a global (no grouping
+    keys) aggregate — its output is exactly one row regardless of how
+    much data feeds it."""
+    for n in _jnodes(jhint_child):
+        if n.getClass().getSimpleName() == "Aggregate" and n.groupingExpressions().isEmpty():
+            return True
+    return False
+
+
+def _scans_scaling_table(jhint_child):
+    hits = []
+    for n in _jnodes(jhint_child):
+        if n.children().size() == 0:
+            out = n.output()
+            for i in range(out.size()):
+                attr = out.apply(i).name()
+                if attr.startswith(_SCALING_PREFIXES):
+                    hits.append(attr)
+                    break
+    return hits
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES), ids=sorted(QUERIES))
+def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed()
+    for node in _jnodes(analyzed):
+        if node.getClass().getSimpleName() != "ResolvedHint":
+            continue
+        child = node.children().apply(0)
+        if _is_bounded_subtree(child):
+            continue
+        hits = _scans_scaling_table(child)
+        assert not hits, (
+            f"{name}: forced broadcast hint over an SF-scaling frame "
+            f"(scans columns {hits}); drop the hint and let AQE decide"
+        )
