@@ -187,6 +187,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_scrub_spans": CO.corpus_scrub_spans,
     "export_shard_manifest": TD.export_shard_manifest,
     "pack_sequences_budget": TD.pack_sequences_budget,
+    # round 6: the reference's mutation statements run DURABLY against
+    # a snapshot table (one OCC commit per statement) — same oracle as
+    # the in-memory heroql_mutations
+    "heroql_durable_mutations": HQ.heroql_durable_mutations,
+    # round 6: maximal shared spans (suffix-array-dedup recipe,
+    # relational gaps-and-islands form) beyond fixed 10-grams
+    "dedup_span_maximal": TD.dedup_span_maximal,
 }
 
 
@@ -267,6 +274,8 @@ ORACLES: dict[str, str] = {
     "corpus_scrub_spans": CO.CORPUS_SCRUB_SPANS_SQL,
     "export_shard_manifest": TD.EXPORT_SHARD_MANIFEST_SQL,
     "pack_sequences_budget": TD.PACK_SEQUENCES_SQL,
+    "heroql_durable_mutations": HQ.HEROQL_MUTATIONS_SQL,
+    "dedup_span_maximal": TD.DEDUP_SPAN_MAXIMAL_SQL,
 }
 
 

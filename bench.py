@@ -29,6 +29,7 @@ from herodb_spark.operators import dedup as D
 from herodb_spark.operators import graphops as G
 from herodb_spark.operators import similarity as S
 from herodb_spark.operators import streamops as ST
+from herodb_spark.operators import symtab as SY
 from herodb_spark.plans import tpch
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,6 +44,9 @@ BENCH_QUERIES = {
     "ann_bruteforce_topk": S.ann_bruteforce_topk,
     "graph_pagerank": G.graph_pagerank,
     "stream_sessionize": ST.stream_sessionize,
+    # round-5 surface promoted to numbers-of-record (verdict next #7)
+    "symtab_resolve": SY.symtab_resolve,
+    "dedup_cluster_canonical": D.dedup_cluster_canonical,
 }
 
 

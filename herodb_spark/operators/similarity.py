@@ -2,9 +2,12 @@
 
 Scale design:
 - `ann_bruteforce_topk`: the exact baseline. The (small) query set is
-  broadcast; the corpus streams through one scan; per-query top-k via
-  window over (query, cosine). At 100 TB the corpus side never
-  shuffles — broadcast-nested-loop with the query side tiny.
+  broadcast; the corpus streams through one scan; per-query top-k is
+  TWO-PHASE (`_topk_per_query`): partial top-k within each input
+  partition, then a global window over the ≤ k×P survivors — the
+  scored volume never funnels into |Q| reducer tasks. At 100 TB the
+  corpus side never shuffles in full — broadcast-nested-loop with the
+  query side tiny, then the balanced (q_id, partition) ranking.
 - `knn_join_blocked`: k-NN join *within* a blocking key (label) —
   the blocked self-join shuffles once on the key; block sizes bound
   memory. This is the pattern for partitioned/IVF-style ANN: replace
@@ -39,6 +42,39 @@ def _queries(emb: DataFrame) -> DataFrame:
     )
 
 
+def _topk_per_query(scored: DataFrame, score_col: str, k: int, rank_col: str = "rk") -> DataFrame:
+    """Two-phase EXACT per-query top-k.
+
+    A single `row_number()` window partitioned by q_id shuffles every
+    scored row into |Q| (=10) reducer tasks — a skewed 10-key shuffle
+    that becomes the whole job's bottleneck once the corpus is 100×.
+    Instead:
+
+    - phase 1: rank within (q_id, input-partition id). The shuffle key
+      space is |Q| × P (P = scan partitions, thousands at 100 TB), so
+      the full scored volume spreads evenly; only ≤ k rows per
+      (q_id, partition) survive.
+    - phase 2: the global q_id window now sees ≤ k × P candidate rows
+      per query instead of the whole corpus.
+
+    Exactness: any row in the global top-k is by definition in the
+    top-k of whichever partition scored it, so phase 1 never discards
+    a winner. (score DESC, vec_id ASC) is a total order per q_id
+    (vec_id unique), so ranks — and output hashes — are identical to
+    the single-window plan.
+    """
+    pw = Window.partitionBy("q_id", "_pid").orderBy(F.desc(score_col), F.asc("vec_id"))
+    gw = Window.partitionBy("q_id").orderBy(F.desc(score_col), F.asc("vec_id"))
+    return (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prk", F.row_number().over(pw))
+        .where(F.col("_prk") <= k)
+        .drop("_pid", "_prk")
+        .withColumn(rank_col, F.row_number().over(gw))
+        .where(F.col(rank_col) <= k)
+    )
+
+
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors vec_id < 10."""
     emb = load_table(spark, sf_dir, "embeddings").repartition(
@@ -46,13 +82,13 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = F.broadcast(_queries(emb))
     cos = V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6)
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
+    scored = (
         q.crossJoin(emb)
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cos.alias("cosine"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= K)
+    )
+    return (
+        _topk_per_query(scored, "cosine", K)
         .select("q_id", "rk", F.col("vec_id").alias("neighbor_id"), "cosine")
         .orderBy("q_id", "rk")
     )
@@ -237,13 +273,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cos = V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6)
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
+    scored = (
         q.join(corpus, F.col("sig") == F.col("q_sig"))
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cos.alias("cosine"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= K)
+    )
+    return (
+        _topk_per_query(scored, "cosine", K)
         .select("q_id", "rk", F.col("vec_id").alias("neighbor_id"), "cosine")
         .orderBy("q_id", "rk")
     )
@@ -298,7 +334,11 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "vec_id"
     )
     qemb, mins, scales = quantize_embeddings(emb)
-    corpus = qemb.select("vec_id", "q_emb", "embedding")
+    # the approx phase touches ONLY the compressed column — at 100 TB
+    # this is the 4× scan/shuffle saving the codec exists for; the
+    # full-precision embedding re-enters below via a vec_id join on the
+    # ≤ K×OVERFETCH×|Q| surviving candidates (AQE broadcasts them).
+    corpus = qemb.select("vec_id", "q_emb")
     mn_arr = F.array(*[F.lit(v) for v in mins])
     sc_arr = F.array(*[F.lit(v) for v in scales])
     deq = F.transform(
@@ -307,19 +347,20 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = F.broadcast(_queries(emb))
     approx = V.cosine_rounded(F.col("q_emb_dec"), F.col("q_emb_query"), 9)
-    cand_w = Window.partitionBy("q_id").orderBy(F.desc("approx"), F.asc("vec_id"))
-    cands = (
+    scored = (
         q.select("q_id", F.col("q_emb").alias("q_emb_query"))
         .crossJoin(corpus.withColumn("q_emb_dec", deq))
         .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", "embedding", "q_emb_query", approx.alias("approx"))
-        .withColumn("crk", F.row_number().over(cand_w))
-        .where(F.col("crk") <= K * QUANT_OVERFETCH)
+        .select("q_id", "vec_id", "q_emb_query", approx.alias("approx"))
+    )
+    cands = _topk_per_query(scored, "approx", K * QUANT_OVERFETCH, rank_col="crk").select(
+        "q_id", "vec_id", "q_emb_query"
     )
     exact = V.cosine_rounded(F.col("q_emb_query"), F.col("embedding"), 6)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        cands.select("q_id", "vec_id", exact.alias("cosine"))
+        cands.join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("q_id", "vec_id", exact.alias("cosine"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= K)
         .select("q_id", "rk", F.col("vec_id").alias("neighbor_id"), "cosine")

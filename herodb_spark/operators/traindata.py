@@ -148,6 +148,134 @@ ORDER BY d.doc_id
 """
 
 
+def positional_shingles(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos, g): the word n-gram starting at 0-based token
+    position `pos` — `shingle_rows`'s codegen'd lead-window shape,
+    keeping positions and in-doc multiplicity (maximal-span detection
+    needs both)."""
+    spark = docs.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .repartition(p, "doc_id")
+        .select("doc_id", F.posexplode("toks").alias("pos", "t"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
+    return (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("g"),
+            F.lead("t", n - 1).over(w).alias("_lk"),
+        )
+        .where(F.col("_lk").isNotNull())
+        .drop("_lk")
+    )
+
+
+def span_maximal_stats(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """MAXIMAL shared spans — the public suffix-array-dedup recipe
+    (find longest duplicated substrings, not fixed-length grams)
+    approximated relationally, per the round-5 verdict's "sorted-
+    anchor extension" ask. A position is an ANCHOR when its n-gram
+    occurs >= 2 times in the corpus (other doc or elsewhere in the
+    same doc). A maximal duplicated span is a maximal run of
+    consecutive anchors: a run of k consecutive duplicated n-gram
+    starts covers k + n - 1 tokens in which EVERY n-gram window is
+    duplicated, and by construction the token before/after the run
+    breaks that property — the maximality law pinned in
+    tests/test_traindata.py. Runs are found with the gaps-and-islands
+    trick (pos - row_number), so the whole plan is: one shuffle on
+    the gram key (inverted index, work ∝ total grams), one window
+    per doc — no docs² anywhere, same scale shape as suffix-array
+    dedup's O(corpus) pass.
+
+    Returns per doc: n_dup_runs, longest_span_tokens (0 when clean),
+    longest_span_start (0-based token position, NULL when clean)."""
+    grams = positional_shingles(docs, n)
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).where(F.col("cnt") >= 2)
+    dpos = grams.join(dup.select("g"), "g", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dpos.withColumn("island", F.col("pos") - F.row_number().over(w))
+    spans = runs.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") - F.min("pos") + F.lit(n)).cast("long").alias("span_tokens"),
+    )
+    per = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_runs"),
+        # argmax via struct max: longest span, min start among ties
+        F.max(
+            F.struct(
+                F.col("span_tokens").alias("t"), (-F.col("span_start")).alias("ns")
+            )
+        ).alias("m"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_runs", F.lit(0).cast("long")).alias("n_dup_runs"),
+            F.coalesce(F.col("m.t"), F.lit(0).cast("long")).alias("longest_span_tokens"),
+            (-F.col("m.ns")).cast("long").alias("longest_span_start"),
+        )
+    )
+
+
+def dedup_span_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: maximal duplicated-span report over the
+    documents corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return span_maximal_stats(docs).orderBy("doc_id")
+
+
+DEDUP_SPAN_MAXIMAL_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         {" || ' ' || ".join(f"toks[i+{j}]" for j in range(SPAN_N))} AS g
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - {SPAN_N - 1}, 0) + 1)) AS i
+    FROM tok
+  )
+),
+dup AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM grams WHERE g IN (SELECT g FROM dup)
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s,
+         CAST(MAX(pos) - MIN(pos) + {SPAN_N} AS BIGINT) AS t
+  FROM runs GROUP BY doc_id, island
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_runs, MAX(t) AS longest
+  FROM spans GROUP BY doc_id
+),
+st AS (
+  SELECT spans.doc_id, CAST(MIN(spans.s) AS BIGINT) AS start
+  FROM spans JOIN per ON spans.doc_id = per.doc_id AND spans.t = per.longest
+  GROUP BY spans.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_dup_runs, 0) AS n_dup_runs,
+       COALESCE(per.longest, 0) AS longest_span_tokens,
+       st.start AS longest_span_start
+FROM documents d
+LEFT JOIN per ON d.doc_id = per.doc_id
+LEFT JOIN st ON d.doc_id = st.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ------------------------------------------------------------- domain mixture
 
 

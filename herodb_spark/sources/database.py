@@ -1,0 +1,260 @@
+"""Multi-table atomic transactions over snapshot tables — the
+database scope of the reference's durability design (Rewrite.md:3-16:
+queue transaction updates in parallel, single-threaded apply, conflict
+cancellation, "recovering when the database is shutdown at any
+timing"). The reference plans MVCC over paged files; the lakehouse
+re-expression is a MANIFEST-OF-MANIFESTS:
+
+- A `SnapshotDatabase` is a directory of member `SnapshotTable`s plus
+  one database manifest whose versions each pin an exact
+  {table name -> table version} set. READERS RESOLVE THROUGH THE PIN,
+  never through a member table's own `current` pointer.
+- A transaction applies its mutations eagerly to the member tables
+  (each one a normal OCC copy-on-write table commit — the
+  "parallel queueing" half), then publishes ALL of them with ONE
+  atomic database-manifest swap (the "single-threaded apply" half).
+  A crash after table A's commit but before the database swap leaves
+  every reader on the previous pin set: table A's orphaned version is
+  invisible, cross-table consistency holds.
+- Recovery (`recover()`, run automatically when a new transaction
+  starts) rolls any member table whose `current` ran ahead of the
+  database pin back to the pin — discarding half-applied transaction
+  leftovers — and bumps the database commit seq so a still-live
+  writer from before recovery can never publish (its pointer swap
+  fences out on seq, mirroring the reference's conflict-cancel rule).
+- Database-level OCC: the pointer swap validates the database seq
+  read at transaction start; two disjoint-table transactions race to
+  one winner, the loser raises ConcurrentWriteError and its table
+  versions are healed by the next recovery. Same-table races already
+  cancel at the member-table OCC layer.
+- Database time travel: `read(name, db_version=k)` resolves table
+  versions through database version k; `vacuum()` prunes old database
+  versions and passes every still-pinned table version as
+  `also_keep`, so table GC can never break a readable database
+  version.
+
+The commit critical section is inherited from SnapshotTable (same
+lock-file OCC protocol, different manifest file), not re-implemented.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from herodb_spark.sources.snapshot import ConcurrentWriteError, SnapshotTable
+
+_DB_MANIFEST = "_db_manifest.json"
+
+
+class _DbManifest(SnapshotTable):
+    """Reuses SnapshotTable's atomic-replace + lock-file OCC commit
+    verbatim for the database manifest; no data-path methods are used."""
+
+    _manifest_name = _DB_MANIFEST
+
+
+class SnapshotDatabase:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._mf = _DbManifest(spark, path)
+
+    # -- manifest ----------------------------------------------------------
+    def _load(self) -> dict:
+        return self._mf._load()
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str) -> "SnapshotDatabase":
+        db = cls(spark, path)
+        os.makedirs(os.path.join(path, "tables"), exist_ok=True)
+        db._mf._commit(
+            {"current": 0, "versions": {"0": {"op": "create", "tables": {}}}}
+        )
+        return db
+
+    def _table_path(self, name: str) -> str:
+        if "/" in name or name.startswith("_") or name.startswith("."):
+            raise ValueError(f"invalid table name {name!r}")
+        return os.path.join(self.path, "tables", name)
+
+    def table(self, name: str) -> SnapshotTable:
+        """Raw member-table handle. For consistent reads use `read()`,
+        which resolves through the database pin."""
+        return SnapshotTable(self.spark, self._table_path(name))
+
+    def _pins(self, m: dict, db_version: int | None = None) -> dict:
+        v = m["current"] if db_version is None else db_version
+        entry = m["versions"].get(str(v))
+        if entry is None:
+            raise ValueError(
+                f"{self.path}: no database version {v}"
+                + (" (vacuumed)" if v < m["current"] else "")
+            )
+        return entry["tables"]
+
+    # -- reads -------------------------------------------------------------
+    def tables(self, db_version: int | None = None) -> dict:
+        return dict(self._pins(self._load(), db_version))
+
+    def read(self, name: str, db_version: int | None = None) -> DataFrame:
+        """Snapshot-consistent read: the table version is the one the
+        (current or time-traveled) database version pins — a
+        half-applied transaction's table commits are never visible."""
+        pins = self._pins(self._load(), db_version)
+        if name not in pins:
+            raise ValueError(f"{self.path}: no table {name!r} in database version")
+        return self.table(name).read(version=pins[name])
+
+    def history(self) -> list[dict]:
+        m = self._load()
+        return [
+            {"version": int(v), "op": e["op"], "tables": dict(e["tables"])}
+            for v, e in sorted(m["versions"].items(), key=lambda kv: int(kv[0]))
+        ]
+
+    # -- DDL (its own single-table atomic commit) ---------------------------
+    def create_table(
+        self,
+        name: str,
+        df: DataFrame,
+        key_cols: list[str],
+        partition_col: str | None = None,
+    ) -> SnapshotTable:
+        m = self._load()
+        read_version, read_seq = m["current"], self._mf._seq(m)
+        if name in self._pins(m):
+            raise ValueError(f"{self.path}: table {name!r} already exists")
+        t = SnapshotTable.create(self.spark, self._table_path(name), df, key_cols, partition_col)
+        pins = dict(self._pins(m))
+        pins[name] = 0
+        version = m["current"] + 1
+        m["versions"][str(version)] = {"op": f"create_table:{name}", "tables": pins}
+        m["current"] = version
+        self._mf._commit(m, expected_current=read_version, expected_seq=read_seq)
+        return t
+
+    # -- recovery ----------------------------------------------------------
+    def recover(self) -> dict:
+        """Discard member-table commits that never made it into a
+        database version: roll every table whose `current` is ahead of
+        the current pin back to the pin. When anything was healed (or
+        a table manifest is simply ahead), bump the database seq so a
+        transaction that started before recovery can no longer publish.
+        Returns {table: rolled_back_from_version}."""
+        m = self._load()
+        read_version, read_seq = m["current"], self._mf._seq(m)
+        pins = self._pins(m)
+        healed: dict[str, int] = {}
+        for name, pinned in pins.items():
+            t = self.table(name)
+            tm = t._load()
+            if tm["current"] > pinned:
+                healed[name] = tm["current"]
+                t.rollback(pinned)
+        if healed:
+            # content-identical manifest; the commit exists only to
+            # bump seq and fence out pre-recovery writers
+            self._mf._commit(m, expected_current=read_version, expected_seq=read_seq)
+        return healed
+
+    # -- transactions ------------------------------------------------------
+    def transaction(self) -> "Transaction":
+        return Transaction(self)
+
+    # -- GC ----------------------------------------------------------------
+    def vacuum(self, keep_last: int = 1) -> dict:
+        """Prune database versions (keep newest `keep_last`, always
+        including current), then vacuum each member table keeping
+        exactly the versions still pinned by a kept database version —
+        plus the table's own current — so database time travel and
+        table reads both survive GC."""
+        m = self._load()
+        read_version, read_seq = m["current"], self._mf._seq(m)
+        versions = sorted(int(v) for v in m["versions"])
+        keep = set(versions[-max(1, keep_last):]) | {m["current"]}
+        dropped = [v for v in versions if v not in keep]
+        m["versions"] = {str(v): m["versions"][str(v)] for v in sorted(keep)}
+        self._mf._commit(m, expected_current=read_version, expected_seq=read_seq)
+        table_report: dict[str, dict] = {}
+        pinned: dict[str, set] = {}
+        for v in keep:
+            for name, tv in m["versions"][str(v)]["tables"].items():
+                pinned.setdefault(name, set()).add(int(tv))
+        for name, tvs in pinned.items():
+            table_report[name] = self.table(name).vacuum(keep_last=1, also_keep=tvs)
+        return {"dropped_db_versions": dropped, "tables": table_report}
+
+
+class Transaction:
+    """Multi-table atomic transaction: eager member-table commits,
+    one database pointer swap at exit. Use as a context manager; an
+    exception inside the block abandons the transaction (no database
+    commit — the next recovery sweeps the orphaned table versions)."""
+
+    def __init__(self, db: SnapshotDatabase):
+        self.db = db
+        self._new_pins: dict[str, int] = {}
+        self._entered = False
+
+    def __enter__(self) -> "Transaction":
+        self.db.recover()  # heal crashed predecessors BEFORE reading seq
+        m = self.db._load()
+        self._read_version = m["current"]
+        self._read_seq = self.db._mf._seq(m)
+        self._base_pins = dict(self.db._pins(m))
+        self._entered = True
+        return self
+
+    # each mutation is a normal OCC table commit; the version it
+    # produces stays private (no reader resolves it) until commit()
+    def _apply(self, name: str, fn) -> int:
+        if not self._entered:
+            raise RuntimeError("transaction used outside its with-block")
+        if name not in self._base_pins:
+            raise ValueError(f"no table {name!r} in this database")
+        t = self.db.table(name)
+        if t._load()["current"] != self._base_pins.get(name, self._new_pins.get(name)):
+            # the pin is this transaction's read snapshot; a diverged
+            # current means another writer (or an unhealed crash)
+            # intervened — cancel, like the reference's conflict rule
+            if self._new_pins.get(name) != t._load()["current"]:
+                raise ConcurrentWriteError(
+                    f"{t.path}: table advanced past this transaction's snapshot"
+                )
+        version = fn(t)
+        self._new_pins[name] = version
+        return version
+
+    def merge_upsert(self, name: str, updates: DataFrame) -> int:
+        return self._apply(name, lambda t: t.merge_upsert(updates))
+
+    def update_where(self, name: str, predicate: Column, assignments: dict) -> int:
+        return self._apply(name, lambda t: t.update_where(predicate, assignments))
+
+    def delete_where(self, name: str, predicate: Column) -> int:
+        return self._apply(name, lambda t: t.delete_where(predicate))
+
+    def commit(self) -> int:
+        """The atomic publish: one database-manifest swap pinning every
+        mutated table's new version together. OCC on the database seq
+        read at __enter__ — any interleaved commit, create_table,
+        vacuum, or recovery cancels this transaction."""
+        m = self.db._load()
+        pins = dict(self._base_pins)
+        pins.update(self._new_pins)
+        version = self._read_version + 1
+        m["versions"][str(version)] = {"op": "txn", "tables": pins}
+        m["current"] = version
+        self.db._mf._commit(
+            m, expected_current=self._read_version, expected_seq=self._read_seq
+        )
+        return version
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        self._entered = False
+        if exc_type is None and self._new_pins:
+            self.commit()
+        return False

@@ -43,6 +43,16 @@ _MANIFEST = "_manifest.json"
 _UNPARTITIONED = "_all"
 
 
+def _parse_type(spark: SparkSession, typ: str):
+    """Spark SQL type string -> DataType (e.g. "double", "array<int>")."""
+    from pyspark.sql import types as T
+
+    try:
+        return T.DataType.fromDDL(typ)
+    except AttributeError:  # older PySpark
+        return T._parse_datatype_string(typ)
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed between this mutation's read and its
     commit — re-read and retry (optimistic concurrency)."""
@@ -51,13 +61,18 @@ class ConcurrentWriteError(RuntimeError):
 class SnapshotTable:
     """Handle to a snapshot table rooted at `path`."""
 
+    # overridable so SnapshotDatabase (sources/database.py) can reuse
+    # the exact same validated OCC commit protocol for its own
+    # manifest-of-manifests without duplicating the critical section
+    _manifest_name = _MANIFEST
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
 
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self) -> str:
-        return os.path.join(self.path, _MANIFEST)
+        return os.path.join(self.path, self._manifest_name)
 
     def _load(self) -> dict:
         with open(self._manifest_path()) as f:
@@ -181,7 +196,9 @@ class SnapshotTable:
                 # reads of an all-partitions-deleted version and schema
                 # checks never need to open a data file
                 "schema": df.schema.json(),
-                "versions": {"0": {"op": "create", "partitions": parts}},
+                "versions": {
+                    "0": {"op": "create", "partitions": parts, "schema": df.schema.json()}
+                },
             }
         )
         return t
@@ -238,11 +255,32 @@ class SnapshotTable:
         return out
 
     # -- reads -------------------------------------------------------------
+    def _schema_at(self, m: dict, v: int):
+        """StructType in effect at version `v`: the newest
+        version-entry schema at or below v (schema-changing commits —
+        create, add_columns — record one), falling back to the
+        manifest-level schema, or None for manifests that pre-date
+        schema tracking (those read by file inference)."""
+        from pyspark.sql import types as T
+
+        js = None
+        for vv in sorted((int(k) for k in m["versions"]), reverse=True):
+            if vv <= v and "schema" in m["versions"][str(vv)]:
+                js = m["versions"][str(vv)]["schema"]
+                break
+        if js is None:
+            js = m.get("schema")
+        return None if js is None else T.StructType.fromJson(json.loads(js))
+
     def read(self, version: int | None = None) -> DataFrame:
         """Current snapshot, or time travel to `version`. Resolves the
         manifest to concrete directories; the scan itself is ordinary
         parquet (pushdown/pruning intact), and listing only manifest
-        dirs doubles as partition pruning bookkeeping."""
+        dirs doubles as partition pruning bookkeeping. The scan uses
+        the MANIFEST schema in effect at the version (real table
+        formats do the same): files written before an `add_columns`
+        evolution simply surface NULL for the added columns, and a
+        pre-evolution version read returns exactly its old columns."""
         m = self._load()
         v = m["current"] if version is None else version
         entry = m["versions"].get(str(v))
@@ -251,18 +289,38 @@ class SnapshotTable:
                 f"{self.path}: no version {v}"
                 + (" (vacuumed)" if v < m["current"] else "")
             )
+        schema = self._schema_at(m, v)
         if not entry["partitions"]:
             # a mutation can delete every partition; the manifest
             # schema keeps such versions readable as empty tables
-            if "schema" not in m:
+            if schema is None:
                 raise ValueError(f"{self.path}: version {v} is empty and pre-dates manifest schemas")
-            from pyspark.sql import types as T
-
-            return self.spark.createDataFrame([], T.StructType.fromJson(json.loads(m["schema"])))
+            return self.spark.createDataFrame([], schema)
         dirs = [os.path.join(self.path, rel) for rel in entry["partitions"].values()]
-        return self.spark.read.parquet(*dirs)
+        reader = self.spark.read if schema is None else self.spark.read.schema(schema)
+        return reader.parquet(*dirs)
 
-    def vacuum(self, keep_last: int = 1) -> dict:
+    def rollback(self, version: int) -> None:
+        """Reset `current` to an existing older version and drop every
+        newer version from the manifest — their data directories
+        become unreferenced and the next vacuum's orphan sweep
+        collects them. This is the recovery primitive SnapshotDatabase
+        uses to discard table commits left behind by a transaction
+        that died before its database-level pointer swap. OCC-fenced
+        like any commit (seq bumps), so an in-flight writer that read
+        the pre-rollback state can never land its commit afterwards."""
+        m = self._load()
+        read_version = m["current"]
+        read_seq = self._seq(m)
+        if str(version) not in m["versions"]:
+            raise ValueError(f"{self.path}: cannot rollback to unknown version {version}")
+        if version == read_version:
+            return
+        m["versions"] = {v: e for v, e in m["versions"].items() if int(v) <= version}
+        m["current"] = version
+        self._commit(m, expected_current=read_version, expected_seq=read_seq)
+
+    def vacuum(self, keep_last: int = 1, also_keep: set | None = None) -> dict:
         """Garbage-collect old versions: keep the newest `keep_last`
         versions (always including current), drop the rest from the
         manifest, then delete data directories no kept version
@@ -279,7 +337,11 @@ class SnapshotTable:
         deleting unreferenced directories without fencing could race a
         writer whose fresh (not-yet-committed) directories look like
         orphans. Time travel to dropped versions becomes an error
-        (named as vacuumed). Returns {dropped_versions, removed_dirs}."""
+        (named as vacuumed). `also_keep` pins extra versions that must
+        survive regardless of age — SnapshotDatabase passes the union
+        of versions still referenced by any kept database version, so
+        a table-level vacuum can never break database time travel.
+        Returns {dropped_versions, removed_dirs}."""
         import shutil
 
         m = self._load()
@@ -287,6 +349,8 @@ class SnapshotTable:
         read_seq = self._seq(m)
         versions = sorted(int(v) for v in m["versions"])
         keep = set(versions[-max(1, keep_last):]) | {m["current"]}
+        if also_keep:
+            keep |= {int(v) for v in also_keep if str(v) in m["versions"]}
         dropped = [v for v in versions if v not in keep]
         kept_dirs = {
             rel for v in keep for rel in m["versions"][str(v)]["partitions"].values()
@@ -317,6 +381,51 @@ class SnapshotTable:
                 os.rmdir(vpath)
         return {"dropped_versions": dropped, "removed_dirs": removed}
 
+    def add_columns(self, new_cols: dict[str, str]) -> int:
+        """Schema evolution as a METADATA-ONLY commit (Rewrite.md:17-18
+        — the reference must take the database offline to "change
+        schema"; table formats make it a manifest edit): append
+        nullable columns to the schema, re-link every existing
+        partition untouched. No data file is read or written — the
+        commit costs one manifest swap at any table size; old files
+        surface NULL for the new columns, and time travel to
+        pre-evolution versions still returns exactly the old columns.
+        `new_cols` maps name -> Spark SQL type string (e.g. "double",
+        "array<int>"). Only ADDITIVE evolution is supported: existing
+        columns cannot be dropped, renamed, retyped, or narrowed —
+        such a request raises rather than silently corrupting old
+        files' reads. Key and partition columns keep their meaning."""
+        from pyspark.sql import types as T
+
+        m = self._load()
+        read_version = m["current"]
+        read_seq = self._seq(m)
+        schema = self._schema_at(m, read_version)
+        if schema is None:
+            raise ValueError(f"{self.path}: pre-schema manifest cannot evolve")
+        existing = {f.name for f in schema.fields}
+        clash = sorted(set(new_cols) & existing)
+        if clash:
+            raise ValueError(
+                f"{self.path}: add_columns cannot redefine existing column(s) {clash} "
+                "(only additive evolution is supported)"
+            )
+        fields = list(schema.fields) + [
+            T.StructField(name, _parse_type(self.spark, typ), nullable=True)
+            for name, typ in new_cols.items()
+        ]
+        new_schema = T.StructType(fields)
+        version = self._next(m)
+        m["versions"][str(version)] = {
+            "op": "add_columns",
+            "partitions": dict(m["versions"][str(read_version)]["partitions"]),
+            "schema": new_schema.json(),
+        }
+        m["current"] = version
+        m["schema"] = new_schema.json()
+        self._commit(m, expected_current=read_version, expected_seq=read_seq)
+        return version
+
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed between two snapshots: one row per changed
         key with `_change` ∈ {insert, delete, update_pre, update_post}
@@ -340,18 +449,23 @@ class SnapshotTable:
         # identical bytes ⇒ no changes possible
         changed = {pv for pv in set(p_from) | set(p_to) if p_from.get(pv) != p_to.get(pv)}
 
+        # BOTH sides read with the schema in effect at `to_version`:
+        # across an add_columns boundary the old side surfaces NULL
+        # for the added columns, so "NULL -> value" correctly reports
+        # as an update (and pre/post rows keep one uniform schema)
+        cdc_schema = self._schema_at(m, to_version)
+
         def _side(parts: dict) -> DataFrame:
             dirs = [os.path.join(self.path, parts[pv]) for pv in changed if pv in parts]
             if not dirs:
-                if "schema" not in m:
+                if cdc_schema is None:
                     raise ValueError(
                         f"{self.path}: change feed needs a manifest schema for an "
                         "empty side and this table pre-dates manifest schemas"
                     )
-                from pyspark.sql import types as T
-
-                return self.spark.createDataFrame([], T.StructType.fromJson(json.loads(m["schema"])))
-            return self.spark.read.parquet(*dirs)
+                return self.spark.createDataFrame([], cdc_schema)
+            reader = self.spark.read if cdc_schema is None else self.spark.read.schema(cdc_schema)
+            return reader.parquet(*dirs)
 
         old = _side(p_from)
         new = _side(p_to)
@@ -457,6 +571,31 @@ class SnapshotTable:
         m["current"] = version
         if txn is not None:
             m.setdefault("txns", {})[txn[0]] = int(txn[1])
+        self._commit(m, expected_current=read_version, expected_seq=read_seq)
+        return version
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the whole table content in ONE commit (INSERT
+        OVERWRITE): every partition of the new frame is written fresh;
+        partitions absent from `df` disappear. Previous versions stay
+        time-travelable. This is the full-rewrite escape hatch — the
+        targeted merge/update/delete paths bound rewrite to touched
+        partitions and are what mutations should use; HeroQL's
+        action-dialect programs (whole-frame rewrites by construction)
+        commit through here so durability is never silently dropped."""
+        m = self._load()
+        read_version = m["current"]
+        read_seq = self._seq(m)
+        schema = self._schema_at(m, read_version)
+        if schema is not None and set(df.columns) != {f.name for f in schema.fields}:
+            raise ValueError(
+                f"{self.path}: overwrite frame columns {sorted(df.columns)} != table "
+                f"schema {sorted(f.name for f in schema.fields)} (use add_columns to evolve)"
+            )
+        version = self._next(m)
+        parts = self._write_partitions(df, version, m["partition_col"])
+        m["versions"][str(version)] = {"op": "overwrite", "partitions": parts}
+        m["current"] = version
         self._commit(m, expected_current=read_version, expected_seq=read_seq)
         return version
 

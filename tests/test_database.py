@@ -1,0 +1,152 @@
+"""SnapshotDatabase: multi-table atomic transactions (the database
+scope of reference Rewrite.md:3-16 — parallel-queued updates, one
+apply point, conflict cancel, recovery after shutdown at any timing).
+
+The load-bearing tests are crash injection: a transaction that
+committed table A and died before table B (or before the database
+pointer swap) must be INVISIBLE to every reader, and recovery must
+heal the member tables back to the consistent pin set.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from herodb_spark.sources.database import SnapshotDatabase, Transaction
+from herodb_spark.sources.snapshot import ConcurrentWriteError
+
+
+def _mkdb(spark, tmp_path):
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    acct = spark.createDataFrame(
+        [(i, f"u{i}", float(100 * i)) for i in range(1, 6)], "id long, name string, bal double"
+    )
+    log = spark.createDataFrame([(0, "init")], "seq long, what string")
+    db.create_table("accounts", acct, key_cols=["id"])
+    db.create_table("audit", log, key_cols=["seq"])
+    return db
+
+
+def _bal(db, db_version=None):
+    return {
+        r.id: r.bal for r in db.read("accounts", db_version=db_version).collect()
+    }
+
+
+def test_txn_commits_all_tables_atomically(spark, tmp_path):
+    db = _mkdb(spark, tmp_path)
+    upd = spark.createDataFrame([(1, "u1", 999.0)], "id long, name string, bal double")
+    entry = spark.createDataFrame([(1, "credit u1")], "seq long, what string")
+    with db.transaction() as t:
+        t.merge_upsert("accounts", upd)
+        t.merge_upsert("audit", entry)
+    assert _bal(db)[1] == 999.0
+    assert db.read("audit").count() == 2
+    hist = db.history()
+    assert hist[-1]["op"] == "txn"
+    # one database version for the whole transaction, both pins advanced
+    assert hist[-1]["tables"]["accounts"] == 1 and hist[-1]["tables"]["audit"] == 1
+
+
+def test_crash_between_table_commits_is_invisible_and_recoverable(spark, tmp_path):
+    """Commit table A, die before table B and before the pointer swap:
+    readers (fresh handles included) see the full pre-state; recovery
+    rolls A back; a replay then lands both atomically."""
+    db = _mkdb(spark, tmp_path)
+    pre = _bal(db)
+    upd = spark.createDataFrame([(2, "u2", -1.0)], "id long, name string, bal double")
+
+    t = Transaction(db)
+    t.__enter__()
+    t.merge_upsert("accounts", upd)  # table-level commit lands...
+    # ...CRASH: no audit write, no t.commit(), no __exit__
+
+    # a fresh reader resolves through the database pin — consistent pre-state
+    db2 = SnapshotDatabase(spark, db.path)
+    assert _bal(db2) == pre
+    assert db2.read("audit").count() == 1
+    # but the member table's own manifest DID run ahead (the leak recovery heals)
+    assert db2.table("accounts")._load()["current"] == 1
+
+    healed = db2.recover()
+    assert healed == {"accounts": 1}
+    assert db2.table("accounts")._load()["current"] == 0
+    assert _bal(db2) == pre
+
+    # replay: the same logical transaction, this time to completion
+    entry = spark.createDataFrame([(1, "debit u2")], "seq long, what string")
+    with db2.transaction() as t2:
+        t2.merge_upsert("accounts", upd)
+        t2.merge_upsert("audit", entry)
+    assert _bal(db2)[2] == -1.0
+    assert db2.read("audit").count() == 2
+
+
+def test_crashed_writer_cannot_publish_after_recovery(spark, tmp_path):
+    """Fencing: a transaction that started before recovery (its table
+    commits were rolled back) must NOT be able to swing the database
+    pointer afterwards — its pins would resurrect dropped versions."""
+    db = _mkdb(spark, tmp_path)
+    upd = spark.createDataFrame([(3, "u3", 7.0)], "id long, name string, bal double")
+    t = Transaction(db)
+    t.__enter__()
+    t.merge_upsert("accounts", upd)
+    # another process heals the half-applied state
+    SnapshotDatabase(spark, db.path).recover()
+    with pytest.raises(ConcurrentWriteError):
+        t.commit()
+
+
+def test_disjoint_table_txn_race_one_winner(spark, tmp_path):
+    """Two transactions touching DIFFERENT tables still serialize at
+    the database pointer: the loser cancels (reference conflict-cancel
+    rule) instead of silently dropping the winner's pin."""
+    db = _mkdb(spark, tmp_path)
+    t1 = Transaction(db)
+    t1.__enter__()
+    t2 = Transaction(db)
+    t2.__enter__()
+    t1.merge_upsert(
+        "accounts", spark.createDataFrame([(4, "u4", 1.0)], "id long, name string, bal double")
+    )
+    t2.merge_upsert("audit", spark.createDataFrame([(9, "late")], "seq long, what string"))
+    t1.commit()
+    with pytest.raises(ConcurrentWriteError):
+        t2.commit()
+    # loser's audit version is unpublished; next recovery sweeps it
+    assert db.read("audit").count() == 1
+    assert SnapshotDatabase(spark, db.path).recover() == {"audit": 1}
+
+
+def test_db_time_travel_and_vacuum_keep_pinned(spark, tmp_path):
+    db = _mkdb(spark, tmp_path)
+    for k in (1, 2):
+        with db.transaction() as t:
+            t.update_where(
+                "accounts", F.col("id") == 1, {"bal": F.col("bal") + F.lit(float(k))}
+            )
+    assert _bal(db)[1] == 103.0
+    # time travel: version before both updates (db v2 = after create_table audit)
+    assert _bal(db, db_version=2)[1] == 100.0
+    rep = db.vacuum(keep_last=2)
+    # old db versions dropped; reads of kept versions still work
+    assert rep["dropped_db_versions"]
+    assert _bal(db)[1] == 103.0
+    assert _bal(db, db_version=3)[1] == 101.0
+    with pytest.raises(ValueError):
+        db.read("accounts", db_version=0)
+
+
+def test_exception_in_block_abandons(spark, tmp_path):
+    db = _mkdb(spark, tmp_path)
+    pre = _bal(db)
+    with pytest.raises(RuntimeError):
+        with db.transaction() as t:
+            t.delete_where("accounts", F.col("id") == 5)
+            raise RuntimeError("app error mid-transaction")
+    assert _bal(db) == pre  # delete not published
+    SnapshotDatabase(spark, db.path).recover()
+    assert db.table("accounts")._load()["current"] == 0

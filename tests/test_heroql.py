@@ -1075,3 +1075,97 @@ def test_interp_string_null_ref_renders_null(spark):
         );
     """)
     assert rows(hql.table("Msgs")) == [("tag=null id=1",)]
+
+
+# ---------------------------------------------------------------------------
+# durable mutations: statements wired to SnapshotTable (round-6)
+# ---------------------------------------------------------------------------
+
+
+def test_durable_mutations_history_and_time_travel(spark, tmp_path, sf_dir, duck):
+    """draft:128-136 statements against a snapshot-backed table: the
+    program's result hash-matches the in-memory oracle, every
+    statement left an OCC commit in history(), the state survives the
+    session (fresh handle), and time travel reaches pre-mutation
+    states."""
+    import os
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    seed = spark.createDataFrame([], "k long, v long")
+    snap = SnapshotTable.create(spark, os.path.join(str(tmp_path), "ledger"), seed, key_cols=["k"])
+    hql = HeroQL(spark)
+    hql.register_snapshot("Ledger", snap)
+    res = hql.run("""
+        set Ledger(1, 10);
+        set Ledger(2, 20);
+        set Ledger(3, 30);
+        set Ledger(4, 0);
+        update Ledger(k, v) :- k <= 2, v = v * 10;
+        remove Ledger(_, v) :- v == 0;
+
+        query (k, v) :- Ledger(k, v);
+    """)
+    cmp = compare(res.queries[0], HQ.HEROQL_MUTATIONS_SQL, duck)
+    assert cmp["ok"], cmp
+    ops = [h["op"] for h in snap.history()]
+    assert ops == ["create", "merge_upsert", "update_where", "delete_where"]
+    # durability: a FRESH handle (new session state) sees the result
+    snap2 = SnapshotTable(spark, snap.path)
+    assert sorted((r.k, r.v) for r in snap2.read().collect()) == [(1, 100), (2, 200), (3, 30)]
+    # time travel: state right after the inserts, before update/remove
+    assert sorted((r.k, r.v) for r in snap2.read(version=1).collect()) == [
+        (1, 10), (2, 20), (3, 30), (4, 0)
+    ]
+
+
+def test_durable_set_merges_on_key_last_wins(spark, tmp_path):
+    """`set` restating an existing key is a MERGE (replace), and
+    within one pending batch the last statement wins — mirroring
+    statement order."""
+    import os
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    seed = spark.createDataFrame([(1, 5)], "k long, v long")
+    snap = SnapshotTable.create(spark, os.path.join(str(tmp_path), "t"), seed, key_cols=["k"])
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    hql.run("""
+        set T(1, 6);
+        set T(2, 7);
+        set T(2, 8);
+        query (k, v) :- T(k, v);
+    """)
+    assert rows(hql.table("T")) == [(1, 6), (2, 8)]
+    assert [h["op"] for h in snap.history()] == ["create", "merge_upsert"]
+
+
+def test_durable_update_rejects_key_assignment(spark, tmp_path):
+    import os
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    seed = spark.createDataFrame([(1, 5)], "k long, v long")
+    snap = SnapshotTable.create(spark, os.path.join(str(tmp_path), "t"), seed, key_cols=["k"])
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    with pytest.raises(HeroQLError, match="key column"):
+        hql.run("update T(k, v) :- v == 5, k = k + 10;")
+
+
+def test_durable_action_set_commits_overwrite(spark, tmp_path):
+    """The action dialect (for-query set) on a snapshot-backed table
+    commits through `overwrite` — durable, visible to a fresh handle."""
+    import os
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    seed = spark.createDataFrame([(1, 5)], "k long, v long")
+    snap = SnapshotTable.create(spark, os.path.join(str(tmp_path), "t"), seed, key_cols=["k"])
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    hql.run("for query(k, v) :- T(k, v) ( set T(k + 100, v) )")
+    snap2 = SnapshotTable(spark, snap.path)
+    assert sorted((r.k, r.v) for r in snap2.read().collect()) == [(1, 5), (101, 5)]
+    assert [h["op"] for h in snap.history()][-1] == "overwrite"

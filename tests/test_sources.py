@@ -3,6 +3,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from herodb_spark.catalog import load_table
@@ -530,3 +532,68 @@ def test_vacuum_seq_fences_stale_writers_and_sweeps_orphans(spark, tmp_path):
     assert "data/v=9-deadbeef/__p=0" in res["removed_dirs"]
     assert not _os.path.exists(str(orphan))
     assert t.read().count() == 2
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: add_columns as a metadata-only commit (round-6)
+# ---------------------------------------------------------------------------
+
+
+def test_add_columns_metadata_only_commit(spark, tmp_path):
+    """Rewrite.md:17-18: schema change without touching data files.
+    The evolution commit must re-link every partition (no rewrite),
+    old files read NULL for the new column, and mutations with the
+    new schema then work."""
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    rows = [(i, f"u{i}", i % 3, float(i * 10)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "id long, name string, grp int, bal double")
+    t = SnapshotTable.create(spark, os.path.join(str(tmp_path), "t"), df,
+                             key_cols=["id"], partition_col="grp")
+    before = t._load()["versions"]["0"]["partitions"]
+    v = t.add_columns({"score": "double", "tags": "array<string>"})
+    assert v == 1
+    # metadata-only: identical partition directories re-linked
+    assert t._load()["versions"]["1"]["partitions"] == before
+    got = t.read()
+    assert set(got.columns) == {"id", "name", "grp", "bal", "score", "tags"}
+    assert got.where(F.col("score").isNotNull()).count() == 0
+    # a MERGE with the evolved schema only rewrites touched partitions
+    upd = spark.createDataFrame(
+        [(1, "u1", 1 % 3, 11.0, 0.5, ["a"])],
+        "id long, name string, grp int, bal double, score double, tags array<string>",
+    )
+    t.merge_upsert(upd)
+    r = {x.id: (x.bal, x.score) for x in t.read().collect()}
+    assert r[1] == (11.0, 0.5) and r[2] == (20.0, None)
+
+
+def test_add_columns_time_travel_and_cdc_across_boundary(spark, tmp_path):
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, bal double")
+    t = SnapshotTable.create(spark, os.path.join(str(tmp_path), "t"), df, key_cols=["id"])
+    t.add_columns({"score": "double"})
+    upd = spark.createDataFrame([(1, 10.0, 0.9)], "id long, bal double, score double")
+    t.merge_upsert(upd)
+    # pre-evolution read returns exactly the OLD columns
+    assert set(t.read(version=0).columns) == {"id", "bal"}
+    assert set(t.read(version=1).columns) == {"id", "bal", "score"}
+    # CDC across the boundary: id 1's score NULL -> 0.9 is an update
+    ch = {(r.id, r._change): r for r in t.read_changes(0, 2).collect()}
+    assert (1, "update_pre") in ch and ch[(1, "update_pre")].score is None
+    assert ch[(1, "update_post")].score == 0.9
+    assert (2, "update_pre") not in ch  # untouched row, no change rows
+
+
+def test_add_columns_rejects_redefine_and_pins_schema_history(spark, tmp_path):
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    df = spark.createDataFrame([(1, 10.0)], "id long, bal double")
+    t = SnapshotTable.create(spark, os.path.join(str(tmp_path), "t"), df, key_cols=["id"])
+    with pytest.raises(ValueError, match="additive"):
+        t.add_columns({"bal": "string"})  # retype = narrowing, refused
+    t.add_columns({"n": "int"})
+    # overwrite with a frame missing the evolved column is refused
+    with pytest.raises(ValueError, match="add_columns"):
+        t.overwrite(spark.createDataFrame([(1, 1.0)], "id long, bal double"))

@@ -14,6 +14,7 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 CASES = [
     (TD.dedup_span_exact, TD.DEDUP_SPAN_EXACT_SQL),
+    (TD.dedup_span_maximal, TD.DEDUP_SPAN_MAXIMAL_SQL),
     (TD.mixture_sample_domains, TD.MIXTURE_SAMPLE_SQL),
     (TD.mixture_upsample_domains, TD.MIXTURE_UPSAMPLE_SQL),
     (TD.export_shard_manifest, TD.EXPORT_SHARD_MANIFEST_SQL),
@@ -119,3 +120,59 @@ def test_mixture_upsample_expansion_laws(spark, sf_dir):
         assert abs(r.n_out - r.rate * r.n_total) <= max(10, 0.15 * r.n_total), (src, r)
     again = {r.source: r.n_out for r in TD.mixture_upsample_domains(spark, sf_dir).collect()}
     assert again == {s: r.n_out for s, r in report.items()}
+
+
+def test_span_maximal_laws(spark):
+    """Maximality laws, checked against a pure-Python recomputation on
+    a hand-built corpus: every reported longest span (a) has all its
+    n-gram windows duplicated, and (b) cannot extend by one token on
+    either side without the boundary n-gram becoming unique."""
+    n = TD.SPAN_N
+    shared = " ".join(f"s{i}" for i in range(25))          # 25-token shared block
+    docs = spark.createDataFrame(
+        [
+            (1, "a b " + shared + " tail one two three"),
+            (2, "x y z " + shared + " other suffix here now"),
+            (3, " ".join(f"u{i}" for i in range(40))),     # fully unique
+            (4, "p q " + shared[:40]),                     # short prefix only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TD.span_maximal_stats(docs, n).collect()}
+
+    # python recomputation of anchors
+    toks = {r.doc_id: r.text.split() for r in docs.collect()}
+    from collections import Counter
+
+    cnt = Counter(
+        tuple(t[i : i + n]) for t in toks.values() for i in range(len(t) - n + 1)
+    )
+    for d, t in toks.items():
+        anchors = [i for i in range(len(t) - n + 1) if cnt[tuple(t[i : i + n])] >= 2]
+        r = got[d]
+        if not anchors:
+            assert (r.n_dup_runs, r.longest_span_tokens, r.longest_span_start) == (0, 0, None)
+            continue
+        # runs of consecutive anchors
+        runs, start = [], anchors[0]
+        for a, b in zip(anchors, anchors[1:] + [None]):
+            if b != a + 1:
+                runs.append((start, a))
+                start = b
+        spans = [(s, e - s + n) for s, e in runs]
+        longest = max(l for _, l in spans)
+        assert r.n_dup_runs == len(spans)
+        assert r.longest_span_tokens == longest
+        assert r.longest_span_start == min(s for s, l in spans if l == longest)
+        # law (a): every window inside each span is duplicated
+        for s, l in spans:
+            for i in range(s, s + l - n + 1):
+                assert cnt[tuple(t[i : i + n])] >= 2
+        # law (b): maximality — the window just before/after is unique
+        for s, e in runs:
+            if s > 0:
+                assert cnt[tuple(t[s - 1 : s - 1 + n])] < 2
+            if e + 1 <= len(t) - n:
+                assert cnt[tuple(t[e + 1 : e + 1 + n])] < 2
+    # the shared 25-token block must surface as doc 1 and 2's longest span
+    assert got[1].longest_span_tokens == 25 and got[2].longest_span_tokens == 25
