@@ -109,12 +109,25 @@ def main() -> None:
         spread[name] = round(samples[-1] / max(samples[0], 1e-9), 2)
 
     total = round(sum(timings.values()), 3)
+    # BASELINE.md's pinned 20.73 s covers the ORIGINAL 9-query suite;
+    # queries promoted into the bench later (symtab_resolve,
+    # dedup_cluster_canonical in r6) carry numbers of record here but
+    # must not inflate the baseline comparison — report the comparable
+    # subtotal separately.
+    baseline_set = [
+        "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18", "dedup_minhash_lsh",
+        "dedup_embedding_lsh_pairs", "ann_bruteforce_topk", "graph_pagerank",
+        "stream_sessionize",
+    ]
     print(
         json.dumps(
             {
                 "metric": "herodb_spark headline suite wall-clock (median of %d)" % ITERS,
                 "value": total,
                 "unit": "sec",
+                "value_baseline_9q": round(
+                    sum(timings[q] for q in baseline_set if q in timings), 3
+                ),
                 "queries": timings,
                 "spread_max_over_min": spread,
                 "iters": ITERS,

@@ -201,6 +201,10 @@ class HeroQL:
         # durable (snapshot-backed) tables: name -> SnapshotTable;
         # mutations on these commit through the table's OCC protocol
         self._snapshots: dict = {}
+        # bound SnapshotDatabase (register_database) + active
+        # multi-statement transaction (run_transactional)
+        self._db = None
+        self._txn = None
         self.rules: dict[str, list[P.Rule]] = {}
         self.relations: dict[tuple, tuple] = {}  # (class, member) -> (edge_table, swapped)
         self._pending: dict[str, list[tuple]] = {}
@@ -263,6 +267,60 @@ class HeroQL:
         self.register(name, df, is_class=is_class, key=keys[0] if keys else None)
         self._snapshots[name] = snap
 
+    def register_database(self, db, tables: list[str] | None = None) -> None:
+        """Bind every member table of a sources/database.
+        SnapshotDatabase. Mutations then commit at DATABASE scope: a
+        `run_transactional()` program publishes ALL its table
+        mutations with one atomic pointer swap (the reference's
+        transaction model, Rewrite.md:3-16), and a plain `run()`
+        wraps each mutation statement in its own single-statement
+        database transaction — either way the database pin set is
+        never left behind the member tables. Runs recovery first, so
+        a crashed predecessor's half-applied leftovers are healed
+        before this session reads."""
+        db.recover()
+        names = tables if tables is not None else sorted(db.tables())
+        for name in names:
+            self.register_snapshot(name, db.table(name))
+        self._db = db
+
+    def run_transactional(self, text: str):
+        """Execute a program as ONE multi-table transaction: every
+        durable mutation applies through the database transaction
+        (eager member-table OCC commits, read-your-writes inside the
+        program) and the database pointer swings once at the end — a
+        crash or error mid-program leaves every reader on the
+        pre-state, and recovery discards the orphaned table versions
+        (the `Install`-family atomicity the reference's draft programs
+        assume)."""
+        if self._db is None:
+            raise HeroQLError("run_transactional requires register_database first")
+        if self._txn is not None:
+            raise HeroQLError("nested run_transactional is not supported")
+        with self._db.transaction() as t:
+            self._txn = t
+            try:
+                out = self.run(text)
+            finally:
+                self._txn = None
+        return out
+
+    def _commit_mutation(self, name: str, method: str, *args) -> None:
+        """Single durable-commit choke point: inside a
+        run_transactional program, apply through the database
+        transaction (published later by the pointer swap); with a
+        bound database but no active transaction, wrap this one
+        statement in its own database transaction; standalone
+        snapshot tables commit directly."""
+        if self._txn is not None and name in self._txn._base_pins:
+            getattr(self._txn, method)(name, *args)
+        elif self._db is not None and name in self._db.tables():
+            with self._db.transaction() as t:
+                getattr(t, method)(name, *args)
+        else:
+            getattr(self._snapshots[name], method)(*args)
+        self._snapshot_reload(name)
+
     def _snapshot_reload(self, name: str) -> None:
         """After a durable commit the session frame must re-resolve
         from the new manifest (and any memo built over the old frame
@@ -278,8 +336,7 @@ class HeroQL:
         if snap is None:
             self.tables[name] = df
             return
-        snap.overwrite(df)
-        self._snapshot_reload(name)
+        self._commit_mutation(name, "overwrite", df)
 
     @staticmethod
     def _guess_key(cols: list[str]) -> str:
@@ -301,6 +358,12 @@ class HeroQL:
         out = RunResult()
         for item in prog.items:
             self._exec_item(item, out)
+        # pending `set` batches flush lazily on the next read — but a
+        # DURABLE table's inserts must not outlive the program
+        # unpersisted (and inside run_transactional they must commit
+        # before the pointer swap), so force-flush those here
+        for name in [n for n in self._pending if n in self._snapshots]:
+            self._flush(name)
         return out
 
     # ---- namespaces (draft:168-197): declarations inside a namespace
@@ -638,8 +701,9 @@ class HeroQL:
             last: dict = {}
             for row in rows:
                 last[tuple(row[i] for i in kpos)] = row
-            snap.merge_upsert(literal_df(self.spark, list(last.values()), batch.schema))
-            self._snapshot_reload(name)
+            self._commit_mutation(
+                name, "merge_upsert", literal_df(self.spark, list(last.values()), batch.schema)
+            )
             # a replaced key makes this non-monotone: wipe memos
             self._after_mutation(name)
             return
@@ -1726,8 +1790,7 @@ class HeroQL:
                 )
             # identical CASE-projection semantics, committed as one
             # copy-on-write version bounded to touched partitions
-            snap.update_where(cond, updates)
-            self._snapshot_reload(u.name)
+            self._commit_mutation(u.name, "update_where", cond, updates)
         else:
             self.tables[u.name] = out
         self._after_mutation(u.name)
@@ -1736,8 +1799,7 @@ class HeroQL:
         self._flush(r.name)
         if r.patterns is None:  # remove T;  (draft:134)
             if r.name in self._snapshots:
-                self._snapshots[r.name].delete_where(F.lit(True))
-                self._snapshot_reload(r.name)
+                self._commit_mutation(r.name, "delete_where", F.lit(True))
             else:
                 df = self.table(r.name)
                 self.tables[r.name] = df.where(F.lit(False))
@@ -1755,8 +1817,7 @@ class HeroQL:
                 raise HeroQLError("remove bodies take comparisons and `=` only")
         cond = self._and(conds) if conds else F.lit(True)
         if r.name in self._snapshots:
-            self._snapshots[r.name].delete_where(cond)
-            self._snapshot_reload(r.name)
+            self._commit_mutation(r.name, "delete_where", cond)
         else:
             # coalesce: a NULL predicate means NOT matched — the row
             # stays (SQL DELETE semantics, and what delete_where does)

@@ -161,8 +161,19 @@ class SnapshotDatabase:
         return healed
 
     # -- transactions ------------------------------------------------------
-    def transaction(self) -> "Transaction":
-        return Transaction(self)
+    def transaction(self, txn: tuple[str, int] | None = None) -> "Transaction":
+        """`txn=(sink_id, batch_id)` stamps the commit with a
+        streaming watermark IN the atomic pointer swap — the database-
+        scope analog of SnapshotTable.merge_upsert's txn parameter,
+        used by streaming/sink.DatabaseTxnSink for exactly-once
+        multi-table micro-batch writes."""
+        return Transaction(self, txn=txn)
+
+    def last_txn(self, sink_id: str) -> int:
+        """Highest batch id committed by `sink_id` at database scope,
+        or -1. Lives in the database manifest, so it advances in the
+        same atomic swap that publishes the batch's table versions."""
+        return int(self._load().get("txns", {}).get(sink_id, -1))
 
     # -- GC ----------------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> dict:
@@ -194,8 +205,9 @@ class Transaction:
     exception inside the block abandons the transaction (no database
     commit — the next recovery sweeps the orphaned table versions)."""
 
-    def __init__(self, db: SnapshotDatabase):
+    def __init__(self, db: SnapshotDatabase, txn: tuple[str, int] | None = None):
         self.db = db
+        self._txn_mark = txn
         self._new_pins: dict[str, int] = {}
         self._entered = False
 
@@ -237,6 +249,12 @@ class Transaction:
     def delete_where(self, name: str, predicate: Column) -> int:
         return self._apply(name, lambda t: t.delete_where(predicate))
 
+    def overwrite(self, name: str, df: DataFrame) -> int:
+        return self._apply(name, lambda t: t.overwrite(df))
+
+    def add_columns(self, name: str, new_cols: dict) -> int:
+        return self._apply(name, lambda t: t.add_columns(new_cols))
+
     def commit(self) -> int:
         """The atomic publish: one database-manifest swap pinning every
         mutated table's new version together. OCC on the database seq
@@ -248,6 +266,8 @@ class Transaction:
         version = self._read_version + 1
         m["versions"][str(version)] = {"op": "txn", "tables": pins}
         m["current"] = version
+        if self._txn_mark is not None:
+            m.setdefault("txns", {})[self._txn_mark[0]] = int(self._txn_mark[1])
         self.db._mf._commit(
             m, expected_current=self._read_version, expected_seq=self._read_seq
         )
@@ -255,6 +275,9 @@ class Transaction:
 
     def __exit__(self, exc_type, exc, tb) -> bool:
         self._entered = False
-        if exc_type is None and self._new_pins:
+        # a watermarked (streaming) transaction commits even when the
+        # batch produced no row changes — the watermark must advance
+        # or the batch would replay forever
+        if exc_type is None and (self._new_pins or self._txn_mark is not None):
             self.commit()
         return False

@@ -381,6 +381,57 @@ class SnapshotTable:
                 os.rmdir(vpath)
         return {"dropped_versions": dropped, "removed_dirs": removed}
 
+    def compact(self, max_files_per_partition: int = 4) -> dict:
+        """Small-file compaction (the OPTIMIZE / bin-packing operation
+        of real table formats): every streaming upsert or parallel
+        mutation leaves one parquet file per write task, and a table
+        fed by a micro-batch sink accumulates thousands of tiny files
+        whose open/footer costs dominate scans long before data volume
+        does. This rewrites ONLY partitions holding more than
+        `max_files_per_partition` data files — one coalesced file per
+        partition — as a normal copy-on-write commit (op "compact"):
+        content is bit-identical (oracle-tested), untouched partitions
+        re-link for free, old versions stay time-travelable, and the
+        OCC seq fences concurrent writers. Cost ∝ fragmented
+        partitions, never table size. Returns
+        {compacted: [partition values], files_before, files_after}."""
+        m = self._load()
+        read_version = m["current"]
+        read_seq = self._seq(m)
+        pcol = m["partition_col"]
+        cur = m["versions"][str(read_version)]["partitions"]
+
+        def _n_files(rel: str) -> int:
+            d = os.path.join(self.path, rel)
+            return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+        frag = {pv: rel for pv, rel in cur.items() if _n_files(rel) > max_files_per_partition}
+        if not frag:
+            return {"compacted": [], "files_before": 0, "files_after": 0}
+        files_before = sum(_n_files(rel) for rel in frag.values())
+        schema = self._schema_at(m, read_version)
+        reader = self.spark.read if schema is None else self.spark.read.schema(schema)
+        df = reader.parquet(*[os.path.join(self.path, rel) for rel in frag.values()])
+        # one output file per fragmented partition: hash-repartition on
+        # the partition column routes each value to one task (coalesce(1)
+        # for unpartitioned tables)
+        to_write = (
+            df.coalesce(1) if pcol is None else df.repartition(len(frag), F.col(pcol))
+        )
+        version = self._next(m)
+        parts = self._write_partitions(to_write, version, pcol, only=set(frag))
+        new_parts = self._carry_forward(m, set(frag))
+        new_parts.update(parts)
+        m["versions"][str(version)] = {"op": "compact", "partitions": new_parts}
+        m["current"] = version
+        self._commit(m, expected_current=read_version, expected_seq=read_seq)
+        files_after = sum(_n_files(rel) for rel in parts.values())
+        return {
+            "compacted": sorted(frag),
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+
     def add_columns(self, new_cols: dict[str, str]) -> int:
         """Schema evolution as a METADATA-ONLY commit (Rewrite.md:17-18
         — the reference must take the database offline to "change

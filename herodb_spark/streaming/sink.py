@@ -46,3 +46,46 @@ class SnapshotUpsertSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self.table.merge_upsert(batch_df, txn=(self.sink_id, int(batch_id)))
+
+
+class DatabaseTxnSink:
+    """foreachBatch callable: exactly-once MULTI-TABLE write. One
+    micro-batch fans out to several member tables of a
+    SnapshotDatabase (`routes`: table name -> transform of the batch
+    into that table's upsert rows) and publishes with ONE atomic
+    database pointer swap carrying the (sink_id, batch_id) watermark.
+
+    Failure analysis (the reason this exists — a fact stream feeding
+    both a fact table and a running aggregate must never show one
+    without the other):
+    - crash BETWEEN table commits: no pointer swap happened, readers
+      stay on the pre-batch pin set; the replayed batch re-applies
+      from scratch (recovery discards the orphaned table versions).
+    - crash AFTER the swap, BEFORE the checkpoint commit: the replay
+      sees batch_id <= last_txn(sink_id) and no-ops.
+    - two replays racing: the database seq fences the loser
+      (ConcurrentWriteError); it re-checks the watermark and treats
+      an already-committed batch as success.
+    """
+
+    def __init__(self, db, routes: dict, sink_id: str = "stream"):
+        self.db = db
+        self.routes = dict(routes)
+        self.sink_id = sink_id
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from herodb_spark.sources.snapshot import ConcurrentWriteError
+
+        bid = int(batch_id)
+        if bid <= self.db.last_txn(self.sink_id):
+            return  # replay of a published batch: no-op
+        batch_df = batch_df.persist()  # N routes consume it; eval once
+        try:
+            with self.db.transaction(txn=(self.sink_id, bid)) as t:
+                for name, fn in self.routes.items():
+                    t.merge_upsert(name, fn(batch_df))
+        except ConcurrentWriteError:
+            if bid > self.db.last_txn(self.sink_id):
+                raise  # a real conflict, not our own batch landing
+        finally:
+            batch_df.unpersist()

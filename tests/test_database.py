@@ -150,3 +150,77 @@ def test_exception_in_block_abandons(spark, tmp_path):
     assert _bal(db) == pre  # delete not published
     SnapshotDatabase(spark, db.path).recover()
     assert db.table("accounts")._load()["current"] == 0
+
+
+def test_database_txn_sink_multi_table_exactly_once(spark, tmp_path, sf_dir):
+    """A micro-batch fans out to a fact table and a per-user aggregate
+    through ONE atomic database commit: both visible together, batch
+    replay no-ops, a crash between table commits is invisible."""
+    from pyspark.sql import functions as F2
+
+    from herodb_spark.catalog import load_table
+    from herodb_spark.streaming.sink import DatabaseTxnSink
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    db.create_table(
+        "purchases",
+        spark.createDataFrame([], "event_id long, user_id long, value double"),
+        key_cols=["event_id"],
+    )
+    db.create_table(
+        "totals", spark.createDataFrame([], "user_id long, total double"), key_cols=["user_id"]
+    )
+    sink = DatabaseTxnSink(
+        db,
+        routes={
+            "purchases": lambda b: b.select("event_id", "user_id", "value"),
+            "totals": lambda b: b.groupBy("user_id").agg(
+                F2.round(F2.sum(F2.col("value").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("total")
+            ),
+        },
+        sink_id="pipe",
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F2.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+        .limit(50)
+    )
+    sink(ev, 0)
+    assert db.last_txn("pipe") == 0
+    assert db.read("purchases").count() == 50
+    n_users = db.read("totals").count()
+    assert n_users >= 1
+    # both tables published by ONE db version
+    assert db.history()[-1]["op"] == "txn"
+    # replay of batch 0: no-op, same db version
+    v = db._load()["current"]
+    sink(ev, 0)
+    assert db._load()["current"] == v
+    # crash between table commits: apply a table mutation directly
+    # (simulating a sink death after table A, before the swap)
+    db.table("purchases").delete_where(F2.lit(True))
+    assert db.read("purchases").count() == 50  # pin unchanged → invisible
+    SnapshotDatabase(spark, db.path).recover()
+    assert db.read("purchases").count() == 50
+    # next batch proceeds normally after recovery
+    sink(ev.withColumn("event_id", F2.col("event_id") + 1000000), 1)
+    assert db.last_txn("pipe") == 1
+    assert db.read("purchases").count() == 100
+
+
+def test_database_txn_sink_empty_batch_advances_watermark(spark, tmp_path):
+    from herodb_spark.streaming.sink import DatabaseTxnSink
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    db.create_table(
+        "t", spark.createDataFrame([(1, 1.0)], "k long, v double"), key_cols=["k"]
+    )
+    sink = DatabaseTxnSink(db, routes={"t": lambda b: b}, sink_id="s")
+    empty = spark.createDataFrame([], "k long, v double")
+    sink(empty, 0)
+    assert db.last_txn("s") == 0  # watermark advanced, no replay loop
+    sink(empty, 0)  # replay no-ops
+    assert db.last_txn("s") == 0

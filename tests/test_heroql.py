@@ -1169,3 +1169,73 @@ def test_durable_action_set_commits_overwrite(spark, tmp_path):
     snap2 = SnapshotTable(spark, snap.path)
     assert sorted((r.k, r.v) for r in snap2.read().collect()) == [(1, 5), (101, 5)]
     assert [h["op"] for h in snap.history()][-1] == "overwrite"
+
+
+def test_database_program_single_statement_autocommit(spark, tmp_path):
+    """With register_database but plain run(), each mutation statement
+    wraps in its own database transaction — the pin set always covers
+    the member-table commits."""
+    import os
+
+    from herodb_spark.sources.database import SnapshotDatabase
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    db.create_table("A", spark.createDataFrame([(1, 10)], "k long, v long"), key_cols=["k"])
+    hql = HeroQL(spark)
+    hql.register_database(db)
+    hql.run("set A(2, 20);")
+    assert db.history()[-1]["op"] == "txn"
+    assert sorted((r.k, r.v) for r in db.read("A").collect()) == [(1, 10), (2, 20)]
+    # member table current == db pin (nothing unpublished)
+    assert db.table("A")._load()["current"] == db.tables()["A"]
+
+
+def test_run_transactional_multi_table_atomic(spark, tmp_path):
+    """A program mutating TWO tables publishes once: one new database
+    version pinning both new table versions."""
+    import os
+
+    from herodb_spark.sources.database import SnapshotDatabase
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    db.create_table("Acct", spark.createDataFrame([(1, 100)], "k long, v long"), key_cols=["k"])
+    db.create_table("Log", spark.createDataFrame([(0, "init")], "seq long, what string"), key_cols=["seq"])
+    hql = HeroQL(spark)
+    hql.register_database(db)
+    v_before = db._load()["current"]
+    hql.run_transactional("""
+        update Acct(k, v) :- k == 1, v = v + 1;
+        set Log(1, "bumped");
+    """)
+    m = db._load()
+    assert m["current"] == v_before + 1  # ONE db version for the program
+    assert m["versions"][str(m["current"])]["op"] == "txn"
+    assert db.read("Acct").collect()[0].v == 101
+    assert db.read("Log").count() == 2
+
+
+def test_run_transactional_error_rolls_back_all_tables(spark, tmp_path):
+    """Crash-consistency (Rewrite.md conflict/recovery): a program
+    whose SECOND statement fails leaves readers on the full pre-state
+    even though the first statement's table commit already landed."""
+    import os
+
+    from herodb_spark.sources.database import SnapshotDatabase
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    db.create_table("Acct", spark.createDataFrame([(1, 100)], "k long, v long"), key_cols=["k"])
+    db.create_table("Caps", spark.createDataFrame([(1, 5)], "k long, v long"), key_cols=["k"])
+    hql = HeroQL(spark)
+    hql.register_database(db)
+    hql.run("data Caps(k : int, v : int) where v < 10;")
+    with pytest.raises(HeroQLError):
+        hql.run_transactional("""
+            update Acct(k, v) :- k == 1, v = v * 2;
+            set Caps(2, 99);
+        """)
+    # database pin unchanged; first statement's version is invisible
+    assert db.read("Acct").collect()[0].v == 100
+    assert db.read("Caps").count() == 1
+    # recovery sweeps the orphaned Acct version
+    healed = db.recover()
+    assert "Acct" in healed

@@ -597,3 +597,37 @@ def test_add_columns_rejects_redefine_and_pins_schema_history(spark, tmp_path):
     # overwrite with a frame missing the evolved column is refused
     with pytest.raises(ValueError, match="add_columns"):
         t.overwrite(spark.createDataFrame([(1, 1.0)], "id long, bal double"))
+
+
+def test_compact_merges_small_files_content_identical(spark, tmp_path):
+    """OPTIMIZE: after many small upserts a partition holds many
+    parquet files; compact() rewrites ONLY fragmented partitions into
+    one file each, content bit-identical, untouched partitions
+    re-linked, old versions still readable."""
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    rows = [(i, f"u{i}", i % 2, float(i)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "id long, name string, grp int, bal double").repartition(4)
+    t = SnapshotTable.create(spark, os.path.join(str(tmp_path), "t"), df,
+                             key_cols=["id"], partition_col="grp")
+    m = t._load()
+    parts0 = m["versions"]["0"]["partitions"]
+
+    def nfiles(rel):
+        d = os.path.join(t.path, rel)
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    assert any(nfiles(rel) > 1 for rel in parts0.values())
+    before = sorted(tuple(r) for r in t.read().collect())
+    rep = t.compact(max_files_per_partition=1)
+    assert rep["compacted"] and rep["files_after"] < rep["files_before"]
+    m2 = t._load()
+    cur = m2["versions"][str(m2["current"])]["partitions"]
+    for pv in rep["compacted"]:
+        assert nfiles(cur[pv]) == 1
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    assert t.history()[-1]["op"] == "compact"
+    # time travel to the fragmented version still works
+    assert sorted(tuple(r) for r in t.read(version=0).collect()) == before
+    # idempotent: nothing further to compact
+    assert t.compact(max_files_per_partition=1)["compacted"] == []
