@@ -194,6 +194,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6: maximal shared spans (suffix-array-dedup recipe,
     # relational gaps-and-islands form) beyond fixed 10-grams
     "dedup_span_maximal": TD.dedup_span_maximal,
+    # round 6: corpus-trained unigram LM quality scoring (the
+    # perplexity-filter step) with an adaptive p10 keep threshold
+    "text_unigram_logprob": X.text_unigram_logprob,
 }
 
 
@@ -276,6 +279,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences_budget": TD.PACK_SEQUENCES_SQL,
     "heroql_durable_mutations": HQ.HEROQL_MUTATIONS_SQL,
     "dedup_span_maximal": TD.DEDUP_SPAN_MAXIMAL_SQL,
+    "text_unigram_logprob": X.TEXT_UNIGRAM_LOGPROB_SQL,
 }
 
 

@@ -308,3 +308,75 @@ LEFT JOIN g2_stats ON b.doc_id = g2_stats.doc_id
 LEFT JOIN g3_stats ON b.doc_id = g3_stats.doc_id
 ORDER BY b.doc_id
 """
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language-model quality score — the
+    perplexity-filter step of public LLM data pipelines (CCNet-style:
+    score documents by how (un)likely their tokens are under a model
+    of the corpus itself; both tails are filter candidates — very
+    negative = rare-token gibberish, very high = boilerplate).
+
+    Plan (all Catalyst, scales to 100 TB):
+    - vocab = explode tokens → groupBy(token) count. One token-keyed
+      shuffle, map-side combined (stop-word skew collapses in the
+      partial aggregate).
+    - scoring joins tokens back to vocab ON THE TOKEN KEY — at corpus
+      scale the vocabulary is NOT broadcastable, so this is a shuffle
+      join; hot tokens ("the") are exactly AQE's skew-join case and
+      split automatically.
+    - the corpus token total and the p10 keep threshold are 1-row
+      global aggregates (broadcast by construction).
+
+    Determinism contract: per-token ln(P) is rounded to 9 dp FIRST
+    (below which JVM/libm ulp can differ), summed as DECIMAL(27,9)
+    (order-independent), and the mean + threshold round to 6 dp —
+    p10 is computed over the already-rounded per-doc scores with the
+    exact interpolated percentile (≡ DuckDB quantile_cont), so the
+    keep comparison is boundary-stable across engines.
+
+    Output: doc_id, n_tokens, avg_logprob, keep (score ≥ corpus p10)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    lp = F.round(F.log(F.col("c").cast("double") / F.col("n")), 9).cast("decimal(27,9)")
+    per = (
+        tok.join(vocab, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(lp).cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
+    thr = per.agg(F.round(F.expr("percentile(avg_logprob, 0.1)"), 6).alias("p10"))
+    return (
+        per.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_logprob",
+            (F.col("avg_logprob") >= F.col("p10")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_UNIGRAM_LOGPROB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents
+),
+vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(CAST(SUM(CAST(ROUND(ln(vocab.c / tot.n), 9) AS DECIMAL(27,9))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_logprob
+  FROM tok JOIN vocab USING (t), tot
+  GROUP BY doc_id
+),
+thr AS (SELECT ROUND(quantile_cont(avg_logprob, 0.1), 6) AS p10 FROM per)
+SELECT doc_id, n_tokens, avg_logprob, avg_logprob >= thr.p10 AS keep
+FROM per, thr ORDER BY doc_id
+"""

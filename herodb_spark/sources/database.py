@@ -228,14 +228,17 @@ class Transaction:
         if name not in self._base_pins:
             raise ValueError(f"no table {name!r} in this database")
         t = self.db.table(name)
-        if t._load()["current"] != self._base_pins.get(name, self._new_pins.get(name)):
-            # the pin is this transaction's read snapshot; a diverged
-            # current means another writer (or an unhealed crash)
-            # intervened — cancel, like the reference's conflict rule
-            if self._new_pins.get(name) != t._load()["current"]:
-                raise ConcurrentWriteError(
-                    f"{t.path}: table advanced past this transaction's snapshot"
-                )
+        # expected current = our own last commit in this transaction,
+        # else the pin read at __enter__. This pre-check is LOAD-
+        # BEARING, not redundant with the table's own OCC: a
+        # concurrent writer that already advanced the table would
+        # otherwise be silently built upon (write skew) — the table
+        # commit itself reads current fresh and wouldn't object.
+        expected = self._new_pins.get(name, self._base_pins[name])
+        if t._load()["current"] != expected:
+            raise ConcurrentWriteError(
+                f"{t.path}: table advanced past this transaction's snapshot"
+            )
         version = fn(t)
         self._new_pins[name] = version
         return version

@@ -638,11 +638,22 @@ class SnapshotTable:
         read_version = m["current"]
         read_seq = self._seq(m)
         schema = self._schema_at(m, read_version)
-        if schema is not None and set(df.columns) != {f.name for f in schema.fields}:
-            raise ValueError(
-                f"{self.path}: overwrite frame columns {sorted(df.columns)} != table "
-                f"schema {sorted(f.name for f in schema.fields)} (use add_columns to evolve)"
-            )
+        if schema is not None:
+            want = {f.name: f.dataType for f in schema.fields}
+            got = {f.name: f.dataType for f in df.schema.fields}
+            if set(got) != set(want):
+                raise ValueError(
+                    f"{self.path}: overwrite frame columns {sorted(got)} != table "
+                    f"schema {sorted(want)} (use add_columns to evolve)"
+                )
+            bad = sorted(n for n in want if got[n] != want[n])
+            if bad:
+                # catch it at commit time — a mistyped file would
+                # otherwise only fail (or silently coerce) at read time
+                raise ValueError(
+                    f"{self.path}: overwrite column type mismatch for {bad}: "
+                    + ", ".join(f"{n}: {got[n].simpleString()}!={want[n].simpleString()}" for n in bad)
+                )
         version = self._next(m)
         parts = self._write_partitions(df, version, m["partition_col"])
         m["versions"][str(version)] = {"op": "overwrite", "partitions": parts}

@@ -11,6 +11,7 @@ CASES = [
     (X.lang_id, X.LANG_ID_SQL),
     (X.fingerprint, X.FINGERPRINT_SQL),
     (X.text_analysis, X.TEXT_ANALYSIS_SQL),
+    (X.text_unigram_logprob, X.TEXT_UNIGRAM_LOGPROB_SQL),
 ]
 
 
@@ -72,3 +73,32 @@ def test_repetition_short_docs_no_ansi_crash(spark, tmp_path, monkeypatch):
     assert rows[1].top_bigram_frac is None and rows[1].dup_trigram_frac is None
     assert rows[2].top_bigram_frac == 1.0 and rows[2].dup_trigram_frac is None
     assert rows[3].dup_trigram_frac == 0.0
+
+
+def test_unigram_logprob_semantics(spark):
+    """Rare-token docs score strictly lower than common-token docs,
+    every doc scores <= 0, and exactly ~10% of docs fall below the
+    adaptive keep threshold on a spread-out corpus."""
+    from pyspark.sql import functions as F
+
+    common = " ".join(["the quick brown fox"] * 5)
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(1, 20)] + [(99, "zqx1 zqx2 zqx3 zqx4")],
+        "doc_id long, text string",
+    )
+    import herodb_spark.catalog as C
+
+    orig = C.load_table
+    C.load_table = lambda sp, sf, name: docs  # tiny inline corpus
+    try:
+        import herodb_spark.operators.textops as X2
+
+        orig_load = X2.load_table
+        X2.load_table = C.load_table
+        got = {r.doc_id: r for r in X2.text_unigram_logprob(spark, "unused").collect()}
+        X2.load_table = orig_load
+    finally:
+        C.load_table = orig
+    assert all(r.avg_logprob <= 0 for r in got.values())
+    assert got[99].avg_logprob < got[1].avg_logprob  # rare tokens → lower
+    assert not got[99].keep and got[1].keep
