@@ -30,6 +30,7 @@ from herodb_spark.operators import graphops as G
 from herodb_spark.operators import similarity as S
 from herodb_spark.operators import streamops as ST
 from herodb_spark.operators import symtab as SY
+from herodb_spark.operators import traindata as TD
 from herodb_spark.plans import tpch
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,6 +48,9 @@ BENCH_QUERIES = {
     # round-5 surface promoted to numbers-of-record (verdict next #7)
     "symtab_resolve": SY.symtab_resolve,
     "dedup_cluster_canonical": D.dedup_cluster_canonical,
+    # round-7: heaviest F3 plan shape (positional shingles + islands
+    # window) promoted to a number of record (r6 verdict next #6)
+    "dedup_span_maximal": TD.dedup_span_maximal,
 }
 
 

@@ -159,43 +159,49 @@ LIMIT {VOCAB_K}
 
 def corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of corpus_decontaminate + stratified_sample +
-    vocab_topk (each kept as its own function/oracle for unit tests):
-    tag-unioned into one (op, k, v1, v2) relation so all three corpus
-    operators earn a driver-graded hash row in a single slot. Each
-    constituent plan executes unchanged inside the union."""
+    vocab_topk + (since round 7) corpus_scrub_spans — each kept as its
+    own function/oracle for unit tests: tag-unioned into one
+    (op, k, v1, v2, v3) relation so all four corpus operators earn a
+    driver-graded hash row in a single slot. Each constituent plan
+    executes unchanged inside the union; the scrub branch carries the
+    per-affected-doc word/removal counts in v1/v2 and the
+    clean-remainder md5 in the string column v3 (doc_id zero-padded in
+    k so string ordering stays deterministic and total)."""
     nul = F.lit(None).cast("long")
+    nuls = F.lit(None).cast("string")
     d = corpus_decontaminate(spark, sf_dir).select(
         F.lit("decontaminate").alias("op"),
         F.col("lang").alias("k"),
         F.col("n_docs").alias("v1"),
         nul.alias("v2"),
+        nuls.alias("v3"),
     )
     s = stratified_sample(spark, sf_dir).select(
         F.lit("sample").alias("op"),
         F.col("lang").alias("k"),
         F.col("n_total").alias("v1"),
         F.col("n_sampled").alias("v2"),
+        nuls.alias("v3"),
     )
     v = vocab_topk(spark, sf_dir).select(
         F.lit("vocab").alias("op"),
         F.col("token").alias("k"),
         F.col("doc_freq").alias("v1"),
         nul.alias("v2"),
+        nuls.alias("v3"),
     )
-    return d.unionByName(s).unionByName(v).orderBy("op", "k")
+    sc = corpus_scrub_spans(spark, sf_dir).select(
+        F.lit("scrub").alias("op"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("k"),
+        F.col("n_words").alias("v1"),
+        F.col("n_removed").alias("v2"),
+        F.col("clean_md5").alias("v3"),
+    )
+    return d.unionByName(s).unionByName(v).unionByName(sc).orderBy("op", "k")
 
 
-CORPUS_OPS_SQL = f"""
-SELECT 'decontaminate' AS op, lang AS k, n_docs AS v1, CAST(NULL AS BIGINT) AS v2
-FROM ({CORPUS_DECONTAMINATE_SQL})
-UNION ALL
-SELECT 'sample' AS op, lang AS k, n_total AS v1, n_sampled AS v2
-FROM ({STRATIFIED_SAMPLE_SQL})
-UNION ALL
-SELECT 'vocab' AS op, token AS k, doc_freq AS v1, CAST(NULL AS BIGINT) AS v2
-FROM ({VOCAB_TOPK_SQL})
-ORDER BY op, k
-"""
+# CORPUS_OPS_SQL is defined at the bottom of this module: its f-string
+# interpolates CORPUS_SCRUB_SPANS_SQL, which is declared further down.
 
 
 def scrub_spans(docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
@@ -343,4 +349,23 @@ SELECT t.doc_id, t.n_words,
 FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 WHERE t.n_words - COALESCE(r.n_kept, 0) > 0
 ORDER BY t.doc_id
+"""
+
+
+CORPUS_OPS_SQL = f"""
+SELECT 'decontaminate' AS op, lang AS k, n_docs AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS VARCHAR) AS v3
+FROM ({CORPUS_DECONTAMINATE_SQL})
+UNION ALL
+SELECT 'sample' AS op, lang AS k, n_total AS v1, n_sampled AS v2, CAST(NULL AS VARCHAR) AS v3
+FROM ({STRATIFIED_SAMPLE_SQL})
+UNION ALL
+SELECT 'vocab' AS op, token AS k, doc_freq AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS VARCHAR) AS v3
+FROM ({VOCAB_TOPK_SQL})
+UNION ALL
+SELECT 'scrub' AS op, lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k,
+       n_words AS v1, n_removed AS v2, clean_md5 AS v3
+FROM ({CORPUS_SCRUB_SPANS_SQL})
+ORDER BY op, k
 """

@@ -305,3 +305,37 @@ FROM orders
 WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal < 0)
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+def mutation_statements_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of mutation_statements (set/update/remove
+    pipeline over orders) + for_query_set (`for query(...) (set ...)`
+    rule-driven bulk update over customer) — round-7 window rebalance;
+    both constituents keep their own functions/oracles as standalone
+    registry entries beyond the graded window and in
+    tests/test_mutation.py. Tag-union into (stmt, k, n, total): each
+    constituent's post-mutation summary executes unchanged inside its
+    branch."""
+    m = mutation_statements(spark, sf_dir).select(
+        F.lit("pipeline").alias("stmt"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("n_orders").alias("n"),
+        F.col("total_price").alias("total"),
+    )
+    f = for_query_set(spark, sf_dir).select(
+        F.lit("for_query_set").alias("stmt"),
+        F.col("c_mktsegment").alias("k"),
+        F.col("n_customers").alias("n"),
+        F.col("total_bal").alias("total"),
+    )
+    return m.unionByName(f).orderBy("stmt", "k")
+
+
+MUTATION_STATEMENTS_ALL_SQL = f"""
+SELECT 'pipeline' AS stmt, o_orderpriority AS k, n_orders AS n, total_price AS total
+FROM ({MUTATION_STATEMENTS_SQL})
+UNION ALL
+SELECT 'for_query_set', c_mktsegment, n_customers, total_bal
+FROM ({FOR_QUERY_SET_SQL})
+ORDER BY stmt, k
+"""

@@ -58,15 +58,26 @@ def stream_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling (1h), sliding (1h window / 15min slide), and all-time
     keep-first-dedup aggregates in one derived table, tagged by
     `win_kind` — the registered merge of `stream_tumbling_agg`,
-    `stream_sliding_agg`, `stream_late_dedup`, and (since round 5)
-    `stream_sessionize` (each kept for unit/streaming tests and for
-    bench.py, which times the standalone sessionize). The windowed
-    branches run as F.window group-bys — exactly the Structured
-    Streaming plan shape; the dedup branch is the batch parity of
-    dropDuplicates-with-watermark (window = all time); the session
-    branch reuses the 30-min-gap sessionization with user_id carried
-    in the tag-union's key column."""
+    `stream_sliding_agg`, `stream_late_dedup`, `stream_sessionize`
+    (since round 5), and `stream_interval_join` (since round 7's
+    window rebalance; each constituent kept for unit/streaming tests
+    and for bench.py, which times the standalone sessionize). The
+    windowed branches run as F.window group-bys — exactly the
+    Structured Streaming plan shape; the dedup branch is the batch
+    parity of dropDuplicates-with-watermark (window = all time); the
+    session branch reuses the 30-min-gap sessionization with user_id
+    carried in the tag-union's key column; the interval branch is the
+    stream-stream time-bounded join at row grain (purchase_ts/user in
+    the key columns, purchase/click ids carried exactly — event ids
+    are far below 2^53, so the double cast is lossless)."""
     ev = load_table(spark, sf_dir, "events")
+    interval = stream_interval_join(spark, sf_dir).select(
+        F.lit("interval_join_30m").alias("win_kind"),
+        F.col("purchase_ts").alias("window_start"),
+        F.col("user_id").cast("string").alias("event_type"),
+        F.col("purchase_id").cast("long").alias("n_events"),
+        F.col("click_id").cast("double").alias("total_value"),
+    )
     session = SO.sessionize(ev).select(
         F.lit("session_30m").alias("win_kind"),
         F.col("session_start").alias("window_start"),
@@ -102,7 +113,11 @@ def stream_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling.unionByName(sliding)
         .unionByName(dedup)
         .unionByName(session)
-        .orderBy("win_kind", "window_start", "event_type")
+        .unionByName(interval)
+        # n_events/total_value break ties for the interval branch
+        # (several clicks can share (purchase_ts, user)); the agg
+        # branches are already unique per (win_kind, start, type)
+        .orderBy("win_kind", "window_start", "event_type", "n_events", "total_value")
     )
 
 
@@ -145,7 +160,25 @@ SELECT * FROM (
          n_events,
          total_value
   FROM ({STREAM_SESSIONIZE_SQL})
-) ORDER BY win_kind, window_start, event_type
+  UNION ALL
+  SELECT 'interval_join_30m',
+         p.purchase_ts,
+         CAST(p.user_id AS VARCHAR),
+         CAST(p.purchase_id AS BIGINT),
+         CAST(p.click_id AS DOUBLE)
+  FROM (
+    SELECT e1.user_id,
+           e1.event_id AS purchase_id,
+           e2.event_id AS click_id,
+           strftime(e1.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts <= e1.ts
+     AND e2.ts >= e1.ts - INTERVAL 30 MINUTE
+    WHERE e1.event_type = 'purchase' AND e2.event_type = 'click'
+  ) p
+) ORDER BY win_kind, window_start, event_type, n_events, total_value
 """
 
 

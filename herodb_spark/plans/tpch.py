@@ -349,3 +349,98 @@ SELECT 'q12' AS q, delay_class AS k, CAST(high_line_count AS DOUBLE) AS v1, CAST
 FROM ({Q12_SQL})
 ORDER BY q, k
 """
+
+
+def q1_q18_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of tpch_q1 + tpch_q18 (round-7 window
+    rebalance: both constituents keep their own functions/oracles as
+    standalone registry entries beyond the graded window and in
+    tests/test_tpch.py, and both stay separately-timed bench queries).
+    Tag-union into one (q, k1..k4, v1..v7, n) relation carrying EVERY
+    output column of both constituents — no value is projected away,
+    so the merged hash certifies both full results. Each constituent
+    plan — Q1's scan-heavy aggregate, Q18's agg-feeding-semijoin —
+    executes unchanged inside its union branch."""
+    nuls = F.lit(None).cast("string")
+    nul = F.lit(None).cast("double")
+    q1 = q1_pricing_summary(spark, sf_dir).select(
+        F.lit("q1").alias("q"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        nuls.alias("k3"),
+        nuls.alias("k4"),
+        F.col("sum_qty").alias("v1"),
+        F.col("sum_base_price").alias("v2"),
+        F.col("sum_disc_price").alias("v3"),
+        F.col("sum_charge").alias("v4"),
+        F.col("avg_qty").alias("v5"),
+        F.col("avg_price").alias("v6"),
+        F.col("avg_disc").alias("v7"),
+        F.col("count_order").alias("n"),
+    )
+    q18 = q18_large_volume_customer(spark, sf_dir).select(
+        F.lit("q18").alias("q"),
+        F.col("c_name").alias("k1"),
+        F.col("c_custkey").cast("string").alias("k2"),
+        F.col("o_orderkey").cast("string").alias("k3"),
+        F.col("o_orderdate").cast("string").alias("k4"),
+        F.col("o_totalprice").alias("v1"),
+        F.col("sum_qty").alias("v2"),
+        nul.alias("v3"),
+        nul.alias("v4"),
+        nul.alias("v5"),
+        nul.alias("v6"),
+        nul.alias("v7"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return q1.unionByName(q18).orderBy("q", "k1", "k2", "k3", "k4")
+
+
+Q1_Q18_SQL = f"""
+SELECT 'q1' AS q, l_returnflag AS k1, l_linestatus AS k2,
+       CAST(NULL AS VARCHAR) AS k3, CAST(NULL AS VARCHAR) AS k4,
+       sum_qty AS v1, sum_base_price AS v2, sum_disc_price AS v3, sum_charge AS v4,
+       avg_qty AS v5, avg_price AS v6, avg_disc AS v7, count_order AS n
+FROM ({Q1_SQL})
+UNION ALL
+SELECT 'q18', c_name, CAST(c_custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR),
+       CAST(o_orderdate AS VARCHAR),
+       o_totalprice, sum_qty, NULL, NULL, NULL, NULL, NULL, CAST(NULL AS BIGINT)
+FROM ({Q18_SQL})
+ORDER BY q, k1, k2, k3, k4
+"""
+
+
+def q3_q5_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of tpch_q3 + tpch_q5 (round-7 window
+    rebalance; same contract as q1_q18_union — constituents keep
+    standalone registry entries, oracles, and bench rows). Both
+    results reduce to (q, k1..k3, revenue) with every output column
+    carried."""
+    nuls = F.lit(None).cast("string")
+    q3 = q3_shipping_priority(spark, sf_dir).select(
+        F.lit("q3").alias("q"),
+        F.col("l_orderkey").cast("string").alias("k1"),
+        F.col("o_orderdate").cast("string").alias("k2"),
+        F.col("o_orderpriority").alias("k3"),
+        F.col("revenue"),
+    )
+    q5 = q5_local_supplier_volume(spark, sf_dir).select(
+        F.lit("q5").alias("q"),
+        F.col("n_name").alias("k1"),
+        nuls.alias("k2"),
+        nuls.alias("k3"),
+        F.col("revenue"),
+    )
+    return q3.unionByName(q5).orderBy("q", "k1", "k2", "k3")
+
+
+Q3_Q5_SQL = f"""
+SELECT 'q3' AS q, CAST(l_orderkey AS VARCHAR) AS k1, CAST(o_orderdate AS VARCHAR) AS k2,
+       o_orderpriority AS k3, revenue
+FROM ({Q3_SQL})
+UNION ALL
+SELECT 'q5', n_name, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), revenue
+FROM ({Q5_SQL})
+ORDER BY q, k1, k2, k3
+"""

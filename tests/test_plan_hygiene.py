@@ -103,3 +103,21 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir, name):
             f"{name}: forced broadcast hint over an SF-scaling frame "
             f"(scans columns {hits}); drop the hint and let AQE decide"
         )
+
+
+# ---------------------------------------------------------------------------
+# Exact ANN paths must not shuffle the corpus before scoring: the
+# two-phase top-k is exact over the NATURAL scan partitions, so any
+# `Exchange hashpartitioning(vec_id, ...)` in the plan means a full
+# corpus shuffle was reintroduced ahead of the broadcast-nested-loop
+# scoring join (round-6 verdict, "What's wrong" #1). The only
+# exchanges these plans may contain are the (q_id, _pid) / q_id
+# window shuffles over the ≤ k×P survivors and the final sort.
+@pytest.mark.parametrize("name", ["ann_bruteforce_topk", "ann_quantized_topk"])
+def test_exact_ann_no_corpus_shuffle(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(vec_id" not in plan, (
+        f"{name}: corpus is hash-repartitioned on vec_id before scoring — "
+        "the exact baseline must rank over natural scan partitions"
+    )
