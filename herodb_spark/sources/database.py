@@ -22,11 +22,16 @@ re-expression is a MANIFEST-OF-MANIFESTS:
   leftovers — and bumps the database commit seq so a still-live
   writer from before recovery can never publish (its pointer swap
   fences out on seq, mirroring the reference's conflict-cancel rule).
-- Database-level OCC: the pointer swap validates the database seq
-  read at transaction start; two disjoint-table transactions race to
-  one winner, the loser raises ConcurrentWriteError and its table
-  versions are healed by the next recovery. Same-table races already
-  cancel at the member-table OCC layer.
+- Database-level OCC with COST ARBITRATION (Rewrite.md:9-13): the
+  pointer swap validates the database seq read at transaction start;
+  each transaction carries a cost (partitions rewritten) recorded in
+  the version it publishes. A swap lost to a DISJOINT-table commit
+  rebases and retries (bounded backoff) instead of cancelling — the
+  expensive transaction survives cheap interleaved commits; genuine
+  same-table conflicts cancel (ConcurrentWriteError reporting both
+  costs), and abandoned table versions are healed by the next
+  recovery. Same-table races already cancel at the member-table OCC
+  layer.
 - Database time travel: `read(name, db_version=k)` resolves table
   versions through database version k; `vacuum()` prunes old database
   versions and passes every still-pinned table version as
@@ -69,6 +74,12 @@ class SnapshotDatabase:
     @classmethod
     def create(cls, spark: SparkSession, path: str) -> "SnapshotDatabase":
         db = cls(spark, path)
+        # creating over a live database would silently reset its pin
+        # history (member data dirs survive but become unreachable
+        # through pins) — refuse; open with SnapshotDatabase(spark,
+        # path) instead
+        if os.path.exists(db._mf._manifest_path()):
+            raise ValueError(f"{path}: database already exists (open it instead of create)")
         os.makedirs(os.path.join(path, "tables"), exist_ok=True)
         db._mf._commit(
             {"current": 0, "versions": {"0": {"op": "create", "tables": {}}}}
@@ -137,13 +148,24 @@ class SnapshotDatabase:
         return t
 
     # -- recovery ----------------------------------------------------------
-    def recover(self) -> dict:
+    def recover(self, stale_after: float | None = None) -> dict:
         """Discard member-table commits that never made it into a
         database version: roll every table whose `current` is ahead of
         the current pin back to the pin. When anything was healed (or
         a table manifest is simply ahead), bump the database seq so a
         transaction that started before recovery can no longer publish.
+
+        `stale_after` (seconds) distinguishes CRASH LEFTOVERS from
+        LIVE IN-FLIGHT TRANSACTIONS: a diverged table whose manifest
+        was written within the window is treated as an active writer's
+        private version and left alone. Explicit recovery (no
+        argument) heals unconditionally; Transaction.__enter__ passes
+        a grace window so overlapping writers no longer cancel each
+        other at start (the round-6 livelock note) — a table that
+        stays diverged past the window is, by definition, a crash.
         Returns {table: rolled_back_from_version}."""
+        import time as _time
+
         m = self._load()
         read_version, read_seq = m["current"], self._mf._seq(m)
         pins = self._pins(m)
@@ -152,6 +174,13 @@ class SnapshotDatabase:
             t = self.table(name)
             tm = t._load()
             if tm["current"] > pinned:
+                if stale_after is not None:
+                    try:
+                        age = _time.time() - os.path.getmtime(t._manifest_path())
+                    except OSError:
+                        age = float("inf")
+                    if age <= stale_after:
+                        continue  # plausibly a live writer — skip
                 healed[name] = tm["current"]
                 t.rollback(pinned)
         if healed:
@@ -203,16 +232,49 @@ class Transaction:
     """Multi-table atomic transaction: eager member-table commits,
     one database pointer swap at exit. Use as a context manager; an
     exception inside the block abandons the transaction (no database
-    commit — the next recovery sweeps the orphaned table versions)."""
+    commit — the next recovery sweeps the orphaned table versions).
+
+    CONFLICT ARBITRATION (Rewrite.md:9-13 — the reference queues
+    transactions and submits the highest-cost one, rolling back all
+    conflicted transactions; with sum-of-costs as the refinement).
+    Under OCC the committed winner is physical, so the arbitration
+    maps to the loser's side:
+
+    - every transaction carries a COST (partitions rewritten across
+      its member-table commits — the copy-on-write work metric that
+      needs no extra Spark job), recorded in the database version
+      entry it publishes;
+    - a transaction that loses the pointer swap to an interleaved
+      commit on DISJOINT tables does not cancel: it REBASES (adopts
+      the new pin set, re-validates that its own tables and private
+      versions are untouched) and retries with bounded backoff — a
+      6-hour batch mutation survives any number of cheap disjoint
+      commits instead of losing its work to a 1-minute one;
+    - on a genuine same-table conflict the transaction cancels
+      (ConcurrentWriteError reporting both costs): its member-table
+      versions were built on a superseded snapshot, and rebasing
+      would silently drop the winner's writes. This is the only case
+      the reference's arbiter would also have to cancel one side.
+    """
+
+    #: diverged member tables younger than this are presumed to be a
+    #: live concurrent writer's private versions, not crash leftovers
+    RECOVER_GRACE_S = 60.0
+    #: bounded rebase-retry budget for disjoint-table pointer races
+    MAX_REBASES = 5
 
     def __init__(self, db: SnapshotDatabase, txn: tuple[str, int] | None = None):
         self.db = db
         self._txn_mark = txn
         self._new_pins: dict[str, int] = {}
         self._entered = False
+        self.cost = 0
 
     def __enter__(self) -> "Transaction":
-        self.db.recover()  # heal crashed predecessors BEFORE reading seq
+        # heal STALE crashed predecessors before reading seq; live
+        # in-flight writers (fresh manifests) are left alone so
+        # overlapping transactions no longer cancel each other here
+        self.db.recover(stale_after=self.RECOVER_GRACE_S)
         m = self.db._load()
         self._read_version = m["current"]
         self._read_seq = self.db._mf._seq(m)
@@ -241,33 +303,40 @@ class Transaction:
             )
         version = fn(t)
         self._new_pins[name] = version
+        # cost = copy-on-write work: partitions this commit physically
+        # rewrote (manifest metadata — no extra Spark job). A no-op
+        # mutation (version unchanged) adds nothing.
+        if version != expected:
+            entry = t._load()["versions"].get(str(version), {})
+            prefix = f"data/v={version}-"
+            self.cost += sum(
+                1 for rel in entry.get("partitions", {}).values() if rel.startswith(prefix)
+            )
         return version
 
-    def merge_upsert(self, name: str, updates: DataFrame) -> int:
-        return self._apply(name, lambda t: t.merge_upsert(updates))
+    def merge_upsert(self, name: str, updates: DataFrame, program: str | None = None) -> int:
+        return self._apply(name, lambda t: t.merge_upsert(updates, program=program))
 
-    def update_where(self, name: str, predicate: Column, assignments: dict) -> int:
-        return self._apply(name, lambda t: t.update_where(predicate, assignments))
+    def update_where(
+        self, name: str, predicate: Column, assignments: dict, program: str | None = None
+    ) -> int:
+        return self._apply(name, lambda t: t.update_where(predicate, assignments, program=program))
 
-    def delete_where(self, name: str, predicate: Column) -> int:
-        return self._apply(name, lambda t: t.delete_where(predicate))
+    def delete_where(self, name: str, predicate: Column, program: str | None = None) -> int:
+        return self._apply(name, lambda t: t.delete_where(predicate, program=program))
 
-    def overwrite(self, name: str, df: DataFrame) -> int:
-        return self._apply(name, lambda t: t.overwrite(df))
+    def overwrite(self, name: str, df: DataFrame, program: str | None = None) -> int:
+        return self._apply(name, lambda t: t.overwrite(df, program=program))
 
     def add_columns(self, name: str, new_cols: dict) -> int:
         return self._apply(name, lambda t: t.add_columns(new_cols))
 
-    def commit(self) -> int:
-        """The atomic publish: one database-manifest swap pinning every
-        mutated table's new version together. OCC on the database seq
-        read at __enter__ — any interleaved commit, create_table,
-        vacuum, or recovery cancels this transaction."""
+    def _try_swap(self) -> int:
         m = self.db._load()
         pins = dict(self._base_pins)
         pins.update(self._new_pins)
         version = self._read_version + 1
-        m["versions"][str(version)] = {"op": "txn", "tables": pins}
+        m["versions"][str(version)] = {"op": "txn", "tables": pins, "cost": self.cost}
         m["current"] = version
         if self._txn_mark is not None:
             m.setdefault("txns", {})[self._txn_mark[0]] = int(self._txn_mark[1])
@@ -275,6 +344,57 @@ class Transaction:
             m, expected_current=self._read_version, expected_seq=self._read_seq
         )
         return version
+
+    def _rebase(self) -> None:
+        """Adopt the advanced database state after losing the pointer
+        swap to a DISJOINT interleaved commit. Safe iff (a) no table
+        this transaction touched changed pins under it, and (b) its
+        own private member-table versions are still each table's
+        current (an unconditional recover() would have rolled them
+        back — that seq fence must keep cancelling us). Raises
+        ConcurrentWriteError (with both costs) otherwise."""
+        m = self.db._load()
+        new_pins = dict(self.db._pins(m))
+        winner_cost = m["versions"][str(m["current"])].get("cost", "?")
+        overlap = sorted(
+            n for n in self._new_pins if new_pins.get(n) != self._base_pins.get(n)
+        )
+        if overlap:
+            raise ConcurrentWriteError(
+                f"{self.db.path}: tables {overlap} were committed under this "
+                f"transaction (cost {self.cost}) by an interleaved transaction "
+                f"(cost {winner_cost}); its member-table versions supersede this "
+                "snapshot — cancelling (same-table conflict is not rebasable)"
+            )
+        for name, v in self._new_pins.items():
+            if self.db.table(name)._load()["current"] != v:
+                raise ConcurrentWriteError(
+                    f"{self.db.path}: table {name!r} private version {v} was "
+                    "rolled back by recovery — this transaction is fenced out"
+                )
+        self._read_version = m["current"]
+        self._read_seq = self.db._mf._seq(m)
+        self._base_pins = new_pins
+
+    def commit(self) -> int:
+        """The atomic publish: one database-manifest swap pinning every
+        mutated table's new version together, OCC-validated against the
+        seq read at __enter__ (or the last rebase). A lost swap against
+        a DISJOINT interleaved commit rebases and retries with bounded
+        backoff (MAX_REBASES) — the cost-arbitration contract in the
+        class docstring; same-table conflicts and recovery fences
+        cancel the transaction."""
+        import time as _time
+
+        for attempt in range(self.MAX_REBASES + 1):
+            try:
+                return self._try_swap()
+            except ConcurrentWriteError:
+                if attempt == self.MAX_REBASES:
+                    raise
+                self._rebase()  # raises on genuine conflict
+                _time.sleep(0.01 * (2**attempt))
+        raise AssertionError("unreachable")
 
     def __exit__(self, exc_type, exc, tb) -> bool:
         self._entered = False

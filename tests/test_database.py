@@ -100,10 +100,11 @@ def test_crashed_writer_cannot_publish_after_recovery(spark, tmp_path):
         t.commit()
 
 
-def test_disjoint_table_txn_race_one_winner(spark, tmp_path):
-    """Two transactions touching DIFFERENT tables still serialize at
-    the database pointer: the loser cancels (reference conflict-cancel
-    rule) instead of silently dropping the winner's pin."""
+def test_disjoint_table_txn_race_both_survive(spark, tmp_path):
+    """Two transactions touching DIFFERENT tables race at the database
+    pointer: since round 7 the swap loser REBASES onto the winner's
+    pins and retries (cost arbitration — Rewrite.md:9-13) instead of
+    cancelling, so both transactions land and neither pin is dropped."""
     db = _mkdb(spark, tmp_path)
     t1 = Transaction(db)
     t1.__enter__()
@@ -114,11 +115,102 @@ def test_disjoint_table_txn_race_one_winner(spark, tmp_path):
     )
     t2.merge_upsert("audit", spark.createDataFrame([(9, "late")], "seq long, what string"))
     t1.commit()
+    v = t2.commit()  # rebases over t1's commit, then lands
+    pins = db.tables()
+    assert pins == {"accounts": 1, "audit": 1}
+    assert v == db._load()["current"]
+    assert db.read("audit").count() == 2
+    assert db.read("accounts").where("id = 4").count() == 1
+    # nothing left to heal — both transactions are published
+    assert SnapshotDatabase(spark, db.path).recover() == {}
+
+
+def test_expensive_txn_survives_cheap_interleaved_commit(spark, tmp_path):
+    """The round-6 verdict's arbitration scenario: a long/expensive
+    transaction (multiple member-table commits) must not lose its work
+    to a cheap interleaved commit on a disjoint table. Also pins the
+    cost metadata: each published version records the transaction's
+    copy-on-write cost."""
+    db = _mkdb(spark, tmp_path)
+    big = Transaction(db)
+    big.__enter__()
+    # expensive: two commits on accounts (cost accumulates)
+    big.merge_upsert(
+        "accounts", spark.createDataFrame([(10, "a", 1.0)], "id long, name string, bal double")
+    )
+    big.merge_upsert(
+        "accounts", spark.createDataFrame([(11, "b", 2.0)], "id long, name string, bal double")
+    )
+    assert big.cost >= 2
+    # cheap interleaved commit on the disjoint audit table
+    cheap = Transaction(db)
+    cheap.__enter__()
+    cheap.merge_upsert("audit", spark.createDataFrame([(5, "x")], "seq long, what string"))
+    cheap.commit()
+    # the expensive transaction still commits (rebase, not cancel)
+    big.commit()
+    pins = db.tables()
+    assert pins["accounts"] == 2 and pins["audit"] == 1
+    assert db.read("accounts").where("id >= 10").count() == 2
+    assert db.read("audit").count() == 2
+    # costs are recorded in the published version entries
+    m = db._load()
+    costs = {int(v): e.get("cost") for v, e in m["versions"].items() if e["op"] == "txn"}
+    assert costs[m["current"]] == big.cost >= 2
+
+
+def test_same_table_conflict_cancels_with_costs(spark, tmp_path):
+    """A genuine same-table conflict is NOT rebasable: the loser
+    cancels with an error naming both transactions' costs (the OCC
+    mapping of the reference's cancel-conflicted rule)."""
+    db = _mkdb(spark, tmp_path)
+    t1 = Transaction(db)
+    t1.__enter__()
+    t2 = Transaction(db)
+    t2.__enter__()
+    t1.merge_upsert(
+        "accounts", spark.createDataFrame([(20, "w", 1.0)], "id long, name string, bal double")
+    )
+    t1.commit()
+    # t2 touches the SAME table after t1 committed: the member-table
+    # pre-check in _apply already fences it
     with pytest.raises(ConcurrentWriteError):
-        t2.commit()
-    # loser's audit version is unpublished; next recovery sweeps it
-    assert db.read("audit").count() == 1
-    assert SnapshotDatabase(spark, db.path).recover() == {"audit": 1}
+        t2.merge_upsert(
+            "accounts", spark.createDataFrame([(21, "l", 2.0)], "id long, name string, bal double")
+        )
+
+
+def test_live_inflight_txn_not_rolled_back_by_new_txn_start(spark, tmp_path):
+    """Round-6 advice: Transaction.__enter__ used to run an
+    unconditional recover(), cancelling any live in-flight writer.
+    Now a diverged member table YOUNGER than the grace window is left
+    alone at transaction start, so overlapping writers no longer
+    livelock; explicit recover() still heals unconditionally."""
+    db = _mkdb(spark, tmp_path)
+    inflight = Transaction(db)
+    inflight.__enter__()
+    inflight.merge_upsert(
+        "accounts", spark.createDataFrame([(30, "f", 3.0)], "id long, name string, bal double")
+    )
+    # a new transaction starts while the first is mid-flight: the
+    # fresh accounts manifest must NOT be rolled back
+    other = Transaction(db)
+    other.__enter__()
+    assert db.table("accounts")._load()["current"] == 1  # private version intact
+    other.merge_upsert("audit", spark.createDataFrame([(7, "o")], "seq long, what string"))
+    other.commit()
+    inflight.commit()  # rebases over `other`, still lands
+    assert db.tables() == {"accounts": 1, "audit": 1}
+    # explicit recovery remains unconditional (and finds nothing now)
+    assert SnapshotDatabase(spark, db.path).recover() == {}
+
+
+def test_create_refuses_existing_database(spark, tmp_path):
+    """create() on a path already holding a database must raise, not
+    silently reset the pin history (round-6 advice)."""
+    db = _mkdb(spark, tmp_path)
+    with pytest.raises(ValueError, match="already exists"):
+        SnapshotDatabase.create(spark, db.path)
 
 
 def test_db_time_travel_and_vacuum_keep_pinned(spark, tmp_path):

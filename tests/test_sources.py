@@ -304,8 +304,8 @@ def test_snapshot_writer_unique_data_dirs(spark, tmp_path):
 
     df = spark.createDataFrame([(1, 1.0)], "id long, v double")
     t = SnapshotTable.create(spark, str(tmp_path / "u"), df, ["id"])
-    p1 = t._write_partitions(df, 5, None)
-    p2 = t._write_partitions(df, 5, None)
+    p1, _ = t._write_partitions(df, 5, None)
+    p2, _ = t._write_partitions(df, 5, None)
     assert p1["_all"] != p2["_all"]
 
 
@@ -631,3 +631,78 @@ def test_compact_merges_small_files_content_identical(spark, tmp_path):
     assert sorted(tuple(r) for r in t.read(version=0).collect()) == before
     # idempotent: nothing further to compact
     assert t.compact(max_files_per_partition=1)["compacted"] == []
+
+
+def test_manifest_tracks_file_counts_and_compact_lists_nothing(spark, tmp_path):
+    """Round-6 verdict note #3: every commit records per-partition
+    parquet file counts in its manifest entry, so compact()'s
+    fragmentation check reads the manifest only — on object storage
+    that's one GET instead of N directory LISTs. Pinned by (a) counts
+    in the manifest matching the real directories, and (b) a compact()
+    no-op making zero os.listdir calls."""
+    import os as _os
+
+    from herodb_spark.sources import snapshot as S
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, p int, v double"
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "fc"), df, ["id"], partition_col="p")
+    t.merge_upsert(
+        spark.createDataFrame([(100, 1, 1.0)], "id long, p int, v double")
+    )
+    m = t._load()
+    for v, entry in m["versions"].items():
+        assert set(entry["files"]) == set(entry["partitions"]), f"v{v} missing counts"
+        for pv, rel in entry["partitions"].items():
+            real = sum(
+                1
+                for f in _os.listdir(_os.path.join(t.path, rel))
+                if f.endswith(".parquet")
+            )
+            assert entry["files"][pv] == real, f"v{v} partition {pv}"
+
+    calls: list[str] = []
+    orig = _os.listdir
+
+    def spy(path="."):
+        calls.append(str(path))
+        return orig(path)
+
+    S.os.listdir = spy
+    try:
+        rep = t.compact(max_files_per_partition=10**6)  # nothing fragmented
+    finally:
+        S.os.listdir = orig
+    assert rep["compacted"] == []
+    assert calls == [], f"compact() read path listed directories: {calls[:3]}"
+
+
+def test_mutation_program_persisted_in_history(spark, tmp_path):
+    """Rewrite.md:6 "save query to log": mutations carry the source
+    statement into the manifest version entry; history() surfaces it
+    for audit/replay."""
+    from pyspark.sql import functions as F
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    t = SnapshotTable.create(spark, str(tmp_path / "pg"), df, ["id"])
+    t.merge_upsert(
+        spark.createDataFrame([(3, 30.0)], "id long, v double"),
+        program="set T(3, 30.0)",
+    )
+    t.update_where(F.col("id") == 1, {"v": F.lit(11.0)}, program="update T(id: 1, v: 11.0)")
+    t.delete_where(F.col("id") == 2, program="remove T(x, _) :- x = 2")
+    hist = t.history()
+    assert [h["program"] for h in hist] == [
+        None,
+        "set T(3, 30.0)",
+        "update T(id: 1, v: 11.0)",
+        "remove T(x, _) :- x = 2",
+    ]
+    # the program is durable manifest metadata, not handle state
+    t2 = SnapshotTable(spark, t.path)
+    assert t2.history()[1]["program"] == "set T(3, 30.0)"
