@@ -46,6 +46,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="with --database: run the whole program as ONE multi-table "
         "atomic transaction (a failure leaves the database untouched)",
     )
+    ap.add_argument(
+        "--at-version", type=int, metavar="K",
+        help="time travel: resolve --database tables through database "
+        "version K's pin set (and --snapshot tables at table version K). "
+        "Bindings are READ-ONLY plain tables — mutation statements in the "
+        "program stay in-memory and nothing commits",
+    )
     args = ap.parse_args(argv)
 
     from herodb_spark.heroql import HeroQL
@@ -83,17 +90,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     if args.transactional and not args.database:
         ap.error("--transactional requires --database")
+    if args.transactional and args.at_version is not None:
+        ap.error("--at-version bindings are read-only; drop --transactional")
     if args.database:
         from herodb_spark.sources.database import SnapshotDatabase
 
-        hql.register_database(SnapshotDatabase(spark, args.database))
+        db = SnapshotDatabase(spark, args.database)
+        if args.at_version is not None:
+            # historical pin set, read-only: every member table at the
+            # version database version K pinned for it
+            for name in sorted(db.tables(db_version=args.at_version)):
+                hql.register(name, db.read(name, db_version=args.at_version))
+        else:
+            hql.register_database(db)
     for spec in args.snapshot:
         name, _, path = spec.partition("=")
         if not path:
             ap.error(f"--snapshot needs NAME=PATH, got {spec!r}")
         from herodb_spark.sources.snapshot import SnapshotTable
 
-        hql.register_snapshot(name, SnapshotTable(spark, path))
+        snap = SnapshotTable(spark, path)
+        if args.at_version is not None:
+            hql.register(name, snap.read(version=args.at_version))
+        else:
+            hql.register_snapshot(name, snap)
 
     with open(args.program) as f:
         text = f.read()

@@ -208,6 +208,11 @@ class HeroQL:
         self.rules: dict[str, list[P.Rule]] = {}
         self.relations: dict[tuple, tuple] = {}  # (class, member) -> (edge_table, swapped)
         self._pending: dict[str, list[tuple]] = {}
+        # source text of the statement currently executing + of the
+        # pending `set` statements per table (batched by _flush): both
+        # feed the durable commits' program log (Rewrite.md:6)
+        self._cur_src: str | None = None
+        self._pending_src: dict[str, list[str]] = {}
         self._memo: dict[str, DataFrame] = {}
         # incremental maintenance of memoized derivations (draft:67-72
         # Cache'd computation tables): inserts append (base, batch) to
@@ -261,9 +266,32 @@ class HeroQL:
         `overwrite` — durable, but rewrite ∝ table size, so prefer
         statement mutations on large tables. Columns are the table's
         own (no positional renames: the snapshot key_cols must stay
-        addressable)."""
+        addressable).
+
+        COMPOSITE-KEY tables are rejected: HeroQL's key-dependent
+        features (if-not-set, uniqueness, member deref) address ONE
+        key column, so a multi-key table would silently bind only
+        keys[0] while the durable merge dedupes on all key_cols
+        (round-6 advice). Mutate such tables through the
+        SnapshotTable/SnapshotDatabase API, or exclude them via
+        register_database(tables=[...]).
+
+        SEMANTICS NOTE — `set` on existing keys: the durable path
+        always merges on the snapshot's key_cols (a restated key
+        replaces the row, last statement wins). The in-memory path
+        matches when the program declares `index Unique(k)` on the
+        table; without that declaration an in-memory `set` appends a
+        fact. Declare the unique index to keep programs portable
+        between in-memory and snapshot-backed runs."""
         df = snap.read()
         keys = snap._load()["key_cols"]
+        if keys and len(keys) > 1:
+            raise HeroQLError(
+                f"{name}: snapshot table has composite key {keys}; HeroQL "
+                "key-dependent features address a single key column — use the "
+                "SnapshotTable API for this table or exclude it via "
+                "register_database(tables=[...])"
+            )
         self.register(name, df, is_class=is_class, key=keys[0] if keys else None)
         self._snapshots[name] = snap
 
@@ -305,20 +333,31 @@ class HeroQL:
                 self._txn = None
         return out
 
-    def _commit_mutation(self, name: str, method: str, *args) -> None:
+    def _commit_mutation(
+        self, name: str, method: str, *args, program: str | None = None
+    ) -> None:
         """Single durable-commit choke point: inside a
         run_transactional program, apply through the database
         transaction (published later by the pointer swap); with a
         bound database but no active transaction, wrap this one
         statement in its own database transaction; standalone
-        snapshot tables commit directly."""
+        snapshot tables commit directly.
+
+        The HeroQL statement text that produced the mutation (the
+        executing item's source span, unless the caller batched
+        several — _flush) is persisted in the manifest version entry
+        (Rewrite.md:6 "save query to log"): `history()` then audits
+        PROGRAMS, and replaying the logged statements from version 0
+        rebuilds the table (pinned in tests/test_heroql.py)."""
+        if program is None:
+            program = self._cur_src
         if self._txn is not None and name in self._txn._base_pins:
-            getattr(self._txn, method)(name, *args)
+            getattr(self._txn, method)(name, *args, program=program)
         elif self._db is not None and name in self._db.tables():
             with self._db.transaction() as t:
-                getattr(t, method)(name, *args)
+                getattr(t, method)(name, *args, program=program)
         else:
-            getattr(self._snapshots[name], method)(*args)
+            getattr(self._snapshots[name], method)(*args, program=program)
         self._snapshot_reload(name)
 
     def _snapshot_reload(self, name: str) -> None:
@@ -341,6 +380,19 @@ class HeroQL:
     @staticmethod
     def _guess_key(cols: list[str]) -> str:
         return "id" if "id" in cols else cols[0]
+
+    @staticmethod
+    def _declared_unique_key(d: TableDef) -> str | None:
+        """The single-column key the program DECLARED unique
+        (`index Unique(k)`) — the tables whose `set` statements carry
+        replace-on-key semantics on both the in-memory and durable
+        paths. Multi-column Unique indexes and guessed keys don't
+        qualify (facts append; durable tables enforce their own
+        key_cols at merge time)."""
+        for ix in getattr(d, "indexes", None) or []:
+            if "Unique" in ix.kinds and len(ix.cols) == 1 and "." not in ix.cols[0]:
+                return ix.cols[0]
+        return None
 
     def _def(self, name: str) -> TableDef:
         if name not in self.defs:
@@ -444,6 +496,7 @@ class HeroQL:
                 self._canon_expr(lit.expr)
 
     def _exec_item(self, item, out: RunResult) -> None:
+        self._cur_src = getattr(item, "src", None)
         if isinstance(item, P.DatabaseDecl):
             return
         if isinstance(item, P.NamespaceDecl):
@@ -677,6 +730,7 @@ class HeroQL:
 
     def _flush(self, name: str) -> None:
         rows = self._pending.pop(name, None)
+        srcs = self._pending_src.pop(name, None)
         if not rows:
             return
         d = self.defs.get(name)
@@ -702,16 +756,45 @@ class HeroQL:
             for row in rows:
                 last[tuple(row[i] for i in kpos)] = row
             self._commit_mutation(
-                name, "merge_upsert", literal_df(self.spark, list(last.values()), batch.schema)
+                name,
+                "merge_upsert",
+                literal_df(self.spark, list(last.values()), batch.schema),
+                # one commit may batch several `set` statements: log
+                # them all, in statement order
+                program="\n".join(srcs) if srcs else None,
             )
             # a replaced key makes this non-monotone: wipe memos
+            self._after_mutation(name)
+            return
+        uniq = self._declared_unique_key(d) if d is not None else None
+        if uniq is not None:
+            # in-memory `set` on a table DECLARED `index Unique(k)`
+            # follows the same replace-on-key semantics as the durable
+            # merge path (draft:46/134; round-6 advice — the two paths
+            # previously diverged): last statement wins within the
+            # batch, and a restated key replaces the existing row.
+            kpos = d.fields.index(uniq)
+            last: dict = {}
+            for row in rows:
+                last[row[kpos]] = row
+            batch = literal_df(self.spark, list(last.values()), batch.schema)
+            if name in self.tables:
+                keep = self.tables[name].join(
+                    batch.select(F.col(uniq)), uniq, "left_anti"
+                )
+                self.tables[name] = keep.unionByName(batch)
+            else:
+                self.tables[name] = batch
+            # a replaced key makes this non-monotone: wipe memos (the
+            # durable branch above does the same)
             self._after_mutation(name)
             return
         if name in self.tables:
             self.tables[name] = self.tables[name].unionByName(batch)
         else:
             self.tables[name] = batch
-        # inserts are MONOTONE: memos stay valid modulo the delta log
+        # inserts without a declared unique key are MONOTONE facts:
+        # memos stay valid modulo the delta log
         self._delta_log.append((name, batch))
         self._bump_checkpoint(name)
 
@@ -1118,6 +1201,51 @@ class HeroQL:
             return df, ["src", "dst"], ftypes, None, [atom.member_of] + list(atom.args)
 
         name = atom.name
+        if atom.at_version is not None:
+            # time travel: `T@k(...)` resolves through the snapshot
+            # manifest (SnapshotTable.read(version)); columns are the
+            # SCHEMA IN EFFECT AT k, so a pre-evolution version binds
+            # exactly its old arity — patterns written against the old
+            # shape keep working across add_columns boundaries
+            snap = self._snapshots.get(name)
+            if snap is None:
+                raise HeroQLError(
+                    f"{name!r}@{atom.at_version}: time travel needs a snapshot-backed "
+                    "table (register_snapshot / register_database)"
+                )
+            df = snap.read(version=atom.at_version)
+            fields = list(df.columns)
+            tdef = self.defs.get(name)
+            same = tdef is not None and tdef.fields == fields
+            ftypes = list(tdef.types) if same and tdef.types else [None] * len(fields)
+            ftypes = [t if t in self.defs else None for t in ftypes]
+            rowcls = name if same and tdef.is_class else None
+            return df, fields, ftypes, rowcls, list(atom.args)
+        if (
+            (name == "changes" or name.endswith("::changes"))
+            and name not in self.defs
+            and name not in self.tables
+            and len(atom.args) >= 3
+            and isinstance(atom.args[0], P.Var)
+        ):
+            # change data feed: `changes(T, from, to, key..., col...,
+            # chg)` binds the CDC relation of snapshot table T between
+            # versions `from` and `to` — key columns, data columns (at
+            # to-version schema), then `_change` ∈ {insert, delete,
+            # update_pre, update_post} (sources/snapshot.read_changes)
+            tname = self._resolve_ref(atom.args[0].name)
+            snap = self._snapshots.get(tname)
+            if snap is None:
+                raise HeroQLError(
+                    f"changes({atom.args[0].name}, ...): needs a snapshot-backed table"
+                )
+            v_from = self._const_value(atom.args[1])
+            v_to = self._const_value(atom.args[2])
+            if not isinstance(v_from, int) or not isinstance(v_to, int):
+                raise HeroQLError("changes(T, from, to, ...): versions must be int literals")
+            df = snap.read_changes(int(v_from), int(v_to))
+            fields = list(df.columns)
+            return df, fields, [None] * len(fields), None, list(atom.args[3:])
         if state is not None and name in state:
             df = state[name]
             if df is None:
@@ -1682,6 +1810,8 @@ class HeroQL:
                 raise HeroQLError("set statement arguments must be constants (draft:130)")
             row.append(v)
         self._pending.setdefault(atom.name, []).append(tuple(row))
+        if self._cur_src:
+            self._pending_src.setdefault(atom.name, []).append(self._cur_src)
 
     def _pattern_frame(self, name: str, patterns: list) -> tuple:
         """Bind positional patterns of a mutation to the table's

@@ -42,7 +42,7 @@ _TOKEN_RE = re.compile(
   | (?P<istring>\$"(?:[^"\\]|\\.)*")
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<id>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
-  | (?P<op>::|:-|\.\.|==|!=|<=|>=|\*|[()\{\}\[\],;.:=<>+\-/|])
+  | (?P<op>::|:-|\.\.|==|!=|<=|>=|\*|[()\{\}\[\],;.:=<>+\-/|@])
     """,
     re.VERBOSE,
 )
@@ -198,6 +198,7 @@ class Atom:
     name: str              # table / func name (may be 'A::B')
     args: list
     member_of: object = None  # Var → relation-member atom `p.Children(x)` (draft:139)
+    at_version: int | None = None  # `T@3(...)` — time travel to snapshot version 3
 
 
 @dataclass
@@ -458,6 +459,7 @@ class Program:
 
 class Parser:
     def __init__(self, src: str):
+        self.src = src
         self.toks = tokenize(src)
         self.i = 0
 
@@ -493,10 +495,21 @@ class Parser:
         return self.next()
 
     # -- entry
+    def parse_item_spanned(self):
+        """parse_item + attach the statement's SOURCE TEXT (consumed-
+        token span) as `.src`, so durable commits can persist the
+        program that produced them (Rewrite.md:6 "save query to
+        log"); consumers use getattr(item, "src", None)."""
+        start = self.peek().pos
+        item = self.parse_item()
+        last = self.toks[self.i - 1]
+        item.src = self.src[start: last.pos + len(last.text)].strip()
+        return item
+
     def parse_program(self) -> Program:
         prog = Program()
         while not self.at("eof"):
-            prog.items.append(self.parse_item())
+            prog.items.append(self.parse_item_spanned())
         return prog
 
     def parse_item(self):
@@ -511,7 +524,7 @@ class Parser:
             self.expect("{")
             items = []
             while not self.at("}"):
-                items.append(self.parse_item())
+                items.append(self.parse_item_spanned())
             self.expect("}")
             return NamespaceDecl(name, items)
         if self.at_kw("using"):
@@ -1031,7 +1044,8 @@ class Parser:
             member = self.next().text
             args = self.parse_pattern_list()
             return Atom(member, args, member_of=base)
-        # plain/qualified atom
+        # plain/qualified atom, optionally time-traveled: `T@3(...)`
+        # reads snapshot version 3 of a durable table
         j = self.i
         while self.toks[j].kind == "id" and self.toks[j + 1].kind == "::":
             j += 2
@@ -1039,6 +1053,17 @@ class Parser:
             name = self.qualified_name()
             args = self.parse_pattern_list()
             return Atom(name, args)
+        if (
+            self.toks[j].kind == "id"
+            and self.toks[j + 1].kind == "@"
+            and self.toks[j + 2].kind == "int"
+            and self.toks[j + 3].kind == "("
+        ):
+            name = self.qualified_name()
+            self.next()  # '@'
+            ver = int(self.next().text)
+            args = self.parse_pattern_list()
+            return Atom(name, args, at_version=ver)
         return None
 
     def parse_atom(self) -> Atom:

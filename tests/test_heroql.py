@@ -1294,3 +1294,205 @@ def test_cli_snapshot_flag(spark, tmp_path):
     assert rc == 0
     t = SnapshotTable(spark, tp)
     assert sorted((r.k, r.v) for r in t.read().collect()) == [(1, 1), (2, 4)]
+
+
+def test_program_log_persisted_and_replay_rebuilds_table(spark, tmp_path):
+    """Rewrite.md:6 "save query to log": each durable commit records
+    the HeroQL statement(s) that produced it; history() surfaces them,
+    and re-running the logged programs against a copy of version 0
+    rebuilds the table exactly (the audit/replay contract the
+    reference's query log exists for)."""
+    import os
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    seed = spark.createDataFrame([], "k long, v long")
+    snap = SnapshotTable.create(spark, os.path.join(str(tmp_path), "led"), seed, key_cols=["k"])
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    hql.run("""
+        set T(1, 10);
+        set T(2, 20);
+        set T(3, 0);
+        update T(k, v) :- k <= 2, v = v * 10;
+        remove T(_, v) :- v == 0;
+    """)
+    hist = snap.history()
+    progs = [h["program"] for h in hist]
+    assert progs[0] is None  # create carries no statement
+    # the batched merge logs ALL its set statements, in order
+    assert progs[1] == "set T(1, 10);\nset T(2, 20);\nset T(3, 0);"
+    assert progs[2] == "update T(k, v) :- k <= 2, v = v * 10;"
+    assert progs[3] == "remove T(_, v) :- v == 0;"
+
+    # replay: run the logged programs against a copy of version 0
+    replay = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "replay"), snap.read(version=0), key_cols=["k"]
+    )
+    hql2 = HeroQL(spark)
+    hql2.register_snapshot("T", replay)
+    for p in progs:
+        if p:
+            hql2.run(p)
+    assert sorted((r.k, r.v) for r in replay.read().collect()) == sorted(
+        (r.k, r.v) for r in snap.read().collect()
+    ) == [(1, 100), (2, 200)]
+
+
+def test_time_travel_atom_reads_old_versions(spark, tmp_path, duck):
+    """`T@k(...)` time travel in the language, oracle-checked, incl. a
+    read ACROSS a schema-evolution boundary: the pre-evolution version
+    binds its OLD arity while the current table binds the evolved one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    seed = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    snap = SnapshotTable.create(spark, os.path.join(str(tmp_path), "tt"), seed, key_cols=["k"])
+    snap.update_where(F.col("k") == 1, {"v": F.lit(11)})     # v1
+    snap.add_columns({"note": "string"})                      # v2 (metadata-only)
+    snap.merge_upsert(
+        spark.createDataFrame([(3, 30, "new")], "k long, v long, note string")
+    )                                                         # v3
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+
+    # current: evolved 3-column shape
+    cur = hql.run("query (k, v, note) :- T(k, v, note);").queries[0]
+    cmp = compare(
+        cur,
+        """SELECT * FROM (VALUES (1, 11, NULL), (2, 20, NULL), (3, 30, 'new'))
+           t(k, v, note) ORDER BY k""",
+        duck,
+    )
+    assert cmp["ok"], cmp
+
+    # version 0: pre-mutation, pre-evolution — binds the OLD 2-arity
+    v0 = hql.run("query (k, v) :- T@0(k, v);").queries[0]
+    cmp0 = compare(
+        v0, "SELECT * FROM (VALUES (1, 10), (2, 20)) t(k, v) ORDER BY k", duck
+    )
+    assert cmp0["ok"], cmp0
+
+    # version 1: post-update, still 2 columns
+    v1 = hql.run("query (k, v) :- T@1(k, v), k == 1;").queries[0]
+    cmp1 = compare(v1, "SELECT * FROM (VALUES (1, 11)) t(k, v)", duck)
+    assert cmp1["ok"], cmp1
+
+    # time-traveled and current versions JOIN in one body: rows whose
+    # v changed between v0 and now
+    diff = hql.run(
+        "query (k, old, new) :- T@0(k, old), T(k, new, _), old != new;"
+    ).queries[0]
+    assert rows(diff) == [(1, 10, 11)]
+
+
+def test_time_travel_atom_requires_snapshot(spark):
+    hql = HeroQL(spark)
+    hql.register("M", spark.createDataFrame([(1, 2)], "k long, v long"))
+    with pytest.raises(HeroQLError, match="time travel"):
+        hql.run("query (k, v) :- M@0(k, v);")
+
+
+def test_changes_relation_binds_cdc(spark, tmp_path):
+    """`changes(T, from, to, key..., col..., chg)` binds the change
+    feed of a snapshot table between two versions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    seed = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    snap = SnapshotTable.create(spark, os.path.join(str(tmp_path), "cd"), seed, key_cols=["k"])
+    snap.merge_upsert(spark.createDataFrame([(3, 30)], "k long, v long"))  # v1: insert 3
+    snap.delete_where(F.col("k") == 2)                                     # v2: delete 2
+    snap.update_where(F.col("k") == 1, {"v": F.lit(99)})                   # v3: update 1
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    out = hql.run("query (k, v, chg) :- changes(T, 0, 3, k, v, chg);").queries[0]
+    got = sorted((r.k, r.v, r.chg) for r in out.collect())
+    assert got == [
+        (1, 10, "update_pre"),
+        (1, 99, "update_post"),
+        (2, 20, "delete"),
+        (3, 30, "insert"),
+    ]
+    # the CDC relation composes with ordinary literals
+    ins = hql.run(
+        'query (k) :- changes(T, 0, 3, k, _, chg), chg == "insert";'
+    ).queries[0]
+    assert rows(ins) == [(3,)]
+
+
+def test_register_snapshot_rejects_composite_key(spark, tmp_path):
+    import os
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    seed = spark.createDataFrame([(1, 2, 3)], "a long, b long, v long")
+    snap = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "ck"), seed, key_cols=["a", "b"]
+    )
+    hql = HeroQL(spark)
+    with pytest.raises(HeroQLError, match="composite key"):
+        hql.register_snapshot("T", snap)
+
+
+def test_inmem_unique_set_replaces_on_key(spark):
+    """Round-6 advice: `set` on a table declared `index Unique(k)`
+    follows replace-on-key semantics on the IN-MEMORY path too, so the
+    same program gives the same result whether or not the table is
+    snapshot-backed."""
+    hql = HeroQL(spark)
+    hql.run("""
+        data T(k : int, v : int) index Unique(k);
+        set T(1, 10);
+        set T(2, 20);
+        set T(1, 11);
+    """)
+    assert rows(hql.table("T").orderBy("k")) == [(1, 11), (2, 20)]
+    # restating a key in a LATER batch replaces the stored row
+    hql.run("set T(2, 22);")
+    assert rows(hql.table("T").orderBy("k")) == [(1, 11), (2, 22)]
+    # undeclared tables keep fact-append semantics
+    hql2 = HeroQL(spark)
+    hql2.run("""
+        data F(a : int, b : int);
+        set F(1, 10);
+        set F(1, 11);
+    """)
+    assert rows(hql2.table("F").orderBy("a", "b")) == [(1, 10), (1, 11)]
+
+
+def test_cli_at_version_time_travel(spark, tmp_path):
+    """CLI --at-version resolves --database tables through the pinned
+    historical version set (read-only)."""
+    import contextlib
+    import io
+    import os
+
+    from pyspark.sql import functions as F
+
+    from herodb_spark.heroql.__main__ import main
+    from herodb_spark.sources.database import SnapshotDatabase
+
+    dbp = os.path.join(str(tmp_path), "db")
+    db = SnapshotDatabase.create(spark, dbp)
+    db.create_table("Acct", spark.createDataFrame([(1, 100)], "k long, v long"), key_cols=["k"])
+    with db.transaction() as t:
+        t.update_where("Acct", F.col("k") == 1, {"v": F.lit(500)})
+    prog = tmp_path / "p.hql"
+    prog.write_text("query (k, v) :- Acct(k, v);")
+    # current state
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main([str(prog), "--database", dbp], spark=spark) == 0
+    assert "1 | 500" in buf.getvalue()
+    # time travel to db version 1 (after create_table, before the txn)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main([str(prog), "--database", dbp, "--at-version", "1"], spark=spark) == 0
+    assert "1 | 100" in buf.getvalue()
