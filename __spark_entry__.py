@@ -209,6 +209,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # a snapshot table (one OCC commit per statement) — same oracle as
     # the in-memory heroql_mutations
     "heroql_durable_mutations": HQ.heroql_durable_mutations,
+    # round 7: time travel (`T@k`) + change feed (`changes(T, f, t)`)
+    # as language constructs over a schema-evolving snapshot history
+    "heroql_time_travel_cdc": HQ.heroql_time_travel_cdc,
     # round 6: maximal shared spans (suffix-array-dedup recipe,
     # relational gaps-and-islands form) beyond fixed 10-grams
     "dedup_span_maximal": TD.dedup_span_maximal,
@@ -303,6 +306,7 @@ ORACLES: dict[str, str] = {
     "export_shard_manifest": TD.EXPORT_SHARD_MANIFEST_SQL,
     "pack_sequences_budget": TD.PACK_SEQUENCES_SQL,
     "heroql_durable_mutations": HQ.HEROQL_MUTATIONS_SQL,
+    "heroql_time_travel_cdc": HQ.HEROQL_TIME_TRAVEL_CDC_SQL,
     "dedup_span_maximal": TD.DEDUP_SPAN_MAXIMAL_SQL,
     "text_unigram_logprob": X.TEXT_UNIGRAM_LOGPROB_SQL,
 }

@@ -237,3 +237,65 @@ SELECT 'pipeline', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(suppkey AS
 FROM ({HEROQL_PIPELINE_SQL})
 ORDER BY q, n1, k1, k2
 """
+
+
+def heroql_time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 language surface: time travel (`T@k(...)` atoms) and
+    the change-data-feed relation (`changes(T, from, to, ...)`) run as
+    HeroQL programs over a snapshot table with a versioned history
+    that CROSSES a schema-evolution boundary (add_columns) — the
+    Rewrite.md durability periphery exposed in the language rather
+    than only the Python API. Self-contained (sf_dir unused; fresh
+    temp table per run, deterministic content). Output tag-union:
+    (part, k, v, note, chg) with part ∈ {v0, cur, cdc}."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="heroql_tt_")
+    seed = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    snap = SnapshotTable.create(spark, os.path.join(tmp, "t"), seed, key_cols=["k"])
+    snap.merge_upsert(spark.createDataFrame([(3, 30)], "k long, v long"))   # v1
+    snap.delete_where(FF.col("k") == 2)                                     # v2
+    snap.update_where(FF.col("k") == 1, {"v": FF.lit(99)})                  # v3
+    snap.add_columns({"note": "string"})                                    # v4
+    snap.merge_upsert(
+        spark.createDataFrame([(4, 40, "x")], "k long, v long, note string")
+    )                                                                       # v5
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    res = hql.run("""
+        query (k, v) :- T@0(k, v);
+        query (k, v, note) :- T(k, v, note);
+        query (k, v, chg) :- changes(T, 0, 3, k, v, chg);
+    """)
+    ns = F.lit(None).cast("string")
+    v0 = res.queries[0].select(
+        F.lit("v0").alias("part"), "k", "v", ns.alias("note"), ns.alias("chg")
+    )
+    cur = res.queries[1].select(
+        F.lit("cur").alias("part"), "k", "v", "note", ns.alias("chg")
+    )
+    cdc = res.queries[2].select(
+        F.lit("cdc").alias("part"), "k", "v", ns.alias("note"), "chg"
+    )
+    return v0.unionByName(cur).unionByName(cdc).orderBy("part", "k", "chg")
+
+
+HEROQL_TIME_TRAVEL_CDC_SQL = """
+SELECT * FROM (VALUES
+  ('v0',  CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  ('v0',  CAST(2 AS BIGINT), CAST(20 AS BIGINT), NULL, NULL),
+  ('cur', CAST(1 AS BIGINT), CAST(99 AS BIGINT), NULL, NULL),
+  ('cur', CAST(3 AS BIGINT), CAST(30 AS BIGINT), NULL, NULL),
+  ('cur', CAST(4 AS BIGINT), CAST(40 AS BIGINT), 'x',  NULL),
+  ('cdc', CAST(1 AS BIGINT), CAST(10 AS BIGINT), NULL, 'update_pre'),
+  ('cdc', CAST(1 AS BIGINT), CAST(99 AS BIGINT), NULL, 'update_post'),
+  ('cdc', CAST(2 AS BIGINT), CAST(20 AS BIGINT), NULL, 'delete'),
+  ('cdc', CAST(3 AS BIGINT), CAST(30 AS BIGINT), NULL, 'insert')
+) t(part, k, v, note, chg)
+ORDER BY part, k, chg
+"""

@@ -121,3 +121,19 @@ def test_exact_ann_no_corpus_shuffle(spark, sf_dir, name):
         f"{name}: corpus is hash-repartitioned on vec_id before scoring — "
         "the exact baseline must rank over natural scan partitions"
     )
+
+
+def test_balance_partitions_identity_when_well_partitioned(spark, sf_dir):
+    """At scale the corpus scan already yields ≥ parallelism
+    partitions and `_balance_partitions` must be the IDENTITY (no
+    exchange of any kind before scoring); only a smaller-than-core-
+    count corpus (local test SFs) is spread, round-robin."""
+    from herodb_spark.catalog import load_table
+    from herodb_spark.operators import similarity as S
+
+    p = spark.sparkContext.defaultParallelism
+    emb = load_table(spark, sf_dir, "embeddings").repartition(p)
+    assert S._balance_partitions(emb) is emb
+    small = load_table(spark, sf_dir, "embeddings").coalesce(1)
+    spread = S._balance_partitions(small)
+    assert spread is not small and spread.rdd.getNumPartitions() == p
