@@ -254,6 +254,11 @@ def connected_components_twophase(undirected: DataFrame, max_iters: int = MAX_IT
     All shuffles key on node ids — no driver state, and each
     contraction strictly shrinks long chains, which is what bounds the
     round count logarithmically."""
+    # materialize the INPUT once: orig_nodes and edges both derive
+    # from it, and with an expensive upstream (e.g. the MinHash-LSH
+    # pair miner feeding dedup_cluster_canonical) two independent
+    # eager checkpoints would compute that whole DAG twice
+    undirected = undirected.localCheckpoint(eager=True)
     orig_nodes = (
         undirected.select(F.col("src").alias("node"))
         .unionByName(undirected.select(F.col("dst").alias("node")))

@@ -233,17 +233,23 @@ def symtab_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["anc", "name"],
         )
     )
+    # `resolved` feeds the typed rows AND the unresolved anti-join;
+    # `unresolved` in turn feeds the Unknown#id allocator AND the
+    # not-found errors — lazy checkpoints materialize the scope-chain
+    # resolution once instead of four times
     resolved = cand.groupBy("expr_id", "scope", "name").agg(
         F.min("up").alias("up"),
         F.min_by("anc", "up").alias("def_scope"),
         F.min_by("type_name", "up").alias("type_name"),
-    )
+    ).localCheckpoint(eager=False)
     typed = resolved.select(
         F.lit("type").alias("kind"), "expr_id", "name",
         F.col("def_scope").alias("scope"), F.col("type_name").alias("info"),
     )
 
-    unresolved = refs.join(resolved.select("expr_id"), "expr_id", "left_anti")
+    unresolved = refs.join(resolved.select("expr_id"), "expr_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     # AutoIncresed UnknownType ids (draft_type:127-129): dense ids in
     # creation (expr_id) order via the registry allocator
     from herodb_spark.sources.registry import auto_increment_ids

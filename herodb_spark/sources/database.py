@@ -204,6 +204,27 @@ class SnapshotDatabase:
         same atomic swap that publishes the batch's table versions."""
         return int(self._load().get("txns", {}).get(sink_id, -1))
 
+    # -- maintenance -------------------------------------------------------
+    def compact(
+        self, names: list[str] | None = None, max_files_per_partition: int = 4
+    ) -> dict:
+        """Database-scope small-file compaction: compact fragmented
+        member tables AND publish the compacted versions in one
+        transaction (pin swap). This is the only correct shape under a
+        database — a bare table-level compact() commits a version the
+        database pin never references, so readers keep resolving the
+        fragmented version and the next recovery rolls the compacted
+        one back as a crash leftover. Content is bit-identical, so the
+        published db version changes no query result. Returns
+        {table: compact report} for the touched tables."""
+        reports: dict[str, dict] = {}
+        with self.transaction() as t:
+            for name in names if names is not None else sorted(self.tables()):
+                rep = t.compact(name, max_files_per_partition=max_files_per_partition)
+                if rep["compacted"]:
+                    reports[name] = rep
+        return reports
+
     # -- GC ----------------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> dict:
         """Prune database versions (keep newest `keep_last`, always
@@ -302,7 +323,8 @@ class Transaction:
                 f"{t.path}: table advanced past this transaction's snapshot"
             )
         version = fn(t)
-        self._new_pins[name] = version
+        if version != expected:  # no-op mutations don't dirty the txn
+            self._new_pins[name] = version
         # cost = copy-on-write work: partitions this commit physically
         # rewrote (manifest metadata — no extra Spark job). A no-op
         # mutation (version unchanged) adds nothing.
@@ -330,6 +352,19 @@ class Transaction:
 
     def add_columns(self, name: str, new_cols: dict) -> int:
         return self._apply(name, lambda t: t.add_columns(new_cols))
+
+    def compact(self, name: str, max_files_per_partition: int = 4) -> dict:
+        """Compact one member table inside this transaction (see
+        SnapshotDatabase.compact for why compaction must go through
+        the pin swap). Returns the table-level compact report."""
+        report: dict = {}
+
+        def fn(t):
+            report.update(t.compact(max_files_per_partition=max_files_per_partition))
+            return t._load()["current"]
+
+        self._apply(name, fn)
+        return report
 
     def _try_swap(self) -> int:
         m = self.db._load()

@@ -66,12 +66,31 @@ class DatabaseTxnSink:
     - two replays racing: the database seq fences the loser
       (ConcurrentWriteError); it re-checks the watermark and treats
       an already-committed batch as success.
-    """
 
-    def __init__(self, db, routes: dict, sink_id: str = "stream"):
+    `compact_every=N` runs database-scope small-file compaction over
+    the routed tables after every Nth committed batch: each
+    micro-batch leaves one parquet file per write task, so a
+    streaming-fed table fragments linearly with batch count; the
+    periodic OPTIMIZE pass (its own pin-swapped transaction, content
+    bit-identical, cost ∝ fragmented partitions) keeps per-partition
+    file counts bounded for readers. Compaction is maintenance, not
+    part of the batch's exactly-once contract — the batch watermark
+    commits first, and a crash before the compaction pass just leaves
+    it for a later batch."""
+
+    def __init__(
+        self,
+        db,
+        routes: dict,
+        sink_id: str = "stream",
+        compact_every: int | None = None,
+        max_files_per_partition: int = 4,
+    ):
         self.db = db
         self.routes = dict(routes)
         self.sink_id = sink_id
+        self.compact_every = compact_every
+        self.max_files_per_partition = max_files_per_partition
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from herodb_spark.sources.snapshot import ConcurrentWriteError
@@ -89,3 +108,8 @@ class DatabaseTxnSink:
                 raise  # a real conflict, not our own batch landing
         finally:
             batch_df.unpersist()
+        if self.compact_every and (bid + 1) % self.compact_every == 0:
+            self.db.compact(
+                names=sorted(self.routes),
+                max_files_per_partition=self.max_files_per_partition,
+            )

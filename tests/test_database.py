@@ -392,3 +392,62 @@ def test_database_txn_sink_through_writestream(spark, tmp_path, sf_dir):
     )
     q2.awaitTermination(120)
     assert db._load()["current"] == v
+
+
+def test_database_scope_compact_publishes_pin(spark, tmp_path):
+    """Database-scope compaction: fragmented member tables are
+    compacted AND the compacted versions publish through the pin swap
+    (a bare table-level compact would be invisible to db readers and
+    rolled back by the next recovery). Content identical, db version
+    advances, nothing left to heal."""
+    db = _mkdb(spark, tmp_path)
+    # fragment accounts: several single-row merges, many files
+    for i in range(6):
+        db.table("accounts")  # handle only
+    for i in range(6):
+        with db.transaction() as t:
+            t.merge_upsert(
+                "accounts",
+                spark.createDataFrame(
+                    [(50 + i, f"f{i}", float(i))], "id long, name string, bal double"
+                ),
+            )
+    before = sorted(tuple(r) for r in db.read("accounts").collect())
+    pin_before = db.tables()["accounts"]
+    rep = db.compact(max_files_per_partition=1)
+    assert "accounts" in rep and rep["accounts"]["files_after"] < rep["accounts"]["files_before"]
+    pins = db.tables()
+    assert pins["accounts"] == pin_before + 1  # compacted version pinned
+    assert sorted(tuple(r) for r in db.read("accounts").collect()) == before
+    assert SnapshotDatabase(spark, db.path).recover() == {}
+    # no-op second pass: nothing fragmented, no new db version
+    v = db._load()["current"]
+    assert db.compact(max_files_per_partition=1) == {}
+    assert db._load()["current"] == v
+
+
+def test_sink_auto_compaction_bounds_files(spark, tmp_path):
+    """DatabaseTxnSink(compact_every=2): after every 2nd committed
+    batch the routed tables are compacted, so per-partition file
+    counts stay bounded as batches accumulate."""
+    from herodb_spark.streaming.sink import DatabaseTxnSink
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    db.create_table(
+        "t", spark.createDataFrame([], "k long, v double"), key_cols=["k"]
+    )
+    sink = DatabaseTxnSink(
+        db, routes={"t": lambda b: b}, sink_id="s", compact_every=2,
+        max_files_per_partition=2,
+    )
+    for bid in range(4):
+        batch = spark.createDataFrame(
+            [(bid * 10 + j, float(j)) for j in range(8)], "k long, v double"
+        ).repartition(4)  # several files per batch
+        sink(batch, bid)
+    assert db.last_txn("s") == 3
+    m = db.table("t")._load()
+    entry = m["versions"][str(m["current"])]
+    assert entry["op"] == "compact"
+    assert all(n <= 2 for n in entry["files"].values()), entry["files"]
+    assert db.read("t").count() == 32
