@@ -212,6 +212,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 7: time travel (`T@k`) + change feed (`changes(T, f, t)`)
     # as language constructs over a schema-evolving snapshot history
     "heroql_time_travel_cdc": HQ.heroql_time_travel_cdc,
+    # round 7: add-one-smoothed bigram LM scoring (the stronger
+    # perplexity filter; one tokenization via checkpointed positions)
+    "text_bigram_logprob": X.text_bigram_logprob,
     # round 6: maximal shared spans (suffix-array-dedup recipe,
     # relational gaps-and-islands form) beyond fixed 10-grams
     "dedup_span_maximal": TD.dedup_span_maximal,
@@ -307,6 +310,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences_budget": TD.PACK_SEQUENCES_SQL,
     "heroql_durable_mutations": HQ.HEROQL_MUTATIONS_SQL,
     "heroql_time_travel_cdc": HQ.HEROQL_TIME_TRAVEL_CDC_SQL,
+    "text_bigram_logprob": X.TEXT_BIGRAM_LOGPROB_SQL,
     "dedup_span_maximal": TD.DEDUP_SPAN_MAXIMAL_SQL,
     "text_unigram_logprob": X.TEXT_UNIGRAM_LOGPROB_SQL,
 }

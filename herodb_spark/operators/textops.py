@@ -434,3 +434,128 @@ SELECT 'unigram_lm', doc_id, avg_logprob, CAST(NULL AS DOUBLE), CAST(NULL AS DOU
 FROM ({TEXT_UNIGRAM_LOGPROB_SQL})
 ORDER BY op, doc_id
 """
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BIGRAM language-model quality score — the
+    stronger form of the perplexity filter (`text_unigram_logprob`):
+    score each document by the mean conditional log-probability
+    ln P(w_i | w_{i-1}) of its token transitions under add-one
+    (Laplace) smoothing over the corpus' own bigram counts:
+
+        P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V)
+
+    with V the unigram vocabulary size. Smoothing keeps every
+    transition finite (an unseen bigram scores ln(1/(c+V)), not -inf)
+    and makes the score well-defined for replayed/novel text.
+
+    Plan (all Catalyst, 100-TB shape):
+    - positions = one posexplode; the bigram stream is a doc-keyed
+      lead() window over it (same shape as positional_shingles).
+      The positioned token frame is localCheckpoint'ed once and feeds
+      the bigram model, the context counts, and the scoring join —
+      one corpus tokenization total (the unigram op's r7 contract).
+    - bigram counts and context (unigram) counts are token-keyed
+      groupBys — map-side combined; stop-word skew collapses in the
+      partial aggregate.
+    - scoring joins transitions back on the BIGRAM key, then the
+      context key: shuffle joins (the bigram model of a 100-TB corpus
+      is nowhere near broadcastable); hot transitions are AQE's
+      skew-join case.
+    - V is a 1-row aggregate (broadcast by construction).
+
+    Determinism contract (same as unigram): per-transition ln(P) is
+    rounded to 9 dp FIRST, summed as DECIMAL(27,9), mean rounded to
+    6 dp; keep = score ≥ the corpus p10 over already-rounded scores
+    (exact interpolated percentile ≡ DuckDB quantile_cont).
+
+    Output: doc_id, n_bigrams, avg_logprob, keep. Docs with < 2
+    tokens have no transitions: n_bigrams = 0, avg_logprob NULL,
+    keep true (no evidence against them — same contract as a
+    length-gated perplexity filter, which scores only docs long
+    enough to score)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    pos = (
+        docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .repartition(par, "doc_id")
+        .select("doc_id", F.posexplode("toks").alias("pos", "t"))
+        .localCheckpoint(eager=False)  # one tokenization feeds all consumers
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    trans = (
+        pos.select("doc_id", F.col("t").alias("w1"), F.lead("t").over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+    ).localCheckpoint(eager=False)  # feeds the model AND the scoring join
+    big = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = trans.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    vocab_v = pos.agg(F.count_distinct("t").cast("double").alias("V"))
+    lp = F.round(
+        F.log(
+            (F.col("cb").cast("double") + 1.0)
+            / (F.col("cc").cast("double") + F.col("V"))
+        ),
+        9,
+    ).cast("decimal(27,9)")
+    per = (
+        trans.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab_v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(lp).cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
+    thr = per.agg(F.round(F.expr("percentile(avg_logprob, 0.1)"), 6).alias("p10"))
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            "avg_logprob",
+            F.coalesce(F.col("avg_logprob") >= F.col("p10"), F.lit(True)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_BIGRAM_LOGPROB_SQL = r"""
+WITH pos AS (
+  SELECT doc_id, u['p'] AS pos, u['t'] AS t
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                 (x, i) -> {'p': i - 1, 't': x})) AS u
+    FROM documents
+  )
+),
+trans AS (
+  SELECT doc_id, t AS w1,
+         LEAD(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM pos
+),
+tr AS (SELECT * FROM trans WHERE w2 IS NOT NULL),
+big AS (SELECT w1, w2, COUNT(*) AS cb FROM tr GROUP BY w1, w2),
+ctx AS (SELECT w1, COUNT(*) AS cc FROM tr GROUP BY w1),
+vv AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS V FROM pos),
+per AS (
+  SELECT tr.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(CAST(SUM(CAST(ROUND(ln((big.cb + 1.0) / (ctx.cc + vv.V)), 9)
+                              AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+  FROM tr JOIN big USING (w1, w2) JOIN ctx USING (w1), vv
+  GROUP BY tr.doc_id
+),
+thr AS (SELECT ROUND(quantile_cont(avg_logprob, 0.1), 6) AS p10 FROM per)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       per.avg_logprob,
+       COALESCE(per.avg_logprob >= thr.p10, TRUE) AS keep
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id, thr
+ORDER BY d.doc_id
+"""

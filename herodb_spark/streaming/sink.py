@@ -73,10 +73,18 @@ class DatabaseTxnSink:
     streaming-fed table fragments linearly with batch count; the
     periodic OPTIMIZE pass (its own pin-swapped transaction, content
     bit-identical, cost ∝ fragmented partitions) keeps per-partition
-    file counts bounded for readers. Compaction is maintenance, not
-    part of the batch's exactly-once contract — the batch watermark
-    commits first, and a crash before the compaction pass just leaves
-    it for a later batch."""
+    file counts bounded for readers.
+
+    `vacuum_every=N` (with `vacuum_keep_last`) runs database vacuum on
+    the same cadence pattern: the sink publishes one database version
+    per batch, so a long-running stream otherwise grows the manifest
+    and the version-directory count without bound; retention GC keeps
+    both ∝ keep_last while database time travel over the kept window
+    (and every version it pins) stays intact.
+
+    Both are MAINTENANCE, not part of the batch's exactly-once
+    contract — the batch watermark commits first, and a crash before
+    a maintenance pass just leaves it for a later batch."""
 
     def __init__(
         self,
@@ -85,12 +93,16 @@ class DatabaseTxnSink:
         sink_id: str = "stream",
         compact_every: int | None = None,
         max_files_per_partition: int = 4,
+        vacuum_every: int | None = None,
+        vacuum_keep_last: int = 10,
     ):
         self.db = db
         self.routes = dict(routes)
         self.sink_id = sink_id
         self.compact_every = compact_every
         self.max_files_per_partition = max_files_per_partition
+        self.vacuum_every = vacuum_every
+        self.vacuum_keep_last = vacuum_keep_last
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from herodb_spark.sources.snapshot import ConcurrentWriteError
@@ -113,3 +125,5 @@ class DatabaseTxnSink:
                 names=sorted(self.routes),
                 max_files_per_partition=self.max_files_per_partition,
             )
+        if self.vacuum_every and (bid + 1) % self.vacuum_every == 0:
+            self.db.vacuum(keep_last=self.vacuum_keep_last)

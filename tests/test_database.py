@@ -451,3 +451,27 @@ def test_sink_auto_compaction_bounds_files(spark, tmp_path):
     assert entry["op"] == "compact"
     assert all(n <= 2 for n in entry["files"].values()), entry["files"]
     assert db.read("t").count() == 32
+
+
+def test_sink_retention_vacuum_bounds_versions(spark, tmp_path):
+    """DatabaseTxnSink(vacuum_every=2, vacuum_keep_last=2): the sink
+    publishes one db version per batch; periodic vacuum keeps the
+    version count bounded while the kept window (and every table
+    version it pins) stays readable."""
+    from herodb_spark.streaming.sink import DatabaseTxnSink
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    db.create_table("t", spark.createDataFrame([], "k long, v double"), key_cols=["k"])
+    sink = DatabaseTxnSink(
+        db, routes={"t": lambda b: b}, sink_id="s", vacuum_every=2, vacuum_keep_last=2
+    )
+    for bid in range(6):
+        sink(spark.createDataFrame([(bid, float(bid))], "k long, v double"), bid)
+    m = db._load()
+    assert len(m["versions"]) <= 2
+    assert db.last_txn("s") == 5  # watermark survives vacuum
+    assert db.read("t").count() == 6
+    # replay of the last batch still no-ops after vacuum
+    v = m["current"]
+    sink(spark.createDataFrame([(5, 5.0)], "k long, v double"), 5)
+    assert db._load()["current"] == v

@@ -12,6 +12,7 @@ CASES = [
     (X.fingerprint, X.FINGERPRINT_SQL),
     (X.text_analysis, X.TEXT_ANALYSIS_SQL),
     (X.text_unigram_logprob, X.TEXT_UNIGRAM_LOGPROB_SQL),
+    (X.text_bigram_logprob, X.TEXT_BIGRAM_LOGPROB_SQL),
 ]
 
 
