@@ -215,6 +215,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 7: add-one-smoothed bigram LM scoring (the stronger
     # perplexity filter; one tokenization via checkpointed positions)
     "text_bigram_logprob": X.text_bigram_logprob,
+    # round 7: blocked edit-distance near-dup pairs (prefix + adjacent
+    # length-bucket blocking, thresholded Levenshtein inside blocks)
+    "dedup_fuzzy_levenshtein": D.dedup_fuzzy_levenshtein,
     # round 6: maximal shared spans (suffix-array-dedup recipe,
     # relational gaps-and-islands form) beyond fixed 10-grams
     "dedup_span_maximal": TD.dedup_span_maximal,
@@ -311,6 +314,7 @@ ORACLES: dict[str, str] = {
     "heroql_durable_mutations": HQ.HEROQL_MUTATIONS_SQL,
     "heroql_time_travel_cdc": HQ.HEROQL_TIME_TRAVEL_CDC_SQL,
     "text_bigram_logprob": X.TEXT_BIGRAM_LOGPROB_SQL,
+    "dedup_fuzzy_levenshtein": D.DEDUP_FUZZY_LEVENSHTEIN_SQL,
     "dedup_span_maximal": TD.DEDUP_SPAN_MAXIMAL_SQL,
     "text_unigram_logprob": X.TEXT_UNIGRAM_LOGPROB_SQL,
 }

@@ -614,3 +614,104 @@ JOIN (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
 ORDER BY m.doc_id
 """
 )
+
+
+# ------------------------------------------------------- fuzzy (edit-distance)
+
+FUZZY_TITLE_TOKENS = 6  # "title" = the first 6 tokens of the document
+FUZZY_MAX_DIST = 5      # near-dup when edit distance <= 5
+
+
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by EDIT DISTANCE on a short derived field
+    (the first FUZZY_TITLE_TOKENS tokens — the "title" a metadata
+    dedup keys on): pairs (a < b) whose titles are within
+    FUZZY_MAX_DIST Levenshtein edits. Complements the set-based
+    near-dup family (n-gram Jaccard, MinHash, SimHash): edit distance
+    catches single-character noise (OCR errors, typos, id suffixes)
+    that token-set measures under-weigh.
+
+    Scale shape (the classic blocked record-linkage plan):
+    - one scan derives (doc_id, title, block); `block` = (2-char
+      title prefix, title-length bucket of 8). Two strings within 5
+      edits can differ in length by at most 5, so a true pair is
+      never split across non-adjacent length buckets; the join probes
+      each bucket AND its successor (standard adjacent-window
+      blocking), and the 2-char prefix is exact blocking on the
+      (noise-tolerant at distance 5 only when the first chars agree —
+      the documented recall contract of prefix blocking, same nature
+      as LSH's band miss probability).
+    - candidate generation is an equi-join on the block key (shuffle
+      ∝ block sizes, never corpus²); the O(len²) Levenshtein DP runs
+      only inside blocks, JVM-side (F.levenshtein with a THRESHOLD:
+      Spark's bounded DP exits at distance > k — O(k·len) per pair,
+      not O(len²)). The probe covers BOTH adjacent buckets (lb-1,
+      lb, lb+1): the canonical pair orientation (doc_a < doc_b) is
+      independent of which side holds the larger bucket.
+    - output pairs are canonical (doc_a < doc_b) and distinct (the
+      adjacent-bucket probe can see a pair once per side).
+
+    Oracle: DuckDB levenshtein over the same blocked join."""
+    docs = load_table(spark, sf_dir, "documents")
+    title = F.array_join(
+        F.slice(T.tokens(F.col("text")), 1, FUZZY_TITLE_TOKENS), " "
+    )
+    base = docs.select(
+        "doc_id",
+        title.alias("title"),
+    ).select(
+        "doc_id",
+        "title",
+        F.substring("title", 1, 2).alias("pfx"),
+        F.floor(F.length("title") / F.lit(8)).cast("long").alias("lb"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("title").alias("t_a"), "pfx", F.col("lb")
+    )
+    # probe own bucket and BOTH neighbors: |len(a)-len(b)| <= dist
+    # <= 5 < bucket width 8, so every qualifying pair shares a bucket
+    # or sits in adjacent ones; covering lb-1 AND lb+1 keeps the
+    # canonical doc_a < doc_b orientation reachable no matter which
+    # side holds the larger bucket (distinct collapses double-sees)
+    b = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("title").alias("t_b"), "pfx", F.col("lb")
+    )
+    probe = a.withColumn(
+        "lb_probe", F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1))
+    ).drop("lb")
+    dist = F.levenshtein(F.col("t_a"), F.col("t_b"), FUZZY_MAX_DIST)
+    return (
+        probe.join(b, (probe.pfx == b.pfx) & (probe.lb_probe == b.lb))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dist.alias("dist"))
+        .where(F.col("dist") >= 0)  # threshold form returns -1 above k
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_FUZZY_LEVENSHTEIN_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'),
+                                    1, {FUZZY_TITLE_TOKENS}), ' ') AS title
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, title, substr(title, 1, 2) AS pfx,
+         CAST(FLOOR(length(title) / 8) AS BIGINT) AS lb
+  FROM base
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.title, b.title) AS dist
+  FROM keyed a
+  JOIN keyed b
+    ON a.pfx = b.pfx
+   AND b.lb BETWEEN a.lb - 1 AND a.lb + 1
+   AND a.doc_id < b.doc_id
+)
+SELECT DISTINCT doc_a, doc_b, CAST(dist AS INT) AS dist
+FROM pairs WHERE dist <= {FUZZY_MAX_DIST}
+ORDER BY doc_a, doc_b
+"""

@@ -15,6 +15,7 @@ ORACLE_CASES = [
     (S.ann_bruteforce_topk, S.ANN_BRUTEFORCE_SQL),
     (S.knn_join_blocked, S.KNN_JOIN_SQL),
     (S.label_centroids, S.LABEL_CENTROIDS_SQL),
+    (D.dedup_fuzzy_levenshtein, D.DEDUP_FUZZY_LEVENSHTEIN_SQL),
 ]
 
 
@@ -334,3 +335,65 @@ def test_ann_quantized_approx_phase_drops_full_precision(spark, sf_dir):
         assert "embedding" not in names, (
             f"full-precision embedding rides through the approx cross join: {names}"
         )
+
+
+def test_fuzzy_levenshtein_bucket_probe_is_lossless(spark):
+    """The adjacent length-bucket probe must find EVERY pair the
+    blocking contract promises (same 2-char prefix, distance <= 5) —
+    including pairs whose smaller doc_id sits in the HIGHER bucket.
+    Ground-truth fixture: titles engineered around a bucket boundary
+    in both orientations."""
+    import pyspark.sql.functions as F
+
+    from herodb_spark.operators.dedup import FUZZY_MAX_DIST
+
+    rows = [
+        (1, "alpha beta gamma"),          # len 16 → bucket 2
+        (2, "alpha beta gammaXYZ"),       # len 19 → bucket 2, dist 3
+        (3, "alpha beta gamma dd"),       # len 19 → bucket 2
+        (4, "alpha beta gamma ddd"),      # len 20 → bucket 2↔3 boundary, dist 1 to 3
+        (5, "alpha beta gamma dddQQ"),    # len 22 → bucket 2, dist 3 to 4 (a=4 in bucket 2? len20/8=2)
+        (10, "zz completely different title here", ),
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, title string").select(
+        "doc_id",
+        "title",
+        F.substring("title", 1, 2).alias("pfx"),
+        F.floor(F.length("title") / F.lit(8)).cast("long").alias("lb"),
+    )
+    # brute force within prefix (no length blocking at all)
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("title").alias("t_a"), "pfx")
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("title").alias("t_b"), "pfx")
+    brute = (
+        a.join(b, "pfx")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.levenshtein("t_a", "t_b").alias("dist"))
+        .where(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+    # the operator's probe: a-side explodes (lb-1, lb, lb+1)
+    pa = (
+        base.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("title").alias("t_a"),
+            F.col("pfx").alias("pfx_a"),
+            "lb",
+        )
+        .withColumn("lb_probe", F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)))
+        .drop("lb")
+    )
+    pb = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("t_b"),
+        F.col("pfx").alias("pfx_b"),
+        F.col("lb").alias("lb_b"),
+    )
+    blocked = (
+        pa.join(pb, (pa.pfx_a == pb.pfx_b) & (pa.lb_probe == pb.lb_b))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.levenshtein("t_a", "t_b", FUZZY_MAX_DIST).alias("dist"))
+        .where(F.col("dist") >= 0)
+        .distinct()
+    )
+    got = sorted(tuple(r) for r in blocked.collect())
+    want = sorted(tuple(r) for r in brute.collect())
+    assert got == want and len(want) >= 4
