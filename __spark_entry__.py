@@ -218,6 +218,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 7: blocked edit-distance near-dup pairs (prefix + adjacent
     # length-bucket blocking, thresholded Levenshtein inside blocks)
     "dedup_fuzzy_levenshtein": D.dedup_fuzzy_levenshtein,
+    # round 7: incremental MV maintenance over a snapshot CHANGE FEED
+    # (signed retraction arithmetic for count/sum, touched-group
+    # recompute for max) — refresh indistinguishable from rebuild
+    "mv_cdc_refresh": MV.mv_cdc_refresh,
     # round 6: maximal shared spans (suffix-array-dedup recipe,
     # relational gaps-and-islands form) beyond fixed 10-grams
     "dedup_span_maximal": TD.dedup_span_maximal,
@@ -315,6 +319,7 @@ ORACLES: dict[str, str] = {
     "heroql_time_travel_cdc": HQ.HEROQL_TIME_TRAVEL_CDC_SQL,
     "text_bigram_logprob": X.TEXT_BIGRAM_LOGPROB_SQL,
     "dedup_fuzzy_levenshtein": D.DEDUP_FUZZY_LEVENSHTEIN_SQL,
+    "mv_cdc_refresh": MV.MV_CDC_REFRESH_SQL,
     "dedup_span_maximal": TD.DEDUP_SPAN_MAXIMAL_SQL,
     "text_unigram_logprob": X.TEXT_UNIGRAM_LOGPROB_SQL,
 }

@@ -103,3 +103,52 @@ def test_refresh_mv_all_null_sum_group(spark):
     out = {r.k: (r.n, r.s) for r in refresh_mv(mv, delta, ["k"], specs).collect()}
     assert out["g1"] == (2, None)  # all-NULL sums stay NULL
     assert out["g2"] == (1, 5.0)
+
+
+def test_mv_cdc_refresh_matches_oracle(spark, sf_dir, duck):
+    res = compare(MV.mv_cdc_refresh(spark, sf_dir), MV.MV_CDC_REFRESH_SQL, duck)
+    assert res["ok"], res
+
+
+def test_refresh_from_changes_equals_rebuild(spark, tmp_path):
+    """CDC refresh vs full rebuild on a snapshot history covering all
+    four change kinds, incl. a FULLY-DELETED group (must leave the
+    view) and a deleted group-max (must recompute to the runner-up)."""
+    import os
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    rows = [
+        (1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0), (4, "b", 7.0),
+        (5, "gone", 1.0), (6, "gone", 2.0),
+    ]
+    base = spark.createDataFrame(rows, "id long, k string, v double")
+    snap = SnapshotTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    keys, specs = ["k"], [
+        ("n", "count", None), ("s", "sum", F.col("v")), ("mx", "max", F.col("v")),
+    ]
+    mv0 = MV.build_mv(snap.read(), keys, specs)
+    snap.delete_where(F.col("k") == "gone")          # whole group retracted
+    snap.delete_where(F.col("id") == 2)              # group max of 'a' deleted
+    snap.update_where(F.col("id") == 3, {"v": F.lit(50.0)})  # new max for 'b'
+    snap.merge_upsert(spark.createDataFrame([(7, "c", 9.0)], "id long, k string, v double"))
+    refreshed = MV.refresh_mv_from_changes(
+        mv0, snap.read_changes(0), keys, specs, base=snap.read()
+    )
+    rebuilt = MV.build_mv(snap.read(), keys, specs)
+    got = {r.k: (r.n, r.s, r.mx) for r in refreshed.collect()}
+    want = {r.k: (r.n, r.s, r.mx) for r in rebuilt.collect()}
+    assert got == want
+    assert "gone" not in got          # count→0 group removed
+    assert got["a"] == (1, 10.0, 10.0)  # deleted max recomputed
+    assert got["b"] == (2, 57.0, 50.0)  # update pre/post netted
+    assert got["c"] == (1, 9.0, 9.0)    # new group appears
+
+
+def test_refresh_from_changes_minmax_requires_base(spark):
+    import pytest as _pytest
+
+    ch = spark.createDataFrame([(1, "a", 1.0, "insert")], "id long, k string, v double, _change string")
+    mv = spark.createDataFrame([("a", 1)], "k string, n long")
+    with _pytest.raises(ValueError, match="min/max"):
+        MV.refresh_mv_from_changes(mv, ch, ["k"], [("mx", "max", F.col("v"))])
