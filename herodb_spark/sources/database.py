@@ -110,14 +110,17 @@ class SnapshotDatabase:
     def tables(self, db_version: int | None = None) -> dict:
         return dict(self._pins(self._load(), db_version))
 
-    def read(self, name: str, db_version: int | None = None) -> DataFrame:
+    def read(
+        self, name: str, db_version: int | None = None, ranges: dict | None = None
+    ) -> DataFrame:
         """Snapshot-consistent read: the table version is the one the
         (current or time-traveled) database version pins — a
-        half-applied transaction's table commits are never visible."""
+        half-applied transaction's table commits are never visible.
+        `ranges` forwards to SnapshotTable.read's zone-map skipping."""
         pins = self._pins(self._load(), db_version)
         if name not in pins:
             raise ValueError(f"{self.path}: no table {name!r} in database version")
-        return self.table(name).read(version=pins[name])
+        return self.table(name).read(version=pins[name], ranges=ranges)
 
     def history(self) -> list[dict]:
         m = self._load()

@@ -187,6 +187,7 @@ class SnapshotTable:
         t = cls(spark, path)
         os.makedirs(path, exist_ok=True)
         parts, files = t._write_partitions(df, 0, partition_col)
+        stats = t._partition_stats(parts, df.schema, t._stat_cols(df, key_cols))
         t._commit(
             {
                 "key_cols": key_cols,
@@ -201,6 +202,7 @@ class SnapshotTable:
                         "op": "create",
                         "partitions": parts,
                         "files": files,
+                        "stats": stats,
                         "schema": df.schema.json(),
                     }
                 },
@@ -271,6 +273,56 @@ class SnapshotTable:
             nfiles[val] = _count(out[val])
         return out, nfiles
 
+    # zone-map stat columns: JSON-safe, order-comparable scalar types
+    _STAT_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "string")
+
+    def _stat_cols(self, df: DataFrame, cols: list[str]) -> list[str]:
+        dtypes = dict(df.dtypes)
+        return [c for c in cols if dtypes.get(c) in self._STAT_TYPES]
+
+    def _partition_stats(
+        self, parts: dict, schema, stat_cols: list[str]
+    ) -> dict:
+        """ZONE MAPS: per-written-partition [min, max] of `stat_cols`,
+        recorded in the manifest at commit time — the durable-layer
+        analog of the reference's `index Ordered(...)` (draft:28-47)
+        and of lakehouse file statistics. ONE Spark job over the
+        freshly written directories (column-pruned scan of the stat
+        columns only), grouped by the source directory via
+        input_file_name — no per-partition job fan-out. Read-side:
+        `read(ranges=...)` skips partitions whose recorded interval
+        cannot intersect the predicate. Returns
+        {pv: {col: [min, max]}} (values may be None for all-NULL)."""
+        if not stat_cols or not parts:
+            return {}
+        dirs = {os.path.join(self.path, rel): pv for pv, rel in parts.items()}
+        reader = self.spark.read if schema is None else self.spark.read.schema(schema)
+        df = reader.parquet(*dirs).select(
+            F.input_file_name().alias("_f"), *stat_cols
+        )
+        aggs = []
+        for c in stat_cols:
+            aggs.append(F.min(c).alias(f"mn_{c}"))
+            aggs.append(F.max(c).alias(f"mx_{c}"))
+        rows = df.withColumn("_d", F.expr("substring_index(_f, '/', size(split(_f, '/')) - 1)")).groupBy(
+            "_d"
+        ).agg(*aggs).collect()
+        # map each produced directory back to its partition value;
+        # normalize the file:// scheme the scan may prepend
+        by_dir = {}
+        for full, pv in dirs.items():
+            by_dir[os.path.abspath(full)] = pv
+        stats: dict = {}
+        for r in rows:
+            d = r["_d"]
+            if d.startswith("file:"):
+                d = d[len("file:"):]
+            pv = by_dir.get(os.path.abspath(d))
+            if pv is None:
+                continue
+            stats[pv] = {c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stat_cols}
+        return stats
+
     # -- reads -------------------------------------------------------------
     def _schema_at(self, m: dict, v: int):
         """StructType in effect at version `v`: the newest
@@ -289,7 +341,26 @@ class SnapshotTable:
             js = m.get("schema")
         return None if js is None else T.StructType.fromJson(json.loads(js))
 
-    def read(self, version: int | None = None) -> DataFrame:
+    @staticmethod
+    def _skippable(pstats: dict, ranges: dict) -> bool:
+        """True when a partition's zone maps PROVE no row can satisfy
+        the conjunction of `ranges` ({col: (lo, hi)}, inclusive, either
+        bound None for unbounded). Unknown columns/partitions are never
+        skippable; an all-NULL column (min is None) is skippable for
+        any range on it — NULL never satisfies a range predicate."""
+        for col, (lo, hi) in ranges.items():
+            if col not in pstats:
+                continue
+            mn, mx = pstats[col]
+            if mn is None:
+                return True
+            if hi is not None and mn > hi:
+                return True
+            if lo is not None and mx < lo:
+                return True
+        return False
+
+    def read(self, version: int | None = None, ranges: dict | None = None) -> DataFrame:
         """Current snapshot, or time travel to `version`. Resolves the
         manifest to concrete directories; the scan itself is ordinary
         parquet (pushdown/pruning intact), and listing only manifest
@@ -297,7 +368,18 @@ class SnapshotTable:
         the MANIFEST schema in effect at the version (real table
         formats do the same): files written before an `add_columns`
         evolution simply surface NULL for the added columns, and a
-        pre-evolution version read returns exactly its old columns."""
+        pre-evolution version read returns exactly its old columns.
+
+        `ranges` ({col: (lo, hi)} inclusive; None bound = unbounded)
+        enables ZONE-MAP SKIPPING: partitions whose recorded per-
+        partition [min, max] (written at commit time for the table's
+        key columns) cannot intersect the ranges are not scanned at
+        all — the `index Ordered(...)` read path (draft:28-47) at the
+        durable layer, same mechanics as lakehouse file skipping. The
+        result still needs the caller's own row-level filter (pruning
+        is an IO optimization, not a predicate); partitions lacking
+        stats (legacy manifests, non-stat-typed columns) are always
+        scanned, so skipping never loses a qualifying row."""
         m = self._load()
         v = m["current"] if version is None else version
         entry = m["versions"].get(str(v))
@@ -307,13 +389,22 @@ class SnapshotTable:
                 + (" (vacuumed)" if v < m["current"] else "")
             )
         schema = self._schema_at(m, v)
-        if not entry["partitions"]:
-            # a mutation can delete every partition; the manifest
-            # schema keeps such versions readable as empty tables
+        parts = entry["partitions"]
+        if ranges:
+            stats = entry.get("stats", {})
+            parts = {
+                pv: rel
+                for pv, rel in parts.items()
+                if not self._skippable(stats.get(pv, {}), ranges)
+            }
+        if not parts:
+            # a mutation can delete every partition (or pruning can
+            # exclude all); the manifest schema keeps such reads
+            # working as empty tables
             if schema is None:
                 raise ValueError(f"{self.path}: version {v} is empty and pre-dates manifest schemas")
             return self.spark.createDataFrame([], schema)
-        dirs = [os.path.join(self.path, rel) for rel in entry["partitions"].values()]
+        dirs = [os.path.join(self.path, rel) for rel in parts.values()]
         reader = self.spark.read if schema is None else self.spark.read.schema(schema)
         return reader.parquet(*dirs)
 
@@ -448,13 +539,18 @@ class SnapshotTable:
         )
         version = self._next(m)
         parts, files = self._write_partitions(to_write, version, pcol, only=set(frag))
-        new_parts, new_files = self._carry_forward(m, set(frag))
+        # compaction is content-identical: the rewritten partitions'
+        # zone maps carry over from the current entry unchanged
+        cur_stats = entry0.get("stats", {})
+        new_parts, new_files, new_stats = self._carry_forward(m, set(frag))
         new_parts.update(parts)
         new_files.update(files)
+        new_stats.update({pv: cur_stats[pv] for pv in frag if pv in cur_stats})
         m["versions"][str(version)] = {
             "op": "compact",
             "partitions": new_parts,
             "files": new_files,
+            "stats": new_stats,
         }
         m["current"] = version
         self._commit(m, expected_current=read_version, expected_seq=read_seq)
@@ -499,11 +595,12 @@ class SnapshotTable:
         ]
         new_schema = T.StructType(fields)
         version = self._next(m)
-        carried_parts, carried_files = self._carry_forward(m, set())
+        carried_parts, carried_files, carried_stats = self._carry_forward(m, set())
         m["versions"][str(version)] = {
             "op": "add_columns",
             "partitions": carried_parts,
             "files": carried_files,
+            "stats": carried_stats,
             "schema": new_schema.json(),
         }
         m["current"] = version
@@ -596,14 +693,18 @@ class SnapshotTable:
     def _next(self, m: dict) -> int:
         return m["current"] + 1
 
-    def _carry_forward(self, m: dict, touched: set) -> tuple[dict, dict]:
+    def _carry_forward(self, m: dict, touched: set) -> tuple[dict, dict, dict]:
         """Re-link every untouched partition of the current version —
         the file-reuse half of copy-on-write. Returns (partitions,
-        file_counts); counts for manifests that pre-date file tracking
-        are backfilled by one listing (legacy upgrade path only)."""
+        file_counts, zone_map_stats); counts for manifests that
+        pre-date file tracking are backfilled by one listing (legacy
+        upgrade path only), stats only carry where recorded (pruning
+        treats missing stats as unskippable, so legacy partitions stay
+        correct)."""
         entry = m["versions"][str(m["current"])]
         cur = entry["partitions"]
         known = entry.get("files", {})
+        known_stats = entry.get("stats", {})
         parts = {pv: rel for pv, rel in cur.items() if pv not in touched}
         files = {
             pv: int(
@@ -618,7 +719,8 @@ class SnapshotTable:
             )
             for pv, rel in parts.items()
         }
-        return parts, files
+        stats = {pv: known_stats[pv] for pv in parts if pv in known_stats}
+        return parts, files, stats
 
     def last_txn(self, sink_id: str) -> int:
         """Highest batch id committed by `sink_id`, or -1. The txn
@@ -688,10 +790,20 @@ class SnapshotTable:
         )
         version = self._next(m)
         parts, files = self._write_partitions(merged, version, pcol, only=touched)
-        new_parts, new_files = self._carry_forward(m, touched)
+        schema_now = self._schema_at(m, read_version)
+        stats = self._partition_stats(
+            parts, schema_now, self._stat_cols(target, keys)
+        )
+        new_parts, new_files, new_stats = self._carry_forward(m, touched)
         new_parts.update(parts)
         new_files.update(files)
-        entry = {"op": "merge_upsert", "partitions": new_parts, "files": new_files}
+        new_stats.update(stats)
+        entry = {
+            "op": "merge_upsert",
+            "partitions": new_parts,
+            "files": new_files,
+            "stats": new_stats,
+        }
         if program is not None:
             entry["program"] = program
         m["versions"][str(version)] = entry
@@ -732,7 +844,10 @@ class SnapshotTable:
                 )
         version = self._next(m)
         parts, files = self._write_partitions(df, version, m["partition_col"])
-        entry = {"op": "overwrite", "partitions": parts, "files": files}
+        stats = self._partition_stats(
+            parts, schema, self._stat_cols(df, m["key_cols"])
+        )
+        entry = {"op": "overwrite", "partitions": parts, "files": files, "stats": stats}
         if program is not None:
             entry["program"] = program
         m["versions"][str(version)] = entry
@@ -817,10 +932,14 @@ class SnapshotTable:
             to_write = result.where(F.col(pcol).cast("string").isin(*touched))
         version = self._next(m)
         parts, files = self._write_partitions(to_write, version, pcol, only=touched)
-        new_parts, new_files = self._carry_forward(m, touched)
+        stats = self._partition_stats(
+            parts, self._schema_at(m, read_version), self._stat_cols(target, m["key_cols"])
+        )
+        new_parts, new_files, new_stats = self._carry_forward(m, touched)
         new_parts.update(parts)
         new_files.update(files)
-        entry = {"op": op, "partitions": new_parts, "files": new_files}
+        new_stats.update(stats)
+        entry = {"op": op, "partitions": new_parts, "files": new_files, "stats": new_stats}
         if program is not None:
             entry["program"] = program
         m["versions"][str(version)] = entry

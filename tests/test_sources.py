@@ -706,3 +706,56 @@ def test_mutation_program_persisted_in_history(spark, tmp_path):
     # the program is durable manifest metadata, not handle state
     t2 = SnapshotTable(spark, t.path)
     assert t2.history()[1]["program"] == "set T(3, 30.0)"
+
+
+def test_zone_map_stats_recorded_and_pruned_read(spark, tmp_path):
+    """Zone maps (the `index Ordered(...)` analog at the durable
+    layer): every commit records per-partition [min, max] of the key
+    columns; read(ranges=...) skips partitions whose interval cannot
+    intersect — verified via inputFiles (skipped dirs never reach the
+    scan) — while never losing a qualifying row."""
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    # ids cluster by partition: grp g holds ids [100g, 100g+9]
+    rows = [(100 * g + i, g, float(i)) for g in range(4) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, grp int, v double")
+    t = SnapshotTable.create(spark, str(tmp_path / "zm"), df, ["id"], partition_col="grp")
+    m = t._load()
+    st = m["versions"]["0"]["stats"]
+    assert set(st) == {"0", "1", "2", "3"}
+    assert st["2"]["id"] == [200, 209]
+    # pruned read: ids 95..105 can only live in grp 0 or 1
+    pruned = t.read(ranges={"id": (95, 105)})
+    files = pruned.inputFiles()
+    assert files and all("__p=0" in f or "__p=1" in f for f in files)
+    got = sorted(r.id for r in pruned.where(F.col("id").between(95, 105)).collect())
+    assert got == list(range(100, 106))
+    # a mutation refreshes stats for the touched partition only
+    t.merge_upsert(spark.createDataFrame([(250, 2, 1.0)], "id long, grp int, v double"))
+    m2 = t._load()
+    st2 = m2["versions"]["1"]["stats"]
+    assert st2["2"]["id"] == [200, 250]
+    assert st2["0"] == st["0"]  # untouched partitions carry forward
+    # all-excluding ranges → empty frame with the right schema
+    assert t.read(ranges={"id": (10_000, None)}).count() == 0
+    assert t.read(ranges={"id": (10_000, None)}).columns == ["id", "grp", "v"]
+
+
+def test_zone_map_skipping_is_safe_without_stats(spark, tmp_path):
+    """Partitions lacking stats are always scanned: strip the stats
+    from the manifest (legacy format) and confirm ranged reads still
+    return every qualifying row."""
+    import json
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    rows = [(i, i % 2, float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, grp int, v double")
+    t = SnapshotTable.create(spark, str(tmp_path / "lg"), df, ["id"], partition_col="grp")
+    m = t._load()
+    for e in m["versions"].values():
+        e.pop("stats", None)
+    with open(t._manifest_path(), "w") as f:
+        json.dump(m, f)
+    pruned = t.read(ranges={"id": (3, 5)})
+    assert sorted(r.id for r in pruned.where("id between 3 and 5").collect()) == [3, 4, 5]
