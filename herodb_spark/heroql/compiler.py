@@ -1121,8 +1121,109 @@ class HeroQL:
 
     # ------------------------------------------------------------ body compilation
 
+    # ------------------------------------------------ zone-map pushdown
+
+    @staticmethod
+    def _body_var_bounds(body: list) -> dict:
+        """var -> (lo, hi) inclusive bounds PROVABLE from the body's
+        top-level comparison conjuncts of shape `v op const` /
+        `const op v` (op ∈ <, <=, >, >=, ==; const int/float/str).
+        Strict bounds widen to inclusive (pruning may only keep MORE
+        partitions than needed, never fewer); multiple conjuncts on
+        one var intersect."""
+        bounds: dict = {}
+
+        def add(v, lo, hi):
+            l0, h0 = bounds.get(v, (None, None))
+            if lo is not None:
+                l0 = lo if l0 is None else max(l0, lo)
+            if hi is not None:
+                h0 = hi if h0 is None else min(h0, hi)
+            bounds[v] = (l0, h0)
+
+        flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+        for lit in body:
+            if not isinstance(lit, P.CompareLit) or not isinstance(lit.expr, P.BinOp):
+                continue
+            e = lit.expr
+            op, left, right = e.op, e.left, e.right
+            if isinstance(left, P.Const) and isinstance(right, P.Var):
+                left, right, op = right, left, flip.get(op, op)
+            if not (isinstance(left, P.Var) and isinstance(right, P.Const)):
+                continue
+            c = right.value
+            if not isinstance(c, (int, float, str)) or isinstance(c, bool):
+                continue
+            v = left.name
+            if op == "==":
+                add(v, c, c)
+            elif op in ("<", "<="):
+                add(v, None, c)
+            elif op in (">", ">="):
+                add(v, c, None)
+        return bounds
+
+    def _zone_map_overrides(self, body: list, state: dict | None,
+                            existing: dict | None) -> dict:
+        """ZONE-MAP PUSHDOWN from the language to the durable layer:
+        for every plain snapshot-backed atom whose positional pattern
+        binds a variable (or literal) at a column the body also bounds
+        with comparison conjuncts, re-resolve the atom's source
+        through SnapshotTable.read(ranges=...) — partitions whose
+        recorded [min, max] cannot intersect the bounds are never
+        scanned. Sound for inner/semi/anti atoms alike: body literals
+        are conjuncts, so any pruned row could only ever meet rows the
+        same bounds eliminate (and NULL keys satisfy no range, match
+        no equi-join). Injected through the same per-atom-instance
+        `overrides` slot incremental maintenance uses; atoms the
+        caller already overrides (delta slots) are left alone."""
+        bounds = self._body_var_bounds(body)
+        # no early exit on empty bounds: constant pattern arguments
+        # (`T(305, g, v)`) carry their own equality bound
+        out: dict = {}
+        for lit in body:
+            atom = (
+                lit
+                if isinstance(lit, P.Atom)
+                else lit.atom if isinstance(lit, (P.NotLit, P.ExistsLit)) else None
+            )
+            if atom is None or atom.member_of is not None or atom.at_version is not None:
+                continue
+            if existing is not None and id(atom) in existing:
+                continue
+            name = atom.name
+            if name not in self._snapshots or name in self.rules:
+                continue
+            if state is not None and name in state:
+                continue
+            d = self.defs.get(name)
+            # positional pattern form only (a row-variable atom binds
+            # the whole row in one arg — no per-column positions)
+            if d is None or len(atom.args) != len(d.fields):
+                continue
+            ranges: dict = {}
+            for posn, arg in enumerate(atom.args):
+                if isinstance(arg, P.Var) and arg.name in bounds:
+                    lo, hi = bounds[arg.name]
+                    if lo is not None or hi is not None:
+                        ranges[d.fields[posn]] = (lo, hi)
+                elif isinstance(arg, P.Const) and isinstance(arg.value, (int, float, str)) \
+                        and not isinstance(arg.value, bool):
+                    ranges[d.fields[posn]] = (arg.value, arg.value)
+            if not ranges:
+                continue
+            self._flush(name)  # pending durable sets must commit first
+            pruned = self._snapshots[name].read(ranges=ranges)
+            if list(pruned.columns) != list(d.fields):
+                continue  # schema drift safety: fall back to the full frame
+            out[id(atom)] = pruned
+        return out
+
     def _compile_body(self, body: list, state: dict | None = None,
                       overrides: dict | None = None) -> Frame:
+        zm = self._zone_map_overrides(body, state, overrides)
+        if zm:
+            overrides = {**(overrides or {}), **zm}
         frame = Frame(self)
         for lit in body:
             if isinstance(lit, P.Atom):

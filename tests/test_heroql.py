@@ -1496,3 +1496,58 @@ def test_cli_at_version_time_travel(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         assert main([str(prog), "--database", dbp, "--at-version", "1"], spark=spark) == 0
     assert "1 | 100" in buf.getvalue()
+
+
+def _zone_snap(spark, tmp_path):
+    import os
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    # ids cluster by partition: grp g holds ids [100g, 100g+9]
+    rows = [(100 * g + i, g, float(100 * g + i)) for g in range(4) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, grp int, v double")
+    return SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "zm"), df, ["id"], partition_col="grp"
+    )
+
+
+def test_zone_map_pushdown_prunes_language_scans(spark, tmp_path):
+    """Comparison conjuncts on a variable bound at a snapshot key
+    position push down to the zone-map read: the durable scan touches
+    only partitions whose recorded [min, max] can intersect, and the
+    results equal the unpruned evaluation."""
+    snap = _zone_snap(spark, tmp_path)
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    out = hql.run("query (k, v) :- T(k, g, v), k >= 200, k <= 250;").queries[0]
+    files = out.inputFiles()
+    assert files and all("__p=2" in f for f in files), files
+    assert sorted(r.k for r in out.collect()) == list(range(200, 210))
+
+    # constant pattern argument = equality bound
+    out2 = hql.run("query (v) :- T(305, g, v);").queries[0]
+    assert all("__p=3" in f for f in out2.inputFiles())
+    assert rows(out2) == [(305.0,)]
+
+
+def test_zone_map_pushdown_preserves_anti_join_semantics(spark, tmp_path):
+    """Pruning the inner side of `not T(...)` by the body's bounds
+    must not change results: compare against an in-memory twin."""
+    snap = _zone_snap(spark, tmp_path)
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    hql.register(
+        "Probe",
+        spark.createDataFrame([(i,) for i in (105, 150, 205, 399)], "k long"),
+    )
+    prog = "query (k) :- Probe(k), k >= 100, k <= 300, not T(k, _, _);"
+    got = sorted(r.k for r in hql.run(prog).queries[0].collect())
+
+    hql2 = HeroQL(spark)
+    hql2.register("T", snap.read())  # plain in-memory frame: no pruning path
+    hql2.register(
+        "Probe",
+        spark.createDataFrame([(i,) for i in (105, 150, 205, 399)], "k long"),
+    )
+    want = sorted(r.k for r in hql2.run(prog).queries[0].collect())
+    assert got == want == [150]
