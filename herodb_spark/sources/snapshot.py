@@ -187,7 +187,7 @@ class SnapshotTable:
         t = cls(spark, path)
         os.makedirs(path, exist_ok=True)
         parts, files = t._write_partitions(df, 0, partition_col)
-        stats = t._partition_stats(parts, df.schema, t._stat_cols(df, key_cols))
+        stats = t._partition_stats(parts, df.schema, t._stat_cols(df, key_cols, partition_col))
         t._commit(
             {
                 "key_cols": key_cols,
@@ -276,9 +276,19 @@ class SnapshotTable:
     # zone-map stat columns: JSON-safe, order-comparable scalar types
     _STAT_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "string")
 
-    def _stat_cols(self, df: DataFrame, cols: list[str]) -> list[str]:
+    def _stat_cols(
+        self, df: DataFrame, cols: list[str], partition_col: str | None = None
+    ) -> list[str]:
+        """Key columns + the partition column (whose per-partition
+        min == max == the value, giving typed equality/range pruning
+        through the same zone-map path the directory layout can't
+        offer for non-string comparisons), filtered to stat-able
+        types."""
         dtypes = dict(df.dtypes)
-        return [c for c in cols if dtypes.get(c) in self._STAT_TYPES]
+        want = list(cols)
+        if partition_col and partition_col not in want:
+            want.append(partition_col)
+        return [c for c in want if dtypes.get(c) in self._STAT_TYPES]
 
     def _partition_stats(
         self, parts: dict, schema, stat_cols: list[str]
@@ -792,7 +802,7 @@ class SnapshotTable:
         parts, files = self._write_partitions(merged, version, pcol, only=touched)
         schema_now = self._schema_at(m, read_version)
         stats = self._partition_stats(
-            parts, schema_now, self._stat_cols(target, keys)
+            parts, schema_now, self._stat_cols(target, keys, pcol)
         )
         new_parts, new_files, new_stats = self._carry_forward(m, touched)
         new_parts.update(parts)
@@ -845,7 +855,7 @@ class SnapshotTable:
         version = self._next(m)
         parts, files = self._write_partitions(df, version, m["partition_col"])
         stats = self._partition_stats(
-            parts, schema, self._stat_cols(df, m["key_cols"])
+            parts, schema, self._stat_cols(df, m["key_cols"], m["partition_col"])
         )
         entry = {"op": "overwrite", "partitions": parts, "files": files, "stats": stats}
         if program is not None:
@@ -933,7 +943,9 @@ class SnapshotTable:
         version = self._next(m)
         parts, files = self._write_partitions(to_write, version, pcol, only=touched)
         stats = self._partition_stats(
-            parts, self._schema_at(m, read_version), self._stat_cols(target, m["key_cols"])
+            parts,
+            self._schema_at(m, read_version),
+            self._stat_cols(target, m["key_cols"], pcol),
         )
         new_parts, new_files, new_stats = self._carry_forward(m, touched)
         new_parts.update(parts)

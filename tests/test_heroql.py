@@ -1551,3 +1551,14 @@ def test_zone_map_pushdown_preserves_anti_join_semantics(spark, tmp_path):
     )
     want = sorted(r.k for r in hql2.run(prog).queries[0].collect())
     assert got == want == [150]
+
+
+def test_zone_map_pushdown_on_partition_column(spark, tmp_path):
+    """A bound on the PARTITION column prunes through the same path
+    (its zone map is min == max == the value)."""
+    snap = _zone_snap(spark, tmp_path)
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    out = hql.run("query (k) :- T(k, g, _), g == 1;").queries[0]
+    assert all("__p=1" in f for f in out.inputFiles())
+    assert sorted(r.k for r in out.collect()) == list(range(100, 110))

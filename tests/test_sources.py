@@ -759,3 +759,23 @@ def test_zone_map_skipping_is_safe_without_stats(spark, tmp_path):
         json.dump(m, f)
     pruned = t.read(ranges={"id": (3, 5)})
     assert sorted(r.id for r in pruned.where("id between 3 and 5").collect()) == [3, 4, 5]
+
+
+def test_zone_map_covers_partition_column(spark, tmp_path):
+    """The partition column participates in zone maps (min == max ==
+    the value per partition), so TYPED equality/range pruning on it
+    works through read(ranges=...) — something the string directory
+    layout alone cannot compare correctly."""
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    rows = [(100 * g + i, g, float(i)) for g in range(4) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, grp int, v double")
+    t = SnapshotTable.create(spark, str(tmp_path / "pz"), df, ["id"], partition_col="grp")
+    st = t._load()["versions"]["0"]["stats"]
+    assert st["2"]["grp"] == [2, 2]
+    pruned = t.read(ranges={"grp": (2, 2)})
+    assert all("__p=2" in f for f in pruned.inputFiles())
+    assert pruned.count() == 5
+    # numeric range spanning two partitions
+    two = t.read(ranges={"grp": (1, 2)})
+    assert {f.split("__p=")[1][0] for f in two.inputFiles()} == {"1", "2"}
