@@ -305,11 +305,28 @@ class HeroQL:
         database transaction — either way the database pin set is
         never left behind the member tables. Runs recovery first, so
         a crashed predecessor's half-applied leftovers are healed
-        before this session reads."""
+        before this session reads.
+
+        When `tables` is None (register everything, the CLI path),
+        COMPOSITE-KEY members are SKIPPED rather than failing the
+        whole database: they stay queryable through the Python API
+        (db.read) but are not bound in the language; skipped names
+        are recorded in `self.skipped_tables`. Naming such a table
+        explicitly in `tables` still raises (the caller asked for the
+        impossible and should hear about it)."""
         db.recover()
-        names = tables if tables is not None else sorted(db.tables())
-        for name in names:
-            self.register_snapshot(name, db.table(name))
+        self.skipped_tables: list[str] = []
+        if tables is not None:
+            for name in tables:
+                self.register_snapshot(name, db.table(name))
+        else:
+            for name in sorted(db.tables()):
+                snap = db.table(name)
+                keys = snap._load()["key_cols"]
+                if keys and len(keys) > 1:
+                    self.skipped_tables.append(name)
+                    continue
+                self.register_snapshot(name, snap)
         self._db = db
 
     def run_transactional(self, text: str):
@@ -408,14 +425,21 @@ class HeroQL:
     def run(self, text: str) -> RunResult:
         prog = P.parse(text)
         out = RunResult()
-        for item in prog.items:
-            self._exec_item(item, out)
-        # pending `set` batches flush lazily on the next read — but a
-        # DURABLE table's inserts must not outlive the program
-        # unpersisted (and inside run_transactional they must commit
-        # before the pointer swap), so force-flush those here
-        for name in [n for n in self._pending if n in self._snapshots]:
-            self._flush(name)
+        try:
+            for item in prog.items:
+                self._exec_item(item, out)
+            # pending `set` batches flush lazily on the next read —
+            # but a DURABLE table's inserts must not outlive the
+            # program unpersisted (and inside run_transactional they
+            # must commit before the pointer swap), so force-flush
+            # those here
+            for name in [n for n in self._pending if n in self._snapshots]:
+                self._flush(name)
+        finally:
+            # a stale statement text must never be attributed to a
+            # LATER commit made outside any program (e.g. through the
+            # Python API after this run returns)
+            self._cur_src = None
         return out
 
     # ---- namespaces (draft:168-197): declarations inside a namespace
@@ -680,6 +704,13 @@ class HeroQL:
         memoize; insert deltas since the memo was built are folded in
         INCREMENTALLY when the rule shape allows (see
         _maintain_incrementally), else the memo rebuilds."""
+        if self._txn is not None and name in self._snapshots:
+            # a transactional program READ this durable table: declare
+            # it in the transaction's read set so an interleaved
+            # commit to it cancels the program instead of rebasing
+            # over it (write-skew guard — sources/database.py
+            # Transaction docstring)
+            self._txn._read_tables.add(name)
         self._flush(name)
         if name in self.rules:
             if name in self._memo:
@@ -1135,10 +1166,17 @@ class HeroQL:
 
         def add(v, lo, hi):
             l0, h0 = bounds.get(v, (None, None))
-            if lo is not None:
-                l0 = lo if l0 is None else max(l0, lo)
-            if hi is not None:
-                h0 = hi if h0 is None else min(h0, hi)
+            try:
+                if lo is not None:
+                    l0 = lo if l0 is None else max(l0, lo)
+                if hi is not None:
+                    h0 = hi if h0 is None else min(h0, hi)
+            except TypeError:
+                # mixed-type conjuncts on one var (`k > 5, k > "a"`)
+                # prove nothing portable — drop the var's bounds and
+                # let the compiled filters decide
+                bounds[v] = (None, None)
+                return
             bounds[v] = (l0, h0)
 
         flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}

@@ -647,7 +647,10 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
       Spark's bounded DP exits at distance > k — O(k·len) per pair,
       not O(len²)). The probe covers BOTH adjacent buckets (lb-1,
       lb, lb+1): the canonical pair orientation (doc_a < doc_b) is
-      independent of which side holds the larger bucket.
+      independent of which side holds the larger bucket, and each
+      pair matches EXACTLY once — b's bucket equals exactly one of
+      the three distinct probe values — so no dedup pass is needed
+      after the join.
     - output pairs are canonical (doc_a < doc_b) and distinct (the
       adjacent-bucket probe can see a pair once per side).
 
@@ -672,7 +675,9 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <= 5 < bucket width 8, so every qualifying pair shares a bucket
     # or sits in adjacent ones; covering lb-1 AND lb+1 keeps the
     # canonical doc_a < doc_b orientation reachable no matter which
-    # side holds the larger bucket (distinct collapses double-sees)
+    # side holds the larger bucket. The three probe values are
+    # distinct, so the equi-join sees each (a, b) pair exactly once —
+    # no distinct needed (a full pair-set shuffle saved)
     b = base.select(
         F.col("doc_id").alias("doc_b"), F.col("title").alias("t_b"), "pfx", F.col("lb")
     )
@@ -685,7 +690,6 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", dist.alias("dist"))
         .where(F.col("dist") >= 0)  # threshold form returns -1 above k
-        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
@@ -711,7 +715,7 @@ pairs AS (
    AND b.lb BETWEEN a.lb - 1 AND a.lb + 1
    AND a.doc_id < b.doc_id
 )
-SELECT DISTINCT doc_a, doc_b, CAST(dist AS INT) AS dist
+SELECT doc_a, doc_b, CAST(dist AS INT) AS dist
 FROM pairs WHERE dist <= {FUZZY_MAX_DIST}
 ORDER BY doc_a, doc_b
 """

@@ -193,13 +193,19 @@ class SnapshotDatabase:
         return healed
 
     # -- transactions ------------------------------------------------------
-    def transaction(self, txn: tuple[str, int] | None = None) -> "Transaction":
+    def transaction(
+        self,
+        txn: tuple[str, int] | None = None,
+        isolation: str = "write_serializable",
+    ) -> "Transaction":
         """`txn=(sink_id, batch_id)` stamps the commit with a
         streaming watermark IN the atomic pointer swap — the database-
         scope analog of SnapshotTable.merge_upsert's txn parameter,
         used by streaming/sink.DatabaseTxnSink for exactly-once
-        multi-table micro-batch writes."""
-        return Transaction(self, txn=txn)
+        multi-table micro-batch writes. See Transaction for the
+        `isolation` levels (write_serializable default ↔ rebase
+        arbitration; serializable ↔ cancel on any interleave)."""
+        return Transaction(self, txn=txn, isolation=isolation)
 
     def last_txn(self, sink_id: str) -> int:
         """Highest batch id committed by `sink_id` at database scope,
@@ -279,20 +285,66 @@ class Transaction:
       versions were built on a superseded snapshot, and rebasing
       would silently drop the winner's writes. This is the only case
       the reference's arbiter would also have to cancel one side.
+
+    ISOLATION. The default, `isolation="write_serializable"`, checks
+    WRITE-WRITE conflicts only — the same level lakehouse formats
+    default to — which admits the classic write-skew anomaly: a
+    transaction that READ table X and wrote Y = f(X) can rebase over
+    an interleaved commit to X and publish a Y derived from the old
+    X. Two escapes:
+    - call `t.read(name)` for in-transaction reads: read tables join
+      the rebase conflict check (an interleaved commit to a READ
+      table cancels the transaction), giving serializable behavior
+      for declared read sets with the arbitration benefit intact;
+    - `isolation="serializable"` disables rebasing entirely — any
+      interleaved commit cancels, exactly the pre-arbitration
+      first-committer-wins behavior.
     """
 
-    #: diverged member tables younger than this are presumed to be a
-    #: live concurrent writer's private versions, not crash leftovers
-    RECOVER_GRACE_S = 60.0
+    #: diverged member tables whose manifest mtime is younger than
+    #: this are presumed to be a live concurrent writer's private
+    #: versions, not crash leftovers. Every _apply refreshes the
+    #: mtime of ALL of this transaction's previously committed member
+    #: manifests (a progress heartbeat), so a long multi-statement
+    #: transaction stays live as long as it keeps committing; only an
+    #: IDLE gap longer than the grace (no statement for 30 min)
+    #: exposes its early commits to another transaction's start-time
+    #: healing — explicit recover() remains the unconditional path
+    #: for known crashes.
+    RECOVER_GRACE_S = 1800.0
     #: bounded rebase-retry budget for disjoint-table pointer races
     MAX_REBASES = 5
 
-    def __init__(self, db: SnapshotDatabase, txn: tuple[str, int] | None = None):
+    def __init__(
+        self,
+        db: SnapshotDatabase,
+        txn: tuple[str, int] | None = None,
+        isolation: str = "write_serializable",
+    ):
+        if isolation not in ("write_serializable", "serializable"):
+            raise ValueError(f"unknown isolation level {isolation!r}")
         self.db = db
         self._txn_mark = txn
         self._new_pins: dict[str, int] = {}
+        self._read_tables: set[str] = set()
         self._entered = False
+        self.isolation = isolation
         self.cost = 0
+
+    def read(self, name: str):
+        """Pin-consistent in-transaction read with read-your-writes
+        (a table this transaction already committed resolves to its
+        private version). Reading through this method also DECLARES
+        the table in the transaction's read set, so an interleaved
+        commit to it cancels the transaction instead of silently
+        rebasing over it (see the class docstring's isolation note)."""
+        if not self._entered:
+            raise RuntimeError("transaction used outside its with-block")
+        if name not in self._base_pins and name not in self._new_pins:
+            raise ValueError(f"no table {name!r} in this database")
+        self._read_tables.add(name)
+        v = self._new_pins.get(name, self._base_pins.get(name))
+        return self.db.table(name).read(version=v)
 
     def __enter__(self) -> "Transaction":
         # heal STALE crashed predecessors before reading seq; live
@@ -328,6 +380,15 @@ class Transaction:
         version = fn(t)
         if version != expected:  # no-op mutations don't dirty the txn
             self._new_pins[name] = version
+        # progress heartbeat: refresh the mtime of every member
+        # manifest this transaction already committed so a sibling
+        # transaction's grace-window recovery keeps treating them as
+        # live (see RECOVER_GRACE_S)
+        for other in self._new_pins:
+            try:
+                os.utime(self.db.table(other)._manifest_path())
+            except OSError:
+                pass
         # cost = copy-on-write work: partitions this commit physically
         # rewrote (manifest metadata — no extra Spark job). A no-op
         # mutation (version unchanged) adds nothing.
@@ -386,23 +447,33 @@ class Transaction:
     def _rebase(self) -> None:
         """Adopt the advanced database state after losing the pointer
         swap to a DISJOINT interleaved commit. Safe iff (a) no table
-        this transaction touched changed pins under it, and (b) its
-        own private member-table versions are still each table's
-        current (an unconditional recover() would have rolled them
-        back — that seq fence must keep cancelling us). Raises
-        ConcurrentWriteError (with both costs) otherwise."""
+        this transaction touched — WROTE, or READ through t.read() —
+        changed pins under it, (b) serializable isolation was not
+        requested, and (c) its own private member-table versions are
+        still each table's current (an unconditional recover() would
+        have rolled them back — that seq fence must keep cancelling
+        us). Raises ConcurrentWriteError (with both costs)
+        otherwise."""
         m = self.db._load()
         new_pins = dict(self.db._pins(m))
         winner_cost = m["versions"][str(m["current"])].get("cost", "?")
+        if self.isolation == "serializable":
+            raise ConcurrentWriteError(
+                f"{self.db.path}: database advanced under a serializable "
+                f"transaction (cost {self.cost}; interleaved cost {winner_cost}) "
+                "— cancelling (rebase disabled at this isolation level)"
+            )
+        touched = set(self._new_pins) | self._read_tables
         overlap = sorted(
-            n for n in self._new_pins if new_pins.get(n) != self._base_pins.get(n)
+            n for n in touched if new_pins.get(n) != self._base_pins.get(n)
         )
         if overlap:
             raise ConcurrentWriteError(
-                f"{self.db.path}: tables {overlap} were committed under this "
-                f"transaction (cost {self.cost}) by an interleaved transaction "
-                f"(cost {winner_cost}); its member-table versions supersede this "
-                "snapshot — cancelling (same-table conflict is not rebasable)"
+                f"{self.db.path}: tables {overlap} (in this transaction's "
+                f"read/write set, cost {self.cost}) were committed by an "
+                f"interleaved transaction (cost {winner_cost}); its member-table "
+                "versions supersede this snapshot — cancelling (overlapping "
+                "conflict is not rebasable)"
             )
         for name, v in self._new_pins.items():
             if self.db.table(name)._load()["current"] != v:

@@ -357,17 +357,24 @@ class SnapshotTable:
         the conjunction of `ranges` ({col: (lo, hi)}, inclusive, either
         bound None for unbounded). Unknown columns/partitions are never
         skippable; an all-NULL column (min is None) is skippable for
-        any range on it — NULL never satisfies a range predicate."""
+        any range on it — NULL never satisfies a range predicate.
+        A bound whose Python type doesn't order against the recorded
+        stats (e.g. a string constant against a numeric key) proves
+        nothing — such partitions are scanned, and the engine's own
+        cast semantics decide the comparison."""
         for col, (lo, hi) in ranges.items():
             if col not in pstats:
                 continue
             mn, mx = pstats[col]
             if mn is None:
                 return True
-            if hi is not None and mn > hi:
-                return True
-            if lo is not None and mx < lo:
-                return True
+            try:
+                if hi is not None and mn > hi:
+                    return True
+                if lo is not None and mx < lo:
+                    return True
+            except TypeError:
+                continue  # incomparable bound: never skip on it
         return False
 
     def read(self, version: int | None = None, ranges: dict | None = None) -> DataFrame:

@@ -83,8 +83,10 @@ class DatabaseTxnSink:
     (and every version it pins) stays intact.
 
     Both are MAINTENANCE, not part of the batch's exactly-once
-    contract — the batch watermark commits first, and a crash before
-    a maintenance pass just leaves it for a later batch."""
+    contract — the batch watermark commits first, a failing pass is
+    swallowed (recorded on `last_maintenance_error`) instead of
+    killing the streaming query, and a skipped/failed pass simply
+    runs at a later cadence multiple."""
 
     def __init__(
         self,
@@ -103,6 +105,9 @@ class DatabaseTxnSink:
         self.max_files_per_partition = max_files_per_partition
         self.vacuum_every = vacuum_every
         self.vacuum_keep_last = vacuum_keep_last
+        #: last swallowed maintenance failure (None when healthy) —
+        #: observability for operators without stream-fatal semantics
+        self.last_maintenance_error: Exception | None = None
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from herodb_spark.sources.snapshot import ConcurrentWriteError
@@ -120,10 +125,18 @@ class DatabaseTxnSink:
                 raise  # a real conflict, not our own batch landing
         finally:
             batch_df.unpersist()
-        if self.compact_every and (bid + 1) % self.compact_every == 0:
-            self.db.compact(
-                names=sorted(self.routes),
-                max_files_per_partition=self.max_files_per_partition,
-            )
-        if self.vacuum_every and (bid + 1) % self.vacuum_every == 0:
-            self.db.vacuum(keep_last=self.vacuum_keep_last)
+        # maintenance AFTER the committed batch: best-effort — a lost
+        # OCC race with a concurrent writer (or a transient storage
+        # error) must not terminate the streaming query over a
+        # non-essential pass; the next cadence multiple retries
+        try:
+            if self.compact_every and (bid + 1) % self.compact_every == 0:
+                self.db.compact(
+                    names=sorted(self.routes),
+                    max_files_per_partition=self.max_files_per_partition,
+                )
+            if self.vacuum_every and (bid + 1) % self.vacuum_every == 0:
+                self.db.vacuum(keep_last=self.vacuum_keep_last)
+            self.last_maintenance_error = None
+        except Exception as e:  # noqa: BLE001 — maintenance is best-effort
+            self.last_maintenance_error = e

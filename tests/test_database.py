@@ -475,3 +475,104 @@ def test_sink_retention_vacuum_bounds_versions(spark, tmp_path):
     v = m["current"]
     sink(spark.createDataFrame([(5, 5.0)], "k long, v double"), 5)
     assert db._load()["current"] == v
+
+
+def test_serializable_isolation_cancels_on_any_interleave(spark, tmp_path):
+    """isolation='serializable' disables rebasing: a DISJOINT
+    interleaved commit cancels the transaction (the pre-arbitration
+    first-committer-wins behavior, opt-in)."""
+    db = _mkdb(spark, tmp_path)
+    t1 = Transaction(db, isolation="serializable")
+    t1.__enter__()
+    t1.merge_upsert(
+        "accounts", spark.createDataFrame([(40, "s", 1.0)], "id long, name string, bal double")
+    )
+    t2 = Transaction(db)
+    t2.__enter__()
+    t2.merge_upsert("audit", spark.createDataFrame([(8, "z")], "seq long, what string"))
+    t2.commit()
+    with pytest.raises(ConcurrentWriteError, match="serializable"):
+        t1.commit()
+
+
+def test_tracked_read_set_blocks_write_skew_rebase(spark, tmp_path):
+    """Write-skew guard: a transaction that READ table X through
+    t.read() must cancel — not rebase — when an interleaved commit
+    changes X, even though its own writes are disjoint."""
+    db = _mkdb(spark, tmp_path)
+    t1 = Transaction(db)
+    t1.__enter__()
+    bal = {r.id: r.bal for r in t1.read("accounts").collect()}  # read set: accounts
+    t1.merge_upsert(
+        "audit",
+        spark.createDataFrame([(77, f"sum={sum(bal.values())}")], "seq long, what string"),
+    )
+    # interleaved commit to the READ table
+    t2 = Transaction(db)
+    t2.__enter__()
+    t2.merge_upsert(
+        "accounts", spark.createDataFrame([(1, "u1", 0.0)], "id long, name string, bal double")
+    )
+    t2.commit()
+    with pytest.raises(ConcurrentWriteError, match="read/write set"):
+        t1.commit()
+    # heal t1's orphaned audit version (its txn was cancelled), then
+    # verify read-your-writes inside a fresh transaction
+    assert SnapshotDatabase(spark, db.path).recover() == {"audit": 1}
+    t3 = Transaction(db)
+    t3.__enter__()
+    t3.merge_upsert(
+        "audit", spark.createDataFrame([(90, "mine")], "seq long, what string")
+    )
+    assert t3.read("audit").where("seq = 90").count() == 1
+    t3.commit()
+
+
+def test_apply_heartbeat_keeps_early_commits_live(spark, tmp_path):
+    """Progress heartbeat: each _apply refreshes the mtimes of the
+    transaction's earlier member commits, so a long multi-statement
+    transaction's FIRST table is not healed as stale by a sibling's
+    grace-window recovery while later statements are still running."""
+    import os as _os
+    import time as _time
+
+    db = _mkdb(spark, tmp_path)
+    t1 = Transaction(db)
+    t1.__enter__()
+    t1.merge_upsert(
+        "accounts", spark.createDataFrame([(60, "h", 1.0)], "id long, name string, bal double")
+    )
+    # simulate the accounts commit aging past the grace window
+    mp = db.table("accounts")._manifest_path()
+    old = _time.time() - Transaction.RECOVER_GRACE_S - 100
+    _os.utime(mp, (old, old))
+    # next statement commits audit — the heartbeat refreshes accounts
+    t1.merge_upsert("audit", spark.createDataFrame([(61, "h")], "seq long, what string"))
+    assert _time.time() - _os.path.getmtime(mp) < 60
+    # a sibling transaction starting now must NOT heal accounts
+    other = Transaction(db)
+    other.__enter__()
+    assert db.table("accounts")._load()["current"] == 1
+    t1.commit()
+    assert db.tables() == {"accounts": 1, "audit": 1}
+
+
+def test_sink_maintenance_failure_does_not_kill_stream(spark, tmp_path):
+    """A failing compaction/vacuum pass is swallowed and recorded —
+    the committed batch stands and the sink keeps accepting batches."""
+    from herodb_spark.streaming.sink import DatabaseTxnSink
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    db.create_table("t", spark.createDataFrame([], "k long, v double"), key_cols=["k"])
+    sink = DatabaseTxnSink(db, routes={"t": lambda b: b}, sink_id="s", compact_every=1)
+    boom = RuntimeError("storage hiccup")
+
+    def bad_compact(*a, **kw):
+        raise boom
+
+    db.compact = bad_compact
+    sink(spark.createDataFrame([(1, 1.0)], "k long, v double"), 0)  # must not raise
+    assert db.last_txn("s") == 0
+    assert sink.last_maintenance_error is boom
+    sink(spark.createDataFrame([(2, 2.0)], "k long, v double"), 1)
+    assert db.last_txn("s") == 1

@@ -1562,3 +1562,55 @@ def test_zone_map_pushdown_on_partition_column(spark, tmp_path):
     out = hql.run("query (k) :- T(k, g, _), g == 1;").queries[0]
     assert all("__p=1" in f for f in out.inputFiles())
     assert sorted(r.k for r in out.collect()) == list(range(100, 110))
+
+
+def test_register_database_skips_composite_key_members(spark, tmp_path):
+    """A composite-key member table must not fail register_database
+    (nor the CLI --database path): it is skipped and recorded, the
+    rest of the database binds normally; naming it EXPLICITLY in
+    `tables` still raises."""
+    import os
+
+    from herodb_spark.sources.database import SnapshotDatabase
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    db.create_table("ok", spark.createDataFrame([(1, 2)], "k long, v long"), key_cols=["k"])
+    db.create_table(
+        "multi", spark.createDataFrame([(1, 2, 3)], "a long, b long, v long"),
+        key_cols=["a", "b"],
+    )
+    hql = HeroQL(spark)
+    hql.register_database(db)
+    assert hql.skipped_tables == ["multi"]
+    assert rows(hql.run("query (k, v) :- ok(k, v);").queries[0]) == [(1, 2)]
+    hql2 = HeroQL(spark)
+    with pytest.raises(HeroQLError, match="composite key"):
+        hql2.register_database(db, tables=["multi"])
+
+
+def test_zone_map_type_mismatch_never_crashes(spark, tmp_path):
+    """A constant or bound whose Python type doesn't order against the
+    recorded stats must fall back to scanning (engine cast semantics
+    decide), never raise (review finding: TypeError in _skippable /
+    _body_var_bounds)."""
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    snap = _zone_snap(spark, tmp_path)
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    # string constant against a long-keyed column: Spark's implicit
+    # cast makes this match id == 305
+    out = hql.run('query (v) :- T("305", g, v);').queries[0]
+    assert out.count() == 1
+    # mixed-type conjuncts on one var: the bounds pre-pass drops the
+    # var (no Python TypeError at compile time); what remains is
+    # Spark's OWN ANSI cast semantics at execution — the engine's
+    # documented behavior for 'k > "a"' on a numeric column, raised
+    # from the compiled filter, not from the pushdown
+    import pyspark.errors as PE
+
+    out2 = hql.run('query (k) :- T(k, g, _), k > 5, k > "a";')  # compiles fine
+    with pytest.raises(PE.exceptions.captured.NumberFormatException):
+        out2.queries[0].count()
+    # direct unit: incomparable bound proves nothing
+    assert SnapshotTable._skippable({"k": [1, 9]}, {"k": ("abc", "abc")}) is False
