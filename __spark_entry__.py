@@ -26,6 +26,7 @@ from herodb_spark.operators import heroql_ops as HQ
 from herodb_spark.operators import multimodal as MM
 from herodb_spark.operators import mutation as MU
 from herodb_spark.operators import olap as O
+from herodb_spark.operators import connector as PC
 from herodb_spark.operators import constraints as CN
 from herodb_spark.operators import corpus as CO
 from herodb_spark.operators import matview as MV
@@ -222,6 +223,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (signed retraction arithmetic for count/sum, touched-group
     # recompute for max) — refresh indistinguishable from rebuild
     "mv_cdc_refresh": MV.mv_cdc_refresh,
+    # round 7: the Python Data Source connector (spark.read.format(
+    # "herodb")) driven as a query — durable create→upsert→delete
+    # round trip read back via current / time-travel / change-feed
+    "pyds_snapshot_roundtrip": PC.pyds_snapshot_roundtrip,
     # round 6: maximal shared spans (suffix-array-dedup recipe,
     # relational gaps-and-islands form) beyond fixed 10-grams
     "dedup_span_maximal": TD.dedup_span_maximal,
@@ -320,6 +325,7 @@ ORACLES: dict[str, str] = {
     "text_bigram_logprob": X.TEXT_BIGRAM_LOGPROB_SQL,
     "dedup_fuzzy_levenshtein": D.DEDUP_FUZZY_LEVENSHTEIN_SQL,
     "mv_cdc_refresh": MV.MV_CDC_REFRESH_SQL,
+    "pyds_snapshot_roundtrip": PC.PYDS_SNAPSHOT_ROUNDTRIP_SQL,
     "dedup_span_maximal": TD.DEDUP_SPAN_MAXIMAL_SQL,
     "text_unigram_logprob": X.TEXT_UNIGRAM_LOGPROB_SQL,
 }

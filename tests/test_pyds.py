@@ -1,0 +1,276 @@
+"""Python Data Source connector (sources/pyds.py): batch snapshot
+scans with time travel, batch change-feed reads, and the streaming
+CDC source — `spark.read/readStream.format("herodb")`."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from herodb_spark.sources import pyds
+from herodb_spark.sources.snapshot import SnapshotTable
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    pyds.register(spark)
+
+
+def _mk(spark, tmp_path, partitioned=True):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, 10), (2, "b", 2.5, 10), (3, "c", 3.5, 20)],
+        "k long, s string, x double, g long",
+    )
+    return SnapshotTable.create(
+        spark,
+        os.path.join(str(tmp_path), "t"),
+        df,
+        key_cols=["k"],
+        partition_col="g" if partitioned else None,
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# -- batch snapshot ---------------------------------------------------------
+def test_batch_scan_matches_native_read(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(
+        spark.createDataFrame([(2, "B", 9.9, 10), (4, "d", 4.0, 20)], "k long, s string, x double, g long")
+    )
+    got = spark.read.format("herodb").option("path", t.path).load()
+    assert got.schema == t.read().schema
+    assert _rows(got) == _rows(t.read())
+
+
+def test_batch_time_travel_and_schema_evolution(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.add_columns({"note": "string"})
+    t.merge_upsert(
+        spark.createDataFrame([(9, "z", 0.0, 10, "hi")], "k long, s string, x double, g long, note string")
+    )
+    v0 = spark.read.format("herodb").option("path", t.path).option("version", "0").load()
+    # pre-evolution version binds its OWN schema (no `note`)
+    assert v0.columns == ["k", "s", "x", "g"]
+    assert _rows(v0) == _rows(t.read(version=0))
+    # current: files written before the evolution surface NULL note
+    cur = spark.read.format("herodb").option("path", t.path).load()
+    assert _rows(cur) == _rows(t.read())
+    assert cur.where(F.col("note").isNull()).count() == 3
+
+
+def test_batch_scan_parallelism_is_per_file(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    m = t._load()
+    n_files = sum(m["versions"]["0"]["files"].values())
+    got = spark.read.format("herodb").option("path", t.path).load()
+    assert got.rdd.getNumPartitions() == n_files > 1
+
+
+def test_batch_scan_all_partitions_deleted(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where(F.lit(True))
+    got = spark.read.format("herodb").option("path", t.path).load()
+    assert got.count() == 0
+    assert got.columns == ["k", "s", "x", "g"]
+
+
+def test_unknown_version_and_mode_raise(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(Exception, match="no version 99"):
+        spark.read.format("herodb").option("path", t.path).option("version", "99").load()
+    with pytest.raises(Exception, match="unknown mode"):
+        spark.read.format("herodb").option("path", t.path).option("mode", "bogus").load()
+
+
+def test_vacuumed_version_error_names_retained_range(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    for i in range(3):
+        t.merge_upsert(
+            spark.createDataFrame([(10 + i, "v", 0.0, 10)], "k long, s string, x double, g long")
+        )
+    t.vacuum(keep_last=1)
+    with pytest.raises(Exception, match="vacuumed; retained versions 3..3"):
+        spark.read.format("herodb").option("path", t.path).option("version", "0").load()
+
+
+# -- batch change feed ------------------------------------------------------
+def test_batch_changes_match_read_changes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(
+        spark.createDataFrame([(2, "B", 9.9, 10), (4, "d", 4.0, 20)], "k long, s string, x double, g long")
+    )
+    t.delete_where(F.col("k") == 1)
+    got = (
+        spark.read.format("herodb")
+        .option("path", t.path)
+        .option("mode", "changes")
+        .option("changesFrom", "0")
+        .load()
+    )
+    # the native JVM joiner is the oracle, modulo its lack of the
+    # _commit_version column (it nets all commits into one diff here
+    # the per-commit feed must agree because each key changed once)
+    native = t.read_changes(0)
+    assert _rows(got.drop("_commit_version")) == _rows(native.select(got.columns[:-1]))
+    # per-commit attribution
+    assert {r._commit_version for r in got.where("_change = 'delete'").collect()} == {2}
+    assert {r._commit_version for r in got.where("_change != 'delete'").collect()} == {1}
+
+
+def test_batch_changes_requires_from(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(Exception, match="changesFrom"):
+        # schema() can't tell batch CDC from readStream, so the check
+        # lands at planning (first action), not at load()
+        spark.read.format("herodb").option("path", t.path).option("mode", "changes").load().count()
+
+
+def test_changes_empty_window_and_compaction_are_silent(spark, tmp_path):
+    """compact() rewrites directories with identical content — the
+    feed must emit nothing for it; an empty version window yields an
+    empty frame with the right schema."""
+    t = _mk(spark, tmp_path)
+    for i in range(4):
+        t.merge_upsert(
+            spark.createDataFrame([(100 + i, "f", 0.0, 10)], "k long, s string, x double, g long")
+        )
+    t.compact(max_files_per_partition=1)
+    assert t._load()["current"] == 5
+    ch = (
+        spark.read.format("herodb")
+        .option("path", t.path)
+        .option("mode", "changes")
+        .option("changesFrom", "4")
+        .load()
+    )
+    assert ch.count() == 0
+    assert ch.columns[-2:] == ["_change", "_commit_version"]
+
+
+def test_changes_partition_move_reports_delete_insert(spark, tmp_path):
+    """A key whose partition-column value changes surfaces as
+    delete+insert (documented CDC encoding for partition movers)."""
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(spark.createDataFrame([(1, "a", 1.5, 20)], "k long, s string, x double, g long"))
+    ch = (
+        spark.read.format("herodb")
+        .option("path", t.path)
+        .option("mode", "changes")
+        .option("changesFrom", "0")
+        .load()
+    )
+    got = sorted((r._change, r.g) for r in ch.where("k = 1").collect())
+    assert got == [("delete", 10), ("insert", 20)]
+
+
+# -- streaming change feed --------------------------------------------------
+def _collecting_query(spark, path, ckpt, out, starting=None):
+    reader = spark.readStream.format("herodb").option("path", path).option("mode", "changes")
+    if starting is not None:
+        reader = reader.option("startingVersion", starting)
+
+    def sink(bdf, bid):
+        rows = [(r.k, r.s, r._change, r._commit_version) for r in bdf.collect()]
+        if rows:
+            out.append(sorted(rows))
+
+    return (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+
+def _await(pred, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pred():
+            return True
+        time.sleep(0.5)
+    return False
+
+
+def test_stream_cdc_end_to_end_and_resume(spark, tmp_path):
+    t = _mk(spark, tmp_path, partitioned=False)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    out: list = []
+    q = _collecting_query(spark, t.path, ckpt, out)
+    try:
+        # batch 0: full history (v0 arrives as inserts)
+        assert _await(lambda: len(out) >= 1)
+        assert out[0] == sorted([(1, "a", "insert", 0), (2, "b", "insert", 0), (3, "c", "insert", 0)])
+        t.merge_upsert(spark.createDataFrame([(2, "B", 9.9, 10)], "k long, s string, x double, g long"))
+        assert _await(lambda: len(out) >= 2)
+        assert out[1] == sorted([(2, "b", "update_pre", 1), (2, "B", "update_post", 1)])
+    finally:
+        q.stop()
+    # a commit while the stream is down is picked up from the checkpoint
+    t.delete_where(F.col("k") == 3)
+    out2: list = []
+    q2 = _collecting_query(spark, t.path, ckpt, out2)
+    try:
+        assert _await(lambda: len(out2) >= 1)
+        assert out2[0] == [(3, "c", "delete", 2)]
+    finally:
+        q2.stop()
+
+
+def test_stream_starting_version_latest(spark, tmp_path):
+    t = _mk(spark, tmp_path, partitioned=False)
+    t.merge_upsert(spark.createDataFrame([(7, "g", 0.0, 10)], "k long, s string, x double, g long"))
+    out: list = []
+    q = _collecting_query(
+        spark, t.path, os.path.join(str(tmp_path), "ckpt2"), out, starting="latest"
+    )
+    try:
+        # history before query start is NOT replayed
+        t.merge_upsert(spark.createDataFrame([(8, "h", 0.0, 10)], "k long, s string, x double, g long"))
+        assert _await(lambda: len(out) >= 1)
+        assert out[0] == [(8, "h", "insert", 2)]
+        assert len(out) == 1
+    finally:
+        q.stop()
+
+
+def test_pyds_snapshot_roundtrip_matches_oracle(spark):
+    """The registered query: durable round trip (create → upsert →
+    delete) read back through the connector's three surfaces, hash-
+    matched against the pure-SQL oracle at both driver SFs."""
+    from herodb_spark.operators.connector import (
+        PYDS_SNAPSHOT_ROUNDTRIP_SQL,
+        pyds_snapshot_roundtrip,
+    )
+    from tests.harness import compare, duckdb_con
+
+    for sfd in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb_con(sfd)
+        try:
+            res = compare(pyds_snapshot_roundtrip(spark, sfd), PYDS_SNAPSHOT_ROUNDTRIP_SQL, con)
+            assert res["ok"], (sfd, res["detail"])
+        finally:
+            con.close()
+
+
+def test_stream_requires_changes_mode(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    q = (
+        spark.readStream.format("herodb")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt3"))
+        .start()
+    )
+    # streamReader() runs on the stream thread — the misuse fails the
+    # QUERY (with the guidance message), not the start() call
+    with pytest.raises(Exception, match="mode"):
+        q.awaitTermination(60)
+        raise AssertionError("query did not fail")
