@@ -223,6 +223,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (signed retraction arithmetic for count/sum, touched-group
     # recompute for max) — refresh indistinguishable from rebuild
     "mv_cdc_refresh": MV.mv_cdc_refresh,
+    # round 7: deterministic global shuffle for training export —
+    # range-bucketed stable-hash permutation, per-bucket windows only
+    "export_global_shuffle": TD.export_global_shuffle,
     # round 7: the Python Data Source connector (spark.read.format(
     # "herodb")) driven as a query — durable create→upsert→delete
     # round trip read back via current / time-travel / change-feed
@@ -325,6 +328,7 @@ ORACLES: dict[str, str] = {
     "text_bigram_logprob": X.TEXT_BIGRAM_LOGPROB_SQL,
     "dedup_fuzzy_levenshtein": D.DEDUP_FUZZY_LEVENSHTEIN_SQL,
     "mv_cdc_refresh": MV.MV_CDC_REFRESH_SQL,
+    "export_global_shuffle": TD.EXPORT_GLOBAL_SHUFFLE_SQL,
     "pyds_snapshot_roundtrip": PC.PYDS_SNAPSHOT_ROUNDTRIP_SQL,
     "dedup_span_maximal": TD.DEDUP_SPAN_MAXIMAL_SQL,
     "text_unigram_logprob": X.TEXT_UNIGRAM_LOGPROB_SQL,

@@ -680,3 +680,61 @@ SELECT 'pack', shard, bin, n_docs, bin_tokens, CAST(NULL AS BIGINT),
 FROM ({PACK_SEQUENCES_SQL})
 ORDER BY op, shard, bin
 """
+
+
+# ----------------------------------------------------------- global shuffle
+
+SHUFFLE_SEED = "ep0"  # epoch seed: changing it yields an independent order
+SHUFFLE_BUCKETS = 16  # output "files"; at 100 TB, thousands
+
+
+def export_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: deterministic GLOBAL SHUFFLE of the corpus —
+    the export step between mixing and packing (training consumers
+    must not see documents in crawl/domain order, and re-runs of the
+    same epoch seed must produce the identical order on any cluster).
+
+    Plan (no global pass anywhere):
+    - shuffle key h = stable md5-unit of (seed, doc_id) — stateless,
+      engine-portable, re-run-identical; a new seed is a fresh
+      independent permutation (epoch reshuffle = change one literal).
+    - bucket = floor(h * B): RANGE bucketing on an already-uniform
+      key, so bucket boundaries are constants — the global sort
+      becomes B independent bucket sorts with no sampling pass
+      (Spark's repartitionByRange would need one) and no skew (keys
+      are uniform by construction).
+    - pos = row_number within bucket ordered by (h, doc_id): a
+      per-bucket window, never a global one. The total order is
+      (bucket, pos) — exactly what a sharded export writer consumes
+      (bucket = output file, pos = offset within it).
+
+    Output: (doc_id, bucket, pos) for a deterministic slice-able
+    permutation of the whole corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash_unit(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string")))
+    base = docs.select("doc_id", h.alias("h"))
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    return (
+        base.select(
+            "doc_id",
+            "h",
+            F.floor(F.col("h") * SHUFFLE_BUCKETS).cast("long").alias("bucket"),
+        )
+        .select("doc_id", "bucket", F.row_number().over(w).alias("pos"))
+        .orderBy("bucket", "pos")
+    )
+
+
+EXPORT_GLOBAL_SHUFFLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         {_hash_unit_sql(f"'{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(FLOOR(h * {SHUFFLE_BUCKETS}) AS BIGINT) AS bucket,
+       CAST(ROW_NUMBER() OVER (PARTITION BY CAST(FLOOR(h * {SHUFFLE_BUCKETS}) AS BIGINT)
+                               ORDER BY h, doc_id) AS INT) AS pos
+FROM base
+ORDER BY bucket, pos
+"""

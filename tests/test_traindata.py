@@ -19,6 +19,7 @@ CASES = [
     (TD.mixture_upsample_domains, TD.MIXTURE_UPSAMPLE_SQL),
     (TD.export_shard_manifest, TD.EXPORT_SHARD_MANIFEST_SQL),
     (TD.pack_sequences_budget, TD.PACK_SEQUENCES_SQL),
+    (TD.export_global_shuffle, TD.EXPORT_GLOBAL_SHUFFLE_SQL),
 ]
 
 
@@ -176,3 +177,29 @@ def test_span_maximal_laws(spark):
                 assert cnt[tuple(t[e + 1 : e + 1 + n])] < 2
     # the shared 25-token block must surface as doc 1 and 2's longest span
     assert got[1].longest_span_tokens == 25 and got[2].longest_span_tokens == 25
+
+
+def test_global_shuffle_is_a_uniform_permutation(spark):
+    """(bucket, pos) must be a permutation of the corpus (every doc
+    exactly once, positions dense per bucket), deterministic across
+    runs, uniform across buckets, and genuinely shuffled (not doc_id
+    order)."""
+    sfd = "/root/testdata/sf0.01"
+    a = TD.export_global_shuffle(spark, sfd).collect()
+    n_docs = spark.read.parquet(f"{sfd}/documents.parquet").count()
+    assert len(a) == n_docs
+    assert len({r.doc_id for r in a}) == n_docs
+    by_bucket: dict[int, list] = {}
+    for r in a:
+        by_bucket.setdefault(r.bucket, []).append(r.pos)
+    for bucket, poss in by_bucket.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), bucket
+    # uniformity: no bucket deviates wildly from n/B
+    exp = n_docs / TD.SHUFFLE_BUCKETS
+    assert all(0.5 * exp < len(p) < 1.5 * exp for p in by_bucket.values())
+    # determinism
+    b = TD.export_global_shuffle(spark, sfd).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # it's a shuffle: the first bucket's docs are not an id-contiguous run
+    first = sorted(r.doc_id for r in a if r.bucket == min(by_bucket))
+    assert first != list(range(first[0], first[0] + len(first)))
