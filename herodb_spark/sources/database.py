@@ -234,6 +234,27 @@ class SnapshotDatabase:
                     reports[name] = rep
         return reports
 
+    def cluster(
+        self, name: str, cluster_by: list[str], files_per_partition: int = 4
+    ) -> dict:
+        """Database-scope OPTIMIZE ZORDER of one member table,
+        published through the pin swap (same reasoning as compact():
+        a bare table-level cluster() commits a version the database
+        pin never references). Content is a pure reorder, so the
+        published version changes no query result — only the file
+        layout and the per-file zone maps."""
+        report: dict = {}
+        with self.transaction() as t:
+
+            def fn(tab):
+                report.update(
+                    tab.cluster(cluster_by, files_per_partition=files_per_partition)
+                )
+                return tab._load()["current"]
+
+            t._apply(name, fn)
+        return report
+
     # -- GC ----------------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> dict:
         """Prune database versions (keep newest `keep_last`, always
