@@ -47,13 +47,16 @@ from __future__ import annotations
 
 import json
 import os
+import urllib.parse
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -328,6 +331,160 @@ class _ChangesStreamReader(DataSourceStreamReader):
         pass
 
 
+# -- batch overwrite writer -------------------------------------------------
+class _OverwriteCommit(WriterCommitMessage):
+    def __init__(self, files: dict):
+        #: {pv: [(file_name, n_rows, {col: [mn, mx]})]}
+        self.files = files
+
+
+class _OverwriteWriter(DataSourceWriter):
+    """`df.write.format("herodb").mode("overwrite")` — INSERT
+    OVERWRITE as a two-phase commit, the shape the writer API was
+    built for: executors stage parquet files into a writer-unique
+    version directory (one file per (task, partition value), each
+    carrying its own zone-map stats computed worker-side), the driver
+    assembles the manifest entry from the collected commit messages
+    and publishes with the SAME OCC validate-then-swap every other
+    mutation uses — a table that advanced mid-job raises
+    ConcurrentWriteError and the staged files are unreferenced
+    garbage for the next vacuum's orphan sweep (identical contract to
+    an aborted merge).
+
+    Append mode is refused: snapshot tables are keyed, and a blind
+    file append cannot honor merge-by-key semantics — use
+    SnapshotTable.merge_upsert or the exactly-once foreachBatch sinks
+    for incremental writes."""
+
+    def __init__(self, path: str, schema: StructType):
+        import uuid
+
+        m = _load_manifest(path)
+        table_schema = _schema_at(m, m["current"])
+        want = {f.name: f.dataType for f in table_schema.fields}
+        got = {f.name: f.dataType for f in schema.fields}
+        if set(got) != set(want):
+            raise ValueError(
+                f"{path}: overwrite frame columns {sorted(got)} != table "
+                f"schema {sorted(want)} (use add_columns to evolve)"
+            )
+        bad = sorted(n for n in want if got[n] != want[n])
+        if bad:
+            raise ValueError(
+                f"{path}: overwrite column type mismatch for {bad}: "
+                + ", ".join(f"{n}: {got[n].simpleString()}!={want[n].simpleString()}" for n in bad)
+            )
+        self.path = path
+        self.schema_json = table_schema.json()
+        self.pcol = m["partition_col"]
+        # OCC expectations captured BEFORE any data moves
+        self._read_version = m["current"]
+        self._read_seq = int(m.get("seq", m["current"]))
+        version = max(int(v) for v in m["versions"]) + 1
+        self.version = version
+        self.vdir = f"data/v={version}-{uuid.uuid4().hex[:8]}"
+        types = {f.name: f.dataType.simpleString() for f in table_schema.fields}
+        stat_types = ("int", "bigint", "smallint", "tinyint", "float", "double", "string")
+        want_stats = list(m["key_cols"]) + ([self.pcol] if self.pcol else [])
+        self.stat_cols = [c for c in dict.fromkeys(want_stats) if types.get(c) in stat_types]
+
+    # executor side ---------------------------------------------------------
+    def write(self, iterator) -> _OverwriteCommit:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        target = _arrow_schema(self.schema_json)
+        files: dict = {}
+
+        def flush(pv: str, rows: list) -> None:
+            tbl = pa.Table.from_pylist(rows, schema=target)
+            if pv == "__HERODB_NULL__":
+                raise ValueError(
+                    f"{self.path}: NULL or empty-string {self.pcol!r} values are not "
+                    "supported as snapshot partition keys"
+                )
+            d = os.path.join(self.path, self.vdir, "__p=" + urllib.parse.quote(pv, safe=""))
+            os.makedirs(d, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex[:12]}.parquet"
+            pq.write_table(tbl, os.path.join(d, name))
+            stats = {}
+            for c in self.stat_cols:
+                mm = pc.min_max(tbl.column(c))
+                stats[c] = [mm["min"].as_py(), mm["max"].as_py()]
+            files.setdefault(pv, []).append((name, tbl.num_rows, stats))
+
+        buf: dict[str, list] = {}
+        n_buf = 0
+        for row in iterator:
+            d = row.asDict(recursive=True)
+            if self.pcol is None:
+                pv = "_all"
+            else:
+                v = d.get(self.pcol)
+                pv = "__HERODB_NULL__" if v is None or v == "" else str(v)
+            buf.setdefault(pv, []).append(d)
+            n_buf += 1
+            if n_buf >= 200_000:  # bound executor memory per task
+                for p, rows in buf.items():
+                    flush(p, rows)
+                buf, n_buf = {}, 0
+        for p, rows in buf.items():
+            flush(p, rows)
+        return _OverwriteCommit(files)
+
+    # driver side -----------------------------------------------------------
+    def commit(self, messages) -> None:
+        from herodb_spark.sources.snapshot import SnapshotTable
+
+        parts: dict = {}
+        nfiles: dict = {}
+        stats: dict = {}
+        file_stats: dict = {}
+
+        def merge(a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return [
+                a[0] if (b[0] is None or (a[0] is not None and a[0] <= b[0])) else b[0],
+                a[1] if (b[1] is None or (a[1] is not None and a[1] >= b[1])) else b[1],
+            ]
+
+        for msg in messages:
+            if msg is None:
+                continue
+            for pv, flist in msg.files.items():
+                rel = f"{self.vdir}/__p=" + urllib.parse.quote(pv, safe="")
+                parts[pv] = rel
+                nfiles[pv] = nfiles.get(pv, 0) + len(flist)
+                for name, _n, st in flist:
+                    file_stats.setdefault(rel, {})[name] = {c: list(b) for c, b in st.items()}
+                    cur = stats.setdefault(pv, {})
+                    for c, b in st.items():
+                        cur[c] = merge(cur.get(c), list(b))
+        t = SnapshotTable(None, self.path)  # _commit is pure manifest I/O
+        m = t._load()
+        m["versions"][str(self.version)] = {
+            "op": "overwrite",
+            "partitions": parts,
+            "files": nfiles,
+            "stats": stats,
+        }
+        m["current"] = self.version
+        if file_stats:
+            m.setdefault("file_stats", {}).update(file_stats)
+        t._commit(m, expected_current=self._read_version, expected_seq=self._read_seq)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, self.vdir), ignore_errors=True)
+
+
 # -- the format ------------------------------------------------------------
 class HerodbDataSource(DataSource):
     """`spark.read.format("herodb")` over a snapshot table path.
@@ -341,6 +498,11 @@ class HerodbDataSource(DataSource):
       `mode=changes` (a stream of this source IS the change feed);
       starts from `startingVersion` (int; `latest`; default -1 = full
       history, version 0 arriving as inserts).
+    - writing: `df.write.format("herodb").mode("overwrite")` is
+      INSERT OVERWRITE as a staged two-phase commit with the same OCC
+      validate-then-swap as every other mutation (see
+      _OverwriteWriter); append mode is refused (keyed tables need
+      merge semantics — merge_upsert / foreachBatch sinks).
 
     Register once per session:
         spark.dataSource.register(HerodbDataSource)
@@ -351,9 +513,20 @@ class HerodbDataSource(DataSource):
         return "herodb"
 
     def _path(self) -> str:
+        # NOTE: catalog DDL (CREATE TABLE ... USING herodb) is not
+        # supported — Spark 4.1's Python data source integration
+        # passes the table properties to schema() but an EMPTY options
+        # dict to reader() on catalog-backed scans, so the path cannot
+        # be recovered there. Use spark.read.format("herodb") (or
+        # createOrReplaceTempView on its result) instead.
         p = self.options.get("path")
         if not p:
             raise ValueError("herodb: option 'path' (snapshot table directory) is required")
+        # tolerate URI-style paths
+        if p.startswith("file://"):
+            p = p[len("file://"):]
+        elif p.startswith("file:"):
+            p = p[len("file:"):]
         return p
 
     def schema(self) -> StructType:
@@ -390,6 +563,16 @@ class HerodbDataSource(DataSource):
             )
         v = self.options.get("version")
         return _SnapshotReader(self._path(), None if v is None else int(v))
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        if not overwrite:
+            raise ValueError(
+                "herodb: append mode cannot honor merge-by-key semantics on a "
+                "keyed snapshot table — use mode('overwrite'), or "
+                "SnapshotTable.merge_upsert / the foreachBatch sinks for "
+                "incremental writes"
+            )
+        return _OverwriteWriter(self._path(), schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         if self.options.get("mode") != "changes":

@@ -274,3 +274,76 @@ def test_stream_requires_changes_mode(spark, tmp_path):
     with pytest.raises(Exception, match="mode"):
         q.awaitTermination(60)
         raise AssertionError("query did not fail")
+
+
+# -- batch overwrite writer ---------------------------------------------------
+def test_writer_overwrite_roundtrip_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    new = spark.createDataFrame(
+        [(7, "q", 7.5, 10), (8, "r", 8.5, 20), (9, "s", 9.5, 30)],
+        "k long, s string, x double, g long",
+    )
+    new.write.format("herodb").option("path", t.path).mode("overwrite").save()
+    m = t._load()
+    assert m["current"] == 1 and m["versions"]["1"]["op"] == "overwrite"
+    assert _rows(t.read()) == _rows(new)
+    # connector read agrees; version 0 still time travels
+    assert _rows(spark.read.format("herodb").option("path", t.path).load()) == _rows(new)
+    assert len(t.read(version=0).collect()) == 3
+    # partition + FILE zone maps recorded by the writer (worker-side)
+    assert m["versions"]["1"]["stats"]["30"]["k"] == [9, 9]
+    assert set(m["file_stats"]) >= set(m["versions"]["1"]["partitions"].values())
+    # file-granular skipping works on writer-produced stats
+    pr = t.read(ranges={"k": (9, 9)})
+    assert len(pr.inputFiles()) < len(t.read().inputFiles())
+    assert [r.k for r in pr.where("k = 9").collect()] == [9]
+
+
+def test_writer_feeds_normal_mutations_and_cdc(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    new = spark.createDataFrame([(1, "a", 1.0, 10), (2, "b", 2.0, 10)], "k long, s string, x double, g long")
+    new.write.format("herodb").option("path", t.path).mode("overwrite").save()
+    t.merge_upsert(spark.createDataFrame([(2, "B", 9.0, 10)], "k long, s string, x double, g long"))
+    assert _rows(t.read().select("k", "s")) == [(1, "a"), (2, "B")]
+    ch = t.read_changes(1, 2)
+    assert sorted((r.k, r._change) for r in ch.collect()) == [(2, "update_post"), (2, "update_pre")]
+
+
+def test_writer_append_mode_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    df = t.read()
+    with pytest.raises(Exception, match="append"):
+        df.write.format("herodb").option("path", t.path).mode("append").save()
+
+
+def test_writer_schema_mismatch_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    bad = spark.createDataFrame([(1, "a")], "k long, s string")
+    with pytest.raises(Exception, match="overwrite frame columns"):
+        bad.write.format("herodb").option("path", t.path).mode("overwrite").save()
+    badtype = spark.createDataFrame([(1, "a", 1.0, 10)], "k int, s string, x double, g long")
+    with pytest.raises(Exception, match="type mismatch"):
+        badtype.write.format("herodb").option("path", t.path).mode("overwrite").save()
+
+
+def test_writer_occ_fences_interleaved_commit(spark, tmp_path):
+    """A commit landing between the writer's snapshot and its publish
+    must cancel the job (staged files become vacuum-orphan garbage)."""
+    from herodb_spark.sources.pyds import _OverwriteWriter
+    from herodb_spark.sources.snapshot import ConcurrentWriteError
+
+    t = _mk(spark, tmp_path)
+    w = _OverwriteWriter(t.path, t.read().schema)  # OCC captured here
+    t.merge_upsert(spark.createDataFrame([(5, "e", 5.0, 10)], "k long, s string, x double, g long"))
+    with pytest.raises(ConcurrentWriteError):
+        w.commit([])
+    # table state is the interleaved commit's, untouched by the loser
+    assert t._load()["current"] == 1
+
+
+def test_writer_empty_overwrite_yields_empty_table(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    empty = spark.createDataFrame([], "k long, s string, x double, g long")
+    empty.write.format("herodb").option("path", t.path).mode("overwrite").save()
+    assert t.read().count() == 0
+    assert t.read().columns == ["k", "s", "x", "g"]
