@@ -204,6 +204,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_upsample_domains": TD.mixture_upsample_domains,
     # token-level decontamination: scrub matched spans, keep the doc
     "corpus_scrub_spans": CO.corpus_scrub_spans,
+    # round 7: paraphrase-level fuzzy decontamination (n-gram Jaccard
+    # vs the benchmark set, broadcast-exact — no LSH needed at
+    # benchmark cardinality)
+    "corpus_decontaminate_fuzzy": CO.corpus_decontaminate_fuzzy,
     "export_shard_manifest": TD.export_shard_manifest,
     "pack_sequences_budget": TD.pack_sequences_budget,
     # round 6: the reference's mutation statements run DURABLY against
@@ -321,6 +325,7 @@ ORACLES: dict[str, str] = {
     "mixture_sample_domains": TD.MIXTURE_SAMPLE_SQL,
     "mixture_upsample_domains": TD.MIXTURE_UPSAMPLE_SQL,
     "corpus_scrub_spans": CO.CORPUS_SCRUB_SPANS_SQL,
+    "corpus_decontaminate_fuzzy": CO.CORPUS_DECONTAMINATE_FUZZY_SQL,
     "export_shard_manifest": TD.EXPORT_SHARD_MANIFEST_SQL,
     "pack_sequences_budget": TD.PACK_SEQUENCES_SQL,
     "heroql_durable_mutations": HQ.HEROQL_MUTATIONS_SQL,

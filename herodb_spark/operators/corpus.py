@@ -369,3 +369,109 @@ SELECT 'scrub' AS op, lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k,
 FROM ({CORPUS_SCRUB_SPANS_SQL})
 ORDER BY op, k
 """
+
+
+# ------------------------------------------------------- fuzzy decontamination
+
+FUZZY_DECON_NGRAM = 3
+FUZZY_DECON_TAU = 0.5
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = FUZZY_DECON_NGRAM,
+    tau: float = FUZZY_DECON_TAU,
+) -> DataFrame:
+    """Remove documents whose n-gram JACCARD similarity with ANY
+    benchmark entry reaches `tau` — the paraphrase-level complement
+    of `decontaminate` (which drops on any single shared long gram):
+    short grams + a set-similarity threshold catch lightly edited
+    benchmark copies that no long exact gram survives.
+
+    Plan: the benchmark is fixed-cardinality (the one frame the
+    broadcast policy allows), so candidate generation is a map-side
+    broadcast join of doc grams against benchmark grams; the per
+    (doc, bench) intersection counts partial-aggregate map-side, and
+    Jaccard needs only the two per-side distinct-gram counts. Work ∝
+    matching gram occurrences, never docs × benchmark. EXACT — no LSH
+    approximation is needed at benchmark scale; the MinHash path
+    (dedup.py) remains the corpus×corpus tool."""
+    from herodb_spark.operators.dedup import shingle_rows
+
+    dg = shingle_rows(docs, n).withColumnRenamed("s", "g")
+    bg = shingle_rows(benchmark, n).select(
+        F.col("doc_id").alias("bench_id"), F.col("s").alias("g")
+    )
+    d_sizes = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    b_sizes = bg.groupBy("bench_id").agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        dg.join(F.broadcast(bg), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    contaminated = (
+        inter.join(d_sizes, "doc_id")
+        .join(F.broadcast(b_sizes), "bench_id")
+        .where(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= tau)
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(contaminated, "doc_id", "left_anti")
+
+
+def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: every 50th document stands in as the
+    benchmark set (so benchmark items are literally present — Jaccard
+    1.0 with themselves — plus any close paraphrases); per-language
+    kept/removed counts of the fuzzy pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 50 == 0)
+    kept = decontaminate_fuzzy(docs, benchmark)
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_n = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        totals.join(kept_n, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_DECONTAMINATE_FUZZY_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest({_shingle_sql(FUZZY_DECON_NGRAM)}) AS g
+  FROM tok WHERE len(toks) >= {FUZZY_DECON_NGRAM}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS na FROM grams GROUP BY 1),
+bgrams AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 50 = 0),
+bsizes AS (SELECT bench_id, COUNT(*) AS nb FROM bgrams GROUP BY 1),
+inter AS (
+  SELECT d.doc_id, b.bench_id, COUNT(*) AS i
+  FROM grams d JOIN bgrams b USING (g)
+  GROUP BY 1, 2
+),
+contaminated AS (
+  SELECT DISTINCT i.doc_id
+  FROM inter i JOIN sizes s ON i.doc_id = s.doc_id
+               JOIN bsizes b ON i.bench_id = b.bench_id
+  WHERE CAST(i.i AS DOUBLE) / (s.na + b.nb - i.i) >= {FUZZY_DECON_TAU}
+),
+kept AS (
+  SELECT lang, COUNT(*) AS n_kept FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+  GROUP BY lang
+)
+SELECT t.lang,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COUNT(*) - COALESCE(k.n_kept, 0) AS n_removed
+FROM documents t LEFT JOIN kept k ON t.lang = k.lang
+GROUP BY t.lang, k.n_kept
+ORDER BY t.lang
+"""

@@ -102,3 +102,46 @@ def test_scrub_spans_single_pass_contract_and_fixpoint(spark):
     second = {r.doc_id: r for r in C.scrub_spans(rebuilt, bench).collect()}
     assert second[2].n_removed == 5
     assert second[2].clean_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_fuzzy_decon_oracle_both_sfs(spark):
+    """Hash-match against the pure-SQL Jaccard oracle at both SFs."""
+    from tests.harness import duckdb_con
+
+    for sfd in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb_con(sfd)
+        try:
+            res = compare(
+                C.corpus_decontaminate_fuzzy(spark, sfd), C.CORPUS_DECONTAMINATE_FUZZY_SQL, con
+            )
+            assert res["ok"], (sfd, res)
+        finally:
+            con.close()
+
+
+def test_fuzzy_decon_semantics(spark):
+    """Benchmark members (Jaccard 1.0 with themselves) and a light
+    paraphrase (one token changed in 20 → J ≈ 0.64) are removed; an
+    unrelated doc and a faint echo (a few shared grams, J << τ)
+    survive."""
+    base = " ".join(f"w{i}" for i in range(20))
+    paraphrase = " ".join(("XX" if i == 10 else f"w{i}") for i in range(20))
+    echo = base.split()[:5]  # 5 leading tokens → 3 shared 3-grams
+    docs = spark.createDataFrame(
+        [
+            (1, base),                               # == benchmark entry
+            (2, paraphrase),                          # near copy
+            (3, " ".join(f"z{i}" for i in range(20))),  # unrelated
+            (4, " ".join(echo + [f"q{i}" for i in range(15)])),  # faint echo
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    kept = sorted(r.doc_id for r in C.decontaminate_fuzzy(docs, bench).collect())
+    assert kept == [3, 4]
+    # exact-gram decon with its LONG grams would keep the paraphrase
+    # (no shared 5-gram crosses the edit)? no — w11..w15 grams survive;
+    # the point of fuzzy is the THRESHOLD, looser than any-shared-gram:
+    # the faint echo IS removed by exact decon but kept by fuzzy
+    exact_kept = sorted(r.doc_id for r in C.decontaminate(docs, bench).collect())
+    assert 4 not in exact_kept and 4 in kept
