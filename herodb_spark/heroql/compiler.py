@@ -178,6 +178,9 @@ class RunResult:
     def __init__(self):
         self.queries: list[DataFrame] = []
         self.named: dict[str, DataFrame] = {}
+        #: maintenance-statement reports in program order:
+        #: (kind, table, report dict)
+        self.maintenance: list[tuple] = []
 
 
 class HeroQL:
@@ -350,6 +353,69 @@ class HeroQL:
                 self._txn = None
         return out
 
+    def _exec_maintain(self, item: "P.MaintainStmt", out: RunResult) -> None:
+        """Storage maintenance IN the language (so a durable-layer
+        user never drops to Python for operations either): `optimize`
+        = small-file compaction, `optimize ... cluster_by` = z-order
+        clustering with per-file zone maps, `vacuum` = retention GC.
+        All are content-identical layout/retention operations — memos
+        and rule caches stay valid; only the cached frame re-resolves
+        (a vacuum can delete files the old frame referenced).
+
+        Database routing mirrors _commit_mutation: member tables
+        publish through the pin swap (a bare table-level commit would
+        be healed away as a crash leftover); `vacuum database` is the
+        only vacuum shape under a database (table-level retention
+        would break pinned versions). Inside run_transactional,
+        optimize/cluster apply through the open transaction; vacuum
+        is refused (GC is not a transactional operation)."""
+        if item.kind == "vacuum" and item.name is None:
+            if self._db is None:
+                raise HeroQLError("`vacuum database` needs a registered database")
+            if self._txn is not None:
+                raise HeroQLError("vacuum cannot run inside a transactional program")
+            out.maintenance.append(("vacuum", None, self._db.vacuum(keep_last=item.keep_last)))
+            return
+        name = self._resolve_ref(item.name)
+        snap = self._snapshots.get(name)
+        if snap is None:
+            raise HeroQLError(
+                f"maintenance statement targets {item.name!r}, which is not a "
+                "durable snapshot table"
+            )
+        in_db = self._db is not None and name in self._db.tables()
+        if item.kind == "vacuum":
+            if in_db:
+                raise HeroQLError(
+                    f"{item.name}: member tables cannot be vacuumed individually "
+                    "(retention would break database pins) — use `vacuum database keep N;`"
+                )
+            if self._txn is not None:
+                raise HeroQLError("vacuum cannot run inside a transactional program")
+            report = snap.vacuum(keep_last=item.keep_last)
+        elif item.kind == "optimize":
+            if self._txn is not None and name in self._txn._base_pins:
+                report = self._txn.compact(name)
+            elif in_db:
+                report = self._db.compact(names=[name]).get(name, {"compacted": []})
+            else:
+                report = snap.compact()
+        else:  # cluster
+            if self._txn is not None and name in self._txn._base_pins:
+                report = {}
+
+                def fn(tab, _r=report, _c=item.cluster_by):
+                    _r.update(tab.cluster(_c))
+                    return tab._load()["current"]
+
+                self._txn._apply(name, fn)
+            elif in_db:
+                report = self._db.cluster(name, item.cluster_by)
+            else:
+                report = snap.cluster(item.cluster_by)
+        self._snapshot_reload(name)
+        out.maintenance.append((item.kind, name, report))
+
     def _commit_mutation(
         self, name: str, method: str, *args, program: str | None = None
     ) -> None:
@@ -521,6 +587,9 @@ class HeroQL:
 
     def _exec_item(self, item, out: RunResult) -> None:
         self._cur_src = getattr(item, "src", None)
+        if isinstance(item, P.MaintainStmt):
+            self._exec_maintain(item, out)
+            return
         if isinstance(item, P.DatabaseDecl):
             return
         if isinstance(item, P.NamespaceDecl):

@@ -30,7 +30,7 @@ KEYWORDS = {
     "order_by", "order_by_desc", "range_by", "set", "update", "remove",
     "uncache", "not", "exists", "ensure", "if", "then", "else", "and",
     "or", "in", "out", "namespace", "using", "database", "for", "let",
-    "true", "false",
+    "true", "false", "optimize", "vacuum", "keep", "cluster_by",
 }
 
 _TOKEN_RE = re.compile(
@@ -451,6 +451,19 @@ class ClassDecl:
 
 
 @dataclass
+class MaintainStmt:
+    """Storage-maintenance statements over durable tables:
+    `optimize T;` (compaction), `optimize T cluster_by (a, b);`
+    (z-order clustering), `vacuum T keep 3;`, `vacuum database
+    keep 3;` (name None)."""
+
+    kind: str  # "optimize" | "cluster" | "vacuum"
+    name: str | None
+    cluster_by: list | None = None
+    keep_last: int = 1
+
+
+@dataclass
 class Program:
     items: list = field(default_factory=list)
 
@@ -513,6 +526,33 @@ class Parser:
         return prog
 
     def parse_item(self):
+        if self.at_kw("optimize"):
+            self.next()
+            name = self.qualified_name()
+            cols = None
+            if self.at_kw("cluster_by"):
+                self.next()
+                self.expect("(")
+                cols = [self.expect("id").text]
+                while self.at(","):
+                    self.next()
+                    cols.append(self.expect("id").text)
+                self.expect(")")
+            self.expect(";")
+            return MaintainStmt("cluster" if cols else "optimize", name, cluster_by=cols)
+        if self.at_kw("vacuum"):
+            self.next()
+            if self.at_kw("database"):
+                self.next()
+                name = None
+            else:
+                name = self.qualified_name()
+            keep = 1
+            if self.at_kw("keep"):
+                self.next()
+                keep = int(self.expect("int").text)
+            self.expect(";")
+            return MaintainStmt("vacuum", name, keep_last=keep)
         if self.at_kw("database"):
             self.next()
             name = self.qualified_name()

@@ -1614,3 +1614,87 @@ def test_zone_map_type_mismatch_never_crashes(spark, tmp_path):
         out2.queries[0].count()
     # direct unit: incomparable bound proves nothing
     assert SnapshotTable._skippable({"k": [1, 9]}, {"k": ("abc", "abc")}) is False
+
+
+def test_maintenance_statements_standalone_snapshot(spark, tmp_path):
+    """`optimize` / `optimize cluster_by` / `vacuum keep` over a
+    standalone snapshot table: content identical, layout/retention
+    effects visible in the manifest, reports surfaced on RunResult."""
+    import os
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    df = spark.range(256).selectExpr("id AS k", "id AS x", "CAST(id % 2 AS LONG) AS g")
+    snap = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "m"), df, ["k"], partition_col="g"
+    )
+    # fragment it: several tiny commits
+    for i in range(3):
+        snap.merge_upsert(
+            spark.createDataFrame([(1000 + i, 1, 0)], "k long, x long, g long")
+        )
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    before = rows(hql.run("query (k, x) :- T(k, x, _);").queries[0])
+    out = hql.run("optimize T; optimize T cluster_by (x); vacuum T keep 1;")
+    kinds = [(k, n) for k, n, _ in out.maintenance]
+    assert kinds == [("optimize", "T"), ("cluster", "T"), ("vacuum", "T")]
+    m = snap._load()
+    ops = [m["versions"][str(v)]["op"] for v in sorted(int(x) for x in m["versions"])]
+    assert ops[-1] == "cluster"
+    assert len(m["versions"]) == 1  # vacuum kept only current
+    assert m.get("file_stats")  # clustering recorded per-file zone maps
+    assert rows(hql.run("query (k, x) :- T(k, x, _);").queries[0]) == before
+
+
+def test_maintenance_statements_database_routing(spark, tmp_path):
+    """Member-table optimize/cluster publish through the database pin
+    swap; table-level vacuum is refused with guidance; `vacuum
+    database keep N;` prunes db versions."""
+    import os
+
+    from herodb_spark.sources.database import SnapshotDatabase
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    df = spark.range(64).selectExpr("id AS k", "id AS x")
+    db.create_table("t", df, key_cols=["k"])
+    for i in range(3):
+        with db.transaction() as t:
+            t.merge_upsert("t", spark.createDataFrame([(500 + i, 1)], "k long, x long"))
+    hql = HeroQL(spark)
+    hql.register_database(db)
+    out = hql.run("optimize t cluster_by (x);")
+    assert out.maintenance[0][0] == "cluster"
+    # the PIN advanced to the clustered version (recovery heals nothing)
+    assert db.recover() == {}
+    assert db.read("t").count() == 67
+    with pytest.raises(HeroQLError, match="vacuum database"):
+        hql.run("vacuum t;")
+    n_before = len(db._load()["versions"])
+    out2 = hql.run("vacuum database keep 1;")
+    assert out2.maintenance[0][:2] == ("vacuum", None)
+    assert len(db._load()["versions"]) < n_before
+    assert db.read("t").count() == 67
+
+
+def test_maintenance_errors(spark, tmp_path):
+    """In-memory tables are not maintainable; vacuum is refused inside
+    transactional programs; optimize IS allowed there."""
+    import os
+
+    from herodb_spark.sources.database import SnapshotDatabase
+
+    hql = HeroQL(spark)
+    hql.register("M", spark.createDataFrame([(1, 2)], "a long, b long"))
+    with pytest.raises(HeroQLError, match="not a durable snapshot"):
+        hql.run("optimize M;")
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db2"))
+    db.create_table("t", spark.createDataFrame([(1, 2)], "k long, x long"), key_cols=["k"])
+    hql2 = HeroQL(spark)
+    hql2.register_database(db)
+    with pytest.raises(HeroQLError, match="transactional"):
+        hql2.run_transactional("vacuum database keep 1;")
+    res = hql2.run_transactional("set t(9, 9); optimize t;")
+    assert [k for k, _, _ in res.maintenance] == ["optimize"]
+    assert db.read("t").count() == 2
