@@ -231,6 +231,10 @@ def test_stream_starting_version_latest(spark, tmp_path):
         spark, t.path, os.path.join(str(tmp_path), "ckpt2"), out, starting="latest"
     )
     try:
+        # `latest` is resolved when the stream reader initializes —
+        # wait for the first completed trigger before committing, or
+        # a slow startup would resolve "latest" PAST the new commit
+        assert _await(lambda: q.lastProgress is not None)
         # history before query start is NOT replayed
         t.merge_upsert(spark.createDataFrame([(8, "h", 0.0, 10)], "k long, s string, x double, g long"))
         assert _await(lambda: len(out) >= 1)
