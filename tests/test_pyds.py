@@ -351,3 +351,59 @@ def test_writer_empty_overwrite_yields_empty_table(spark, tmp_path):
     empty.write.format("herodb").option("path", t.path).mode("overwrite").save()
     assert t.read().count() == 0
     assert t.read().columns == ["k", "s", "x", "g"]
+
+
+def test_table_to_table_streaming_composition(spark, tmp_path):
+    """Capstone composition: durable SOURCE table → its change feed as
+    a structured stream (this connector) → a HeroQL rule as the
+    STREAMING transform → exactly-once snapshot sink into a durable
+    TARGET table. The target converges to a filtered projection of the
+    source as the source keeps committing."""
+    from herodb_spark.heroql import HeroQL
+    from herodb_spark.streaming.sink import SnapshotUpsertSink
+
+    src = SnapshotTable.create(
+        spark,
+        os.path.join(str(tmp_path), "src"),
+        spark.createDataFrame([(1, 5.0), (2, 50.0)], "k long, x double"),
+        key_cols=["k"],
+    )
+    dst = SnapshotTable.create(
+        spark,
+        os.path.join(str(tmp_path), "dst"),
+        spark.createDataFrame([], "k long, x double"),
+        key_cols=["k"],
+    )
+    cdc = (
+        spark.readStream.format("herodb")
+        .option("path", src.path)
+        .option("mode", "changes")
+        .load()
+    )
+    # language-level streaming transform: keep insert/update images
+    # with x >= 10 (positional binding over the CDC columns)
+    hql = HeroQL(spark)
+    hql.register("C", cdc)
+    big = hql.run(
+        'query (k, x) :- C(k, x, ch, _), ch == "insert" or ch == "update_post", x >= 10;'
+    ).queries[0]
+    assert big.isStreaming
+    q = (
+        big.writeStream.foreachBatch(SnapshotUpsertSink(dst, sink_id="comp"))
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        assert _await(lambda: {r.k for r in dst.read().collect()} == {2})
+        src.merge_upsert(spark.createDataFrame([(1, 99.0), (3, 7.0), (4, 40.0)], "k long, x double"))
+        assert _await(lambda: {r.k for r in dst.read().collect()} == {1, 2, 4})
+    finally:
+        q.stop()
+    # exactly-once: replaying the last batch through the sink no-ops
+    v = dst._load()["current"]
+    last = dst.last_txn("comp")
+    SnapshotUpsertSink(dst, sink_id="comp")(
+        spark.createDataFrame([(4, 40.0)], "k long, x double"), last
+    )
+    assert dst._load()["current"] == v
