@@ -142,37 +142,63 @@ def _read_dir(path: str, target) -> "pa.Table":  # noqa: F821
 
 # -- batch snapshot scan ---------------------------------------------------
 class _FilePartition(InputPartition):
-    def __init__(self, file_path: str, schema_json: str):
+    def __init__(self, file_path: str, schema_json: str, row_groups: list[int] | None = None):
         self.file_path = file_path
         self.schema_json = schema_json
+        #: None = whole file; else the row-group indices this task reads
+        self.row_groups = row_groups
+
+
+#: a parquet file above this size is split into per-row-group tasks so
+#: a compacted partition (ONE large file by design) does not serialize
+#: onto one task — the connector's analog of maxPartitionBytes
+_SPLIT_FILE_BYTES = 128 * 1024 * 1024
 
 
 class _SnapshotReader(DataSourceReader):
-    def __init__(self, path: str, version: int | None):
+    def __init__(self, path: str, version: int | None, split_bytes: int = _SPLIT_FILE_BYTES):
         self.path = path
+        self.split_bytes = split_bytes
         m = _load_manifest(path)
         self.version = m["current"] if version is None else version
         self.entry = _version_entry(m, self.version, path)
         self.schema_json = _schema_at(m, self.version).json()
 
     def partitions(self) -> Sequence[InputPartition]:
+        import pyarrow.parquet as pq
+
         out = []
         for rel in self.entry["partitions"].values():
             d = os.path.join(self.path, rel)
             for f in sorted(os.listdir(d)):
-                if f.endswith(".parquet"):
-                    out.append(_FilePartition(os.path.join(d, f), self.schema_json))
+                if not f.endswith(".parquet"):
+                    continue
+                fp = os.path.join(d, f)
+                if os.path.getsize(fp) <= self.split_bytes:
+                    out.append(_FilePartition(fp, self.schema_json))
+                    continue
+                # one footer read per oversized file (the same IO
+                # Spark's own scan planning pays), then one task per
+                # row group
+                n = pq.ParquetFile(fp).metadata.num_row_groups
+                out.extend(
+                    _FilePartition(fp, self.schema_json, row_groups=[g]) for g in range(n)
+                )
         return out
 
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:  # empty partitions() → one task, no split
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         target = _arrow_schema(partition.schema_json)
-        for batch in pq.ParquetFile(partition.file_path).iter_batches():
-            import pyarrow as pa
-
+        pf = pq.ParquetFile(partition.file_path)
+        if getattr(partition, "row_groups", None) is None:
+            batches = pf.iter_batches()
+        else:
+            batches = pf.iter_batches(row_groups=partition.row_groups)
+        for batch in batches:
             yield from _conform(pa.Table.from_batches([batch]), target).to_batches()
 
 
@@ -562,7 +588,11 @@ class HerodbDataSource(DataSource):
                 None if v_to is None else int(v_to),
             )
         v = self.options.get("version")
-        return _SnapshotReader(self._path(), None if v is None else int(v))
+        return _SnapshotReader(
+            self._path(),
+            None if v is None else int(v),
+            split_bytes=int(self.options.get("splitfilebytes", _SPLIT_FILE_BYTES)),
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         if not overwrite:

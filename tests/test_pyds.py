@@ -407,3 +407,45 @@ def test_table_to_table_streaming_composition(spark, tmp_path):
         spark.createDataFrame([(4, 40.0)], "k long, x double"), last
     )
     assert dst._load()["current"] == v
+
+
+def test_oversized_files_split_into_row_group_tasks(spark, tmp_path):
+    """A file above the split threshold plans one task per ROW GROUP
+    (a compacted partition is one big file by design — it must not
+    serialize onto one task)."""
+    import pyarrow.parquet as pq
+
+
+    import pyarrow as pa
+
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(str(tmp_path), "t2"),
+        spark.range(1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS x").coalesce(1),
+        key_cols=["k"],
+    )
+    # rewrite the committed file in place with many row groups
+    # (content-identical — simulating a large compacted file)
+    rel = t._load()["versions"]["0"]["partitions"]["_all"]
+    d = os.path.join(t.path, rel)
+    (fname,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    tbl = pa.table({"k": list(range(1000)), "x": [float(i) for i in range(1000)]})
+    pq.write_table(tbl, os.path.join(d, fname), row_group_size=100)
+    # force every file over the threshold (planning runs in its own
+    # python worker — an option, not a monkeypatch, must carry it)
+    got = (
+        spark.read.format("herodb")
+        .option("path", t.path)
+        .option("splitFileBytes", "0")
+        .load()
+    )
+    n_groups = sum(
+        pq.ParquetFile(os.path.join(t.path, rel, f)).metadata.num_row_groups
+        for rel in t._load()["versions"]["0"]["partitions"].values()
+        for f in os.listdir(os.path.join(t.path, rel))
+        if f.endswith(".parquet")
+    )
+    assert n_groups > 1
+    assert got.rdd.getNumPartitions() == n_groups
+    assert got.count() == 1000
+    assert sorted(r.k for r in got.collect()) == list(range(1000))
