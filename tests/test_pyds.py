@@ -449,3 +449,53 @@ def test_oversized_files_split_into_row_group_tasks(spark, tmp_path):
     assert got.rdd.getNumPartitions() == n_groups
     assert got.count() == 1000
     assert sorted(r.k for r in got.collect()) == list(range(1000))
+
+
+def test_cdc_fold_reproduces_final_state_random_histories(spark, tmp_path):
+    """Property: for a random mutation history, folding the connector's
+    per-commit change feed (insert/update_post apply, delete removes;
+    update_pre is the audit image) over the empty state reproduces the
+    final table exactly — including partition-moving keys, which
+    arrive as delete+insert."""
+    import random
+
+    rng = random.Random(7)
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(str(tmp_path), "t"),
+        spark.createDataFrame([], "k long, v long, g long"),
+        key_cols=["k"],
+        partition_col="g",
+    )
+    live: set[int] = set()
+    for _ in range(6):
+        op = rng.choice(["upsert", "delete"]) if live else "upsert"
+        if op == "upsert":
+            keys = rng.sample(range(12), rng.randint(1, 4))
+            rows = [(k, rng.randint(0, 99), rng.randint(0, 2)) for k in keys]
+            t.merge_upsert(spark.createDataFrame(rows, "k long, v long, g long"))
+            live |= set(keys)
+        else:
+            doomed = rng.sample(sorted(live), min(len(live), rng.randint(1, 2)))
+            t.delete_where(F.col("k").isin(doomed))
+            live -= set(doomed)
+    feed = (
+        spark.read.format("herodb")
+        .option("path", t.path)
+        .option("mode", "changes")
+        .option("changesFrom", "0")
+        .load()
+        .collect()
+    )
+    state: dict[int, tuple] = {
+        (r.k): (r.v, r.g) for r in t.read(version=0).collect()
+    }
+    # within a commit, deletes apply FIRST: a partition-moving key is
+    # encoded as delete (old pv) + insert (new pv) of the SAME commit
+    for r in sorted(feed, key=lambda r: (r._commit_version, r._change != "delete")):
+        if r._change in ("insert", "update_post"):
+            state[r.k] = (r.v, r.g)
+        elif r._change == "delete":
+            state.pop(r.k, None)
+    final = {r.k: (r.v, r.g) for r in t.read().collect()}
+    assert state == final
