@@ -1454,6 +1454,36 @@ class HeroQL:
             df = snap.read_changes(int(v_from), int(v_to))
             fields = list(df.columns)
             return df, fields, [None] * len(fields), None, list(atom.args[3:])
+        if (
+            (name == "history" or name.endswith("::history"))
+            and name not in self.defs
+            and name not in self.tables
+            and len(atom.args) >= 1
+            and isinstance(atom.args[0], P.Var)
+        ):
+            # audit log: `history(T, version, op, program)` binds the
+            # snapshot table's version log as a relation — including
+            # the PERSISTED MUTATION PROGRAM text (Rewrite.md:6 "save
+            # query to log"), so the audit surface never needs Python
+            # either. `program` is NULL for commits without one
+            # (create/compact/raw-DataFrame API).
+            tname = self._resolve_ref(atom.args[0].name)
+            snap = self._snapshots.get(tname)
+            if snap is None:
+                raise HeroQLError(
+                    f"history({atom.args[0].name}, ...): needs a snapshot-backed table"
+                )
+            from herodb_spark.session import literal_df
+
+            rows = [
+                (int(h["version"]), str(h["op"]), h.get("program"))
+                for h in snap.history()
+            ]
+            df = literal_df(
+                self.spark, rows, "version long, op string, program string"
+            )
+            fields = ["version", "op", "program"]
+            return df, fields, [None] * len(fields), None, list(atom.args[1:])
         if state is not None and name in state:
             df = state[name]
             if df is None:

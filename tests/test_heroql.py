@@ -1698,3 +1698,31 @@ def test_maintenance_errors(spark, tmp_path):
     res = hql2.run_transactional("set t(9, 9); optimize t;")
     assert [k for k, _, _ in res.maintenance] == ["optimize"]
     assert db.read("t").count() == 2
+
+
+def test_history_relation_audits_programs(spark, tmp_path):
+    """`history(T, v, op, program)` binds the version log — including
+    the persisted mutation-program text — as an ordinary relation."""
+    import os
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    snap = SnapshotTable.create(
+        spark,
+        os.path.join(str(tmp_path), "h"),
+        spark.createDataFrame([], "k long, v long"),
+        key_cols=["k"],
+    )
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    hql.run("set T(1, 10); remove T(_, v) :- v == 99;")
+    out = hql.run("query (ver, op, prog) :- history(T, ver, op, prog);").queries[0]
+    got = sorted((r.ver, r.op) for r in out.collect())
+    assert got == [(0, "create"), (1, "merge_upsert"), (2, "delete_where")]
+    progs = {r.ver: r.prog for r in out.collect()}
+    assert progs[0] is None
+    assert "set T(1, 10)" in progs[1]
+    assert progs[2].startswith("remove T")
+    # composes like any relation: filter on op
+    only = hql.run('query (ver) :- history(T, ver, op, _), op == "merge_upsert";').queries[0]
+    assert [r.ver for r in only.collect()] == [1]
