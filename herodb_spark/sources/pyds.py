@@ -233,11 +233,14 @@ def _changed_partition_values(m: dict, v_from: int, v_to: int, path: str) -> dic
 
 
 def _diff_batches(partition: _ChangesPartition | None) -> Iterator:
-    """Worker-side diff of ONE partition value across one commit:
-    key-indexed row maps → insert/delete/update_pre/update_post rows,
-    emitted as arrow batches on the CDC schema. Python-dict granularity
-    is bounded by what the commit rewrote in this partition value (the
-    copy-on-write unit), not by table size."""
+    """Worker-side diff of ONE partition value across one commit,
+    emitted as arrow batches on the CDC schema. Fast path: a fully
+    vectorized Arrow hash join + columnar null-safe comparison
+    (_diff_arrow); tables whose payload types Acero cannot join
+    (nested arrays/structs) fall back to a key-indexed python-dict
+    diff. Either way the input is bounded by what the commit rewrote
+    in this partition value (the copy-on-write unit), never table
+    size."""
     if partition is None:  # empty partitions() → one task, no split
         return
     import pyarrow as pa
@@ -248,18 +251,84 @@ def _diff_batches(partition: _ChangesPartition | None) -> Iterator:
 
     def side(d):
         if d is None:
-            return {}
-        tbl = _read_dir(d, data_target)
-        rows = tbl.to_pylist()
-        return {tuple(r[k] for k in partition.keys): r for r in rows}
+            return pa.table(
+                {f.name: pa.nulls(0, f.type) for f in data_target}, schema=data_target
+            )
+        return _read_dir(d, data_target)
 
-    old, new = side(partition.old_dir), side(partition.new_dir)
+    old_t, new_t = side(partition.old_dir), side(partition.new_dir)
+    keys = list(partition.keys)
+    data_cols = [c for c in data_target.names if c not in keys]
+    try:
+        yield from _diff_arrow(
+            old_t, new_t, keys, data_cols, data_target, target, partition.commit_version
+        )
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        yield from _diff_pydict(old_t, new_t, keys, target, partition.commit_version)
+
+
+def _diff_arrow(old_t, new_t, keys, data_cols, data_target, target, version) -> Iterator:
+    """Vectorized CDC diff: full-outer Acero join on the key columns
+    with explicit presence flags (a NULL payload is not absence),
+    then a columnar null-safe equality across payload columns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    o = old_t.append_column("__op", pa.array([True] * old_t.num_rows, pa.bool_()))
+    n = new_t.append_column("__np", pa.array([True] * new_t.num_rows, pa.bool_()))
+    j = o.join(n, keys=keys, join_type="full outer", left_suffix="__old", right_suffix="__new")
+    present_o = pc.is_valid(j["__op"])
+    present_n = pc.is_valid(j["__np"])
+
+    def emit(mask, suffix, change):
+        sel = j.filter(mask)
+        if sel.num_rows == 0:
+            return None
+        cols = {}
+        for f in data_target:
+            name = f.name if f.name in keys else f"{f.name}{suffix}"
+            col = sel[name] if name in sel.column_names else sel[f.name]
+            cols[f.name] = col
+        cols["_change"] = pa.array([change] * sel.num_rows, pa.string())
+        cols["_commit_version"] = pa.array([version] * sel.num_rows, pa.int64())
+        return pa.table(cols, schema=target)
+
+    out = [
+        emit(pc.and_(present_n, pc.invert(present_o)), "__new", "insert"),
+        emit(pc.and_(present_o, pc.invert(present_n)), "__old", "delete"),
+    ]
+    both = pc.and_(present_o, present_n)
+    if data_cols and j.num_rows:
+        same_all = pa.array([True] * j.num_rows, pa.bool_())
+        for c in data_cols:
+            a = j[f"{c}__old"] if f"{c}__old" in j.column_names else j[c]
+            b = j[f"{c}__new"] if f"{c}__new" in j.column_names else j[c]
+            eq = pc.fill_null(pc.equal(a, b), False)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            same_all = pc.and_(same_all, pc.or_(eq, both_null))
+        upd = pc.and_(both, pc.invert(same_all))
+        out.append(emit(upd, "__old", "update_pre"))
+        out.append(emit(upd, "__new", "update_post"))
+    out = [t for t in out if t is not None]
+    if out:
+        yield from pa.concat_tables(out).to_batches()
+
+
+def _diff_pydict(old_t, new_t, keys, target, version) -> Iterator:
+    """Fallback diff for payload types Acero cannot join (nested
+    arrays/structs): key-indexed row maps, python equality."""
+    import pyarrow as pa
+
+    def index(tbl):
+        return {tuple(r[k] for k in keys): r for r in tbl.to_pylist()}
+
+    old, new = index(old_t), index(new_t)
     out: list[dict] = []
 
     def emit(row: dict, change: str):
         r = dict(row)
         r["_change"] = change
-        r["_commit_version"] = partition.commit_version
+        r["_commit_version"] = version
         out.append(r)
 
     for k, row in new.items():

@@ -499,3 +499,28 @@ def test_cdc_fold_reproduces_final_state_random_histories(spark, tmp_path):
             state.pop(r.k, None)
     final = {r.k: (r.v, r.g) for r in t.read().collect()}
     assert state == final
+
+
+def test_cdc_with_array_payload_uses_fallback_diff(spark, tmp_path):
+    """Nested payload types (array<double>) can't go through the Acero
+    join — the dict fallback must produce the same CDC semantics."""
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(str(tmp_path), "t"),
+        spark.createDataFrame([(1, [1.0, 2.0]), (2, [3.0])], "k long, e array<double>"),
+        key_cols=["k"],
+    )
+    t.merge_upsert(spark.createDataFrame([(2, [3.0, 4.0]), (5, [9.0])], "k long, e array<double>"))
+    ch = (
+        spark.read.format("herodb")
+        .option("path", t.path)
+        .option("mode", "changes")
+        .option("changesFrom", "0")
+        .load()
+    )
+    got = sorted((r.k, r._change, tuple(r.e)) for r in ch.collect())
+    assert got == [
+        (2, "update_post", (3.0, 4.0)),
+        (2, "update_pre", (3.0,)),
+        (5, "insert", (9.0,)),
+    ]
