@@ -35,9 +35,11 @@ def decode_blob(blob: bytes, kind: str) -> object:
     container and keep the explicit stub."""
     if kind == "image" and blob[:2] == b"P6":
         return decode_ppm(blob)
+    if kind == "audio" and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return decode_wav(blob)
     raise NotImplementedError(
-        "media decode beyond PPM requires codec libraries not present in this "
-        "environment; blob plumbing (schema/batching/partitioning) is "
+        "media decode beyond PPM/WAV-PCM requires codec libraries not present "
+        "in this environment; blob plumbing (schema/batching/partitioning) is "
         "implemented and tested"
     )
 
@@ -74,6 +76,47 @@ def decode_ppm(blob: bytes) -> dict:
     for c in range(3):
         means.append(sum(pixels[c::3]) / (w * h))
     return {"width": w, "height": h, "maxval": maxval, "mean_rgb": tuple(means)}
+
+
+def decode_wav(blob: bytes) -> dict:
+    """RIFF/WAVE with 16-bit PCM: walks the chunk list (fmt before
+    data, unknown chunks skipped per spec), returns sample rate,
+    channel count, duration, and peak amplitude — the audio
+    feature-extraction shape. Compressed codecs are rejected."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, n = 12, len(blob)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid, size = blob[pos : pos + 4], struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            codec, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if codec != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV codec {codec}/{bits}-bit (PCM16 only)")
+            fmt = (channels, rate)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    channels, rate = fmt
+    n_samples = len(data) // (2 * channels)
+    peak = 0
+    for i in range(0, n_samples * channels * 2, 2):
+        v = struct.unpack_from("<h", data, i)[0]
+        peak = max(peak, abs(v))
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "n_samples": n_samples,
+        "duration_s": n_samples / rate if rate else 0.0,
+        "peak": peak,
+    }
 
 
 def image_features(blobs: DataFrame) -> DataFrame:

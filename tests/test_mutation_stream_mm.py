@@ -116,3 +116,35 @@ def test_image_features_distributed_decode(spark):
         r = got[i]
         assert (r.width, r.height) == (3, 2)
         assert (r.mean_r, r.mean_g, r.mean_b) == (40.0 * i, 255.0 - 40 * i, 7.0)
+
+
+def test_wav_decode_is_real(spark):
+    """decode_blob decodes RIFF/WAVE PCM16: chunk walking (unknown
+    chunks skipped), exact sample counts / duration / peak; compressed
+    codecs rejected."""
+    import struct
+
+    import pytest
+
+    def wav(rate, samples, extra_chunk=False):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if extra_chunk:
+            chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size, padded
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    d = MM.decode_blob(wav(8000, [0, 100, -3000, 42], extra_chunk=True), "audio")
+    assert (d["channels"], d["sample_rate"], d["n_samples"], d["peak"]) == (1, 8000, 4, 3000)
+    assert abs(d["duration_s"] - 4 / 8000) < 1e-12
+    # compressed codec refused
+    bad_fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)  # mp3
+    blob = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+            + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="PCM16"):
+        MM.decode_blob(blob, "audio")
+    # non-RIFF audio still the honest stub
+    with pytest.raises(NotImplementedError):
+        MM.decode_blob(b"ID3\x03...", "audio")
