@@ -374,7 +374,14 @@ class HeroQL:
                 raise HeroQLError("`vacuum database` needs a registered database")
             if self._txn is not None:
                 raise HeroQLError("vacuum cannot run inside a transactional program")
-            out.maintenance.append(("vacuum", None, self._db.vacuum(keep_last=item.keep_last)))
+            report = self._db.vacuum(keep_last=item.keep_last)
+            # GC may have deleted files a cached member frame still
+            # references (stale out-of-band reads) — re-resolve every
+            # registered member, like the table-level path does
+            for n in self._snapshots:
+                if n in self._db.tables():
+                    self._snapshot_reload(n)
+            out.maintenance.append(("vacuum", None, report))
             return
         name = self._resolve_ref(item.name)
         snap = self._snapshots.get(name)
@@ -402,13 +409,7 @@ class HeroQL:
                 report = snap.compact()
         else:  # cluster
             if self._txn is not None and name in self._txn._base_pins:
-                report = {}
-
-                def fn(tab, _r=report, _c=item.cluster_by):
-                    _r.update(tab.cluster(_c))
-                    return tab._load()["current"]
-
-                self._txn._apply(name, fn)
+                report = self._txn.cluster(name, item.cluster_by)
             elif in_db:
                 report = self._db.cluster(name, item.cluster_by)
             else:

@@ -106,10 +106,15 @@ def decode_wav(blob: bytes) -> dict:
         raise ValueError("WAV missing fmt/data chunk")
     channels, rate = fmt
     n_samples = len(data) // (2 * channels)
-    peak = 0
-    for i in range(0, n_samples * channels * 2, 2):
-        v = struct.unpack_from("<h", data, i)[0]
-        peak = max(peak, abs(v))
+    # bulk int16 view, not a per-sample struct loop — decode is the
+    # per-row hot path of a distributed stage
+    import array
+    import sys
+
+    samples = array.array("h", data[: n_samples * channels * 2])
+    if sys.byteorder == "big":
+        samples.byteswap()
+    peak = max((abs(v) for v in samples), default=0)
     return {
         "channels": channels,
         "sample_rate": rate,

@@ -243,17 +243,8 @@ class SnapshotDatabase:
         pin never references). Content is a pure reorder, so the
         published version changes no query result — only the file
         layout and the per-file zone maps."""
-        report: dict = {}
         with self.transaction() as t:
-
-            def fn(tab):
-                report.update(
-                    tab.cluster(cluster_by, files_per_partition=files_per_partition)
-                )
-                return tab._load()["current"]
-
-            t._apply(name, fn)
-        return report
+            return t.cluster(name, cluster_by, files_per_partition=files_per_partition)
 
     # -- GC ----------------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> dict:
@@ -446,6 +437,20 @@ class Transaction:
 
         def fn(t):
             report.update(t.compact(max_files_per_partition=max_files_per_partition))
+            return t._load()["current"]
+
+        self._apply(name, fn)
+        return report
+
+    def cluster(
+        self, name: str, cluster_by: list[str], files_per_partition: int = 4
+    ) -> dict:
+        """Z-order one member table inside this transaction (see
+        SnapshotDatabase.cluster). Returns the table-level report."""
+        report: dict = {}
+
+        def fn(t):
+            report.update(t.cluster(cluster_by, files_per_partition=files_per_partition))
             return t._load()["current"]
 
         self._apply(name, fn)

@@ -70,16 +70,15 @@ def _load_manifest(path: str) -> dict:
 
 
 def _schema_at(m: dict, v: int) -> StructType:
-    js = None
-    for vv in sorted((int(k) for k in m["versions"]), reverse=True):
-        if vv <= v and "schema" in m["versions"][str(vv)]:
-            js = m["versions"][str(vv)]["schema"]
-            break
-    if js is None:
-        js = m.get("schema")
-    if js is None:
+    """Delegates to SnapshotTable's schema-resolution rule (single
+    source of truth); the connector additionally REQUIRES a manifest
+    schema — it cannot fall back to file inference."""
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    schema = SnapshotTable._schema_at(m, v)
+    if schema is None:
         raise ValueError("snapshot table pre-dates manifest schemas; cannot infer")
-    return StructType.fromJson(json.loads(js))
+    return schema
 
 
 def _version_entry(m: dict, v: int, path: str) -> dict:
@@ -156,11 +155,11 @@ _SPLIT_FILE_BYTES = 128 * 1024 * 1024
 
 
 class _SnapshotReader(DataSourceReader):
-    def __init__(self, path: str, version: int | None, split_bytes: int = _SPLIT_FILE_BYTES):
+    def __init__(self, path: str, version: int, split_bytes: int = _SPLIT_FILE_BYTES):
         self.path = path
         self.split_bytes = split_bytes
         m = _load_manifest(path)
-        self.version = m["current"] if version is None else version
+        self.version = version
         self.entry = _version_entry(m, self.version, path)
         self.schema_json = _schema_at(m, self.version).json()
 
@@ -230,6 +229,28 @@ def _changed_partition_values(m: dict, v_from: int, v_to: int, path: str) -> dic
         for pv in sorted(set(p_from) | set(p_to))
         if p_from.get(pv) != p_to.get(pv)
     }
+
+
+def _plan_change_partitions(
+    m: dict, path: str, v_from: int, v_to: int, keys: list[str], schema_json: str
+) -> list["_ChangesPartition"]:
+    """One task per (commit, changed partition value) over the window
+    (v_from, v_to] — shared by the batch CDC reader and the stream
+    reader so the planning rules (per-commit stepping, vacuumed-
+    version errors) cannot diverge."""
+    out: list[_ChangesPartition] = []
+    for v in range(v_from + 1, v_to + 1):
+        for pv, (od, nd) in _changed_partition_values(m, v - 1, v, path).items():
+            out.append(
+                _ChangesPartition(
+                    None if od is None else os.path.join(path, od),
+                    None if nd is None else os.path.join(path, nd),
+                    keys,
+                    schema_json,
+                    v,
+                )
+            )
+    return out
 
 
 def _diff_batches(partition: _ChangesPartition | None) -> Iterator:
@@ -348,28 +369,18 @@ class _ChangesReader(DataSourceReader):
     """Batch form: all changes between two pinned versions, one task
     per (commit, changed partition value)."""
 
-    def __init__(self, path: str, v_from: int, v_to: int | None):
+    def __init__(self, path: str, v_from: int, v_to: int):
         self.path = path
         m = self._m = _load_manifest(path)
         self.v_from = v_from
-        self.v_to = m["current"] if v_to is None else v_to
+        self.v_to = v_to
         self.keys = m["key_cols"]
         self.schema_json = _schema_at(m, self.v_to).json()
 
     def partitions(self) -> Sequence[InputPartition]:
-        out = []
-        for v in range(self.v_from + 1, self.v_to + 1):
-            for pv, (od, nd) in _changed_partition_values(self._m, v - 1, v, self.path).items():
-                out.append(
-                    _ChangesPartition(
-                        None if od is None else os.path.join(self.path, od),
-                        None if nd is None else os.path.join(self.path, nd),
-                        self.keys,
-                        self.schema_json,
-                        v,
-                    )
-                )
-        return out
+        return _plan_change_partitions(
+            self._m, self.path, self.v_from, self.v_to, self.keys, self.schema_json
+        )
 
     def read(self, partition: _ChangesPartition) -> Iterator:
         yield from _diff_batches(partition)
@@ -402,19 +413,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
         if v1 <= v0:
             return []
         m = _load_manifest(self.path)
-        out = []
-        for v in range(v0 + 1, v1 + 1):
-            for pv, (od, nd) in _changed_partition_values(m, v - 1, v, self.path).items():
-                out.append(
-                    _ChangesPartition(
-                        None if od is None else os.path.join(self.path, od),
-                        None if nd is None else os.path.join(self.path, nd),
-                        self.keys,
-                        self.schema_json,
-                        v,
-                    )
-                )
-        return out
+        return _plan_change_partitions(m, self.path, v0, v1, self.keys, self.schema_json)
 
     def read(self, partition: _ChangesPartition) -> Iterator:
         yield from _diff_batches(partition)
@@ -472,6 +471,22 @@ class _OverwriteWriter(DataSourceWriter):
         self.path = path
         self.schema_json = table_schema.json()
         self.pcol = m["partition_col"]
+        if self.pcol is not None:
+            # partition VALUES become manifest keys via Python str();
+            # that matches Spark's cast('string') (the key derivation
+            # every other mutation uses) only for integer and string
+            # columns — a boolean would record 'True' vs the JVM's
+            # 'true', a double '1e-07' vs '1.0E-7', silently forking
+            # the partition under later merges. Refuse the rest; the
+            # native overwrite() API handles any partition type.
+            ptype = {f.name: f.dataType.simpleString() for f in table_schema.fields}[self.pcol]
+            if ptype not in ("tinyint", "smallint", "int", "bigint", "string"):
+                raise ValueError(
+                    f"{path}: the herodb writer supports integer/string partition "
+                    f"columns only ({self.pcol!r} is {ptype}; its str() form would "
+                    "diverge from the engine's cast-to-string partition keys — "
+                    "use SnapshotTable.overwrite instead)"
+                )
         # OCC expectations captured BEFORE any data moves
         self._read_version = m["current"]
         self._read_seq = int(m.get("seq", m["current"]))
@@ -624,6 +639,22 @@ class HerodbDataSource(DataSource):
             p = p[len("file:"):]
         return p
 
+    def _pin(self, m: dict) -> int:
+        """Resolve-once version pin: without an explicit `version`
+        option, the FIRST resolution (schema() at load time) pins
+        `current`, and every later re-plan of the same DataFrame reads
+        that version — two actions on one frame must not silently read
+        different table versions (and under a concurrent add_columns
+        the declared schema would no longer match the data source's).
+        The DataSource instance is part of the plan, so the pin rides
+        along; batch CDC pins its default changesTo the same way."""
+        v = self.options.get("version")
+        if v is not None:
+            return int(v)
+        if not hasattr(self, "_pinned_version"):
+            self._pinned_version = int(m["current"])
+        return self._pinned_version
+
     def schema(self) -> StructType:
         # schema() serves BOTH read and readStream, which cannot be
         # told apart here — so the change-feed shape (the only stream
@@ -635,18 +666,18 @@ class HerodbDataSource(DataSource):
             # note: a missing changesFrom can only raise in reader()
             # (action time), because schema() cannot tell a batch CDC
             # read from a readStream, which has no changesFrom
-            v_to = int(self.options.get("changesto", m["current"]))
+            v_to = int(self.options.get("changesto", self._pin(m)))
             _version_entry(m, v_to, self._path())  # fail fast at load()
             return _cdc_struct(_schema_at(m, v_to))
         if mode != "snapshot":
             raise ValueError(f"herodb: unknown mode {mode!r} (snapshot | changes)")
-        v = self.options.get("version")
-        v = m["current"] if v is None else int(v)
+        v = self._pin(m)
         _version_entry(m, v, self._path())  # fail fast at load()
         return _schema_at(m, v)
 
     def reader(self, schema: StructType) -> DataSourceReader:
         mode = self.options.get("mode", "snapshot")
+        m = _load_manifest(self._path())
         if mode == "changes":
             if "changesfrom" not in self.options:
                 raise ValueError("herodb: mode=changes requires option 'changesFrom'")
@@ -654,12 +685,11 @@ class HerodbDataSource(DataSource):
             return _ChangesReader(
                 self._path(),
                 int(self.options["changesfrom"]),
-                None if v_to is None else int(v_to),
+                self._pin(m) if v_to is None else int(v_to),
             )
-        v = self.options.get("version")
         return _SnapshotReader(
             self._path(),
-            None if v is None else int(v),
+            self._pin(m),
             split_bytes=int(self.options.get("splitfilebytes", _SPLIT_FILE_BYTES)),
         )
 

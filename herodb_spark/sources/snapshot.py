@@ -334,12 +334,14 @@ class SnapshotTable:
         return stats
 
     # -- reads -------------------------------------------------------------
-    def _schema_at(self, m: dict, v: int):
+    @staticmethod
+    def _schema_at(m: dict, v: int):
         """StructType in effect at version `v`: the newest
         version-entry schema at or below v (schema-changing commits —
         create, add_columns — record one), falling back to the
         manifest-level schema, or None for manifests that pre-date
-        schema tracking (those read by file inference)."""
+        schema tracking (those read by file inference). Static — the
+        pyds connector resolves schemas through this same rule."""
         from pyspark.sql import types as T
 
         js = None

@@ -524,3 +524,34 @@ def test_cdc_with_array_payload_uses_fallback_diff(spark, tmp_path):
         (2, "update_pre", (3.0,)),
         (5, "insert", (9.0,)),
     ]
+
+
+def test_dataframe_pins_load_time_version(spark, tmp_path):
+    """Two actions on one DataFrame must read the SAME table version:
+    without an explicit version option, load() pins `current`, and
+    later commits — including schema evolution, which would otherwise
+    crash the declared-schema check — do not leak in."""
+    t = _mk(spark, tmp_path, partitioned=False)
+    df = spark.read.format("herodb").option("path", t.path).load()
+    before = _rows(df)
+    t.merge_upsert(spark.createDataFrame([(9, "z", 0.0, 10)], "k long, s string, x double, g long"))
+    t.add_columns({"note": "string"})
+    assert _rows(df) == before  # still version 0, still 4 columns
+    # a FRESH load sees the new current (and the evolved schema)
+    fresh = spark.read.format("herodb").option("path", t.path).load()
+    assert fresh.count() == 4 and "note" in fresh.columns
+
+
+def test_writer_refuses_divergent_partition_value_types(spark, tmp_path):
+    """Boolean/double partition columns must be refused: Python str()
+    would fork the manifest partition keys from the engine's
+    cast-to-string form ('True' vs 'true')."""
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(str(tmp_path), "tb"),
+        spark.createDataFrame([(1, True)], "k long, flag boolean"),
+        key_cols=["k"],
+        partition_col="flag",
+    )
+    with pytest.raises(Exception, match="integer/string partition"):
+        t.read().write.format("herodb").option("path", t.path).mode("overwrite").save()
