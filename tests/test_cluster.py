@@ -164,3 +164,25 @@ def test_heroql_pushdown_prunes_files_on_clustered_tables(spark, tmp_path):
     out = hql.run("query (k) :- T(k, _, _, _), k >= 100, k <= 140;").queries[0]
     assert len(out.inputFiles()) < n_all
     assert sorted(r.k for r in out.collect()) == list(range(100, 141))
+
+
+def test_pruned_reads_equal_filtered_full_reads_random_ranges(spark, tmp_path):
+    """Property: for random range predicates over a clustered table,
+    read(ranges) + the row filter returns exactly the same rows as the
+    unpruned read + the same filter — skipping is IO-only, never
+    drops a qualifying row (file-level and partition-level alike)."""
+    import random
+
+    rng = random.Random(11)
+    t = _mk(spark, tmp_path, n=2048)
+    t.cluster(["x", "y"], files_per_partition=8)
+    full = t.read()
+    for _ in range(6):
+        col = rng.choice(["x", "y", "k"])
+        lo = rng.randint(0, 2000)
+        hi = lo + rng.randint(0, 600)
+        cond = f"{col} between {lo} and {hi}"
+        pruned = t.read(ranges={col: (lo, hi)})
+        want = sorted(r.k for r in full.where(cond).collect())
+        got = sorted(r.k for r in pruned.where(cond).collect())
+        assert got == want, (col, lo, hi)
