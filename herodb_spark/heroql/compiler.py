@@ -204,6 +204,12 @@ class HeroQL:
         # durable (snapshot-backed) tables: name -> SnapshotTable;
         # mutations on these commit through the table's OCC protocol
         self._snapshots: dict = {}
+        # manifest version each cached session frame was resolved at:
+        # EVERY read of a snapshot table — cached frame or zone-map-
+        # pruned re-resolve — goes through this pin, so one query can
+        # never mix two table versions under a concurrent writer
+        # (r7 advice)
+        self._snapshot_versions: dict[str, int] = {}
         # bound SnapshotDatabase (register_database) + active
         # multi-statement transaction (run_transactional)
         self._db = None
@@ -286,8 +292,10 @@ class HeroQL:
         table; without that declaration an in-memory `set` appends a
         fact. Declare the unique index to keep programs portable
         between in-memory and snapshot-backed runs."""
-        df = snap.read()
-        keys = snap._load()["key_cols"]
+        m = snap._load()
+        version = m["current"]
+        df = snap.read(version=version)
+        keys = m["key_cols"]
         if keys and len(keys) > 1:
             raise HeroQLError(
                 f"{name}: snapshot table has composite key {keys}; HeroQL "
@@ -297,6 +305,7 @@ class HeroQL:
             )
         self.register(name, df, is_class=is_class, key=keys[0] if keys else None)
         self._snapshots[name] = snap
+        self._snapshot_versions[name] = version
 
     def register_database(self, db, tables: list[str] | None = None) -> None:
         """Bind every member table of a sources/database.
@@ -331,6 +340,14 @@ class HeroQL:
                     continue
                 self.register_snapshot(name, snap)
         self._db = db
+        # re-pin every member frame through the DATABASE pin set: the
+        # registration reads above resolved each table's own current,
+        # which a live concurrent writer (inside the recovery grace
+        # window) may hold ahead of the pins — reads must never
+        # observe an unpublished member version
+        for name in list(self._snapshots):
+            if name in db.tables():
+                self._snapshot_reload(name)
 
     def run_transactional(self, text: str):
         """Execute a program as ONE multi-table transaction: every
@@ -345,12 +362,28 @@ class HeroQL:
             raise HeroQLError("run_transactional requires register_database first")
         if self._txn is not None:
             raise HeroQLError("nested run_transactional is not supported")
-        with self._db.transaction() as t:
-            self._txn = t
-            try:
-                out = self.run(text)
-            finally:
-                self._txn = None
+        try:
+            with self._db.transaction() as t:
+                self._txn = t
+                try:
+                    # re-pin member frames to the transaction's base
+                    # pin set so the program reads the snapshot it
+                    # will be validated against (the session frames
+                    # may pre-date an interleaved publish)
+                    for name in list(self._snapshots):
+                        if name in t._base_pins:
+                            self._snapshot_reload(name)
+                    out = self.run(text)
+                finally:
+                    self._txn = None
+        finally:
+            # after the pointer swap — or an abort — the published
+            # pin set is authoritative again: drop the transaction-
+            # private pins so no session frame references a member
+            # version recovery may roll back
+            for name in list(self._snapshots):
+                if name in self._db.tables():
+                    self._snapshot_reload(name)
         return out
 
     def _exec_maintain(self, item: "P.MaintainStmt", out: RunResult) -> None:
@@ -447,8 +480,22 @@ class HeroQL:
     def _snapshot_reload(self, name: str) -> None:
         """After a durable commit the session frame must re-resolve
         from the new manifest (and any memo built over the old frame
-        is stale — mutations already wipe memos)."""
-        self.tables[name] = self._snapshots[name].read()
+        is stale — mutations already wipe memos). The frame is PINNED
+        to an explicit version — the active transaction's private
+        version (read-your-writes), else the database pin, else the
+        table's current — and the pin is recorded so zone-map-pruned
+        re-resolves (_zone_map_overrides) read the SAME version: a
+        concurrent writer advancing the table mid-query can never
+        make one rule body mix two table versions (r7 advice)."""
+        snap = self._snapshots[name]
+        if self._txn is not None and name in self._txn._base_pins:
+            v = self._txn._new_pins.get(name, self._txn._base_pins[name])
+        elif self._db is not None and name in self._db.tables():
+            v = self._db.tables()[name]
+        else:
+            v = snap._load()["current"]
+        self.tables[name] = snap.read(version=v)
+        self._snapshot_versions[name] = v
 
     def _install_table(self, name: str, df: DataFrame) -> None:
         """Single choke point for FULL-FRAME table rewrites (the
@@ -1321,7 +1368,14 @@ class HeroQL:
             if not ranges:
                 continue
             self._flush(name)  # pending durable sets must commit first
-            pruned = self._snapshots[name].read(ranges=ranges)
+            # read at the SAME version the cached (unpruned) frame was
+            # resolved at — never the table's live current, which a
+            # sibling writer may have advanced (or which may be a
+            # sibling transaction's unpublished member version ahead
+            # of the database pin)
+            pruned = self._snapshots[name].read(
+                version=self._snapshot_versions.get(name), ranges=ranges
+            )
             if list(pruned.columns) != list(d.fields):
                 continue  # schema drift safety: fall back to the full frame
             out[id(atom)] = pruned

@@ -53,10 +53,15 @@ def pyds_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(tmp, "docs"), docs, key_cols=["doc_id"], partition_col="lang"
     )
     # commit 1: rewrite 100 existing keys (+1000 chars) and add 100
-    # fresh keys above the id range, in one upsert
+    # fresh keys above the id range, in one upsert. coalesce makes the
+    # update change the image even for NULL n_chars (NULL + 1000 is
+    # NULL and null-safe-equal to the pre-image, which the engine's
+    # CDC diff would rightly suppress while a naive oracle still
+    # emits the pre/post pair) — engine and oracle now agree on NULL
+    # data by construction
     t.merge_upsert(
         docs.where(F.col("doc_id") < 100)
-        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .withColumn("n_chars", F.coalesce(F.col("n_chars"), F.lit(0)) + 1000)
         .unionByName(
             docs.where(F.col("doc_id") < 100).select(
                 (F.col("doc_id") + 10000).alias("doc_id"), "lang", "n_chars"
@@ -95,13 +100,15 @@ WITH base AS (
 ),
 upserted AS (            -- state after commit 1
   SELECT doc_id, lang,
-         CASE WHEN doc_id < 100 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+         CASE WHEN doc_id < 100 THEN COALESCE(n_chars, 0) + 1000 ELSE n_chars END AS n_chars
   FROM base
   UNION ALL
   SELECT doc_id + 10000, lang, n_chars FROM base WHERE doc_id < 100
 ),
-final AS (               -- state after commit 2
-  SELECT * FROM upserted WHERE n_chars >= 200
+final AS (               -- state after commit 2: the engine's
+  -- delete_where coalesces its predicate to FALSE on NULL, so rows
+  -- with NULL n_chars survive the delete
+  SELECT * FROM upserted WHERE n_chars >= 200 OR n_chars IS NULL
 ),
 cdc AS (
   -- commit 1: updates (pre/post) for rewritten keys whose row
@@ -109,7 +116,7 @@ cdc AS (
   SELECT doc_id, lang, n_chars, 'update_pre@1' AS change
     FROM base WHERE doc_id < 100
   UNION ALL
-  SELECT doc_id, lang, n_chars + 1000, 'update_post@1'
+  SELECT doc_id, lang, COALESCE(n_chars, 0) + 1000, 'update_post@1'
     FROM base WHERE doc_id < 100
   UNION ALL
   SELECT doc_id + 10000, lang, n_chars, 'insert@1'

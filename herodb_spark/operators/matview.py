@@ -175,6 +175,16 @@ def refresh_mv_from_changes(
     has_minmax = any(kind in ("min", "max") for _, kind, _ in specs)
     if has_minmax and base is None:
         raise ValueError("min/max specs need `base` (not decomposable under deletes)")
+    has_count = any(kind == "count" for _, kind, _ in specs)
+    if not has_count and base is None:
+        # without a row count the merge cannot tell a fully-retracted
+        # group from a live one (sum-only/min-only specs would keep a
+        # stale row for a group whose rows were all deleted, breaking
+        # refresh-equals-rebuild) — demand the information needed
+        raise ValueError(
+            "specs without a 'count' spec need `base` to detect "
+            "fully-retracted groups"
+        )
     sign = F.when(F.col("_change").isin("insert", "update_post"), F.lit(1)).otherwise(
         F.lit(-1)
     )
@@ -215,6 +225,20 @@ def refresh_mv_from_changes(
     if count_col is not None:
         # a retraction-closed group (count 0) leaves the view entirely
         out = out.where(F.col(count_col) != 0)
+    elif base is not None:
+        # no count spec: a feed-touched group with NO surviving base
+        # row was fully retracted — remove it by membership instead of
+        # arithmetic (the min/max fallback below would otherwise keep
+        # its stale pre-delete values). Work ∝ changed groups: both
+        # sides of `dead` are distinct key sets from the feed.
+        touched0 = changes.select(*keys).distinct()
+        dead = touched0.join(base.select(*keys).distinct(), keys, "left_anti")
+        outa0, deada = out.alias("o"), dead.alias("x")
+        cond0 = None
+        for k in keys:
+            c = F.col(f"o.{k}").eqNullSafe(F.col(f"x.{k}"))
+            cond0 = c if cond0 is None else (cond0 & c)
+        out = outa0.join(deada, cond0, "left_anti")
 
     if has_minmax:
         touched = changes.select(*keys).distinct()

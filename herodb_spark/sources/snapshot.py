@@ -647,6 +647,13 @@ class SnapshotTable:
         if not parts0:
             return {"files": {}, "cutpoints": {}}
         schema = self._schema_at(m, read_version)
+        if schema is None:
+            # same descriptive error the read path uses — a legacy
+            # manifest without schema tracking can't be clustered
+            raise ValueError(
+                f"{self.path}: version {read_version} pre-dates manifest schemas "
+                "and cannot be clustered"
+            )
         dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
         numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
         bad = [c for c in cluster_by if dtypes.get(c) not in numeric]

@@ -152,3 +152,30 @@ def test_refresh_from_changes_minmax_requires_base(spark):
     mv = spark.createDataFrame([("a", 1)], "k string, n long")
     with _pytest.raises(ValueError, match="min/max"):
         MV.refresh_mv_from_changes(mv, ch, ["k"], [("mx", "max", F.col("v"))])
+
+
+def test_refresh_from_changes_countless_specs(spark, tmp_path):
+    """r7 advice: WITHOUT a count spec, a fully-retracted group must
+    still leave the view (membership against `base` decides), and
+    sum-only specs with neither count nor base must raise instead of
+    silently keeping stale rows."""
+    import pytest as _pytest
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    rows = [(1, "a", 10.0), (2, "gone", 3.0), (3, "gone", 4.0)]
+    base = spark.createDataFrame(rows, "id long, k string, v double")
+    snap = SnapshotTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    keys = ["k"]
+    specs = [("s", "sum", F.col("v")), ("mx", "max", F.col("v"))]
+    mv0 = MV.build_mv(snap.read(), keys, specs)
+    snap.delete_where(F.col("k") == "gone")
+    refreshed = MV.refresh_mv_from_changes(
+        mv0, snap.read_changes(0), keys, specs, base=snap.read()
+    )
+    got = {r.k: (r.s, r.mx) for r in refreshed.collect()}
+    assert got == {"a": (10.0, 10.0)}  # retracted group gone, no count spec
+
+    ch = snap.read_changes(0)
+    with _pytest.raises(ValueError, match="count"):
+        MV.refresh_mv_from_changes(mv0, ch, keys, [("s", "sum", F.col("v"))])
