@@ -22,16 +22,26 @@ re-expression is a MANIFEST-OF-MANIFESTS:
   leftovers — and bumps the database commit seq so a still-live
   writer from before recovery can never publish (its pointer swap
   fences out on seq, mirroring the reference's conflict-cancel rule).
-- Database-level OCC with COST ARBITRATION (Rewrite.md:9-13): the
-  pointer swap validates the database seq read at transaction start;
-  each transaction carries a cost (partitions rewritten) recorded in
-  the version it publishes. A swap lost to a DISJOINT-table commit
-  rebases and retries (bounded backoff) instead of cancelling — the
-  expensive transaction survives cheap interleaved commits; genuine
-  same-table conflicts cancel (ConcurrentWriteError reporting both
-  costs), and abandoned table versions are healed by the next
-  recovery. Same-table races already cancel at the member-table OCC
-  layer.
+- Database-level OCC with COST ARBITRATION (Rewrite.md:9-13) at
+  PARTITION GRANULARITY (the lakehouse analog of the reference's
+  Table/Page/Row lock targets, Lock.h:22-29): the pointer swap
+  validates the database seq read at transaction start; each
+  transaction carries a cost (partitions rewritten) recorded in the
+  version it publishes and advertised live in a heartbeated commit-
+  intent file. A swap lost to a DISJOINT-table commit rebases and
+  retries (bounded backoff) instead of cancelling; a same-table race
+  against PUBLISHED commits re-executes on top and keeps the result
+  iff the two sides rewrote disjoint partition sets (proved from the
+  manifests' per-version rewrite lists — two pipelines upserting
+  different partitions of one fact table both land); a same-table
+  race against a live holder's UNPUBLISHED versions arbitrates on
+  cost — the highest-cost side proceeds, rolling the cheaper holders
+  back ("submit the transaction of highest cost, rollback all
+  conflicted"), while the cheaper side defers until the winner
+  publishes. Remaining conflicts (overlapping partitions,
+  unpartitioned tables, schema changes, declared read sets) cancel
+  with ConcurrentWriteError reporting both costs, and abandoned
+  table versions are healed by the next recovery.
 - Database time travel: `read(name, db_version=k)` resolves table
   versions through database version k; `vacuum()` prunes old database
   versions and passes every still-pinned table version as
@@ -46,12 +56,49 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+import time
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from herodb_spark.sources.snapshot import ConcurrentWriteError, SnapshotTable
 
 _DB_MANIFEST = "_db_manifest.json"
+_INTENT_DIR = "_intents"
+
+
+def _rewritten_partitions(tm: dict, v: int) -> set | None:
+    """Partition values table version `v` physically rewrote relative
+    to its parent `v-1`: partitions whose directory carries v's
+    version prefix (copy-on-write rewrites land under data/v=<v>-*),
+    plus partitions the commit dropped entirely. Returns None for
+    UNKNOWN — the parent entry was vacuumed, or the commit changed the
+    table SCHEMA (create/add_columns record one), which affects every
+    partition. This is the sub-table conflict granularity of the
+    reference's lock targets (Lock.h:22-29 Table/Page/Row): the
+    manifest already proves which partitions each commit touched, so
+    disjoint-partition writers need not conflict."""
+    e = tm["versions"].get(str(v))
+    prev = tm["versions"].get(str(v - 1))
+    if e is None or prev is None or "schema" in e:
+        return None
+    pref = f"data/v={v}-"
+    rew = {pv for pv, rel in e["partitions"].items() if rel.startswith(pref)}
+    rew |= set(prev["partitions"]) - set(e["partitions"])
+    return rew
+
+
+def _rewritten_between(tm: dict, lo: int, hi: int) -> set | None:
+    """Union of partition values rewritten by table versions in
+    (lo, hi]; None if any constituent is unknown (see above)."""
+    out: set = set()
+    for v in range(lo + 1, hi + 1):
+        r = _rewritten_partitions(tm, v)
+        if r is None:
+            return None
+        out |= r
+    return out
 
 
 class _DbManifest(SnapshotTable):
@@ -150,6 +197,78 @@ class SnapshotDatabase:
         self._mf._commit(m, expected_current=read_version, expected_seq=read_seq)
         return t
 
+    # -- commit intents ------------------------------------------------------
+    def _intent_dir(self) -> str:
+        return os.path.join(self.path, _INTENT_DIR)
+
+    def _live_intents(self, grace: float, exclude: str | None = None) -> dict:
+        """Commit-intent files of transactions presumed LIVE: mtime
+        within `grace` seconds (the holder's background heartbeat
+        refreshes it). Returns {txn_id: intent dict}. Unreadable /
+        half-written files are skipped (intents are written by atomic
+        replace, so this is belt-and-braces)."""
+        d = self._intent_dir()
+        out: dict[str, dict] = {}
+        try:
+            names = os.listdir(d)
+        except OSError:
+            return out
+        now = time.time()
+        for fn in names:
+            if not fn.endswith(".json"):
+                continue
+            tid = fn[:-5]
+            if tid == exclude:
+                continue
+            p = os.path.join(d, fn)
+            try:
+                if now - os.path.getmtime(p) > grace:
+                    continue
+                with open(p) as f:
+                    out[tid] = json.load(f)
+            except (OSError, ValueError):
+                continue
+        return out
+
+    def _sweep_intents(self, stale_after: float | None) -> None:
+        """Remove intent files — all of them (explicit, unconditional
+        recovery) or only those older than `stale_after` (crash
+        leftovers; a live holder's heartbeat keeps its file young)."""
+        d = self._intent_dir()
+        try:
+            names = os.listdir(d)
+        except OSError:
+            return
+        now = time.time()
+        for fn in names:
+            p = os.path.join(d, fn)
+            try:
+                if stale_after is None or now - os.path.getmtime(p) > stale_after:
+                    os.unlink(p)
+            except OSError:
+                pass
+
+    def _heal_table(self, name: str, to_pin: int) -> None:
+        """Arbitration heal: discard a member table's private (never
+        published) versions by rolling it back to the published pin,
+        then bump the database seq with a content-identical commit so
+        the rolled-back holder's eventual pointer swap FENCES OUT —
+        the physical form of the reference's "rollback all conflicted
+        transactions" (Rewrite.md:11-13). Losing either OCC commit to
+        a race is fine: the loop that calls this re-evaluates, and any
+        interleaved db commit bumped seq anyway (fence achieved)."""
+        try:
+            self.table(name).rollback(to_pin)
+        except ConcurrentWriteError:
+            return
+        m = self._load()
+        try:
+            self._mf._commit(
+                m, expected_current=m["current"], expected_seq=self._mf._seq(m)
+            )
+        except ConcurrentWriteError:
+            pass
+
     # -- recovery ----------------------------------------------------------
     def recover(self, stale_after: float | None = None) -> dict:
         """Discard member-table commits that never made it into a
@@ -159,25 +278,36 @@ class SnapshotDatabase:
         transaction that started before recovery can no longer publish.
 
         `stale_after` (seconds) distinguishes CRASH LEFTOVERS from
-        LIVE IN-FLIGHT TRANSACTIONS: a diverged table whose manifest
-        was written within the window is treated as an active writer's
-        private version and left alone. Explicit recovery (no
-        argument) heals unconditionally; Transaction.__enter__ passes
-        a grace window so overlapping writers no longer cancel each
-        other at start (the round-6 livelock note) — a table that
-        stays diverged past the window is, by definition, a crash.
+        LIVE IN-FLIGHT TRANSACTIONS: a diverged table is treated as an
+        active writer's private version and left alone when EITHER a
+        live commit intent claims it (the holder's background
+        heartbeat keeps the intent file young — covers single
+        statements that run longer than the grace window) OR the
+        table manifest itself was written within the window (writers
+        without intents). Explicit recovery (no argument) heals
+        unconditionally and sweeps all intent files;
+        Transaction.__enter__ passes a grace window so overlapping
+        writers no longer cancel each other at start (the round-6
+        livelock note) — a table that stays diverged past the window
+        with no live intent is, by definition, a crash.
         Returns {table: rolled_back_from_version}."""
         import time as _time
 
         m = self._load()
         read_version, read_seq = m["current"], self._mf._seq(m)
         pins = self._pins(m)
+        claimed: set[str] = set()
+        if stale_after is not None:
+            for it in self._live_intents(stale_after).values():
+                claimed |= set(it.get("tables", {}))
         healed: dict[str, int] = {}
         for name, pinned in pins.items():
             t = self.table(name)
             tm = t._load()
             if tm["current"] > pinned:
                 if stale_after is not None:
+                    if name in claimed:
+                        continue  # a live transaction claims it — skip
                     try:
                         age = _time.time() - os.path.getmtime(t._manifest_path())
                     except OSError:
@@ -186,6 +316,7 @@ class SnapshotDatabase:
                         continue  # plausibly a live writer — skip
                 healed[name] = tm["current"]
                 t.rollback(pinned)
+        self._sweep_intents(stale_after)
         if healed:
             # content-identical manifest; the commit exists only to
             # bump seq and fence out pre-recovery writers
@@ -278,25 +409,47 @@ class Transaction:
 
     CONFLICT ARBITRATION (Rewrite.md:9-13 — the reference queues
     transactions and submits the highest-cost one, rolling back all
-    conflicted transactions; with sum-of-costs as the refinement).
-    Under OCC the committed winner is physical, so the arbitration
-    maps to the loser's side:
+    conflicted transactions; with sum-of-costs as the refinement —
+    at the sub-table granularity of its lock targets, Lock.h:22-29
+    Table/Page/Row). Under OCC the committed winner is physical, so
+    the arbitration maps to the loser's side:
 
     - every transaction carries a COST (partitions rewritten across
       its member-table commits — the copy-on-write work metric that
       needs no extra Spark job), recorded in the database version
-      entry it publishes;
+      entry it publishes AND advertised live in a heartbeated
+      COMMIT-INTENT file under <db>/_intents/ while the transaction
+      is in flight;
     - a transaction that loses the pointer swap to an interleaved
       commit on DISJOINT tables does not cancel: it REBASES (adopts
       the new pin set, re-validates that its own tables and private
       versions are untouched) and retries with bounded backoff — a
       6-hour batch mutation survives any number of cheap disjoint
       commits instead of losing its work to a 1-minute one;
-    - on a genuine same-table conflict the transaction cancels
-      (ConcurrentWriteError reporting both costs): its member-table
-      versions were built on a superseded snapshot, and rebasing
-      would silently drop the winner's writes. This is the only case
-      the reference's arbiter would also have to cancel one side.
+    - a mutation that finds its table already advanced by a PUBLISHED
+      interleaved commit re-executes on top of it (serialize-after),
+      and the commit is kept only if the partition sets the two sides
+      physically rewrote are DISJOINT — the manifest's per-version
+      rewrite lists prove this for free. Two pipelines upserting
+      different partitions of one big fact table both land; rewriting
+      a partition the interleave also rewrote cancels (the rerun's
+      inputs may derive from the superseded snapshot — lost-update
+      risk), mirroring the reference's row/page-granular conflicts;
+    - a mutation that finds its table held by a live sibling's
+      UNPUBLISHED private version arbitrates on cost: if this
+      transaction's accumulated cost exceeds the sum of the live
+      holders' advertised costs (txn-id tiebreak on equality), it
+      ROLLS THE HOLDERS BACK (heal + seq fence — "submit the
+      transaction of highest cost, rollback all conflicted") and
+      proceeds; otherwise it DEFERS, polling until the winner
+      publishes (then the partition-granular rebase above applies)
+      or goes stale past the grace window (healed as a crash),
+      cancelling only on ARBITRATION_WAIT_S timeout;
+    - same-table conflicts that remain (overlapping partitions,
+      unpartitioned tables, schema-changing interleaves, declared
+      read-set overlap) cancel with ConcurrentWriteError reporting
+      both costs. These are the cases the reference's arbiter would
+      also have to cancel one side of.
 
     ISOLATION. The default, `isolation="write_serializable"`, checks
     WRITE-WRITE conflicts only — the same level lakehouse formats
@@ -313,19 +466,25 @@ class Transaction:
       first-committer-wins behavior.
     """
 
-    #: diverged member tables whose manifest mtime is younger than
-    #: this are presumed to be a live concurrent writer's private
-    #: versions, not crash leftovers. Every _apply refreshes the
-    #: mtime of ALL of this transaction's previously committed member
-    #: manifests (a progress heartbeat), so a long multi-statement
-    #: transaction stays live as long as it keeps committing; only an
-    #: IDLE gap longer than the grace (no statement for 30 min)
-    #: exposes its early commits to another transaction's start-time
-    #: healing — explicit recover() remains the unconditional path
-    #: for known crashes.
+    #: diverged member tables with no LIVE COMMIT INTENT claiming
+    #: them and a manifest mtime older than this are presumed crash
+    #: leftovers. Liveness has two signals: the transaction's intent
+    #: file, refreshed by a BACKGROUND HEARTBEAT THREAD every
+    #: HEARTBEAT_S (so a single statement that runs for hours stays
+    #: live — the r7 advice), and the member manifests' mtimes, which
+    #: every _apply refreshes for writers without intents. Explicit
+    #: recover() remains the unconditional path for known crashes.
     RECOVER_GRACE_S = 1800.0
+    #: background intent-heartbeat period (seconds)
+    HEARTBEAT_S = 60.0
     #: bounded rebase-retry budget for disjoint-table pointer races
     MAX_REBASES = 5
+    #: how long a mutation defers to a live higher-cost holder of its
+    #: table before cancelling (the holder normally publishes or goes
+    #: stale well within this)
+    ARBITRATION_WAIT_S = 30.0
+    #: arbitration poll period
+    POLL_S = 0.05
 
     def __init__(
         self,
@@ -342,6 +501,57 @@ class Transaction:
         self._entered = False
         self.isolation = isolation
         self.cost = 0
+        #: stable identity for the commit-intent file and for the
+        #: deterministic equal-cost tiebreak (both sides of a race
+        #: order the same way)
+        self.txn_id = uuid.uuid4().hex
+        #: partition values interleaved PUBLISHED commits rewrote in
+        #: tables this transaction later writes — the post-mutation
+        #: disjointness guard checks every own commit against these
+        self._foreign_rewrites: dict[str, set] = {}
+        #: OSErrors from heartbeat/utime refreshes, surfaced instead
+        #: of swallowed (r7 advice): inspect after long transactions
+        #: on stores where utime is unreliable
+        self.heartbeat_errors: list[str] = []
+        self._hb_stop: threading.Event | None = None
+        self._hb_thread: threading.Thread | None = None
+
+    # -- commit intent + heartbeat ------------------------------------------
+    def _intent_path(self) -> str:
+        return os.path.join(self.db._intent_dir(), f"{self.txn_id}.json")
+
+    def _write_intent(self) -> None:
+        """Advertise this transaction's live state (cost, private
+        table versions) for sibling arbitration; atomic replace, and
+        the write itself refreshes the liveness mtime."""
+        os.makedirs(self.db._intent_dir(), exist_ok=True)
+        p = self._intent_path()
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "txn_id": self.txn_id,
+                    "cost": self.cost,
+                    "tables": dict(self._new_pins),
+                    "isolation": self.isolation,
+                },
+                f,
+            )
+        os.replace(tmp, p)
+
+    def _heartbeat_loop(self) -> None:
+        while not self._hb_stop.wait(self.HEARTBEAT_S):
+            try:
+                os.utime(self._intent_path())
+            except OSError as e:
+                self.heartbeat_errors.append(f"intent heartbeat: {e}")
+
+    def _stop_heartbeat(self) -> None:
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+        if self._hb_thread is not None:
+            self._hb_thread.join(timeout=5.0)
+        self._hb_stop = self._hb_thread = None
 
     def read(self, name: str):
         """Pin-consistent in-transaction read with read-your-writes
@@ -360,14 +570,18 @@ class Transaction:
 
     def __enter__(self) -> "Transaction":
         # heal STALE crashed predecessors before reading seq; live
-        # in-flight writers (fresh manifests) are left alone so
-        # overlapping transactions no longer cancel each other here
+        # in-flight writers (fresh intents/manifests) are left alone
+        # so overlapping transactions no longer cancel each other here
         self.db.recover(stale_after=self.RECOVER_GRACE_S)
         m = self.db._load()
         self._read_version = m["current"]
         self._read_seq = self.db._mf._seq(m)
         self._base_pins = dict(self.db._pins(m))
         self._entered = True
+        self._write_intent()
+        self._hb_stop = threading.Event()
+        self._hb_thread = threading.Thread(target=self._heartbeat_loop, daemon=True)
+        self._hb_thread.start()
         return self
 
     # each mutation is a normal OCC table commit; the version it
@@ -386,21 +600,49 @@ class Transaction:
         # commit itself reads current fresh and wouldn't object.
         expected = self._new_pins.get(name, self._base_pins[name])
         if t._load()["current"] != expected:
-            raise ConcurrentWriteError(
-                f"{t.path}: table advanced past this transaction's snapshot"
-            )
+            if name in self._new_pins:
+                # our own private version was discarded — a higher-
+                # cost sibling's arbitration heal or a recovery swept
+                # it; this transaction is fenced out
+                raise ConcurrentWriteError(
+                    f"{t.path}: this transaction's private version {expected} "
+                    f"(cost {self.cost}) was rolled back by arbitration or "
+                    "recovery — fenced out"
+                )
+            expected = self._arbitrate_table_race(name, t)
         version = fn(t)
         if version != expected:  # no-op mutations don't dirty the txn
             self._new_pins[name] = version
+            # partition-granular conflict check (Lock.h:22-29 analog):
+            # when interleaved PUBLISHED commits rewrote partitions of
+            # this table under us, our re-executed commit survives
+            # only if the partition sets are disjoint — else undo it
+            # and cancel (lost-update risk: our inputs may derive
+            # from the superseded snapshot)
+            guard = self._foreign_rewrites.get(name)
+            if guard:
+                ours = _rewritten_between(t._load(), expected, version)
+                clash = None if ours is None else sorted(ours & guard)
+                if ours is None or clash:
+                    del self._new_pins[name]
+                    t.rollback(expected)
+                    raise ConcurrentWriteError(
+                        f"{t.path}: partitions {clash or '(unknown)'} rewritten by "
+                        f"this transaction (cost {self.cost}) were also rewritten "
+                        "by an interleaved committed transaction — overlapping "
+                        "partitions are not rebasable, cancelling"
+                    )
         # progress heartbeat: refresh the mtime of every member
         # manifest this transaction already committed so a sibling
         # transaction's grace-window recovery keeps treating them as
-        # live (see RECOVER_GRACE_S)
+        # live (see RECOVER_GRACE_S); failures are surfaced on
+        # heartbeat_errors, not swallowed (the intent heartbeat is
+        # the primary liveness signal)
         for other in self._new_pins:
             try:
                 os.utime(self.db.table(other)._manifest_path())
-            except OSError:
-                pass
+            except OSError as e:
+                self.heartbeat_errors.append(f"manifest heartbeat {other}: {e}")
         # cost = copy-on-write work: partitions this commit physically
         # rewrote (manifest metadata — no extra Spark job). A no-op
         # mutation (version unchanged) adds nothing.
@@ -410,7 +652,103 @@ class Transaction:
             self.cost += sum(
                 1 for rel in entry.get("partitions", {}).values() if rel.startswith(prefix)
             )
+        self._write_intent()  # advertise new cost + private versions
         return version
+
+    def _arbitrate_table_race(self, name: str, t: SnapshotTable) -> int:
+        """The table this mutation targets advanced past our snapshot.
+        Resolve per the class docstring's arbitration contract and
+        return the version to build on, or raise ConcurrentWriteError.
+        Three live cases, looped until settled or timed out:
+
+        - interleaved commits are PUBLISHED (db pin caught up): record
+          the partitions they rewrote for the post-mutation
+          disjointness guard, rebase the whole transaction onto the
+          new pins (raises if our declared read/write set overlaps),
+          and re-execute on top — serialize-after;
+        - a live sibling holds UNPUBLISHED private versions: compare
+          our accumulated cost against the sum of the live holders'
+          advertised costs (Rewrite.md:11-13 with the sum-of-costs
+          refinement; txn-id tiebreak) — win: roll the holders back
+          (heal + seq fence) and proceed; lose: defer-poll until the
+          winner publishes or goes stale;
+        - no live intent and a stale manifest: crash leftovers — heal
+          and proceed."""
+        if self.isolation == "serializable":
+            raise ConcurrentWriteError(
+                f"{t.path}: table advanced under a serializable transaction "
+                f"(cost {self.cost}) — cancelling (arbitration disabled at "
+                "this isolation level)"
+            )
+        if name in self._read_tables:
+            raise ConcurrentWriteError(
+                f"{t.path}: table {name!r} is in this transaction's declared "
+                f"read set (cost {self.cost}) and was advanced by a concurrent "
+                "writer — cancelling (serializing after it could commit writes "
+                "derived from a superseded read)"
+            )
+        deadline = time.time() + self.ARBITRATION_WAIT_S
+        while True:
+            tm = t._load()
+            cur = tm["current"]
+            base = self._base_pins[name]
+            if cur == base:
+                return base  # settled (healed, or resolved under us)
+            pin = self.db._pins(self.db._load()).get(name, base)
+            if pin > base:
+                # published interleave: partition-granular rebase
+                theirs = _rewritten_between(tm, base, pin)
+                if theirs is None:
+                    raise ConcurrentWriteError(
+                        f"{t.path}: interleaved committed transaction changed "
+                        f"{name!r}'s schema or its versions were vacuumed — "
+                        f"not rebasable (cost {self.cost}), cancelling"
+                    )
+                if tm.get("partition_col") is None and theirs:
+                    # unpartitioned table = single partition: overlap
+                    # is guaranteed — fail fast, before paying the
+                    # re-executed mutation job
+                    wcost = (
+                        self.db._load()["versions"].get(str(pin), {}).get("cost", "?")
+                    )
+                    raise ConcurrentWriteError(
+                        f"{t.path}: table {name!r} (unpartitioned) was committed "
+                        f"by an interleaved transaction (cost {wcost}); this "
+                        f"transaction (cost {self.cost}) rewrites the same single "
+                        "partition — same-table conflict, cancelling"
+                    )
+                self._foreign_rewrites[name] = (
+                    self._foreign_rewrites.get(name, set()) | theirs
+                )
+                self._rebase()  # adopt pins; raises on read/write overlap
+                continue
+            # unpublished private versions ahead of the pin
+            live = self.db._live_intents(self.RECOVER_GRACE_S, exclude=self.txn_id)
+            holders = {k: v for k, v in live.items() if name in v.get("tables", {})}
+            if holders:
+                their_cost = sum(int(v.get("cost", 0)) for v in holders.values())
+                if (self.cost, self.txn_id) > (their_cost, max(holders)):
+                    # we are the highest-cost side: submit us, roll
+                    # back the conflicted holders (they fence out)
+                    self.db._heal_table(name, pin)
+                    continue
+            else:
+                try:
+                    age = time.time() - os.path.getmtime(t._manifest_path())
+                except OSError:
+                    age = float("inf")
+                if age > self.RECOVER_GRACE_S:
+                    self.db._heal_table(name, pin)  # crash leftovers
+                    continue
+            if time.time() >= deadline:
+                raise ConcurrentWriteError(
+                    f"{t.path}: table {name!r} is held by live transaction(s) "
+                    f"{sorted(holders) or '(unknown writer)'} with total cost "
+                    f"{sum(int(v.get('cost', 0)) for v in holders.values())} ≥ "
+                    f"ours ({self.cost}); deferred {self.ARBITRATION_WAIT_S}s "
+                    "without a publish — cancelling"
+                )
+            time.sleep(self.POLL_S)
 
     def merge_upsert(self, name: str, updates: DataFrame, program: str | None = None) -> int:
         return self._apply(name, lambda t: t.merge_upsert(updates, program=program))
@@ -489,6 +827,16 @@ class Transaction:
                 f"transaction (cost {self.cost}; interleaved cost {winner_cost}) "
                 "— cancelling (rebase disabled at this isolation level)"
             )
+        # fence check FIRST: a private version rolled back by a
+        # higher-cost sibling's arbitration (or recovery) means this
+        # transaction already lost — report that, not a pin overlap
+        for name, v in self._new_pins.items():
+            if self.db.table(name)._load()["current"] != v:
+                raise ConcurrentWriteError(
+                    f"{self.db.path}: table {name!r} private version {v} was "
+                    "rolled back by arbitration or recovery — this transaction "
+                    f"(cost {self.cost}) is fenced out"
+                )
         touched = set(self._new_pins) | self._read_tables
         overlap = sorted(
             n for n in touched if new_pins.get(n) != self._base_pins.get(n)
@@ -501,12 +849,6 @@ class Transaction:
                 "versions supersede this snapshot — cancelling (overlapping "
                 "conflict is not rebasable)"
             )
-        for name, v in self._new_pins.items():
-            if self.db.table(name)._load()["current"] != v:
-                raise ConcurrentWriteError(
-                    f"{self.db.path}: table {name!r} private version {v} was "
-                    "rolled back by recovery — this transaction is fenced out"
-                )
         self._read_version = m["current"]
         self._read_seq = self.db._mf._seq(m)
         self._base_pins = new_pins
@@ -523,19 +865,38 @@ class Transaction:
 
         for attempt in range(self.MAX_REBASES + 1):
             try:
-                return self._try_swap()
+                v = self._try_swap()
             except ConcurrentWriteError:
                 if attempt == self.MAX_REBASES:
                     raise
                 self._rebase()  # raises on genuine conflict
                 _time.sleep(0.01 * (2**attempt))
+                continue
+            # published: the intent has served its purpose (callers
+            # that skip __exit__ — bare commit() — must not leave a
+            # live intent claiming the now-public versions)
+            self._stop_heartbeat()
+            try:
+                os.unlink(self._intent_path())
+            except OSError:
+                pass
+            return v
         raise AssertionError("unreachable")
 
     def __exit__(self, exc_type, exc, tb) -> bool:
         self._entered = False
-        # a watermarked (streaming) transaction commits even when the
-        # batch produced no row changes — the watermark must advance
-        # or the batch would replay forever
-        if exc_type is None and (self._new_pins or self._txn_mark is not None):
-            self.commit()
+        try:
+            # a watermarked (streaming) transaction commits even when
+            # the batch produced no row changes — the watermark must
+            # advance or the batch would replay forever
+            if exc_type is None and (self._new_pins or self._txn_mark is not None):
+                self.commit()
+        finally:
+            # only after the publish (or abort) is the intent dead —
+            # a sibling arbitrating mid-commit must still see us live
+            self._stop_heartbeat()
+            try:
+                os.unlink(self._intent_path())
+            except OSError:
+                pass
         return False

