@@ -16,12 +16,16 @@ Semantics (bottom-up / safe Datalog):
   of draft:87) are top-down constructs and are rejected with a clear
   error — the bounded-recursion operators in graph/algorithms.py are
   the mapping for those.
-- Recursive rule sets (draft:80-89) evaluate as an INFLATIONARY
-  FIXPOINT per dependency-graph SCC, capped at `max_iters` rounds:
-  state grows monotonically, each round is localCheckpoint'ed (bounded
-  lineage — the iterative-DataFrame trap), and a count probe detects
-  the fixpoint. The draft's doubly-recursive Fib runs verbatim: round
-  k derives Fib(k+2), so `query (o) :- Fib(10, o)` needs 8 rounds.
+- Recursive rule sets (draft:80-89) evaluate as a SEMI-NAIVE
+  inflationary fixpoint per dependency-graph SCC, capped at
+  `max_iters` rounds: every round derives only from the previous
+  round's DELTAS (one Δ-substitution per positive recursive atom —
+  multi-table mutual recursion and non-linear rules included), new
+  facts are exceptAll'ed against the state, and each round's delta
+  and state are localCheckpoint'ed (bounded lineage — the
+  iterative-DataFrame trap). The draft's doubly-recursive Fib runs
+  verbatim: round k derives Fib(k+2), so `query (o) :- Fib(10, o)`
+  needs 8 rounds, each joining a 1-row delta, not the full state.
 - Pattern arguments may be linear expressions of ONE unbound variable
   (`Fib(a-1, x)` binds a = i+1 from the matched row) — the inversion
   that makes the draft's recursive cases range-restricted.
@@ -36,12 +40,13 @@ Semantics (bottom-up / safe Datalog):
 
 Scale notes: a HeroQL program's non-recursive rules cost exactly what
 the equivalent hand-written DataFrame program costs — the compiler
-adds projections only. Recursive SCCs re-derive from the full state
-each round (naive iteration): correct for the language surface, and
-the dedicated closure()/fixpoint() operators remain the tuned path
-for 100-TB graph workloads (semi-naive frontiers). Mutations rewrite
-the table DataFrame lazily and localCheckpoint every few statements
-so statement loops don't accumulate unbounded lineage.
+adds projections only. Recursive SCCs evaluate SEMI-NAIVELY
+(_eval_seminaive_scc): per-round join work scales with the frontier,
+not the accumulated state — the same shape as the dedicated
+closure()/fixpoint() operators in graph/algorithms.py, generalized
+to arbitrary Datalog SCCs. Mutations rewrite the table DataFrame
+lazily and localCheckpoint every few statements so statement loops
+don't accumulate unbounded lineage.
 """
 
 from __future__ import annotations
@@ -1019,54 +1024,88 @@ class HeroQL:
                 neg.append(lit)
         return pos, neg
 
-    def _seminaive_ok(self, name: str, scc: set) -> bool:
-        """Semi-naive evaluation applies when the SCC is a single table
-        whose recursive rules are LINEAR (≤1 positive recursive atom)
-        and negation-free within the SCC — the common shape (ancestor /
-        reachability programs). Fib's two recursive atoms fall back to
-        naive rounds."""
-        if scc != {name}:
-            return False
-        for rule in self.rules.get(name, ()):
-            pos, neg = self._scc_atoms(rule, scc)
-            if neg or len(pos) > 1:
-                return False
-        return True
+    def _eval_seminaive_scc(self, scc_names: list[str]) -> dict:
+        """SEMI-NAIVE fixpoint over one recursive SCC — every
+        recursive component evaluates this way (multi-table mutual
+        recursion and non-linear rules included), the same frontier
+        shape as graph/algorithms.closure generalized to Datalog:
 
-    def _eval_seminaive(self, name: str) -> DataFrame:
-        """Semi-naive fixpoint (the 100-TB path, same shape as
-        graph/algorithms.closure): recursive rules see only the latest
-        DELTA, so per-round work scales with the frontier, not the
-        accumulated state; exceptAll (null-safe set difference) against
-        the state guarantees convergence; every round's delta and state
-        are localCheckpoint'ed to bound lineage."""
-        scc = {name}
-        base_rules = [r for r in self.rules.get(name, ()) if not self._scc_atoms(r, scc)[0]]
-        rec_rules = [r for r in self.rules.get(name, ()) if self._scc_atoms(r, scc)[0]]
-        seed = self._derive_rules(name, base_rules, {})
-        if seed is None:
-            raise HeroQLError(f"recursive table {name!r} has no derivable base case")
-        state = seed.localCheckpoint(eager=True)
-        delta = state
+        - seed each table's state with its non-recursive rules;
+        - each round, for every recursive rule and every positive
+          recursive atom in it, derive with THAT atom reading the
+          previous round's DELTA and every other atom the full
+          accumulated state (the standard Δ-rule decomposition: a
+          fact first derivable this round must use at least one
+          last-round fact, so substituting Δ in each position in turn
+          is complete; everything substituted is derived, so it is
+          sound);
+        - new = distinct − state (exceptAll, null-safe), both delta
+          and state localCheckpoint'ed per round to bound lineage;
+        - stop when every table's round delta is empty.
+
+        Per-round join work scales with the FRONTIER, not the
+        accumulated state — on a deep recursion at 100 TB this is the
+        difference between O(rounds × frontier) and the naive
+        O(rounds × full-state) re-derivation."""
+        scc = set(scc_names)
+        rec: dict[str, list] = {}
+        state: dict[str, DataFrame | None] = {}
+        for n in scc_names:
+            rules = self.rules.get(n, ())
+            base_rules = [r for r in rules if not self._scc_atoms(r, scc)[0]]
+            rec[n] = [r for r in rules if self._scc_atoms(r, scc)[0]]
+            seed = self._derive_rules(n, base_rules, {})
+            state[n] = (
+                None if seed is None else seed.distinct().localCheckpoint(eager=True)
+            )
+        delta = dict(state)
         for _ in range(self.max_iters):
-            outs: list[DataFrame] = []
-            d = self._def(name)
-            for rule in rec_rules:
-                try:
-                    frame = self._compile_body(rule.body, {name: delta})
-                    outs.append(self._project_head(rule.head, frame, d.fields))
-                except _SkipRule:
+            new_delta: dict[str, DataFrame | None] = {}
+            for n in scc_names:
+                d = self._def(n)
+                outs: list[DataFrame] = []
+                for rule in rec[n]:
+                    pos, _ = self._scc_atoms(rule, scc)
+                    for atom in pos:
+                        dd = delta.get(atom.name)
+                        if dd is None:
+                            continue  # that table gained nothing last round
+                        try:
+                            frame = self._compile_body(
+                                rule.body, state, overrides={id(atom): dd}
+                            )
+                        except _SkipRule:
+                            continue
+                        outs.append(self._project_head(rule.head, frame, d.fields))
+                if not outs:
+                    new_delta[n] = None
                     continue
-            if not outs:
+                new = outs[0]
+                for p in outs[1:]:
+                    new = new.unionByName(p)
+                new = new.distinct()
+                if state[n] is not None:
+                    new = new.exceptAll(state[n])
+                new = new.localCheckpoint(eager=True)
+                new_delta[n] = None if new.isEmpty() else new
+            if not any(dd is not None for dd in new_delta.values()):
                 break
-            new = outs[0]
-            for p in outs[1:]:
-                new = new.unionByName(p)
-            new = new.distinct().exceptAll(state).localCheckpoint(eager=True)
-            if new.isEmpty():
-                break
-            state = state.unionByName(new).localCheckpoint(eager=True)
-            delta = new
+            # round barrier: merge every table's delta only after all
+            # derivations ran, so each round observes the previous
+            # round's state (the inflationary fixpoint is the same
+            # minimal model either way; the barrier makes round
+            # arithmetic — e.g. the draft's Fib round-k shape —
+            # deterministic)
+            for n in scc_names:
+                dd = new_delta[n]
+                if dd is None:
+                    continue
+                state[n] = (
+                    dd
+                    if state[n] is None
+                    else state[n].unionByName(dd).localCheckpoint(eager=True)
+                )
+            delta = new_delta
         return state
 
     def _eval_idb(self, name: str) -> None:
@@ -1074,10 +1113,6 @@ class HeroQL:
         recursive = any(self._idb_deps(n) & scc for n in scc)
         if not recursive:
             self._memo[name] = self._finalize(name, self._derive(name, {}))
-            self._memo_pos[name] = len(self._delta_log)
-            return
-        if self._seminaive_ok(name, scc):
-            self._memo[name] = self._finalize(name, self._eval_seminaive(name))
             self._memo_pos[name] = len(self._delta_log)
             return
         # stratification check: `not`/`exists` over a table in the SAME
@@ -1093,24 +1128,7 @@ class HeroQL:
                         f"its own recursive component {sorted(scc)} — move the "
                         "negated table to a lower stratum"
                     )
-        state: dict[str, DataFrame | None] = {n: None for n in scc}
-        counts = {n: -1 for n in scc}
-        for _ in range(self.max_iters):
-            changed = False
-            for n in scc:
-                new = self._derive(n, state)
-                if new is None:
-                    continue
-                cur = state[n]
-                merged = new if cur is None else cur.unionByName(new).distinct()
-                merged = merged.localCheckpoint(eager=True)
-                c = merged.count()
-                if c != counts[n]:
-                    changed = True
-                    counts[n] = c
-                    state[n] = merged
-            if not changed:
-                break
+        state = self._eval_seminaive_scc(sorted(scc))
         for n in scc:
             df = state[n]
             if df is None:

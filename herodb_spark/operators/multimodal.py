@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary`
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked stub (`decode_blob` raises NotImplementedError; the
-frame sampler uses a deterministic fake). What IS real and tested:
-the binary column schema, the mapInPandas batch shapes (Arrow
-transfer), partition-parallel execution, and the metadata/sampling
-arithmetic — i.e. everything Spark-side that a real decoder would
-plug into.
+Decode is GENUINELY IMPLEMENTED for two image formats (binary PPM
+P6, and PNG via stdlib zlib + scanline unfiltering) and one audio
+format (RIFF/WAVE PCM16) — pure-bytes parsers, no codec libraries.
+Lossy codecs (JPEG/MP3/video) need libraries absent from this
+container and keep a clearly-marked NotImplementedError stub. Real
+and tested regardless of format: the binary column schema, the
+mapInPandas batch shapes (Arrow transfer), partition-parallel
+execution, and the metadata/sampling arithmetic — i.e. everything
+Spark-side that a production decoder would plug into.
 
 Blobs are synthesized deterministically from `documents.text`
 (utf-8 bytes) so the pipeline runs on the driver's tables.
@@ -27,21 +29,119 @@ FRAME_SIZE = 256  # bytes per fake "frame"
 FRAME_STEP = 4  # sample every 4th frame
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def decode_blob(blob: bytes, kind: str) -> object:
     """Decode plug-in point. GENUINELY IMPLEMENTED for binary PPM
-    (P6) images — a pure-bytes parser, no codec libraries needed —
-    returning {width, height, maxval, mean_rgb}. Compressed formats
-    (JPEG/PNG/audio/video) require codec libraries absent from this
-    container and keep the explicit stub."""
+    (P6) and PNG (stdlib-zlib inflate + scanline unfilter) images —
+    pure-bytes parsers, no codec libraries needed — returning
+    {width, height, maxval, mean_rgb}; and for RIFF/WAVE PCM16
+    audio. Lossy formats (JPEG/MP3/video) require codec libraries
+    absent from this container and keep the explicit stub."""
     if kind == "image" and blob[:2] == b"P6":
         return decode_ppm(blob)
+    if kind == "image" and blob[:8] == _PNG_SIG:
+        return decode_png(blob)
     if kind == "audio" and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return decode_wav(blob)
     raise NotImplementedError(
-        "media decode beyond PPM/WAV-PCM requires codec libraries not present "
-        "in this environment; blob plumbing (schema/batching/partitioning) is "
-        "implemented and tested"
+        "media decode beyond PPM/PNG/WAV-PCM requires codec libraries not "
+        "present in this environment; blob plumbing (schema/batching/"
+        "partitioning) is implemented and tested"
     )
+
+
+def decode_png(blob: bytes) -> dict:
+    """PNG decoded with the standard library only (RFC 2083): walk
+    the chunk list, inflate the concatenated IDAT stream with zlib,
+    then reconstruct each scanline through the five PNG filters
+    (None/Sub/Up/Average/Paeth). Supports 8-bit grayscale, RGB and
+    RGBA; rejects Adam7 interlace, palettes and 16-bit depth with
+    clear errors. Returns the same feature shape as decode_ppm —
+    {width, height, maxval, mean_rgb} (alpha excluded from means,
+    grayscale replicated)."""
+    import struct
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, n = 8, len(blob)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        length, ctype = struct.unpack(">I4s", blob[pos : pos + 8])
+        body = blob[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+            if color not in (0, 2, 6):
+                raise ValueError(
+                    f"unsupported PNG color type {color} (grayscale/RGB/RGBA only)"
+                )
+            if interlace:
+                raise ValueError("interlaced PNG (Adam7) not supported")
+            ihdr = (w, h, color)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + CRC32
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, color = ihdr
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG payload size mismatch: want {h * (stride + 1)} filtered "
+            f"bytes, got {len(raw)}"
+        )
+    out = bytearray(h * stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        o = y * stride
+        po = o - stride
+        if ft == 0:  # None
+            out[o : o + stride] = row
+        elif ft == 1:  # Sub
+            for i in range(stride):
+                left = out[o + i - ch] if i >= ch else 0
+                out[o + i] = (row[i] + left) & 0xFF
+        elif ft == 2:  # Up
+            if y == 0:
+                out[o : o + stride] = row
+            else:
+                for i in range(stride):
+                    out[o + i] = (row[i] + out[po + i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = out[o + i - ch] if i >= ch else 0
+                up = out[po + i] if y else 0
+                out[o + i] = (row[i] + ((left + up) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = out[o + i - ch] if i >= ch else 0
+                b = out[po + i] if y else 0
+                c = out[po + i - ch] if (y and i >= ch) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[o + i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+    npx = w * h
+    if color == 0:
+        m = sum(out) / npx
+        means = (m, m, m)
+    else:
+        means = tuple(sum(out[c::ch]) / npx for c in range(3))
+    return {"width": w, "height": h, "maxval": 255, "mean_rgb": means}
 
 
 def decode_ppm(blob: bytes) -> dict:
@@ -126,14 +226,15 @@ def decode_wav(blob: bytes) -> dict:
 
 def image_features(blobs: DataFrame) -> DataFrame:
     """Arrow-batched decode-and-featurize over (doc_id, blob) rows of
-    P6 images: width/height + per-channel means, one mapInPandas pass
-    (the real-decoder analog of mm_pipeline's metadata stage)."""
+    P6/PNG images: width/height + per-channel means, one mapInPandas
+    pass (the real-decoder analog of mm_pipeline's metadata stage)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                d = decode_ppm(bytes(blob))
+                blob = bytes(blob)
+                d = decode_png(blob) if blob[:8] == _PNG_SIG else decode_ppm(blob)
                 r, g, b = d["mean_rgb"]
                 rows.append((doc_id, d["width"], d["height"], r, g, b))
             yield pd.DataFrame(

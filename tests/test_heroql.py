@@ -515,8 +515,8 @@ def test_linear_recursion_seminaive(spark):
     """)
     got = rows(res.queries[0])
     assert got == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (10, 11)]
-    # the semi-naive path was actually selected for this program
-    assert hql._seminaive_ok("Reach", {"Reach"})
+    # since round 8 EVERY recursive SCC is semi-naive; the delta-probe
+    # tests below pin that rounds join deltas, not the full state
 
 
 def test_linear_recursion_with_cycle_terminates(spark):
@@ -1726,3 +1726,70 @@ def test_history_relation_audits_programs(spark, tmp_path):
     # composes like any relation: filter on op
     only = hql.run('query (ver) :- history(T, ver, op, _), op == "merge_upsert";').queries[0]
     assert [r.ver for r in only.collect()] == [1]
+
+
+def test_seminaive_rounds_join_delta_not_state(spark, monkeypatch):
+    """The r7 verdict's weak item, pinned: every recursive fixpoint
+    round derives from the previous round's DELTA, not the full
+    accumulated state. Probe: record the row count of every
+    delta-substituted atom frame while the draft's doubly-recursive
+    Fib runs — deltas must stay ≤ 2 rows (the two seed facts) even
+    though the final state holds 10 rows; a naive evaluator would
+    feed the growing state (up to 9 rows) into the last rounds."""
+    from pyspark.sql import DataFrame as _DF
+
+    from herodb_spark.heroql import compiler as C
+
+    seen: list[int] = []
+    orig = C.HeroQL._compile_body
+
+    def probing(self, body, state=None, overrides=None):
+        if overrides:
+            for df in overrides.values():
+                if isinstance(df, _DF):
+                    seen.append(df.count())
+        return orig(self, body, state, overrides)
+
+    monkeypatch.setattr(C.HeroQL, "_compile_body", probing)
+    hql = C.HeroQL(spark, max_iters=16)
+    res = hql.run("""
+        func Fib(in i, out o);
+        case Fib(1, 1);
+        case Fib(2, 1);
+        case Fib(a, b) :- Fib(a-1, x), Fib(a-2, y), b = x + y;
+        query (o) :- Fib(10, o);
+    """)
+    assert rows(res.queries[0]) == [(55,)]
+    assert seen, "no delta-substituted derivations recorded"
+    assert max(seen) <= 2, f"a round joined {max(seen)} rows — full state, not delta"
+
+
+def test_seminaive_multitable_scc_uses_deltas(spark, monkeypatch):
+    """Mutual recursion (two-table SCC) also runs semi-naively: each
+    round's Even/Odd derivations read 1-row deltas."""
+    from pyspark.sql import DataFrame as _DF
+
+    from herodb_spark.heroql import compiler as C
+
+    seen: list[int] = []
+    orig = C.HeroQL._compile_body
+
+    def probing(self, body, state=None, overrides=None):
+        if overrides:
+            for df in overrides.values():
+                if isinstance(df, _DF):
+                    seen.append(df.count())
+        return orig(self, body, state, overrides)
+
+    monkeypatch.setattr(C.HeroQL, "_compile_body", probing)
+    hql = C.HeroQL(spark, max_iters=12)
+    res = hql.run("""
+        func Even(in n);
+        func Odd(in n);
+        case Even(0);
+        case Odd(n) :- Even(n-1), n <= 9;
+        case Even(n) :- Odd(n-1), n <= 9;
+        query (n) :- Even(n);
+    """)
+    assert rows(res.queries[0]) == [(0,), (2,), (4,), (6,), (8,)]
+    assert seen and max(seen) == 1
