@@ -247,19 +247,33 @@ class HeroQL:
         df: DataFrame,
         fields: list[str] | None = None,
         is_class: bool = False,
-        key: str | None = None,
+        key: str | list[str] | None = None,
     ) -> None:
         """Bind a base table. `fields` renames/reorders positional
-        arguments (defaults to the DataFrame's columns)."""
+        arguments (defaults to the DataFrame's columns). `key` may be
+        a COLUMN LIST for composite-key tables (snapshot tables with
+        multi-column key_cols): the single-key slot then stays unset —
+        nothing key-dependent silently binds keys[0] — and key-set
+        features (durable merge, if-not-set) address the full list.
+        Class tables bind row variables through ONE key column, so
+        is_class + composite key is rejected."""
         cols = list(df.columns)
         if fields is not None:
             if len(fields) != len(cols):
                 raise HeroQLError(f"{name}: {len(fields)} fields for {len(cols)} columns")
             df = df.select([F.col(c).alias(f) for c, f in zip(cols, fields)])
             cols = fields
+        keys = [key] if isinstance(key, str) else (list(key) if key else None)
+        if keys and len(keys) > 1 and is_class:
+            raise HeroQLError(
+                f"{name}: class rows bind through ONE key column; composite "
+                f"key {keys} is not supported for is_class tables"
+            )
         self.tables[name] = df
         if name not in self.defs:
-            self.defs[name] = TableDef(name, cols, None, is_class, key or self._guess_key(cols))
+            single = keys[0] if keys and len(keys) == 1 else None
+            guessed = None if (keys and len(keys) > 1) else self._guess_key(cols)
+            self.defs[name] = TableDef(name, cols, None, is_class, single or guessed)
         else:
             d = self.defs[name]
             if d.fields != cols:
@@ -282,13 +296,13 @@ class HeroQL:
         own (no positional renames: the snapshot key_cols must stay
         addressable).
 
-        COMPOSITE-KEY tables are rejected: HeroQL's key-dependent
-        features (if-not-set, uniqueness, member deref) address ONE
-        key column, so a multi-key table would silently bind only
-        keys[0] while the durable merge dedupes on all key_cols
-        (round-6 advice). Mutate such tables through the
-        SnapshotTable/SnapshotDatabase API, or exclude them via
-        register_database(tables=[...]).
+        COMPOSITE-KEY tables bind with the FULL key list threaded
+        through (round-7 advice — previously rejected): the durable
+        merge dedupes on all key_cols, a synthesized
+        `index Unique(<key_cols>)` makes `if not set` and uniqueness
+        address every key column, and no single-key feature silently
+        binds keys[0] (TableDef.key stays unset). Only is_class +
+        composite is rejected — row variables bind through one key.
 
         SEMANTICS NOTE — `set` on existing keys: the durable path
         always merges on the snapshot's key_cols (a restated key
@@ -301,14 +315,15 @@ class HeroQL:
         version = m["current"]
         df = snap.read(version=version)
         keys = m["key_cols"]
-        if keys and len(keys) > 1:
-            raise HeroQLError(
-                f"{name}: snapshot table has composite key {keys}; HeroQL "
-                "key-dependent features address a single key column — use the "
-                "SnapshotTable API for this table or exclude it via "
-                "register_database(tables=[...])"
-            )
-        self.register(name, df, is_class=is_class, key=keys[0] if keys else None)
+        self.register(name, df, is_class=is_class, key=keys or None)
+        if keys:
+            # the snapshot's key_cols ARE unique by construction
+            # (merge_upsert enforces it): surface that to key-set
+            # language features (if-not-set, uniqueness) without
+            # requiring a redundant program declaration
+            d = self.defs[name]
+            if not any("Unique" in ix.kinds for ix in d.indexes):
+                d.indexes = list(d.indexes) + [P.IndexDef(["Unique"], list(keys))]
         self._snapshots[name] = snap
         self._snapshot_versions[name] = version
 
@@ -324,26 +339,14 @@ class HeroQL:
         a crashed predecessor's half-applied leftovers are healed
         before this session reads.
 
-        When `tables` is None (register everything, the CLI path),
-        COMPOSITE-KEY members are SKIPPED rather than failing the
-        whole database: they stay queryable through the Python API
-        (db.read) but are not bound in the language; skipped names
-        are recorded in `self.skipped_tables`. Naming such a table
-        explicitly in `tables` still raises (the caller asked for the
-        impossible and should hear about it)."""
+        Composite-key members register like any other (the full key
+        list threads through, round-7 advice); `self.skipped_tables`
+        remains as an always-empty compatibility attribute for
+        callers that checked it."""
         db.recover()
         self.skipped_tables: list[str] = []
-        if tables is not None:
-            for name in tables:
-                self.register_snapshot(name, db.table(name))
-        else:
-            for name in sorted(db.tables()):
-                snap = db.table(name)
-                keys = snap._load()["key_cols"]
-                if keys and len(keys) > 1:
-                    self.skipped_tables.append(name)
-                    continue
-                self.register_snapshot(name, snap)
+        for name in tables if tables is not None else sorted(db.tables()):
+            self.register_snapshot(name, db.table(name))
         self._db = db
         # re-pin every member frame through the DATABASE pin set: the
         # registration reads above resolved each table's own current,

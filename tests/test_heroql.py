@@ -1427,7 +1427,7 @@ def test_changes_relation_binds_cdc(spark, tmp_path):
     assert rows(ins) == [(3,)]
 
 
-def test_register_snapshot_rejects_composite_key(spark, tmp_path):
+def test_register_snapshot_composite_key_binds(spark, tmp_path):
     import os
 
     from herodb_spark.sources.snapshot import SnapshotTable
@@ -1437,8 +1437,13 @@ def test_register_snapshot_rejects_composite_key(spark, tmp_path):
         spark, os.path.join(str(tmp_path), "ck"), seed, key_cols=["a", "b"]
     )
     hql = HeroQL(spark)
-    with pytest.raises(HeroQLError, match="composite key"):
-        hql.register_snapshot("T", snap)
+    # since round 8 composite keys register fine (r7 advice) — only
+    # CLASS tables still need a single key to bind row variables
+    hql.register_snapshot("T", snap)
+    assert rows(hql.run("query (a, b, v) :- T(a, b, v);").queries[0]) == [(1, 2, 3)]
+    hql2 = HeroQL(spark)
+    with pytest.raises(HeroQLError, match="ONE key column"):
+        hql2.register_snapshot("C", snap, is_class=True)
 
 
 def test_inmem_unique_set_replaces_on_key(spark):
@@ -1564,11 +1569,10 @@ def test_zone_map_pushdown_on_partition_column(spark, tmp_path):
     assert sorted(r.k for r in out.collect()) == list(range(100, 110))
 
 
-def test_register_database_skips_composite_key_members(spark, tmp_path):
-    """A composite-key member table must not fail register_database
-    (nor the CLI --database path): it is skipped and recorded, the
-    rest of the database binds normally; naming it EXPLICITLY in
-    `tables` still raises."""
+def test_register_database_binds_composite_key_members(spark, tmp_path):
+    """Since round 8 (r7 advice) a composite-key member table binds
+    like any other — the full key list threads through — and
+    `skipped_tables` stays empty for compatibility."""
     import os
 
     from herodb_spark.sources.database import SnapshotDatabase
@@ -1581,11 +1585,90 @@ def test_register_database_skips_composite_key_members(spark, tmp_path):
     )
     hql = HeroQL(spark)
     hql.register_database(db)
-    assert hql.skipped_tables == ["multi"]
+    assert hql.skipped_tables == []
     assert rows(hql.run("query (k, v) :- ok(k, v);").queries[0]) == [(1, 2)]
-    hql2 = HeroQL(spark)
-    with pytest.raises(HeroQLError, match="composite key"):
-        hql2.register_database(db, tables=["multi"])
+    assert rows(hql.run("query (a, b, v) :- multi(a, b, v);").queries[0]) == [(1, 2, 3)]
+    # durable mutation through the database scope merges on BOTH keys
+    hql.run("set multi(1, 2, 30); set multi(1, 9, 99);")
+    assert rows(hql.run("query (a, b, v) :- multi(a, b, v);").queries[0]) == [
+        (1, 2, 30), (1, 9, 99)
+    ]
+
+
+def test_composite_key_snapshot_durable_mutations(spark, tmp_path):
+    """r7 verdict item 7, done-condition: durable mutation +
+    uniqueness over a 2-key snapshot table, same oracle shape as
+    heroql_durable_mutations — `set` merges on (k1, k2) (restated
+    composite key replaces the row, last statement wins), update/
+    remove commit versions, history records one op per statement, and
+    time travel reaches every pre-mutation state."""
+    import os
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    seed = spark.createDataFrame([], "k1 long, k2 string, v long")
+    snap = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "ledger2"), seed, key_cols=["k1", "k2"]
+    )
+    hql = HeroQL(spark)
+    hql.register_snapshot("Ledger", snap)
+    res = hql.run("""
+        set Ledger(1, "a", 10);
+        set Ledger(1, "b", 20);
+        set Ledger(2, "a", 30);
+        set Ledger(1, "a", 11);
+        update Ledger(k1, k2, v) :- k2 == "a", v = v * 10;
+        remove Ledger(k1, _, _) :- k1 == 2;
+
+        query (k1, k2, v) :- Ledger(k1, k2, v);
+    """)
+    assert rows(res.queries[0]) == [(1, "a", 110), (1, "b", 20)]
+    ops = [h["op"] for h in snap.history()]
+    # consecutive `set` statements batch into ONE merge commit
+    assert ops == ["create", "merge_upsert", "update_where", "delete_where"]
+    # the in-batch restated key (1,"a")→11 won before the update ×10
+    v1 = {(r.k1, r.k2): r.v for r in snap.read(version=1).collect()}
+    assert v1[(1, "a")] == 11 and v1[(2, "a")] == 30
+    # uniqueness: set can never produce two rows for one composite key
+    assert snap.read().groupBy("k1", "k2").count().where("count > 1").count() == 0
+
+
+def test_composite_key_if_not_set_and_ensure_set(spark, tmp_path):
+    """The synthesized Unique(<key_cols>) index makes key-set language
+    features address ALL key columns of a composite-key snapshot
+    table: `ensure set` keeps a present (k1,k2) untouched; `if not
+    set` fires its then-arm on the present composite key only."""
+    import os
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    seed = spark.createDataFrame([(1, "a", 10)], "k1 long, k2 string, v long")
+    snap = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "t2"), seed, key_cols=["k1", "k2"]
+    )
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    hql.run('data Errors(message : string);')
+    hql.run("""
+        for query (k1, k2) :- T(k1, k2, _) (
+            if not set T(k1, "b", 0) then (
+                set Errors($"dup $(k1)");
+            );
+        );
+    """)
+    got = rows(hql.table("T"))
+    assert got == [(1, "a", 10), (1, "b", 0)]
+    assert rows(hql.table("Errors")) == []
+    # second run: (1,"b") now present → then-arm fires, no new row
+    hql.run("""
+        for query (k1) :- T(k1, "a", _) (
+            if not set T(k1, "b", 5) then (
+                set Errors($"dup $(k1)");
+            );
+        );
+    """)
+    assert rows(hql.table("T")) == [(1, "a", 10), (1, "b", 0)]
+    assert rows(hql.table("Errors")) == [("dup 1",)]
 
 
 def test_zone_map_type_mismatch_never_crashes(spark, tmp_path):
