@@ -100,7 +100,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # it carries the exact all-pairs oracle despite xxhash64 having no
     # DuckDB equivalent — same contract as dedup_embedding_lsh_pairs
     "dedup_exact": D.exact_dedup,
-    "dedup_ngram_jaccard": D.ngram_jaccard_pairs_capped,
+    # merges ngram_jaccard (df-capped) + fuzzy Levenshtein pairs (r8)
+    "dedup_jaccard_fuzzy": D.dedup_jaccard_fuzzy,
     "dedup_minhash_lsh": D.minhash_lsh_pairs,
     "dedup_embedding_lsh_pairs": D.embedding_lsh_pairs,
     # pairs → connected components → canonical keep/drop mapping
@@ -114,14 +115,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_ops": CO.corpus_ops,
     # H. text analysis (merges token_count/quality/lang_id/fingerprint)
     "text_analysis": X.text_analysis,
-    # extended text quality: merges repetition_pii + unigram-LM logprob
+    # extended text quality: merges repetition_pii + unigram-LM +
+    # bigram-LM logprob (bigram rotated into the window in round 8)
     "text_quality_ext": X.text_quality_ext,
     # F3. training-data export family (merged pairs; every constituent
     # keeps its standalone entry + oracle below — round-7 rebalance so
     # the driver officially grades the LLM-pipeline surface)
     "traindata_spans": TD.traindata_spans,  # merges dedup_span_exact + dedup_span_maximal
     "traindata_mixture": TD.traindata_mixture,  # merges mixture_sample + mixture_upsample
-    "traindata_export": TD.traindata_export,  # merges shard_manifest + pack_sequences
+    "traindata_export": TD.traindata_export,  # merges shard_manifest + pack_sequences + global_shuffle (r8)
     # I. multimodal plumbing (merges binary_meta + frame_sample)
     "mm_pipeline": MM.mm_pipeline,
     # J. streaming (batch-parity; streaming versions in tests) —
@@ -132,20 +134,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HeroQL: the reference's query LANGUAGE (draft:1-198) parsed and
     # compiled to DataFrame plans — rules/not/deref and the full
     # aggregation pipeline run as programs, graded against plain SQL
-    "heroql_programs": HQ.heroql_programs,  # merges heroql_rules + heroql_pipeline (tag-union)
-    "adt_list_ops": ADT.adt_list_ops,  # tagged-union term table + reverse/concat (draft_type:5-15)
-    "class_hierarchy": ADT.class_hierarchy,  # subtype closure + shared-prefix dispatch (draft_type:19-110)
+    "heroql_programs": HQ.heroql_programs,  # merges heroql_rules + heroql_pipeline + time_travel_cdc (r8)
+    # tagged-union term ops (draft_type:5-15) + subtype closure /
+    # shared-prefix dispatch (draft_type:19-110), pair-merged in r8
+    "adt_class_ops": ADT.adt_class_ops,
+    # round 8: the Spark 4 Python Data Source connector rotated INTO
+    # the graded window — durable create→upsert→delete round trip read
+    # back via current / time-travel / change-feed spark.read paths
+    "pyds_snapshot_roundtrip": PC.pyds_snapshot_roundtrip,
     # symbol tables / type installation — the reference's own
     # typechecker as a relational program (draft_type:115-341): scope
     # tree + first-wins install + innermost-wins resolution + Errors
     "symtab_resolve": SY.symtab_resolve,
     "ensure_constraints": CN.ensure_constraints,
     "typed_struct_enum": TY.typed_struct_enum,
-    "incremental_mv_refresh": MV.incremental_mv_refresh,
-    "pipeline_clean_corpus": PL.pipeline_clean_corpus,
+    # merges incremental (delta-batch) + snapshot-CDC MV refresh (r8)
+    "matview_refresh": MV.matview_refresh,
+    # merges the clean→score→aggregate pipeline + fuzzy decontamination
+    "corpus_clean_fuzzy": CO.corpus_clean_fuzzy,
     # --- beyond slot 50 (ungraded by the driver) ---
     # unmerged constituents of the round-5/-7 tag-union folds, each
     # still holding its own oracle here + both-SF unit hash checks
+    "dedup_ngram_jaccard": D.ngram_jaccard_pairs_capped,
+    "adt_list_ops": ADT.adt_list_ops,
+    "class_hierarchy": ADT.class_hierarchy,
+    "incremental_mv_refresh": MV.incremental_mv_refresh,
+    "pipeline_clean_corpus": PL.pipeline_clean_corpus,
     "tpch_q1": tpch.q1_pricing_summary,
     "tpch_q3": tpch.q3_shipping_priority,
     "tpch_q5": tpch.q5_local_supplier_volume,
@@ -230,10 +244,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 7: deterministic global shuffle for training export —
     # range-bucketed stable-hash permutation, per-bucket windows only
     "export_global_shuffle": TD.export_global_shuffle,
-    # round 7: the Python Data Source connector (spark.read.format(
-    # "herodb")) driven as a query — durable create→upsert→delete
-    # round trip read back via current / time-travel / change-feed
-    "pyds_snapshot_roundtrip": PC.pyds_snapshot_roundtrip,
     # round 6: maximal shared spans (suffix-array-dedup recipe,
     # relational gaps-and-islands form) beyond fixed 10-grams
     "dedup_span_maximal": TD.dedup_span_maximal,
@@ -280,6 +290,7 @@ ORACLES: dict[str, str] = {
     "tpch_q2_q11_q17": tpch_more.Q2_Q11_Q17_SQL,
     "tpch_q8_q9_q20_q21": tpch_more.Q8_Q9_Q20_Q21_SQL,
     "dedup_exact": D.EXACT_DEDUP_SQL,
+    "dedup_jaccard_fuzzy": D.DEDUP_JACCARD_FUZZY_SQL,
     "dedup_ngram_jaccard": D.NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": D.NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": D.EMBEDDING_NEARDUP_SQL,
@@ -309,6 +320,7 @@ ORACLES: dict[str, str] = {
     "agg_pivot": O.PIVOT_EVENTS_SQL,
     "tpch_q7": E.TPCH_Q7_SQL,
     "tpch_q10": E.TPCH_Q10_SQL,
+    "adt_class_ops": ADT.ADT_CLASS_OPS_SQL,
     "adt_list_ops": ADT.ADT_LIST_OPS_SQL,
     "class_hierarchy": ADT.CLASS_HIERARCHY_SQL,
     "symtab_resolve": SY.SYMTAB_RESOLVE_SQL,
@@ -316,8 +328,10 @@ ORACLES: dict[str, str] = {
     "symtab_unify": SY.SYMTAB_UNIFY_SQL,
     "ensure_constraints": CN.ENSURE_CONSTRAINTS_SQL,
     "typed_struct_enum": TY.TYPED_STRUCT_ENUM_SQL,
+    "matview_refresh": MV.MATVIEW_REFRESH_SQL,
     "incremental_mv_refresh": MV.INCREMENTAL_MV_SQL,
     "pipeline_clean_corpus": PL.PIPELINE_CLEAN_CORPUS_SQL,
+    "corpus_clean_fuzzy": CO.CORPUS_CLEAN_FUZZY_SQL,
     **{k: v[1] for k, v in tpch_more.ALL_QUERIES.items()},
     "dedup_cluster_canonical": D.DEDUP_CLUSTER_SQL,
     "text_repetition_pii": X.TEXT_REPETITION_PII_SQL,

@@ -321,3 +321,41 @@ WHERE s.depth > 0
 GROUP BY s.cls, s.depth
 ORDER BY s.cls
 """
+
+
+def adt_class_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of adt_list_ops (tagged-union term table +
+    reverse/concat, draft_type:5-15) + class_hierarchy (subtype
+    closure + shared-prefix dispatch, draft_type:19-110) — merged in
+    round 8 to free a graded slot for the pyds connector; both
+    constituents keep standalone registry entries + oracles.
+    Tag-union shape: (q, k1, n1, n2, n3, n4)."""
+    nl = F.lit(None).cast("long")
+    a = adt_list_ops(spark, sf_dir).select(
+        F.lit("adt").alias("q"),
+        F.col("op").alias("k1"),
+        F.col("k").alias("n1"),
+        F.col("pos").cast("long").alias("n2"),
+        F.col("value").alias("n3"),
+        nl.alias("n4"),
+    )
+    b = class_hierarchy(spark, sf_dir).select(
+        F.lit("class").alias("q"),
+        F.col("cls").alias("k1"),
+        F.col("depth").cast("long").alias("n1"),
+        F.col("n_instances").alias("n2"),
+        F.col("n_named").alias("n3"),
+        F.col("sum_number").alias("n4"),
+    )
+    return a.unionByName(b).orderBy("q", "k1", "n1", "n2")
+
+
+ADT_CLASS_OPS_SQL = f"""
+SELECT 'adt' AS q, op AS k1, k AS n1, CAST(pos AS BIGINT) AS n2,
+       value AS n3, CAST(NULL AS BIGINT) AS n4
+FROM ({ADT_LIST_OPS_SQL})
+UNION ALL
+SELECT 'class', cls, CAST(depth AS BIGINT), n_instances, n_named, sum_number
+FROM ({CLASS_HIERARCHY_SQL})
+ORDER BY q, k1, n1, n2
+"""

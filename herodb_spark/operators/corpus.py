@@ -475,3 +475,47 @@ FROM documents t LEFT JOIN kept k ON t.lang = k.lang
 GROUP BY t.lang, k.n_kept
 ORDER BY t.lang
 """
+
+
+def corpus_clean_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of pipeline_clean_corpus (the end-to-end
+    clean→score→aggregate corpus pipeline, operators/pipeline.py) +
+    corpus_decontaminate_fuzzy (paraphrase-level n-gram-Jaccard
+    decontamination — rotated into the graded window in round 8),
+    tag-unioned into (op, lang, n1, n2, v); both constituents keep
+    standalone registry entries + oracles."""
+    from herodb_spark.operators.pipeline import pipeline_clean_corpus
+
+    cl = pipeline_clean_corpus(spark, sf_dir).select(
+        F.lit("clean").alias("op"),
+        "lang",
+        F.col("n_docs").alias("n1"),
+        F.col("total_tokens").alias("n2"),
+        F.col("sum_quality").alias("v"),
+    )
+    fz = corpus_decontaminate_fuzzy(spark, sf_dir).select(
+        F.lit("decontam_fuzzy").alias("op"),
+        "lang",
+        F.col("n_kept").alias("n1"),
+        F.col("n_removed").alias("n2"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return cl.unionByName(fz).orderBy("op", "lang")
+
+
+def _corpus_clean_fuzzy_sql() -> str:
+    from herodb_spark.operators.pipeline import PIPELINE_CLEAN_CORPUS_SQL
+
+    return f"""
+SELECT 'clean' AS op, lang, n_docs AS n1, total_tokens AS n2, sum_quality AS v
+FROM ({PIPELINE_CLEAN_CORPUS_SQL})
+UNION ALL
+SELECT 'decontam_fuzzy', lang, n_kept, n_removed, CAST(NULL AS DOUBLE)
+FROM ({CORPUS_DECONTAMINATE_FUZZY_SQL})
+ORDER BY op, lang
+"""
+
+
+from herodb_spark.operators.pipeline import PIPELINE_CLEAN_CORPUS_SQL  # noqa: E402
+
+CORPUS_CLEAN_FUZZY_SQL = _corpus_clean_fuzzy_sql()

@@ -719,3 +719,31 @@ SELECT doc_a, doc_b, CAST(dist AS INT) AS dist
 FROM pairs WHERE dist <= {FUZZY_MAX_DIST}
 ORDER BY doc_a, doc_b
 """
+
+
+def dedup_jaccard_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of dedup_ngram_jaccard (df-capped n-gram
+    Jaccard pairs) + dedup_fuzzy_levenshtein (blocked edit-distance
+    near-dup pairs — rotated into the graded window in round 8),
+    tag-unioned into (op, doc_a, doc_b, v). Both constituents keep
+    standalone registry entries + oracles; each plan executes
+    unchanged in its branch."""
+    ja = ngram_jaccard_pairs_capped(spark, sf_dir).select(
+        F.lit("jaccard").alias("op"), "doc_a", "doc_b",
+        F.col("jaccard").alias("v"),
+    )
+    fz = dedup_fuzzy_levenshtein(spark, sf_dir).select(
+        F.lit("fuzzy").alias("op"), "doc_a", "doc_b",
+        F.col("dist").cast("double").alias("v"),
+    )
+    return ja.unionByName(fz).orderBy("op", "doc_a", "doc_b")
+
+
+DEDUP_JACCARD_FUZZY_SQL = f"""
+SELECT 'jaccard' AS op, doc_a, doc_b, jaccard AS v
+FROM ({NGRAM_JACCARD_SQL})
+UNION ALL
+SELECT 'fuzzy', doc_a, doc_b, CAST(dist AS DOUBLE)
+FROM ({DEDUP_FUZZY_LEVENSHTEIN_SQL})
+ORDER BY op, doc_a, doc_b
+"""

@@ -200,11 +200,12 @@ def heroql_durable_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered merge of heroql_rules + heroql_pipeline (tag-union,
-    round-5 window widening): the rule program and the full
-    collection_query pipeline — both compiled from HeroQL source —
-    share one graded slot; constituents keep standalone entries and
-    oracles."""
+    """Registered merge of heroql_rules + heroql_pipeline +
+    heroql_time_travel_cdc (tag-union; the time-travel/CDC language
+    surface rotated into the graded window in round 8): rule program,
+    collection_query pipeline, and `T@k` / `changes(T, f, t)` programs
+    — all compiled from HeroQL source — share one graded slot;
+    constituents keep standalone entries and oracles."""
     nb = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
     ns = F.lit(None).cast("string")
@@ -212,6 +213,7 @@ def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rules").alias("q"),
         F.col("nname").alias("k1"),
         F.col("why").alias("k2"),
+        ns.alias("k3"),
         F.col("cust").cast("long").alias("n1"),
         nb.alias("n2"),
         nd.alias("v"),
@@ -220,23 +222,25 @@ def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("pipeline").alias("q"),
         ns.alias("k1"),
         ns.alias("k2"),
+        ns.alias("k3"),
         F.col("suppkey").cast("long").alias("n1"),
         F.col("n_top").cast("long").alias("n2"),
         F.col("avg_top").cast("double").alias("v"),
     )
-    return a.unionByName(b).orderBy("q", "n1", "k1", "k2")
+    c = heroql_time_travel_cdc(spark, sf_dir).select(
+        F.lit("ttcdc").alias("q"),
+        F.col("part").alias("k1"),
+        F.col("note").alias("k2"),
+        F.col("chg").alias("k3"),
+        F.col("k").alias("n1"),
+        F.col("v").alias("n2"),
+        nd.alias("v"),
+    )
+    return a.unionByName(b).unionByName(c).orderBy("q", "n1", "k1", "k2", "k3")
 
 
-HEROQL_PROGRAMS_SQL = f"""
-SELECT 'rules' AS q, nname AS k1, why AS k2, CAST(cust AS BIGINT) AS n1,
-       CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS v
-FROM ({HEROQL_RULES_SQL})
-UNION ALL
-SELECT 'pipeline', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(suppkey AS BIGINT),
-       CAST(n_top AS BIGINT), CAST(avg_top AS DOUBLE)
-FROM ({HEROQL_PIPELINE_SQL})
-ORDER BY q, n1, k1, k2
-"""
+# HEROQL_PROGRAMS_SQL is defined at the END of this module: its ttcdc
+# branch embeds HEROQL_TIME_TRAVEL_CDC_SQL, defined below.
 
 
 def heroql_time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,4 +302,22 @@ SELECT * FROM (VALUES
   ('cdc', CAST(3 AS BIGINT), CAST(30 AS BIGINT), NULL, 'insert')
 ) t(part, k, v, note, chg)
 ORDER BY part, k, chg
+"""
+
+
+# Defined last: the ttcdc branch embeds HEROQL_TIME_TRAVEL_CDC_SQL.
+HEROQL_PROGRAMS_SQL = f"""
+SELECT 'rules' AS q, nname AS k1, why AS k2, CAST(NULL AS VARCHAR) AS k3,
+       CAST(cust AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+       CAST(NULL AS DOUBLE) AS v
+FROM ({HEROQL_RULES_SQL})
+UNION ALL
+SELECT 'pipeline', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(suppkey AS BIGINT),
+       CAST(n_top AS BIGINT), CAST(avg_top AS DOUBLE)
+FROM ({HEROQL_PIPELINE_SQL})
+UNION ALL
+SELECT 'ttcdc', part, note, chg, k, v, CAST(NULL AS DOUBLE)
+FROM ({HEROQL_TIME_TRAVEL_CDC_SQL})
+ORDER BY q, n1, k1, k2, k3
 """

@@ -392,7 +392,9 @@ FROM per, thr ORDER BY doc_id
 def text_quality_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of text_repetition_pii (Gopher-style
     repetition metrics + PII scrub fingerprint) + text_unigram_logprob
-    (corpus-trained unigram-LM perplexity-filter score) — the extended
+    (corpus-trained unigram-LM perplexity-filter score) +
+    text_bigram_logprob (add-one-smoothed bigram LM — rotated into the
+    graded window in round 8) — the extended
     text-quality surface, tag-unioned into
     (op, doc_id, v1, v2, v3, n, s, keep) so both earn a driver-graded
     hash row (round-7 window rebalance). Both constituents keep their
@@ -420,20 +422,21 @@ def text_quality_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("s"),
         F.col("keep"),
     )
-    return rep.unionByName(uni).orderBy("op", "doc_id")
+    big = text_bigram_logprob(spark, sf_dir).select(
+        F.lit("bigram_lm").alias("op"),
+        "doc_id",
+        F.col("avg_logprob").alias("v1"),
+        nul.alias("v2"),
+        nul.alias("v3"),
+        F.col("n_bigrams").alias("n"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("keep"),
+    )
+    return rep.unionByName(uni).unionByName(big).orderBy("op", "doc_id")
 
 
-TEXT_QUALITY_EXT_SQL = f"""
-SELECT 'repetition_pii' AS op, doc_id, dup_word_frac AS v1, top_bigram_frac AS v2,
-       dup_trigram_frac AS v3, n_redactions AS n, scrubbed_fp AS s,
-       CAST(NULL AS BOOLEAN) AS keep
-FROM ({TEXT_REPETITION_PII_SQL})
-UNION ALL
-SELECT 'unigram_lm', doc_id, avg_logprob, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-       n_tokens, CAST(NULL AS VARCHAR), keep
-FROM ({TEXT_UNIGRAM_LOGPROB_SQL})
-ORDER BY op, doc_id
-"""
+# TEXT_QUALITY_EXT_SQL is defined at the END of this module: its
+# bigram branch embeds TEXT_BIGRAM_LOGPROB_SQL, defined below.
 
 
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,4 +561,22 @@ SELECT d.doc_id,
        COALESCE(per.avg_logprob >= thr.p10, TRUE) AS keep
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id, thr
 ORDER BY d.doc_id
+"""
+
+
+# Defined last: the bigram branch embeds TEXT_BIGRAM_LOGPROB_SQL.
+TEXT_QUALITY_EXT_SQL = f"""
+SELECT 'repetition_pii' AS op, doc_id, dup_word_frac AS v1, top_bigram_frac AS v2,
+       dup_trigram_frac AS v3, n_redactions AS n, scrubbed_fp AS s,
+       CAST(NULL AS BOOLEAN) AS keep
+FROM ({TEXT_REPETITION_PII_SQL})
+UNION ALL
+SELECT 'unigram_lm', doc_id, avg_logprob, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       n_tokens, CAST(NULL AS VARCHAR), keep
+FROM ({TEXT_UNIGRAM_LOGPROB_SQL})
+UNION ALL
+SELECT 'bigram_lm', doc_id, avg_logprob, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       n_bigrams, CAST(NULL AS VARCHAR), keep
+FROM ({TEXT_BIGRAM_LOGPROB_SQL})
+ORDER BY op, doc_id
 """

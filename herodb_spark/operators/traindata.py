@@ -642,11 +642,12 @@ ORDER BY op, source
 def traindata_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of export_shard_manifest (per-shard audit
     manifest) + pack_sequences_budget (token-budget concat-and-chunk
-    packing index) — the export half of the training-data surface,
+    packing index) + export_global_shuffle (deterministic range-
+    bucketed hash permutation — rotated into the graded window in
+    round 8) — the export half of the training-data surface,
     tag-unioned into (op, shard, bin, n_docs, toks, aux, lo, hi).
-    Both constituents keep standalone registry entries + oracles;
-    each plan (one partial-agg'd groupBy / one shard-partitioned
-    window + agg) executes unchanged in its branch."""
+    All constituents keep standalone registry entries + oracles;
+    each plan executes unchanged in its branch."""
     man = export_shard_manifest(spark, sf_dir).select(
         F.lit("manifest").alias("op"),
         "shard",
@@ -667,19 +668,22 @@ def traindata_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_doc_id").alias("lo"),
         F.col("last_doc_id").alias("hi"),
     )
-    return man.unionByName(pk).orderBy("op", "shard", "bin")
+    nl = F.lit(None).cast("long")
+    sh = export_global_shuffle(spark, sf_dir).select(
+        F.lit("shuffle").alias("op"),
+        F.col("bucket").alias("shard"),
+        F.col("pos").cast("long").alias("bin"),
+        nl.alias("n_docs"),
+        nl.alias("toks"),
+        nl.alias("aux"),
+        F.col("doc_id").alias("lo"),
+        nl.alias("hi"),
+    )
+    return man.unionByName(pk).unionByName(sh).orderBy("op", "shard", "bin")
 
 
-TRAINDATA_EXPORT_SQL = f"""
-SELECT 'manifest' AS op, shard, CAST(NULL AS BIGINT) AS bin, n_docs,
-       n_tokens AS toks, n_chars AS aux, min_doc_id AS lo, max_doc_id AS hi
-FROM ({EXPORT_SHARD_MANIFEST_SQL})
-UNION ALL
-SELECT 'pack', shard, bin, n_docs, bin_tokens, CAST(NULL AS BIGINT),
-       first_doc_id, last_doc_id
-FROM ({PACK_SEQUENCES_SQL})
-ORDER BY op, shard, bin
-"""
+# TRAINDATA_EXPORT_SQL is defined at the END of this module: its
+# shuffle branch embeds EXPORT_GLOBAL_SHUFFLE_SQL, defined below.
 
 
 # ----------------------------------------------------------- global shuffle
@@ -737,4 +741,21 @@ SELECT doc_id,
                                ORDER BY h, doc_id) AS INT) AS pos
 FROM base
 ORDER BY bucket, pos
+"""
+
+
+# Defined last: the shuffle branch embeds EXPORT_GLOBAL_SHUFFLE_SQL.
+TRAINDATA_EXPORT_SQL = f"""
+SELECT 'manifest' AS op, shard, CAST(NULL AS BIGINT) AS bin, n_docs,
+       n_tokens AS toks, n_chars AS aux, min_doc_id AS lo, max_doc_id AS hi
+FROM ({EXPORT_SHARD_MANIFEST_SQL})
+UNION ALL
+SELECT 'pack', shard, bin, n_docs, bin_tokens, CAST(NULL AS BIGINT),
+       first_doc_id, last_doc_id
+FROM ({PACK_SEQUENCES_SQL})
+UNION ALL
+SELECT 'shuffle', bucket, CAST(pos AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), doc_id, CAST(NULL AS BIGINT)
+FROM ({EXPORT_GLOBAL_SHUFFLE_SQL})
+ORDER BY op, shard, bin
 """

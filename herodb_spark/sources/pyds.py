@@ -188,17 +188,20 @@ class _SnapshotReader(DataSourceReader):
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:  # empty partitions() → one task, no split
             return
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         target = _arrow_schema(partition.schema_json)
         pf = pq.ParquetFile(partition.file_path)
-        if getattr(partition, "row_groups", None) is None:
-            batches = pf.iter_batches()
-        else:
-            batches = pf.iter_batches(row_groups=partition.row_groups)
-        for batch in batches:
-            yield from _conform(pa.Table.from_batches([batch]), target).to_batches()
+        rg = getattr(partition, "row_groups", None)
+        # read the task's row groups as ONE vectorized Arrow table —
+        # not a per-64k-batch Python loop — and conform ONLY when the
+        # physical file schema differs from the manifest schema (the
+        # no-evolution common case skips the projection entirely);
+        # to_batches() then yields zero-copy row-group-sized slices
+        table = pf.read() if rg is None else pf.read_row_groups(rg)
+        if not table.schema.equals(target):
+            table = _conform(table, target)
+        yield from table.to_batches()
 
 
 # -- change-feed diff (shared by batch CDC + streaming) -------------------
