@@ -141,48 +141,163 @@ def _read_dir(path: str, target) -> "pa.Table":  # noqa: F821
 
 # -- batch snapshot scan ---------------------------------------------------
 class _FilePartition(InputPartition):
-    def __init__(self, file_path: str, schema_json: str, row_groups: list[int] | None = None):
-        self.file_path = file_path
+    def __init__(self, files: list[str], schema_json: str, row_groups: list[int] | None = None):
+        #: parquet files this task reads (several small files pack
+        #: into one task; exactly one when row_groups is set)
+        self.files = files
         self.schema_json = schema_json
-        #: None = whole file; else the row-group indices this task reads
+        #: None = whole file(s); else the row-group indices of files[0]
         self.row_groups = row_groups
 
 
 #: a parquet file above this size is split into per-row-group tasks so
 #: a compacted partition (ONE large file by design) does not serialize
-#: onto one task — the connector's analog of maxPartitionBytes
+#: onto one task; files BELOW it pack together into tasks up to this
+#: size — the connector's analog of maxPartitionBytes in both
+#: directions (a 32-core writer leaves ~32 small files per partition;
+#: one Python task each would pay 32 worker round-trips for kilobytes)
 _SPLIT_FILE_BYTES = 128 * 1024 * 1024
+#: minimum useful task payload — Spark's openCostInBytes analog; the
+#: pack target never drops below this even on many-core boxes
+_OPEN_COST_BYTES = 4 * 1024 * 1024
+
+
+def _ranges_from_filters(filters) -> dict:
+    """{col: (lo, hi)} conjunctive bounds from Spark's pushed filters
+    — only shapes zone maps can use. Bounds are INCLUSIVE and strict
+    comparisons are relaxed to inclusive (conservative: skips less,
+    never more); Spark re-applies every filter row-level regardless
+    (we report them all back as unhandled), so pruning here is purely
+    an IO optimization — exactly the SnapshotTable.read(ranges=...)
+    contract."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    out: dict = {}
+
+    def tighten(col, lo, hi):
+        c_lo, c_hi = out.get(col, (None, None))
+        if lo is not None and (c_lo is None or lo > c_lo):
+            c_lo = lo
+        if hi is not None and (c_hi is None or hi < c_hi):
+            c_hi = hi
+        out[col] = (c_lo, c_hi)
+
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            continue
+        col = attr[0]
+        if isinstance(f, EqualTo) and f.value is not None:
+            tighten(col, f.value, f.value)
+        elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) and f.value is not None:
+            tighten(col, f.value, None)
+        elif isinstance(f, (LessThan, LessThanOrEqual)) and f.value is not None:
+            tighten(col, None, f.value)
+        elif isinstance(f, In) and f.value and all(v is not None for v in f.value):
+            try:
+                tighten(col, min(f.value), max(f.value))
+            except TypeError:
+                continue
+    return out
 
 
 class _SnapshotReader(DataSourceReader):
-    def __init__(self, path: str, version: int, split_bytes: int = _SPLIT_FILE_BYTES):
+    def __init__(
+        self,
+        path: str,
+        version: int,
+        split_bytes: int = _SPLIT_FILE_BYTES,
+        parallelism: int | None = None,
+    ):
         self.path = path
         self.split_bytes = split_bytes
+        #: pack-target divisor (Spark's bytesPerCore); defaults to the
+        #: local core count — set the scanParallelism option to the
+        #: cluster's total cores when running distributed
+        self.parallelism = parallelism or (os.cpu_count() or 8)
         m = _load_manifest(path)
         self.version = version
         self.entry = _version_entry(m, self.version, path)
         self.schema_json = _schema_at(m, self.version).json()
+        self._pstats = self.entry.get("stats", {})
+        self._fstats = m.get("file_stats", {})
+        self._ranges: dict = {}
+
+    def pushFilters(self, filters):
+        """Zone-map pushdown for the connector (Spark 4.1 filter
+        pushdown API): comparison/equality/In conjuncts become
+        {col: (lo, hi)} ranges that prune PARTITION VALUES via the
+        manifest's per-partition stats and FILES via cluster()'s
+        per-file zone maps — the same manifest-only skipping the
+        native read(ranges=...) path does, now reachable from plain
+        `spark.read.format("herodb").load().where(...)`. Every filter
+        is yielded back (Spark re-applies them row-level): skipping
+        is an IO optimization, never a predicate."""
+        from herodb_spark.sources.snapshot import SnapshotTable
+
+        self._ranges = _ranges_from_filters(filters)
+        self._skippable = SnapshotTable._skippable
+        yield from filters
 
     def partitions(self) -> Sequence[InputPartition]:
         import pyarrow.parquet as pq
 
-        out = []
-        for rel in self.entry["partitions"].values():
+        from herodb_spark.sources.snapshot import SnapshotTable
+
+        skippable = SnapshotTable._skippable
+        singles: list[_FilePartition] = []  # row-group tasks
+        small: list[tuple[str, int]] = []  # (path, size) to pack
+        for pv, rel in self.entry["partitions"].items():
+            if self._ranges and skippable(self._pstats.get(pv, {}), self._ranges):
+                continue  # partition's zone maps prove no match
             d = os.path.join(self.path, rel)
+            per_file = self._fstats.get(rel) if self._ranges else None
             for f in sorted(os.listdir(d)):
                 if not f.endswith(".parquet"):
                     continue
+                if per_file is not None and f in per_file and skippable(
+                    per_file[f], self._ranges
+                ):
+                    continue  # file's zone maps prove no match
                 fp = os.path.join(d, f)
-                if os.path.getsize(fp) <= self.split_bytes:
-                    out.append(_FilePartition(fp, self.schema_json))
+                size = os.path.getsize(fp)
+                if size <= self.split_bytes:
+                    small.append((fp, size))
                     continue
                 # one footer read per oversized file (the same IO
                 # Spark's own scan planning pays), then one task per
                 # row group
                 n = pq.ParquetFile(fp).metadata.num_row_groups
-                out.extend(
-                    _FilePartition(fp, self.schema_json, row_groups=[g]) for g in range(n)
+                singles.extend(
+                    _FilePartition([fp], self.schema_json, row_groups=[g])
+                    for g in range(n)
                 )
+        # pack small files into right-sized tasks — Spark's own
+        # maxSplitBytes formula: min(maxPartitionBytes,
+        # max(openCost, totalBytes/parallelism)), so a small table
+        # still fans out across cores while a huge one packs to
+        # ~128 MB per Python worker round-trip
+        total = sum(sz for _, sz in small)
+        per_core = total // max(1, self.parallelism) + 1
+        target = min(self.split_bytes, max(_OPEN_COST_BYTES, per_core))
+        out = singles
+        bin_files: list[str] = []
+        bin_bytes = 0
+        for fp, size in small:
+            if bin_files and bin_bytes + size > target:
+                out.append(_FilePartition(bin_files, self.schema_json))
+                bin_files, bin_bytes = [], 0
+            bin_files.append(fp)
+            bin_bytes += size
+        if bin_files:
+            out.append(_FilePartition(bin_files, self.schema_json))
         return out
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -191,17 +306,26 @@ class _SnapshotReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         target = _arrow_schema(partition.schema_json)
-        pf = pq.ParquetFile(partition.file_path)
         rg = getattr(partition, "row_groups", None)
-        # read the task's row groups as ONE vectorized Arrow table —
+        # read each file's row groups as ONE vectorized Arrow table —
         # not a per-64k-batch Python loop — and conform ONLY when the
         # physical file schema differs from the manifest schema (the
         # no-evolution common case skips the projection entirely);
         # to_batches() then yields zero-copy row-group-sized slices
-        table = pf.read() if rg is None else pf.read_row_groups(rg)
-        if not table.schema.equals(target):
-            table = _conform(table, target)
-        yield from table.to_batches()
+        want = {f.name for f in target}
+        for fp in partition.files:
+            pf = pq.ParquetFile(fp)
+            # projection reaches the parquet reader: only requested
+            # columns are decoded (the `columns` option narrows
+            # target; evolution-missing columns conform to NULL)
+            cols = [n for n in pf.schema_arrow.names if n in want]
+            if rg is None:
+                table = pf.read(columns=cols)
+            else:
+                table = pf.read_row_groups(rg, columns=cols)
+            if not table.schema.equals(target):
+                table = _conform(table, target)
+            yield from table.to_batches()
 
 
 # -- change-feed diff (shared by batch CDC + streaming) -------------------
@@ -676,7 +800,29 @@ class HerodbDataSource(DataSource):
             raise ValueError(f"herodb: unknown mode {mode!r} (snapshot | changes)")
         v = self._pin(m)
         _version_entry(m, v, self._path())  # fail fast at load()
-        return _schema_at(m, v)
+        return self._project(_schema_at(m, v))
+
+    def _project(self, schema: StructType) -> StructType:
+        """Apply the `columns` option (comma-separated) — MANUAL
+        projection pushdown. Spark 4.1's Python data source API has
+        no SupportsPushDownRequiredColumns, so without this option a
+        SELECT of 2 columns still ships every column through the
+        Arrow socket; `.option("columns", "lang,n_chars")` narrows
+        the scan schema itself (workers conform each file to exactly
+        these fields), which is the difference between near-native
+        and ~3× on wide tables."""
+        cols = self.options.get("columns")
+        if not cols:
+            return schema
+        want = [c.strip() for c in cols.split(",") if c.strip()]
+        have = {f.name: f for f in schema.fields}
+        missing = [c for c in want if c not in have]
+        if missing:
+            raise ValueError(
+                f"herodb: columns option names unknown columns {missing} "
+                f"(table has {sorted(have)})"
+            )
+        return StructType([have[c] for c in want])
 
     def reader(self, schema: StructType) -> DataSourceReader:
         mode = self.options.get("mode", "snapshot")
@@ -690,11 +836,21 @@ class HerodbDataSource(DataSource):
                 int(self.options["changesfrom"]),
                 self._pin(m) if v_to is None else int(v_to),
             )
-        return _SnapshotReader(
+        par = self.options.get("scanparallelism")
+        r = _SnapshotReader(
             self._path(),
             self._pin(m),
             split_bytes=int(self.options.get("splitfilebytes", _SPLIT_FILE_BYTES)),
+            parallelism=int(par) if par is not None else None,
         )
+        if self.options.get("columns"):
+            # manual projection pushdown: workers conform to the
+            # narrowed schema, so unrequested columns never cross the
+            # Arrow socket (see _project)
+            r.schema_json = self._project(
+                StructType.fromJson(json.loads(r.schema_json))
+            ).json()
+        return r
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         if not overwrite:
@@ -716,5 +872,11 @@ class HerodbDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent format registration for the current session."""
+    """Idempotent format registration for the current session. Also
+    enables Spark's Python data source filter pushdown (a dynamic SQL
+    conf, default off) — _SnapshotReader.pushFilters turns pushed
+    comparison conjuncts into manifest zone-map pruning, and Spark
+    4.1 refuses to plan a reader that implements pushFilters while
+    the conf is off."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(HerodbDataSource)

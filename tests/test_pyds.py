@@ -64,12 +64,25 @@ def test_batch_time_travel_and_schema_evolution(spark, tmp_path):
     assert cur.where(F.col("note").isNull()).count() == 3
 
 
-def test_batch_scan_parallelism_is_per_file(spark, tmp_path):
+def test_batch_scan_task_packing(spark, tmp_path):
+    """Since round 8 small files PACK into tasks bounded by
+    splitFileBytes (one Python worker round-trip per ~128 MB, not per
+    kilobyte-sized file — the maxPartitionBytes analog in both
+    directions). Forcing the bound to 1 byte restores one task per
+    file; the default packs this tiny table into fewer tasks."""
     t = _mk(spark, tmp_path)
     m = t._load()
     n_files = sum(m["versions"]["0"]["files"].values())
-    got = spark.read.format("herodb").option("path", t.path).load()
-    assert got.rdd.getNumPartitions() == n_files > 1
+    per_file = (
+        spark.read.format("herodb").option("path", t.path)
+        .option("splitFileBytes", "1").load()
+    )
+    # 1-byte bound: every file is "oversized" → per-row-group tasks,
+    # at least one per file
+    assert per_file.rdd.getNumPartitions() >= n_files > 1
+    packed = spark.read.format("herodb").option("path", t.path).load()
+    assert 1 <= packed.rdd.getNumPartitions() < n_files
+    assert sorted(r.k for r in packed.collect()) == sorted(r.k for r in per_file.collect())
 
 
 def test_batch_scan_all_partitions_deleted(spark, tmp_path):
@@ -555,3 +568,88 @@ def test_writer_refuses_divergent_partition_value_types(spark, tmp_path):
     )
     with pytest.raises(Exception, match="integer/string partition"):
         t.read().write.format("herodb").option("path", t.path).mode("overwrite").save()
+
+
+def test_pushdown_prunes_partitions_and_files(spark, tmp_path):
+    """Round 8: pushFilters turns comparison conjuncts into manifest
+    zone-map pruning — partition values via per-partition stats, files
+    via cluster()'s per-file zone maps — with every filter reported
+    back for Spark's row-level re-apply (pruning is IO-only)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from herodb_spark.sources.pyds import _SnapshotReader
+
+    t = _mk(spark, tmp_path)  # partitions g=10 (k∈{1,2}), g=20 (k=3)
+    def n_files(rdr):  # packing merges tasks — count planned FILES
+        return sum(len(p.files) for p in rdr.partitions())
+
+    r = _SnapshotReader(t.path, t._load()["current"])
+    n_all = n_files(r)
+    # partition-column equality: only g=10's files remain
+    r2 = _SnapshotReader(t.path, t._load()["current"])
+    leftover = list(r2.pushFilters([EqualTo(("g",), 10)]))
+    assert len(leftover) == 1  # reported back: Spark re-applies
+    n_g10 = n_files(r2)
+    assert 0 < n_g10 < n_all
+    # key range that excludes every partition (k stats: max 3)
+    r3 = _SnapshotReader(t.path, t._load()["current"])
+    list(r3.pushFilters([GreaterThanOrEqual(("k",), 99)]))
+    assert len(r3.partitions()) == 0
+    # end-to-end: the connector + .where agrees with the native read
+    got = (
+        spark.read.format("herodb").option("path", t.path).load()
+        .where("g = 10 and k >= 2")
+    )
+    assert _rows(got) == _rows(t.read().where("g = 10 and k >= 2"))
+
+
+def test_pushdown_prunes_clustered_files(spark, tmp_path):
+    """File-level pruning through the connector: after OPTIMIZE
+    ZORDER records per-file zone maps, a key-range filter plans only
+    the files whose [min,max] can intersect."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from herodb_spark.sources.pyds import _SnapshotReader
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, v double"
+    )
+    t = SnapshotTable.create(spark, os.path.join(str(tmp_path), "tc"), df, key_cols=["k"])
+    t.cluster(["k"], files_per_partition=4)  # 4 files with k zone maps
+    def n_files(rdr):
+        return sum(len(p.files) for p in rdr.partitions())
+
+    r = _SnapshotReader(t.path, t._load()["current"])
+    n_all = n_files(r)
+    r2 = _SnapshotReader(t.path, t._load()["current"])
+    list(r2.pushFilters([GreaterThanOrEqual(("k",), 90)]))
+    n_pruned = n_files(r2)
+    assert 0 < n_pruned < n_all
+    got = (
+        spark.read.format("herodb").option("path", t.path).load().where("k >= 90")
+    )
+    assert got.count() == 10
+
+
+def test_columns_option_manual_projection(spark, tmp_path):
+    """Round 8: `.option("columns", ...)` narrows the scan schema —
+    the manual stand-in for column pruning (absent from Spark 4.1's
+    Python data source API). Unknown names raise; results match a
+    post-hoc select; evolution-missing columns still conform."""
+    t = _mk(spark, tmp_path)
+    got = (
+        spark.read.format("herodb").option("path", t.path)
+        .option("columns", "g,k").load()
+    )
+    assert got.columns == ["g", "k"]
+    assert _rows(got) == _rows(t.read().select("g", "k"))
+    with pytest.raises(Exception, match="unknown columns"):
+        (spark.read.format("herodb").option("path", t.path)
+         .option("columns", "nope").load())
+    # across schema evolution: a requested added column NULL-fills
+    t.add_columns({"note": "string"})
+    got2 = (
+        spark.read.format("herodb").option("path", t.path)
+        .option("columns", "k,note").load()
+    )
+    assert _rows(got2) == _rows(t.read().select("k", "note"))
