@@ -253,8 +253,12 @@ class HeroQL:
         arguments (defaults to the DataFrame's columns). `key` may be
         a COLUMN LIST for composite-key tables (snapshot tables with
         multi-column key_cols): the single-key slot then stays unset —
-        nothing key-dependent silently binds keys[0] — and key-set
-        features (durable merge, if-not-set) address the full list.
+        nothing key-dependent silently binds keys[0] — and a
+        synthesized `Unique(<keys>)` index makes if-not-set /
+        ensure-set address the full list. Plain in-memory `set`
+        remains APPEND regardless (replace-on-key applies to durable
+        tables — which merge on key_cols — and to single-column
+        `index Unique(k)` declarations, the r6 semantics note).
         Class tables bind row variables through ONE key column, so
         is_class + composite key is rejected."""
         cols = list(df.columns)
@@ -273,7 +277,19 @@ class HeroQL:
         if name not in self.defs:
             single = keys[0] if keys and len(keys) == 1 else None
             guessed = None if (keys and len(keys) > 1) else self._guess_key(cols)
-            self.defs[name] = TableDef(name, cols, None, is_class, single or guessed)
+            # an EXPLICIT composite key list synthesizes the Unique
+            # index, so key-set features (if-not-set, ensure-set)
+            # address the full list; single-key registration keeps
+            # its historical semantics (no implicit index — declare
+            # `index Unique(k)` for in-memory replace-on-key `set`)
+            indexes = (
+                [P.IndexDef(["Unique"], list(keys))]
+                if keys and len(keys) > 1
+                else []
+            )
+            self.defs[name] = TableDef(
+                name, cols, None, is_class, single or guessed, None, indexes
+            )
         else:
             d = self.defs[name]
             if d.fields != cols:
@@ -282,7 +298,9 @@ class HeroQL:
         self._memo_pos.clear()
         self._delta_log.clear()
 
-    def register_snapshot(self, name: str, snap, is_class: bool = False) -> None:
+    def register_snapshot(
+        self, name: str, snap, is_class: bool = False, version: int | None = None
+    ) -> None:
         """Bind a DURABLE base table: a sources/snapshot.SnapshotTable.
         The language's mutation statements (draft:128-136) then
         persist — `set` commits a MERGE, `update :-` an update_where,
@@ -312,7 +330,12 @@ class HeroQL:
         fact. Declare the unique index to keep programs portable
         between in-memory and snapshot-backed runs."""
         m = snap._load()
-        version = m["current"]
+        # `version` pins the frame explicitly (register_database passes
+        # each member's DATABASE pin so registration costs exactly one
+        # read per table — r8 review finding); default: the table's
+        # own current
+        if version is None:
+            version = m["current"]
         df = snap.read(version=version)
         keys = m["key_cols"]
         self.register(name, df, is_class=is_class, key=keys or None)
@@ -345,17 +368,16 @@ class HeroQL:
         callers that checked it."""
         db.recover()
         self.skipped_tables: list[str] = []
-        for name in tables if tables is not None else sorted(db.tables()):
-            self.register_snapshot(name, db.table(name))
+        # register each member AT ITS DATABASE PIN directly: one read
+        # per table, and a live concurrent writer's unpublished member
+        # version (ahead of the pin, inside the recovery grace window)
+        # is never observed
+        pins = db.tables()
+        for name in tables if tables is not None else sorted(pins):
+            if name not in pins:
+                raise HeroQLError(f"{name!r} is not a member of this database")
+            self.register_snapshot(name, db.table(name), version=pins[name])
         self._db = db
-        # re-pin every member frame through the DATABASE pin set: the
-        # registration reads above resolved each table's own current,
-        # which a live concurrent writer (inside the recovery grace
-        # window) may hold ahead of the pins — reads must never
-        # observe an unpublished member version
-        for name in list(self._snapshots):
-            if name in db.tables():
-                self._snapshot_reload(name)
 
     def run_transactional(self, text: str):
         """Execute a program as ONE multi-table transaction: every
@@ -389,8 +411,9 @@ class HeroQL:
             # pin set is authoritative again: drop the transaction-
             # private pins so no session frame references a member
             # version recovery may roll back
+            members = self._db.tables()
             for name in list(self._snapshots):
-                if name in self._db.tables():
+                if name in members:
                     self._snapshot_reload(name)
         return out
 

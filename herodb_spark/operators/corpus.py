@@ -516,6 +516,4 @@ ORDER BY op, lang
 """
 
 
-from herodb_spark.operators.pipeline import PIPELINE_CLEAN_CORPUS_SQL  # noqa: E402
-
 CORPUS_CLEAN_FUZZY_SQL = _corpus_clean_fuzzy_sql()

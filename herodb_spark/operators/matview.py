@@ -231,8 +231,16 @@ def refresh_mv_from_changes(
         # arithmetic (the min/max fallback below would otherwise keep
         # its stale pre-delete values). Work ∝ changed groups: both
         # sides of `dead` are distinct key sets from the feed.
-        touched0 = changes.select(*keys).distinct()
-        dead = touched0.join(base.select(*keys).distinct(), keys, "left_anti")
+        # eqNullSafe throughout — a name-based anti join would
+        # classify every NULL-keyed touched group as dead even while
+        # base rows survive (NULL != NULL under join-name semantics).
+        touched0 = changes.select(*keys).distinct().alias("t")
+        based = base.select(*keys).distinct().alias("b")
+        condd = None
+        for k in keys:
+            c = F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}"))
+            condd = c if condd is None else (condd & c)
+        dead = touched0.join(based, condd, "left_anti")
         outa0, deada = out.alias("o"), dead.alias("x")
         cond0 = None
         for k in keys:

@@ -73,9 +73,13 @@ def decode_png(blob: bytes) -> dict:
         length, ctype = struct.unpack(">I4s", blob[pos : pos + 8])
         body = blob[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("truncated PNG IHDR chunk")
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+            if w == 0 or h == 0:
+                raise ValueError(f"invalid PNG dimensions {w}x{h}")
             if depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
             if color not in (0, 2, 6):

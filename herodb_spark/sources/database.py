@@ -598,40 +598,65 @@ class Transaction:
         # concurrent writer that already advanced the table would
         # otherwise be silently built upon (write skew) — the table
         # commit itself reads current fresh and wouldn't object.
-        expected = self._new_pins.get(name, self._base_pins[name])
-        if t._load()["current"] != expected:
-            if name in self._new_pins:
-                # our own private version was discarded — a higher-
-                # cost sibling's arbitration heal or a recovery swept
-                # it; this transaction is fenced out
-                raise ConcurrentWriteError(
-                    f"{t.path}: this transaction's private version {expected} "
-                    f"(cost {self.cost}) was rolled back by arbitration or "
-                    "recovery — fenced out"
-                )
-            expected = self._arbitrate_table_race(name, t)
-        version = fn(t)
+        version = None
+        for _attempt in range(self.MAX_REBASES + 1):
+            expected = self._new_pins.get(name, self._base_pins[name])
+            if t._load()["current"] != expected:
+                if name in self._new_pins:
+                    # our own private version was discarded — a higher-
+                    # cost sibling's arbitration heal or a recovery
+                    # swept it; this transaction is fenced out
+                    raise ConcurrentWriteError(
+                        f"{t.path}: this transaction's private version {expected} "
+                        f"(cost {self.cost}) was rolled back by arbitration or "
+                        "recovery — fenced out"
+                    )
+                expected = self._arbitrate_table_race(name, t)
+            try:
+                version = fn(t)
+                break
+            except ConcurrentWriteError:
+                # the table-level OCC commit inside the mutation lost
+                # a race that started AFTER our pre-check (concurrent
+                # writers overlapping in time, not just serialized
+                # interleaves): route it through the same arbitration
+                # and re-execute — a failed table commit leaves only
+                # unreferenced files, never a manifest change
+                if _attempt == self.MAX_REBASES:
+                    raise
+                continue
+        assert version is not None
         if version != expected:  # no-op mutations don't dirty the txn
             self._new_pins[name] = version
             # partition-granular conflict check (Lock.h:22-29 analog):
-            # when interleaved PUBLISHED commits rewrote partitions of
-            # this table under us, our re-executed commit survives
-            # only if the partition sets are disjoint — else undo it
-            # and cancel (lost-update risk: our inputs may derive
-            # from the superseded snapshot)
-            guard = self._foreign_rewrites.get(name)
-            if guard:
-                ours = _rewritten_between(t._load(), expected, version)
-                clash = None if ours is None else sorted(ours & guard)
-                if ours is None or clash:
-                    del self._new_pins[name]
-                    t.rollback(expected)
-                    raise ConcurrentWriteError(
-                        f"{t.path}: partitions {clash or '(unknown)'} rewritten by "
-                        f"this transaction (cost {self.cost}) were also rewritten "
-                        "by an interleaved committed transaction — overlapping "
-                        "partitions are not rebasable, cancelling"
-                    )
+            # when interleaved commits rewrote partitions of this
+            # table under us — recorded at arbitration time (guard)
+            # OR landed between arbitration and the mutation's own
+            # manifest load (versions (expected, version-1], which
+            # the mutation silently built upon) — our commit survives
+            # only if the partition sets are disjoint; else undo OUR
+            # version ONLY (rollback to version-1 preserves the
+            # innocent interleaved commits) and cancel (lost-update
+            # risk: our inputs may derive from the superseded
+            # snapshot)
+            tm = t._load()
+            guard = set(self._foreign_rewrites.get(name) or ())
+            mid = _rewritten_between(tm, expected, version - 1)
+            ours = _rewritten_partitions(tm, version)
+            clash = (
+                None
+                if (ours is None or mid is None)
+                else sorted(ours & (guard | mid))
+            )
+            if ours is None or mid is None or clash:
+                del self._new_pins[name]
+                t.rollback(version - 1)
+                raise ConcurrentWriteError(
+                    f"{t.path}: partitions {clash or '(unknown)'} rewritten by "
+                    f"this transaction (cost {self.cost}) were also rewritten "
+                    "by an interleaved committed transaction — overlapping "
+                    "partitions are not rebasable, cancelling"
+                )
         # progress heartbeat: refresh the mtime of every member
         # manifest this transaction already committed so a sibling
         # transaction's grace-window recovery keeps treating them as
@@ -722,9 +747,19 @@ class Transaction:
                 )
                 self._rebase()  # adopt pins; raises on read/write overlap
                 continue
-            # unpublished private versions ahead of the pin
+            # unpublished private versions ahead of the pin. A holder
+            # counts only while its claimed private version is still
+            # plausibly live (pin < claimed <= current): a zombie
+            # whose version a higher-cost winner already healed away
+            # keeps heartbeating an intent that claims the table —
+            # counting its cost would skew later arbitrations until
+            # it notices it was fenced at its next statement.
             live = self.db._live_intents(self.RECOVER_GRACE_S, exclude=self.txn_id)
-            holders = {k: v for k, v in live.items() if name in v.get("tables", {})}
+            holders = {
+                k: v
+                for k, v in live.items()
+                if pin < int(v.get("tables", {}).get(name, -1)) <= cur
+            }
             if holders:
                 their_cost = sum(int(v.get("cost", 0)) for v in holders.values())
                 if (self.cost, self.txn_id) > (their_cost, max(holders)):

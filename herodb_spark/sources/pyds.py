@@ -240,10 +240,7 @@ class _SnapshotReader(DataSourceReader):
         `spark.read.format("herodb").load().where(...)`. Every filter
         is yielded back (Spark re-applies them row-level): skipping
         is an IO optimization, never a predicate."""
-        from herodb_spark.sources.snapshot import SnapshotTable
-
         self._ranges = _ranges_from_filters(filters)
-        self._skippable = SnapshotTable._skippable
         yield from filters
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -789,6 +786,13 @@ class HerodbDataSource(DataSource):
         # for batch CDC and streams alike; streamReader() enforces it
         m = _load_manifest(self._path())
         mode = self.options.get("mode", "snapshot")
+        if mode != "snapshot" and self.options.get("columns"):
+            # fail loudly instead of silently ignoring the projection
+            # knob (r8 review finding)
+            raise ValueError(
+                "herodb: the columns option applies to snapshot scans only "
+                "(CDC rows carry the full image plus _change/_commit_version)"
+            )
         if mode == "changes":
             # note: a missing changesFrom can only raise in reader()
             # (action time), because schema() cannot tell a batch CDC

@@ -179,3 +179,27 @@ def test_refresh_from_changes_countless_specs(spark, tmp_path):
     ch = snap.read_changes(0)
     with _pytest.raises(ValueError, match="count"):
         MV.refresh_mv_from_changes(mv0, ch, keys, [("s", "sum", F.col("v"))])
+
+
+def test_refresh_from_changes_null_keyed_group_survives(spark, tmp_path):
+    """r8 review finding: with sum/max-only specs (no count), a
+    NULL-keyed group touched by the feed must NOT be classified as
+    fully retracted while base rows survive (the dead-group anti join
+    is null-safe)."""
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    rows = [(1, None, 10.0), (2, None, 3.0), (3, "a", 4.0)]
+    base = spark.createDataFrame(rows, "id long, k string, v double")
+    snap = SnapshotTable.create(spark, str(tmp_path / "tn"), base, key_cols=["id"])
+    keys = ["k"]
+    specs = [("s", "sum", F.col("v")), ("mx", "max", F.col("v"))]
+    mv0 = MV.build_mv(snap.read(), keys, specs)
+    snap.delete_where(F.col("id") == 2)  # NULL group touched, id=1 survives
+    refreshed = MV.refresh_mv_from_changes(
+        mv0, snap.read_changes(0), keys, specs, base=snap.read()
+    )
+    got = {r.k: (r.s, r.mx) for r in refreshed.collect()}
+    rebuilt = {
+        r.k: (r.s, r.mx) for r in MV.build_mv(snap.read(), keys, specs).collect()
+    }
+    assert got == rebuilt == {None: (10.0, 10.0), "a": (4.0, 4.0)}

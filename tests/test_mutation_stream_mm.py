@@ -195,6 +195,15 @@ def test_png_decode_is_real():
         MM.decode_png(ihdr_png(color=3))
     with pytest.raises(ValueError, match="size mismatch"):
         MM.decode_png(ihdr_png(payload_bytes=5))
+    # r8 review finding: 0x0 dims must reject cleanly, not divide by 0
+    import struct as _st
+    import zlib as _zl
+
+    body0 = _st.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0)
+    c0 = _st.pack(">I", len(body0)) + b"IHDR" + body0
+    c0 += _st.pack(">I", _zl.crc32(b"IHDR" + body0))
+    with pytest.raises(ValueError, match="dimensions"):
+        MM.decode_png(b"\x89PNG\r\n\x1a\n" + c0)
 
 
 def test_image_features_mixed_ppm_png_distributed(spark):

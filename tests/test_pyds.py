@@ -653,3 +653,13 @@ def test_columns_option_manual_projection(spark, tmp_path):
         .option("columns", "k,note").load()
     )
     assert _rows(got2) == _rows(t.read().select("k", "note"))
+
+
+def test_columns_option_rejected_for_changes_mode(spark, tmp_path):
+    """r8 review finding: `columns` silently did nothing for CDC
+    reads — it must raise a clear error instead."""
+    t = _mk(spark, tmp_path)
+    with pytest.raises(Exception, match="snapshot scans only"):
+        (spark.read.format("herodb").option("path", t.path)
+         .option("mode", "changes").option("changesFrom", "0")
+         .option("columns", "k").load())
