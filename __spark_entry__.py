@@ -250,6 +250,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6: corpus-trained unigram LM quality scoring (the
     # perplexity-filter step) with an adaptive p10 keep threshold
     "text_unigram_logprob": X.text_unigram_logprob,
+    # round 8: multinomial Naive Bayes text classifier (train+predict
+    # as ONE Catalyst plan — the fastText-style quality/domain filter)
+    "text_nb_classifier": X.text_nb_classifier,
+    # round 8: tf-idf cosine near-dup pairs over the distinctive
+    # (df-capped) vocabulary — the sparse similarity join
+    "dedup_tfidf_cosine": D.tfidf_cosine_pairs,
 }
 
 
@@ -351,6 +357,8 @@ ORACLES: dict[str, str] = {
     "pyds_snapshot_roundtrip": PC.PYDS_SNAPSHOT_ROUNDTRIP_SQL,
     "dedup_span_maximal": TD.DEDUP_SPAN_MAXIMAL_SQL,
     "text_unigram_logprob": X.TEXT_UNIGRAM_LOGPROB_SQL,
+    "text_nb_classifier": X.TEXT_NB_CLASSIFIER_SQL,
+    "dedup_tfidf_cosine": D.TFIDF_COSINE_SQL,
 }
 
 

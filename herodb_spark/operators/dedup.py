@@ -747,3 +747,114 @@ SELECT 'fuzzy', doc_a, doc_b, CAST(dist AS DOUBLE)
 FROM ({DEDUP_FUZZY_LEVENSHTEIN_SQL})
 ORDER BY op, doc_a, doc_b
 """
+
+
+# ------------------------------------------------------- tf-idf cosine pairs
+
+#: tokens with document frequency above this are EXCLUDED from the
+#: measure (function words carry no near-dup signal and their df²
+#: inverted-index blowup is exactly the 100-TB skew hazard); work is
+#: bounded by Σ_{df≤cap} df² ≤ cap × total-token-count
+TFIDF_DF_CAP = 100
+#: report pairs at or above this cosine
+TFIDF_TAU = 0.6
+#: fixed-point weight scale: w = round(tf · idf · 1000) — integer
+#: arithmetic end to end, so dot products and norms are EXACT and
+#: engine-portable (no float-summation order anywhere)
+_TFIDF_SCALE = 1000
+
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by TF-IDF COSINE over the distinctive
+    vocabulary — the classic sparse similarity join (the
+    term-weighted complement of n-gram Jaccard: Jaccard sees shared
+    phrases, tf-idf cosine sees shared RARE TERMS regardless of
+    order, catching shuffled/templated copies).
+
+    Measure (exact, quantized): tokens with df ≤ TFIDF_DF_CAP carry
+    weight w(d,t) = round(tf·idf·1000) with idf = round(ln(N/df), 9);
+    cosine(a,b) = Σ w_a w_b / (√Σw_a² · √Σw_b²). All sums are BIGINT
+    — order-independent — and the two square roots + one division are
+    single IEEE ops, so Spark and the DuckDB oracle agree exactly.
+
+    Plan (100-TB shape):
+    - tf and df are token-keyed map-side-combined groupBys;
+    - pair generation is the inverted-index self-join on tokens with
+      2 ≤ df ≤ cap (df=1 tokens cannot form pairs but still count in
+      norms; df > cap tokens are outside the measure BY DEFINITION,
+      which is also the skew bound — no token contributes more than
+      cap² candidate rows);
+    - the dot product is one groupBy(doc_a, doc_b) over candidate
+      rows; norms join back on the doc key."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; drives idf as a literal-free column
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    kept = dfreq.where(F.col("df") <= TFIDF_DF_CAP)
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 9)
+    w = tf.join(kept, "t").select(
+        "doc_id",
+        "t",
+        "df",
+        F.round(F.col("tf").cast("double") * idf * _TFIDF_SCALE, 0)
+        .cast("long")
+        .alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    shared = w.where(F.col("df") >= 2)  # df=1 can't pair; norms keep it
+    a, b = shared.alias("a"), shared.alias("b")
+    dots = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na.n2").cast("double")) * F.sqrt(F.col("nb.n2").cast("double"))),
+        6,
+    )
+    return (
+        dots.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= TFIDF_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+TFIDF_COSINE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+w AS (
+  SELECT tf.doc_id, tf.t, d.df,
+         CAST(ROUND(CAST(tf.tf AS DOUBLE)
+                    * ROUND(ln((SELECT COUNT(*) FROM documents) / CAST(d.df AS DOUBLE)), 9)
+                    * {_TFIDF_SCALE}, 0) AS BIGINT) AS w
+  FROM tf JOIN dfreq d USING (t)
+  WHERE d.df <= {TFIDF_DF_CAP}
+),
+norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+  WHERE a.df >= 2
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= {TFIDF_TAU}
+ORDER BY doc_a, doc_b
+"""

@@ -7,7 +7,7 @@ scan path, so these sustain full parquet scan throughput at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from herodb_spark.catalog import load_table
@@ -579,4 +579,172 @@ SELECT 'bigram_lm', doc_id, avg_logprob, CAST(NULL AS DOUBLE), CAST(NULL AS DOUB
        n_bigrams, CAST(NULL AS VARCHAR), keep
 FROM ({TEXT_BIGRAM_LOGPROB_SQL})
 ORDER BY op, doc_id
+"""
+
+
+def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial NAIVE BAYES text classifier, trained and evaluated
+    inside the engine — the quality/domain-classifier step of public
+    LLM data pipelines (fastText-style linear filters: score documents
+    by a cheap supervised model and keep/route by label), expressed
+    with nothing but counts, joins and logs so the whole train+predict
+    cycle is one Catalyst plan with an exact SQL oracle.
+
+    Task: predict `lang` from tokens. Deterministic split: even
+    doc_id trains, odd doc_id evaluates. Add-one smoothing:
+        P(t | l) = (c_lt + 1) / (tot_l + V)
+    over the TRAIN vocabulary (out-of-vocabulary test tokens are
+    skipped — the standard multinomial-NB treatment).
+
+    Plan (100-TB shape):
+    - token/label counts are map-side-combined groupBys (stop-word
+      skew collapses in the partial aggregate);
+    - scoring joins test tokens to the per-label counts ON THE TOKEN
+      KEY — the model is NOT broadcast (vocab is unbounded at corpus
+      scale; label count is the only small dimension and rides along
+      as a column);
+    - the argmax is a 5-row-per-doc window, partitioned by doc.
+
+    Determinism contract (same as the unigram/bigram LMs): per-token
+    ln rounded to 9 dp first, summed as DECIMAL(27,9) (exact,
+    order-independent), argmax over the exact decimals with a
+    lexicographic label tiebreak; the reported score rounds to 6 dp.
+
+    Output: doc_id, actual, predicted, score, correct — one row per
+    test document, ordered by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    tr_tok = train.select(
+        F.col("lang").alias("l"), F.explode(T.tokens(F.col("text"))).alias("t")
+    ).localCheckpoint(eager=False)
+    # model: per-(label, token) counts, per-label totals, vocab size,
+    # and log priors from the train doc counts
+    cnt = tr_tok.groupBy("l", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = tr_tok.groupBy("l").agg(F.count(F.lit(1)).alias("tot"))
+    vsz = tr_tok.select("t").distinct().agg(F.count(F.lit(1)).alias("V"))
+    nl = train.groupBy(F.col("lang").alias("l")).agg(F.count(F.lit(1)).alias("nl"))
+    ntr = train.agg(F.count(F.lit(1)).alias("ntr"))
+    prior = (
+        nl.crossJoin(F.broadcast(ntr))
+        .select(
+            "l",
+            F.round(F.log(F.col("nl").cast("double") / F.col("ntr")), 9)
+            .cast("decimal(27,9)")
+            .alias("lp"),
+        )
+    )
+    # test token instances (multiplicity kept), restricted to the
+    # train vocabulary, crossed with every candidate label
+    vocab = cnt.select("t").distinct()
+    te_tok = (
+        test.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
+        .join(vocab, "t", "left_semi")
+    )
+    labels = tot.join(F.broadcast(vsz))
+    scored = (
+        te_tok.join(labels)  # × |labels| candidate rows per token
+        .join(cnt, ["l", "t"], "left")
+        .select(
+            "doc_id",
+            "l",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("V")).cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(27,9)")
+            .alias("term"),
+        )
+        .groupBy("doc_id", "l")
+        .agg(F.sum("term").alias("tscore"))
+    )
+    # every (test doc, label) pair scores — token-less docs fall back
+    # to the prior alone
+    base = test.select("doc_id", F.col("lang").alias("actual")).crossJoin(
+        F.broadcast(prior.select("l"))
+    )
+    full = (
+        base.join(scored, ["doc_id", "l"], "left")
+        .join(prior, "l")
+        .select(
+            "doc_id",
+            "actual",
+            "l",
+            (
+                F.coalesce(F.col("tscore"), F.lit(0).cast("decimal(27,9)"))
+                + F.col("lp")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("l").asc())
+    return (
+        full.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "actual",
+            F.col("l").alias("predicted"),
+            F.round(F.col("score").cast("double"), 6).alias("score"),
+            (F.col("l") == F.col("actual")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_NB_CLASSIFIER_SQL = r"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+tr_tok AS (
+  SELECT lang AS l, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM train
+),
+cnt AS (SELECT l, t, COUNT(*) AS c FROM tr_tok GROUP BY l, t),
+tot AS (SELECT l, COUNT(*) AS tot FROM tr_tok GROUP BY l),
+vsz AS (SELECT COUNT(DISTINCT t) AS V FROM tr_tok),
+prior AS (
+  SELECT lang AS l,
+         CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM train)), 9) AS DECIMAL(27,9)) AS lp
+  FROM train GROUP BY lang
+),
+te_tok AS (
+  SELECT doc_id, u.t
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM test
+  ) u
+  WHERE u.t IN (SELECT DISTINCT t FROM cnt)
+),
+scored AS (
+  SELECT tk.doc_id, lab.l,
+         SUM(CAST(ROUND(ln(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE)
+                           / CAST(lab.tot + lab.V AS DOUBLE)), 9)
+                  AS DECIMAL(27,9))) AS tscore
+  FROM te_tok tk
+  CROSS JOIN (SELECT l, tot, (SELECT V FROM vsz) AS V FROM tot) lab
+  LEFT JOIN cnt ON cnt.l = lab.l AND cnt.t = tk.t
+  GROUP BY tk.doc_id, lab.l
+),
+allscore AS (
+  SELECT b.doc_id, b.actual, b.l,
+         COALESCE(s.tscore, CAST(0 AS DECIMAL(27,9))) + p.lp AS score
+  FROM (SELECT t.doc_id, t.lang AS actual, pr.l
+        FROM test t CROSS JOIN (SELECT l FROM prior) pr) b
+  LEFT JOIN scored s ON s.doc_id = b.doc_id AND s.l = b.l
+  JOIN prior p ON p.l = b.l
+),
+ranked AS (
+  SELECT doc_id, actual, l,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, l ASC) AS rk,
+         score
+  FROM allscore
+)
+SELECT doc_id, actual, l AS predicted,
+       ROUND(CAST(score AS DOUBLE), 6) AS score,
+       l = actual AS correct
+FROM ranked WHERE rk = 1
+ORDER BY doc_id
 """

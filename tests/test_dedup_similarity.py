@@ -397,3 +397,34 @@ def test_fuzzy_levenshtein_bucket_probe_is_lossless(spark):
     got = sorted(tuple(r) for r in blocked.collect())
     want = sorted(tuple(r) for r in brute.collect())
     assert got == want and len(want) >= 4
+
+
+@pytest.mark.parametrize("sf_dir2", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_tfidf_cosine_oracle(spark, sf_dir2):
+    from tests.harness import compare, duckdb_con
+
+    res = compare(D.tfidf_cosine_pairs(spark, sf_dir2), D.TFIDF_COSINE_SQL, duckdb_con(sf_dir2))
+    assert res["ok"], res
+
+
+def test_tfidf_cosine_semantics(spark):
+    """Pairs are canonical (a<b), scores in (0, 1], and every exact
+    duplicate pair (identical text) scores cosine 1.0 when its
+    distinctive-vocabulary weights are nonempty."""
+    from herodb_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = D.tfidf_cosine_pairs(spark, sf).localCheckpoint()
+    rows = out.collect()
+    assert rows and all(r.doc_a < r.doc_b for r in rows)
+    assert all(0.0 < r.cosine <= 1.0 for r in rows)
+    docs = load_table(spark, sf, "documents")
+    a, b = docs.alias("a"), docs.alias("b")
+    import pyspark.sql.functions as F
+    exact = (
+        a.join(b, (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    got = {(r.doc_a, r.doc_b): r.cosine for r in rows}
+    for r in exact.collect():
+        assert got.get((r.doc_a, r.doc_b)) == 1.0

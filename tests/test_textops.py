@@ -5,6 +5,8 @@ import pytest
 from herodb_spark.operators import textops as X
 from tests.harness import compare
 
+ALL_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
 CASES = [
     (X.token_count, X.TOKEN_COUNT_SQL),
     (X.quality_score, X.QUALITY_SCORE_SQL),
@@ -115,3 +117,23 @@ def test_unigram_logprob_tokenizes_once(spark, sf_dir):
     df = X.text_unigram_logprob(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 1, "corpus is tokenized more than once"
+
+
+@pytest.mark.parametrize("sf", ALL_SF_DIRS)
+def test_text_nb_classifier_oracle(spark, sf):
+    from tests.harness import compare, duckdb_con
+
+    res = compare(X.text_nb_classifier(spark, sf), X.TEXT_NB_CLASSIFIER_SQL, duckdb_con(sf))
+    assert res["ok"], res
+
+
+def test_text_nb_classifier_semantics(spark):
+    """The classifier must (a) cover every odd-id test doc exactly
+    once, (b) never train on a test doc (parity split), and (c) beat
+    chance on lang (5 uniform-ish classes → chance ≈ 0.2; the corpus
+    carries real lang vocabulary signal)."""
+    df = X.text_nb_classifier(spark, "/root/testdata/sf0.001").localCheckpoint()
+    ids = [r.doc_id for r in df.select("doc_id").collect()]
+    assert all(i % 2 == 1 for i in ids) and len(ids) == len(set(ids))
+    acc = df.selectExpr("avg(cast(correct as double)) a").first().a
+    assert acc > 0.25, f"accuracy {acc} not above chance"
