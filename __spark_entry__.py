@@ -256,6 +256,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 8: tf-idf cosine near-dup pairs over the distinctive
     # (df-capped) vocabulary — the sparse similarity join
     "dedup_tfidf_cosine": D.tfidf_cosine_pairs,
+    # round 8: SemDeDup-style semantic dedup — k-means clusters,
+    # within-cluster τ-cosine pairs, keep the centroid-farthest
+    # member (rows-only: KMeans has no SQL oracle, laws in tests)
+    "dedup_semantic_clusters": SK.semdedup_clusters,
 }
 
 

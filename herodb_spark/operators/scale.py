@@ -132,3 +132,95 @@ SELECT ev.k, 'grp_' || ev.k AS k_label,
 FROM ev JOIN dim ON ev.k = dim.k
 GROUP BY ev.k ORDER BY ev.k
 """
+
+
+#: within-cluster cosine at or above this marks a semantic duplicate
+#: (matches the corpus' embedding near-dup threshold used by
+#: dedup_embedding_cosine / the LSH variant)
+SEMDEDUP_TAU = 0.35
+
+
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (the public recipe:
+    Abbas et al. 2023, "SemDeDup" — k-means the embedding space,
+    search duplicates only WITHIN clusters, keep one representative
+    per duplicate group): the embedding-space counterpart of the
+    lexical dedup family, catching paraphrases with no shared n-grams.
+
+    Deterministic keep rule (relational form of the paper's
+    keep-the-centroid-farthest choice): within a cluster, a vector is
+    DROPPED iff some τ-similar cluster-mate ranks better, where
+    better = lower cosine-to-centroid (the outlier carries the most
+    information), ties by lower vec_id. Among any τ-similar pair the
+    worse-ranked member is always dropped, so no two kept vectors in
+    one cluster are τ-similar (pinned in tests).
+
+    Plan (100-TB shape):
+    - one KMeans fit (seed-pinned; centroids broadcast);
+    - pairwise cosine ONLY within clusters — k scales with the corpus
+      so per-cluster size stays bounded and the quadratic never sees
+      the full corpus (Σ n_c² ≪ n²; the whole point of the recipe);
+    - the keep decision is one aggregate over directed in-cluster
+      τ-pairs, no iteration.
+
+    Driver check is rows-only (KMeans has no SQL oracle — same
+    contract as ann_ivf_topk); determinism + keep-rule laws are
+    pinned in tests/test_scale.py."""
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    model = _kmeans_centroids(spark, emb)
+    assigned = model.transform(
+        emb.select(
+            "vec_id",
+            "embedding",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        )
+    ).select("vec_id", "embedding", F.col("prediction").alias("cell"))
+    centroids = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = F.broadcast(
+        spark.createDataFrame(centroids, "cell int, centroid array<double>")
+    )
+    with_c = assigned.join(cent_df, "cell").select(
+        "cell",
+        "vec_id",
+        "embedding",
+        V.cosine_rounded(F.col("embedding"), F.col("centroid"), 6).alias("ccos"),
+    ).localCheckpoint(eager=False)
+    a = with_c.select(
+        "cell",
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("ccos").alias("ca"),
+    )
+    b = with_c.select(
+        "cell",
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("ccos").alias("cb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("ida") != F.col("idb"))
+        .where(V.cosine_rounded(F.col("ea"), F.col("eb"), 6) >= SEMDEDUP_TAU)
+        .where(
+            (F.col("cb") < F.col("ca"))
+            | ((F.col("cb") == F.col("ca")) & (F.col("idb") < F.col("ida")))
+        )
+        .select(F.col("ida").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        with_c.join(dropped.withColumn("k", F.lit(False)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "ccos",
+            F.coalesce(F.col("k"), F.lit(True)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

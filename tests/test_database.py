@@ -821,3 +821,45 @@ def test_many_disjoint_partition_writers_all_commit(spark, tmp_path):
     # history is a linear chain of 5 txn versions
     ops = [h["op"] for h in db.history()]
     assert ops.count("txn") == 5
+
+
+def test_cross_table_deadlock_resolves_by_cost(spark, tmp_path):
+    """Rewrite.md: 'a transaction is canceled right away when ...
+    deadlock happens and this transaction's cost is lower'. The
+    hold-and-wait shape: cheap holds facts and wants accounts;
+    expensive holds accounts and wants facts. The expensive side
+    breaks the cycle immediately (heals the cheaper hold); the cheap
+    side, deferring on accounts, is fenced once the winner publishes."""
+    import threading as _th
+    import time as _time
+
+    db = _mkpdb(spark, tmp_path)
+    cheap = Transaction(db)
+    cheap.__enter__()
+    cheap.merge_upsert("facts", _facts_rows(spark, "a", [801]))  # holds facts
+    exp = Transaction(db)
+    exp.__enter__()
+    exp.merge_upsert("audit", spark.createDataFrame([(81, "x")], "seq long, what string"))
+    exp.merge_upsert("audit", spark.createDataFrame([(82, "y")], "seq long, what string"))
+    assert exp.cost > cheap.cost
+    # expensive wants facts: heals the cheaper holder, no waiting
+    exp.merge_upsert("facts", _facts_rows(spark, "b", [802]))
+
+    def _publish():
+        _time.sleep(1.0)
+        exp.commit()
+
+    th = _th.Thread(target=_publish)
+    th.start()
+    # cheap wants audit (held by the live higher-cost transaction):
+    # defers, then is fenced when the winner publishes — its own
+    # facts hold was already rolled back by the arbitration heal
+    with pytest.raises(ConcurrentWriteError, match="rolled back|cancelling"):
+        cheap.merge_upsert(
+            "audit", spark.createDataFrame([(83, "z")], "seq long, what string")
+        )
+        cheap.commit()
+    th.join()
+    assert db.read("facts").where("id = 802").count() == 1
+    assert db.read("facts").where("id = 801").count() == 0
+    assert {r.seq for r in db.read("audit").collect()} >= {81, 82}

@@ -56,3 +56,55 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_semdedup_clusters_laws(spark):
+    """SemDeDup keep-rule laws: (a) deterministic across runs,
+    (b) among any τ-similar in-cluster pair at most one member is
+    kept, (c) every dropped vector has a better-ranked τ-similar
+    cluster-mate (its witness), (d) some rows are actually dropped
+    (the corpus carries embedding near-dups by construction)."""
+    from herodb_spark.functions import vector as V
+
+    sf = "/root/testdata/sf0.001"
+    out1 = SC.semdedup_clusters(spark, sf).localCheckpoint()
+    out2 = SC.semdedup_clusters(spark, sf)
+    rows1 = sorted(tuple(r) for r in out1.collect())
+    rows2 = sorted(tuple(r) for r in out2.collect())
+    assert rows1 == rows2  # (a)
+    kept = {r.vec_id for r in out1.where("keep").collect()}
+    dropped = {r.vec_id for r in out1.where("not keep").collect()}
+    assert dropped  # (d)
+    # reconstruct in-cluster τ-pairs to check (b) and (c)
+    from herodb_spark.catalog import load_table
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    w = out1.join(emb, "vec_id").select("cell", "vec_id", "ccos", "embedding")
+    a = w.select(
+        "cell", F.col("vec_id").alias("ida"), F.col("ccos").alias("ca"),
+        F.col("embedding").alias("ea"),
+    )
+    b = w.select(
+        "cell", F.col("vec_id").alias("idb"), F.col("ccos").alias("cb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("ida") < F.col("idb"))
+        .where(V.cosine_rounded(F.col("ea"), F.col("eb"), 6) >= SC.SEMDEDUP_TAU)
+        .select("ida", "idb", "ca", "cb")
+        .collect()
+    )
+    assert pairs
+    for p in pairs:  # (b): the worse-ranked member is never kept
+        worse = p.idb if (p.ca < p.cb or (p.ca == p.cb and p.ida < p.idb)) else p.ida
+        assert worse not in kept
+    witnesses = {}
+    for p in pairs:
+        worse, better = (
+            (p.idb, p.ida) if (p.ca < p.cb or (p.ca == p.cb and p.ida < p.idb))
+            else (p.ida, p.idb)
+        )
+        witnesses.setdefault(worse, set()).add(better)
+    for d in dropped:  # (c)
+        assert d in witnesses, f"dropped {d} has no better-ranked τ-neighbor"
