@@ -256,6 +256,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 8: tf-idf cosine near-dup pairs over the distinctive
     # (df-capped) vocabulary — the sparse similarity join
     "dedup_tfidf_cosine": D.tfidf_cosine_pairs,
+    # round 8: ordered funnel + cohort retention — the classic
+    # event-analytics pair (sequential pattern + weekly cohorts),
+    # exact integer time arithmetic end to end
+    "events_funnel": O.events_funnel,
+    "events_retention": O.events_retention,
     # round 8: SemDeDup-style semantic dedup — k-means clusters,
     # within-cluster τ-cosine pairs, keep the centroid-farthest
     # member (rows-only: KMeans has no SQL oracle, laws in tests)
@@ -363,6 +368,8 @@ ORACLES: dict[str, str] = {
     "text_unigram_logprob": X.TEXT_UNIGRAM_LOGPROB_SQL,
     "text_nb_classifier": X.TEXT_NB_CLASSIFIER_SQL,
     "dedup_tfidf_cosine": D.TFIDF_COSINE_SQL,
+    "events_funnel": O.EVENTS_FUNNEL_SQL,
+    "events_retention": O.EVENTS_RETENTION_SQL,
 }
 
 

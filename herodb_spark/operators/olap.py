@@ -176,3 +176,161 @@ SELECT 'asof' AS q, CAST(user_id AS VARCHAR) AS k1, purchase_ts AS k2, asof_clic
 FROM ({ASOF_JOIN_SQL})
 ORDER BY q, k1, k2, v1
 """
+
+
+#: funnel definition: ordered steps + completion window
+FUNNEL_STEPS = ("signup", "click", "purchase")
+FUNNEL_WINDOW_H = 24
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED FUNNEL analysis over the event log — the sequential-
+    pattern operator (MATCH_RECOGNIZE-lite) analytics engines ship:
+    per user, the earliest signup → click → purchase completion where
+    every later step lands strictly after the previous one and inside
+    FUNNEL_WINDOW_H hours of the first step.
+
+    Earliest-completion semantics, resolved per STEP (the standard
+    funnel definition): t1 = first signup; t2 = first click after t1;
+    t3 = first purchase after t2 (both within the window). Output per
+    user: funnel depth (0-3) and exact µs durations to steps 2/3 —
+    integer microseconds, so the oracle comparison is exact (no float
+    time arithmetic anywhere).
+
+    Plan (100-TB shape): three user-keyed conditional min-aggregates
+    (map-side combined), each joined back on user_id — no windows over
+    the raw log, no per-user sort; work ∝ matching events, shuffles
+    only on user_id (AQE splits hot users)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    users = ev.select("user_id").distinct()
+    s1, s2, s3 = FUNNEL_STEPS
+    t1 = (
+        ev.where(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .withColumn("tmax", F.col("t1") + F.expr(f"INTERVAL {FUNNEL_WINDOW_H} HOURS"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == s2)
+        .join(t1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("tmax")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == s3)
+        .join(t1, "user_id")
+        .join(t2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("tmax")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(t1.select("user_id", "t1"), "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            depth.alias("depth"),
+            # ts may load as TIMESTAMP_NTZ; under the pinned UTC
+            # session tz the cast to TIMESTAMP is value-identity
+            (
+                F.unix_micros(F.col("t2").cast("timestamp"))
+                - F.unix_micros(F.col("t1").cast("timestamp"))
+            ).alias("to_step2_us"),
+            (
+                F.unix_micros(F.col("t3").cast("timestamp"))
+                - F.unix_micros(F.col("t1").cast("timestamp"))
+            ).alias("to_step3_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+t1 AS (
+  SELECT user_id, MIN(ts) AS t1,
+         MIN(ts) + INTERVAL {FUNNEL_WINDOW_H} HOUR AS tmax
+  FROM ev WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM ev e JOIN t1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > t1.t1 AND e.ts <= t1.tmax
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM ev e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > t2.t2 AND e.ts <= t1.tmax
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CASE WHEN t3.t3 IS NOT NULL THEN 3
+            WHEN t2.t2 IS NOT NULL THEN 2
+            WHEN t1.t1 IS NOT NULL THEN 1
+            ELSE 0 END AS depth,
+       epoch_us(t2.t2) - epoch_us(t1.t1) AS to_step2_us,
+       epoch_us(t3.t3) - epoch_us(t1.t1) AS to_step3_us
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+ORDER BY u.user_id
+"""
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION over the event log — the second classic
+    event-analytics operator next to the funnel: users are cohorted
+    by the WEEK of their first event; the output counts, per
+    (cohort_week, weeks_since), how many cohort members were active
+    in that later week. All integer/date arithmetic (week-truncated
+    dates, exact day diffs ÷ 7) — no float time math, exact oracle.
+
+    Plan (100-TB shape): first-seen is one user-keyed min-aggregate;
+    activity is a distinct over (user, week) — both map-side
+    combined; the retention join is user-keyed and the final rollup
+    is a tiny (cohorts × weeks) aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+  FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER) AS weeks_since,
+       COUNT(*) AS n_users
+FROM ev JOIN first USING (user_id)
+GROUP BY cohort_week, weeks_since
+ORDER BY cohort_week, weeks_since
+"""
