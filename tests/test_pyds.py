@@ -663,3 +663,63 @@ def test_columns_option_rejected_for_changes_mode(spark, tmp_path):
         (spark.read.format("herodb").option("path", t.path)
          .option("mode", "changes").option("changesFrom", "0")
          .option("columns", "k").load())
+
+
+def test_streaming_mv_maintenance_composition(spark, tmp_path):
+    """Composition: durable table → CDC STREAM (this connector) →
+    per-micro-batch incremental MV maintenance
+    (matview.refresh_mv_from_changes) — a continuously-maintained
+    materialized aggregate that must equal a from-scratch rebuild
+    after every upstream commit (inserts, updates AND deletes)."""
+    from herodb_spark.operators import matview as MV
+
+    src = SnapshotTable.create(
+        spark,
+        os.path.join(str(tmp_path), "src"),
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0)], "k long, g string, v double"
+        ),
+        key_cols=["k"],
+    )
+    keys, specs = ["g"], [("n", "count", F.lit(1)), ("s", "sum", F.col("v"))]
+    state = {"mv": MV.build_mv(src.read(version=0), keys, specs).localCheckpoint()}
+
+    def fold(bdf, bid):
+        rows = bdf.collect()  # micro-batches are small by definition
+        if not rows:
+            return
+        ch = spark.createDataFrame(rows, bdf.schema).drop("_commit_version")
+        state["mv"] = MV.refresh_mv_from_changes(
+            state["mv"], ch, keys, specs
+        ).localCheckpoint()
+
+    cdc = (
+        spark.readStream.format("herodb")
+        .option("path", src.path)
+        .option("mode", "changes")
+        .option("startingVersion", "1")
+        .load()
+    )
+    q = (
+        cdc.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def mv_rows():
+        return sorted(tuple(r) for r in state["mv"].collect())
+
+    def rebuilt():
+        return sorted(tuple(r) for r in MV.build_mv(src.read(), keys, specs).collect())
+
+    try:
+        src.merge_upsert(
+            spark.createDataFrame([(2, "a", 50.0), (4, "b", 1.0)], "k long, g string, v double")
+        )
+        assert _await(lambda: mv_rows() == rebuilt())
+        src.delete_where(F.col("g") == "a")  # full group retraction
+        assert _await(lambda: mv_rows() == rebuilt())
+        assert all(r[0] != "a" for r in mv_rows())  # dead group left the view
+    finally:
+        q.stop()
