@@ -16,7 +16,8 @@ def test_oracle_keys_subset_of_queries():
     rows_only = set(q) - set(o)
     # every rows-only op is one of the documented non-SQL-expressible ones
     assert rows_only == {
-        "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk", "sketch_profile"
+        "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",
+        "sketch_profile", "dedup_semantic_clusters",  # KMeans: no SQL oracle
     }, rows_only
 
 
