@@ -307,7 +307,10 @@ def connected_components_twophase(undirected: DataFrame, max_iters: int = MAX_IT
             .distinct()
             .localCheckpoint(eager=True)
         )
-        converged = ss.exceptAll(edges).isEmpty() and edges.exceptAll(ss).isEmpty()
+        # set equality as |A| == |B| ∧ A ⊆ B (multiset containment via
+        # exceptAll): one shuffle probe per round instead of two —
+        # both frames are checkpointed, so the counts are near-free
+        converged = ss.count() == edges.count() and ss.exceptAll(edges).isEmpty()
         edges = ss
         if converged:
             done = True
