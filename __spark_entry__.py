@@ -256,6 +256,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 8: tf-idf cosine near-dup pairs over the distinctive
     # (df-capped) vocabulary — the sparse similarity join
     "dedup_tfidf_cosine": D.tfidf_cosine_pairs,
+    # round 8: sliding-window document chunking (the split side of
+    # export; pack_sequences_budget is the concat side)
+    "export_chunk_documents": TD.chunk_documents,
     # round 8: ordered funnel + cohort retention — the classic
     # event-analytics pair (sequential pattern + weekly cohorts),
     # exact integer time arithmetic end to end
@@ -368,6 +371,7 @@ ORACLES: dict[str, str] = {
     "text_unigram_logprob": X.TEXT_UNIGRAM_LOGPROB_SQL,
     "text_nb_classifier": X.TEXT_NB_CLASSIFIER_SQL,
     "dedup_tfidf_cosine": D.TFIDF_COSINE_SQL,
+    "export_chunk_documents": TD.CHUNK_DOCUMENTS_SQL,
     "events_funnel": O.EVENTS_FUNNEL_SQL,
     "events_retention": O.EVENTS_RETENTION_SQL,
 }

@@ -744,6 +744,101 @@ ORDER BY bucket, pos
 """
 
 
+
+# --------------------------------------------------------- document chunking
+
+CHUNK_TOKENS = 64  # tokens per chunk (small to exercise multi-chunk docs)
+CHUNK_OVERLAP = 16  # tokens repeated from the previous chunk
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: SLIDING-WINDOW DOCUMENT CHUNKING — the
+    split side of training-data export (pack_sequences_budget is the
+    concat side): every document longer than CHUNK_TOKENS is cut into
+    chunks of exactly CHUNK_TOKENS tokens stepping by
+    CHUNK_TOKENS − CHUNK_OVERLAP, plus one final shorter tail chunk
+    for the remainder (shorter documents yield their single full
+    chunk). The standard RAG/context-window preparation shape.
+
+    Plan (100-TB): one tokenize pass; chunk enumeration is a sequence
+    expression per row (no explode-then-window over token rows — the
+    chunk COUNT per doc is closed-form, so work ∝ chunks, not
+    tokens); the chunk text re-slices the token array JVM-side
+    (slice + array_join, codegen). Output per chunk: doc_id,
+    chunk_id, start/end token positions (0-based, end exclusive),
+    n_tokens, and the md5 of the chunk text (hash-stable compare
+    without shipping text)."""
+    step = CHUNK_TOKENS - CHUNK_OVERLAP
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", T.tokens(F.col("text")).alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    # number of full-stride starts: ceil(max(n - CHUNK, 0) / step)
+    # (+1 for the chunk at position 0). A tail start is added when
+    # the last full chunk does not reach the end.
+    n_starts = (
+        F.when(
+            F.col("n") <= CHUNK_TOKENS, F.lit(1)
+        ).otherwise(
+            F.floor((F.col("n") - CHUNK_TOKENS + step - 1) / step) + 1
+        )
+    ).cast("int")
+    chunks = tok.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.posexplode(F.sequence(F.lit(0), n_starts - 1)).alias("chunk_id", "_i"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "toks",
+        "n",
+        (F.col("chunk_id") * step).alias("start"),
+        F.least(F.col("chunk_id") * step + CHUNK_TOKENS, F.col("n")).alias("end"),
+    )
+    piece = F.array_join(
+        F.slice(F.col("toks"), F.col("start") + 1, F.col("end") - F.col("start")), " "
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            "start",
+            "end",
+            (F.col("end") - F.col("start")).alias("n_tokens"),
+            F.md5(piece).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+CHUNK_DOCUMENTS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                   ELSE CAST(floor((n - {CHUNK_TOKENS} + {CHUNK_TOKENS - CHUNK_OVERLAP} - 1)
+                                   / {CHUNK_TOKENS - CHUNK_OVERLAP}) AS BIGINT) + 1 END)) AS chunk_id
+  FROM tok
+)
+SELECT doc_id,
+       CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT) AS start,
+       LEAST(chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}, n) AS "end",
+       LEAST(chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}, n)
+         - chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} AS n_tokens,
+       md5(array_to_string(
+         toks[chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+              LEAST(chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}, n)], ' ')) AS chunk_fp
+FROM starts
+ORDER BY doc_id, chunk_id
+"""
+
+
 # Defined last: the shuffle branch embeds EXPORT_GLOBAL_SHUFFLE_SQL.
 TRAINDATA_EXPORT_SQL = f"""
 SELECT 'manifest' AS op, shard, CAST(NULL AS BIGINT) AS bin, n_docs,

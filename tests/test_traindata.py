@@ -203,3 +203,41 @@ def test_global_shuffle_is_a_uniform_permutation(spark):
     # it's a shuffle: the first bucket's docs are not an id-contiguous run
     first = sorted(r.doc_id for r in a if r.bucket == min(by_bucket))
     assert first != list(range(first[0], first[0] + len(first)))
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_chunk_documents_oracle(spark, sf):
+    from tests.harness import compare, duckdb_con
+
+    res = compare(TD.chunk_documents(spark, sf), TD.CHUNK_DOCUMENTS_SQL, duckdb_con(sf))
+    assert res["ok"], res
+
+
+def test_chunk_documents_laws(spark):
+    """Chunking invariants: chunk 0 starts at 0; consecutive chunks
+    step by CHUNK−OVERLAP; every chunk except a tail is full-size;
+    chunks COVER the document (last end == n for multi-chunk docs);
+    every doc yields ≥ 1 chunk."""
+    from herodb_spark.catalog import load_table
+    from herodb_spark.functions import text as T
+
+    sf = "/root/testdata/sf0.001"
+    rows = TD.chunk_documents(spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    n_by_doc = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", F.size(T.tokens(F.col("text"))).alias("n")).collect()
+    }
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(n_by_doc)  # every doc chunked
+    step = TD.CHUNK_TOKENS - TD.CHUNK_OVERLAP
+    for doc_id, ch in per_doc.items():
+        ch.sort(key=lambda r: r.chunk_id)
+        assert ch[0].start == 0 and ch[0].chunk_id == 0
+        for a, b in zip(ch, ch[1:]):
+            assert b.start == a.start + step  # fixed stride
+            assert a.end - a.start == TD.CHUNK_TOKENS  # non-tail = full
+        assert ch[-1].end == n_by_doc[doc_id]  # coverage to the end
+        assert all(r.n_tokens == r.end - r.start for r in ch)
