@@ -863,3 +863,84 @@ def test_cross_table_deadlock_resolves_by_cost(spark, tmp_path):
     assert db.read("facts").where("id = 802").count() == 1
     assert db.read("facts").where("id = 801").count() == 0
     assert {r.seq for r in db.read("audit").collect()} >= {81, 82}
+
+
+def test_random_schedule_two_writers_property(spark, tmp_path):
+    """Property over randomized SEQUENTIAL schedules: two transactions
+    write random partition sets of one table, with apply/commit steps
+    interleaved randomly (apply always precedes its own commit).
+    Invariants, for every schedule:
+    - a COMMITTED transaction has all its rows in the final published
+      state (no lost updates);
+    - a CANCELLED transaction contributes no rows after recovery;
+    - at least one of the two always commits;
+    - DISJOINT partitions + second apply AFTER first commit ⇒ both
+      commit (the publish is visible, so the second rebases);
+      with both applies before either commit, the second applier
+      defers on the live holder and times out by design — the
+      threaded stress/defer tests cover the concurrent-publish case;
+    - recovery finds nothing to heal afterwards."""
+    import random
+
+    parts = ["a", "b", "c", "d"]
+    rng = random.Random(80)
+    for trial in range(6):
+        psets = [
+            sorted(rng.sample(parts, rng.randint(1, 2))),
+            sorted(rng.sample(parts, rng.randint(1, 2))),
+        ]
+        steps = [(0, "apply"), (0, "commit"), (1, "apply"), (1, "commit")]
+        while True:  # random order keeping each txn's apply < commit
+            rng.shuffle(steps)
+            if steps.index((0, "apply")) < steps.index((0, "commit")) and steps.index(
+                (1, "apply")
+            ) < steps.index((1, "commit")):
+                break
+        db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), f"p{trial}"))
+        seed = spark.createDataFrame(
+            [(i, parts[i], 0.0) for i in range(4)], "id long, part string, v double"
+        )
+        db.create_table("t", seed, key_cols=["id"], partition_col="part")
+        txns = [Transaction(db), Transaction(db)]
+        for t in txns:
+            t.ARBITRATION_WAIT_S = 2.0  # sequential schedule: a defer
+            t.__enter__()  # on a live holder can only time out
+        status = {0: "pending", 1: "pending"}
+        base_id = [1000, 2000]
+        for i, action in steps:
+            if status[i] == "cancelled":
+                continue
+            try:
+                if action == "apply":
+                    rows = [
+                        (base_id[i] + j, p, float(i)) for j, p in enumerate(psets[i])
+                    ]
+                    txns[i].merge_upsert(
+                        "t",
+                        spark.createDataFrame(rows, "id long, part string, v double"),
+                    )
+                    status[i] = "applied"
+                else:
+                    txns[i].commit()
+                    status[i] = "committed"
+            except ConcurrentWriteError:
+                status[i] = "cancelled"
+        for t in txns:
+            t._stop_heartbeat()
+        SnapshotDatabase(spark, db.path).recover()
+        got = {r.id for r in db.read("t").collect()}
+        desc = f"trial {trial}: psets={psets} steps={steps} status={status}"
+        assert any(s == "committed" for s in status.values()), desc
+        for i in (0, 1):
+            want = {base_id[i] + j for j in range(len(psets[i]))}
+            if status[i] == "committed":
+                assert want <= got, desc
+            else:
+                assert not (want & got), desc
+        disjoint = not (set(psets[0]) & set(psets[1]))
+        serial = steps.index((0, "commit")) < steps.index((1, "apply")) or steps.index(
+            (1, "commit")
+        ) < steps.index((0, "apply"))
+        if disjoint and serial:
+            assert status == {0: "committed", 1: "committed"}, desc
+        assert SnapshotDatabase(spark, db.path).recover() == {}, desc
