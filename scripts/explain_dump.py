@@ -89,6 +89,40 @@ def _symtab_resolve(spark, sf_dir):
     return SY.symtab_resolve(spark, sf_dir)
 
 
+def _tfidf(spark, sf_dir):
+    from herodb_spark.operators import dedup as D3
+
+    return D3.tfidf_cosine_pairs(spark, sf_dir)
+
+
+def _nb(spark, sf_dir):
+    from herodb_spark.operators import textops as X2
+
+    return X2.text_nb_classifier(spark, sf_dir)
+
+
+def _funnel(spark, sf_dir):
+    from herodb_spark.operators import olap as O2
+
+    return O2.events_funnel(spark, sf_dir)
+
+
+def _chunks(spark, sf_dir):
+    from herodb_spark.operators import traindata as TD2
+
+    return TD2.chunk_documents(spark, sf_dir)
+
+
+QUERIES.update(
+    {
+        "dedup_tfidf_cosine (expect token-key equi-join inverted index (a.t = b.t) + bigint partial aggregates; NO cartesian, NO float sums)": _tfidf,
+        "text_nb_classifier (expect token-keyed model join — NOT broadcast — + decimal partial aggregates + a 5-row-per-doc window argmax)": _nb,
+        "events_funnel (expect three user-keyed partial min-aggregates joined back; NO window over the raw event log)": _funnel,
+        "export_chunk_documents (expect ONE tokenize + sequence-explode per row; work ∝ chunks, no token-row window)": _chunks,
+    }
+)
+
+
 QUERIES.update({
     "heroql_rules (compiled FROM HeroQL SOURCE; expect BroadcastHashJoin(LeftAnti) for `not`, nation broadcast for the deref, no Python nodes)": _heroql_rules,
     "heroql_pipeline (compiled FROM HeroQL SOURCE; expect one window pass for top-k, partial HashAggregate for group_by, single-partition window only for the final range_by)": _heroql_pipeline,
