@@ -52,12 +52,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering contract: the round driver grades the FIRST 50 registry
-# entries. Every oracle-backed query sits in slots 1-50 (near-duplicate
-# operators are merged into single multi-column queries — the merged
-# function's docstring names its constituents, and the individual
-# operators keep their own functions/oracles in unit tests). The four
-# rows-only queries (no DuckDB-expressible oracle) come last: they
-# produce no hash signal, so they must not occupy graded slots.
+# entries — all 50 are oracle-backed (near-duplicate operators merge
+# into tag-union queries; the merged function's docstring names its
+# constituents, and every constituent keeps its own function/oracle
+# below slot 50 and in unit tests). The rows-only queries (no
+# DuckDB-expressible oracle: simhash/LSH/IVF/quantized ANN,
+# sketch_profile, semantic clusters) produce no hash signal, so they
+# must sit BEYOND slot 50 — position among the ungraded entries is
+# otherwise free.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # A. relational core (Datalog rule surface)
     "rel_scan_filter_project": R.scan_filter_project,

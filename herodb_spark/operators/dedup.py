@@ -787,15 +787,15 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the dot product is one groupBy(doc_a, doc_b) over candidate
       rows; norms join back on the doc key."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar; drives idf as a literal-free column
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
-    )
+    # corpus size as a 1-row broadcast (NOT an eager .count() at plan
+    # build — registration/EXPLAIN must stay job-free; r8 review)
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("N"))
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
     tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     kept = dfreq.where(F.col("df") <= TFIDF_DF_CAP)
-    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 9)
-    w = tf.join(kept, "t").select(
+    idf = F.round(F.log(F.col("N") / F.col("df").cast("double")), 9)
+    w = tf.join(kept, "t").crossJoin(F.broadcast(nd)).select(
         "doc_id",
         "t",
         "df",
@@ -814,10 +814,13 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
     )
     na, nb = norms.alias("na"), norms.alias("nb")
-    cos = F.round(
-        F.col("dot").cast("double")
-        / (F.sqrt(F.col("na.n2").cast("double")) * F.sqrt(F.col("nb.n2").cast("double"))),
-        6,
+    denom = F.sqrt(F.col("na.n2").cast("double")) * F.sqrt(F.col("nb.n2").cast("double"))
+    # zero-norm guard (all kept weights 0 — possible when idf rounds
+    # to 0 on tiny corpora): NULL, never 0/0 — Spark orders NaN above
+    # every double so an unguarded NaN would PASS the ≥ τ filter
+    # while DuckDB's NaN comparison fails it (r8 review)
+    cos = F.when(denom == 0.0, F.lit(None)).otherwise(
+        F.round(F.col("dot").cast("double") / denom, 6)
     )
     return (
         dots.join(na, F.col("doc_a") == F.col("na.doc_id"))

@@ -134,10 +134,11 @@ GROUP BY ev.k ORDER BY ev.k
 """
 
 
-#: within-cluster cosine at or above this marks a semantic duplicate
-#: (matches the corpus' embedding near-dup threshold used by
-#: dedup_embedding_cosine / the LSH variant)
-SEMDEDUP_TAU = 0.35
+from herodb_spark.operators.dedup import COSINE_THRESHOLD as SEMDEDUP_TAU
+
+#: within-cluster cosine at or above this marks a semantic duplicate —
+#: BY CONSTRUCTION the same threshold the exact/LSH embedding dedup
+#: uses (imported, so the two can never drift; r8 review)
 
 
 def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
