@@ -717,9 +717,11 @@ def test_streaming_mv_maintenance_composition(spark, tmp_path):
         src.merge_upsert(
             spark.createDataFrame([(2, "a", 50.0), (4, "b", 1.0)], "k long, g string, v double")
         )
-        assert _await(lambda: mv_rows() == rebuilt())
+        # generous timeouts: under a fully loaded test box the 1 s
+        # micro-batch trigger can be starved for minutes
+        assert _await(lambda: mv_rows() == rebuilt(), timeout=240)
         src.delete_where(F.col("g") == "a")  # full group retraction
-        assert _await(lambda: mv_rows() == rebuilt())
+        assert _await(lambda: mv_rows() == rebuilt(), timeout=240)
         assert all(r[0] != "a" for r in mv_rows())  # dead group left the view
     finally:
         q.stop()
