@@ -18,21 +18,45 @@ from pyspark.sql import functions as F
 from herodb_spark.catalog import load_table
 from herodb_spark.functions import vector as V
 
-IVF_K = 16
-N_PROBE = 2
+IVF_K = 16          # floor, not the size: see ivf_k_for()
+N_PROBE = 2         # floor; probes scale with k (constant probe fraction)
 TOP_K = 5
 N_QUERIES = 10
 SALT_BUCKETS = 16
+#: target expected cluster size — k grows linearly with the corpus so
+#: per-cluster work stays bounded (the same auto-sizing contract as
+#: dedup.emb_lsh_dims, which derives LSH geometry from a corpus count)
+TARGET_CLUSTER = 128
 
 
-def _kmeans_centroids(spark: SparkSession, emb: DataFrame):
+def ivf_k_for(n_vectors: int) -> int:
+    """k-means k for a corpus of `n_vectors`: k ≈ n / TARGET_CLUSTER
+    (floored at IVF_K) so the EXPECTED cluster size never exceeds
+    TARGET_CLUSTER no matter the corpus scale. For SemDeDup this is
+    what makes Σ n_c² ≈ n · TARGET_CLUSTER ≪ n² (linear, not
+    quadratic, in the corpus); for IVF it keeps probe selectivity
+    constant as the corpus grows. Derived at plan-build time from one
+    cheap count — identical knob to emb_lsh_dims (dedup.py), the r5
+    fix for the same fixed-geometry disease."""
+    import math
+
+    return max(IVF_K, math.ceil(max(1, n_vectors) / TARGET_CLUSTER))
+
+
+def ivf_probes_for(k: int) -> int:
+    """Probes scale with k so the probed FRACTION of the corpus stays
+    ~constant (N_PROBE/IVF_K = 1/8) as k grows with the corpus."""
+    return max(N_PROBE, k * N_PROBE // IVF_K)
+
+
+def _kmeans_centroids(spark: SparkSession, emb: DataFrame, k: int):
     """Fit KMeans(seed=42) on the embedding column (MLlib; one pass
     over the corpus at scale, centroids are tiny and broadcastable)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     train = emb.select("vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
-    model = KMeans(k=IVF_K, seed=42, maxIter=20).fit(train)
+    model = KMeans(k=k, seed=42, maxIter=20).fit(train)
     return model
 
 
@@ -40,13 +64,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: assign corpus to KMeans cells, probe the N_PROBE
     nearest cells per query, exact cosine rerank. Driver check is
     rows-only (KMeans has no SQL equivalent); determinism (fixed
-    seed) and neighbor validity are pinned in tests."""
+    seed) and neighbor validity are pinned in tests.
+
+    k and the probe count are corpus-derived (ivf_k_for /
+    ivf_probes_for) so cluster sizes and probe selectivity stay
+    constant as the corpus scales; the input is only spread when it
+    has fewer partitions than cores (`_balance_partitions` — identity
+    on a well-partitioned 100 TB scan, never a keyed shuffle)."""
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
-    model = _kmeans_centroids(spark, emb)
+    from herodb_spark.operators.similarity import _balance_partitions
+
+    emb = _balance_partitions(load_table(spark, sf_dir, "embeddings"))
+    k = ivf_k_for(emb.count())
+    n_probe = ivf_probes_for(k)
+    model = _kmeans_centroids(spark, emb, k)
     assigned = model.transform(
         emb.select(
             "vec_id",
@@ -70,7 +102,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(cent_df)
         .select("q_id", "q_emb", "cell", V.cosine(F.col("q_emb"), F.col("centroid")).alias("cell_cos"))
         .withColumn("crk", F.row_number().over(cell_rank))
-        .where(F.col("crk") <= N_PROBE)
+        .where(F.col("crk") <= n_probe)
         .select("q_id", "q_emb", "cell")
     )
     from herodb_spark.operators.similarity import _topk_per_query
@@ -158,21 +190,26 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (100-TB shape):
     - one KMeans fit (seed-pinned; centroids broadcast);
-    - pairwise cosine ONLY within clusters — k scales with the corpus
-      so per-cluster size stays bounded and the quadratic never sees
-      the full corpus (Σ n_c² ≪ n²; the whole point of the recipe);
+    - pairwise cosine ONLY within clusters — k = ivf_k_for(count) is
+      DERIVED from the corpus so the expected cluster size stays at
+      TARGET_CLUSTER and Σ n_c² ≈ n·TARGET_CLUSTER ≪ n² (linear in
+      the corpus; the whole point of the recipe — sizing-law-tested
+      in test_scale.py);
     - the keep decision is one aggregate over directed in-cluster
-      τ-pairs, no iteration.
+      τ-pairs, no iteration;
+    - the input is only spread when it has fewer partitions than
+      cores (`_balance_partitions`, identity at scale — no
+      full-corpus keyed pre-shuffle).
 
     Driver check is rows-only (KMeans has no SQL oracle — same
     contract as ann_ivf_topk); determinism + keep-rule laws are
     pinned in tests/test_scale.py."""
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
-    model = _kmeans_centroids(spark, emb)
+    from herodb_spark.operators.similarity import _balance_partitions
+
+    emb = _balance_partitions(load_table(spark, sf_dir, "embeddings"))
+    model = _kmeans_centroids(spark, emb, ivf_k_for(emb.count()))
     assigned = model.transform(
         emb.select(
             "vec_id",

@@ -58,6 +58,53 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_ivf_k_sizing_law():
+    """r8 weak item: k must be corpus-derived, not pinned. Laws:
+    (a) expected cluster size n/k ≤ TARGET_CLUSTER once the corpus
+        exceeds the floor regime, so the SemDeDup within-cluster pair
+        work Σ n_c² ≈ n·TARGET_CLUSTER grows LINEARLY in n — as the
+        corpus doubles, pair work doubles (not ×4);
+    (b) k is monotone in n and doubles (mod ceil) when n doubles
+        beyond the floor;
+    (c) probe count keeps a constant probed fraction of cells."""
+    prev = 0
+    for n in [1, 500, 2_000, SC.IVF_K * SC.TARGET_CLUSTER, 1 << 20, 1 << 27, 1 << 34]:
+        k = SC.ivf_k_for(n)
+        assert k >= SC.IVF_K
+        if n >= SC.IVF_K * SC.TARGET_CLUSTER:
+            assert n / k <= SC.TARGET_CLUSTER  # (a)
+        assert k >= prev  # (b) monotone
+        prev = k
+        p = SC.ivf_probes_for(k)
+        assert p >= SC.N_PROBE
+        assert p / k <= SC.N_PROBE / SC.IVF_K + 1e-9  # (c)
+    n1, n2 = 1 << 22, 1 << 23
+    pairs1 = n1 * (n1 / SC.ivf_k_for(n1))
+    pairs2 = n2 * (n2 / SC.ivf_k_for(n2))
+    assert pairs2 / pairs1 <= 2.05  # (a): doubling corpus ≈ doubles pair work
+    assert 1.9 <= SC.ivf_k_for(n2) / SC.ivf_k_for(n1) <= 2.1  # (b)
+    # local test SFs sit in the floor regime: outputs unchanged vs r8
+    assert SC.ivf_k_for(500) == SC.ivf_k_for(2000) == SC.IVF_K
+
+
+def test_ivf_semdedup_no_keyed_preshuffle(spark, sf_dir):
+    """The r8 scale.py:172 `repartition(p, "vec_id")` full-corpus
+    keyed shuffle is gone: both KMeans-based paths route through
+    `_balance_partitions` (round-robin spread only when the corpus has
+    fewer partitions than cores; identity at scale)."""
+    for fn in (SC.ann_ivf_topk, SC.semdedup_clusters):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            ln
+            for ln in plan.splitlines()
+            if "hashpartitioning(vec_id" in ln and "REPARTITION_BY_COL" in ln
+        ]
+        assert not bad, (
+            f"{fn.__name__}: explicit corpus repartition on vec_id before the "
+            f"fit (ENSURE_REQUIREMENTS join exchanges are fine): {bad}"
+        )
+
+
 def test_semdedup_clusters_laws(spark):
     """SemDeDup keep-rule laws: (a) deterministic across runs,
     (b) among any τ-similar in-cluster pair at most one member is
