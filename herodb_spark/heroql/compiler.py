@@ -858,7 +858,7 @@ class HeroQL:
             # commit to it cancels the program instead of rebasing
             # over it (write-skew guard — sources/database.py
             # Transaction docstring)
-            self._txn._read_tables.add(name)
+            self._txn.declare_read(name)
         self._flush(name)
         if name in self.rules:
             if name in self._memo:

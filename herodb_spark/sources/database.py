@@ -101,6 +101,55 @@ def _rewritten_between(tm: dict, lo: int, hi: int) -> set | None:
     return out
 
 
+def _foreign_descriptors(tm: dict, lo: int, hi: int) -> list[dict] | None:
+    """PER-VERSION rewrite descriptors for table versions in (lo, hi]:
+    {"parts": <rewritten partition set>, "key_ranges": <the version's
+    per-partition update-key [min, max] hulls, or None for ops that
+    record none>}. None when any constituent version's rewrites are
+    unknown (vacuumed parent / schema change). Per-version — not the
+    union `_rewritten_between` returns — because key-level conflict
+    exoneration must compare OUR keys against EACH interleaved
+    commit's keys, not against a merged hull that could manufacture
+    overlap two individually-disjoint commits never had."""
+    out: list[dict] = []
+    for v in range(lo + 1, hi + 1):
+        parts = _rewritten_partitions(tm, v)
+        if parts is None:
+            return None
+        e = tm["versions"].get(str(v)) or {}
+        out.append({"parts": parts, "key_ranges": e.get("key_ranges")})
+    return out
+
+
+def _keys_disjoint(a: dict | None, b: dict | None, pv: str) -> bool:
+    """True when two commits' recorded key hulls PROVE they upserted
+    disjoint key sets within partition `pv` — the Row granularity of
+    the reference's lock targets (Lock.h:22-27 Table/Page/Row). Both
+    sides must have recorded a hull for `pv` (only merge_upsert does;
+    predicate rewrites, overwrites and schema ops record none) and
+    some shared key column's [min, max] intervals must not intersect.
+    Anything unknown or incomparable returns False — the caller then
+    falls back to the partition-granular cancel, so this check can
+    only ADMIT provably-safe interleaves, never excuse a real clash."""
+    ra = (a or {}).get(pv)
+    rb = (b or {}).get(pv)
+    if not ra or not rb:
+        return False
+    for c, bounds in ra.items():
+        if c not in rb:
+            continue
+        amn, amx = bounds
+        bmn, bmx = rb[c]
+        if amn is None or amx is None or bmn is None or bmx is None:
+            continue
+        try:
+            if amx < bmn or bmx < amn:
+                return True
+        except TypeError:
+            continue  # incomparable stats prove nothing
+    return False
+
+
 class _DbManifest(SnapshotTable):
     """Reuses SnapshotTable's atomic-replace + lock-file OCC commit
     verbatim for the database manifest; no data-path methods are used."""
@@ -428,13 +477,18 @@ class Transaction:
       commits instead of losing its work to a 1-minute one;
     - a mutation that finds its table already advanced by a PUBLISHED
       interleaved commit re-executes on top of it (serialize-after),
-      and the commit is kept only if the partition sets the two sides
-      physically rewrote are DISJOINT — the manifest's per-version
-      rewrite lists prove this for free. Two pipelines upserting
-      different partitions of one big fact table both land; rewriting
-      a partition the interleave also rewrote cancels (the rerun's
-      inputs may derive from the superseded snapshot — lost-update
-      risk), mirroring the reference's row/page-granular conflicts;
+      and the commit is kept if, against every interleaved commit,
+      the partition sets the two sides physically rewrote are
+      DISJOINT (the Page level — the manifest's per-version rewrite
+      lists prove this for free), OR every shared partition's
+      recorded update-key hulls prove the KEY sets don't intersect
+      (the Row level — merge_upsert commits record per-partition
+      [min, max] of the keys they logically wrote). Two pipelines
+      upserting different partitions — or different keys of the SAME
+      partition — of one big fact table both land; a provable or
+      unprovable key overlap cancels (the rerun's inputs may derive
+      from the superseded snapshot — lost-update risk), mirroring
+      the reference's Table/Page/Row lock targets (Lock.h:22-27);
     - a mutation that finds its table held by a live sibling's
       UNPUBLISHED private version arbitrates on cost: if this
       transaction's accumulated cost exceeds the sum of the live
@@ -458,9 +512,14 @@ class Transaction:
     an interleaved commit to X and publish a Y derived from the old
     X. Two escapes:
     - call `t.read(name)` for in-transaction reads: read tables join
-      the rebase conflict check (an interleaved commit to a READ
-      table cancels the transaction), giving serializable behavior
-      for declared read sets with the arbitration benefit intact;
+      the rebase conflict check at PARTITION granularity (the
+      Shared/IntentShared analog of Lock.h:29-38) — an interleaved
+      commit that rewrote partitions the read resolved cancels the
+      transaction, while a reader of partition A and a writer of
+      partition B both proceed (pass `ranges` to narrow the declared
+      set; a whole-table read conflicts with any commit to the
+      table). This gives serializable behavior for declared read
+      sets with the arbitration benefit intact;
     - `isolation="serializable"` disables rebasing entirely — any
       interleaved commit cancels, exactly the pre-arbitration
       first-committer-wins behavior.
@@ -497,7 +556,14 @@ class Transaction:
         self.db = db
         self._txn_mark = txn
         self._new_pins: dict[str, int] = {}
-        self._read_tables: set[str] = set()
+        #: declared read set at PARTITION granularity (the Shared/
+        #: IntentShared analog of the reference's lock modes,
+        #: Lock.h:29-38): {table: set of partition values the read
+        #: actually resolved, or None for a whole-table read}. An
+        #: interleaved commit to a read table cancels only when its
+        #: rewrite list OVERLAPS the recorded partitions — a reader
+        #: of partition A and a writer of partition B both proceed.
+        self._read_parts: dict[str, set | None] = {}
         self._entered = False
         self.isolation = isolation
         self.cost = 0
@@ -505,10 +571,11 @@ class Transaction:
         #: deterministic equal-cost tiebreak (both sides of a race
         #: order the same way)
         self.txn_id = uuid.uuid4().hex
-        #: partition values interleaved PUBLISHED commits rewrote in
-        #: tables this transaction later writes — the post-mutation
-        #: disjointness guard checks every own commit against these
-        self._foreign_rewrites: dict[str, set] = {}
+        #: per-version descriptors ({"parts", "key_ranges"}) of
+        #: interleaved PUBLISHED commits to tables this transaction
+        #: later writes — the post-mutation disjointness guard checks
+        #: every own commit against EACH of these
+        self._foreign_commits: dict[str, list[dict]] = {}
         #: OSErrors from heartbeat/utime refreshes, surfaced instead
         #: of swallowed (r7 advice): inspect after long transactions
         #: on stores where utime is unreliable
@@ -553,20 +620,53 @@ class Transaction:
             self._hb_thread.join(timeout=5.0)
         self._hb_stop = self._hb_thread = None
 
-    def read(self, name: str):
+    def declare_read(self, name: str, parts: set | None = None) -> None:
+        """Add `name` to the declared read set: `parts` is the set of
+        partition values the read resolved, or None for a whole-table
+        read (which conflicts with ANY interleaved commit to the
+        table). Reads accumulate; a whole-table read dominates."""
+        if name in self._read_parts:
+            prev = self._read_parts[name]
+            self._read_parts[name] = (
+                None if (prev is None or parts is None) else prev | set(parts)
+            )
+        else:
+            self._read_parts[name] = None if parts is None else set(parts)
+
+    def read(self, name: str, ranges: dict | None = None):
         """Pin-consistent in-transaction read with read-your-writes
         (a table this transaction already committed resolves to its
         private version). Reading through this method also DECLARES
-        the table in the transaction's read set, so an interleaved
-        commit to it cancels the transaction instead of silently
-        rebasing over it (see the class docstring's isolation note)."""
+        the read in the transaction's read set, so an interleaved
+        commit that could have changed what was read cancels the
+        transaction instead of silently rebasing over it (see the
+        class docstring's isolation note).
+
+        `ranges` ({col: (lo, hi)}, the zone-map pruning contract of
+        SnapshotTable.read) narrows BOTH the scan and the declared
+        read set to the partitions that actually resolved — the
+        Shared-lock granularity step (Lock.h:29-38): a transaction
+        that read only partition A no longer cancels when an
+        interleaved commit rewrote only partition B."""
         if not self._entered:
             raise RuntimeError("transaction used outside its with-block")
         if name not in self._base_pins and name not in self._new_pins:
             raise ValueError(f"no table {name!r} in this database")
-        self._read_tables.add(name)
+        t = self.db.table(name)
         v = self._new_pins.get(name, self._base_pins.get(name))
-        return self.db.table(name).read(version=v)
+        if ranges:
+            tm = t._load()
+            entry = tm["versions"].get(str(v)) or {}
+            stats = entry.get("stats", {})
+            resolved = {
+                pv
+                for pv in entry.get("partitions", {})
+                if not t._skippable(stats.get(pv, {}), ranges)
+            }
+            self.declare_read(name, resolved)
+        else:
+            self.declare_read(name, None)
+        return t.read(version=v, ranges=ranges)
 
     def __enter__(self) -> "Transaction":
         # heal STALE crashed predecessors before reading seq; live
@@ -628,25 +728,38 @@ class Transaction:
         assert version is not None
         if version != expected:  # no-op mutations don't dirty the txn
             self._new_pins[name] = version
-            # partition-granular conflict check (Lock.h:22-29 analog):
-            # when interleaved commits rewrote partitions of this
-            # table under us — recorded at arbitration time (guard)
-            # OR landed between arbitration and the mutation's own
-            # manifest load (versions (expected, version-1], which
+            # sub-table conflict check (Lock.h:22-27 Table/Page/Row
+            # analog): when interleaved commits rewrote partitions of
+            # this table under us — recorded at arbitration time
+            # (guard) OR landed between arbitration and the mutation's
+            # own manifest load (versions (expected, version-1], which
             # the mutation silently built upon) — our commit survives
-            # only if the partition sets are disjoint; else undo OUR
-            # version ONLY (rollback to version-1 preserves the
-            # innocent interleaved commits) and cancel (lost-update
-            # risk: our inputs may derive from the superseded
-            # snapshot)
+            # if, against EVERY interleaved commit, the partition sets
+            # are disjoint (Page level) OR, for each shared partition,
+            # the recorded update-key hulls prove the KEY sets don't
+            # intersect (Row level — two pipelines upserting different
+            # keys of the same partition both land; the re-executed
+            # merge already carried the interleaver's rows forward).
+            # Else undo OUR version ONLY (rollback to version-1
+            # preserves the innocent interleaved commits) and cancel
+            # (lost-update risk: our inputs may derive from the
+            # superseded snapshot).
             tm = t._load()
-            guard = set(self._foreign_rewrites.get(name) or ())
-            mid = _rewritten_between(tm, expected, version - 1)
+            guard = list(self._foreign_commits.get(name) or ())
+            mid = _foreign_descriptors(tm, expected, version - 1)
             ours = _rewritten_partitions(tm, version)
+            ours_kr = (tm["versions"].get(str(version)) or {}).get("key_ranges")
             clash = (
                 None
                 if (ours is None or mid is None)
-                else sorted(ours & (guard | mid))
+                else sorted(
+                    {
+                        pv
+                        for fc in guard + mid
+                        for pv in ours & fc["parts"]
+                        if not _keys_disjoint(ours_kr, fc["key_ranges"], pv)
+                    }
+                )
             )
             if ours is None or mid is None or clash:
                 del self._new_pins[name]
@@ -654,8 +767,8 @@ class Transaction:
                 raise ConcurrentWriteError(
                     f"{t.path}: partitions {clash or '(unknown)'} rewritten by "
                     f"this transaction (cost {self.cost}) were also rewritten "
-                    "by an interleaved committed transaction — overlapping "
-                    "partitions are not rebasable, cancelling"
+                    "by an interleaved committed transaction with overlapping "
+                    "(or unrecorded) key ranges — not rebasable, cancelling"
                 )
         # progress heartbeat: refresh the mtime of every member
         # manifest this transaction already committed so a sibling
@@ -705,13 +818,6 @@ class Transaction:
                 f"(cost {self.cost}) — cancelling (arbitration disabled at "
                 "this isolation level)"
             )
-        if name in self._read_tables:
-            raise ConcurrentWriteError(
-                f"{t.path}: table {name!r} is in this transaction's declared "
-                f"read set (cost {self.cost}) and was advanced by a concurrent "
-                "writer — cancelling (serializing after it could commit writes "
-                "derived from a superseded read)"
-            )
         deadline = time.time() + self.ARBITRATION_WAIT_S
         while True:
             tm = t._load()
@@ -721,18 +827,42 @@ class Transaction:
                 return base  # settled (healed, or resolved under us)
             pin = self.db._pins(self.db._load()).get(name, base)
             if pin > base:
-                # published interleave: partition-granular rebase
-                theirs = _rewritten_between(tm, base, pin)
-                if theirs is None:
+                # published interleave: sub-table-granular rebase
+                descs = _foreign_descriptors(tm, base, pin)
+                if descs is None:
                     raise ConcurrentWriteError(
                         f"{t.path}: interleaved committed transaction changed "
                         f"{name!r}'s schema or its versions were vacuumed — "
                         f"not rebasable (cost {self.cost}), cancelling"
                     )
-                if tm.get("partition_col") is None and theirs:
-                    # unpartitioned table = single partition: overlap
-                    # is guaranteed — fail fast, before paying the
-                    # re-executed mutation job
+                if name in self._read_parts:
+                    # this mutation's table is also in the declared
+                    # READ set: serializing after the interleave is
+                    # only sound when it provably rewrote none of the
+                    # partitions the read resolved (Shared-lock
+                    # granularity, Lock.h:29-38)
+                    rp = self._read_parts[name]
+                    theirs = set().union(*(d["parts"] for d in descs)) if descs else set()
+                    if rp is None or (rp & theirs):
+                        raise ConcurrentWriteError(
+                            f"{t.path}: partitions "
+                            f"{sorted(rp & theirs) if rp is not None else '(whole table)'} "
+                            f"of {name!r}, in this transaction's declared read "
+                            f"set (cost {self.cost}), were rewritten by a "
+                            "concurrent committed writer — cancelling "
+                            "(serializing after it could commit writes derived "
+                            "from a superseded read)"
+                        )
+                if tm.get("partition_col") is None and any(
+                    d["parts"] and d["key_ranges"] is None for d in descs
+                ):
+                    # unpartitioned table = single partition, and some
+                    # interleave recorded no key hulls: overlap is
+                    # guaranteed with no possible key-level
+                    # exoneration — fail fast, before paying the
+                    # re-executed mutation job. (All-merge_upsert
+                    # interleaves proceed: the post-mutation guard can
+                    # still prove the key sets disjoint.)
                     wcost = (
                         self.db._load()["versions"].get(str(pin), {}).get("cost", "?")
                     )
@@ -742,9 +872,7 @@ class Transaction:
                         f"transaction (cost {self.cost}) rewrites the same single "
                         "partition — same-table conflict, cancelling"
                     )
-                self._foreign_rewrites[name] = (
-                    self._foreign_rewrites.get(name, set()) | theirs
-                )
+                self._foreign_commits.setdefault(name, []).extend(descs)
                 self._rebase()  # adopt pins; raises on read/write overlap
                 continue
             # unpublished private versions ahead of the pin. A holder
@@ -872,10 +1000,28 @@ class Transaction:
                     "rolled back by arbitration or recovery — this transaction "
                     f"(cost {self.cost}) is fenced out"
                 )
-        touched = set(self._new_pins) | self._read_tables
-        overlap = sorted(
-            n for n in touched if new_pins.get(n) != self._base_pins.get(n)
-        )
+        # a WRITTEN table whose pin advanced past our private chain is
+        # always a conflict; a READ-ONLY table that advanced conflicts
+        # only when the interleaved commits rewrote partitions the
+        # read actually resolved (partition-granular read sets,
+        # Lock.h:29-38 Shared analog) — a reader of partition A
+        # rebases over a writer of partition B
+        overlap = []
+        for n in sorted(set(self._new_pins) | set(self._read_parts)):
+            if new_pins.get(n) == self._base_pins.get(n):
+                continue
+            if n in self._new_pins:
+                overlap.append(n)
+                continue
+            rp = self._read_parts[n]
+            if rp is None:
+                overlap.append(n)
+                continue
+            theirs = _rewritten_between(
+                self.db.table(n)._load(), self._base_pins.get(n), new_pins.get(n)
+            )
+            if theirs is None or (rp & theirs):
+                overlap.append(n)
         if overlap:
             raise ConcurrentWriteError(
                 f"{self.db.path}: tables {overlap} (in this transaction's "

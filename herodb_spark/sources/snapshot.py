@@ -956,22 +956,58 @@ class SnapshotTable:
                 m.setdefault("txns", {})[txn[0]] = int(txn[1])
                 self._commit(m, expected_current=read_version, expected_seq=read_seq)
             return m["current"]
+        # per-partition [min, max] hulls of the UPDATE KEYS — the keys
+        # this commit LOGICALLY wrote, as opposed to the whole-partition
+        # physical copy-on-write. Recorded in the version entry as
+        # `key_ranges` so the transaction layer can prove two
+        # same-partition interleaves touched disjoint key sets (the
+        # Row level of the reference's lock targets, Lock.h:22-27
+        # Table/Page/Row — partition = Page, key range = Row). Rides
+        # the jobs that already enumerate touched partitions: no extra
+        # scan.
+        stat_keys = self._stat_cols(updates, keys)
+
+        def _key_hulls(df: DataFrame) -> dict:
+            grp_col = (
+                F.lit(_UNPARTITIONED) if pcol is None else F.col(pcol).cast("string")
+            )
+            aggs = []
+            for c in stat_keys:
+                aggs.append(F.min(c).alias(f"mn_{c}"))
+                aggs.append(F.max(c).alias(f"mx_{c}"))
+            if not aggs:  # no stat-able key: partition list only
+                return {
+                    r["_p"]: {}
+                    for r in df.select(grp_col.alias("_p")).distinct().collect()
+                }
+            rows = df.groupBy(grp_col.alias("_p")).agg(*aggs).collect()
+            return {
+                r["_p"]: {c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stat_keys}
+                for r in rows
+            }
+
+        new_hulls = _key_hulls(updates)
         if pcol is None:
             touched = {_UNPARTITIONED}
+            key_ranges = dict(new_hulls)
             affected_target = target
         else:
-            touched = {
-                r.p
-                for r in updates.select(F.col(pcol).cast("string").alias("p")).distinct().collect()
-            }
             # a matched key may live in a partition the update row
             # moves it OUT of — those source partitions rewrite too
-            old_parts = (
-                target.join(updates.select(*keys), keys, "left_semi")
-                .select(F.col(pcol).cast("string").alias("p"))
-                .distinct()
-            )
-            touched |= {r.p for r in old_parts.collect()}
+            old_hulls = _key_hulls(target.join(updates.select(*keys), keys, "left_semi"))
+            key_ranges = dict(new_hulls)
+            for pv, ranges in old_hulls.items():
+                if pv not in key_ranges:
+                    key_ranges[pv] = ranges
+                    continue
+                mine = key_ranges[pv]
+                for c, (mn, mx) in ranges.items():
+                    omn, omx = mine.get(c, (None, None))
+                    mine[c] = [
+                        mn if omn is None else omn if mn is None else min(mn, omn),
+                        mx if omx is None else omx if mx is None else max(mx, omx),
+                    ]
+            touched = set(key_ranges)
             affected_target = target.where(
                 F.col(pcol).cast("string").isin(*touched) if touched else F.lit(False)
             )
@@ -994,6 +1030,8 @@ class SnapshotTable:
             "files": new_files,
             "stats": new_stats,
         }
+        if stat_keys:
+            entry["key_ranges"] = key_ranges
         if program is not None:
             entry["program"] = program
         m["versions"][str(version)] = entry

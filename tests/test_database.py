@@ -160,9 +160,11 @@ def test_expensive_txn_survives_cheap_interleaved_commit(spark, tmp_path):
 
 
 def test_same_table_conflict_cancels_with_costs(spark, tmp_path):
-    """A genuine same-table conflict is NOT rebasable: the loser
-    cancels with an error naming both transactions' costs (the OCC
-    mapping of the reference's cancel-conflicted rule)."""
+    """A genuine same-KEY conflict is NOT rebasable: the loser cancels
+    with an error naming the cost (the OCC mapping of the reference's
+    cancel-conflicted rule). Both sides upsert id 20 — disjoint-key
+    same-table interleaves now rebase instead (Row-granular
+    conflicts; see test_unpartitioned_disjoint_key_writers_both_commit)."""
     db = _mkdb(spark, tmp_path)
     t1 = Transaction(db)
     t1.__enter__()
@@ -172,11 +174,11 @@ def test_same_table_conflict_cancels_with_costs(spark, tmp_path):
         "accounts", spark.createDataFrame([(20, "w", 1.0)], "id long, name string, bal double")
     )
     t1.commit()
-    # t2 touches the SAME table after t1 committed: the member-table
-    # pre-check in _apply already fences it
-    with pytest.raises(ConcurrentWriteError):
+    # t2 upserts the SAME KEY after t1 committed: the key hulls
+    # overlap, so the re-executed commit is undone and t2 cancels
+    with pytest.raises(ConcurrentWriteError, match="cost"):
         t2.merge_upsert(
-            "accounts", spark.createDataFrame([(21, "l", 2.0)], "id long, name string, bal double")
+            "accounts", spark.createDataFrame([(20, "l", 2.0)], "id long, name string, bal double")
         )
 
 
@@ -632,9 +634,12 @@ def test_same_table_disjoint_partition_writers_both_commit(spark, tmp_path):
 
 
 def test_same_table_overlapping_partition_writers_cancel(spark, tmp_path):
-    """Same race, OVERLAPPING partition: the second writer's re-
-    executed commit is undone (rollback) and the transaction cancels
-    naming the clashing partition — no orphan version survives."""
+    """Same race, SAME partition AND a genuine key clash (both sides
+    upsert id 101): the second writer's re-executed commit is undone
+    (rollback) and the transaction cancels naming the clashing
+    partition — no orphan version survives. (Same-partition interleaves
+    with provably DISJOINT keys now land — see the key-granular tests
+    below — so this pins the cancel on the real Row-level conflict.)"""
     db = _mkpdb(spark, tmp_path)
     t1 = Transaction(db)
     t1.__enter__()
@@ -643,10 +648,111 @@ def test_same_table_overlapping_partition_writers_cancel(spark, tmp_path):
     t1.merge_upsert("facts", _facts_rows(spark, "a", [101]))
     t1.commit()
     with pytest.raises(ConcurrentWriteError, match="'a'"):
-        t2.merge_upsert("facts", _facts_rows(spark, "a", [103]))
+        t2.merge_upsert("facts", _facts_rows(spark, "a", [101]))
     # the losing commit was rolled back: table current == published pin
     assert db.table("facts")._load()["current"] == db.tables()["facts"] == 1
-    assert db.read("facts").where("id = 103").count() == 0
+    assert db.read("facts").where("id = 101 and v = 1101").count() == 1  # t1's row
+
+
+def test_same_partition_disjoint_key_writers_both_commit(spark, tmp_path):
+    """Row-granular conflicts (Lock.h:22-27, the last granularity
+    level): two transactions upserting DIFFERENT KEYS of the SAME
+    partition both commit — the manifests' per-commit update-key
+    hulls ([101,103] vs [105,107]) prove the key sets disjoint, and
+    the re-executed merge carried the first writer's rows forward."""
+    db = _mkpdb(spark, tmp_path)
+    t1 = Transaction(db)
+    t1.__enter__()
+    t2 = Transaction(db)
+    t2.__enter__()
+    t1.merge_upsert("facts", _facts_rows(spark, "a", [101, 103]))
+    t1.commit()
+    t2.merge_upsert("facts", _facts_rows(spark, "a", [105, 107]))
+    t2.commit()
+    got = {r.id for r in db.read("facts").where("id > 100").collect()}
+    assert got == {101, 103, 105, 107}
+    # both writers' rows live in partition 'a' with their own values
+    vals = {r.id: r.v for r in db.read("facts").where("id > 100").collect()}
+    assert vals == {101: 1101.0, 103: 1103.0, 105: 1105.0, 107: 1107.0}
+    assert SnapshotDatabase(spark, db.path).recover() == {}
+
+
+def test_same_partition_hull_overlap_cancels(spark, tmp_path):
+    """Key hulls are [min, max] ranges, so a key INSIDE the other
+    side's hull cancels even when the exact key sets are disjoint —
+    the documented conservatism (ranges can only admit provably-safe
+    interleaves, never excuse a possible clash)."""
+    db = _mkpdb(spark, tmp_path)
+    t1 = Transaction(db)
+    t1.__enter__()
+    t2 = Transaction(db)
+    t2.__enter__()
+    t1.merge_upsert("facts", _facts_rows(spark, "a", [101, 105]))
+    t1.commit()
+    with pytest.raises(ConcurrentWriteError, match="'a'"):
+        t2.merge_upsert("facts", _facts_rows(spark, "a", [103]))
+
+
+def test_unpartitioned_disjoint_key_writers_both_commit(spark, tmp_path):
+    """The Row level reaches below the single implicit partition of an
+    UNPARTITIONED table too: disjoint-key upserts both land (r8 would
+    fast-fail these), while unknown-key interleaves still cancel."""
+    db = _mkdb(spark, tmp_path)
+    t1 = Transaction(db)
+    t1.__enter__()
+    t2 = Transaction(db)
+    t2.__enter__()
+    t1.merge_upsert(
+        "accounts",
+        spark.createDataFrame([(20, "n20", 1.0)], "id long, name string, bal double"),
+    )
+    t1.commit()
+    t2.merge_upsert(
+        "accounts",
+        spark.createDataFrame([(30, "n30", 2.0)], "id long, name string, bal double"),
+    )
+    t2.commit()
+    bal = _bal(db)
+    assert bal[20] == 1.0 and bal[30] == 2.0
+    assert SnapshotDatabase(spark, db.path).recover() == {}
+
+
+def test_partition_read_set_allows_disjoint_writer(spark, tmp_path):
+    """Partition-granular read sets (Lock.h:29-38 Shared analog): a
+    transaction that READ only partition 'a' (ranges-pruned through
+    the zone maps) commits over an interleaved writer of partition
+    'b'; the same read CANCELS when the writer touched 'a'."""
+    db = _mkpdb(spark, tmp_path)
+    t1 = Transaction(db)
+    t1.__enter__()
+    seen = t1.read("facts", ranges={"part": ("a", "a")}).collect()
+    assert all(r.part == "a" for r in seen)
+    assert t1._read_parts["facts"] == {"a"}
+    t1.merge_upsert(
+        "audit", spark.createDataFrame([(70, f"n={len(seen)}")], "seq long, what string")
+    )
+    # interleaved commit to partition 'b' of the READ table
+    t2 = Transaction(db)
+    t2.__enter__()
+    t2.merge_upsert("facts", _facts_rows(spark, "b", [202]))
+    t2.commit()
+    t1.commit()  # read 'a' + wrote 'b' provably don't overlap
+    assert db.read("facts").where("id = 202").count() == 1
+    assert db.read("audit").where("seq = 70").count() == 1
+    # ... and the overlapping shape still cancels
+    t3 = Transaction(db)
+    t3.__enter__()
+    t3.read("facts", ranges={"part": ("a", "a")})
+    t3.merge_upsert(
+        "audit", spark.createDataFrame([(71, "x")], "seq long, what string")
+    )
+    t4 = Transaction(db)
+    t4.__enter__()
+    t4.merge_upsert("facts", _facts_rows(spark, "a", [203]))
+    t4.commit()
+    with pytest.raises(ConcurrentWriteError, match="read/write set"):
+        t3.commit()
+    SnapshotDatabase(spark, db.path).recover()
 
 
 def test_cheap_committer_defers_to_live_expensive_txn(spark, tmp_path):
