@@ -102,7 +102,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # it carries the exact all-pairs oracle despite xxhash64 having no
     # DuckDB equivalent — same contract as dedup_embedding_lsh_pairs
     "dedup_exact": D.exact_dedup,
-    # merges ngram_jaccard (df-capped) + fuzzy Levenshtein pairs (r8)
+    # merges ngram_jaccard (df-capped) + fuzzy Levenshtein (r8) +
+    # tf-idf cosine pairs (rotated in in round 9)
     "dedup_jaccard_fuzzy": D.dedup_jaccard_fuzzy,
     "dedup_minhash_lsh": D.minhash_lsh_pairs,
     "dedup_embedding_lsh_pairs": D.embedding_lsh_pairs,
@@ -118,14 +119,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # H. text analysis (merges token_count/quality/lang_id/fingerprint)
     "text_analysis": X.text_analysis,
     # extended text quality: merges repetition_pii + unigram-LM +
-    # bigram-LM logprob (bigram rotated into the window in round 8)
+    # bigram-LM logprob (r8) + NB classifier (rotated in in round 9)
     "text_quality_ext": X.text_quality_ext,
     # F3. training-data export family (merged pairs; every constituent
     # keeps its standalone entry + oracle below — round-7 rebalance so
     # the driver officially grades the LLM-pipeline surface)
     "traindata_spans": TD.traindata_spans,  # merges dedup_span_exact + dedup_span_maximal
     "traindata_mixture": TD.traindata_mixture,  # merges mixture_sample + mixture_upsample
-    "traindata_export": TD.traindata_export,  # merges shard_manifest + pack_sequences + global_shuffle (r8)
+    "traindata_export": TD.traindata_export,  # merges shard_manifest + pack_sequences + global_shuffle (r8) + chunk_documents (r9)
     # I. multimodal plumbing (merges binary_meta + frame_sample)
     "mm_pipeline": MM.mm_pipeline,
     # J. streaming (batch-parity; streaming versions in tests) —
@@ -148,13 +149,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # typechecker as a relational program (draft_type:115-341): scope
     # tree + first-wins install + innermost-wins resolution + Errors
     "symtab_resolve": SY.symtab_resolve,
-    "ensure_constraints": CN.ensure_constraints,
-    "typed_struct_enum": TY.typed_struct_enum,
+    # merges ensure_constraints + typed_struct_enum (round-9 pair-merge
+    # that freed the graded slot for events_analytics below)
+    "constraints_typed": CN.constraints_typed,
+    # round 9: ordered funnel + weekly cohort retention rotated INTO
+    # the graded window (tag-union of the r8 event-analytics pair)
+    "events_analytics": O.events_analytics,
     # merges incremental (delta-batch) + snapshot-CDC MV refresh (r8)
     "matview_refresh": MV.matview_refresh,
     # merges the clean→score→aggregate pipeline + fuzzy decontamination
     "corpus_clean_fuzzy": CO.corpus_clean_fuzzy,
     # --- beyond slot 50 (ungraded by the driver) ---
+    "ensure_constraints": CN.ensure_constraints,
+    "typed_struct_enum": TY.typed_struct_enum,
     # unmerged constituents of the round-5/-7 tag-union folds, each
     # still holding its own oracle here + both-SF unit hash checks
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_capped,
@@ -348,6 +355,8 @@ ORACLES: dict[str, str] = {
     "symtab_unify": SY.SYMTAB_UNIFY_SQL,
     "ensure_constraints": CN.ENSURE_CONSTRAINTS_SQL,
     "typed_struct_enum": TY.TYPED_STRUCT_ENUM_SQL,
+    "constraints_typed": CN.CONSTRAINTS_TYPED_SQL,
+    "events_analytics": O.EVENTS_ANALYTICS_SQL,
     "matview_refresh": MV.MATVIEW_REFRESH_SQL,
     "incremental_mv_refresh": MV.INCREMENTAL_MV_SQL,
     "pipeline_clean_corpus": PL.PIPELINE_CLEAN_CORPUS_SQL,

@@ -724,10 +724,11 @@ ORDER BY doc_a, doc_b
 def dedup_jaccard_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of dedup_ngram_jaccard (df-capped n-gram
     Jaccard pairs) + dedup_fuzzy_levenshtein (blocked edit-distance
-    near-dup pairs — rotated into the graded window in round 8),
-    tag-unioned into (op, doc_a, doc_b, v). Both constituents keep
-    standalone registry entries + oracles; each plan executes
-    unchanged in its branch."""
+    near-dup pairs — rotated into the graded window in round 8) +
+    dedup_tfidf_cosine (sparse term-weighted cosine pairs — rotated
+    in in round 9), tag-unioned into (op, doc_a, doc_b, v). All
+    constituents keep standalone registry entries + oracles; each
+    plan executes unchanged in its branch."""
     ja = ngram_jaccard_pairs_capped(spark, sf_dir).select(
         F.lit("jaccard").alias("op"), "doc_a", "doc_b",
         F.col("jaccard").alias("v"),
@@ -736,17 +737,15 @@ def dedup_jaccard_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("fuzzy").alias("op"), "doc_a", "doc_b",
         F.col("dist").cast("double").alias("v"),
     )
-    return ja.unionByName(fz).orderBy("op", "doc_a", "doc_b")
+    tf = tfidf_cosine_pairs(spark, sf_dir).select(
+        F.lit("tfidf").alias("op"), "doc_a", "doc_b",
+        F.col("cosine").alias("v"),
+    )
+    return ja.unionByName(fz).unionByName(tf).orderBy("op", "doc_a", "doc_b")
 
 
-DEDUP_JACCARD_FUZZY_SQL = f"""
-SELECT 'jaccard' AS op, doc_a, doc_b, jaccard AS v
-FROM ({NGRAM_JACCARD_SQL})
-UNION ALL
-SELECT 'fuzzy', doc_a, doc_b, CAST(dist AS DOUBLE)
-FROM ({DEDUP_FUZZY_LEVENSHTEIN_SQL})
-ORDER BY op, doc_a, doc_b
-"""
+# DEDUP_JACCARD_FUZZY_SQL is defined at the END of this module: its
+# tfidf branch embeds TFIDF_COSINE_SQL, defined below.
 
 
 # ------------------------------------------------------- tf-idf cosine pairs
@@ -860,4 +859,18 @@ JOIN norms na ON na.doc_id = doc_a
 JOIN norms nb ON nb.doc_id = doc_b
 WHERE ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= {TFIDF_TAU}
 ORDER BY doc_a, doc_b
+"""
+
+
+# Defined last: the tfidf branch embeds TFIDF_COSINE_SQL above.
+DEDUP_JACCARD_FUZZY_SQL = f"""
+SELECT 'jaccard' AS op, doc_a, doc_b, jaccard AS v
+FROM ({NGRAM_JACCARD_SQL})
+UNION ALL
+SELECT 'fuzzy', doc_a, doc_b, CAST(dist AS DOUBLE)
+FROM ({DEDUP_FUZZY_LEVENSHTEIN_SQL})
+UNION ALL
+SELECT 'tfidf', doc_a, doc_b, cosine
+FROM ({TFIDF_COSINE_SQL})
+ORDER BY op, doc_a, doc_b
 """

@@ -334,3 +334,42 @@ FROM ev JOIN first USING (user_id)
 GROUP BY cohort_week, weeks_since
 ORDER BY cohort_week, weeks_since
 """
+
+
+def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of events_funnel (ordered signup→click→
+    purchase completion with exact µs step durations) +
+    events_retention (weekly cohort retention counts) — the
+    event-analytics pair rotated into the graded window in round 9
+    (same tag-union contract as agg_cube_pivot). Both constituents
+    keep their own functions/oracles as standalone registry entries
+    and in tests/test_olap.py; each plan executes unchanged inside
+    its union branch."""
+    nl = F.lit(None).cast("long")
+    fu = events_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("op"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("depth").cast("long").alias("v1"),
+        F.col("to_step2_us").alias("v2"),
+        F.col("to_step3_us").alias("v3"),
+    )
+    re = events_retention(spark, sf_dir).select(
+        F.lit("retention").alias("op"),
+        F.col("cohort_week").cast("string").alias("k"),
+        F.col("weeks_since").cast("long").alias("v1"),
+        F.col("n_users").alias("v2"),
+        nl.alias("v3"),
+    )
+    return fu.unionByName(re).orderBy("op", "k", "v1")
+
+
+EVENTS_ANALYTICS_SQL = f"""
+SELECT 'funnel' AS op, CAST(user_id AS VARCHAR) AS k,
+       CAST(depth AS BIGINT) AS v1, to_step2_us AS v2, to_step3_us AS v3
+FROM ({EVENTS_FUNNEL_SQL})
+UNION ALL
+SELECT 'retention', CAST(cohort_week AS VARCHAR),
+       CAST(weeks_since AS BIGINT), CAST(n_users AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({EVENTS_RETENTION_SQL})
+ORDER BY op, k, v1
+"""

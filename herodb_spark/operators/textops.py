@@ -394,10 +394,11 @@ def text_quality_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition metrics + PII scrub fingerprint) + text_unigram_logprob
     (corpus-trained unigram-LM perplexity-filter score) +
     text_bigram_logprob (add-one-smoothed bigram LM — rotated into the
-    graded window in round 8) — the extended
-    text-quality surface, tag-unioned into
-    (op, doc_id, v1, v2, v3, n, s, keep) so both earn a driver-graded
-    hash row (round-7 window rebalance). Both constituents keep their
+    graded window in round 8) + text_nb_classifier (multinomial
+    Naive Bayes quality/domain classifier — rotated in in round 9) —
+    the extended text-quality surface, tag-unioned into
+    (op, doc_id, v1, v2, v3, n, s, keep) so each earns a driver-graded
+    hash row (round-7 window rebalance). All constituents keep their
     own functions/oracles as standalone registry entries beyond the
     graded window and in tests/test_textops.py; each plan executes
     unchanged inside its union branch."""
@@ -432,7 +433,19 @@ def text_quality_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("s"),
         F.col("keep"),
     )
-    return rep.unionByName(uni).unionByName(big).orderBy("op", "doc_id")
+    nb = text_nb_classifier(spark, sf_dir).select(
+        F.lit("nb_classifier").alias("op"),
+        "doc_id",
+        F.col("score").alias("v1"),
+        nul.alias("v2"),
+        nul.alias("v3"),
+        F.lit(None).cast("long").alias("n"),
+        F.concat_ws("|", "actual", "predicted").alias("s"),
+        F.col("correct").alias("keep"),
+    )
+    return (
+        rep.unionByName(uni).unionByName(big).unionByName(nb).orderBy("op", "doc_id")
+    )
 
 
 # TEXT_QUALITY_EXT_SQL is defined at the END of this module: its
@@ -564,22 +577,8 @@ ORDER BY d.doc_id
 """
 
 
-# Defined last: the bigram branch embeds TEXT_BIGRAM_LOGPROB_SQL.
-TEXT_QUALITY_EXT_SQL = f"""
-SELECT 'repetition_pii' AS op, doc_id, dup_word_frac AS v1, top_bigram_frac AS v2,
-       dup_trigram_frac AS v3, n_redactions AS n, scrubbed_fp AS s,
-       CAST(NULL AS BOOLEAN) AS keep
-FROM ({TEXT_REPETITION_PII_SQL})
-UNION ALL
-SELECT 'unigram_lm', doc_id, avg_logprob, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-       n_tokens, CAST(NULL AS VARCHAR), keep
-FROM ({TEXT_UNIGRAM_LOGPROB_SQL})
-UNION ALL
-SELECT 'bigram_lm', doc_id, avg_logprob, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-       n_bigrams, CAST(NULL AS VARCHAR), keep
-FROM ({TEXT_BIGRAM_LOGPROB_SQL})
-ORDER BY op, doc_id
-"""
+# TEXT_QUALITY_EXT_SQL moved to the END of this module: its
+# nb_classifier branch embeds TEXT_NB_CLASSIFIER_SQL, defined below.
 
 
 def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -747,4 +746,26 @@ SELECT doc_id, actual, l AS predicted,
        l = actual AS correct
 FROM ranked WHERE rk = 1
 ORDER BY doc_id
+"""
+
+
+# Defined last: embeds the bigram-LM and NB-classifier SQL above.
+TEXT_QUALITY_EXT_SQL = f"""
+SELECT 'repetition_pii' AS op, doc_id, dup_word_frac AS v1, top_bigram_frac AS v2,
+       dup_trigram_frac AS v3, n_redactions AS n, scrubbed_fp AS s,
+       CAST(NULL AS BOOLEAN) AS keep
+FROM ({TEXT_REPETITION_PII_SQL})
+UNION ALL
+SELECT 'unigram_lm', doc_id, avg_logprob, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       n_tokens, CAST(NULL AS VARCHAR), keep
+FROM ({TEXT_UNIGRAM_LOGPROB_SQL})
+UNION ALL
+SELECT 'bigram_lm', doc_id, avg_logprob, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       n_bigrams, CAST(NULL AS VARCHAR), keep
+FROM ({TEXT_BIGRAM_LOGPROB_SQL})
+UNION ALL
+SELECT 'nb_classifier', doc_id, score, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), actual || '|' || predicted, correct
+FROM ({TEXT_NB_CLASSIFIER_SQL})
+ORDER BY op, doc_id
 """

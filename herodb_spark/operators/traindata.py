@@ -644,10 +644,14 @@ def traindata_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest) + pack_sequences_budget (token-budget concat-and-chunk
     packing index) + export_global_shuffle (deterministic range-
     bucketed hash permutation — rotated into the graded window in
-    round 8) — the export half of the training-data surface,
-    tag-unioned into (op, shard, bin, n_docs, toks, aux, lo, hi).
+    round 8) + export_chunk_documents (sliding-window chunking, the
+    split side — rotated in in round 9) — the export half of the
+    training-data surface, tag-unioned into
+    (op, shard, bin, n_docs, toks, aux, lo, hi, fp).
     All constituents keep standalone registry entries + oracles;
     each plan executes unchanged in its branch."""
+    nl = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
     man = export_shard_manifest(spark, sf_dir).select(
         F.lit("manifest").alias("op"),
         "shard",
@@ -657,6 +661,7 @@ def traindata_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("aux"),
         F.col("min_doc_id").alias("lo"),
         F.col("max_doc_id").alias("hi"),
+        ns.alias("fp"),
     )
     pk = pack_sequences_budget(spark, sf_dir).select(
         F.lit("pack").alias("op"),
@@ -667,8 +672,8 @@ def traindata_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("aux"),
         F.col("first_doc_id").alias("lo"),
         F.col("last_doc_id").alias("hi"),
+        ns.alias("fp"),
     )
-    nl = F.lit(None).cast("long")
     sh = export_global_shuffle(spark, sf_dir).select(
         F.lit("shuffle").alias("op"),
         F.col("bucket").alias("shard"),
@@ -678,8 +683,23 @@ def traindata_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         nl.alias("aux"),
         F.col("doc_id").alias("lo"),
         nl.alias("hi"),
+        ns.alias("fp"),
     )
-    return man.unionByName(pk).unionByName(sh).orderBy("op", "shard", "bin")
+    ck = chunk_documents(spark, sf_dir).select(
+        F.lit("chunk").alias("op"),
+        F.col("doc_id").alias("shard"),
+        F.col("chunk_id").cast("long").alias("bin"),
+        nl.alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("toks"),
+        nl.alias("aux"),
+        F.col("start").cast("long").alias("lo"),
+        F.col("end").cast("long").alias("hi"),
+        F.col("chunk_fp").alias("fp"),
+    )
+    return (
+        man.unionByName(pk).unionByName(sh).unionByName(ck)
+        .orderBy("op", "shard", "bin")
+    )
 
 
 # TRAINDATA_EXPORT_SQL is defined at the END of this module: its
@@ -839,18 +859,25 @@ ORDER BY doc_id, chunk_id
 """
 
 
-# Defined last: the shuffle branch embeds EXPORT_GLOBAL_SHUFFLE_SQL.
+# Defined last: embeds the shuffle + chunk constituent SQL above.
 TRAINDATA_EXPORT_SQL = f"""
 SELECT 'manifest' AS op, shard, CAST(NULL AS BIGINT) AS bin, n_docs,
-       n_tokens AS toks, n_chars AS aux, min_doc_id AS lo, max_doc_id AS hi
+       n_tokens AS toks, n_chars AS aux, min_doc_id AS lo, max_doc_id AS hi,
+       CAST(NULL AS VARCHAR) AS fp
 FROM ({EXPORT_SHARD_MANIFEST_SQL})
 UNION ALL
 SELECT 'pack', shard, bin, n_docs, bin_tokens, CAST(NULL AS BIGINT),
-       first_doc_id, last_doc_id
+       first_doc_id, last_doc_id, CAST(NULL AS VARCHAR)
 FROM ({PACK_SEQUENCES_SQL})
 UNION ALL
 SELECT 'shuffle', bucket, CAST(pos AS BIGINT), CAST(NULL AS BIGINT),
-       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), doc_id, CAST(NULL AS BIGINT)
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), doc_id, CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR)
 FROM ({EXPORT_GLOBAL_SHUFFLE_SQL})
+UNION ALL
+SELECT 'chunk', doc_id, CAST(chunk_id AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(n_tokens AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(start AS BIGINT), CAST("end" AS BIGINT), chunk_fp
+FROM ({CHUNK_DOCUMENTS_SQL})
 ORDER BY op, shard, bin
 """

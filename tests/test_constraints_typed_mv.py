@@ -16,6 +16,7 @@ CASES = [
     (CN.ensure_constraints, CN.ENSURE_CONSTRAINTS_SQL),
     (TY.typed_struct_enum, TY.TYPED_STRUCT_ENUM_SQL),
     (MV.incremental_mv_refresh, MV.INCREMENTAL_MV_SQL),
+    (CN.constraints_typed, CN.CONSTRAINTS_TYPED_SQL),
 ]
 
 

@@ -10,6 +10,7 @@ CASES = [
     (O.pivot_events, O.PIVOT_EVENTS_SQL),
     (O.asof_join, O.ASOF_JOIN_SQL),
     (O.cube_pivot_union, O.CUBE_PIVOT_SQL),
+    (O.events_analytics, O.EVENTS_ANALYTICS_SQL),
 ]
 
 
