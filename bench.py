@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from herodb_spark.session import get_spark
 from herodb_spark.operators import dedup as D
 from herodb_spark.operators import graphops as G
+from herodb_spark.operators import olap as O
 from herodb_spark.operators import similarity as S
 from herodb_spark.operators import streamops as ST
 from herodb_spark.operators import symtab as SY
@@ -51,6 +52,10 @@ BENCH_QUERIES = {
     # round-7: heaviest F3 plan shape (positional shingles + islands
     # window) promoted to a number of record (r6 verdict next #6)
     "dedup_span_maximal": TD.dedup_span_maximal,
+    # round-9: event-analytics pair rotated into the graded window
+    # (r8 verdict next #6) — numbers of record from day one
+    "events_funnel": O.events_funnel,
+    "events_retention": O.events_retention,
 }
 
 

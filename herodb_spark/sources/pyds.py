@@ -746,16 +746,25 @@ class HerodbDataSource(DataSource):
     def name(cls) -> str:
         return "herodb"
 
+    #: class-level path fallback — the ONLY channel that survives a
+    #: catalog-backed scan. Spark 4.1's PythonDataSourceV2.getTable
+    #: drops the stored table properties on the floor (verified by
+    #: bytecode: PythonTable keeps just (provider, shortName, schema)),
+    #: so at scan time a fresh instance sees an EMPTY options dict and
+    #: nothing identifies the table except the format NAME itself.
+    #: `register_table` therefore bakes the path into a per-table
+    #: subclass (cloudpickle ships dynamic classes by value), which is
+    #: what `CREATE TABLE ... USING herodb_<name>` resolves through.
+    _default_path: str | None = None
+
     def _path(self) -> str:
-        # NOTE: catalog DDL (CREATE TABLE ... USING herodb) is not
-        # supported — Spark 4.1's Python data source integration
-        # passes the table properties to schema() but an EMPTY options
-        # dict to reader() on catalog-backed scans, so the path cannot
-        # be recovered there. Use spark.read.format("herodb") (or
-        # createOrReplaceTempView on its result) instead.
-        p = self.options.get("path")
+        p = self.options.get("path") or self._default_path
         if not p:
-            raise ValueError("herodb: option 'path' (snapshot table directory) is required")
+            raise ValueError(
+                "herodb: option 'path' (snapshot table directory) is required "
+                "(catalog DDL: register the table with pyds.register_table, "
+                "which bakes the path into a per-table format)"
+            )
         # tolerate URI-style paths
         if p.startswith("file://"):
             p = p[len("file://"):]
@@ -884,3 +893,89 @@ def register(spark) -> None:
     the conf is off."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(HerodbDataSource)
+
+
+#: version-pinned DataFrames by (session, path, version, columns) —
+#: see `scan`. Bounded: oldest entry evicted past _SCAN_CACHE_MAX.
+_scan_cache: "dict[tuple, object]" = {}
+_SCAN_CACHE_MAX = 64
+
+
+def scan(spark, path: str, version: int | None = None, columns: str | None = None):
+    """Connector scan with the session-level plan cache the raw
+    `spark.read.format("herodb")` path cannot have.
+
+    Spark caches BOTH Python-planning round trips (the pickled data
+    source instance and the read info / partition plan) on the
+    `PythonDataSourceV2` instance inside the DataFrame's logical plan
+    — so the ~0.25 s fixed planning tax is paid once per FRAME, not
+    once per action. A fresh `load()` per query re-pays it; reusing
+    the frame skips it (measured round 9: repeat lineitem scan+agg
+    0.50 s vs 0.75 s fresh-load, native 0.26 s — the cached path is
+    what meets the ≤2× target on warm reads).
+
+    Reusing frames is SAFE here because every frame is version-pinned
+    at load: a cached (path, version) frame is semantically identical
+    to a freshly loaded one forever (copy-on-write storage, immutable
+    versions). `version=None` resolves the CURRENT version with one
+    manifest read per call, so a commit between calls yields a new
+    cache key — the cache never serves stale data.
+    """
+    m = _load_manifest(path)
+    v = int(version) if version is not None else int(m["current"])
+    key = (id(spark), os.path.abspath(path), v, columns)
+    df = _scan_cache.get(key)
+    if df is None:
+        r = (
+            spark.read.format("herodb")
+            .option("path", path)
+            .option("version", str(v))
+        )
+        if columns:
+            r = r.option("columns", columns)
+        df = r.load()
+        while len(_scan_cache) >= _SCAN_CACHE_MAX:
+            _scan_cache.pop(next(iter(_scan_cache)))
+        _scan_cache[key] = df
+    return df
+
+
+def register_table(spark, name: str, path: str) -> str:
+    """Make one snapshot table addressable by SQL catalog DDL:
+
+        fmt = pyds.register_table(spark, "orders", "/data/orders")
+        spark.sql(f"CREATE TABLE orders USING {fmt}")
+        spark.sql("SELECT * FROM orders")                  -- scans
+        spark.sql("INSERT OVERWRITE orders SELECT ...")    -- OCC write
+
+    Returns the registered format name (`herodb_<name>`).
+
+    Why a per-table format: Spark 4.1 resolves a catalog-backed scan
+    of a Python data source through `PythonDataSourceV2.getTable`,
+    which DISCARDS the stored table properties — the scan-time
+    instance receives an empty options dict, and the only information
+    that survives from DDL to scan is the provider name. So the path
+    rides in the format itself: a dynamically created subclass of
+    `HerodbDataSource` whose class attribute `_default_path` carries
+    it (cloudpickle serializes dynamic classes BY VALUE, so planning
+    workers reconstruct the class with the path intact). Explicit
+    `.option("path", ...)` still wins when present.
+
+    Like `register`, this is per-session state: a new session must
+    call `register_table` again before querying a catalog entry that
+    was created against the format (the catalog row itself persists).
+    """
+    if not name.replace("_", "").isalnum():
+        raise ValueError(f"herodb: table name {name!r} must be alphanumeric/underscore")
+    fmt = f"herodb_{name.lower()}"
+    cls = type(
+        f"HerodbTable_{name}",
+        (HerodbDataSource,),
+        {
+            "_default_path": path,
+            "name": classmethod(lambda _cls, _fmt=fmt: _fmt),
+        },
+    )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(cls)
+    return fmt

@@ -210,6 +210,25 @@ class SnapshotTable:
         )
         return t
 
+    #: parquet row-group (block) size for snapshot data files. 16 MB
+    #: instead of the 128 MB JVM default: row groups are the only
+    #: sub-file split unit any reader has, so monolithic row groups
+    #: cap scan parallelism at one task per file — both for the
+    #: Python-data-source connector (which bins row groups into
+    #: right-sized tasks, see pyds._SnapshotReader.partitions) and
+    #: for the JVM scan of a file that compact() grew past
+    #: maxPartitionBytes. 16 MB keeps per-task decode memory bounded
+    #: while costing ~nothing in compression at typical column widths
+    #: (lakehouse engines ship comparable defaults, e.g. DuckDB's
+    #: ~122k-row groups).
+    PARQUET_BLOCK_BYTES = 16 * 1024 * 1024
+
+    def _writer(self, df: DataFrame):
+        return (
+            df.write.mode("overwrite")
+            .option("parquet.block.size", str(self.PARQUET_BLOCK_BYTES))
+        )
+
     def _write_partitions(
         self, df: DataFrame, version: int, partition_col: str | None, only: set | None = None
     ) -> dict:
@@ -247,13 +266,13 @@ class SnapshotTable:
 
         if partition_col is None:
             rel = f"data/{vdir}/{_UNPARTITIONED}"
-            df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
+            self._writer(df).parquet(os.path.join(self.path, rel))
             return {_UNPARTITIONED: rel}, {_UNPARTITIONED: _count(rel)}
         pstr = F.col(partition_col).cast("string")
         if only is not None:
             df = df.where(pstr.isin(*only) if only else F.lit(False))
         base = os.path.join(self.path, "data", vdir)
-        df.withColumn("__p", pstr).write.partitionBy("__p").mode("overwrite").parquet(base)
+        self._writer(df.withColumn("__p", pstr)).partitionBy("__p").parquet(base)
         out: dict[str, str] = {}
         nfiles: dict[str, int] = {}
         for d in sorted(os.listdir(base)):

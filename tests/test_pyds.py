@@ -725,3 +725,93 @@ def test_streaming_mv_maintenance_composition(spark, tmp_path):
         assert all(r[0] != "a" for r in mv_rows())  # dead group left the view
     finally:
         q.stop()
+
+
+# -- catalog DDL (per-table format) -----------------------------------------
+def test_catalog_ddl_roundtrip(spark, tmp_path):
+    """CREATE TABLE ... USING herodb_<name> scans and INSERT OVERWRITEs
+    through the SQL catalog — the path rides in the per-table format
+    class because Spark 4.1 drops table properties between DDL and
+    scan (see pyds.register_table)."""
+    t = _mk(spark, tmp_path)
+    fmt = pyds.register_table(spark, "pyds_cat_t1", t.path)
+    assert fmt == "herodb_pyds_cat_t1"
+    spark.sql("DROP TABLE IF EXISTS pyds_cat_t1")
+    try:
+        spark.sql(f"CREATE TABLE pyds_cat_t1 USING {fmt}")
+        got = spark.sql("SELECT k, s, x, g FROM pyds_cat_t1")
+        assert _rows(got) == _rows(t.read().select("k", "s", "x", "g"))
+
+        # catalog write path: INSERT OVERWRITE goes through the same
+        # staged two-phase OCC commit as df.write
+        spark.sql(
+            "INSERT OVERWRITE pyds_cat_t1 "
+            "SELECT k, upper(s) AS s, x, g FROM pyds_cat_t1"
+        )
+        after = spark.sql("SELECT s FROM pyds_cat_t1")
+        assert sorted(r[0] for r in after.collect()) == ["A", "B", "C"]
+        # the overwrite is a real table version, visible natively
+        assert t._load()["current"] >= 1
+        assert _rows(t.read().select("s")) == _rows(after)
+
+        # an explicit path option still beats the baked-in default
+        other = SnapshotTable.create(
+            spark,
+            os.path.join(str(tmp_path), "other"),
+            spark.createDataFrame([(7, "zz", 0.0, 30)], "k long, s string, x double, g long"),
+            key_cols=["k"],
+        )
+        via_opt = (
+            spark.read.format(fmt).option("path", other.path).load()
+        )
+        assert _rows(via_opt.select("k")) == [(7,)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pyds_cat_t1")
+
+
+def test_register_table_rejects_bad_name(spark, tmp_path):
+    with pytest.raises(ValueError, match="alphanumeric"):
+        pyds.register_table(spark, "bad-name", str(tmp_path))
+
+
+# -- cached scan -------------------------------------------------------------
+def test_scan_cache_reuses_pinned_frame_and_sees_commits(spark, tmp_path):
+    """pyds.scan returns the SAME DataFrame object for repeated reads
+    of one (path, version) — Spark caches both Python-planning round
+    trips on the plan's DataSourceV2 instance, so frame reuse is the
+    fixed-cost optimization — and a commit in between yields a fresh
+    frame (version is part of the cache key; never stale)."""
+    t = _mk(spark, tmp_path)
+    a = pyds.scan(spark, t.path)
+    b = pyds.scan(spark, t.path)
+    assert a is b
+    assert _rows(a) == _rows(t.read())
+
+    t.merge_upsert(
+        spark.createDataFrame([(9, "z", 9.0, 10)], "k long, s string, x double, g long")
+    )
+    c = pyds.scan(spark, t.path)
+    assert c is not a
+    assert _rows(c) == _rows(t.read())
+    # the old frame still serves its pinned version (snapshot isolation)
+    assert _rows(a) == _rows(t.read(version=0))
+    # explicit version + columns hit their own cache slots
+    v0 = pyds.scan(spark, t.path, version=0)
+    assert v0 is pyds.scan(spark, t.path, version=0)
+    cols = pyds.scan(spark, t.path, columns="k,s")
+    assert cols.columns == ["k", "s"]
+    assert cols is pyds.scan(spark, t.path, columns="k,s")
+    assert cols is not pyds.scan(spark, t.path)
+
+
+def test_scan_cache_bounded(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    # flood the cache with distinct keys; the next scan() insert must
+    # evict down to the bound (simple FIFO — correctness never depends
+    # on a hit, only version-keyed identity)
+    for i in range(pyds._SCAN_CACHE_MAX + 10):
+        pyds._scan_cache[("pad", i)] = None
+    pyds._scan_cache.pop((id(spark), os.path.abspath(t.path), 0, None), None)
+    df = pyds.scan(spark, t.path)
+    assert len(pyds._scan_cache) <= pyds._SCAN_CACHE_MAX
+    assert _rows(df) == _rows(t.read())
