@@ -440,7 +440,10 @@ def text_quality_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul.alias("v2"),
         nul.alias("v3"),
         F.lit(None).cast("long").alias("n"),
-        F.concat_ws("|", "actual", "predicted").alias("s"),
+        # F.concat (NULL-propagating) matches the oracle's `||`
+        # semantics exactly; concat_ws would silently skip NULLs and
+        # diverge from the DuckDB hash if a NULL label ever appeared.
+        F.concat(F.col("actual"), F.lit("|"), F.col("predicted")).alias("s"),
         F.col("correct").alias("keep"),
     )
     return (

@@ -48,6 +48,7 @@ from __future__ import annotations
 import json
 import os
 import urllib.parse
+import weakref
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -895,10 +896,30 @@ def register(spark) -> None:
     spark.dataSource.register(HerodbDataSource)
 
 
-#: version-pinned DataFrames by (session, path, version, columns) —
-#: see `scan`. Bounded: oldest entry evicted past _SCAN_CACHE_MAX.
-_scan_cache: "dict[tuple, object]" = {}
+#: version-pinned DataFrames, scoped PER SESSION: a WeakKeyDictionary
+#: keyed by the SparkSession object maps to that session's
+#: (path, version, columns) → DataFrame cache. Weak keying means a
+#: stopped-and-dropped session releases its cached frames (and their
+#: JVM plan state) immediately instead of waiting for FIFO eviction;
+#: it also can't collide with a new session that reuses the old
+#: session's id() after GC. Each per-session dict is bounded: oldest
+#: entry evicted past _SCAN_CACHE_MAX.
+_scan_caches: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _SCAN_CACHE_MAX = 64
+
+#: per-session format-name → baked-in path bookkeeping for
+#: `register_table`, so a conflicting re-registration (same format,
+#: different path) raises instead of silently repointing catalog
+#: tables. Weak-keyed for the same lifetime reasons as _scan_caches.
+_format_registry: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _session_scan_cache(spark) -> dict:
+    cache = _scan_caches.get(spark)
+    if cache is None:
+        cache = {}
+        _scan_caches[spark] = cache
+    return cache
 
 
 def scan(spark, path: str, version: int | None = None, columns: str | None = None):
@@ -923,8 +944,9 @@ def scan(spark, path: str, version: int | None = None, columns: str | None = Non
     """
     m = _load_manifest(path)
     v = int(version) if version is not None else int(m["current"])
-    key = (id(spark), os.path.abspath(path), v, columns)
-    df = _scan_cache.get(key)
+    cache = _session_scan_cache(spark)
+    key = (os.path.abspath(path), v, columns)
+    df = cache.get(key)
     if df is None:
         r = (
             spark.read.format("herodb")
@@ -934,9 +956,9 @@ def scan(spark, path: str, version: int | None = None, columns: str | None = Non
         if columns:
             r = r.option("columns", columns)
         df = r.load()
-        while len(_scan_cache) >= _SCAN_CACHE_MAX:
-            _scan_cache.pop(next(iter(_scan_cache)))
-        _scan_cache[key] = df
+        while len(cache) >= _SCAN_CACHE_MAX:
+            cache.pop(next(iter(cache)))
+        cache[key] = df
     return df
 
 
@@ -967,7 +989,25 @@ def register_table(spark, name: str, path: str) -> str:
     """
     if not name.replace("_", "").isalnum():
         raise ValueError(f"herodb: table name {name!r} must be alphanumeric/underscore")
-    fmt = f"herodb_{name.lower()}"
+    if name != name.lower():
+        # Format names are case-folded by the session registry, so
+        # "Orders" and "orders" would silently share one format and
+        # the second registration would replace the first table's
+        # baked-in path. Require the caller to pass the canonical
+        # lowercase name up front instead of folding behind its back.
+        raise ValueError(
+            f"herodb: table name {name!r} must be lowercase "
+            "(format names are case-insensitive in the session registry)"
+        )
+    fmt = f"herodb_{name}"
+    registered = _format_registry.setdefault(spark, {})
+    prior = registered.get(fmt)
+    if prior is not None and os.path.abspath(prior) != os.path.abspath(path):
+        raise ValueError(
+            f"herodb: format {fmt!r} is already registered for path "
+            f"{prior!r}; re-registering it for {path!r} would silently "
+            "repoint existing catalog tables"
+        )
     cls = type(
         f"HerodbTable_{name}",
         (HerodbDataSource,),
@@ -978,4 +1018,5 @@ def register_table(spark, name: str, path: str) -> str:
     )
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(cls)
+    registered[fmt] = path
     return fmt

@@ -774,6 +774,21 @@ def test_register_table_rejects_bad_name(spark, tmp_path):
         pyds.register_table(spark, "bad-name", str(tmp_path))
 
 
+def test_register_table_rejects_case_collision_and_repoint(spark, tmp_path):
+    """Format names case-fold in the session registry, so "Orders" and
+    "orders" would silently share one format; register_table requires
+    canonical lowercase up front and refuses to repoint a registered
+    format at a different path (idempotent same-path re-register OK)."""
+    with pytest.raises(ValueError, match="lowercase"):
+        pyds.register_table(spark, "Orders", str(tmp_path))
+    t = _mk(spark, tmp_path)
+    fmt = pyds.register_table(spark, "pyds_reg_guard", t.path)
+    # same path: idempotent
+    assert pyds.register_table(spark, "pyds_reg_guard", t.path) == fmt
+    with pytest.raises(ValueError, match="already registered"):
+        pyds.register_table(spark, "pyds_reg_guard", str(tmp_path / "elsewhere"))
+
+
 # -- cached scan -------------------------------------------------------------
 def test_scan_cache_reuses_pinned_frame_and_sees_commits(spark, tmp_path):
     """pyds.scan returns the SAME DataFrame object for repeated reads
@@ -804,14 +819,24 @@ def test_scan_cache_reuses_pinned_frame_and_sees_commits(spark, tmp_path):
     assert cols is not pyds.scan(spark, t.path)
 
 
-def test_scan_cache_bounded(spark, tmp_path):
+def test_scan_cache_bounded_and_session_scoped(spark, tmp_path):
     t = _mk(spark, tmp_path)
-    # flood the cache with distinct keys; the next scan() insert must
-    # evict down to the bound (simple FIFO — correctness never depends
-    # on a hit, only version-keyed identity)
-    for i in range(pyds._SCAN_CACHE_MAX + 10):
-        pyds._scan_cache[("pad", i)] = None
-    pyds._scan_cache.pop((id(spark), os.path.abspath(t.path), 0, None), None)
-    df = pyds.scan(spark, t.path)
-    assert len(pyds._scan_cache) <= pyds._SCAN_CACHE_MAX
-    assert _rows(df) == _rows(t.read())
+    # flood THIS session's cache with distinct keys; the next scan()
+    # insert must evict down to the bound (simple FIFO — correctness
+    # never depends on a hit, only version-keyed identity)
+    cache = pyds._session_scan_cache(spark)
+    saved = dict(cache)
+    try:
+        for i in range(pyds._SCAN_CACHE_MAX + 10):
+            cache[("pad", i)] = None
+        cache.pop((os.path.abspath(t.path), 0, None), None)
+        df = pyds.scan(spark, t.path)
+        assert len(cache) <= pyds._SCAN_CACHE_MAX
+        assert _rows(df) == _rows(t.read())
+    finally:
+        # don't leave pad keys behind for other tests
+        cache.clear()
+        cache.update(saved)
+    # the cache is keyed by the session OBJECT (weakly), not id():
+    # the registry maps this session to exactly its own dict
+    assert pyds._scan_caches.get(spark) is cache
