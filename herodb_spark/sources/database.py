@@ -38,10 +38,17 @@ re-expression is a MANIFEST-OF-MANIFESTS:
   cost — the highest-cost side proceeds, rolling the cheaper holders
   back ("submit the transaction of highest cost, rollback all
   conflicted"), while the cheaper side defers until the winner
-  publishes. Remaining conflicts (overlapping partitions,
-  unpartitioned tables, schema changes, declared read sets) cancel
-  with ConcurrentWriteError reporting both costs, and abandoned
-  table versions are healed by the next recovery.
+  publishes. Below the partition level, recorded per-commit
+  update-key hulls (merge_upsert AND the predicate mutations
+  update_where/delete_where) exonerate same-partition interleaves
+  whose key sets provably don't intersect (Lock.h:22-27 Row), and
+  declared range reads are checked row-granularly against those
+  hulls plus phantom-safely against post-commit zone maps
+  (Lock.h:29-38 Shared at Row + next-key; _read_set_conflicts).
+  Remaining conflicts (overlapping keys/partitions, schema changes,
+  whole-table reads) cancel with ConcurrentWriteError reporting both
+  costs, and abandoned table versions are healed by the next
+  recovery.
 - Database time travel: `read(name, db_version=k)` resolves table
   versions through database version k; `vacuum()` prunes old database
   versions and passes every still-pinned table version as
@@ -61,6 +68,7 @@ import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from herodb_spark.sources.snapshot import ConcurrentWriteError, SnapshotTable
 
@@ -89,35 +97,36 @@ def _rewritten_partitions(tm: dict, v: int) -> set | None:
     return rew
 
 
-def _rewritten_between(tm: dict, lo: int, hi: int) -> set | None:
-    """Union of partition values rewritten by table versions in
-    (lo, hi]; None if any constituent is unknown (see above)."""
-    out: set = set()
-    for v in range(lo + 1, hi + 1):
-        r = _rewritten_partitions(tm, v)
-        if r is None:
-            return None
-        out |= r
-    return out
-
-
 def _foreign_descriptors(tm: dict, lo: int, hi: int) -> list[dict] | None:
     """PER-VERSION rewrite descriptors for table versions in (lo, hi]:
     {"parts": <rewritten partition set>, "key_ranges": <the version's
     per-partition update-key [min, max] hulls, or None for ops that
-    record none>}. None when any constituent version's rewrites are
-    unknown (vacuumed parent / schema change). Per-version — not the
-    union `_rewritten_between` returns — because key-level conflict
+    record none>, "stats": <the version's POST-COMMIT per-partition
+    zone maps>, "live": <partitions the version still contains>}.
+    None when any constituent version's rewrites are unknown
+    (vacuumed parent / schema change). Per-version — not the union
+    a `set().union(...)` over versions would give — because key-level conflict
     exoneration must compare OUR keys against EACH interleaved
     commit's keys, not against a merged hull that could manufacture
-    overlap two individually-disjoint commits never had."""
+    overlap two individually-disjoint commits never had. The
+    stats/live fields serve the read-side PHANTOM check
+    (_read_set_conflicts): a declared range read must re-test
+    partitions it did NOT resolve against each interleaver's
+    post-commit zone maps."""
     out: list[dict] = []
     for v in range(lo + 1, hi + 1):
         parts = _rewritten_partitions(tm, v)
         if parts is None:
             return None
         e = tm["versions"].get(str(v)) or {}
-        out.append({"parts": parts, "key_ranges": e.get("key_ranges")})
+        out.append(
+            {
+                "parts": parts,
+                "key_ranges": e.get("key_ranges"),
+                "stats": e.get("stats", {}),
+                "live": set(e.get("partitions", {})),
+            }
+        )
     return out
 
 
@@ -148,6 +157,87 @@ def _keys_disjoint(a: dict | None, b: dict | None, pv: str) -> bool:
         except TypeError:
             continue  # incomparable stats prove nothing
     return False
+
+
+def _hull_avoids_ranges(hull: dict | None, ranges: dict) -> bool:
+    """True when a commit's recorded update-key hull for ONE partition
+    proves it wrote/removed no row inside the declared `ranges`
+    ({col: (lo, hi)} inclusive): some column appears in both and the
+    intervals don't intersect. A hull bound of None (all-NULL keys)
+    proves nothing here only if the other bound is also unknown —
+    conservatively, any None bound returns False for that column.
+    Anything unknown or incomparable → False: like _keys_disjoint,
+    this check can only ADMIT provably-safe interleaves."""
+    if not hull:
+        return False
+    for c, (lo, hi) in ranges.items():
+        b = hull.get(c)
+        if not b:
+            continue
+        mn, mx = b
+        if mn is None or mx is None:
+            continue
+        try:
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                return True
+        except TypeError:
+            continue  # incomparable bound proves nothing
+    return False
+
+
+def _read_set_conflicts(read_set, descs: list[dict] | None) -> list:
+    """Partitions proving an interleaved commit could have changed
+    what one table's declared read set resolved — the Shared-lock /
+    predicate-lock check (Lock.h:29-38) including its NEXT-KEY
+    (phantom) half. Empty list = every interleave is provably safe.
+
+    `read_set`: None for a whole-table read (conflicts with ANY
+    interleave), else a list of read descriptors
+    {"ranges": {col: (lo, hi)} | None, "parts": set} — `ranges` is
+    the declared predicate, `parts` the partitions it resolved at the
+    transaction's pin. `descs`: per-version foreign descriptors from
+    `_foreign_descriptors`, or None for unknown (always a conflict).
+
+    Per interleaved commit and rewritten partition pv:
+    - pv INSIDE the resolved set: conflict unless the commit's
+      recorded key hull for pv provably avoids the declared ranges
+      (Row-granular: a reader of keys [1..10] and a writer of keys
+      [100..110] in the same partition both proceed).
+    - pv OUTSIDE the resolved set, predicate declared: the PHANTOM
+      cases — the commit may have CREATED pv with matching rows, or
+      rewritten a previously zone-map-skipped pv so its rows now
+      match. Safe only when pv holds no rows post-commit (dropped:
+      deleting rows that provably didn't match the predicate can't
+      change the read; a create-then-drop interleave is caught at the
+      creating version) or its POST-COMMIT zone maps prove no row can
+      match the declared ranges.
+    - pv OUTSIDE a caller-ASSERTED partition set (declare_read with
+      parts and no ranges): safe by that API's documented contract —
+      the caller vouches its logic depends on those partitions only.
+    """
+    if read_set is None:
+        return ["(whole table)"]
+    if descs is None:
+        return ["(unknown)"]
+    bad: set = set()
+    for d in read_set:
+        ranges, parts = d["ranges"], d["parts"]
+        for fc in descs:
+            for pv in fc["parts"]:
+                if pv in parts:
+                    if ranges and _hull_avoids_ranges(
+                        (fc["key_ranges"] or {}).get(pv), ranges
+                    ):
+                        continue
+                    bad.add(pv)
+                elif ranges is not None:
+                    if pv not in fc["live"]:
+                        continue  # dropped: holds no rows post-commit
+                    st = (fc["stats"] or {}).get(pv)
+                    if st is not None and SnapshotTable._skippable(st, ranges):
+                        continue  # provably outside the predicate
+                    bad.add(pv)
+    return sorted(bad, key=str)
 
 
 class _DbManifest(SnapshotTable):
@@ -556,14 +646,18 @@ class Transaction:
         self.db = db
         self._txn_mark = txn
         self._new_pins: dict[str, int] = {}
-        #: declared read set at PARTITION granularity (the Shared/
-        #: IntentShared analog of the reference's lock modes,
-        #: Lock.h:29-38): {table: set of partition values the read
-        #: actually resolved, or None for a whole-table read}. An
-        #: interleaved commit to a read table cancels only when its
-        #: rewrite list OVERLAPS the recorded partitions — a reader
-        #: of partition A and a writer of partition B both proceed.
-        self._read_parts: dict[str, set | None] = {}
+        #: declared read set (the Shared/IntentShared analog of the
+        #: reference's lock modes, Lock.h:29-38): {table: None for a
+        #: whole-table read, else a list of read descriptors
+        #: {"ranges": declared predicate or None, "parts": partitions
+        #: it resolved at the pin}}. Conflicts are decided by
+        #: _read_set_conflicts: partition-granular for asserted
+        #: partition sets, ROW-granular (declared range vs the
+        #: writer's recorded key hull) inside resolved partitions,
+        #: and phantom-safe (post-commit zone-map re-test) outside
+        #: them — the predicate-lock/next-key analog of the
+        #: reference's Shared row locks.
+        self._read_sets: dict[str, list | None] = {}
         self._entered = False
         self.isolation = isolation
         self.cost = 0
@@ -620,18 +714,41 @@ class Transaction:
             self._hb_thread.join(timeout=5.0)
         self._hb_stop = self._hb_thread = None
 
-    def declare_read(self, name: str, parts: set | None = None) -> None:
-        """Add `name` to the declared read set: `parts` is the set of
-        partition values the read resolved, or None for a whole-table
-        read (which conflicts with ANY interleaved commit to the
-        table). Reads accumulate; a whole-table read dominates."""
-        if name in self._read_parts:
-            prev = self._read_parts[name]
-            self._read_parts[name] = (
-                None if (prev is None or parts is None) else prev | set(parts)
+    def declare_read(
+        self, name: str, parts: set | None = None, ranges: dict | None = None
+    ) -> None:
+        """Add `name` to the declared read set. Three shapes:
+
+        - no parts, no ranges: whole-table read — conflicts with ANY
+          interleaved commit to the table (dominates everything);
+        - `parts` only: caller-ASSERTED partition set — the caller
+          vouches its logic depends on those partitions only, so
+          interleaves conflict exactly when their rewrite lists
+          overlap `parts`;
+        - `ranges` (+ the parts it resolved): a DECLARED PREDICATE —
+          conflicts are row-granular inside `parts` (the writer's key
+          hull vs the range) and phantom-checked outside them (the
+          writer's post-commit zone maps vs the range).
+
+        Reads accumulate as independent descriptors; a whole-table
+        read dominates."""
+        if parts is None and ranges is None:
+            self._read_sets[name] = None
+            return
+        if ranges is not None and parts is None:
+            # a predicate without its pin-resolved partition set can't
+            # distinguish "partition changed under my read" from the
+            # phantom cases — Transaction.read(ranges=) computes the
+            # resolved set; external callers must pass both
+            raise ValueError(
+                "declare_read(ranges=...) requires the pin-resolved "
+                "partition set (use Transaction.read(name, ranges=...))"
             )
-        else:
-            self._read_parts[name] = None if parts is None else set(parts)
+        if self._read_sets.get(name, ()) is None:
+            return  # a whole-table read already dominates
+        self._read_sets.setdefault(name, []).append(
+            {"ranges": dict(ranges) if ranges else None, "parts": set(parts)}
+        )
 
     def read(self, name: str, ranges: dict | None = None):
         """Pin-consistent in-transaction read with read-your-writes
@@ -642,12 +759,18 @@ class Transaction:
         transaction instead of silently rebasing over it (see the
         class docstring's isolation note).
 
-        `ranges` ({col: (lo, hi)}, the zone-map pruning contract of
-        SnapshotTable.read) narrows BOTH the scan and the declared
-        read set to the partitions that actually resolved — the
-        Shared-lock granularity step (Lock.h:29-38): a transaction
-        that read only partition A no longer cancels when an
-        interleaved commit rewrote only partition B."""
+        `ranges` ({col: (lo, hi)}, inclusive) narrows the scan (zone-
+        map partition pruning), the RETURNED ROWS (the row-level
+        filter is applied here, so the frame is exactly the declared
+        footprint), and the declared read set — which records the
+        predicate itself plus the partitions it resolved at the pin.
+        Conflict checks are then row-granular within the resolved
+        partitions (an interleaved writer of provably-different keys
+        in the SAME partition is admitted) and phantom-safe outside
+        them (a writer CREATING a matching partition, or rewriting a
+        previously-skipped one so it now matches, still cancels) —
+        Lock.h:29-38 Shared at Row granularity plus its next-key
+        analog."""
         if not self._entered:
             raise RuntimeError("transaction used outside its with-block")
         if name not in self._base_pins and name not in self._new_pins:
@@ -663,10 +786,16 @@ class Transaction:
                 for pv in entry.get("partitions", {})
                 if not t._skippable(stats.get(pv, {}), ranges)
             }
-            self.declare_read(name, resolved)
-        else:
-            self.declare_read(name, None)
-        return t.read(version=v, ranges=ranges)
+            self.declare_read(name, resolved, ranges=ranges)
+            df = t.read(version=v, ranges=ranges)
+            for c, (lo, hi) in ranges.items():
+                if lo is not None:
+                    df = df.where(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.where(F.col(c) <= F.lit(hi))
+            return df
+        self.declare_read(name)
+        return t.read(version=v)
 
     def __enter__(self) -> "Transaction":
         # heal STALE crashed predecessors before reading seq; live
@@ -835,19 +964,19 @@ class Transaction:
                         f"{name!r}'s schema or its versions were vacuumed — "
                         f"not rebasable (cost {self.cost}), cancelling"
                     )
-                if name in self._read_parts:
+                if name in self._read_sets:
                     # this mutation's table is also in the declared
                     # READ set: serializing after the interleave is
-                    # only sound when it provably rewrote none of the
-                    # partitions the read resolved (Shared-lock
-                    # granularity, Lock.h:29-38)
-                    rp = self._read_parts[name]
-                    theirs = set().union(*(d["parts"] for d in descs)) if descs else set()
-                    if rp is None or (rp & theirs):
+                    # only sound when it provably could not have
+                    # changed what the read resolved — row-granular
+                    # inside resolved partitions, phantom-checked
+                    # outside them (Lock.h:29-38 Shared at Row +
+                    # next-key; see _read_set_conflicts)
+                    bad = _read_set_conflicts(self._read_sets[name], descs)
+                    if bad:
                         raise ConcurrentWriteError(
-                            f"{t.path}: partitions "
-                            f"{sorted(rp & theirs) if rp is not None else '(whole table)'} "
-                            f"of {name!r}, in this transaction's declared read "
+                            f"{t.path}: partitions {bad} of {name!r}, "
+                            f"intersecting this transaction's declared read "
                             f"set (cost {self.cost}), were rewritten by a "
                             "concurrent committed writer — cancelling "
                             "(serializing after it could commit writes derived "
@@ -1002,25 +1131,24 @@ class Transaction:
                 )
         # a WRITTEN table whose pin advanced past our private chain is
         # always a conflict; a READ-ONLY table that advanced conflicts
-        # only when the interleaved commits rewrote partitions the
-        # read actually resolved (partition-granular read sets,
-        # Lock.h:29-38 Shared analog) — a reader of partition A
-        # rebases over a writer of partition B
+        # only when some interleaved commit could have changed what
+        # the declared read set resolved — row-granular inside
+        # resolved partitions, phantom-checked outside them
+        # (Lock.h:29-38 Shared at Row + next-key; _read_set_conflicts)
+        # — a reader of partition A (or of keys [1..10] of partition
+        # A) rebases over a writer of partition B (or of keys
+        # [100..110] of A)
         overlap = []
-        for n in sorted(set(self._new_pins) | set(self._read_parts)):
+        for n in sorted(set(self._new_pins) | set(self._read_sets)):
             if new_pins.get(n) == self._base_pins.get(n):
                 continue
             if n in self._new_pins:
                 overlap.append(n)
                 continue
-            rp = self._read_parts[n]
-            if rp is None:
-                overlap.append(n)
-                continue
-            theirs = _rewritten_between(
+            descs = _foreign_descriptors(
                 self.db.table(n)._load(), self._base_pins.get(n), new_pins.get(n)
             )
-            if theirs is None or (rp & theirs):
+            if _read_set_conflicts(self._read_sets[n], descs):
                 overlap.append(n)
         if overlap:
             raise ConcurrentWriteError(

@@ -1113,7 +1113,10 @@ class SnapshotTable:
         evaluate the predicate, but only partitions containing a
         matching row (or receiving a moved row, when the partition
         column itself is assigned) are rewritten. Assignments must not
-        change key columns — keys identify rows across the rewrite."""
+        change key columns — keys identify rows across the rewrite.
+        A predicate matching NO row commits nothing (the table version
+        is unchanged — uniform since r10 across partitioned and
+        unpartitioned tables)."""
         m = self._load()
         pcol = m["partition_col"]
         target = self.read()
@@ -1148,34 +1151,67 @@ class SnapshotTable:
         read_version = m["current"]
         read_seq = self._seq(m)
         pcol = m["partition_col"]
+        keys = m["key_cols"]
+        # per-partition [min, max] hulls of the MATCHED rows' keys —
+        # the keys this predicate mutation LOGICALLY wrote/removed.
+        # Recorded as `key_ranges` exactly like merge_upsert's, so the
+        # transaction layer's _keys_disjoint can exonerate a
+        # same-partition interleave between a predicate mutation and
+        # an upsert of provably different keys (the remaining write-
+        # side case of the reference's Row lock target, Lock.h:22-27).
+        # Rides the SAME jobs that already enumerate touched
+        # partitions: the pre/post collects below return the hulls
+        # alongside the partition values at no extra scan.
+        stat_keys = self._stat_cols(target, keys)
+
+        def _hulls(df: DataFrame) -> dict:
+            grp = (
+                F.lit(_UNPARTITIONED) if pcol is None else F.col(pcol).cast("string")
+            )
+            aggs = []
+            for c in stat_keys:
+                aggs.append(F.min(c).alias(f"mn_{c}"))
+                aggs.append(F.max(c).alias(f"mx_{c}"))
+            if not aggs:  # no stat-able key: partition list only
+                return {
+                    r["_p"]: {}
+                    for r in df.select(grp.alias("_p")).distinct().collect()
+                }
+            rows = df.groupBy(grp.alias("_p")).agg(*aggs).collect()
+            return {
+                r["_p"]: {c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stat_keys}
+                for r in rows
+            }
+
+        # pre-image partitions (and key hulls) of matched rows PLUS
+        # the post-image partitions of the result's matched rows — an
+        # update assigning the partition column moves rows between
+        # partitions, and both ends must rewrite (otherwise the moved
+        # row would be filtered out of the write and vanish)
+        pre_h = _hulls(target.where(matched))
+        if not pre_h:  # no-op mutation: commit nothing new
+            return m["current"]
         if pcol is None:
             touched = {_UNPARTITIONED}
+            key_ranges = pre_h
             to_write = result
         else:
-            # touched = pre-image partitions of matched rows PLUS the
-            # post-image partitions of the result's matched rows — an
-            # update assigning the partition column moves rows between
-            # partitions, and both ends must rewrite (otherwise the
-            # moved row would be filtered out of the write and vanish)
-            pre = {
-                r.p
-                for r in target.where(matched)
-                .select(F.col(pcol).cast("string").alias("p"))
-                .distinct()
-                .collect()
-            }
-            if not pre:  # no-op mutation: commit nothing new
-                return m["current"]
-            post = {
-                r.p
-                for r in result.join(
-                    target.where(matched).select(*m["key_cols"]), m["key_cols"], "left_semi"
-                )
-                .select(F.col(pcol).cast("string").alias("p"))
-                .distinct()
-                .collect()
-            }
-            touched = pre | post
+            post_h = _hulls(
+                result.join(target.where(matched).select(*keys), keys, "left_semi")
+            )
+            key_ranges = dict(pre_h)
+            for pv, ranges in post_h.items():
+                if pv not in key_ranges:
+                    key_ranges[pv] = ranges
+                    continue
+                mine = key_ranges[pv]
+                for c, (mn, mx) in ranges.items():
+                    omn, omx = mine.get(c, (None, None))
+                    mine[c] = [
+                        mn if omn is None else omn if mn is None else min(mn, omn),
+                        mx if omx is None else omx if mx is None else max(mx, omx),
+                    ]
+            touched = set(key_ranges)
             to_write = result.where(F.col(pcol).cast("string").isin(*touched))
         version = self._next(m)
         parts, files = self._write_partitions(to_write, version, pcol, only=touched)
@@ -1189,6 +1225,8 @@ class SnapshotTable:
         new_files.update(files)
         new_stats.update(stats)
         entry = {"op": op, "partitions": new_parts, "files": new_files, "stats": new_stats}
+        if stat_keys:
+            entry["key_ranges"] = key_ranges
         if program is not None:
             entry["program"] = program
         m["versions"][str(version)] = entry

@@ -727,7 +727,9 @@ def test_partition_read_set_allows_disjoint_writer(spark, tmp_path):
     t1.__enter__()
     seen = t1.read("facts", ranges={"part": ("a", "a")}).collect()
     assert all(r.part == "a" for r in seen)
-    assert t1._read_parts["facts"] == {"a"}
+    assert t1._read_sets["facts"] == [
+        {"ranges": {"part": ("a", "a")}, "parts": {"a"}}
+    ]
     t1.merge_upsert(
         "audit", spark.createDataFrame([(70, f"n={len(seen)}")], "seq long, what string")
     )
@@ -753,6 +755,157 @@ def test_partition_read_set_allows_disjoint_writer(spark, tmp_path):
     with pytest.raises(ConcurrentWriteError, match="read/write set"):
         t3.commit()
     SnapshotDatabase(spark, db.path).recover()
+
+
+def test_predicate_mutation_vs_disjoint_upsert_both_commit(spark, tmp_path):
+    """Key hulls for PREDICATE mutations (Lock.h:22-27 Row, the
+    write-side completion): update_where/delete_where record the
+    [min, max] key hulls of their matched rows, so an interleave with
+    an upsert of provably-different keys in the SAME partition
+    commits on both sides — and a hull overlap still cancels."""
+    db = _mkpdb(spark, tmp_path)
+    from pyspark.sql import functions as F
+
+    t1 = Transaction(db)
+    t1.__enter__()
+    t2 = Transaction(db)
+    t2.__enter__()
+    # t1: predicate update over keys 1..9 of partition 'a'
+    t1.update_where(
+        "facts", (F.col("id") <= 9) & (F.col("part") == "a"), {"v": F.col("v") + 1000}
+    )
+    t1.commit()
+    # t2: upsert keys 101/103 into the SAME partition — hulls
+    # [1,9] vs [101,103] prove the row sets disjoint
+    t2.merge_upsert("facts", _facts_rows(spark, "a", [101, 103]))
+    t2.commit()
+    vals = {r.id: r.v for r in db.read("facts").where("part = 'a'").collect()}
+    assert vals[1] == 1001.0 and vals[9] == 1009.0  # the update landed
+    assert vals[101] == 1101.0 and vals[103] == 1103.0  # the upsert landed
+    assert SnapshotDatabase(spark, db.path).recover() == {}
+
+    # reversed order: the predicate mutation re-executes ON TOP of a
+    # published disjoint upsert and its matched-row hull exonerates it
+    t3 = Transaction(db)
+    t3.__enter__()
+    t4 = Transaction(db)
+    t4.__enter__()
+    t3.merge_upsert("facts", _facts_rows(spark, "a", [105]))
+    t3.commit()
+    t4.delete_where("facts", (F.col("id") <= 3) & (F.col("part") == "a"))
+    t4.commit()
+    ids = {r.id for r in db.read("facts").where("part = 'a'").collect()}
+    assert 105 in ids and 1 not in ids and 3 not in ids
+    assert SnapshotDatabase(spark, db.path).recover() == {}
+
+    # hull OVERLAP still cancels: an upsert of key 5 lands first, then
+    # a predicate update whose matched hull [5..9] spans it
+    t5 = Transaction(db)
+    t5.__enter__()
+    t6 = Transaction(db)
+    t6.__enter__()
+    t5.merge_upsert("facts", _facts_rows(spark, "a", [5]))
+    t5.commit()
+    with pytest.raises(ConcurrentWriteError):
+        t6.update_where(
+            "facts",
+            (F.col("id").between(5, 9)) & (F.col("part") == "a"),
+            {"v": F.lit(0.0)},
+        )
+        t6.commit()
+    SnapshotDatabase(spark, db.path).recover()
+
+
+def test_row_granular_read_set_same_partition_disjoint_writer(spark, tmp_path):
+    """Row-granular READ sets (Lock.h:29-38 Shared at Row): a reader
+    of keys [1..9] and a writer of keys [101..103] in the SAME
+    partition both commit — the declared range vs the writer's
+    recorded key hull proves the row sets disjoint — while a writer
+    INSIDE the declared range still cancels (write skew stays red)."""
+    db = _mkpdb(spark, tmp_path)
+    t1 = Transaction(db)
+    t1.__enter__()
+    seen = t1.read("facts", ranges={"id": (1, 9)}).collect()
+    assert {r.id for r in seen} == set(range(1, 10))  # exact footprint
+    t1.merge_upsert(
+        "audit", spark.createDataFrame([(80, f"n={len(seen)}")], "seq long, what string")
+    )
+    t2 = Transaction(db)
+    t2.__enter__()
+    t2.merge_upsert("facts", _facts_rows(spark, "a", [101, 103]))  # same partition
+    t2.commit()
+    t1.commit()  # hull [101,103] provably outside declared [1,9]
+    assert db.read("audit").where("seq = 80").count() == 1
+    # ...and a writer inside the range cancels the reader
+    t3 = Transaction(db)
+    t3.__enter__()
+    t3.read("facts", ranges={"id": (1, 9)})
+    t3.merge_upsert(
+        "audit", spark.createDataFrame([(81, "x")], "seq long, what string")
+    )
+    t4 = Transaction(db)
+    t4.__enter__()
+    t4.merge_upsert("facts", _facts_rows(spark, "a", [5]))
+    t4.commit()
+    with pytest.raises(ConcurrentWriteError, match="read/write set"):
+        t3.commit()
+    SnapshotDatabase(spark, db.path).recover()
+
+
+def test_range_read_phantom_writers_cancel(spark, tmp_path):
+    """Predicate-lock (next-key) protection for declared range reads:
+    a transaction that read ranges={'id': (100, 200)} and SAW NOTHING
+    must cancel when an interleaver commits a matching row — whether
+    it CREATES a new partition or rewrites a previously zone-map-
+    skipped one — and must still commit when the interleaved rows
+    provably cannot match the range."""
+    db = _mkpdb(spark, tmp_path)
+    # (a) matching row lands in a NEW partition 'c' → cancel
+    t1 = Transaction(db)
+    t1.__enter__()
+    assert t1.read("facts", ranges={"id": (100, 200)}).count() == 0
+    t1.merge_upsert(
+        "audit", spark.createDataFrame([(85, "none")], "seq long, what string")
+    )
+    t2 = Transaction(db)
+    t2.__enter__()
+    t2.merge_upsert("facts", _facts_rows(spark, "c", [150]))
+    t2.commit()
+    with pytest.raises(ConcurrentWriteError, match="read/write set"):
+        t1.commit()
+    SnapshotDatabase(spark, db.path).recover()
+
+    # (b) matching row lands in a previously-SKIPPED partition → cancel
+    t3 = Transaction(db)
+    t3.__enter__()
+    assert t3.read("facts", ranges={"id": (300, 400)}).count() == 0
+    t3.merge_upsert(
+        "audit", spark.createDataFrame([(86, "none")], "seq long, what string")
+    )
+    t4 = Transaction(db)
+    t4.__enter__()
+    t4.merge_upsert("facts", _facts_rows(spark, "a", [350]))  # existing partition
+    t4.commit()
+    with pytest.raises(ConcurrentWriteError, match="read/write set"):
+        t3.commit()
+    SnapshotDatabase(spark, db.path).recover()
+
+    # (c) non-matching interleaves — new partition AND skipped
+    # partition — are provably safe: the reader commits
+    t5 = Transaction(db)
+    t5.__enter__()
+    assert t5.read("facts", ranges={"id": (5000, 6000)}).count() == 0
+    t5.merge_upsert(
+        "audit", spark.createDataFrame([(87, "none")], "seq long, what string")
+    )
+    t6 = Transaction(db)
+    t6.__enter__()
+    t6.merge_upsert("facts", _facts_rows(spark, "d", [999]))  # new partition, id < 5000
+    t6.merge_upsert("facts", _facts_rows(spark, "b", [998]))  # skipped partition
+    t6.commit()
+    t5.commit()
+    assert db.read("audit").where("seq = 87").count() == 1
+    assert SnapshotDatabase(spark, db.path).recover() == {}
 
 
 def test_cheap_committer_defers_to_live_expensive_txn(spark, tmp_path):

@@ -1799,6 +1799,14 @@ def test_history_relation_audits_programs(spark, tmp_path):
     hql = HeroQL(spark)
     hql.register_snapshot("T", snap)
     hql.run("set T(1, 10); remove T(_, v) :- v == 99;")
+    # the remove matched NOTHING: a no-op predicate mutation commits
+    # no version (r10 — same skip the partitioned path always had),
+    # so only create + merge are in the log
+    out = hql.run("query (ver, op, prog) :- history(T, ver, op, prog);").queries[0]
+    assert sorted((r.ver, r.op) for r in out.collect()) == [
+        (0, "create"), (1, "merge_upsert")
+    ]
+    hql.run("remove T(_, v) :- v == 10;")  # matches → commits v2
     out = hql.run("query (ver, op, prog) :- history(T, ver, op, prog);").queries[0]
     got = sorted((r.ver, r.op) for r in out.collect())
     assert got == [(0, "create"), (1, "merge_upsert"), (2, "delete_where")]
