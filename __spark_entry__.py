@@ -29,6 +29,7 @@ from herodb_spark.operators import olap as O
 from herodb_spark.operators import connector as PC
 from herodb_spark.operators import constraints as CN
 from herodb_spark.operators import corpus as CO
+from herodb_spark.operators import lifecycle as LC
 from herodb_spark.operators import matview as MV
 from herodb_spark.operators import pipeline as PL
 from herodb_spark.operators import recursion as RC
@@ -101,12 +102,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # whenever LSH recall is total (asserted in tests at every SF), so
     # it carries the exact all-pairs oracle despite xxhash64 having no
     # DuckDB equivalent — same contract as dedup_embedding_lsh_pairs
-    "dedup_exact": D.exact_dedup,
+    # round 10: the durable layer graded end-to-end — a two-table
+    # SnapshotDatabase driven by three multi-table TRANSACTIONS
+    # (merge_upsert / update_where / delete_where each paired with an
+    # audit row in one atomic pointer swap), database time travel,
+    # post-vacuum history + dropped-version legs. Officializes
+    # db_transactions / snapshot time travel / vacuum. Took the slot
+    # dedup_exact freed (pair-merged into dedup_jaccard_fuzzy below).
+    "snapshot_lifecycle": LC.snapshot_lifecycle,
     # merges ngram_jaccard (df-capped) + fuzzy Levenshtein (r8) +
-    # tf-idf cosine pairs (rotated in in round 9)
+    # tf-idf cosine pairs (r9) + exact hash-groupBy dedup (r10)
     "dedup_jaccard_fuzzy": D.dedup_jaccard_fuzzy,
     "dedup_minhash_lsh": D.minhash_lsh_pairs,
-    "dedup_embedding_lsh_pairs": D.embedding_lsh_pairs,
+    # round 10: grades the hyperplane-LSH plan AND the exact all-pairs
+    # baseline against the same exact pair-set oracle (tag-union of
+    # dedup_embedding_lsh_pairs + dedup_embedding_cosine)
+    "dedup_embedding": D.dedup_embedding,
     # pairs → connected components → canonical keep/drop mapping
     # (promoted into the graded window in round 7)
     "dedup_cluster_canonical": D.dedup_cluster_canonical,
@@ -136,8 +147,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recursive_programs": RC.recursive_programs,  # merges recursive_fib + recursive_bom_rollup
     # HeroQL: the reference's query LANGUAGE (draft:1-198) parsed and
     # compiled to DataFrame plans — rules/not/deref and the full
-    # aggregation pipeline run as programs, graded against plain SQL
-    "heroql_programs": HQ.heroql_programs,  # merges heroql_rules + heroql_pipeline + time_travel_cdc (r8)
+    # aggregation pipeline run as programs, graded against plain SQL.
+    # Merges heroql_rules + heroql_pipeline + time_travel_cdc (r8) +
+    # heroql_recursive + heroql_mutations + heroql_durable_mutations
+    # (rotated into the graded window in round 10)
+    "heroql_programs": HQ.heroql_programs,
     # tagged-union term ops (draft_type:5-15) + subtype closure /
     # shared-prefix dispatch (draft_type:19-110), pair-merged in r8
     "adt_class_ops": ADT.adt_class_ops,
@@ -146,9 +160,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # back via current / time-travel / change-feed spark.read paths
     "pyds_snapshot_roundtrip": PC.pyds_snapshot_roundtrip,
     # symbol tables / type installation — the reference's own
-    # typechecker as a relational program (draft_type:115-341): scope
-    # tree + first-wins install + innermost-wins resolution + Errors
-    "symtab_resolve": SY.symtab_resolve,
+    # typechecker as a relational program (draft_type:115-341). Round
+    # 10 rotation: the suite merges symtab_resolve (scope tree +
+    # first-wins install + innermost-wins resolution + Errors) +
+    # symtab_apply_type (ApplyType beta-reduction) + symtab_unify
+    # (decomposition closure + congruence classes + conflict/occurs)
+    "symtab_suite": SY.symtab_suite,
     # merges ensure_constraints + typed_struct_enum (round-9 pair-merge
     # that freed the graded slot for events_analytics below)
     "constraints_typed": CN.constraints_typed,
@@ -162,6 +179,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- beyond slot 50 (ungraded by the driver) ---
     "ensure_constraints": CN.ensure_constraints,
     "typed_struct_enum": TY.typed_struct_enum,
+    # unmerged constituents of the round-10 rotation unions, each
+    # keeping its own oracle here + unit hash checks at both SFs
+    "dedup_exact": D.exact_dedup,
+    "dedup_embedding_lsh_pairs": D.embedding_lsh_pairs,
+    "symtab_resolve": SY.symtab_resolve,
+    # round 10 (r9 verdict #7): graded registry surface for the
+    # binary-resize feature extractor; folds into mm_pipeline at the
+    # next rotation
+    "mm_resize_features": MM.mm_resize_features,
     # unmerged constituents of the round-5/-7 tag-union folds, each
     # still holding its own oracle here + both-SF unit hash checks
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_capped,
@@ -351,8 +377,12 @@ ORACLES: dict[str, str] = {
     "adt_list_ops": ADT.ADT_LIST_OPS_SQL,
     "class_hierarchy": ADT.CLASS_HIERARCHY_SQL,
     "symtab_resolve": SY.SYMTAB_RESOLVE_SQL,
+    "symtab_suite": SY.SYMTAB_SUITE_SQL,
     "symtab_apply_type": SY.SYMTAB_APPLY_TYPE_SQL,
     "symtab_unify": SY.SYMTAB_UNIFY_SQL,
+    "snapshot_lifecycle": LC.SNAPSHOT_LIFECYCLE_SQL,
+    "dedup_embedding": D.DEDUP_EMBEDDING_SQL,
+    "mm_resize_features": MM.MM_RESIZE_FEATURES_SQL,
     "ensure_constraints": CN.ENSURE_CONSTRAINTS_SQL,
     "typed_struct_enum": TY.TYPED_STRUCT_ENUM_SQL,
     "constraints_typed": CN.CONSTRAINTS_TYPED_SQL,

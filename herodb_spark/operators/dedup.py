@@ -541,6 +541,31 @@ SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.35 ORDER BY vec_a, vec_b
 """
 
 
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of dedup_embedding_lsh_pairs (hyperplane-LSH
+    band-bucket join + in-bucket matmul verify — the 100-TB plan) +
+    dedup_embedding_cosine (the exact all-pairs baseline) — the
+    round-10 rotation that grades BOTH plans against the SAME exact
+    pair-set oracle in one slot: the LSH branch's hash match is the
+    total-recall proof, the exact branch anchors it. Constituents
+    keep standalone registry entries + oracles."""
+    lsh = embedding_lsh_pairs(spark, sf_dir).select(
+        F.lit("lsh").alias("op"), "vec_a", "vec_b", "cosine"
+    )
+    ex = embedding_neardup_pairs(spark, sf_dir).select(
+        F.lit("exact").alias("op"), "vec_a", "vec_b", "cosine"
+    )
+    return lsh.unionByName(ex).orderBy("op", "vec_a", "vec_b")
+
+
+DEDUP_EMBEDDING_SQL = f"""
+SELECT 'lsh' AS op, vec_a, vec_b, cosine FROM ({EMBEDDING_NEARDUP_SQL})
+UNION ALL
+SELECT 'exact', vec_a, vec_b, cosine FROM ({EMBEDDING_NEARDUP_SQL})
+ORDER BY op, vec_a, vec_b
+"""
+
+
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → clusters → one canonical doc per cluster: the
     step that turns pair mining into an actual deduplicated corpus
@@ -726,22 +751,35 @@ def dedup_jaccard_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard pairs) + dedup_fuzzy_levenshtein (blocked edit-distance
     near-dup pairs — rotated into the graded window in round 8) +
     dedup_tfidf_cosine (sparse term-weighted cosine pairs — rotated
-    in in round 9), tag-unioned into (op, doc_a, doc_b, v). All
-    constituents keep standalone registry entries + oracles; each
+    in in round 9) + dedup_exact (hash-groupBy keeper/copy-count —
+    pair-merged in round 10 to free the graded slot for
+    snapshot_lifecycle), tag-unioned into (op, doc_a, doc_b, v, s).
+    All constituents keep standalone registry entries + oracles; each
     plan executes unchanged in its branch."""
+    ns = F.lit(None).cast("string")
     ja = ngram_jaccard_pairs_capped(spark, sf_dir).select(
         F.lit("jaccard").alias("op"), "doc_a", "doc_b",
-        F.col("jaccard").alias("v"),
+        F.col("jaccard").alias("v"), ns.alias("s"),
     )
     fz = dedup_fuzzy_levenshtein(spark, sf_dir).select(
         F.lit("fuzzy").alias("op"), "doc_a", "doc_b",
-        F.col("dist").cast("double").alias("v"),
+        F.col("dist").cast("double").alias("v"), ns.alias("s"),
     )
     tf = tfidf_cosine_pairs(spark, sf_dir).select(
         F.lit("tfidf").alias("op"), "doc_a", "doc_b",
-        F.col("cosine").alias("v"),
+        F.col("cosine").alias("v"), ns.alias("s"),
     )
-    return ja.unionByName(fz).unionByName(tf).orderBy("op", "doc_a", "doc_b")
+    ex = exact_dedup(spark, sf_dir).select(
+        F.lit("exact").alias("op"),
+        F.col("keep_id").alias("doc_a"),
+        F.lit(None).cast("long").alias("doc_b"),
+        F.col("n_copies").cast("double").alias("v"),
+        F.col("fp").alias("s"),
+    )
+    return (
+        ja.unionByName(fz).unionByName(tf).unionByName(ex)
+        .orderBy("op", "doc_a", "doc_b", "s")
+    )
 
 
 # DEDUP_JACCARD_FUZZY_SQL is defined at the END of this module: its
@@ -864,13 +902,16 @@ ORDER BY doc_a, doc_b
 
 # Defined last: the tfidf branch embeds TFIDF_COSINE_SQL above.
 DEDUP_JACCARD_FUZZY_SQL = f"""
-SELECT 'jaccard' AS op, doc_a, doc_b, jaccard AS v
+SELECT 'jaccard' AS op, doc_a, doc_b, jaccard AS v, CAST(NULL AS VARCHAR) AS s
 FROM ({NGRAM_JACCARD_SQL})
 UNION ALL
-SELECT 'fuzzy', doc_a, doc_b, CAST(dist AS DOUBLE)
+SELECT 'fuzzy', doc_a, doc_b, CAST(dist AS DOUBLE), CAST(NULL AS VARCHAR)
 FROM ({DEDUP_FUZZY_LEVENSHTEIN_SQL})
 UNION ALL
-SELECT 'tfidf', doc_a, doc_b, cosine
+SELECT 'tfidf', doc_a, doc_b, cosine, CAST(NULL AS VARCHAR)
 FROM ({TFIDF_COSINE_SQL})
-ORDER BY op, doc_a, doc_b
+UNION ALL
+SELECT 'exact', keep_id, CAST(NULL AS BIGINT), CAST(n_copies AS DOUBLE), fp
+FROM ({EXACT_DEDUP_SQL})
+ORDER BY op, doc_a, doc_b, s
 """

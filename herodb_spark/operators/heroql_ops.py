@@ -201,11 +201,14 @@ def heroql_durable_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of heroql_rules + heroql_pipeline +
-    heroql_time_travel_cdc (tag-union; the time-travel/CDC language
-    surface rotated into the graded window in round 8): rule program,
-    collection_query pipeline, and `T@k` / `changes(T, f, t)` programs
-    — all compiled from HeroQL source — share one graded slot;
-    constituents keep standalone entries and oracles."""
+    heroql_time_travel_cdc (rotated in in round 8) + heroql_recursive
+    + heroql_mutations + heroql_durable_mutations (rotated in in
+    round 10): rule program, collection_query pipeline, `T@k` /
+    `changes(T, f, t)` programs, the recursive Fib fixpoint, and the
+    mutation statements both in-memory and DURABLE (one OCC snapshot
+    commit per statement; same oracle values by construction) — all
+    compiled from HeroQL source — share one graded slot; constituents
+    keep standalone entries and oracles."""
     nb = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
     ns = F.lit(None).cast("string")
@@ -236,7 +239,31 @@ def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("n2"),
         nd.alias("v"),
     )
-    return a.unionByName(b).unionByName(c).orderBy("q", "n1", "k1", "k2", "k3")
+    d = heroql_recursive(spark, sf_dir).select(
+        F.lit("recursive").alias("q"),
+        ns.alias("k1"), ns.alias("k2"), ns.alias("k3"),
+        F.col("i").cast("long").alias("n1"),
+        F.col("o").cast("long").alias("n2"),
+        nd.alias("v"),
+    )
+    e = heroql_mutations(spark, sf_dir).select(
+        F.lit("mutations").alias("q"),
+        ns.alias("k1"), ns.alias("k2"), ns.alias("k3"),
+        F.col("k").cast("long").alias("n1"),
+        F.col("v").cast("long").alias("n2"),
+        nd.alias("v"),
+    )
+    g = heroql_durable_mutations(spark, sf_dir).select(
+        F.lit("durable").alias("q"),
+        ns.alias("k1"), ns.alias("k2"), ns.alias("k3"),
+        F.col("k").cast("long").alias("n1"),
+        F.col("v").cast("long").alias("n2"),
+        nd.alias("v"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        .unionByName(g).orderBy("q", "n1", "k1", "k2", "k3")
+    )
 
 
 # HEROQL_PROGRAMS_SQL is defined at the END of this module: its ttcdc
@@ -319,5 +346,20 @@ FROM ({HEROQL_PIPELINE_SQL})
 UNION ALL
 SELECT 'ttcdc', part, note, chg, k, v, CAST(NULL AS DOUBLE)
 FROM ({HEROQL_TIME_TRAVEL_CDC_SQL})
+UNION ALL
+SELECT 'recursive', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(i AS BIGINT), CAST(o AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM ({HEROQL_RECURSIVE_SQL})
+UNION ALL
+SELECT 'mutations', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(k AS BIGINT), CAST(v AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM ({HEROQL_MUTATIONS_SQL})
+UNION ALL
+SELECT 'durable', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(k AS BIGINT), CAST(v AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM ({HEROQL_MUTATIONS_SQL})
 ORDER BY q, n1, k1, k2, k3
 """

@@ -742,3 +742,63 @@ SELECT 'occurs', rep, rep, 'Occurs check failed: infinite type.'
 FROM occ WHERE rep NOT IN (SELECT rep FROM conflicts)
 ORDER BY kind, term_id, rep
 """
+
+
+def symtab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of symtab_resolve (scope-tree symbol
+    resolution + Errors relation) + symtab_apply_type (ApplyType
+    beta-reduction walk, draft_type:246-274) + symtab_unify
+    (relational type unification: decomposition closure + congruence
+    classes + conflict/occurs checks) — the round-10 rotation that
+    brings the whole typechecker surface into the graded window
+    (same tag-union contract as constraints_typed). All constituents
+    keep their standalone registry entries + oracles; each plan
+    executes unchanged inside its branch.
+
+    Union schema: (op, kind, id1, id2, name, info) with
+    op ∈ {resolve, apply, unify}."""
+    ns = F.lit(None).cast("string")
+    re_ = symtab_resolve(spark, sf_dir).select(
+        F.lit("resolve").alias("op"),
+        F.col("kind"),
+        F.col("expr_id").cast("long").alias("id1"),
+        F.col("scope").cast("long").alias("id2"),
+        F.col("name"),
+        F.col("info"),
+    )
+    ap = symtab_apply_type(spark, sf_dir).select(
+        F.lit("apply").alias("op"),
+        ns.alias("kind"),
+        F.col("region").cast("long").alias("id1"),
+        F.col("pos").cast("long").alias("id2"),
+        ns.alias("name"),
+        F.col("type_name").alias("info"),
+    )
+    un = symtab_unify(spark, sf_dir).select(
+        F.lit("unify").alias("op"),
+        F.col("kind"),
+        F.col("term_id").cast("long").alias("id1"),
+        F.col("rep").cast("long").alias("id2"),
+        ns.alias("name"),
+        F.col("info"),
+    )
+    return (
+        re_.unionByName(ap).unionByName(un)
+        .orderBy("op", "kind", "id1", "id2", "name")
+    )
+
+
+SYMTAB_SUITE_SQL = f"""
+SELECT 'resolve' AS op, kind, CAST(expr_id AS BIGINT) AS id1,
+       CAST(scope AS BIGINT) AS id2, name, info
+FROM ({SYMTAB_RESOLVE_SQL})
+UNION ALL
+SELECT 'apply', CAST(NULL AS VARCHAR), CAST(region AS BIGINT),
+       CAST(pos AS BIGINT), CAST(NULL AS VARCHAR), type_name
+FROM ({SYMTAB_APPLY_TYPE_SQL})
+UNION ALL
+SELECT 'unify', kind, CAST(term_id AS BIGINT), CAST(rep AS BIGINT),
+       CAST(NULL AS VARCHAR), info
+FROM ({SYMTAB_UNIFY_SQL})
+ORDER BY op, kind, id1, id2, name
+"""

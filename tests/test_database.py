@@ -1203,3 +1203,17 @@ def test_random_schedule_two_writers_property(spark, tmp_path):
         if disjoint and serial:
             assert status == {0: "committed", 1: "committed"}, desc
         assert SnapshotDatabase(spark, db.path).recover() == {}, desc
+
+
+def test_snapshot_lifecycle_oracle(spark, sf_dir, duck):
+    """The graded durable-layer query (round 10): three multi-table
+    transactions + time travel + vacuum, hash-matched against the
+    pure-SQL oracle over nation."""
+    from herodb_spark.operators.lifecycle import (
+        SNAPSHOT_LIFECYCLE_SQL,
+        snapshot_lifecycle,
+    )
+    from tests.harness import compare
+
+    res = compare(snapshot_lifecycle(spark, sf_dir), SNAPSHOT_LIFECYCLE_SQL, duck)
+    assert res["ok"], res

@@ -16,6 +16,9 @@ ORACLE_CASES = [
     (S.knn_join_blocked, S.KNN_JOIN_SQL),
     (S.label_centroids, S.LABEL_CENTROIDS_SQL),
     (D.dedup_fuzzy_levenshtein, D.DEDUP_FUZZY_LEVENSHTEIN_SQL),
+    # round-10 rotation unions
+    (D.dedup_jaccard_fuzzy, D.DEDUP_JACCARD_FUZZY_SQL),
+    (D.dedup_embedding, D.DEDUP_EMBEDDING_SQL),
 ]
 
 

@@ -13,6 +13,7 @@ from tests.harness import compare
 ORACLE_CASES = [
     (ST.symtab_resolve, ST.SYMTAB_RESOLVE_SQL),
     (ST.symtab_apply_type, ST.SYMTAB_APPLY_TYPE_SQL),
+    (ST.symtab_suite, ST.SYMTAB_SUITE_SQL),
 ]
 
 
