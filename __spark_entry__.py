@@ -303,6 +303,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # within-cluster τ-cosine pairs, keep the centroid-farthest
     # member (rows-only: KMeans has no SQL oracle, laws in tests)
     "dedup_semantic_clusters": SK.semdedup_clusters,
+    # round 10: DSIR importance resampling (Xie et al. 2023) — weight
+    # docs by target-vs-corpus unigram log-ratio, select the top quota
+    "traindata_dsir_weights": TD.traindata_dsir_weights,
+    # round 10: per-doc benchmark-overlap fraction — the scoring/audit
+    # form of decontamination (model-card overlap reporting)
+    "corpus_contamination_score": CO.corpus_contamination_score,
 }
 
 
@@ -415,6 +421,8 @@ ORACLES: dict[str, str] = {
     "export_chunk_documents": TD.CHUNK_DOCUMENTS_SQL,
     "events_funnel": O.EVENTS_FUNNEL_SQL,
     "events_retention": O.EVENTS_RETENTION_SQL,
+    "traindata_dsir_weights": TD.TRAINDATA_DSIR_SQL,
+    "corpus_contamination_score": CO.CORPUS_CONTAMINATION_SCORE_SQL,
 }
 
 

@@ -517,3 +517,72 @@ ORDER BY op, lang
 
 
 CORPUS_CLEAN_FUZZY_SQL = _corpus_clean_fuzzy_sql()
+
+
+def corpus_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCORING form of decontamination: instead of dropping a
+    document on its first shared benchmark n-gram (corpus_
+    decontaminate), report the per-document contamination FRACTION —
+    distinct 5-grams shared with the benchmark over distinct 5-grams
+    total — the audit/threshold view public pipelines use to pick a
+    drop cutoff and to report benchmark overlap in model cards.
+
+    Plan: same inverted-index shape as decontaminate — explode doc
+    n-grams once, LEFT semi-mark against the (broadcast) benchmark
+    vocabulary, one doc-keyed count aggregate. Work ∝ total n-grams;
+    the benchmark index stays broadcast-sized at any corpus scale.
+
+    Fraction arithmetic is exact: both counts are BIGINTs and the
+    ratio rounds to 6 dp. Output: (doc_id, n_grams, n_hits, frac,
+    contaminated) over documents long enough to shingle; benchmark =
+    every 50th document (the corpus_decontaminate convention)."""
+    from herodb_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        shingle_rows(docs, DECON_NGRAM)
+        .withColumnRenamed("s", "g")
+        .localCheckpoint(eager=False)
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+    marked = grams.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "g", "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6).alias("frac"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_CONTAMINATION_SCORE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest({_shingle_sql(DECON_NGRAM)}) AS g
+  FROM tok WHERE len(toks) >= {DECON_NGRAM}
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM grams GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / n_grams, 6) AS frac,
+       n_hits > 0 AS contaminated
+FROM per ORDER BY doc_id
+"""

@@ -881,3 +881,127 @@ SELECT 'chunk', doc_id, CAST(chunk_id AS BIGINT), CAST(NULL AS BIGINT),
 FROM ({CHUNK_DOCUMENTS_SQL})
 ORDER BY op, shard, bin
 """
+
+
+# ------------------------------------------------ DSIR importance weights
+
+#: top fraction of documents selected by importance weight (the
+#: resampling quota; deterministic threshold-at-quantile selection)
+DSIR_KEEP_FRACTION = 0.25
+
+
+def traindata_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023, arXiv:2302.03169) re-expressed relationally: weight every
+    document by how much more likely its tokens are under a TARGET
+    distribution than under the raw-corpus distribution, then select
+    the top quota — the published recipe for skewing a 100-TB crawl
+    toward a high-quality target domain without training a classifier.
+
+    Target here: the `lang = 'en'` slice (the testdata's stand-in for
+    "looks like the target domain"); raw: the whole corpus. With
+    add-one smoothing over the CORPUS vocabulary V:
+
+        p(w) = (c_tgt(w) + 1) / (N_tgt + V)
+        q(w) = (c_all(w) + 1) / (N_all + V)
+        log_weight(d) = Σ_{token occurrences w in d} ln p(w) − ln q(w)
+
+    Plan (all Catalyst, 100-TB shape):
+    - ONE tokenize pass (lazy localCheckpoint) feeds both count
+      aggregates and the scoring join — same contract as
+      text_unigram_logprob.
+    - corpus and target counts are one token-keyed shuffle each
+      (map-side combined); the per-token log-ratio joins back on the
+      token key (NOT broadcast — the vocabulary isn't broadcastable at
+      corpus scale; hot tokens are AQE's skew-join case).
+    - N_tgt / N_all / V are 1-row broadcasts; the keep threshold is
+      the exact interpolated (1 − quota) quantile over the already-
+      rounded per-doc weights, so the boundary is engine-stable.
+
+    Determinism contract (the repo's float rules): per-token log-ratio
+    rounded to 9 dp FIRST, summed as DECIMAL(27,9) (order-free), the
+    per-doc sum rounded to 6 dp; selection compares rounded values.
+
+    Output: (doc_id, n_tokens, log_weight, selected), ordered."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("t")
+    ).localCheckpoint(eager=False)
+    c_all = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_all"))
+    c_tgt = (
+        tok.where(F.col("lang") == "en")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    vocab = c_all.join(c_tgt, "t", "left").select(
+        "t", "c_all", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    )
+    totals = vocab.agg(
+        F.sum("c_all").cast("double").alias("n_all"),
+        F.sum("c_tgt").cast("double").alias("n_tgt"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    lr = F.round(
+        F.log((F.col("c_tgt") + 1) / (F.col("n_tgt") + F.col("v")))
+        - F.log((F.col("c_all") + 1) / (F.col("n_all") + F.col("v"))),
+        9,
+    ).cast("decimal(27,9)")
+    per = (
+        tok.join(vocab, "t")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(lr).cast("double"), 6).alias("log_weight"),
+        )
+    )
+    thr = per.agg(
+        F.round(
+            F.expr(f"percentile(log_weight, {1.0 - DSIR_KEEP_FRACTION})"), 6
+        ).alias("cut")
+    )
+    return (
+        per.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "log_weight",
+            (F.col("log_weight") >= F.col("cut")).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TRAINDATA_DSIR_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+),
+c_all AS (SELECT t, COUNT(*) AS c_all FROM tok GROUP BY t),
+c_tgt AS (SELECT t, COUNT(*) AS c_tgt FROM tok WHERE lang = 'en' GROUP BY t),
+vocab AS (
+  SELECT a.t, a.c_all, COALESCE(g.c_tgt, 0) AS c_tgt
+  FROM c_all a LEFT JOIN c_tgt g USING (t)
+),
+tot AS (
+  SELECT CAST(SUM(c_all) AS DOUBLE) AS n_all,
+         CAST(SUM(c_tgt) AS DOUBLE) AS n_tgt,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM vocab
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(CAST(SUM(CAST(ROUND(
+             ln((vocab.c_tgt + 1) / (tot.n_tgt + tot.v))
+           - ln((vocab.c_all + 1) / (tot.n_all + tot.v)), 9) AS DECIMAL(27,9)))
+           AS DOUBLE), 6) AS log_weight
+  FROM tok JOIN vocab USING (t), tot
+  GROUP BY doc_id
+),
+thr AS (
+  SELECT ROUND(quantile_cont(log_weight, {1.0 - DSIR_KEEP_FRACTION}), 6) AS cut
+  FROM per
+)
+SELECT doc_id, n_tokens, log_weight, log_weight >= thr.cut AS selected
+FROM per, thr ORDER BY doc_id
+"""

@@ -15,6 +15,7 @@ CASES = [
     (C.stratified_sample, C.STRATIFIED_SAMPLE_SQL),
     (C.vocab_topk, C.VOCAB_TOPK_SQL),
     (C.corpus_scrub_spans, C.CORPUS_SCRUB_SPANS_SQL),
+    (C.corpus_contamination_score, C.CORPUS_CONTAMINATION_SCORE_SQL),
 ]
 
 
@@ -145,3 +146,21 @@ def test_fuzzy_decon_semantics(spark):
     # the faint echo IS removed by exact decon but kept by fuzzy
     exact_kept = sorted(r.doc_id for r in C.decontaminate(docs, bench).collect())
     assert 4 not in exact_kept and 4 in kept
+
+
+def test_contamination_score_laws(spark, sf_dir):
+    """Benchmark documents overlap themselves completely (frac = 1.0);
+    the contaminated flag agrees with corpus_decontaminate's drop set."""
+    out = {r.doc_id: r for r in C.corpus_contamination_score(spark, sf_dir).collect()}
+    bench_ids = [d for d in out if d % 50 == 0]
+    assert bench_ids and all(out[d].frac == 1.0 for d in bench_ids)
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = {
+        r.doc_id
+        for r in C.decontaminate(docs, docs.where(F.col("doc_id") % 50 == 0))
+        .select("doc_id").collect()
+    }
+    flagged = {d for d, r in out.items() if r.contaminated}
+    # shingle-able docs: survivors are exactly the unflagged ones
+    assert flagged.isdisjoint(survivors)
+    assert all(d in survivors for d, r in out.items() if not r.contaminated)

@@ -34,7 +34,15 @@ spec.loader.exec_module(entry_mod)
 # are the sanctioned vectorized-pandas embedding math (the JVM
 # formulations — interpreted HOF fold, 64×-explode — measured ~5×
 # slower at sf0.1; see dedup._bucket_verify_pairs).
-PANDAS_ALLOWED = {"mm_pipeline", "dedup_embedding_lsh_pairs"}
+# dedup_embedding (r10): the graded tag-union whose lsh branch IS
+# dedup_embedding_lsh_pairs; mm_resize_features: Arrow-batched binary
+# resize/feature extraction, multimodal by design like mm_pipeline.
+PANDAS_ALLOWED = {
+    "mm_pipeline",
+    "dedup_embedding_lsh_pairs",
+    "dedup_embedding",
+    "mm_resize_features",
+}
 QUERIES = entry_mod.queries()
 
 

@@ -20,6 +20,7 @@ CASES = [
     (TD.export_shard_manifest, TD.EXPORT_SHARD_MANIFEST_SQL),
     (TD.pack_sequences_budget, TD.PACK_SEQUENCES_SQL),
     (TD.export_global_shuffle, TD.EXPORT_GLOBAL_SHUFFLE_SQL),
+    (TD.traindata_dsir_weights, TD.TRAINDATA_DSIR_SQL),
 ]
 
 
@@ -241,3 +242,25 @@ def test_chunk_documents_laws(spark):
             assert a.end - a.start == TD.CHUNK_TOKENS  # non-tail = full
         assert ch[-1].end == n_by_doc[doc_id]  # coverage to the end
         assert all(r.n_tokens == r.end - r.start for r in ch)
+
+
+def test_dsir_selects_target_quota_and_prefers_target_lang(spark):
+    """DSIR laws: the selected set is ~the configured quota (exact up
+    to threshold ties), and English documents — the target slice — are
+    enriched among the selected relative to the corpus rate (the whole
+    point of importance resampling)."""
+    from herodb_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = TD.traindata_dsir_weights(spark, sf)
+    rows = out.collect()
+    n = len(rows)
+    k = sum(1 for r in rows if r.selected)
+    assert abs(k / n - TD.DSIR_KEEP_FRACTION) < 0.05
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf, "documents").select("doc_id", "lang").collect()
+    }
+    en_all = sum(1 for d in langs.values() if d == "en") / n
+    en_sel = sum(1 for r in rows if r.selected and langs[r.doc_id] == "en") / k
+    assert en_sel > en_all
