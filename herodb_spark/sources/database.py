@@ -206,11 +206,18 @@ def _read_set_conflicts(read_set, descs: list[dict] | None) -> list:
     - pv OUTSIDE the resolved set, predicate declared: the PHANTOM
       cases — the commit may have CREATED pv with matching rows, or
       rewritten a previously zone-map-skipped pv so its rows now
-      match. Safe only when pv holds no rows post-commit (dropped:
+      match. Safe when pv holds no rows post-commit (dropped:
       deleting rows that provably didn't match the predicate can't
       change the read; a create-then-drop interleave is caught at the
-      creating version) or its POST-COMMIT zone maps prove no row can
-      match the declared ranges.
+      creating version), when the commit's recorded key hull for pv
+      provably avoids the ranges (rows NOT written were zone-map-
+      proven non-matching at the pin — outside the resolved set means
+      skipped — and earlier interleaved writes get their own
+      per-version check), or when its POST-COMMIT zone maps prove no
+      row can match the declared ranges (the hull-less fallback:
+      overwrite/compact record no hulls, and a merge into a partition
+      whose pre-existing keys straddle the range widens the zone map
+      past it even when the written keys are all outside).
     - pv OUTSIDE a caller-ASSERTED partition set (declare_read with
       parts and no ranges): safe by that API's documented contract —
       the caller vouches its logic depends on those partitions only.
@@ -233,6 +240,10 @@ def _read_set_conflicts(read_set, descs: list[dict] | None) -> list:
                 elif ranges is not None:
                     if pv not in fc["live"]:
                         continue  # dropped: holds no rows post-commit
+                    if _hull_avoids_ranges(
+                        (fc["key_ranges"] or {}).get(pv), ranges
+                    ):
+                        continue  # this commit wrote only non-matching keys
                     st = (fc["stats"] or {}).get(pv)
                     if st is not None and SnapshotTable._skippable(st, ranges):
                         continue  # provably outside the predicate

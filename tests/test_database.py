@@ -1205,6 +1205,77 @@ def test_random_schedule_two_writers_property(spark, tmp_path):
         assert SnapshotDatabase(spark, db.path).recover() == {}, desc
 
 
+def test_random_range_reader_vs_writer_property(spark, tmp_path):
+    """Property over randomized reader-vs-writer schedules: a reader
+    declares ranges={'id': (lo, hi)} and commits an audit row derived
+    from what it saw; an interleaved writer upserts a random key set
+    into a random partition (sometimes a NEW one — the phantom case).
+    With long keys and merge_upserts, the machinery's proofs are the
+    INTERVAL algebra of recorded key hulls, so the outcome is exactly
+    the hull rule (the reference's range-lock granularity):
+
+        reader commits  ⟺  [min(wkeys), max(wkeys)] ∩ [lo, hi] = ∅
+
+    Safety (the ⇒ half every serializable engine needs): any actual
+    writer key inside the range implies hull overlap implies cancel.
+    The ⟸ half pins the exoneration: hull-disjoint writers commit on
+    both sides — including into the SAME partition the reader
+    resolved, a NEW partition, and a zone-map-skipped one. A
+    non-contiguous key set straddling the range ({27, 77} vs
+    [29, 30]) cancels by the documented hull conservatism."""
+    import random
+
+    rng = random.Random(101)
+    parts = ["a", "b", "c"]
+    for trial in range(8):
+        lo = rng.randint(0, 40)
+        hi = lo + rng.randint(0, 30)
+        wkeys = sorted(rng.sample(range(0, 80), rng.randint(1, 3)))
+        wpart = rng.choice(parts + ["z"])  # 'z' = partition that doesn't exist yet
+        db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), f"r{trial}"))
+        seed = spark.createDataFrame(
+            [(i, parts[i % 3], 0.0) for i in range(0, 30, 2)],
+            "id long, part string, v double",
+        )
+        db.create_table("t", seed, key_cols=["id"], partition_col="part")
+        db.create_table(
+            "audit",
+            spark.createDataFrame([(0, 0)], "seq long, n long"),
+            key_cols=["seq"],
+        )
+        reader = Transaction(db)
+        reader.__enter__()
+        seen = reader.read("t", ranges={"id": (lo, hi)}).count()
+        reader.merge_upsert(
+            "audit", spark.createDataFrame([(1, seen)], "seq long, n long")
+        )
+        writer = Transaction(db)
+        writer.__enter__()
+        writer.merge_upsert(
+            "t",
+            spark.createDataFrame(
+                [(k, wpart, 9.0) for k in wkeys], "id long, part string, v double"
+            ),
+        )
+        writer.commit()
+        hull_overlaps = wkeys[0] <= hi and wkeys[-1] >= lo
+        # the safety direction: a REAL in-range write must imply the
+        # hull overlap the machinery cancels on
+        assert (not any(lo <= k <= hi for k in wkeys)) or hull_overlaps
+        desc = f"trial {trial}: range=({lo},{hi}) wkeys={wkeys} wpart={wpart}"
+        if hull_overlaps:
+            with pytest.raises(ConcurrentWriteError):
+                reader.commit()
+            reader._stop_heartbeat()
+        else:
+            reader.commit()
+            assert db.read("audit").where("seq = 1").count() == 1, desc
+        SnapshotDatabase(spark, db.path).recover()
+        # the writer's rows always survive, whatever the reader did
+        got = {r.id for r in db.read("t").where("v = 9.0").collect()}
+        assert got == set(wkeys), desc
+
+
 def test_snapshot_lifecycle_oracle(spark, sf_dir, duck):
     """The graded durable-layer query (round 10): three multi-table
     transactions + time travel + vacuum, hash-matched against the
