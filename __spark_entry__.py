@@ -71,9 +71,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_pattern_match": R.pattern_match,  # union-type dispatch + if-then-else tiering
     # B. aggregation pipeline
     "agg_group_having": A.group_having,  # merges group_by_agg + having_filter + percentiles
-    "agg_partition_topk": A.partition_topk,
+    # merges agg_partition_topk + agg_topk_then_avg (round-10
+    # pair-merge that freed the graded slot for snapshot_maintenance)
+    "agg_topk_suite": A.agg_topk_suite,
     "agg_order_collect": A.order_collect_union,  # merges agg_order_range + agg_collect (tag-union)
-    "agg_topk_then_avg": A.topk_then_avg,
     "agg_window_running": A.window_running,
     "agg_cube_pivot": O.cube_pivot_union,  # merges agg_cube + agg_pivot + asof_join (tag-union)
     # C. graph
@@ -110,6 +111,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # db_transactions / snapshot time travel / vacuum. Took the slot
     # dedup_exact freed (pair-merged into dedup_jaccard_fuzzy below).
     "snapshot_lifecycle": LC.snapshot_lifecycle,
+    # round 10: the maintenance surface graded end-to-end — schema
+    # evolution (pre-evolution time travel), overwrite + rollback,
+    # OPTIMIZE ZORDER content identity, zone-map/file-pruned reads.
+    # Took the slot the agg_topk_suite pair-merge freed.
+    "snapshot_maintenance": LC.snapshot_maintenance,
     # merges ngram_jaccard (df-capped) + fuzzy Levenshtein (r8) +
     # tf-idf cosine pairs (r9) + exact hash-groupBy dedup (r10)
     "dedup_jaccard_fuzzy": D.dedup_jaccard_fuzzy,
@@ -184,6 +190,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": D.exact_dedup,
     "dedup_embedding_lsh_pairs": D.embedding_lsh_pairs,
     "symtab_resolve": SY.symtab_resolve,
+    "agg_partition_topk": A.partition_topk,
+    "agg_topk_then_avg": A.topk_then_avg,
     # round 10 (r9 verdict #7): graded registry surface for the
     # binary-resize feature extractor; folds into mm_pipeline at the
     # next rotation
@@ -387,6 +395,8 @@ ORACLES: dict[str, str] = {
     "symtab_apply_type": SY.SYMTAB_APPLY_TYPE_SQL,
     "symtab_unify": SY.SYMTAB_UNIFY_SQL,
     "snapshot_lifecycle": LC.SNAPSHOT_LIFECYCLE_SQL,
+    "snapshot_maintenance": LC.SNAPSHOT_MAINTENANCE_SQL,
+    "agg_topk_suite": A.AGG_TOPK_SUITE_SQL,
     "dedup_embedding": D.DEDUP_EMBEDDING_SQL,
     "mm_resize_features": MM.MM_RESIZE_FEATURES_SQL,
     "ensure_constraints": CN.ENSURE_CONSTRAINTS_SQL,

@@ -332,3 +332,39 @@ SELECT 'collect', suppliers, CAST(s_nationkey AS BIGINT), CAST(NULL AS DOUBLE)
 FROM ({COLLECT_AGG_SQL})
 ORDER BY q, n1, k1
 """
+
+
+def agg_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of agg_partition_topk (per-group top-3 rows by
+    window rank) + agg_topk_then_avg (top-3 collect + average — the
+    draft_students composition) — pair-merged in round 10 to free the
+    graded slot for snapshot_maintenance (same tag-union contract as
+    constraints_typed). Both constituents keep standalone registry
+    entries + oracles; each plan executes unchanged in its branch."""
+    nl = F.lit(None).cast("long")
+    tk = partition_topk(spark, sf_dir).select(
+        F.lit("partition").alias("op"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("rk").cast("long").alias("rk"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("v"),
+    )
+    av = topk_then_avg(spark, sf_dir).select(
+        F.lit("then_avg").alias("op"),
+        F.col("event_type").alias("k"),
+        nl.alias("rk"),
+        nl.alias("id"),
+        F.col("avg_top3").alias("v"),
+    )
+    return tk.unionByName(av).orderBy("op", "k", "rk")
+
+
+AGG_TOPK_SUITE_SQL = f"""
+SELECT 'partition' AS op, o_orderpriority AS k, CAST(rk AS BIGINT) AS rk,
+       o_orderkey AS id, o_totalprice AS v
+FROM ({PARTITION_TOPK_SQL})
+UNION ALL
+SELECT 'then_avg', event_type, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), avg_top3
+FROM ({TOPK_THEN_AVG_SQL})
+ORDER BY op, k, rk
+"""

@@ -167,3 +167,119 @@ SELECT 'vac', v, CAST(NULL AS BIGINT), 'dropped', CAST(NULL AS BIGINT)
 FROM (VALUES (CAST(0 AS BIGINT)), (1), (2)) d(v)
 ORDER BY leg, key, grp
 """
+
+
+def snapshot_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table's MAINTENANCE surface as one oracle-checked
+    query — the round-10 companion to snapshot_lifecycle, covering the
+    library rows the transactions query doesn't: schema evolution,
+    overwrite + rollback, OPTIMIZE ZORDER, and zone-map/file pruning.
+
+    Deterministic schedule on a fresh grp-partitioned table from
+    nation (key, grp, name, val):
+
+    - v1 `add_columns({'note': string})` — METADATA-ONLY evolution;
+    - v2 merge_upsert: keys < 10 note='hot' & val+100, five inserts
+      key+100 (note='new', val=key); pre-evolution rows surface
+      NULL note;
+    - v3 overwrite: even keys only, val*100 — then `rollback(2)`:
+      the overwrite is DROPPED, current back to v2's content;
+    - `cluster(['key','val'], 2)` → v3 (op 'cluster'): z-order
+      rewrite, content bit-identical, per-FILE zone maps recorded.
+
+    Output legs (leg, key, grp, name, val, note):
+    - 'cur'   — the final table: proves the rollback discarded the
+                overwrite and the z-order rewrite changed nothing;
+    - 'v0'    — time travel to creation: the PRE-EVOLUTION schema has
+                no note column (surfaced as NULL here), old values;
+    - 'prune' — read(ranges={'key': (2, 7)}): the zone-map- and
+                file-pruned scan must equal the plain predicate on
+                the final state (pruning is IO-only — loses nothing
+                even through the clustered per-file stats);
+    - 'hist'  — (version, op) log: create, add_columns, merge_upsert,
+                cluster — the overwrite version is GONE."""
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("key"),
+        F.col("n_regionkey").cast("long").alias("grp"),
+        F.col("n_name").alias("name"),
+        (F.col("n_nationkey") * 10).cast("long").alias("val"),
+    )
+    tmp = tempfile.mkdtemp(prefix="snap_mnt_")
+    t = SnapshotTable.create(
+        spark, os.path.join(tmp, "t"), nation, key_cols=["key"], partition_col="grp"
+    )
+    t.add_columns({"note": "string"})                                   # v1
+    ups = nation.where(F.col("key") < 10).select(
+        "key", "grp", "name", (F.col("val") + 100).alias("val"),
+        F.lit("hot").alias("note"),
+    )
+    ins = nation.where(F.col("key") < 5).select(
+        (F.col("key") + 100).alias("key"), "grp", "name",
+        F.col("key").alias("val"), F.lit("new").alias("note"),
+    )
+    t.merge_upsert(ups.unionByName(ins))                                # v2
+    t.overwrite(                                                        # v3 (doomed)
+        t.read().where(F.col("key") % 2 == 0).withColumn(
+            "val", F.col("val") * 100
+        )
+    )
+    t.rollback(2)                                                       # v3 dropped
+    t.cluster(["key", "val"], files_per_partition=2)                    # v3 (cluster)
+
+    ns = F.lit(None).cast("string")
+    cur = t.read().select(
+        F.lit("cur").alias("leg"), "key", "grp", "name", "val", "note"
+    )
+    v0 = t.read(version=0).select(
+        F.lit("v0").alias("leg"), "key", "grp", "name", "val", ns.alias("note")
+    )
+    prune = t.read(ranges={"key": (2, 7)}).where(
+        F.col("key").between(2, 7)
+    ).select(F.lit("prune").alias("leg"), "key", "grp", "name", "val", "note")
+    m = t._load()
+    hist = spark.createDataFrame(
+        [(int(v), str(e["op"])) for v, e in sorted(
+            m["versions"].items(), key=lambda kv: int(kv[0])
+        )],
+        "key long, name string",
+    ).select(
+        F.lit("hist").alias("leg"), "key", F.lit(None).cast("long").alias("grp"),
+        "name", F.lit(None).cast("long").alias("val"), ns.alias("note"),
+    )
+    return (
+        cur.unionByName(v0).unionByName(prune).unionByName(hist)
+        .orderBy("leg", "key", "grp")
+    )
+
+
+SNAPSHOT_MAINTENANCE_SQL = """
+WITH f0 AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS key,
+         CAST(n_regionkey AS BIGINT) AS grp,
+         n_name AS name,
+         CAST(n_nationkey * 10 AS BIGINT) AS val
+  FROM nation
+),
+f2 AS (           -- post-merge state (the overwrite was rolled back;
+                  -- cluster is a pure reorder)
+  SELECT key, grp, name,
+         CASE WHEN key < 10 THEN val + 100 ELSE val END AS val,
+         CASE WHEN key < 10 THEN 'hot' ELSE CAST(NULL AS VARCHAR) END AS note
+  FROM f0
+  UNION ALL
+  SELECT key + 100, grp, name, key, 'new' FROM f0 WHERE key < 5
+)
+SELECT 'cur' AS leg, key, grp, name, val, note FROM f2
+UNION ALL
+SELECT 'v0', key, grp, name, val, CAST(NULL AS VARCHAR) FROM f0
+UNION ALL
+SELECT 'prune', key, grp, name, val, note FROM f2 WHERE key BETWEEN 2 AND 7
+UNION ALL
+SELECT 'hist', v, CAST(NULL AS BIGINT), op, CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR)
+FROM (VALUES (CAST(0 AS BIGINT), 'create'), (1, 'add_columns'),
+             (2, 'merge_upsert'), (3, 'cluster')) h(v, op)
+ORDER BY leg, key, grp
+"""

@@ -16,6 +16,7 @@ CASES = [
     (A.group_having, A.GROUP_HAVING_SQL),
     (A.percentiles, A.PERCENTILES_SQL),
     (A.order_collect_union, A.ORDER_COLLECT_SQL),
+    (A.agg_topk_suite, A.AGG_TOPK_SUITE_SQL),
 ]
 
 

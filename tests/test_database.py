@@ -1288,3 +1288,17 @@ def test_snapshot_lifecycle_oracle(spark, sf_dir, duck):
 
     res = compare(snapshot_lifecycle(spark, sf_dir), SNAPSHOT_LIFECYCLE_SQL, duck)
     assert res["ok"], res
+
+
+def test_snapshot_maintenance_oracle(spark, sf_dir, duck):
+    """The graded maintenance query (round 10): schema evolution +
+    overwrite/rollback + z-order + pruned read, hash-matched against
+    the pure-SQL oracle over nation."""
+    from herodb_spark.operators.lifecycle import (
+        SNAPSHOT_MAINTENANCE_SQL,
+        snapshot_maintenance,
+    )
+    from tests.harness import compare
+
+    res = compare(snapshot_maintenance(spark, sf_dir), SNAPSHOT_MAINTENANCE_SQL, duck)
+    assert res["ok"], res
