@@ -192,9 +192,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "symtab_resolve": SY.symtab_resolve,
     "agg_partition_topk": A.partition_topk,
     "agg_topk_then_avg": A.topk_then_avg,
-    # round 10 (r9 verdict #7): graded registry surface for the
-    # binary-resize feature extractor; folds into mm_pipeline at the
-    # next rotation
+    # round 10 (r9 verdict #7): binary-resize feature extractor —
+    # GRADED via the mm_pipeline tag-union (kind='resize' rows);
+    # standalone entry + oracle kept here
     "mm_resize_features": MM.mm_resize_features,
     # unmerged constituents of the round-5/-7 tag-union folds, each
     # still holding its own oracle here + both-SF unit hash checks
@@ -312,10 +312,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # member (rows-only: KMeans has no SQL oracle, laws in tests)
     "dedup_semantic_clusters": SK.semdedup_clusters,
     # round 10: DSIR importance resampling (Xie et al. 2023) — weight
-    # docs by target-vs-corpus unigram log-ratio, select the top quota
+    # docs by target-vs-corpus unigram log-ratio, select the top
+    # quota; GRADED via the traindata_mixture tag-union (dsir branch)
     "traindata_dsir_weights": TD.traindata_dsir_weights,
     # round 10: per-doc benchmark-overlap fraction — the scoring/audit
-    # form of decontamination (model-card overlap reporting)
+    # form of decontamination (model-card overlap reporting); GRADED
+    # via the corpus_ops tag-union (contam branch)
     "corpus_contamination_score": CO.corpus_contamination_score,
 }
 

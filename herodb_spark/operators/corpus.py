@@ -159,14 +159,16 @@ LIMIT {VOCAB_K}
 
 def corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of corpus_decontaminate + stratified_sample +
-    vocab_topk + (since round 7) corpus_scrub_spans — each kept as its
-    own function/oracle for unit tests: tag-unioned into one
-    (op, k, v1, v2, v3) relation so all four corpus operators earn a
-    driver-graded hash row in a single slot. Each constituent plan
-    executes unchanged inside the union; the scrub branch carries the
-    per-affected-doc word/removal counts in v1/v2 and the
-    clean-remainder md5 in the string column v3 (doc_id zero-padded in
-    k so string ordering stays deterministic and total)."""
+    vocab_topk + (since round 7) corpus_scrub_spans + (since round 10)
+    corpus_contamination_score — each kept as its own function/oracle
+    for unit tests: tag-unioned into one (op, k, v1, v2, v3) relation
+    so all five corpus operators earn a driver-graded hash row in a
+    single slot. Each constituent plan executes unchanged inside the
+    union; the scrub branch carries the per-affected-doc word/removal
+    counts in v1/v2 and the clean-remainder md5 in the string column
+    v3; the contam branch carries n_grams/n_hits in v1/v2 (frac and
+    the flag are pure functions of those, hashed standalone); doc_id
+    is zero-padded in k so string ordering stays deterministic."""
     nul = F.lit(None).cast("long")
     nuls = F.lit(None).cast("string")
     d = corpus_decontaminate(spark, sf_dir).select(
@@ -197,7 +199,16 @@ def corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed").alias("v2"),
         F.col("clean_md5").alias("v3"),
     )
-    return d.unionByName(s).unionByName(v).unionByName(sc).orderBy("op", "k")
+    ct = _contamination_rows(spark, sf_dir).select(
+        F.lit("contam").alias("op"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("k"),
+        F.col("n_grams").alias("v1"),
+        F.col("n_hits").alias("v2"),
+        nuls.alias("v3"),
+    )
+    return (
+        d.unionByName(s).unionByName(v).unionByName(sc).unionByName(ct).orderBy("op", "k")
+    )
 
 
 # CORPUS_OPS_SQL is defined at the bottom of this module: its f-string
@@ -352,6 +363,26 @@ ORDER BY t.doc_id
 """
 
 
+_CONTAMINATION_CORE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest({_shingle_sql(DECON_NGRAM)}) AS g
+  FROM tok WHERE len(toks) >= {DECON_NGRAM}
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM grams GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / n_grams, 6) AS frac,
+       n_hits > 0 AS contaminated
+FROM per
+"""
+
 CORPUS_OPS_SQL = f"""
 SELECT 'decontaminate' AS op, lang AS k, n_docs AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(NULL AS VARCHAR) AS v3
@@ -367,6 +398,10 @@ UNION ALL
 SELECT 'scrub' AS op, lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k,
        n_words AS v1, n_removed AS v2, clean_md5 AS v3
 FROM ({CORPUS_SCRUB_SPANS_SQL})
+UNION ALL
+SELECT 'contam' AS op, lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k,
+       n_grams AS v1, n_hits AS v2, CAST(NULL AS VARCHAR) AS v3
+FROM ({_CONTAMINATION_CORE_SQL})
 ORDER BY op, k
 """
 
@@ -535,7 +570,17 @@ def corpus_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fraction arithmetic is exact: both counts are BIGINTs and the
     ratio rounds to 6 dp. Output: (doc_id, n_grams, n_hits, frac,
     contaminated) over documents long enough to shingle; benchmark =
-    every 50th document (the corpus_decontaminate convention)."""
+    every 50th document (the corpus_decontaminate convention).
+
+    GRADED via the corpus_ops tag-union since round 10 (the contam
+    branch carries n_grams/n_hits; frac and the flag are pure
+    functions of those); this standalone entry + oracle kept."""
+    return _contamination_rows(spark, sf_dir).orderBy("doc_id")
+
+
+def _contamination_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_contamination_score without the presentation sort — the
+    form the corpus_ops union consumes (one sort at the union top)."""
     from herodb_spark.operators.dedup import shingle_rows
 
     docs = load_table(spark, sf_dir, "documents")
@@ -563,26 +608,9 @@ def corpus_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6).alias("frac"),
             (F.col("n_hits") > 0).alias("contaminated"),
         )
-        .orderBy("doc_id")
     )
 
 
-CORPUS_CONTAMINATION_SCORE_SQL = rf"""
-WITH tok AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
-),
-grams AS (
-  SELECT doc_id, unnest({_shingle_sql(DECON_NGRAM)}) AS g
-  FROM tok WHERE len(toks) >= {DECON_NGRAM}
-),
-bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
-per AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-         CAST(SUM(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-  FROM grams GROUP BY doc_id
-)
-SELECT doc_id, n_grams, n_hits,
-       ROUND(CAST(n_hits AS DOUBLE) / n_grams, 6) AS frac,
-       n_hits > 0 AS contaminated
-FROM per ORDER BY doc_id
+CORPUS_CONTAMINATION_SCORE_SQL = f"""
+SELECT * FROM ({_CONTAMINATION_CORE_SQL}) ORDER BY doc_id
 """

@@ -605,10 +605,21 @@ ORDER BY op, doc_id
 def traindata_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of mixture_sample_domains (capped keep-rate
     downsampling report) + mixture_upsample_domains (uncapped-rate
-    upsampling report) — the domain-mixture half of the training-data
-    surface, tag-unioned into (op, source, n_total, rate, n1, n2).
-    Both constituents keep standalone registry entries + oracles;
-    each |domains|-row report executes unchanged in its branch."""
+    upsampling report) + (since round 10) traindata_dsir_weights
+    (importance-resampling selection) — the mixture/selection half of
+    the training-data surface, tag-unioned into (op, source, n_total,
+    rate, n1, n2). All constituents keep standalone registry entries +
+    oracles; each report executes unchanged in its branch. The dsir
+    branch is per-document: doc_id zero-padded into the string key,
+    n_tokens in n_total, log_weight in rate, selected in n1."""
+    ds = _dsir_rows(spark, sf_dir).select(
+        F.lit("dsir").alias("op"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("source"),
+        F.col("n_tokens").alias("n_total"),
+        F.col("log_weight").alias("rate"),
+        F.col("selected").cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+    )
     ms = mixture_sample_domains(spark, sf_dir).select(
         F.lit("sample").alias("op"),
         "source",
@@ -625,18 +636,11 @@ def traindata_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_out").alias("n1"),
         F.col("n_dup_docs").alias("n2"),
     )
-    return ms.unionByName(mu).orderBy("op", "source")
+    return ms.unionByName(mu).unionByName(ds).orderBy("op", "source")
 
 
-TRAINDATA_MIXTURE_SQL = f"""
-SELECT 'sample' AS op, source, n_total, keep_rate AS rate, n_kept AS n1,
-       CAST(NULL AS BIGINT) AS n2
-FROM ({MIXTURE_SAMPLE_SQL})
-UNION ALL
-SELECT 'upsample', source, n_total, rate, n_out, n_dup_docs
-FROM ({MIXTURE_UPSAMPLE_SQL})
-ORDER BY op, source
-"""
+# TRAINDATA_MIXTURE_SQL is defined at the bottom of this module: its
+# f-string interpolates the DSIR core SQL, declared further down.
 
 
 def traindata_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,7 +926,16 @@ def traindata_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 9 dp FIRST, summed as DECIMAL(27,9) (order-free), the
     per-doc sum rounded to 6 dp; selection compares rounded values.
 
+    GRADED via the traindata_mixture tag-union since round 10 (the
+    dsir branch); this standalone entry + oracle kept.
+
     Output: (doc_id, n_tokens, log_weight, selected), ordered."""
+    return _dsir_rows(spark, sf_dir).orderBy("doc_id")
+
+
+def _dsir_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """traindata_dsir_weights without the presentation sort — the form
+    the traindata_mixture union consumes (one sort at the union top)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("t")
@@ -960,19 +973,15 @@ def traindata_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"percentile(log_weight, {1.0 - DSIR_KEEP_FRACTION})"), 6
         ).alias("cut")
     )
-    return (
-        per.crossJoin(F.broadcast(thr))
-        .select(
-            "doc_id",
-            "n_tokens",
-            "log_weight",
-            (F.col("log_weight") >= F.col("cut")).alias("selected"),
-        )
-        .orderBy("doc_id")
+    return per.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_tokens",
+        "log_weight",
+        (F.col("log_weight") >= F.col("cut")).alias("selected"),
     )
 
 
-TRAINDATA_DSIR_SQL = rf"""
+_DSIR_CORE_SQL = rf"""
 WITH tok AS (
   SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
   FROM documents
@@ -1003,5 +1012,23 @@ thr AS (
   FROM per
 )
 SELECT doc_id, n_tokens, log_weight, log_weight >= thr.cut AS selected
-FROM per, thr ORDER BY doc_id
+FROM per, thr
+"""
+
+TRAINDATA_DSIR_SQL = f"""
+SELECT * FROM ({_DSIR_CORE_SQL}) ORDER BY doc_id
+"""
+
+TRAINDATA_MIXTURE_SQL = f"""
+SELECT 'sample' AS op, source, n_total, keep_rate AS rate, n_kept AS n1,
+       CAST(NULL AS BIGINT) AS n2
+FROM ({MIXTURE_SAMPLE_SQL})
+UNION ALL
+SELECT 'upsample', source, n_total, rate, n_out, n_dup_docs
+FROM ({MIXTURE_UPSAMPLE_SQL})
+UNION ALL
+SELECT 'dsir', lpad(CAST(doc_id AS VARCHAR), 12, '0'), n_tokens,
+       log_weight, CAST(selected AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({_DSIR_CORE_SQL})
+ORDER BY op, source
 """

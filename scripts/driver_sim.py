@@ -4,7 +4,10 @@ confs), entry() smoke check, then every queries() entry at the given
 sf_dir compared against its oracle_sql() through DuckDB — the same
 gate as CORRECTNESS_r{N}.json. Usage:
 
-    python scripts/driver_sim.py [sf_dir]
+    python scripts/driver_sim.py [sf_dir] [query_name ...]
+
+With query names, only those registry entries run (fast iteration on
+one operator); the full run remains the gate.
 """
 
 from __future__ import annotations
@@ -46,6 +49,13 @@ def main() -> int:
     con = duckdb_con(sf_dir)
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if len(sys.argv) > 2:
+        wanted = set(sys.argv[2:])
+        unknown = wanted - queries.keys()
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 1
+        queries = {k: v for k, v in queries.items() if k in wanted}
     failures = []
     for name, fn in queries.items():
         t0 = time.perf_counter()
