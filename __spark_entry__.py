@@ -271,6 +271,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # a snapshot table (one OCC commit per statement) — same oracle as
     # the in-memory heroql_mutations
     "heroql_durable_mutations": HQ.heroql_durable_mutations,
+    # round 10: draft_type action dialect (let-constructors, ensure,
+    # if-not-set-then, member for) — GRADED via the heroql_programs
+    # tag-union (typeact branch); standalone entry + oracle kept
+    "heroql_typeactions": HQ.heroql_typeactions,
     # round 7: time travel (`T@k`) + change feed (`changes(T, f, t)`)
     # as language constructs over a schema-evolving snapshot history
     "heroql_time_travel_cdc": HQ.heroql_time_travel_cdc,
@@ -420,6 +424,7 @@ ORACLES: dict[str, str] = {
     "export_shard_manifest": TD.EXPORT_SHARD_MANIFEST_SQL,
     "pack_sequences_budget": TD.PACK_SEQUENCES_SQL,
     "heroql_durable_mutations": HQ.HEROQL_MUTATIONS_SQL,
+    "heroql_typeactions": HQ.HEROQL_TYPEACTIONS_SQL,
     "heroql_time_travel_cdc": HQ.HEROQL_TIME_TRAVEL_CDC_SQL,
     "text_bigram_logprob": X.TEXT_BIGRAM_LOGPROB_SQL,
     "dedup_fuzzy_levenshtein": D.DEDUP_FUZZY_LEVENSHTEIN_SQL,

@@ -199,14 +199,152 @@ def heroql_durable_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.queries[0]
 
 
+_INSTALL_DDL = """
+    data class Prog(pid : int, pname : string, declarations * owner : Decl, n..n) index Unique(pid);
+    data class Decl(did : int, dname : string) index Unique(did);
+    data class Scope(sid : int, parent : int) index AutoIncresed(sid), Unique(sid);
+    data AstScopes(scope : int, node : int) index Unique(scope, node);
+    data Symbols(scope : int, sname : string, stype : string, createdBy : int)
+        index Unique(scope, sname);
+    data Errors(message : string);
+"""
+
+_INSTALL_PROGRAM = """
+for query(p) :- Prog(p)
+(
+    let scope = Scope{ parent = 0 },
+    ensure set AstScopes(scope, p),
+    if not set Symbols(scope, "int", "Int", p) then set Errors($"int clash in $(p)"),
+    for p.declarations(decl)
+    (
+        if not set Symbols(scope, decl.dname, $"Fn($(decl.dname))", decl)
+            then set Errors($"Duplicated function $(decl.dname) found.")
+    )
+);
+"""
+
+
+def heroql_typeactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The draft_type ACTION dialect end-to-end (draft_type:183-341,
+    the trimmed Install_1 of draft_type:193-207/318-326): per-program
+    `let Scope{...}` fresh-id constructors over an AutoIncresed index,
+    `ensure set`, first-wins `if not set … then` installs with
+    $-interpolated diagnostics, and nested member `for` — run as one
+    HeroQL program over a literal fixture (self-contained; sf_dir
+    unused), with all four produced tables tag-unioned into
+    (tbl, k2, k3, n1, n2) so the whole dialect earns a driver-graded
+    hash row. GRADED via the heroql_programs tag-union since round 10;
+    this standalone entry + oracle kept. Cites the same reference
+    surface as tests/test_heroql.py's pinned-semantics tests."""
+    hql = HeroQL(spark)
+    hql.run(_INSTALL_DDL)
+    hql.register(
+        "Prog",
+        spark.createDataFrame([(1, "main"), (2, "aux")], "pid long, pname string"),
+        is_class=True,
+        key="pid",
+    )
+    hql.register(
+        "Decl",
+        spark.createDataFrame(
+            [(10, "f"), (11, "g"), (12, "f"), (20, "h"), (21, "h")],
+            "did long, dname string",
+        ),
+        is_class=True,
+        key="did",
+    )
+    hql.register(
+        "Prog__declarations",
+        spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)], "src long, dst long"
+        ),
+    )
+    hql.run(_INSTALL_PROGRAM)
+    ns = F.lit(None).cast("string")
+    nb = F.lit(None).cast("long")
+    sc = hql.table("Scope").select(
+        F.lit("Scope").alias("tbl"),
+        ns.alias("k2"),
+        ns.alias("k3"),
+        F.col("sid").cast("long").alias("n1"),
+        F.col("parent").cast("long").alias("n2"),
+    )
+    an = hql.table("AstScopes").select(
+        F.lit("AstScopes").alias("tbl"),
+        ns.alias("k2"),
+        ns.alias("k3"),
+        F.col("scope").cast("long").alias("n1"),
+        F.col("node").cast("long").alias("n2"),
+    )
+    sy = hql.table("Symbols").select(
+        F.lit("Symbols").alias("tbl"),
+        F.col("sname").alias("k2"),
+        F.col("stype").alias("k3"),
+        F.col("scope").cast("long").alias("n1"),
+        F.col("createdBy").cast("long").alias("n2"),
+    )
+    er = hql.table("Errors").select(
+        F.lit("Errors").alias("tbl"),
+        F.col("message").alias("k2"),
+        ns.alias("k3"),
+        nb.alias("n1"),
+        nb.alias("n2"),
+    )
+    return (
+        sc.unionByName(an).unionByName(sy).unionByName(er)
+        .orderBy("tbl", "k2", "k3", "n1", "n2")
+    )
+
+
+# the same relations the language produces, derived relationally from
+# the literal fixture: scope ids are dense in pid order (AutoIncresed
+# over the driving query), installs are first-wins per (scope, name)
+# with losers becoming diagnostics
+_TYPEACTIONS_CORE_SQL = """
+WITH prog(pid) AS (VALUES (1),(2)),
+decl(did, dname) AS (VALUES (10,'f'),(11,'g'),(12,'f'),(20,'h'),(21,'h')),
+edges(src, dst) AS (VALUES (1,10),(1,11),(1,12),(2,20),(2,21)),
+scopes AS (SELECT pid, ROW_NUMBER() OVER (ORDER BY pid) AS sid FROM prog),
+cand AS (
+  SELECT s.sid AS scope, d.dname AS sname, 'Fn(' || d.dname || ')' AS stype,
+         d.did AS createdBy,
+         ROW_NUMBER() OVER (PARTITION BY s.sid, d.dname ORDER BY e.src, s.sid, e.dst) AS rk
+  FROM edges e JOIN scopes s ON e.src = s.pid JOIN decl d ON e.dst = d.did
+)
+SELECT 'Scope' AS tbl, CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS VARCHAR) AS k3,
+       CAST(sid AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2
+FROM scopes
+UNION ALL
+SELECT 'AstScopes', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(sid AS BIGINT), CAST(pid AS BIGINT)
+FROM scopes
+UNION ALL
+SELECT 'Symbols', 'int', 'Int', CAST(sid AS BIGINT), CAST(pid AS BIGINT)
+FROM scopes
+UNION ALL
+SELECT 'Symbols', sname, stype, CAST(scope AS BIGINT), CAST(createdBy AS BIGINT)
+FROM cand WHERE rk = 1
+UNION ALL
+SELECT 'Errors', 'Duplicated function ' || sname || ' found.',
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM cand WHERE rk > 1
+"""
+
+HEROQL_TYPEACTIONS_SQL = f"""
+SELECT * FROM ({_TYPEACTIONS_CORE_SQL}) ORDER BY tbl, k2, k3, n1, n2
+"""
+
+
 def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of heroql_rules + heroql_pipeline +
     heroql_time_travel_cdc (rotated in in round 8) + heroql_recursive
     + heroql_mutations + heroql_durable_mutations (rotated in in
-    round 10): rule program, collection_query pipeline, `T@k` /
-    `changes(T, f, t)` programs, the recursive Fib fixpoint, and the
-    mutation statements both in-memory and DURABLE (one OCC snapshot
-    commit per statement; same oracle values by construction) — all
+    round 10) + heroql_typeactions (folded later in round 10): rule
+    program, collection_query pipeline, `T@k` / `changes(T, f, t)`
+    programs, the recursive Fib fixpoint, the mutation statements both
+    in-memory and DURABLE (one OCC snapshot commit per statement; same
+    oracle values by construction), and the draft_type action dialect
+    (let-constructors / ensure / if-not-set / member for) — all
     compiled from HeroQL source — share one graded slot; constituents
     keep standalone entries and oracles."""
     nb = F.lit(None).cast("long")
@@ -260,9 +398,18 @@ def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("long").alias("n2"),
         nd.alias("v"),
     )
+    h = heroql_typeactions(spark, sf_dir).select(
+        F.lit("typeact").alias("q"),
+        F.col("tbl").alias("k1"),
+        F.col("k2"),
+        F.col("k3"),
+        F.col("n1"),
+        F.col("n2"),
+        nd.alias("v"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
-        .unionByName(g).orderBy("q", "n1", "k1", "k2", "k3")
+        .unionByName(g).unionByName(h).orderBy("q", "n1", "k1", "k2", "k3")
     )
 
 
@@ -361,5 +508,8 @@ SELECT 'durable', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(k AS BIGINT), CAST(v AS BIGINT),
        CAST(NULL AS DOUBLE)
 FROM ({HEROQL_MUTATIONS_SQL})
+UNION ALL
+SELECT 'typeact', tbl, k2, k3, n1, n2, CAST(NULL AS DOUBLE)
+FROM ({_TYPEACTIONS_CORE_SQL})
 ORDER BY q, n1, k1, k2, k3
 """

@@ -185,19 +185,29 @@ def snapshot_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     - v3 overwrite: even keys only, val*100 — then `rollback(2)`:
       the overwrite is DROPPED, current back to v2's content;
     - `cluster(['key','val'], 2)` → v3 (op 'cluster'): z-order
-      rewrite, content bit-identical, per-FILE zone maps recorded.
+      rewrite, content bit-identical, per-FILE zone maps recorded;
+    - v4 merge_upsert: five more inserts key+200 (note='frag') —
+      FRAGMENTS the touched partitions with an extra small file each
+      on top of the cluster rewrite's two;
+    - v5 `compact(max_files_per_partition=1)` — OPTIMIZE/bin-packing:
+      every fragmented partition rewritten to one file, content
+      bit-identical (the cur/prune legs read THROUGH the compacted
+      files), untouched versions still time-travelable.
 
     Output legs (leg, key, grp, name, val, note):
     - 'cur'   — the final table: proves the rollback discarded the
-                overwrite and the z-order rewrite changed nothing;
+                overwrite and the z-order + compact rewrites changed
+                nothing;
     - 'v0'    — time travel to creation: the PRE-EVOLUTION schema has
                 no note column (surfaced as NULL here), old values;
     - 'prune' — read(ranges={'key': (2, 7)}): the zone-map- and
                 file-pruned scan must equal the plain predicate on
                 the final state (pruning is IO-only — loses nothing
-                even through the clustered per-file stats);
+                even through the clustered, then compacted, per-file
+                stats);
     - 'hist'  — (version, op) log: create, add_columns, merge_upsert,
-                cluster — the overwrite version is GONE."""
+                cluster, merge_upsert, compact — the overwrite
+                version is GONE."""
     from herodb_spark.sources.snapshot import SnapshotTable
 
     nation = load_table(spark, sf_dir, "nation").select(
@@ -227,6 +237,12 @@ def snapshot_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.rollback(2)                                                       # v3 dropped
     t.cluster(["key", "val"], files_per_partition=2)                    # v3 (cluster)
+    frag = nation.where(F.col("key") < 5).select(
+        (F.col("key") + 200).alias("key"), "grp", "name",
+        (F.col("key") + 1000).alias("val"), F.lit("frag").alias("note"),
+    )
+    t.merge_upsert(frag)                                                # v4 (fragments)
+    t.compact(max_files_per_partition=1)                                # v5 (compact)
 
     ns = F.lit(None).cast("string")
     cur = t.read().select(
@@ -263,13 +279,15 @@ WITH f0 AS (
   FROM nation
 ),
 f2 AS (           -- post-merge state (the overwrite was rolled back;
-                  -- cluster is a pure reorder)
+                  -- cluster and compact are pure reorders/rewrites)
   SELECT key, grp, name,
          CASE WHEN key < 10 THEN val + 100 ELSE val END AS val,
          CASE WHEN key < 10 THEN 'hot' ELSE CAST(NULL AS VARCHAR) END AS note
   FROM f0
   UNION ALL
   SELECT key + 100, grp, name, key, 'new' FROM f0 WHERE key < 5
+  UNION ALL
+  SELECT key + 200, grp, name, key + 1000, 'frag' FROM f0 WHERE key < 5
 )
 SELECT 'cur' AS leg, key, grp, name, val, note FROM f2
 UNION ALL
@@ -280,6 +298,7 @@ UNION ALL
 SELECT 'hist', v, CAST(NULL AS BIGINT), op, CAST(NULL AS BIGINT),
        CAST(NULL AS VARCHAR)
 FROM (VALUES (CAST(0 AS BIGINT), 'create'), (1, 'add_columns'),
-             (2, 'merge_upsert'), (3, 'cluster')) h(v, op)
+             (2, 'merge_upsert'), (3, 'cluster'),
+             (4, 'merge_upsert'), (5, 'compact')) h(v, op)
 ORDER BY leg, key, grp
 """

@@ -153,7 +153,15 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
       LAST update-mode emission per user (n_events is strictly
       monotone per user, so max-n row is the final state);
     - 'stateful_session_30m': every closed session, session_start in
-      window_start and 'user|session_end' in event_type."""
+      window_start and 'user|session_end' in event_type;
+    - 'snapshot_sink_spend' (stream_snapshot_sink, graded): the same
+      per-user totals as an update-mode streaming AGGREGATION pushed
+      through SnapshotUpsertSink (foreachBatch, one exactly-once
+      merge_upsert per micro-batch into a durable snapshot table) —
+      then a deliberately STALE REPLAY (zeroed rows, batch_id=0) is
+      offered to the sink: the (sink_id, batch_id) watermark must
+      no-op it, or the zeros would overwrite the totals and the hash
+      row would go red. The leg reads the final DURABLE table."""
     import datetime
     import os
     import shutil
@@ -162,7 +170,9 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
+    from herodb_spark.sources.snapshot import SnapshotTable
     from herodb_spark.streaming import stateful as SS
+    from herodb_spark.streaming.sink import SnapshotUpsertSink
 
     # watermarks require TIMESTAMP (LTZ); the catalog pins the session
     # tz to UTC, so casting NTZ → LTZ preserves wall time end-to-end
@@ -182,19 +192,30 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(-1, hi + datetime.timedelta(hours=2), 0.0)],
             "user_id long, ts timestamp, value double",
         )
-        batches = [
-            ev.where((F.col("ts") >= lo + i * span) & (F.col("ts") < lo + (i + 1) * span))
-            if i < 2
-            else ev.where(F.col("ts") >= lo + 2 * span)
-            for i in range(3)
-        ] + [sentinel]
-        # the file-stream source lists plain files; flatten each batch
-        # to one parquet file, named/created in replay order
-        for i, b in enumerate(batches):
-            stage = os.path.join(tmp, f"stage{i}")
-            b.coalesce(1).write.parquet(stage)
-            (pf,) = [p for p in os.listdir(stage) if p.endswith(".parquet")]
-            os.rename(os.path.join(stage, pf), os.path.join(src, f"b{i}.parquet"))
+        # ONE staging job for all four batch files: tag each row with
+        # its tercile (sentinel = 3), hash-cluster on the tag so each
+        # batch lands as a single file, then flatten to plain files
+        # (the file-stream source lists files, not partition dirs) with
+        # explicitly increasing mtimes — the source replays files in
+        # (timestamp, path) order, and second-granularity write times
+        # from one job could tie.
+        tagged = ev.withColumn(
+            "b",
+            F.when(F.col("ts") < lo + span, 0)
+            .when(F.col("ts") < lo + 2 * span, 1)
+            .otherwise(2),
+        ).unionByName(sentinel.withColumn("b", F.lit(3)))
+        stage = os.path.join(tmp, "stage")
+        tagged.repartition("b").write.partitionBy("b").parquet(stage)
+        import time as _time
+
+        now = _time.time()
+        for i in range(4):
+            bdir = os.path.join(stage, f"b={i}")
+            (pf,) = [p for p in os.listdir(bdir) if p.endswith(".parquet")]
+            dst = os.path.join(src, f"b{i}.parquet")
+            os.rename(os.path.join(bdir, pf), dst)
+            os.utime(dst, (now - 40 + 10 * i, now - 40 + 10 * i))
         schema = spark.read.parquet(os.path.join(src, "b0.parquet")).schema
         stream = (
             spark.readStream.schema(schema)
@@ -218,9 +239,50 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        queries += [spend_q, sess_q]
+        seed = spark.createDataFrame([], "user_id long, n_events long, total_value double")
+        snap = SnapshotTable.create(
+            spark, os.path.join(tmp, "sink_t"), seed, key_cols=["user_id"]
+        )
+        sink = SnapshotUpsertSink(snap, sink_id="spend")
+        sink_q = (
+            stream.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("total_value"),
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        queries += [spend_q, sess_q, sink_q]
         spend_q.awaitTermination(300)
         sess_q.awaitTermination(300)
+        sink_q.awaitTermination(300)
+        # exactly-once proof inside the graded plan: replay a STALE
+        # batch (zeroed totals, batch_id=0). The sink's watermark must
+        # no-op it — a naive sink would upsert the zeros and the
+        # driver's hash check would catch it.
+        stale = snap.read().select(
+            "user_id",
+            F.lit(0).cast("long").alias("n_events"),
+            F.lit(0.0).alias("total_value"),
+        )
+        sink(stale, 0)
+        sink_leg = (
+            snap.read()
+            .where(F.col("user_id") >= 0)
+            .select(
+                F.lit("snapshot_sink_spend").alias("win_kind"),
+                F.lit(None).cast("string").alias("window_start"),
+                F.col("user_id").cast("string").alias("event_type"),
+                "n_events",
+                "total_value",
+            )
+        )
         w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
         spend = (
             spark.table(spend_name)
@@ -248,7 +310,9 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_value",
             )
         )
-        return spend.unionByName(sess).localCheckpoint(eager=True)
+        return (
+            spend.unionByName(sess).unionByName(sink_leg).localCheckpoint(eager=True)
+        )
     finally:
         for q in queries:  # availableNow self-terminates; belt-and-braces
             if q.isActive:
@@ -299,6 +363,13 @@ SELECT * FROM (
   FROM ({STREAM_SESSIONIZE_SQL})
   UNION ALL
   SELECT 'stateful_spend',
+         CAST(NULL AS VARCHAR),
+         CAST(user_id AS VARCHAR),
+         COUNT(*),
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+  FROM events GROUP BY user_id
+  UNION ALL
+  SELECT 'snapshot_sink_spend',
          CAST(NULL AS VARCHAR),
          CAST(user_id AS VARCHAR),
          COUNT(*),
