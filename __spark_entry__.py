@@ -275,6 +275,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # if-not-set-then, member for) — GRADED via the heroql_programs
     # tag-union (typeact branch); standalone entry + oracle kept
     "heroql_typeactions": HQ.heroql_typeactions,
+    # round 10: optimize/vacuum + history(T, ver, op, program) + k>=c
+    # zone-map pushdown in the language — GRADED via heroql_programs
+    # (maint branch); standalone entry + oracle kept
+    "heroql_maintenance_log": HQ.heroql_maintenance_log,
     # round 7: time travel (`T@k`) + change feed (`changes(T, f, t)`)
     # as language constructs over a schema-evolving snapshot history
     "heroql_time_travel_cdc": HQ.heroql_time_travel_cdc,
@@ -425,6 +429,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences_budget": TD.PACK_SEQUENCES_SQL,
     "heroql_durable_mutations": HQ.HEROQL_MUTATIONS_SQL,
     "heroql_typeactions": HQ.HEROQL_TYPEACTIONS_SQL,
+    "heroql_maintenance_log": HQ.HEROQL_MAINTENANCE_LOG_SQL,
     "heroql_time_travel_cdc": HQ.HEROQL_TIME_TRAVEL_CDC_SQL,
     "text_bigram_logprob": X.TEXT_BIGRAM_LOGPROB_SQL,
     "dedup_fuzzy_levenshtein": D.DEDUP_FUZZY_LEVENSHTEIN_SQL,

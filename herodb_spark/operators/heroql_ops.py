@@ -335,6 +335,117 @@ SELECT * FROM ({_TYPEACTIONS_CORE_SQL}) ORDER BY tbl, k2, k3, n1, n2
 """
 
 
+def heroql_maintenance_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage maintenance + the program log IN the language
+    (compiler maintenance routing + Rewrite.md:6 "save query to log"),
+    as one oracle-checked relation. Self-contained (sf_dir unused);
+    deterministic schedule on a fresh grp-partitioned snapshot table
+    seeded with k∈[0,8), x=2k, g=k%2:
+
+    - `set T(100, 1, 0); set T(101, 2, 1);` — one batched durable
+      merge (v1) whose version entry persists BOTH statement texts;
+    - `update T(k, x, g) :- k == 100, x = x + 7;` — a predicate
+      mutation (v2), its program text persisted too;
+    - `optimize T cluster_by (x);` — z-order rewrite (v3), content
+      bit-identical, no program (maintenance, not mutation);
+    - `vacuum T keep 3;` — retention GC drops v0; current content and
+      the surviving log are unaffected.
+
+    Output legs (leg, k2, k3, n1, n2):
+    - 'content'  — the final table THROUGH the clustered files and
+                   after the vacuum (k in n1, x in n2, g in k2);
+    - 'pushdown' — `query ... :- T(k, x, _), k >= 100` — the
+                   language→zone-map pushdown read path
+                   (compiler's _skippable pruning): must equal the
+                   plain predicate or pruning lost rows;
+    - 'hist'     — `history(T, ver, op, prog)` after the vacuum: the
+                   surviving (version, op, PROGRAM TEXT) audit log.
+
+    GRADED via the heroql_programs tag-union since round 10 (maint
+    branch); this standalone entry + oracle kept. Grades the
+    heroql_maintenance, heroql_program_log, and heroql_zone_map_
+    pushdown SURVEY rows."""
+    import os
+    import tempfile
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="heroql_mnt_")
+    seed = spark.range(8).selectExpr(
+        "id AS k", "id * 2 AS x", "CAST(id % 2 AS LONG) AS g"
+    )
+    snap = SnapshotTable.create(
+        spark, os.path.join(tmp, "t"), seed, key_cols=["k"], partition_col="g"
+    )
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    hql.run("set T(100, 1, 0); set T(101, 2, 1);")
+    hql.run("update T(k, x, g) :- k == 100, x = x + 7;")
+    hql.run("optimize T cluster_by (x);")
+    hql.run("vacuum T keep 3;")
+    ns = F.lit(None).cast("string")
+    nb = F.lit(None).cast("long")
+    content = hql.run("query (k, x, g) :- T(k, x, g);").queries[0].select(
+        F.lit("content").alias("leg"),
+        F.col("g").cast("string").alias("k2"),
+        ns.alias("k3"),
+        F.col("k").cast("long").alias("n1"),
+        F.col("x").cast("long").alias("n2"),
+    )
+    pushdown = hql.run(
+        "query (k, x) :- T(k, x, _), k >= 100;"
+    ).queries[0].select(
+        F.lit("pushdown").alias("leg"),
+        ns.alias("k2"),
+        ns.alias("k3"),
+        F.col("k").cast("long").alias("n1"),
+        F.col("x").cast("long").alias("n2"),
+    )
+    hist = hql.run(
+        "query (ver, op, prog) :- history(T, ver, op, prog);"
+    ).queries[0].select(
+        F.lit("hist").alias("leg"),
+        F.col("op").alias("k2"),
+        F.col("prog").alias("k3"),
+        F.col("ver").cast("long").alias("n1"),
+        nb.alias("n2"),
+    )
+    return (
+        content.unionByName(pushdown).unionByName(hist)
+        .orderBy("leg", "n1", "k2")
+    )
+
+
+_MAINT_CORE_SQL = """
+WITH seed(k, x, g) AS (
+  SELECT i, i * 2, i % 2 FROM generate_series(0, 7) t(i)
+),
+final(k, x, g) AS (
+  SELECT k, x, g FROM seed
+  UNION ALL
+  SELECT * FROM (VALUES (100, 8, 0), (101, 2, 1))
+)
+SELECT 'content' AS leg, CAST(g AS VARCHAR) AS k2, CAST(NULL AS VARCHAR) AS k3,
+       CAST(k AS BIGINT) AS n1, CAST(x AS BIGINT) AS n2
+FROM final
+UNION ALL
+SELECT 'pushdown', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(k AS BIGINT), CAST(x AS BIGINT)
+FROM final WHERE k >= 100
+UNION ALL
+SELECT 'hist', op, prog, CAST(v AS BIGINT), CAST(NULL AS BIGINT)
+FROM (VALUES
+  (1, 'merge_upsert', 'set T(100, 1, 0);' || chr(10) || 'set T(101, 2, 1);'),
+  (2, 'update_where', 'update T(k, x, g) :- k == 100, x = x + 7;'),
+  (3, 'cluster', CAST(NULL AS VARCHAR))
+) h(v, op, prog)
+"""
+
+HEROQL_MAINTENANCE_LOG_SQL = f"""
+SELECT * FROM ({_MAINT_CORE_SQL}) ORDER BY leg, n1, k2
+"""
+
+
 def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of heroql_rules + heroql_pipeline +
     heroql_time_travel_cdc (rotated in in round 8) + heroql_recursive
@@ -343,10 +454,12 @@ def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
     program, collection_query pipeline, `T@k` / `changes(T, f, t)`
     programs, the recursive Fib fixpoint, the mutation statements both
     in-memory and DURABLE (one OCC snapshot commit per statement; same
-    oracle values by construction), and the draft_type action dialect
-    (let-constructors / ensure / if-not-set / member for) — all
-    compiled from HeroQL source — share one graded slot; constituents
-    keep standalone entries and oracles."""
+    oracle values by construction), the draft_type action dialect
+    (let-constructors / ensure / if-not-set / member for), and the
+    maintenance + program-log + zone-map-pushdown surface
+    (heroql_maintenance_log) — all compiled from HeroQL source — share
+    one graded slot; constituents keep standalone entries and
+    oracles."""
     nb = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
     ns = F.lit(None).cast("string")
@@ -407,9 +520,19 @@ def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2"),
         nd.alias("v"),
     )
+    i = heroql_maintenance_log(spark, sf_dir).select(
+        F.lit("maint").alias("q"),
+        F.col("leg").alias("k1"),
+        F.col("k2"),
+        F.col("k3"),
+        F.col("n1"),
+        F.col("n2"),
+        nd.alias("v"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
-        .unionByName(g).unionByName(h).orderBy("q", "n1", "k1", "k2", "k3")
+        .unionByName(g).unionByName(h).unionByName(i)
+        .orderBy("q", "n1", "k1", "k2", "k3")
     )
 
 
@@ -511,5 +634,8 @@ FROM ({HEROQL_MUTATIONS_SQL})
 UNION ALL
 SELECT 'typeact', tbl, k2, k3, n1, n2, CAST(NULL AS DOUBLE)
 FROM ({_TYPEACTIONS_CORE_SQL})
+UNION ALL
+SELECT 'maint', leg, k2, k3, n1, n2, CAST(NULL AS DOUBLE)
+FROM ({_MAINT_CORE_SQL})
 ORDER BY q, n1, k1, k2, k3
 """

@@ -40,7 +40,17 @@ def snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     - txn2 (db v4): update_where grp == 2 → val*2, AND
       audit(2,'update');
     - txn3 (db v5): delete_where key % 7 == 3, AND audit(3,'delete');
-    - vacuum(keep_last=3): db versions {3,4,5} survive, {0,1,2} drop,
+    - txn4/txn5 (db v6, v7) — the ISOLATION surface (Lock.h:29-38
+      Shared at Row, since round 10): an INTERLEAVED reader/writer
+      pair. The reader declares ranges={'key': (0, 9)} on facts,
+      derives audit(4, 'readset_n=<count>') from that footprint, and
+      holds; the writer then upserts keys 300..304 in the SAME
+      partitions and commits first (v6); the reader's commit (v7)
+      must be ADMITTED — the declared range vs the writer's recorded
+      key hull proves the row sets disjoint. A naive whole-table read
+      set would cancel it and the audit row would be missing from the
+      hash. (The write-skew red case stays library-tested.)
+    - vacuum(keep_last=5): db versions {3..7} survive, {0,1,2} drop,
       and every table version pinned by a survivor stays readable.
 
     Output legs (leg, key, grp, name, val):
@@ -50,7 +60,8 @@ def snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'audit' — the audit table: (seq, NULL, what, NULL);
     - 'hist'  — post-vacuum database history: (db_version, facts_pin,
                 op, audit_pin) — facts/audit pins advance in lockstep
-                because each txn published both in one swap;
+                through the three paired txns, then facts-only (v6) /
+                audit-only (v7) for the interleaved pair;
     - 'vac'   — the dropped database versions: (v, NULL, 'dropped',
                 NULL)."""
     from herodb_spark.sources.database import SnapshotDatabase
@@ -90,7 +101,27 @@ def snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.delete_where("facts", F.col("key") % 7 == 3)
         t.merge_upsert("audit", audit_row(3, "delete"))
 
-    report = db.vacuum(keep_last=3)
+    # interleaved reader/writer pair — both must commit (row-granular
+    # declared read set vs the writer's recorded key hull)
+    from herodb_spark.sources.database import Transaction
+
+    t_reader = Transaction(db)
+    t_reader.__enter__()
+    n_seen = t_reader.read("facts", ranges={"key": (0, 9)}).count()
+    t_reader.merge_upsert("audit", audit_row(4, f"readset_n={n_seen}"))
+    t_writer = Transaction(db)
+    t_writer.__enter__()
+    t_writer.merge_upsert(
+        "facts",
+        spark.createDataFrame(
+            [(300 + i, 2, "iso", i) for i in range(5)],
+            "key long, grp long, name string, val long",
+        ),
+    )
+    t_writer.commit()                                     # db v6
+    t_reader.commit()                                     # db v7 — admitted
+
+    report = db.vacuum(keep_last=5)
 
     nl = F.lit(None).cast("long")
     cur = db.read("facts").select(
@@ -149,8 +180,16 @@ f2 AS (           -- post txn2: predicate update
 ),
 f3 AS (           -- post txn3: predicate delete
   SELECT * FROM f2 WHERE key % 7 <> 3
-)
-SELECT 'cur' AS leg, key, grp, name, val FROM f3
+),
+f4 AS (           -- post the interleaved writer: five iso rows
+  SELECT * FROM f3
+  UNION ALL
+  SELECT 300 + i, 2, 'iso', i FROM generate_series(0, 4) t(i)
+),
+-- the reader's declared footprint at its pin (pre-writer): keys 0..9
+-- present after the delete — 0,1,2,4..9 (3 was deleted) = 9 rows
+rd AS (SELECT COUNT(*) AS n FROM f3 WHERE key BETWEEN 0 AND 9)
+SELECT 'cur' AS leg, key, grp, name, val FROM f4
 UNION ALL
 SELECT 'tt', key, grp, name, val FROM f1
 UNION ALL
@@ -158,10 +197,17 @@ SELECT 'audit', seq, CAST(NULL AS BIGINT), what, CAST(NULL AS BIGINT)
 FROM (VALUES (CAST(0 AS BIGINT), 'create'), (1, 'upsert'),
              (2, 'update'), (3, 'delete')) a(seq, what)
 UNION ALL
--- post-vacuum history: db versions 3/4/5 pin facts 1/2/3 + audit 1/2/3
+SELECT 'audit', 4, CAST(NULL AS BIGINT), 'readset_n=' || n,
+       CAST(NULL AS BIGINT)
+FROM rd
+UNION ALL
+-- post-vacuum history: the three paired txns pin facts/audit in
+-- lockstep (3/4/5 → 1/2/3 + 1/2/3), then the interleaved writer
+-- advances facts only (v6 → facts 4) and the admitted reader audit
+-- only (v7 → audit 4)
 SELECT 'hist', v, fpin, 'txn', apin
 FROM (VALUES (CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
-             (4, 2, 2), (5, 3, 3)) h(v, fpin, apin)
+             (4, 2, 2), (5, 3, 3), (6, 4, 3), (7, 4, 4)) h(v, fpin, apin)
 UNION ALL
 SELECT 'vac', v, CAST(NULL AS BIGINT), 'dropped', CAST(NULL AS BIGINT)
 FROM (VALUES (CAST(0 AS BIGINT)), (1), (2)) d(v)

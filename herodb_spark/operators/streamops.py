@@ -161,7 +161,16 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
       then a deliberately STALE REPLAY (zeroed rows, batch_id=0) is
       offered to the sink: the (sink_id, batch_id) watermark must
       no-op it, or the zeros would overwrite the totals and the hash
-      row would go red. The leg reads the final DURABLE table."""
+      row would go red. The leg reads the final DURABLE table;
+    - 'db_sink_units' / 'db_sink_counts' (stream_db_sink, graded):
+      the MULTI-TABLE exactly-once sink — each batch fans out to two
+      member tables of a SnapshotDatabase (cumulative
+      read-modify-write routes: per-user decimal-scaled value units
+      and event counts) and publishes with ONE atomic pointer swap;
+      driven per staged batch exactly as foreachBatch drives it, then
+      a stale zeroed replay of batch 0 must no-op. Units stay exact
+      BIGINTs across batches (value is decimal(18,4)-scaled), so the
+      final tables hash against the whole-log folds."""
     import datetime
     import os
     import shutil
@@ -272,6 +281,69 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("total_value"),
         )
         sink(stale, 0)
+        # --- multi-table exactly-once sink (stream_db_sink) ---------
+        from herodb_spark.sources.database import SnapshotDatabase
+        from herodb_spark.streaming.sink import DatabaseTxnSink
+
+        db = SnapshotDatabase.create(spark, os.path.join(tmp, "db"))
+        db.create_table(
+            "t_units", spark.createDataFrame([], "user_id long, units long"),
+            key_cols=["user_id"],
+        )
+        db.create_table(
+            "t_counts", spark.createDataFrame([], "user_id long, n long"),
+            key_cols=["user_id"],
+        )
+
+        def route_units(b: DataFrame) -> DataFrame:
+            delta = b.groupBy("user_id").agg(
+                F.sum((F.col("value").cast("decimal(18,4)") * 10000).cast("long")).alias("d")
+            )
+            cur = db.read("t_units")
+            return delta.join(cur, "user_id", "left").select(
+                "user_id",
+                (F.col("d") + F.coalesce(F.col("units"), F.lit(0))).alias("units"),
+            )
+
+        def route_counts(b: DataFrame) -> DataFrame:
+            delta = b.groupBy("user_id").agg(F.count(F.lit(1)).alias("d"))
+            cur = db.read("t_counts")
+            return delta.join(cur, "user_id", "left").select(
+                "user_id",
+                (F.col("d") + F.coalesce(F.col("n"), F.lit(0))).alias("n"),
+            )
+
+        dsink = DatabaseTxnSink(
+            db, routes={"t_units": route_units, "t_counts": route_counts},
+            sink_id="pipe",
+        )
+        for i in range(4):  # exactly what foreachBatch feeds the sink
+            dsink(spark.read.parquet(os.path.join(src, f"b{i}.parquet")), i)
+        # stale replay of batch 0: the (sink_id, batch_id) watermark
+        # must no-op it or the cumulative tables double-count batch 0
+        dsink(spark.read.parquet(os.path.join(src, "b0.parquet")), 0)
+        db_units = (
+            db.read("t_units")
+            .where(F.col("user_id") >= 0)
+            .select(
+                F.lit("db_sink_units").alias("win_kind"),
+                F.lit(None).cast("string").alias("window_start"),
+                F.col("user_id").cast("string").alias("event_type"),
+                F.lit(None).cast("long").alias("n_events"),
+                F.round(F.col("units") / 10000.0, 2).alias("total_value"),
+            )
+        )
+        db_counts = (
+            db.read("t_counts")
+            .where(F.col("user_id") >= 0)
+            .select(
+                F.lit("db_sink_counts").alias("win_kind"),
+                F.lit(None).cast("string").alias("window_start"),
+                F.col("user_id").cast("string").alias("event_type"),
+                F.col("n").alias("n_events"),
+                F.lit(None).cast("double").alias("total_value"),
+            )
+        )
         sink_leg = (
             snap.read()
             .where(F.col("user_id") >= 0)
@@ -311,7 +383,9 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return (
-            spend.unionByName(sess).unionByName(sink_leg).localCheckpoint(eager=True)
+            spend.unionByName(sess).unionByName(sink_leg)
+            .unionByName(db_units).unionByName(db_counts)
+            .localCheckpoint(eager=True)
         )
     finally:
         for q in queries:  # availableNow self-terminates; belt-and-braces
@@ -374,6 +448,20 @@ SELECT * FROM (
          CAST(user_id AS VARCHAR),
          COUNT(*),
          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+  FROM events GROUP BY user_id
+  UNION ALL
+  SELECT 'db_sink_units',
+         CAST(NULL AS VARCHAR),
+         CAST(user_id AS VARCHAR),
+         CAST(NULL AS BIGINT),
+         CAST(ROUND(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) / 10000.0, 2) AS DOUBLE)
+  FROM events GROUP BY user_id
+  UNION ALL
+  SELECT 'db_sink_counts',
+         CAST(NULL AS VARCHAR),
+         CAST(user_id AS VARCHAR),
+         COUNT(*),
+         CAST(NULL AS DOUBLE)
   FROM events GROUP BY user_id
   UNION ALL
   SELECT 'stateful_session_30m',
