@@ -327,6 +327,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # form of decontamination (model-card overlap reporting); GRADED
     # via the corpus_ops tag-union (contam branch)
     "corpus_contamination_score": CO.corpus_contamination_score,
+    # round 10: PPS (probability-proportional-to-size) Bernoulli
+    # sampling — exact integer md5-threshold inclusion ∝ n_tokens
+    "traindata_pps_sample": TD.traindata_pps_sample,
+    # round 10: first/last-touch purchase attribution over the event
+    # log — GRADED via the events_analytics tag-union (attrib branch)
+    "events_attribution": O.events_attribution,
 }
 
 
@@ -445,6 +451,8 @@ ORACLES: dict[str, str] = {
     "events_retention": O.EVENTS_RETENTION_SQL,
     "traindata_dsir_weights": TD.TRAINDATA_DSIR_SQL,
     "corpus_contamination_score": CO.CORPUS_CONTAMINATION_SCORE_SQL,
+    "traindata_pps_sample": TD.TRAINDATA_PPS_SQL,
+    "events_attribution": O.EVENTS_ATTRIBUTION_SQL,
 }
 
 

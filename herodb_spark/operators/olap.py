@@ -339,13 +339,22 @@ ORDER BY cohort_week, weeks_since
 def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of events_funnel (ordered signup→click→
     purchase completion with exact µs step durations) +
-    events_retention (weekly cohort retention counts) — the
-    event-analytics pair rotated into the graded window in round 9
-    (same tag-union contract as agg_cube_pivot). Both constituents
-    keep their own functions/oracles as standalone registry entries
-    and in tests/test_olap.py; each plan executes unchanged inside
-    its union branch."""
+    events_retention (weekly cohort retention counts) + (since round
+    10) events_attribution (first/last-touch purchase attribution) —
+    the event-analytics family in one graded slot (same tag-union
+    contract as agg_cube_pivot). All constituents keep their own
+    functions/oracles as standalone registry entries and in
+    tests/test_olap.py; each plan executes unchanged inside its union
+    branch. The attrib branch carries (last_click, first_click,
+    lag_us) per purchase; n_touches stays in the standalone hash."""
     nl = F.lit(None).cast("long")
+    at = events_attribution(spark, sf_dir).select(
+        F.lit("attrib").alias("op"),
+        F.lpad(F.col("purchase_id").cast("string"), 12, "0").alias("k"),
+        F.col("last_click_id").alias("v1"),
+        F.col("first_click_id").alias("v2"),
+        F.col("lag_us").alias("v3"),
+    )
     fu = events_funnel(spark, sf_dir).select(
         F.lit("funnel").alias("op"),
         F.col("user_id").cast("string").alias("k"),
@@ -360,7 +369,110 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").alias("v2"),
         nl.alias("v3"),
     )
-    return fu.unionByName(re).orderBy("op", "k", "v1")
+    return fu.unionByName(re).unionByName(at).orderBy("op", "k", "v1")
+
+
+# EVENTS_ANALYTICS_SQL is defined at the bottom of this module: its
+# attrib branch embeds the attribution core SQL, declared there.
+
+
+# --------------------------------------------------------------- attribution
+
+ATTR_WINDOW_MIN = 30  # same time bound as the stream interval join
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-touch ATTRIBUTION over the event log — the companion
+    to the funnel: for every purchase, which click gets the credit?
+    Last-touch (the latest click in the (p_ts − W, p_ts] window, ties
+    to the highest click_id) and first-touch (the earliest, ties to
+    the lowest click_id) per purchase, the touch count, and the exact
+    µs lag from the credited last touch to the purchase. Purchases
+    with no qualifying click keep NULL attribution — the unattributed
+    bucket every marketing report carries.
+
+    Plan (100-TB shape): one user-keyed join of purchases to clicks
+    with the time bound in the join condition (the batch shape of the
+    stream-stream interval join), then ONE purchase-keyed aggregate —
+    min/max over (ts, click_id) structs, so first/last and their tie
+    breaks come out of the same map-side-combined pass. No windows
+    over the raw log; shuffles only on user_id / purchase_id (AQE
+    splits hot users).
+
+    GRADED via the events_analytics tag-union since round 10 (attrib
+    branch); this standalone entry + oracle kept."""
+    ev = load_table(spark, sf_dir, "events")
+    # ts may load as TIMESTAMP_NTZ; under the pinned UTC session tz
+    # the cast to TIMESTAMP is value-identity
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        us("ts").alias("p_us"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        us("ts").alias("c_us"),
+    )
+    win_us = ATTR_WINDOW_MIN * 60 * 1_000_000
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_us") <= F.col("p_us"))
+        & (F.col("c_us") > F.col("p_us") - F.lit(win_us)),
+        "left",
+    )
+    agg = j.groupBy("purchase_id", "user_id", "p_us").agg(
+        F.count("click_id").alias("n_touches"),
+        F.max(F.struct("c_us", "click_id")).alias("last_t"),
+        F.min(F.struct("c_us", "click_id")).alias("first_t"),
+    )
+    return (
+        agg.select(
+            "purchase_id",
+            "user_id",
+            "n_touches",
+            F.col("first_t.click_id").alias("first_click_id"),
+            F.col("last_t.click_id").alias("last_click_id"),
+            (F.col("p_us") - F.col("last_t.c_us")).alias("lag_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+_ATTRIBUTION_CORE_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.purchase_id, p.user_id, p.p_us, c.click_id, c.c_us,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.c_us DESC, c.click_id DESC) AS rk_last,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.c_us ASC, c.click_id ASC) AS rk_first
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id
+   AND c.c_us <= p.p_us
+   AND c.c_us > p.p_us - {ATTR_WINDOW_MIN * 60 * 1_000_000}
+)
+SELECT purchase_id,
+       MIN(user_id) AS user_id,
+       CAST(COUNT(click_id) AS BIGINT) AS n_touches,
+       MIN(CASE WHEN rk_first = 1 THEN click_id END) AS first_click_id,
+       MIN(CASE WHEN rk_last = 1 THEN click_id END) AS last_click_id,
+       MIN(CASE WHEN rk_last = 1 THEN p_us - c_us END) AS lag_us
+FROM j GROUP BY purchase_id
+"""
+
+EVENTS_ATTRIBUTION_SQL = f"""
+SELECT * FROM ({_ATTRIBUTION_CORE_SQL}) ORDER BY purchase_id
+"""
 
 
 EVENTS_ANALYTICS_SQL = f"""
@@ -371,5 +483,9 @@ UNION ALL
 SELECT 'retention', CAST(cohort_week AS VARCHAR),
        CAST(weeks_since AS BIGINT), CAST(n_users AS BIGINT), CAST(NULL AS BIGINT)
 FROM ({EVENTS_RETENTION_SQL})
+UNION ALL
+SELECT 'attrib', lpad(CAST(purchase_id AS VARCHAR), 12, '0'),
+       last_click_id, first_click_id, lag_us
+FROM ({_ATTRIBUTION_CORE_SQL})
 ORDER BY op, k, v1
 """

@@ -1032,3 +1032,68 @@ SELECT 'dsir', lpad(CAST(doc_id AS VARCHAR), 12, '0'), n_tokens,
 FROM ({_DSIR_CORE_SQL})
 ORDER BY op, source
 """
+
+
+# ---------------------------------------------------------------------------
+# PPS (probability-proportional-to-size) Bernoulli sampling — round 10
+# ---------------------------------------------------------------------------
+
+PPS_TARGET_TOKENS = 400  # inclusion probability = min(1, n_tokens / 400)
+_PPS_SCALE = (1 << 32) // PPS_TARGET_TOKENS  # per-token threshold step
+_U32 = 1 << 32
+
+
+def traindata_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS (probability-proportional-to-size) Bernoulli
+    sampling: include each document with probability
+    min(1, n_tokens / PPS_TARGET_TOKENS) — the survey-sampling design
+    training pipelines use to build token-budgeted subsets where long
+    documents are proportionally more likely to be kept, without a
+    shuffle or a random number generator.
+
+    The inclusion test is EXACT INTEGER arithmetic on both engines —
+    no floats anywhere: u32 = the first 8 hex digits of
+    md5(doc_id) as a BIGINT (a uniform 32-bit value, same stable-key
+    trick as stratified_sample / export_global_shuffle), kept iff
+    u32 < min(n_tokens * ⌊2^32/PPS⌋, 2^32). Deterministic across
+    runs, engines, and cluster layouts; re-sampling = a new seed
+    folded into the key. One narrow projection + no shuffle: the
+    filter runs at the scan at any corpus size.
+
+    Output: (doc_id, n_tokens, u32, threshold, sampled), ordered —
+    u32/threshold are in the hash so the driver also proves the
+    cross-engine hash parity, not just the final bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    thr = F.least(F.col("n_tokens") * F.lit(_PPS_SCALE), F.lit(_U32))
+    return (
+        per.select(
+            "doc_id",
+            "n_tokens",
+            u32.alias("u32"),
+            thr.alias("threshold"),
+            (u32 < thr).alias("sampled"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TRAINDATA_PPS_SQL = rf"""
+WITH per AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u32
+  FROM documents
+)
+SELECT doc_id, n_tokens, u32,
+       LEAST(n_tokens * {_PPS_SCALE}, {_U32}) AS threshold,
+       u32 < LEAST(n_tokens * {_PPS_SCALE}, {_U32}) AS sampled
+FROM per ORDER BY doc_id
+"""

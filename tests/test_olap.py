@@ -11,6 +11,7 @@ CASES = [
     (O.asof_join, O.ASOF_JOIN_SQL),
     (O.cube_pivot_union, O.CUBE_PIVOT_SQL),
     (O.events_analytics, O.EVENTS_ANALYTICS_SQL),
+    (O.events_attribution, O.EVENTS_ATTRIBUTION_SQL),
 ]
 
 
@@ -52,3 +53,25 @@ def test_events_funnel_semantics(spark):
             assert r.to_step3_us is not None and r.to_step2_us < r.to_step3_us <= w_us
         else:
             assert r.to_step3_us is None
+
+
+def test_attribution_semantics(spark):
+    """Attribution laws at sf0.01: the credited click is inside the
+    window and belongs to the same user; lag is non-negative and under
+    the window; first <= last in time; unattributed purchases have
+    zero touches and NULL ids."""
+    sfd = "/root/testdata/sf0.01"
+    from herodb_spark.catalog import load_table
+
+    ev = {r.event_id: r for r in load_table(spark, sfd, "events").collect()}
+    out = O.events_attribution(spark, sfd).collect()
+    win_us = O.ATTR_WINDOW_MIN * 60 * 1_000_000
+    for r in out:
+        if r.n_touches == 0:
+            assert r.first_click_id is None and r.last_click_id is None
+            assert r.lag_us is None
+            continue
+        last, first, p = ev[r.last_click_id], ev[r.first_click_id], ev[r.purchase_id]
+        assert last.user_id == r.user_id == first.user_id
+        assert 0 <= r.lag_us < win_us
+        assert first.ts <= last.ts <= p.ts

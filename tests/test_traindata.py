@@ -21,6 +21,7 @@ CASES = [
     (TD.pack_sequences_budget, TD.PACK_SEQUENCES_SQL),
     (TD.export_global_shuffle, TD.EXPORT_GLOBAL_SHUFFLE_SQL),
     (TD.traindata_dsir_weights, TD.TRAINDATA_DSIR_SQL),
+    (TD.traindata_pps_sample, TD.TRAINDATA_PPS_SQL),
 ]
 
 
@@ -264,3 +265,22 @@ def test_dsir_selects_target_quota_and_prefers_target_lang(spark):
     en_all = sum(1 for d in langs.values() if d == "en") / n
     en_sel = sum(1 for r in rows if r.selected and langs[r.doc_id] == "en") / k
     assert en_sel > en_all
+
+
+def test_pps_sampling_laws(spark):
+    """PPS inclusion laws: every doc at/over the target length is
+    ALWAYS kept (threshold saturates at 2^32); the u32 draw is the
+    stable md5 unit (re-run identical); realized inclusion tracks
+    n_tokens/TARGET within a loose tolerance on the short side."""
+    sfd = "/root/testdata/sf0.01"
+    out = TD.traindata_pps_sample(spark, sfd).collect()
+    assert all(r.sampled for r in out if r.n_tokens >= TD.PPS_TARGET_TOKENS)
+    assert all(0 <= r.u32 < (1 << 32) for r in out)
+    # deterministic re-run
+    again = {r.doc_id: r.sampled for r in TD.traindata_pps_sample(spark, sfd).collect()}
+    assert all(again[r.doc_id] == r.sampled for r in out)
+    short = [r for r in out if r.n_tokens < TD.PPS_TARGET_TOKENS]
+    if len(short) >= 100:
+        expect = sum(r.n_tokens / TD.PPS_TARGET_TOKENS for r in short)
+        got = sum(1 for r in short if r.sampled)
+        assert abs(got - expect) < 6 * (expect ** 0.5) + 5, (got, expect)
