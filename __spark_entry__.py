@@ -333,6 +333,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 10: first/last-touch purchase attribution over the event
     # log — GRADED via the events_analytics tag-union (attrib branch)
     "events_attribution": O.events_attribution,
+    # round 10: FineWeb/Gopher-style quality filter cascade with the
+    # per-rule attrition waterfall (all-integer gate predicates)
+    "text_filter_cascade": X.text_filter_cascade,
 }
 
 
@@ -453,6 +456,7 @@ ORACLES: dict[str, str] = {
     "corpus_contamination_score": CO.CORPUS_CONTAMINATION_SCORE_SQL,
     "traindata_pps_sample": TD.TRAINDATA_PPS_SQL,
     "events_attribution": O.EVENTS_ATTRIBUTION_SQL,
+    "text_filter_cascade": X.TEXT_FILTER_CASCADE_SQL,
 }
 
 

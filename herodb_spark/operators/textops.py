@@ -772,3 +772,129 @@ SELECT 'nb_classifier', doc_id, score, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE
 FROM ({TEXT_NB_CLASSIFIER_SQL})
 ORDER BY op, doc_id
 """
+
+
+# ------------------------------------------------------------ filter cascade
+
+CASCADE_MIN_TOKENS = 20  # stage 1: too short to be training-worthy
+CASCADE_MEAN_LEN = (2, 10)  # stage 2: mean token length band (chars)
+CASCADE_STOP_PCT = 1  # stage 3: >= 1% stopword tokens
+CASCADE_TOP_FRAC = 5  # stage 4: top token <= 1/5 of the doc
+
+
+def text_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/Gopher-style quality FILTER CASCADE with a per-rule
+    attrition report — the composition-and-audit form of the quality
+    signals: four ordered heuristic gates, each document fails at its
+    FIRST failing stage, and the report shows how many documents each
+    rule removed from the survivors of the previous one (the waterfall
+    every public corpus paper publishes).
+
+    Stages (ALL-INTEGER predicates — ratios compared as cross-
+    multiplied BIGINTs, so both engines agree bit-for-bit):
+      1 min_tokens    n >= 20
+      2 mean_len      2 <= Σlen(token)/n <= 10   (2n <= Σlen <= 10n)
+      3 stopwords     stopword tokens >= 1% of n  (100·stop >= n)
+      4 top_token     most frequent token <= n/5  (5·maxc <= n)
+
+    Plan (100-TB shape): ZERO shuffles in the signal pass — every
+    per-doc statistic (n, Σlen, stopword count, max token count) is a
+    codegen'd higher-order array expression over the tokenized column
+    (work ∝ tokens, max-count ∝ distinct·n within one ≤64 KiB doc),
+    i.e. a pure scan predicate; only the |4|-row waterfall aggregates.
+
+    Output tag-union (op, k, v1, v2, v3):
+    - 'doc'   rows: doc_id (padded), n_tokens, fail_stage (0 = kept),
+              keep as 0/1;
+    - 'stage' rows: per-stage waterfall n_in / n_fail / n_out."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    sumlen = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    stop = F.size(F.filter(toks, lambda t: t.isin(*T.STOPWORDS_EN)))
+    maxc = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda t: t == x)),
+        )
+    )
+    lo, hi = CASCADE_MEAN_LEN
+    sig = docs.select(
+        "doc_id",
+        n.cast("long").alias("n"),
+        sumlen.cast("long").alias("sumlen"),
+        stop.cast("long").alias("stop"),
+        maxc.cast("long").alias("maxc"),
+    )
+    fail_stage = (
+        F.when(F.col("n") < CASCADE_MIN_TOKENS, 1)
+        .when(
+            (F.lit(lo) * F.col("n") > F.col("sumlen"))
+            | (F.col("sumlen") > F.lit(hi) * F.col("n")),
+            2,
+        )
+        .when(F.lit(100) * F.col("stop") < F.lit(CASCADE_STOP_PCT) * F.col("n"), 3)
+        .when(F.lit(CASCADE_TOP_FRAC) * F.col("maxc") > F.col("n"), 4)
+        .otherwise(0)
+    )
+    per = sig.select(
+        "doc_id", "n", fail_stage.cast("long").alias("fail_stage")
+    ).localCheckpoint(eager=False)
+    doc_rows = per.select(
+        F.lit("doc").alias("op"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("k"),
+        F.col("n").alias("v1"),
+        F.col("fail_stage").alias("v2"),
+        (F.col("fail_stage") == 0).cast("long").alias("v3"),
+    )
+    names = {1: "1_min_tokens", 2: "2_mean_len", 3: "3_stopwords", 4: "4_top_token"}
+    stages = None
+    for s, nm in names.items():
+        row = per.agg(
+            F.lit("stage").alias("op"),
+            F.lit(nm).alias("k"),
+            F.sum(((F.col("fail_stage") == 0) | (F.col("fail_stage") >= s)).cast("long")).alias("v1"),
+            F.sum((F.col("fail_stage") == s).cast("long")).alias("v2"),
+            F.sum(((F.col("fail_stage") == 0) | (F.col("fail_stage") > s)).cast("long")).alias("v3"),
+        )
+        stages = row if stages is None else stages.unionByName(row)
+    return doc_rows.unionByName(stages).orderBy("op", "k")
+
+
+_STAGE_CASE_SQL = f"""
+CASE WHEN n < {CASCADE_MIN_TOKENS} THEN 1
+     WHEN {CASCADE_MEAN_LEN[0]} * n > sumlen OR sumlen > {CASCADE_MEAN_LEN[1]} * n THEN 2
+     WHEN 100 * stop < {CASCADE_STOP_PCT} * n THEN 3
+     WHEN {CASCADE_TOP_FRAC} * maxc > n THEN 4
+     ELSE 0 END
+"""
+
+TEXT_FILTER_CASCADE_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(list_sum(list_transform(toks, x -> strlen(x))) AS BIGINT) AS sumlen,
+         CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL_LIST}, x))) AS BIGINT) AS stop,
+         CAST(list_max(list_transform(list_distinct(toks),
+              x -> len(list_filter(toks, y -> y = x)))) AS BIGINT) AS maxc
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+),
+per AS (
+  SELECT doc_id, n, CAST(({_STAGE_CASE_SQL}) AS BIGINT) AS fail_stage FROM sig
+)
+SELECT 'doc' AS op, lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k,
+       n AS v1, fail_stage AS v2,
+       CAST(fail_stage = 0 AS BIGINT) AS v3
+FROM per
+UNION ALL
+SELECT 'stage', nm,
+       CAST(SUM(CASE WHEN fail_stage = 0 OR fail_stage >= s THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN fail_stage = s THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN fail_stage = 0 OR fail_stage > s THEN 1 ELSE 0 END) AS BIGINT)
+FROM per, (VALUES (1, '1_min_tokens'), (2, '2_mean_len'),
+                  (3, '3_stopwords'), (4, '4_top_token')) st(s, nm)
+GROUP BY nm
+ORDER BY op, k
+"""

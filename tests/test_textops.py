@@ -15,6 +15,7 @@ CASES = [
     (X.text_analysis, X.TEXT_ANALYSIS_SQL),
     (X.text_unigram_logprob, X.TEXT_UNIGRAM_LOGPROB_SQL),
     (X.text_bigram_logprob, X.TEXT_BIGRAM_LOGPROB_SQL),
+    (X.text_filter_cascade, X.TEXT_FILTER_CASCADE_SQL),
 ]
 
 
@@ -137,3 +138,24 @@ def test_text_nb_classifier_semantics(spark):
     assert all(i % 2 == 1 for i in ids) and len(ids) == len(set(ids))
     acc = df.selectExpr("avg(cast(correct as double)) a").first().a
     assert acc > 0.25, f"accuracy {acc} not above chance"
+
+
+def test_filter_cascade_waterfall_conserves(spark):
+    """Cascade laws: the waterfall telescopes (n_out of stage s ==
+    n_in of stage s+1; n_in - n_fail == n_out), stage-1 n_in is the
+    corpus size, and per-doc fail stages reconcile with the report."""
+    sfd = "/root/testdata/sf0.01"
+    rows = X.text_filter_cascade(spark, sfd).collect()
+    docs = [r for r in rows if r.op == "doc"]
+    stages = sorted((r for r in rows if r.op == "stage"), key=lambda r: r.k)
+    assert stages[0].v1 == len(docs)
+    for a, b in zip(stages, stages[1:]):
+        assert a.v1 - a.v2 == a.v3, a
+        assert a.v3 == b.v1, (a, b)
+    last = stages[-1]
+    assert last.v3 == sum(1 for d in docs if d.v3 == 1)
+    from collections import Counter
+
+    per_stage = Counter(d.v2 for d in docs)
+    for s, st in enumerate(stages, start=1):
+        assert st.v2 == per_stage.get(s, 0), (s, st)
