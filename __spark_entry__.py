@@ -336,6 +336,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 10: FineWeb/Gopher-style quality filter cascade with the
     # per-rule attrition waterfall (all-integer gate predicates)
     "text_filter_cascade": X.text_filter_cascade,
+    # round 10: incremental crawl dedup — MinHash bands of the NEW
+    # delta probed against the existing corpus; exact all-pairs
+    # new-vs-old Jaccard oracle (same recall contract as
+    # dedup_minhash_lsh)
+    "dedup_incremental_minhash": D.dedup_incremental_minhash,
 }
 
 
@@ -457,6 +462,7 @@ ORACLES: dict[str, str] = {
     "traindata_pps_sample": TD.TRAINDATA_PPS_SQL,
     "events_attribution": O.EVENTS_ATTRIBUTION_SQL,
     "text_filter_cascade": X.TEXT_FILTER_CASCADE_SQL,
+    "dedup_incremental_minhash": D.DEDUP_INCREMENTAL_SQL,
 }
 
 

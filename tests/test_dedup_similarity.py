@@ -19,6 +19,7 @@ ORACLE_CASES = [
     # round-10 rotation unions
     (D.dedup_jaccard_fuzzy, D.DEDUP_JACCARD_FUZZY_SQL),
     (D.dedup_embedding, D.DEDUP_EMBEDDING_SQL),
+    (D.dedup_incremental_minhash, D.DEDUP_INCREMENTAL_SQL),
 ]
 
 
@@ -445,3 +446,26 @@ def test_tfidf_cosine_semantics(spark, tmp_path):
     # are kept (df ≤ cap here) but idf-downweighted, so the pair
     # scores strictly below the identical pair
     assert out.get((1, 3), 0.0) < 1.0
+
+
+@pytest.mark.parametrize("sfd", ALL_SF_DIRS, ids=["sf0.001", "sf0.01", "sf0.1"])
+def test_incremental_minhash_is_the_new_old_slice(spark, sfd):
+    """The incremental path is exactly the new×old slice of the full
+    near-dup relation: every full-dedup pair with one side in the
+    delta appears (oriented new→old), nothing else does — at every SF
+    the driver grades (same recall contract as the full path)."""
+    full = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in D.minhash_lsh_pairs(spark, sfd).collect()
+    }
+    want = set()
+    for p in full:
+        a, b = sorted(p)
+        na, nb = a % D.INCR_NEW_MOD == 0, b % D.INCR_NEW_MOD == 0
+        if na != nb:  # exactly one side in the delta
+            want.add((a, b) if na else (b, a))
+    got = {
+        (r.new_doc, r.old_doc)
+        for r in D.dedup_incremental_minhash(spark, sfd).collect()
+    }
+    assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
