@@ -341,6 +341,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new-vs-old Jaccard oracle (same recall contract as
     # dedup_minhash_lsh)
     "dedup_incremental_minhash": D.dedup_incremental_minhash,
+    # round 10: BM25 lexical retrieval top-k — the sparse half of a
+    # hybrid retriever next to the ANN family
+    "text_bm25_topk": X.text_bm25_topk,
 }
 
 
@@ -463,6 +466,7 @@ ORACLES: dict[str, str] = {
     "events_attribution": O.EVENTS_ATTRIBUTION_SQL,
     "text_filter_cascade": X.TEXT_FILTER_CASCADE_SQL,
     "dedup_incremental_minhash": D.DEDUP_INCREMENTAL_SQL,
+    "text_bm25_topk": X.TEXT_BM25_TOPK_SQL,
 }
 
 

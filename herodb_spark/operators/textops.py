@@ -898,3 +898,110 @@ FROM per, (VALUES (1, '1_min_tokens'), (2, '2_mean_len'),
 GROUP BY nm
 ORDER BY op, k
 """
+
+
+# ------------------------------------------------------------- BM25 retrieval
+
+BM25_QUERY = ("hash", "join", "vector")  # fixed benchmark query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 25
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 LEXICAL RETRIEVAL top-k — the search-engine staple the
+    similarity family lacks (ANN covers embeddings; this is the
+    sparse/lexical side of a hybrid retriever): score every document
+    against a fixed query with Robertson/Sparck-Jones BM25,
+
+        idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))
+        tf̂(t,d) = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        score   = Σ_t idf(t) · tf̂(t,d),
+
+    and return the top-k by (score desc, doc_id).
+
+    Determinism contract: every input to the float kernel is an exact
+    integer (tf, df, N, dl, Σdl) or a literal constant; the per-term
+    product is rounded to 9 dp and summed as DECIMAL(27,9)
+    (order-free), the doc score rounded to 6 dp, ties at the rounded
+    score broken by doc_id — the same float rules as the LM-perplexity
+    operators.
+
+    Plan (100-TB shape): tokenize once, FILTER to the query terms at
+    the scan (work ∝ matching tokens, not corpus tokens), one doc-
+    keyed tf aggregate; df/N/Σdl are a ≤|query|-row and a 1-row
+    broadcast; the top-k is a TakeOrdered, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
+    dl = docs.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("dl_total"),
+    )
+    qt = toks.where(F.col("t").isin(*BM25_QUERY))
+    tf = qt.groupBy("doc_id", "t").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl") * F.col("n_docs") / F.col("dl_total")
+    )
+    term = F.round(
+        idf * F.col("tf") * F.lit(BM25_K1 + 1.0) / (F.col("tf") + norm), 9
+    ).cast("decimal(27,9)")
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )
+
+
+_BM25_QUERY_SQL = "('" + "','".join(BM25_QUERY) + "')"
+
+TEXT_BM25_TOPK_SQL = rf"""
+WITH dl AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS dl_total
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents)
+  WHERE t IN {_BM25_QUERY_SQL}
+  GROUP BY doc_id, t
+),
+df AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(CAST(SUM(CAST(ROUND(
+             ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {BM25_K1 + 1.0}
+             / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl * stats.n_docs / stats.dl_total)),
+           9) AS DECIMAL(27,9))) AS DOUBLE), 6) AS score
+  FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY tf.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT doc_id, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {BM25_TOPK} ORDER BY rank
+"""

