@@ -960,10 +960,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(term).cast("double"), 6).alias("score"))
     )
+    # top-k FIRST via orderBy+limit (Spark compiles it to
+    # TakeOrderedAndProject — no global shuffle, no single-partition
+    # window over the full scored set); the rank window then runs
+    # over ≤ k rows
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(BM25_TOPK)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= BM25_TOPK)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "score")
         .orderBy("rank")
     )
