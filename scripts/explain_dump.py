@@ -123,6 +123,47 @@ QUERIES.update(
 )
 
 
+def _pps(spark, sf_dir):
+    from herodb_spark.operators import traindata as TD3
+
+    return TD3.traindata_pps_sample(spark, sf_dir)
+
+
+def _bm25(spark, sf_dir):
+    from herodb_spark.operators import textops as X
+
+    return X.text_bm25_topk(spark, sf_dir)
+
+
+def _cascade(spark, sf_dir):
+    from herodb_spark.operators import textops as X
+
+    return X.text_filter_cascade(spark, sf_dir)
+
+
+def _attrib(spark, sf_dir):
+    from herodb_spark.operators import olap as OL
+
+    return OL.events_attribution(spark, sf_dir)
+
+
+def _incr(spark, sf_dir):
+    from herodb_spark.operators import dedup as D2
+
+    return D2.dedup_incremental_minhash(spark, sf_dir)
+
+
+QUERIES.update(
+    {
+        "traindata_pps_sample (expect ONE scan + codegen filter — exact-integer md5 threshold, no shuffle before the presentation sort)": _pps,
+        "text_bm25_topk (expect scan-level term filter, broadcast df/stats, TakeOrderedAndProject — NO global sort, NO full-set window)": _bm25,
+        "text_filter_cascade (expect zero-shuffle higher-order array signals; only the 4-row waterfall aggregates)": _cascade,
+        "events_attribution (expect user-keyed time-bounded join + ONE purchase-keyed min/max-struct aggregate; no window over the raw log)": _attrib,
+        "dedup_incremental_minhash (expect new-bands x old-bands band-bucket join — work ∝ the delta, no cross join)": _incr,
+    }
+)
+
+
 QUERIES.update({
     "heroql_rules (compiled FROM HeroQL SOURCE; expect BroadcastHashJoin(LeftAnti) for `not`, nation broadcast for the deref, no Python nodes)": _heroql_rules,
     "heroql_pipeline (compiled FROM HeroQL SOURCE; expect one window pass for top-k, partial HashAggregate for group_by, single-partition window only for the final range_by)": _heroql_pipeline,
