@@ -31,6 +31,7 @@ from herodb_spark.operators import olap as O
 from herodb_spark.operators import similarity as S
 from herodb_spark.operators import streamops as ST
 from herodb_spark.operators import symtab as SY
+from herodb_spark.operators import textops as X
 from herodb_spark.operators import traindata as TD
 from herodb_spark.plans import tpch
 
@@ -56,6 +57,12 @@ BENCH_QUERIES = {
     # (r8 verdict next #6) — numbers of record from day one
     "events_funnel": O.events_funnel,
     "events_retention": O.events_retention,
+    # round-10 operators — numbers of record from day one
+    "events_attribution": O.events_attribution,
+    "traindata_pps_sample": TD.traindata_pps_sample,
+    "text_filter_cascade": X.text_filter_cascade,
+    "text_bm25_topk": X.text_bm25_topk,
+    "dedup_incremental_minhash": D.dedup_incremental_minhash,
 }
 
 
