@@ -344,6 +344,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 10: BM25 lexical retrieval top-k — the sparse half of a
     # hybrid retriever next to the ANN family
     "text_bm25_topk": X.text_bm25_topk,
+    # round 10: Adamic-Adar link prediction — degree-weighted
+    # common-neighbor evidence on the sparse undirected graph
+    "graph_adamic_adar": GX.graph_adamic_adar,
+    # round 10: hybrid retrieval — dense cosine + lexical Jaccard
+    # lists fused with Reciprocal Rank Fusion
+    "sim_hybrid_rrf": S.sim_hybrid_rrf,
 }
 
 
@@ -467,6 +473,8 @@ ORACLES: dict[str, str] = {
     "text_filter_cascade": X.TEXT_FILTER_CASCADE_SQL,
     "dedup_incremental_minhash": D.DEDUP_INCREMENTAL_SQL,
     "text_bm25_topk": X.TEXT_BM25_TOPK_SQL,
+    "graph_adamic_adar": GX.GRAPH_ADAMIC_ADAR_SQL,
+    "sim_hybrid_rrf": S.SIM_HYBRID_RRF_SQL,
 }
 
 

@@ -59,7 +59,9 @@ def _balance_partitions(emb: DataFrame) -> DataFrame:
     return emb
 
 
-def _topk_per_query(scored: DataFrame, score_col: str, k: int, rank_col: str = "rk") -> DataFrame:
+def _topk_per_query(
+    scored: DataFrame, score_col: str, k: int, rank_col: str = "rk", id_col: str = "vec_id"
+) -> DataFrame:
     """Two-phase EXACT per-query top-k.
 
     A single `row_number()` window partitioned by q_id shuffles every
@@ -80,8 +82,8 @@ def _topk_per_query(scored: DataFrame, score_col: str, k: int, rank_col: str = "
     (vec_id unique), so ranks — and output hashes — are identical to
     the single-window plan.
     """
-    pw = Window.partitionBy("q_id", "_pid").orderBy(F.desc(score_col), F.asc("vec_id"))
-    gw = Window.partitionBy("q_id").orderBy(F.desc(score_col), F.asc("vec_id"))
+    pw = Window.partitionBy("q_id", "_pid").orderBy(F.desc(score_col), F.asc(id_col))
+    gw = Window.partitionBy("q_id").orderBy(F.desc(score_col), F.asc(id_col))
     return (
         scored.withColumn("_pid", F.spark_partition_id())
         .withColumn("_prk", F.row_number().over(pw))
@@ -430,4 +432,162 @@ SELECT 'centroid', CAST(label AS BIGINT), CAST(dim AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), centroid
 FROM ({LABEL_CENTROIDS_SQL})
 ORDER BY op, label, k1, k2
+"""
+
+
+# ----------------------------------------------------------- hybrid retrieval
+
+RRF_C = 60  # the standard reciprocal-rank-fusion constant
+RRF_LIST_K = 50  # per-modality candidate list depth
+RRF_TOPK = 20  # fused results returned per query
+RRF_QUERIES = 3  # query ids 0..2 (doc_id ≡ vec_id in the testdata)
+
+
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL with Reciprocal Rank Fusion — the production
+    retriever shape: a DENSE ranking (exact cosine over the embedding
+    column) and a LEXICAL ranking (exact 3-gram Jaccard against the
+    query document's text) fused per query as
+
+        rrf(d) = Σ_lists 1 / (C + rank_list(d)),   C = 60
+
+    over the top-RRF_LIST_K of each list; top-RRF_TOPK fused results
+    per query. Queries are documents 0..RRF_QUERIES-1 (doc_id ≡
+    vec_id in the testdata).
+
+    Plan (100-TB shape): the dense side broadcasts the query vectors
+    over the corpus's natural scan partitions and ranks with the
+    two-phase exact top-k (no keyed repartition); the lexical side is
+    the INVERTED-INDEX shape — candidates are docs sharing ≥ 1 shingle
+    with a query (one shuffle on the shingle key), never a text cross
+    join; the fusion itself is a tiny (queries × 2·K)-row outer join.
+
+    Determinism: both list ranks order by (rounded score desc, doc_id)
+    — total orders; rrf terms are exact reciprocals of small ints,
+    rounded to 9 dp and summed; fused ties broken by doc_id."""
+    from herodb_spark.operators.dedup import _jaccard, _with_shingles
+
+    emb = _balance_partitions(load_table(spark, sf_dir, "embeddings"))
+    docs = load_table(spark, sf_dir, "documents")
+
+    # dense list: exact cosine, two-phase top-k
+    q_emb = F.broadcast(
+        emb.where(F.col("vec_id") < RRF_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    cos = V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6)
+    dense_scored = (
+        q_emb.crossJoin(emb)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("doc_id"), cos.alias("score"))
+    )
+    dense = _topk_per_query(dense_scored, "score", RRF_LIST_K, id_col="doc_id").select(
+        "q_id", "doc_id", F.col("rk").alias("dense_rank")
+    )
+
+    # lexical list: inverted-index candidates, exact jaccard vs the
+    # query document's shingle set
+    sh = _with_shingles(docs).localCheckpoint(eager=True)
+    q_sh = F.broadcast(
+        sh.where(F.col("doc_id") < RRF_QUERIES).select(
+            F.col("doc_id").alias("q_id"), F.col("sh").alias("q_sh")
+        )
+    )
+    lex_scored = (
+        sh.select("doc_id", F.explode("sh").alias("s"))
+        .join(
+            q_sh.select("q_id", F.explode("q_sh").alias("s")),
+            "s",
+        )
+        .where(F.col("doc_id") != F.col("q_id"))
+        .select("q_id", "doc_id")
+        .distinct()
+        .join(q_sh, "q_id")
+        .join(sh, "doc_id")
+        .select(
+            "q_id",
+            "doc_id",
+            F.round(_jaccard(F.col("q_sh"), F.col("sh")), 6).alias("score"),
+        )
+    )
+    lex = _topk_per_query(lex_scored, "score", RRF_LIST_K, id_col="doc_id").select(
+        "q_id", "doc_id", F.col("rk").alias("lex_rank")
+    )
+
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("dense_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("lex_rank")), F.lit(0.0)),
+        9,
+    )
+    fused = (
+        dense.join(lex, ["q_id", "doc_id"], "full_outer")
+        .select("q_id", "doc_id", "dense_rank", "lex_rank", rrf.alias("rrf"))
+    )
+    return (
+        _topk_per_query(fused, "rrf", RRF_TOPK, rank_col="rank", id_col="doc_id")
+        .select("q_id", "rank", "doc_id", "dense_rank", "lex_rank", "rrf")
+        .orderBy("q_id", "rank")
+    )
+
+
+SIM_HYBRID_RRF_SQL = rf"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+qv AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < {RRF_QUERIES}),
+dense_scored AS (
+  SELECT qv.q_id, e.vec_id AS doc_id,
+         ROUND(list_sum(list_transform(range(1, len(qv.q_emb) + 1), i -> qv.q_emb[i] * e.emb[i]))
+               / (sqrt(list_sum(list_transform(qv.q_emb, x -> x * x)))
+                  * sqrt(list_sum(list_transform(e.emb, x -> x * x)))), 6) AS score
+  FROM qv, e WHERE e.vec_id <> qv.q_id
+),
+dense AS (
+  SELECT q_id, doc_id, rk AS dense_rank FROM (
+    SELECT q_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
+    FROM dense_scored
+  ) WHERE rk <= {RRF_LIST_K}
+),
+t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
+           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i+2])) AS sh
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+),
+qt AS (SELECT doc_id AS q_id, sh AS q_sh FROM t WHERE doc_id < {RRF_QUERIES}),
+lex_scored AS (
+  SELECT qt.q_id, t.doc_id,
+         ROUND(CAST(len(list_intersect(qt.q_sh, t.sh)) AS DOUBLE)
+               / (len(qt.q_sh) + len(t.sh) - len(list_intersect(qt.q_sh, t.sh))), 6) AS score
+  FROM qt, t
+  WHERE t.doc_id <> qt.q_id AND len(list_intersect(qt.q_sh, t.sh)) >= 1
+),
+lex AS (
+  SELECT q_id, doc_id, rk AS lex_rank FROM (
+    SELECT q_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
+    FROM lex_scored
+  ) WHERE rk <= {RRF_LIST_K}
+),
+fused AS (
+  SELECT COALESCE(dense.q_id, lex.q_id) AS q_id,
+         COALESCE(dense.doc_id, lex.doc_id) AS doc_id,
+         dense.dense_rank, lex.lex_rank,
+         ROUND(COALESCE(1.0 / ({RRF_C} + dense.dense_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_C} + lex.lex_rank), 0.0), 9) AS rrf
+  FROM dense FULL OUTER JOIN lex
+    ON dense.q_id = lex.q_id AND dense.doc_id = lex.doc_id
+)
+SELECT q_id, rank, doc_id, dense_rank, lex_rank, rrf FROM (
+  SELECT q_id, doc_id, dense_rank, lex_rank, rrf,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {RRF_TOPK} ORDER BY q_id, rank
 """

@@ -20,6 +20,7 @@ ORACLE_CASES = [
     (D.dedup_jaccard_fuzzy, D.DEDUP_JACCARD_FUZZY_SQL),
     (D.dedup_embedding, D.DEDUP_EMBEDDING_SQL),
     (D.dedup_incremental_minhash, D.DEDUP_INCREMENTAL_SQL),
+    (S.sim_hybrid_rrf, S.SIM_HYBRID_RRF_SQL),
 ]
 
 
@@ -469,3 +470,32 @@ def test_incremental_minhash_is_the_new_old_slice(spark, sfd):
         for r in D.dedup_incremental_minhash(spark, sfd).collect()
     }
     assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
+
+
+def test_hybrid_rrf_fusion_laws(spark):
+    """RRF laws at sf0.01: per query the fused ranks are the 1..k
+    prefix in non-increasing rrf order; every fused doc appears in at
+    least one modality list; a doc present in BOTH lists outranks any
+    doc whose best single-list rank is not better than both of its
+    ranks (dominance)."""
+    sfd = "/root/testdata/sf0.01"
+    rows = S.sim_hybrid_rrf(spark, sfd).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(S.RRF_QUERIES))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        vals = [r.rrf for r in rs]
+        assert vals == sorted(vals, reverse=True)
+        for r in rs:
+            assert r.dense_rank is not None or r.lex_rank is not None
+            # dominance: strictly better on both lists => higher rrf
+            for o in rs:
+                if (
+                    r.dense_rank is not None and o.dense_rank is not None
+                    and r.lex_rank is not None and o.lex_rank is not None
+                    and r.dense_rank < o.dense_rank and r.lex_rank < o.lex_rank
+                ):
+                    assert r.rrf > o.rrf

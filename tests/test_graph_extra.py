@@ -84,3 +84,25 @@ def test_twophase_cc_converges_logarithmically_on_path_graph(spark):
     und = df.unionByName(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     got = {(r.node, r.comp) for r in connected_components_twophase(und, max_iters=8).collect()}
     assert got == {(i, 0) for i in range(25)}
+
+
+def test_adamic_adar_oracle(spark, sf_dir, duck):
+    res = compare(GX.graph_adamic_adar(spark, sf_dir), GX.GRAPH_ADAMIC_ADAR_SQL, duck)
+    assert res["ok"], res
+
+
+def test_adamic_adar_agrees_with_common_neighbors(spark, sf_dir):
+    """AA laws: same pair set as graph_common_neighbors (both gate on
+    cn >= 2, non-adjacent, a<b), identical counts, every score > 0,
+    and a pair can only outscore another with MORE common neighbors
+    when its neighbors are lower degree (spot: score <= cn / ln(2))."""
+    import math
+
+    cn = {(r.a, r.b): r.common_neighbors
+          for r in GX.graph_common_neighbors(spark, sf_dir).collect()}
+    aa = {(r.a, r.b): (r.common_neighbors, r.adamic_adar)
+          for r in GX.graph_adamic_adar(spark, sf_dir).collect()}
+    assert set(cn) == set(aa)
+    for k, (n, score) in aa.items():
+        assert n == cn[k]
+        assert 0 < score <= n / math.log(2) + 1e-9, (k, n, score)
