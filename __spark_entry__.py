@@ -350,6 +350,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 10: hybrid retrieval — dense cosine + lexical Jaccard
     # lists fused with Reciprocal Rank Fusion
     "sim_hybrid_rrf": S.sim_hybrid_rrf,
+    # round 10: first-order Markov next-event transition matrix over
+    # sessionized event streams
+    "events_transition_matrix": O.events_transition_matrix,
 }
 
 
@@ -475,6 +478,7 @@ ORACLES: dict[str, str] = {
     "text_bm25_topk": X.TEXT_BM25_TOPK_SQL,
     "graph_adamic_adar": GX.GRAPH_ADAMIC_ADAR_SQL,
     "sim_hybrid_rrf": S.SIM_HYBRID_RRF_SQL,
+    "events_transition_matrix": O.EVENTS_TRANSITION_SQL,
 }
 
 

@@ -489,3 +489,69 @@ SELECT 'attrib', lpad(CAST(purchase_id AS VARCHAR), 12, '0'),
 FROM ({_ATTRIBUTION_CORE_SQL})
 ORDER BY op, k, v1
 """
+
+
+# ------------------------------------------------------ event transition model
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov TRANSITION MATRIX over the event log — the
+    next-event model behind product analytics (sankey/flow diagrams,
+    anomaly baselines, session simulation): for every ordered pair of
+    event types (a → b) where b is the SAME USER's next event within
+    a session (gap < 30 min, the package-wide session boundary),
+    the transition count and probability P(next=b | cur=a); rows also
+    cover the terminal case (a → '∅' when the session ends after a).
+
+    Exactness: counts are BIGINTs; probabilities are ROUND(cnt/total,
+    6) — a single exact division per row. Ties/order never matter
+    (it's a pure aggregate).
+
+    Plan (100-TB shape): ONE user-keyed window pass (lead over the
+    time-ordered per-user stream — the sessionizer's exact shuffle,
+    reusable when both run), then a |types|²-sized aggregate;
+    the matrix is broadcast-sized at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    nxt_type = F.lead("event_type").over(w)
+    nxt_us = F.lead(us).over(w)
+    gap_us = 30 * 60 * 1_000_000
+    b = F.when(
+        nxt_type.isNotNull() & (nxt_us - us < gap_us), nxt_type
+    ).otherwise(F.lit("∅"))
+    pairs = ev.select(F.col("event_type").alias("cur"), b.alias("nxt"))
+    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy("cur").agg(F.sum("cnt").alias("total"))
+    return (
+        counts.join(totals, "cur")
+        .select(
+            "cur",
+            "nxt",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("prob"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+EVENTS_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS nxt_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_type) AS nxt_us
+  FROM events
+),
+pairs AS (
+  SELECT cur,
+         CASE WHEN nxt_type IS NOT NULL AND nxt_us - us < 30 * 60 * 1000000
+              THEN nxt_type ELSE '∅' END AS nxt
+  FROM seq
+),
+counts AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY cur, nxt),
+totals AS (SELECT cur, SUM(cnt) AS total FROM counts GROUP BY cur)
+SELECT counts.cur AS cur, nxt, cnt, ROUND(CAST(cnt AS DOUBLE) / total, 6) AS prob
+FROM counts JOIN totals ON counts.cur = totals.cur
+ORDER BY counts.cur, nxt
+"""

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from herodb_spark.operators import olap as O
 from tests.harness import compare
@@ -12,6 +13,7 @@ CASES = [
     (O.cube_pivot_union, O.CUBE_PIVOT_SQL),
     (O.events_analytics, O.EVENTS_ANALYTICS_SQL),
     (O.events_attribution, O.EVENTS_ATTRIBUTION_SQL),
+    (O.events_transition_matrix, O.EVENTS_TRANSITION_SQL),
 ]
 
 
@@ -75,3 +77,28 @@ def test_attribution_semantics(spark):
         assert last.user_id == r.user_id == first.user_id
         assert 0 <= r.lag_us < win_us
         assert first.ts <= last.ts <= p.ts
+
+
+def test_transition_matrix_is_row_stochastic(spark):
+    """Transition laws at sf0.01: per cur-state, counts sum to the
+    number of events of that type and probs sum to ~1 (6dp rounding);
+    every state also has an explicit terminal mass unless its every
+    occurrence is followed within the gap."""
+    sfd = "/root/testdata/sf0.01"
+    from herodb_spark.catalog import load_table
+
+    rows = O.events_transition_matrix(spark, sfd).collect()
+    per_type = {
+        r.event_type: r.n
+        for r in load_table(spark, sfd, "events")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    from collections import defaultdict
+
+    cnt, prob = defaultdict(int), defaultdict(float)
+    for r in rows:
+        cnt[r.cur] += r.cnt
+        prob[r.cur] += r.prob
+    assert cnt == dict(per_type)
+    for c, p in prob.items():
+        assert abs(p - 1.0) < 1e-4, (c, p)
