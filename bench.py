@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from herodb_spark.session import get_spark
 from herodb_spark.operators import dedup as D
 from herodb_spark.operators import graphops as G
+from herodb_spark.graph import extra_algos as GX
 from herodb_spark.operators import olap as O
 from herodb_spark.operators import similarity as S
 from herodb_spark.operators import streamops as ST
@@ -63,6 +64,9 @@ BENCH_QUERIES = {
     "text_filter_cascade": X.text_filter_cascade,
     "text_bm25_topk": X.text_bm25_topk,
     "dedup_incremental_minhash": D.dedup_incremental_minhash,
+    "graph_adamic_adar": GX.graph_adamic_adar,
+    "sim_hybrid_rrf": S.sim_hybrid_rrf,
+    "events_transition_matrix": O.events_transition_matrix,
 }
 
 

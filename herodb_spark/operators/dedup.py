@@ -106,14 +106,7 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     compute exact Jaccard, keep pairs at or above the threshold. One
     definition so the threshold/rounding contract cannot drift between
     the two graded operators."""
-    jac = _jaccard(F.col("sh_a"), F.col("sh_b"))
-    return (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _verify_jaccard_unordered(cand, sh).orderBy("doc_a", "doc_b")
 
 
 def ngram_jaccard_pairs(

@@ -181,22 +181,28 @@ def heroql_durable_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from herodb_spark.sources.snapshot import SnapshotTable
 
-    tmp = tempfile.mkdtemp(prefix="heroql_snap_")
-    seed = spark.createDataFrame([], "k long, v long")
-    snap = SnapshotTable.create(spark, os.path.join(tmp, "ledger"), seed, key_cols=["k"])
-    hql = HeroQL(spark)
-    hql.register_snapshot("Ledger", snap)
-    res = hql.run("""
-        set Ledger(1, 10);
-        set Ledger(2, 20);
-        set Ledger(3, 30);
-        set Ledger(4, 0);
-        update Ledger(k, v) :- k <= 2, v = v * 10;
-        remove Ledger(_, v) :- v == 0;
+    import shutil
 
-        query (k, v) :- Ledger(k, v);
-    """)
-    return res.queries[0]
+    tmp = tempfile.mkdtemp(prefix="heroql_snap_")
+    try:
+        seed = spark.createDataFrame([], "k long, v long")
+        snap = SnapshotTable.create(spark, os.path.join(tmp, "ledger"), seed, key_cols=["k"])
+        hql = HeroQL(spark)
+        hql.register_snapshot("Ledger", snap)
+        res = hql.run("""
+            set Ledger(1, 10);
+            set Ledger(2, 20);
+            set Ledger(3, 30);
+            set Ledger(4, 0);
+            update Ledger(k, v) :- k <= 2, v = v * 10;
+            remove Ledger(_, v) :- v == 0;
+
+            query (k, v) :- Ledger(k, v);
+        """)
+        # materialize (report-sized) so the staging table can be freed
+        return res.queries[0].localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _INSTALL_DDL = """
@@ -366,54 +372,60 @@ def heroql_maintenance_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     heroql_maintenance, heroql_program_log, and heroql_zone_map_
     pushdown SURVEY rows."""
     import os
+    import shutil
     import tempfile
 
     from herodb_spark.sources.snapshot import SnapshotTable
 
     tmp = tempfile.mkdtemp(prefix="heroql_mnt_")
-    seed = spark.range(8).selectExpr(
-        "id AS k", "id * 2 AS x", "CAST(id % 2 AS LONG) AS g"
-    )
-    snap = SnapshotTable.create(
-        spark, os.path.join(tmp, "t"), seed, key_cols=["k"], partition_col="g"
-    )
-    hql = HeroQL(spark)
-    hql.register_snapshot("T", snap)
-    hql.run("set T(100, 1, 0); set T(101, 2, 1);")
-    hql.run("update T(k, x, g) :- k == 100, x = x + 7;")
-    hql.run("optimize T cluster_by (x);")
-    hql.run("vacuum T keep 3;")
-    ns = F.lit(None).cast("string")
-    nb = F.lit(None).cast("long")
-    content = hql.run("query (k, x, g) :- T(k, x, g);").queries[0].select(
-        F.lit("content").alias("leg"),
-        F.col("g").cast("string").alias("k2"),
-        ns.alias("k3"),
-        F.col("k").cast("long").alias("n1"),
-        F.col("x").cast("long").alias("n2"),
-    )
-    pushdown = hql.run(
-        "query (k, x) :- T(k, x, _), k >= 100;"
-    ).queries[0].select(
-        F.lit("pushdown").alias("leg"),
-        ns.alias("k2"),
-        ns.alias("k3"),
-        F.col("k").cast("long").alias("n1"),
-        F.col("x").cast("long").alias("n2"),
-    )
-    hist = hql.run(
-        "query (ver, op, prog) :- history(T, ver, op, prog);"
-    ).queries[0].select(
-        F.lit("hist").alias("leg"),
-        F.col("op").alias("k2"),
-        F.col("prog").alias("k3"),
-        F.col("ver").cast("long").alias("n1"),
-        nb.alias("n2"),
-    )
-    return (
-        content.unionByName(pushdown).unionByName(hist)
-        .orderBy("leg", "n1", "k2")
-    )
+    try:
+        seed = spark.range(8).selectExpr(
+            "id AS k", "id * 2 AS x", "CAST(id % 2 AS LONG) AS g"
+        )
+        snap = SnapshotTable.create(
+            spark, os.path.join(tmp, "t"), seed, key_cols=["k"], partition_col="g"
+        )
+        hql = HeroQL(spark)
+        hql.register_snapshot("T", snap)
+        hql.run("set T(100, 1, 0); set T(101, 2, 1);")
+        hql.run("update T(k, x, g) :- k == 100, x = x + 7;")
+        hql.run("optimize T cluster_by (x);")
+        hql.run("vacuum T keep 3;")
+        ns = F.lit(None).cast("string")
+        nb = F.lit(None).cast("long")
+        content = hql.run("query (k, x, g) :- T(k, x, g);").queries[0].select(
+            F.lit("content").alias("leg"),
+            F.col("g").cast("string").alias("k2"),
+            ns.alias("k3"),
+            F.col("k").cast("long").alias("n1"),
+            F.col("x").cast("long").alias("n2"),
+        )
+        pushdown = hql.run(
+            "query (k, x) :- T(k, x, _), k >= 100;"
+        ).queries[0].select(
+            F.lit("pushdown").alias("leg"),
+            ns.alias("k2"),
+            ns.alias("k3"),
+            F.col("k").cast("long").alias("n1"),
+            F.col("x").cast("long").alias("n2"),
+        )
+        hist = hql.run(
+            "query (ver, op, prog) :- history(T, ver, op, prog);"
+        ).queries[0].select(
+            F.lit("hist").alias("leg"),
+            F.col("op").alias("k2"),
+            F.col("prog").alias("k3"),
+            F.col("ver").cast("long").alias("n1"),
+            nb.alias("n2"),
+        )
+        # materialize (report-sized) so the staging table can be freed
+        return (
+            content.unionByName(pushdown).unionByName(hist)
+            .orderBy("leg", "n1", "k2")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _MAINT_CORE_SQL = """
@@ -556,34 +568,44 @@ def heroql_time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from herodb_spark.sources.snapshot import SnapshotTable
 
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="heroql_tt_")
-    seed = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
-    snap = SnapshotTable.create(spark, os.path.join(tmp, "t"), seed, key_cols=["k"])
-    snap.merge_upsert(spark.createDataFrame([(3, 30)], "k long, v long"))   # v1
-    snap.delete_where(FF.col("k") == 2)                                     # v2
-    snap.update_where(FF.col("k") == 1, {"v": FF.lit(99)})                  # v3
-    snap.add_columns({"note": "string"})                                    # v4
-    snap.merge_upsert(
-        spark.createDataFrame([(4, 40, "x")], "k long, v long, note string")
-    )                                                                       # v5
-    hql = HeroQL(spark)
-    hql.register_snapshot("T", snap)
-    res = hql.run("""
+    try:
+        seed = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+        snap = SnapshotTable.create(spark, os.path.join(tmp, "t"), seed, key_cols=["k"])
+        snap.merge_upsert(spark.createDataFrame([(3, 30)], "k long, v long"))   # v1
+        snap.delete_where(FF.col("k") == 2)                                     # v2
+        snap.update_where(FF.col("k") == 1, {"v": FF.lit(99)})                  # v3
+        snap.add_columns({"note": "string"})                                    # v4
+        snap.merge_upsert(
+            spark.createDataFrame([(4, 40, "x")], "k long, v long, note string")
+        )                                                                       # v5
+        hql = HeroQL(spark)
+        hql.register_snapshot("T", snap)
+        res = hql.run("""
         query (k, v) :- T@0(k, v);
         query (k, v, note) :- T(k, v, note);
         query (k, v, chg) :- changes(T, 0, 3, k, v, chg);
-    """)
-    ns = F.lit(None).cast("string")
-    v0 = res.queries[0].select(
-        F.lit("v0").alias("part"), "k", "v", ns.alias("note"), ns.alias("chg")
-    )
-    cur = res.queries[1].select(
-        F.lit("cur").alias("part"), "k", "v", "note", ns.alias("chg")
-    )
-    cdc = res.queries[2].select(
-        F.lit("cdc").alias("part"), "k", "v", ns.alias("note"), "chg"
-    )
-    return v0.unionByName(cur).unionByName(cdc).orderBy("part", "k", "chg")
+        """)
+        ns = F.lit(None).cast("string")
+        v0 = res.queries[0].select(
+            F.lit("v0").alias("part"), "k", "v", ns.alias("note"), ns.alias("chg")
+        )
+        cur = res.queries[1].select(
+            F.lit("cur").alias("part"), "k", "v", "note", ns.alias("chg")
+        )
+        cdc = res.queries[2].select(
+            F.lit("cdc").alias("part"), "k", "v", ns.alias("note"), "chg"
+        )
+        # materialize (report-sized) so the staging table can be freed
+        return (
+            v0.unionByName(cur).unionByName(cdc)
+            .orderBy("part", "k", "chg")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 HEROQL_TIME_TRAVEL_CDC_SQL = """

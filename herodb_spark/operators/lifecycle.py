@@ -102,24 +102,23 @@ def snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.merge_upsert("audit", audit_row(3, "delete"))
 
     # interleaved reader/writer pair — both must commit (row-granular
-    # declared read set vs the writer's recorded key hull)
-    from herodb_spark.sources.database import Transaction
-
-    t_reader = Transaction(db)
-    t_reader.__enter__()
-    n_seen = t_reader.read("facts", ranges={"key": (0, 9)}).count()
-    t_reader.merge_upsert("audit", audit_row(4, f"readset_n={n_seen}"))
-    t_writer = Transaction(db)
-    t_writer.__enter__()
-    t_writer.merge_upsert(
-        "facts",
-        spark.createDataFrame(
-            [(300 + i, 2, "iso", i) for i in range(5)],
-            "key long, grp long, name string, val long",
-        ),
-    )
-    t_writer.commit()                                     # db v6
-    t_reader.commit()                                     # db v7 — admitted
+    # declared read set vs the writer's recorded key hull).
+    # nested context managers give the interleaving AND guaranteed
+    # cleanup (heartbeats/intents released on any failure): the inner
+    # writer starts after the reader's declared read and commits
+    # FIRST (inner exit, db v6); the reader commits on the outer exit
+    # (db v7) and must be ADMITTED.
+    with db.transaction() as t_reader:
+        n_seen = t_reader.read("facts", ranges={"key": (0, 9)}).count()
+        t_reader.merge_upsert("audit", audit_row(4, f"readset_n={n_seen}"))
+        with db.transaction() as t_writer:
+            t_writer.merge_upsert(
+                "facts",
+                spark.createDataFrame(
+                    [(300 + i, 2, "iso", i) for i in range(5)],
+                    "key long, grp long, name string, val long",
+                ),
+            )
 
     report = db.vacuum(keep_last=5)
 

@@ -268,9 +268,12 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         queries += [spend_q, sess_q, sink_q]
-        spend_q.awaitTermination(300)
-        sess_q.awaitTermination(300)
-        sink_q.awaitTermination(300)
+        for q in (spend_q, sess_q, sink_q):
+            # a False return means the query is STILL RUNNING — the
+            # legs would read partial state and the driver would see
+            # an opaque hash mismatch; fail loudly instead
+            if not q.awaitTermination(300):
+                raise TimeoutError(f"streaming query {q.name} did not finish in 300s")
         # exactly-once proof inside the graded plan: replay a STALE
         # batch (zeroed totals, batch_id=0). The sink's watermark must
         # no-op it — a naive sink would upsert the zeros and the

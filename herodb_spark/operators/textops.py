@@ -849,17 +849,22 @@ def text_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fail_stage").alias("v2"),
         (F.col("fail_stage") == 0).cast("long").alias("v3"),
     )
+    # ONE aggregation job for the whole waterfall (the checkpointed
+    # per-doc frame is scanned once, not once per stage), unpivoted to
+    # the 4 report rows with stack()
     names = {1: "1_min_tokens", 2: "2_mean_len", 3: "3_stopwords", 4: "4_top_token"}
-    stages = None
-    for s, nm in names.items():
-        row = per.agg(
-            F.lit("stage").alias("op"),
-            F.lit(nm).alias("k"),
-            F.sum(((F.col("fail_stage") == 0) | (F.col("fail_stage") >= s)).cast("long")).alias("v1"),
-            F.sum((F.col("fail_stage") == s).cast("long")).alias("v2"),
-            F.sum(((F.col("fail_stage") == 0) | (F.col("fail_stage") > s)).cast("long")).alias("v3"),
-        )
-        stages = row if stages is None else stages.unionByName(row)
+    aggs = []
+    for s in names:
+        aggs += [
+            F.sum(((F.col("fail_stage") == 0) | (F.col("fail_stage") >= s)).cast("long")).alias(f"in{s}"),
+            F.sum((F.col("fail_stage") == s).cast("long")).alias(f"fail{s}"),
+            F.sum(((F.col("fail_stage") == 0) | (F.col("fail_stage") > s)).cast("long")).alias(f"out{s}"),
+        ]
+    stack_args = ", ".join(f"'{nm}', in{s}, fail{s}, out{s}" for s, nm in names.items())
+    stages = per.agg(*aggs).select(
+        F.lit("stage").alias("op"),
+        F.expr(f"stack({len(names)}, {stack_args}) AS (k, v1, v2, v3)"),
+    ).select("op", "k", "v1", "v2", "v3")
     return doc_rows.unionByName(stages).orderBy("op", "k")
 
 

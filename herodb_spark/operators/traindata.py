@@ -1055,7 +1055,9 @@ def traindata_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     no floats anywhere: u32 = the first 8 hex digits of
     md5(doc_id) as a BIGINT (a uniform 32-bit value, same stable-key
     trick as stratified_sample / export_global_shuffle), kept iff
-    u32 < min(n_tokens * ⌊2^32/PPS⌋, 2^32). Deterministic across
+    u32 < (2^32 when n_tokens ≥ PPS else n_tokens·⌊2^32/PPS⌋) — the
+    explicit at-target saturation, since the floor-scale product
+    lands 96 short of 2^32. Deterministic across
     runs, engines, and cluster layouts; re-sampling = a new seed
     folded into the key. One narrow projection + no shuffle: the
     filter runs at the scan at any corpus size.
@@ -1072,7 +1074,13 @@ def traindata_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    thr = F.least(F.col("n_tokens") * F.lit(_PPS_SCALE), F.lit(_U32))
+    # saturate EXACTLY at the target: floor(2^32/400)*400 < 2^32, so a
+    # LEAST()-style cap would leave a 96/2^32 hole where an at-target
+    # doc could miss — the explicit CASE keeps the min(1, n/target)
+    # contract airtight
+    thr = F.when(
+        F.col("n_tokens") >= PPS_TARGET_TOKENS, F.lit(_U32)
+    ).otherwise(F.col("n_tokens") * F.lit(_PPS_SCALE))
     return (
         per.select(
             "doc_id",
@@ -1093,7 +1101,9 @@ WITH per AS (
   FROM documents
 )
 SELECT doc_id, n_tokens, u32,
-       LEAST(n_tokens * {_PPS_SCALE}, {_U32}) AS threshold,
-       u32 < LEAST(n_tokens * {_PPS_SCALE}, {_U32}) AS sampled
+       CASE WHEN n_tokens >= {PPS_TARGET_TOKENS} THEN {_U32}
+            ELSE n_tokens * {_PPS_SCALE} END AS threshold,
+       u32 < CASE WHEN n_tokens >= {PPS_TARGET_TOKENS} THEN {_U32}
+                  ELSE n_tokens * {_PPS_SCALE} END AS sampled
 FROM per ORDER BY doc_id
 """
