@@ -182,3 +182,156 @@ def test_lock_registering(spark, db):
     with pytest.raises(ValueError, match="no table 'ghost_table'"):
         with db.transaction() as t:
             t.merge_upsert("ghost_table", _rows(spark, [(1, 1)]))
+
+
+# ---------------------------------------------------------------------------
+# TestUtility_Lock.cpp — the S/X compatibility matrix at Table/Page/Row
+# granularity, queued-transaction picking, and deadlock, mapped onto the
+# OCC layer: "blocked" = cancel-on-validate, "compatible" = both commit.
+# ---------------------------------------------------------------------------
+
+
+def test_lock_table_granularity(spark, db):
+    """TestUtility_Lock.cpp:201 Utility_Lock_Table — at TABLE
+    granularity: S+S compatible (two whole-table readers both
+    commit), S+X incompatible on the SAME table (a whole-table
+    reader cancels when an interleaver writes it), unrelated tables
+    never conflict (covered by test_open_transactions_parallel)."""
+    from herodb_spark.sources.database import ConcurrentWriteError
+
+    # S + S: both read facts concurrently, each writing its OWN
+    # report table — shared reads never conflict, both commit
+    db.create_table(
+        "audit2", spark.createDataFrame([], "seq long, what string"), key_cols=["seq"]
+    )
+    with db.transaction() as t1:
+        n1 = t1.read("facts").count()
+        t1.merge_upsert(
+            "audit", spark.createDataFrame([(10, f"n={n1}")], "seq long, what string")
+        )
+        with db.transaction() as t2:
+            n2 = t2.read("facts").count()
+            t2.merge_upsert(
+                "audit2", spark.createDataFrame([(11, f"n={n2}")], "seq long, what string")
+            )
+    assert db.read("audit").where("seq = 10").count() == 1
+    assert db.read("audit2").where("seq = 11").count() == 1
+    # S + X on the same table: the reader must cancel
+    tr = Transaction(db)
+    tr.__enter__()
+    tr.read("facts")  # whole-table Shared
+    tr.merge_upsert(
+        "audit", spark.createDataFrame([(12, "x")], "seq long, what string")
+    )
+    with db.transaction() as tw:
+        tw.merge_upsert("facts", _rows(spark, [(50, 500)]))  # X on facts
+    with pytest.raises(ConcurrentWriteError, match="read/write set"):
+        tr.commit()
+    SnapshotDatabase(spark, db.path).recover()
+
+
+@pytest.fixture()
+def pdb(spark, tmp_path):
+    d = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "pdb"))
+    d.create_table(
+        "facts",
+        spark.createDataFrame(
+            [(i, "a" if i < 50 else "b", i) for i in range(0, 100, 10)],
+            "id long, part string, v long",
+        ),
+        key_cols=["id"],
+        partition_col="part",
+    )
+    return d
+
+
+def _prow(spark, part, ids):
+    return spark.createDataFrame(
+        [(i, part, i) for i in ids], "id long, part string, v long"
+    )
+
+
+def test_lock_page_granularity(spark, pdb):
+    """TestUtility_Lock.cpp:233 Utility_Lock_Page — at PAGE
+    (partition) granularity: X+X on DIFFERENT partitions of one
+    table both commit; X+X on the SAME rows cancels."""
+    from herodb_spark.sources.database import ConcurrentWriteError
+
+    # both enter before either publishes; the second rebases on the
+    # PUBLISHED first (disjoint partition sets proven by manifests)
+    t1 = Transaction(pdb)
+    t1.__enter__()
+    t2 = Transaction(pdb)
+    t2.__enter__()
+    t1.merge_upsert("facts", _prow(spark, "a", [1]))
+    t1.commit()
+    t2.merge_upsert("facts", _prow(spark, "b", [51]))  # other partition
+    t2.commit()
+    got = {r.id for r in pdb.read("facts").collect()}
+    assert {1, 51} <= got
+    # same rows: the loser cancels, the report naming the clashing
+    # partition (the reference's blocked-on-same-target case)
+    t3 = Transaction(pdb)
+    t3.__enter__()
+    t4 = Transaction(pdb)
+    t4.__enter__()
+    t3.merge_upsert("facts", _prow(spark, "a", [2]))
+    t3.commit()
+    with pytest.raises(ConcurrentWriteError, match="'a'"):
+        t4.merge_upsert("facts", _prow(spark, "a", [2]))
+    SnapshotDatabase(spark, pdb.path).recover()
+
+
+def test_lock_row_granularity(spark, pdb):
+    """TestUtility_Lock.cpp:267 Utility_Lock_Row — at ROW granularity:
+    X+X on DISJOINT key ranges of the SAME partition both commit
+    (recorded key hulls prove the rows distinct); the same-key case
+    is the cancel half of test_lock_page_granularity."""
+    t1 = Transaction(pdb)
+    t1.__enter__()
+    t2 = Transaction(pdb)
+    t2.__enter__()
+    t1.merge_upsert("facts", _prow(spark, "a", [3, 4]))
+    t1.commit()
+    # hulls [3,4] vs [41,42] in the SAME partition provably disjoint
+    t2.merge_upsert("facts", _prow(spark, "a", [41, 42]))
+    t2.commit()
+    got = {r.id for r in pdb.read("facts").collect()}
+    assert {3, 4, 41, 42} <= got
+
+
+def test_lock_pick_transaction_and_deadlock_info(spark, pdb):
+    """TestUtility_Lock.cpp:304/377/427 Utility_Lock_PickTransaction +
+    SimpleDeadlock + MinimizedDeadlockInfo — among conflicting
+    transactions the HIGHEST-IMPORTANCE one proceeds (here: cost),
+    and the losing side's error carries the MINIMAL conflict info —
+    its own cost and the winner's — not unrelated transactions."""
+    from herodb_spark.sources.database import ConcurrentWriteError
+
+    pdb.create_table(
+        "audit", spark.createDataFrame([], "seq long, what string"), key_cols=["seq"]
+    )
+    cheap = Transaction(pdb)
+    cheap.__enter__()
+    cheap.merge_upsert("facts", _prow(spark, "a", [5]))  # holds facts, cost 1
+    exp = Transaction(pdb)
+    exp.__enter__()
+    exp.merge_upsert(
+        "audit", spark.createDataFrame([(1, "x")], "seq long, what string")
+    )
+    exp.merge_upsert(
+        "audit", spark.createDataFrame([(2, "y")], "seq long, what string")
+    )
+    assert exp.cost > cheap.cost
+    # the expensive side wants the cheap side's table: arbitration
+    # picks the higher cost and rolls the cheaper holder back
+    exp.merge_upsert("facts", _prow(spark, "a", [6]))
+    exp.commit()
+    with pytest.raises(ConcurrentWriteError) as ei:
+        cheap.commit()
+    msg = str(ei.value)
+    assert "cost" in msg  # minimized info: the conflict's costs, named
+    got = {r.id for r in pdb.read("facts").collect()}
+    assert 6 in got and 5 not in got
+    assert pdb.read("audit").count() == 2
+    SnapshotDatabase(spark, pdb.path).recover()
