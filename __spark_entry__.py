@@ -353,6 +353,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 10: first-order Markov next-event transition matrix over
     # sessionized event streams
     "events_transition_matrix": O.events_transition_matrix,
+    # round 10: exact "data card" corpus profile — per-source /
+    # per-lang / total docs, tokens, chars, exact vocab sizes (the
+    # exact companion to the sketch-based sketch_profile)
+    "corpus_profile": CO.corpus_profile,
 }
 
 
@@ -479,6 +483,7 @@ ORACLES: dict[str, str] = {
     "graph_adamic_adar": GX.GRAPH_ADAMIC_ADAR_SQL,
     "sim_hybrid_rrf": S.SIM_HYBRID_RRF_SQL,
     "events_transition_matrix": O.EVENTS_TRANSITION_SQL,
+    "corpus_profile": CO.CORPUS_PROFILE_SQL,
 }
 
 

@@ -614,3 +614,75 @@ def _contamination_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_CONTAMINATION_SCORE_SQL = f"""
 SELECT * FROM ({_CONTAMINATION_CORE_SQL}) ORDER BY doc_id
 """
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus profile — the "data card" summary every corpus
+    release publishes, and the exact companion to the sketch-based
+    profiler (sketch_profile): per-SOURCE, per-LANG, and corpus-TOTAL
+    document counts, token totals, character totals, and exact
+    distinct-token counts, tag-unioned into (dim, k, n_docs,
+    n_tokens, n_chars, n_vocab).
+
+    All-integer outputs (hash-exact on both engines). Scale note: the
+    ONE tokenize pass feeds all three groupings; the exact per-group
+    distinct count is one (group, token)-keyed partial-agg shuffle —
+    at 100 TB the drop-in is approx_count_distinct / the HLL sketches
+    of sketch_profile, which is why both operators exist."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        F.explode(T.tokens(F.col("text"))).alias("t"),
+    ).localCheckpoint(eager=False)
+    base = docs.select("doc_id", "source", "lang", "n_chars")
+
+    def level(dim: str, key_col):
+        k = key_col if key_col is not None else F.lit("*")
+        grp_tok = tok.groupBy(k.alias("k")).agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("t").alias("n_vocab"),
+        )
+        grp_doc = base.groupBy(k.alias("k")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        return grp_doc.join(grp_tok, "k").select(
+            F.lit(dim).alias("dim"), "k", "n_docs", "n_tokens", "n_chars", "n_vocab"
+        )
+
+    out = (
+        level("source", F.col("source"))
+        .unionByName(level("lang", F.col("lang")))
+        .unionByName(level("total", None))
+    )
+    return out.orderBy("dim", "k")
+
+
+CORPUS_PROFILE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, source, lang, n_chars,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+),
+lv AS (
+  SELECT 'source' AS dim, source AS k FROM documents GROUP BY source
+  UNION ALL
+  SELECT 'lang', lang FROM documents GROUP BY lang
+  UNION ALL
+  SELECT 'total', '*'
+)
+SELECT lv.dim, lv.k,
+       (SELECT COUNT(*) FROM documents d
+        WHERE lv.dim = 'total' OR (lv.dim = 'source' AND d.source = lv.k)
+           OR (lv.dim = 'lang' AND d.lang = lv.k)) AS n_docs,
+       (SELECT COUNT(*) FROM tok
+        WHERE lv.dim = 'total' OR (lv.dim = 'source' AND tok.source = lv.k)
+           OR (lv.dim = 'lang' AND tok.lang = lv.k)) AS n_tokens,
+       (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents d
+        WHERE lv.dim = 'total' OR (lv.dim = 'source' AND d.source = lv.k)
+           OR (lv.dim = 'lang' AND d.lang = lv.k)) AS n_chars,
+       (SELECT COUNT(DISTINCT t) FROM tok
+        WHERE lv.dim = 'total' OR (lv.dim = 'source' AND tok.source = lv.k)
+           OR (lv.dim = 'lang' AND tok.lang = lv.k)) AS n_vocab
+FROM lv ORDER BY dim, k
+"""

@@ -16,6 +16,7 @@ CASES = [
     (C.vocab_topk, C.VOCAB_TOPK_SQL),
     (C.corpus_scrub_spans, C.CORPUS_SCRUB_SPANS_SQL),
     (C.corpus_contamination_score, C.CORPUS_CONTAMINATION_SCORE_SQL),
+    (C.corpus_profile, C.CORPUS_PROFILE_SQL),
 ]
 
 
@@ -164,3 +165,24 @@ def test_contamination_score_laws(spark, sf_dir):
     # shingle-able docs: survivors are exactly the unflagged ones
     assert flagged.isdisjoint(survivors)
     assert all(d in survivors for d, r in out.items() if not r.contaminated)
+
+
+def test_corpus_profile_reconciles(spark):
+    """Profile laws at sf0.01: source-level and lang-level doc/token/
+    char totals each sum to the corpus-total row; vocab per group <=
+    total vocab; totals match direct recomputation."""
+    sfd = "/root/testdata/sf0.01"
+    from herodb_spark.operators.corpus import corpus_profile
+
+    rows = corpus_profile(spark, sfd).collect()
+    total = next(r for r in rows if r.dim == "total")
+    for dim in ("source", "lang"):
+        grp = [r for r in rows if r.dim == dim]
+        assert sum(r.n_docs for r in grp) == total.n_docs
+        assert sum(r.n_tokens for r in grp) == total.n_tokens
+        assert sum(r.n_chars for r in grp) == total.n_chars
+        assert all(r.n_vocab <= total.n_vocab for r in grp)
+    from herodb_spark.catalog import load_table
+
+    docs = load_table(spark, sfd, "documents")
+    assert total.n_docs == docs.count()
