@@ -57,10 +57,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # into tag-union queries; the merged function's docstring names its
 # constituents, and every constituent keeps its own function/oracle
 # below slot 50 and in unit tests). The rows-only queries (no
-# DuckDB-expressible oracle: simhash/LSH/IVF/quantized ANN,
-# sketch_profile, semantic clusters) produce no hash signal, so they
-# must sit BEYOND slot 50 — position among the ungraded entries is
-# otherwise free.
+# DuckDB-expressible oracle: simhash/LSH/IVF ANN, sketch_profile,
+# semantic clusters) produce no hash signal, so they must sit BEYOND
+# slot 50 — position among the ungraded entries is otherwise free.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # A. relational core (Datalog rule surface)
     "rel_scan_filter_project": R.scan_filter_project,
@@ -80,7 +79,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # C. graph
     "graph_node_metrics": G.graph_node_metrics,  # merges degree + two_hop + connected_components + kcore
     "graph_seed_paths": G.graph_seed_paths,  # merges shortest_hops (⊇ reachable set) + weighted_sssp
-    "graph_motifs": GX.graph_motifs,  # merges graph_triangles + graph_common_neighbors (tag-union)
+    # merges triangles + common_neighbors + (r11) adamic_adar
+    "graph_motifs": GX.graph_motifs,
     "graph_pagerank": G.graph_pagerank,
     # D. mutation statements (merges upsert + update_where +
     # delete_where pipeline AND for_query_set since round 7)
@@ -117,7 +117,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Took the slot the agg_topk_suite pair-merge freed.
     "snapshot_maintenance": LC.snapshot_maintenance,
     # merges ngram_jaccard (df-capped) + fuzzy Levenshtein (r8) +
-    # tf-idf cosine pairs (r9) + exact hash-groupBy dedup (r10)
+    # tf-idf cosine pairs (r9) + exact hash-groupBy dedup (r10) +
+    # incremental new-crawl minhash vs its exact new×old oracle (r11)
     "dedup_jaccard_fuzzy": D.dedup_jaccard_fuzzy,
     "dedup_minhash_lsh": D.minhash_lsh_pairs,
     # round 10: grades the hyperplane-LSH plan AND the exact all-pairs
@@ -128,21 +129,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (promoted into the graded window in round 7)
     "dedup_cluster_canonical": D.dedup_cluster_canonical,
     # G. similarity search / corpus pipeline
-    "ann_bruteforce_topk": S.ann_bruteforce_topk,
-    "sim_knn_centroids": S.sim_knn_centroids,  # merges knn_join_blocked + label_centroids
+    # round 11: merges ann_bruteforce_topk + ann_quantized_topk — the
+    # quantized rerank output equals the exact top-k (recall-is-total
+    # asserted per-SF in tests, the dedup_minhash_lsh contract), so
+    # both branches grade against the exact brute-force oracle
+    "ann_suite": S.ann_suite,
+    # merges knn_join_blocked + label_centroids + (r11) text_bm25_topk
+    # + sim_hybrid_rrf — the retrieval family
+    "sim_knn_centroids": S.sim_knn_centroids,
     "skew_join_salted": SK.skew_join_salted,
-    # merges decontaminate + stratified_sample + vocab_topk + scrub_spans
+    # merges decontaminate + stratified_sample + vocab_topk +
+    # scrub_spans + contamination_score + (r11) corpus_profile
     "corpus_ops": CO.corpus_ops,
     # H. text analysis (merges token_count/quality/lang_id/fingerprint)
     "text_analysis": X.text_analysis,
     # extended text quality: merges repetition_pii + unigram-LM +
-    # bigram-LM logprob (r8) + NB classifier (rotated in in round 9)
+    # bigram-LM logprob (r8) + NB classifier (r9) + the FineWeb/Gopher
+    # filter cascade with its attrition waterfall (r11)
     "text_quality_ext": X.text_quality_ext,
     # F3. training-data export family (merged pairs; every constituent
     # keeps its standalone entry + oracle below — round-7 rebalance so
     # the driver officially grades the LLM-pipeline surface)
     "traindata_spans": TD.traindata_spans,  # merges dedup_span_exact + dedup_span_maximal
-    "traindata_mixture": TD.traindata_mixture,  # merges mixture_sample + mixture_upsample
+    # merges mixture_sample + mixture_upsample + dsir (r10) + pps (r11)
+    "traindata_mixture": TD.traindata_mixture,
     "traindata_export": TD.traindata_export,  # merges shard_manifest + pack_sequences + global_shuffle (r8) + chunk_documents (r9)
     # I. multimodal plumbing (merges binary_meta + frame_sample)
     "mm_pipeline": MM.mm_pipeline,
@@ -176,7 +186,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # that freed the graded slot for events_analytics below)
     "constraints_typed": CN.constraints_typed,
     # round 9: ordered funnel + weekly cohort retention rotated INTO
-    # the graded window (tag-union of the r8 event-analytics pair)
+    # the graded window (tag-union of the r8 event-analytics pair);
+    # + attribution (r10) + the Markov transition matrix (r11)
     "events_analytics": O.events_analytics,
     # merges incremental (delta-batch) + snapshot-CDC MV refresh (r8)
     "matview_refresh": MV.matview_refresh,
@@ -232,9 +243,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # full unit-test oracle coverage
     "dedup_embedding_cosine": D.embedding_neardup_pairs,
     "dedup_simhash": D.simhash_pairs,  # xxhash64 not in DuckDB
-    "ann_lsh_topk": S.ann_lsh_topk,  # approximate by construction
-    "ann_ivf_topk": SK.ann_ivf_topk,  # KMeans cells have no SQL equivalent
-    "ann_quantized_topk": S.ann_quantized_topk,  # int8 quantize→overfetch→rerank; recall property-tested
+    # r11: the exact-baseline constituent of the graded ann_suite union
+    "ann_bruteforce_topk": S.ann_bruteforce_topk,
+    # lsh/ivf stay rows-only DELIBERATELY: their recall at this
+    # geometry is genuinely < 1 (measured r11 — LSH probes one bucket,
+    # IVF probes N_PROBE cells), so the exact oracle would misstate
+    # their semantics; laws + recall bounds pinned in tests
+    "ann_lsh_topk": S.ann_lsh_topk,
+    "ann_ivf_topk": SK.ann_ivf_topk,
+    # r11: oracle-backed — the 4×-overfetch exact rerank reproduces the
+    # exact top-k at every graded SF (asserted in tests), so it carries
+    # the brute-force oracle (the dedup_minhash_lsh contract)
+    "ann_quantized_topk": S.ann_quantized_topk,
     # the remaining TPC-H patterns (full 22-query suite; adapted to the
     # reduced schema like q4/q12) — each holds a DuckDB oracle here AND
     # a hash-checked unit test at sf0.001+sf0.01 (tests/test_tpch.py)
@@ -328,34 +348,42 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # via the corpus_ops tag-union (contam branch)
     "corpus_contamination_score": CO.corpus_contamination_score,
     # round 10: PPS (probability-proportional-to-size) Bernoulli
-    # sampling — exact integer md5-threshold inclusion ∝ n_tokens
+    # sampling — exact integer md5-threshold inclusion ∝ n_tokens;
+    # GRADED via the traindata_mixture tag-union since r11
     "traindata_pps_sample": TD.traindata_pps_sample,
     # round 10: first/last-touch purchase attribution over the event
     # log — GRADED via the events_analytics tag-union (attrib branch)
     "events_attribution": O.events_attribution,
     # round 10: FineWeb/Gopher-style quality filter cascade with the
-    # per-rule attrition waterfall (all-integer gate predicates)
+    # per-rule attrition waterfall (all-integer gate predicates);
+    # GRADED via the text_quality_ext tag-union since r11
     "text_filter_cascade": X.text_filter_cascade,
     # round 10: incremental crawl dedup — MinHash bands of the NEW
     # delta probed against the existing corpus; exact all-pairs
     # new-vs-old Jaccard oracle (same recall contract as
-    # dedup_minhash_lsh)
+    # dedup_minhash_lsh); GRADED via the dedup_jaccard_fuzzy
+    # tag-union since r11
     "dedup_incremental_minhash": D.dedup_incremental_minhash,
     # round 10: BM25 lexical retrieval top-k — the sparse half of a
-    # hybrid retriever next to the ANN family
+    # hybrid retriever next to the ANN family; GRADED via the
+    # sim_knn_centroids tag-union since r11
     "text_bm25_topk": X.text_bm25_topk,
     # round 10: Adamic-Adar link prediction — degree-weighted
-    # common-neighbor evidence on the sparse undirected graph
+    # common-neighbor evidence on the sparse undirected graph; GRADED
+    # via the graph_motifs tag-union since r11
     "graph_adamic_adar": GX.graph_adamic_adar,
     # round 10: hybrid retrieval — dense cosine + lexical Jaccard
-    # lists fused with Reciprocal Rank Fusion
+    # lists fused with Reciprocal Rank Fusion; GRADED via the
+    # sim_knn_centroids tag-union since r11
     "sim_hybrid_rrf": S.sim_hybrid_rrf,
     # round 10: first-order Markov next-event transition matrix over
-    # sessionized event streams
+    # sessionized event streams; GRADED via the events_analytics
+    # tag-union since r11
     "events_transition_matrix": O.events_transition_matrix,
     # round 10: exact "data card" corpus profile — per-source /
     # per-lang / total docs, tokens, chars, exact vocab sizes (the
-    # exact companion to the sketch-based sketch_profile)
+    # exact companion to the sketch-based sketch_profile); GRADED via
+    # the corpus_ops tag-union since r11
     "corpus_profile": CO.corpus_profile,
 }
 
@@ -402,7 +430,9 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": D.NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": D.EMBEDDING_NEARDUP_SQL,
     "dedup_embedding_lsh_pairs": D.EMBEDDING_NEARDUP_SQL,
+    "ann_suite": S.ANN_SUITE_SQL,
     "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
+    "ann_quantized_topk": S.ANN_BRUTEFORCE_SQL,
     "sim_knn_centroids": S.SIM_KNN_CENTROIDS_SQL,
     "knn_join_blocked": S.KNN_JOIN_SQL,
     "skew_join_salted": SK.SKEW_JOIN_SALTED_SQL,

@@ -34,6 +34,7 @@ from herodb_spark.operators import streamops as ST
 from herodb_spark.operators import symtab as SY
 from herodb_spark.operators import textops as X
 from herodb_spark.operators import traindata as TD
+from herodb_spark.operators.lifecycle import snapshot_lifecycle as _LC_snapshot_lifecycle
 from herodb_spark.plans import tpch
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,6 +68,13 @@ BENCH_QUERIES = {
     "graph_adamic_adar": GX.graph_adamic_adar,
     "sim_hybrid_rrf": S.sim_hybrid_rrf,
     "events_transition_matrix": O.events_transition_matrix,
+    # round-11 (r10 verdict next #7): the two heavyweight r10 graded
+    # unions get numbers of record — stream_window_aggs runs three real
+    # Structured Streaming queries + two exactly-once sinks per call;
+    # snapshot_lifecycle runs three multi-table transactions + vacuum +
+    # time travel. NOT in the 9q baseline subtotal.
+    "stream_window_aggs": ST.stream_window_aggs,
+    "snapshot_lifecycle": _LC_snapshot_lifecycle,
 }
 
 

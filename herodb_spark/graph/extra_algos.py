@@ -115,29 +115,42 @@ GRAPH_KCORE_SQL = _kcore_unrolled_sql()
 
 
 def graph_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered merge of graph_triangles + graph_common_neighbors
-    (tag-union, the cube_pivot contract): both are motif counts over
-    the same undirected trade graph — the global triangle count and
-    the per-pair common-neighbor link-prediction scores — so they
-    share one graded slot; each constituent keeps its own function and
-    oracle for unit tests (and its own registry entry past the graded
-    window)."""
+    """Registered merge of graph_triangles + graph_common_neighbors +
+    (since round 11) graph_adamic_adar (tag-union, the cube_pivot
+    contract): all three are motif/link-prediction measures over the
+    same undirected trade graph — the global triangle count, the
+    per-pair common-neighbor counts, and the hub-discounted
+    Adamic-Adar scores — so they share one graded slot; each
+    constituent keeps its own function and oracle for unit tests (and
+    its own registry entry past the graded window). The adamic_adar
+    branch carries its double score in the `s` column (NULL for the
+    integer-only branches)."""
     from herodb_spark.operators.graphops import graph_triangles
 
     nb = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
     tri = graph_triangles(spark, sf_dir).select(
         F.lit("triangles").alias("q"),
         nb.alias("a"),
         nb.alias("b"),
         F.col("n_triangles").cast("long").alias("n"),
+        nd.alias("s"),
     )
     cn = graph_common_neighbors(spark, sf_dir).select(
         F.lit("common_neighbors").alias("q"),
         F.col("a").cast("long"),
         F.col("b").cast("long"),
         F.col("common_neighbors").cast("long").alias("n"),
+        nd.alias("s"),
     )
-    return tri.unionByName(cn).orderBy("q", "a", "b")
+    aa = graph_adamic_adar(spark, sf_dir).select(
+        F.lit("adamic_adar").alias("q"),
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("common_neighbors").cast("long").alias("n"),
+        F.col("adamic_adar").alias("s"),
+    )
+    return tri.unionByName(cn).unionByName(aa).orderBy("q", "a", "b")
 
 
 def _motifs_sql() -> str:
@@ -145,17 +158,22 @@ def _motifs_sql() -> str:
 
     return f"""
 SELECT 'triangles' AS q, CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
-       CAST(n_triangles AS BIGINT) AS n
+       CAST(n_triangles AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS s
 FROM ({GRAPH_TRIANGLES_SQL})
 UNION ALL
 SELECT 'common_neighbors' AS q, CAST(a AS BIGINT), CAST(b AS BIGINT),
-       CAST(common_neighbors AS BIGINT)
+       CAST(common_neighbors AS BIGINT), CAST(NULL AS DOUBLE)
 FROM ({GRAPH_COMMON_NEIGHBORS_SQL})
+UNION ALL
+SELECT 'adamic_adar' AS q, CAST(a AS BIGINT), CAST(b AS BIGINT),
+       CAST(common_neighbors AS BIGINT), adamic_adar
+FROM ({GRAPH_ADAMIC_ADAR_SQL})
 ORDER BY q, a, b
 """
 
 
-GRAPH_MOTIFS_SQL = _motifs_sql()
+# GRAPH_MOTIFS_SQL is assembled at the end of this module (its
+# adamic_adar branch embeds GRAPH_ADAMIC_ADAR_SQL, declared below).
 
 
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,3 +246,5 @@ WHERE common_neighbors >= 2
 ORDER BY a, b
 """
 )
+
+GRAPH_MOTIFS_SQL = _motifs_sql()

@@ -160,15 +160,18 @@ LIMIT {VOCAB_K}
 def corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of corpus_decontaminate + stratified_sample +
     vocab_topk + (since round 7) corpus_scrub_spans + (since round 10)
-    corpus_contamination_score — each kept as its own function/oracle
-    for unit tests: tag-unioned into one (op, k, v1, v2, v3) relation
-    so all five corpus operators earn a driver-graded hash row in a
-    single slot. Each constituent plan executes unchanged inside the
-    union; the scrub branch carries the per-affected-doc word/removal
-    counts in v1/v2 and the clean-remainder md5 in the string column
-    v3; the contam branch carries n_grams/n_hits in v1/v2 (frac and
-    the flag are pure functions of those, hashed standalone); doc_id
-    is zero-padded in k so string ordering stays deterministic."""
+    corpus_contamination_score + (since round 11) corpus_profile —
+    each kept as its own function/oracle for unit tests: tag-unioned
+    into one (op, k, v1, v2, v3) relation so all six corpus operators
+    earn a driver-graded hash row in a single slot. Each constituent
+    plan executes unchanged inside the union; the scrub branch carries
+    the per-affected-doc word/removal counts in v1/v2 and the
+    clean-remainder md5 in the string column v3; the contam branch
+    carries n_grams/n_hits in v1/v2 (frac and the flag are pure
+    functions of those, hashed standalone); the profile branch keys on
+    dim:k with n_docs/n_tokens in v1/v2 and 'n_chars:n_vocab' packed
+    into v3 (all four exact integers in the graded hash); doc_id is
+    zero-padded in k so string ordering stays deterministic."""
     nul = F.lit(None).cast("long")
     nuls = F.lit(None).cast("string")
     d = corpus_decontaminate(spark, sf_dir).select(
@@ -206,8 +209,16 @@ def corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").alias("v2"),
         nuls.alias("v3"),
     )
+    pf = corpus_profile(spark, sf_dir).select(
+        F.lit("profile").alias("op"),
+        F.concat_ws(":", "dim", "k").alias("k"),
+        F.col("n_docs").alias("v1"),
+        F.col("n_tokens").alias("v2"),
+        F.concat_ws(":", F.col("n_chars").cast("string"), F.col("n_vocab").cast("string")).alias("v3"),
+    )
     return (
-        d.unionByName(s).unionByName(v).unionByName(sc).unionByName(ct).orderBy("op", "k")
+        d.unionByName(s).unionByName(v).unionByName(sc).unionByName(ct)
+        .unionByName(pf).orderBy("op", "k")
     )
 
 
@@ -383,7 +394,10 @@ SELECT doc_id, n_grams, n_hits,
 FROM per
 """
 
-CORPUS_OPS_SQL = f"""
+# the first five branches of CORPUS_OPS_SQL; the profile branch (whose
+# SQL is declared at the end of this module) and the final ORDER BY are
+# appended there
+_CORPUS_OPS_BASE_SQL = f"""
 SELECT 'decontaminate' AS op, lang AS k, n_docs AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(NULL AS VARCHAR) AS v3
 FROM ({CORPUS_DECONTAMINATE_SQL})
@@ -402,7 +416,6 @@ UNION ALL
 SELECT 'contam' AS op, lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k,
        n_grams AS v1, n_hits AS v2, CAST(NULL AS VARCHAR) AS v3
 FROM ({_CONTAMINATION_CORE_SQL})
-ORDER BY op, k
 """
 
 
@@ -646,8 +659,17 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("n_chars"),
         )
-        return grp_doc.join(grp_tok, "k").select(
-            F.lit(dim).alias("dim"), "k", "n_docs", "n_tokens", "n_chars", "n_vocab"
+        # LEFT join from the doc side: a group whose docs are all
+        # empty/NULL text produces no token rows but must still appear
+        # with n_tokens = n_vocab = 0 (the oracle keeps it; an inner
+        # join would silently drop it — r10 ADVICE)
+        return grp_doc.join(grp_tok, "k", "left").select(
+            F.lit(dim).alias("dim"),
+            "k",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "n_chars",
+            F.coalesce("n_vocab", F.lit(0)).alias("n_vocab"),
         )
 
     out = (
@@ -658,31 +680,60 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("dim", "k")
 
 
+# three plain GROUP BY blocks UNION ALL'd (mirrors the Spark plan —
+# one tokenize feeding per-level aggregates; the correlated-subquery
+# formulation re-scanned the tokenized CTE once per lv row and was
+# rewritten per r10 ADVICE); doc-side LEFT JOIN keeps all-NULL-text
+# groups with n_tokens = n_vocab = 0, matching the engine
 CORPUS_PROFILE_SQL = r"""
 WITH tok AS (
-  SELECT doc_id, source, lang, n_chars,
+  SELECT doc_id, source, lang,
          unnest(regexp_split_to_array(trim(text), '\s+')) AS t
   FROM documents
 ),
-lv AS (
-  SELECT 'source' AS dim, source AS k FROM documents GROUP BY source
-  UNION ALL
-  SELECT 'lang', lang FROM documents GROUP BY lang
-  UNION ALL
-  SELECT 'total', '*'
+src_doc AS (
+  SELECT source AS k, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+),
+src_tok AS (
+  SELECT source AS k, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_vocab
+  FROM tok GROUP BY source
+),
+lang_doc AS (
+  SELECT lang AS k, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang
+),
+lang_tok AS (
+  SELECT lang AS k, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_vocab
+  FROM tok GROUP BY lang
+),
+tot_doc AS (
+  SELECT '*' AS k, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents
+),
+tot_tok AS (
+  SELECT '*' AS k, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_vocab
+  FROM tok
 )
-SELECT lv.dim, lv.k,
-       (SELECT COUNT(*) FROM documents d
-        WHERE lv.dim = 'total' OR (lv.dim = 'source' AND d.source = lv.k)
-           OR (lv.dim = 'lang' AND d.lang = lv.k)) AS n_docs,
-       (SELECT COUNT(*) FROM tok
-        WHERE lv.dim = 'total' OR (lv.dim = 'source' AND tok.source = lv.k)
-           OR (lv.dim = 'lang' AND tok.lang = lv.k)) AS n_tokens,
-       (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents d
-        WHERE lv.dim = 'total' OR (lv.dim = 'source' AND d.source = lv.k)
-           OR (lv.dim = 'lang' AND d.lang = lv.k)) AS n_chars,
-       (SELECT COUNT(DISTINCT t) FROM tok
-        WHERE lv.dim = 'total' OR (lv.dim = 'source' AND tok.source = lv.k)
-           OR (lv.dim = 'lang' AND tok.lang = lv.k)) AS n_vocab
-FROM lv ORDER BY dim, k
+SELECT 'source' AS dim, d.k, d.n_docs, COALESCE(t.n_tokens, 0) AS n_tokens,
+       d.n_chars, COALESCE(t.n_vocab, 0) AS n_vocab
+FROM src_doc d LEFT JOIN src_tok t USING (k)
+UNION ALL
+SELECT 'lang', d.k, d.n_docs, COALESCE(t.n_tokens, 0), d.n_chars, COALESCE(t.n_vocab, 0)
+FROM lang_doc d LEFT JOIN lang_tok t USING (k)
+UNION ALL
+SELECT 'total', d.k, d.n_docs, COALESCE(t.n_tokens, 0), d.n_chars, COALESCE(t.n_vocab, 0)
+FROM tot_doc d LEFT JOIN tot_tok t USING (k)
+ORDER BY dim, k
+"""
+
+
+# assembled last: the profile branch embeds CORPUS_PROFILE_SQL above
+CORPUS_OPS_SQL = f"""
+{_CORPUS_OPS_BASE_SQL}
+UNION ALL
+SELECT 'profile' AS op, dim || ':' || k AS k, n_docs AS v1, n_tokens AS v2,
+       CAST(n_chars AS VARCHAR) || ':' || CAST(n_vocab AS VARCHAR) AS v3
+FROM ({CORPUS_PROFILE_SQL.replace("ORDER BY dim, k", "")})
+ORDER BY op, k
 """

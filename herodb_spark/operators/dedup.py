@@ -746,10 +746,21 @@ def dedup_jaccard_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_tfidf_cosine (sparse term-weighted cosine pairs — rotated
     in in round 9) + dedup_exact (hash-groupBy keeper/copy-count —
     pair-merged in round 10 to free the graded slot for
-    snapshot_lifecycle), tag-unioned into (op, doc_a, doc_b, v, s).
-    All constituents keep standalone registry entries + oracles; each
-    plan executes unchanged in its branch."""
+    snapshot_lifecycle) + (since round 11) dedup_incremental_minhash
+    (new-crawl delta probed against the corpus band index, graded
+    against its exact new×old Jaccard oracle — the same
+    recall-is-total contract as dedup_minhash_lsh), tag-unioned into
+    (op, doc_a, doc_b, v, s). All constituents keep standalone
+    registry entries + oracles; each plan executes unchanged in its
+    branch."""
     ns = F.lit(None).cast("string")
+    inc = dedup_incremental_minhash(spark, sf_dir).select(
+        F.lit("incr").alias("op"),
+        F.col("new_doc").alias("doc_a"),
+        F.col("old_doc").alias("doc_b"),
+        F.col("jaccard").alias("v"),
+        ns.alias("s"),
+    )
     ja = ngram_jaccard_pairs_capped(spark, sf_dir).select(
         F.lit("jaccard").alias("op"), "doc_a", "doc_b",
         F.col("jaccard").alias("v"), ns.alias("s"),
@@ -770,7 +781,7 @@ def dedup_jaccard_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp").alias("s"),
     )
     return (
-        ja.unionByName(fz).unionByName(tf).unionByName(ex)
+        ja.unionByName(fz).unionByName(tf).unionByName(ex).unionByName(inc)
         .orderBy("op", "doc_a", "doc_b", "s")
     )
 
@@ -894,20 +905,8 @@ ORDER BY doc_a, doc_b
 
 
 # Defined last: the tfidf branch embeds TFIDF_COSINE_SQL above.
-DEDUP_JACCARD_FUZZY_SQL = f"""
-SELECT 'jaccard' AS op, doc_a, doc_b, jaccard AS v, CAST(NULL AS VARCHAR) AS s
-FROM ({NGRAM_JACCARD_SQL})
-UNION ALL
-SELECT 'fuzzy', doc_a, doc_b, CAST(dist AS DOUBLE), CAST(NULL AS VARCHAR)
-FROM ({DEDUP_FUZZY_LEVENSHTEIN_SQL})
-UNION ALL
-SELECT 'tfidf', doc_a, doc_b, cosine, CAST(NULL AS VARCHAR)
-FROM ({TFIDF_COSINE_SQL})
-UNION ALL
-SELECT 'exact', keep_id, CAST(NULL AS BIGINT), CAST(n_copies AS DOUBLE), fp
-FROM ({EXACT_DEDUP_SQL})
-ORDER BY op, doc_a, doc_b, s
-"""
+# DEDUP_JACCARD_FUZZY_SQL is assembled at the end of this module: its
+# incr branch embeds _INCREMENTAL_CORE_SQL, declared further down.
 
 
 # ----------------------------------------------------- incremental crawl dedup
@@ -967,7 +966,15 @@ def _verify_jaccard_unordered(cand: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
-DEDUP_INCREMENTAL_SQL = rf"""
+# REGENERATION RISK (r10 ADVICE, accepted contract): this oracle is
+# the EXACT all-pairs new×old Jaccard; the engine's LSH recall at the
+# 0.5 threshold (64 perms / 32 bands) is ~1-2^-32 per qualifying pair,
+# not guaranteed. The per-SF recall assertions in
+# tests/test_dedup_similarity.py pin totality against the CURRENT
+# testdata; if the corpus is ever regenerated, a near-threshold pair
+# could flip the graded hash — re-run those assertions first (same
+# pre-existing contract as dedup_minhash_lsh).
+_INCREMENTAL_CORE_SQL = rf"""
 WITH t AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -984,5 +991,28 @@ SELECT a.doc_id AS new_doc, b.doc_id AS old_doc,
 FROM t a JOIN t b ON a.doc_id % {INCR_NEW_MOD} = 0 AND b.doc_id % {INCR_NEW_MOD} <> 0
 WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
-ORDER BY new_doc, old_doc
+"""
+
+DEDUP_INCREMENTAL_SQL = f"""
+SELECT * FROM ({_INCREMENTAL_CORE_SQL}) ORDER BY new_doc, old_doc
+"""
+
+
+# assembled last: the incr branch embeds _INCREMENTAL_CORE_SQL above
+DEDUP_JACCARD_FUZZY_SQL = f"""
+SELECT 'jaccard' AS op, doc_a, doc_b, jaccard AS v, CAST(NULL AS VARCHAR) AS s
+FROM ({NGRAM_JACCARD_SQL})
+UNION ALL
+SELECT 'fuzzy', doc_a, doc_b, CAST(dist AS DOUBLE), CAST(NULL AS VARCHAR)
+FROM ({DEDUP_FUZZY_LEVENSHTEIN_SQL})
+UNION ALL
+SELECT 'tfidf', doc_a, doc_b, cosine, CAST(NULL AS VARCHAR)
+FROM ({TFIDF_COSINE_SQL})
+UNION ALL
+SELECT 'exact', keep_id, CAST(NULL AS BIGINT), CAST(n_copies AS DOUBLE), fp
+FROM ({EXACT_DEDUP_SQL})
+UNION ALL
+SELECT 'incr', new_doc, old_doc, jaccard, CAST(NULL AS VARCHAR)
+FROM ({_INCREMENTAL_CORE_SQL})
+ORDER BY op, doc_a, doc_b, s
 """

@@ -340,20 +340,25 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of events_funnel (ordered signup→click→
     purchase completion with exact µs step durations) +
     events_retention (weekly cohort retention counts) + (since round
-    10) events_attribution (first/last-touch purchase attribution) —
-    the event-analytics family in one graded slot (same tag-union
-    contract as agg_cube_pivot). All constituents keep their own
-    functions/oracles as standalone registry entries and in
+    10) events_attribution (first/last-touch purchase attribution) +
+    (since round 11) events_transition_matrix (sessionized Markov
+    next-event model) — the event-analytics family in one graded slot
+    (same tag-union contract as agg_cube_pivot). All constituents keep
+    their own functions/oracles as standalone registry entries and in
     tests/test_olap.py; each plan executes unchanged inside its union
     branch. The attrib branch carries (last_click, first_click,
-    lag_us) per purchase; n_touches stays in the standalone hash."""
+    lag_us) per purchase; n_touches stays in the standalone hash. The
+    transition branch keys on 'cur→nxt' with cnt in v1 and the exact
+    rounded probability in the double column v4 (NULL elsewhere)."""
     nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
     at = events_attribution(spark, sf_dir).select(
         F.lit("attrib").alias("op"),
         F.lpad(F.col("purchase_id").cast("string"), 12, "0").alias("k"),
         F.col("last_click_id").alias("v1"),
         F.col("first_click_id").alias("v2"),
         F.col("lag_us").alias("v3"),
+        nd.alias("v4"),
     )
     fu = events_funnel(spark, sf_dir).select(
         F.lit("funnel").alias("op"),
@@ -361,6 +366,7 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("depth").cast("long").alias("v1"),
         F.col("to_step2_us").alias("v2"),
         F.col("to_step3_us").alias("v3"),
+        nd.alias("v4"),
     )
     re = events_retention(spark, sf_dir).select(
         F.lit("retention").alias("op"),
@@ -368,8 +374,17 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weeks_since").cast("long").alias("v1"),
         F.col("n_users").alias("v2"),
         nl.alias("v3"),
+        nd.alias("v4"),
     )
-    return fu.unionByName(re).unionByName(at).orderBy("op", "k", "v1")
+    tr = events_transition_matrix(spark, sf_dir).select(
+        F.lit("transition").alias("op"),
+        F.concat_ws("→", "cur", "nxt").alias("k"),
+        F.col("cnt").alias("v1"),
+        nl.alias("v2"),
+        nl.alias("v3"),
+        F.col("prob").alias("v4"),
+    )
+    return fu.unionByName(re).unionByName(at).unionByName(tr).orderBy("op", "k", "v1")
 
 
 # EVENTS_ANALYTICS_SQL is defined at the bottom of this module: its
@@ -475,20 +490,8 @@ SELECT * FROM ({_ATTRIBUTION_CORE_SQL}) ORDER BY purchase_id
 """
 
 
-EVENTS_ANALYTICS_SQL = f"""
-SELECT 'funnel' AS op, CAST(user_id AS VARCHAR) AS k,
-       CAST(depth AS BIGINT) AS v1, to_step2_us AS v2, to_step3_us AS v3
-FROM ({EVENTS_FUNNEL_SQL})
-UNION ALL
-SELECT 'retention', CAST(cohort_week AS VARCHAR),
-       CAST(weeks_since AS BIGINT), CAST(n_users AS BIGINT), CAST(NULL AS BIGINT)
-FROM ({EVENTS_RETENTION_SQL})
-UNION ALL
-SELECT 'attrib', lpad(CAST(purchase_id AS VARCHAR), 12, '0'),
-       last_click_id, first_click_id, lag_us
-FROM ({_ATTRIBUTION_CORE_SQL})
-ORDER BY op, k, v1
-"""
+# EVENTS_ANALYTICS_SQL is assembled at the end of this module: its
+# transition branch embeds EVENTS_TRANSITION_SQL, declared below.
 
 
 # ------------------------------------------------------ event transition model
@@ -554,4 +557,27 @@ totals AS (SELECT cur, SUM(cnt) AS total FROM counts GROUP BY cur)
 SELECT counts.cur AS cur, nxt, cnt, ROUND(CAST(cnt AS DOUBLE) / total, 6) AS prob
 FROM counts JOIN totals ON counts.cur = totals.cur
 ORDER BY counts.cur, nxt
+"""
+
+
+# assembled last: the transition branch embeds EVENTS_TRANSITION_SQL
+EVENTS_ANALYTICS_SQL = f"""
+SELECT 'funnel' AS op, CAST(user_id AS VARCHAR) AS k,
+       CAST(depth AS BIGINT) AS v1, to_step2_us AS v2, to_step3_us AS v3,
+       CAST(NULL AS DOUBLE) AS v4
+FROM ({EVENTS_FUNNEL_SQL})
+UNION ALL
+SELECT 'retention', CAST(cohort_week AS VARCHAR),
+       CAST(weeks_since AS BIGINT), CAST(n_users AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM ({EVENTS_RETENTION_SQL})
+UNION ALL
+SELECT 'attrib', lpad(CAST(purchase_id AS VARCHAR), 12, '0'),
+       last_click_id, first_click_id, lag_us, CAST(NULL AS DOUBLE)
+FROM ({_ATTRIBUTION_CORE_SQL})
+UNION ALL
+SELECT 'transition', cur || '→' || nxt, cnt, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), prob
+FROM ({EVENTS_TRANSITION_SQL.replace("ORDER BY counts.cur, nxt", "")})
+ORDER BY op, k, v1
 """

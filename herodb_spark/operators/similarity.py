@@ -395,14 +395,56 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered merge of ann_bruteforce_topk (the exact cosine top-k
+    baseline) + ann_quantized_topk (int8 quantize → overfetch → exact
+    rerank), tag-unioned into (op, q_id, rk, neighbor_id, cosine) —
+    round-11 rotation that officializes the quantized ANN path.
+
+    Grading contract (the dedup_minhash_lsh precedent): the quantized
+    branch's reranked output EQUALS the exact top-k whenever the
+    4×-overfetch recall is total — asserted per-SF in
+    tests/test_dedup_similarity.py (r11 measurement: exact match at
+    sf0.001 and sf0.01), so both branches share the exact brute-force
+    oracle. The LSH and IVF variants stay rows-only deliberately:
+    their recall at this geometry is genuinely < 1 (measured r11 —
+    LSH probes one bucket, IVF probes N_PROBE cells), so an
+    exact-hash contract would misstate their semantics."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select(
+        F.lit("brute").alias("op"), "q_id", "rk", "neighbor_id", "cosine"
+    )
+    qz = ann_quantized_topk(spark, sf_dir).select(
+        F.lit("quant").alias("op"), "q_id", "rk", "neighbor_id", "cosine"
+    )
+    return bf.unionByName(qz).orderBy("op", "q_id", "rk")
+
+
+_ANN_BF_CORE = ANN_BRUTEFORCE_SQL.replace("ORDER BY q_id, rk", "")
+
+ANN_SUITE_SQL = f"""
+SELECT 'brute' AS op, q_id, rk, neighbor_id, cosine FROM ({_ANN_BF_CORE})
+UNION ALL
+SELECT 'quant' AS op, q_id, rk, neighbor_id, cosine FROM ({_ANN_BF_CORE})
+ORDER BY op, q_id, rk
+"""
+
+
 def sim_knn_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of knn_join_blocked (3-NN join within label
     blocks) + label_centroids (per-label centroid via partial-agg
-    posexplode) — round-7 window rebalance; both constituents keep
-    their own functions/oracles as standalone registry entries beyond
-    the graded window and in tests/test_dedup_similarity.py.
-    Tag-union into (op, label, k1, k2, k3, v): each constituent plan
-    executes unchanged inside its branch."""
+    posexplode) — round-7 window rebalance — + (since round 11) the
+    two retrieval operators: text_bm25_topk (sparse lexical BM25
+    top-k) and sim_hybrid_rrf (dense + lexical Reciprocal Rank Fusion)
+    — the full retrieval family in one graded slot. All constituents
+    keep their own functions/oracles as standalone registry entries
+    beyond the graded window and in tests. Tag-union into (op, label,
+    k1, k2, k3, v): each constituent plan executes unchanged inside
+    its branch. The bm25 branch carries (rank, doc_id, score) in
+    (k1, k2, v); the rrf branch carries (q_id, rank, doc_id, fused
+    score) in (label, k1, k2, v) — the per-list dense/lex ranks stay
+    in the standalone hash."""
+    from herodb_spark.operators.textops import text_bm25_topk
+
     nul = F.lit(None).cast("long")
     knn = knn_join_blocked(spark, sf_dir).select(
         F.lit("knn").alias("op"),
@@ -420,19 +462,30 @@ def sim_knn_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul.alias("k3"),
         F.col("centroid").alias("v"),
     )
-    return knn.unionByName(cen).orderBy("op", "label", "k1", "k2")
+    bm = text_bm25_topk(spark, sf_dir).select(
+        F.lit("bm25").alias("op"),
+        nul.alias("label"),
+        F.col("rank").cast("long").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        nul.alias("k3"),
+        F.col("score").alias("v"),
+    )
+    rr = sim_hybrid_rrf(spark, sf_dir).select(
+        F.lit("rrf").alias("op"),
+        F.col("q_id").cast("long").alias("label"),
+        F.col("rank").cast("long").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        nul.alias("k3"),
+        F.col("rrf").alias("v"),
+    )
+    return (
+        knn.unionByName(cen).unionByName(bm).unionByName(rr)
+        .orderBy("op", "label", "k1", "k2")
+    )
 
 
-SIM_KNN_CENTROIDS_SQL = f"""
-SELECT 'knn' AS op, CAST(label AS BIGINT) AS label, CAST(vec_a AS BIGINT) AS k1,
-       CAST(rk AS BIGINT) AS k2, CAST(neighbor_id AS BIGINT) AS k3, cosine AS v
-FROM ({KNN_JOIN_SQL})
-UNION ALL
-SELECT 'centroid', CAST(label AS BIGINT), CAST(dim AS BIGINT),
-       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), centroid
-FROM ({LABEL_CENTROIDS_SQL})
-ORDER BY op, label, k1, k2
-"""
+# SIM_KNN_CENTROIDS_SQL is assembled at the end of this module: its
+# retrieval branches embed TEXT_BM25_TOPK_SQL / SIM_HYBRID_RRF_SQL.
 
 
 # ----------------------------------------------------------- hybrid retrieval
@@ -591,3 +644,30 @@ SELECT q_id, rank, doc_id, dense_rank, lex_rank, rrf FROM (
   FROM fused
 ) WHERE rank <= {RRF_TOPK} ORDER BY q_id, rank
 """
+
+
+def _knn_centroids_sql() -> str:
+    from herodb_spark.operators.textops import TEXT_BM25_TOPK_SQL
+
+    _BM25_SQL = TEXT_BM25_TOPK_SQL.replace("ORDER BY rank", "")
+    _RRF_SQL = SIM_HYBRID_RRF_SQL.replace("ORDER BY q_id, rank", "")
+    return f"""
+SELECT 'knn' AS op, CAST(label AS BIGINT) AS label, CAST(vec_a AS BIGINT) AS k1,
+       CAST(rk AS BIGINT) AS k2, CAST(neighbor_id AS BIGINT) AS k3, cosine AS v
+FROM ({KNN_JOIN_SQL})
+UNION ALL
+SELECT 'centroid', CAST(label AS BIGINT), CAST(dim AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), centroid
+FROM ({LABEL_CENTROIDS_SQL})
+UNION ALL
+SELECT 'bm25', CAST(NULL AS BIGINT), CAST(rank AS BIGINT), doc_id,
+       CAST(NULL AS BIGINT), score
+FROM ({_BM25_SQL})
+UNION ALL
+SELECT 'rrf', q_id, CAST(rank AS BIGINT), doc_id, CAST(NULL AS BIGINT), rrf
+FROM ({_RRF_SQL})
+ORDER BY op, label, k1, k2
+"""
+
+
+SIM_KNN_CENTROIDS_SQL = _knn_centroids_sql()

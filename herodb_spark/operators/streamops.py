@@ -221,7 +221,19 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
         now = _time.time()
         for i in range(4):
             bdir = os.path.join(stage, f"b={i}")
-            (pf,) = [p for p in os.listdir(bdir) if p.endswith(".parquet")]
+            pfs = [p for p in os.listdir(bdir) if p.endswith(".parquet")]
+            if len(pfs) != 1:
+                # the repartition('b') clustering must land each batch
+                # as ONE file; a writer setting (e.g. maxRecordsPerFile)
+                # splitting it would silently scramble the replay order
+                # this fixture depends on — fail loudly (r10 ADVICE)
+                raise RuntimeError(
+                    f"staging batch b={i} produced {len(pfs)} parquet files "
+                    f"(expected exactly 1): {sorted(pfs)} — a writer conf "
+                    "is splitting batches; the ordered-replay fixture "
+                    "requires one file per tercile"
+                )
+            (pf,) = pfs
             dst = os.path.join(src, f"b{i}.parquet")
             os.rename(os.path.join(bdir, pf), dst)
             os.utime(dst, (now - 40 + 10 * i, now - 40 + 10 * i))

@@ -401,7 +401,15 @@ def text_quality_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash row (round-7 window rebalance). All constituents keep their
     own functions/oracles as standalone registry entries beyond the
     graded window and in tests/test_textops.py; each plan executes
-    unchanged inside its union branch."""
+    unchanged inside its union branch.
+
+    Since round 11 the union also carries text_filter_cascade (the
+    FineWeb/Gopher gate cascade with its per-rule attrition
+    waterfall): its per-doc rows land as op='cascade' (fail_stage in
+    v1, n_tokens in n, keep = survived); its 4 waterfall rows land as
+    op='cascade_stage' (n_in/n_fail/n_out in v1/v2/v3, stage name in
+    s) — counts are exact integers, carried in the double columns
+    losslessly (far below 2^53)."""
     nul = F.lit(None).cast("double")
     rep = text_repetition_pii(spark, sf_dir).select(
         F.lit("repetition_pii").alias("op"),
@@ -446,8 +454,23 @@ def text_quality_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("actual"), F.lit("|"), F.col("predicted")).alias("s"),
         F.col("correct").alias("keep"),
     )
+    casc_all = text_filter_cascade(spark, sf_dir)
+    is_doc = F.col("op") == "doc"
+    casc = casc_all.select(
+        F.when(is_doc, F.lit("cascade")).otherwise(F.lit("cascade_stage")).alias("op"),
+        F.when(is_doc, F.col("k").cast("long")).alias("doc_id"),
+        F.when(is_doc, F.col("v2").cast("double"))
+        .otherwise(F.col("v1").cast("double"))
+        .alias("v1"),
+        F.when(~is_doc, F.col("v2").cast("double")).alias("v2"),
+        F.when(~is_doc, F.col("v3").cast("double")).alias("v3"),
+        F.when(is_doc, F.col("v1")).alias("n"),
+        F.when(~is_doc, F.col("k")).alias("s"),
+        F.when(is_doc, F.col("v3") == 1).alias("keep"),
+    )
     return (
-        rep.unionByName(uni).unionByName(big).unionByName(nb).orderBy("op", "doc_id")
+        rep.unionByName(uni).unionByName(big).unionByName(nb).unionByName(casc)
+        .orderBy("op", "doc_id", "s")
     )
 
 
@@ -753,25 +776,8 @@ ORDER BY doc_id
 
 
 # Defined last: embeds the bigram-LM and NB-classifier SQL above.
-TEXT_QUALITY_EXT_SQL = f"""
-SELECT 'repetition_pii' AS op, doc_id, dup_word_frac AS v1, top_bigram_frac AS v2,
-       dup_trigram_frac AS v3, n_redactions AS n, scrubbed_fp AS s,
-       CAST(NULL AS BOOLEAN) AS keep
-FROM ({TEXT_REPETITION_PII_SQL})
-UNION ALL
-SELECT 'unigram_lm', doc_id, avg_logprob, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-       n_tokens, CAST(NULL AS VARCHAR), keep
-FROM ({TEXT_UNIGRAM_LOGPROB_SQL})
-UNION ALL
-SELECT 'bigram_lm', doc_id, avg_logprob, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-       n_bigrams, CAST(NULL AS VARCHAR), keep
-FROM ({TEXT_BIGRAM_LOGPROB_SQL})
-UNION ALL
-SELECT 'nb_classifier', doc_id, score, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-       CAST(NULL AS BIGINT), actual || '|' || predicted, correct
-FROM ({TEXT_NB_CLASSIFIER_SQL})
-ORDER BY op, doc_id
-"""
+# TEXT_QUALITY_EXT_SQL is assembled at the end of this module: its
+# cascade branch embeds TEXT_FILTER_CASCADE_SQL, declared below.
 
 
 # ------------------------------------------------------------ filter cascade
@@ -814,11 +820,25 @@ def text_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
     )
     stop = F.size(F.filter(toks, lambda t: t.isin(*T.STOPWORDS_EN)))
-    maxc = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda x: F.size(F.filter(toks, lambda t: t == x)),
-        )
+    # max token multiplicity as the LONGEST RUN of the sorted array —
+    # one O(n log n) sort + O(n) fold per doc, still a pure zero-
+    # shuffle codegen scan expression, replacing the r10
+    # O(distinct × n) distinct×filter scan (r10 VERDICT #5); the
+    # run-length state is (prev, run, best)
+    run = lambda acc, x: F.when(x == acc["p"], acc["r"] + 1).otherwise(F.lit(1).cast("long"))  # noqa: E731
+    maxc = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("p"),
+            F.lit(0).cast("long").alias("r"),
+            F.lit(0).cast("long").alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("p"),
+            run(acc, x).alias("r"),
+            F.greatest(acc["b"], run(acc, x)).alias("b"),
+        ),
+        lambda acc: acc["b"],
     )
     lo, hi = CASCADE_MEAN_LEN
     sig = docs.select(
@@ -1013,4 +1033,36 @@ SELECT rank, doc_id, score FROM (
          CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
   FROM scored
 ) WHERE rank <= {BM25_TOPK} ORDER BY rank
+"""
+
+
+# assembled last: the cascade branch embeds TEXT_FILTER_CASCADE_SQL
+TEXT_QUALITY_EXT_SQL = f"""
+SELECT 'repetition_pii' AS op, doc_id, dup_word_frac AS v1, top_bigram_frac AS v2,
+       dup_trigram_frac AS v3, n_redactions AS n, scrubbed_fp AS s,
+       CAST(NULL AS BOOLEAN) AS keep
+FROM ({TEXT_REPETITION_PII_SQL})
+UNION ALL
+SELECT 'unigram_lm', doc_id, avg_logprob, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       n_tokens, CAST(NULL AS VARCHAR), keep
+FROM ({TEXT_UNIGRAM_LOGPROB_SQL})
+UNION ALL
+SELECT 'bigram_lm', doc_id, avg_logprob, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       n_bigrams, CAST(NULL AS VARCHAR), keep
+FROM ({TEXT_BIGRAM_LOGPROB_SQL})
+UNION ALL
+SELECT 'nb_classifier', doc_id, score, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), actual || '|' || predicted, correct
+FROM ({TEXT_NB_CLASSIFIER_SQL})
+UNION ALL
+SELECT CASE WHEN c.op = 'doc' THEN 'cascade' ELSE 'cascade_stage' END,
+       CASE WHEN c.op = 'doc' THEN CAST(c.k AS BIGINT) END,
+       CASE WHEN c.op = 'doc' THEN CAST(c.v2 AS DOUBLE) ELSE CAST(c.v1 AS DOUBLE) END,
+       CASE WHEN c.op <> 'doc' THEN CAST(c.v2 AS DOUBLE) END,
+       CASE WHEN c.op <> 'doc' THEN CAST(c.v3 AS DOUBLE) END,
+       CASE WHEN c.op = 'doc' THEN c.v1 END,
+       CASE WHEN c.op <> 'doc' THEN c.k END,
+       CASE WHEN c.op = 'doc' THEN c.v3 = 1 END
+FROM ({TEXT_FILTER_CASCADE_SQL.replace("ORDER BY op, k", "")}) c
+ORDER BY op, doc_id, s
 """

@@ -606,12 +606,25 @@ def traindata_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of mixture_sample_domains (capped keep-rate
     downsampling report) + mixture_upsample_domains (uncapped-rate
     upsampling report) + (since round 10) traindata_dsir_weights
-    (importance-resampling selection) — the mixture/selection half of
-    the training-data surface, tag-unioned into (op, source, n_total,
-    rate, n1, n2). All constituents keep standalone registry entries +
-    oracles; each report executes unchanged in its branch. The dsir
-    branch is per-document: doc_id zero-padded into the string key,
-    n_tokens in n_total, log_weight in rate, selected in n1."""
+    (importance-resampling selection) + (since round 11)
+    traindata_pps_sample (size-proportional Bernoulli sampling) — the
+    mixture/selection half of the training-data surface, tag-unioned
+    into (op, source, n_total, rate, n1, n2). All constituents keep
+    standalone registry entries + oracles; each report executes
+    unchanged in its branch. The dsir branch is per-document: doc_id
+    zero-padded into the string key, n_tokens in n_total, log_weight
+    in rate, selected in n1. The pps branch is also per-document:
+    n_tokens in n_total, the md5-derived u32 in n1, the sampled bit in
+    n2 (the threshold is a pure integer function of n_tokens, hashed
+    standalone)."""
+    pp = traindata_pps_sample(spark, sf_dir).select(
+        F.lit("pps").alias("op"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("source"),
+        F.col("n_tokens").alias("n_total"),
+        F.lit(None).cast("double").alias("rate"),
+        F.col("u32").alias("n1"),
+        F.col("sampled").cast("long").alias("n2"),
+    )
     ds = _dsir_rows(spark, sf_dir).select(
         F.lit("dsir").alias("op"),
         F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("source"),
@@ -636,7 +649,7 @@ def traindata_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_out").alias("n1"),
         F.col("n_dup_docs").alias("n2"),
     )
-    return ms.unionByName(mu).unionByName(ds).orderBy("op", "source")
+    return ms.unionByName(mu).unionByName(ds).unionByName(pp).orderBy("op", "source")
 
 
 # TRAINDATA_MIXTURE_SQL is defined at the bottom of this module: its
@@ -1019,19 +1032,8 @@ TRAINDATA_DSIR_SQL = f"""
 SELECT * FROM ({_DSIR_CORE_SQL}) ORDER BY doc_id
 """
 
-TRAINDATA_MIXTURE_SQL = f"""
-SELECT 'sample' AS op, source, n_total, keep_rate AS rate, n_kept AS n1,
-       CAST(NULL AS BIGINT) AS n2
-FROM ({MIXTURE_SAMPLE_SQL})
-UNION ALL
-SELECT 'upsample', source, n_total, rate, n_out, n_dup_docs
-FROM ({MIXTURE_UPSAMPLE_SQL})
-UNION ALL
-SELECT 'dsir', lpad(CAST(doc_id AS VARCHAR), 12, '0'), n_tokens,
-       log_weight, CAST(selected AS BIGINT), CAST(NULL AS BIGINT)
-FROM ({_DSIR_CORE_SQL})
-ORDER BY op, source
-"""
+# TRAINDATA_MIXTURE_SQL is assembled at the end of this module: its
+# pps branch embeds _PPS_CORE_SQL, declared further down.
 
 
 # ---------------------------------------------------------------------------
@@ -1093,7 +1095,7 @@ def traindata_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TRAINDATA_PPS_SQL = rf"""
+_PPS_CORE_SQL = rf"""
 WITH per AS (
   SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -1105,5 +1107,29 @@ SELECT doc_id, n_tokens, u32,
             ELSE n_tokens * {_PPS_SCALE} END AS threshold,
        u32 < CASE WHEN n_tokens >= {PPS_TARGET_TOKENS} THEN {_U32}
                   ELSE n_tokens * {_PPS_SCALE} END AS sampled
-FROM per ORDER BY doc_id
+FROM per
+"""
+
+TRAINDATA_PPS_SQL = f"""
+SELECT * FROM ({_PPS_CORE_SQL}) ORDER BY doc_id
+"""
+
+
+# assembled last: the pps branch embeds _PPS_CORE_SQL above
+TRAINDATA_MIXTURE_SQL = f"""
+SELECT 'sample' AS op, source, n_total, keep_rate AS rate, n_kept AS n1,
+       CAST(NULL AS BIGINT) AS n2
+FROM ({MIXTURE_SAMPLE_SQL})
+UNION ALL
+SELECT 'upsample', source, n_total, rate, n_out, n_dup_docs
+FROM ({MIXTURE_UPSAMPLE_SQL})
+UNION ALL
+SELECT 'dsir', lpad(CAST(doc_id AS VARCHAR), 12, '0'), n_tokens,
+       log_weight, CAST(selected AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({_DSIR_CORE_SQL})
+UNION ALL
+SELECT 'pps', lpad(CAST(doc_id AS VARCHAR), 12, '0'), n_tokens,
+       CAST(NULL AS DOUBLE), u32, CAST(sampled AS BIGINT)
+FROM ({_PPS_CORE_SQL})
+ORDER BY op, source
 """

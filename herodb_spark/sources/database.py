@@ -63,6 +63,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import threading
 import time
 import uuid
@@ -338,6 +339,16 @@ class SnapshotDatabase:
         read_version, read_seq = m["current"], self._mf._seq(m)
         if name in self._pins(m):
             raise ValueError(f"{self.path}: table {name!r} already exists")
+        if os.path.exists(self._table_path(name)):
+            # a dropped table's directory survives so pre-drop database
+            # versions still resolve; re-using the name needs vacuum()
+            # to reclaim it first (the free-page-reuse contract,
+            # TestUtility_Buffer.cpp:110 — freed storage is reusable
+            # once nothing references it)
+            raise ValueError(
+                f"{self.path}: table directory {name!r} still held by "
+                "historical database versions — vacuum() before re-creating"
+            )
         t = SnapshotTable.create(self.spark, self._table_path(name), df, key_cols, partition_col)
         pins = dict(self._pins(m))
         pins[name] = 0
@@ -346,6 +357,26 @@ class SnapshotDatabase:
         m["current"] = version
         self._mf._commit(m, expected_current=read_version, expected_seq=read_seq)
         return t
+
+    def drop_table(self, name: str) -> None:
+        """DROP TABLE: publish a database version whose pin set omits
+        `name` (the logical unregister — TestUtility_Buffer.cpp:28
+        UnloadSource). The member table's directory and version
+        history stay on disk so database TIME TRAVEL to pre-drop
+        versions still resolves; vacuum() physically reclaims the
+        directory once no kept database version pins the table, after
+        which create_table() may reuse the name (the reference's
+        free-page-reuse contract, TestUtility_Buffer.cpp:110)."""
+        m = self._load()
+        read_version, read_seq = m["current"], self._mf._seq(m)
+        pins = dict(self._pins(m))
+        if name not in pins:
+            raise ValueError(f"{self.path}: no table {name!r} in database version")
+        del pins[name]
+        version = m["current"] + 1
+        m["versions"][str(version)] = {"op": f"drop_table:{name}", "tables": pins}
+        m["current"] = version
+        self._mf._commit(m, expected_current=read_version, expected_seq=read_seq)
 
     # -- commit intents ------------------------------------------------------
     def _intent_dir(self) -> str:
@@ -548,7 +579,32 @@ class SnapshotDatabase:
                 pinned.setdefault(name, set()).add(int(tv))
         for name, tvs in pinned.items():
             table_report[name] = self.table(name).vacuum(keep_last=1, also_keep=tvs)
-        return {"dropped_db_versions": dropped, "tables": table_report}
+        # physical reclaim of DROPPED tables: a member directory no
+        # kept database version pins is unreachable through any read
+        # path — delete it so create_table() may reuse the name (the
+        # free-page-reuse half of drop_table; the use-mask analogy is
+        # the pin set itself, TestUtility_Buffer.cpp:182/228). Re-load
+        # the manifest AFTER our commit and honor any name pinned by a
+        # version that landed since: a create_table() racing in after
+        # the prune commit must not lose its fresh directory (writers
+        # that staged BEFORE it are seq-fenced and fail their commit,
+        # so deleting their leftovers stays safe).
+        fresh = self._load()
+        live_names = {
+            name for e in fresh["versions"].values() for name in e["tables"]
+        }
+        reclaimed: list[str] = []
+        tables_dir = os.path.join(self.path, "tables")
+        for name in sorted(os.listdir(tables_dir)) if os.path.isdir(tables_dir) else []:
+            full = os.path.join(tables_dir, name)
+            if os.path.isdir(full) and name not in pinned and name not in live_names:
+                shutil.rmtree(full)
+                reclaimed.append(name)
+        return {
+            "dropped_db_versions": dropped,
+            "tables": table_report,
+            "reclaimed_tables": reclaimed,
+        }
 
 
 class Transaction:

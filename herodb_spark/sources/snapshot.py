@@ -2,9 +2,8 @@
 in plain parquet + a JSON manifest — the executable form of the
 reference's durability surface (Rewrite.md: ordered log of updates,
 replay on recovery; draft:132-150 `set/update/remove` statements).
-Delta/Iceberg jars are absent from this image (sources/lakehouse.py
-stays the import-gated connector), so the mechanism they implement is
-built here directly:
+Delta/Iceberg jars are absent from this image, so the mechanism they
+implement is built here directly:
 
 - A table is a MANIFEST (versioned JSON) pointing at immutable parquet
   partition directories. Readers resolve the manifest, never a live

@@ -908,6 +908,58 @@ def test_range_read_phantom_writers_cancel(spark, tmp_path):
     assert SnapshotDatabase(spark, db.path).recover() == {}
 
 
+def test_range_read_phantom_writer_threaded(spark, tmp_path):
+    """The threaded schedule of the phantom case (r10 verdict #6):
+    the interleaver runs on ITS OWN THREAD and CREATES a matching
+    partition strictly between the reader's declared-range read and
+    the reader's commit — the reader must cancel exactly as in the
+    sequential schedule. Control leg: a threaded writer whose rows
+    provably cannot match the declared range lets the reader commit."""
+    import threading as _th
+
+    db = _mkpdb(spark, tmp_path)
+
+    def _run_interleaver(part, ids, done):
+        t = Transaction(db)
+        t.__enter__()
+        t.merge_upsert("facts", _facts_rows(spark, part, ids))
+        t.commit()
+        done.set()
+
+    # (a) red: the thread lands a matching row in a NEW partition
+    r1 = Transaction(db)
+    r1.__enter__()
+    assert r1.read("facts", ranges={"id": (100, 200)}).count() == 0
+    r1.merge_upsert(
+        "audit", spark.createDataFrame([(90, "none")], "seq long, what string")
+    )
+    done = _th.Event()
+    th = _th.Thread(target=_run_interleaver, args=("pz", [150], done))
+    th.start()
+    th.join(timeout=120)
+    assert done.is_set(), "interleaver thread did not commit"
+    with pytest.raises(ConcurrentWriteError, match="read/write set"):
+        r1.commit()
+    SnapshotDatabase(spark, db.path).recover()
+
+    # (b) green: the threaded writer's keys are provably outside the
+    # declared range — the reader commits over it
+    r2 = Transaction(db)
+    r2.__enter__()
+    assert r2.read("facts", ranges={"id": (7000, 8000)}).count() == 0
+    r2.merge_upsert(
+        "audit", spark.createDataFrame([(91, "none")], "seq long, what string")
+    )
+    done2 = _th.Event()
+    th2 = _th.Thread(target=_run_interleaver, args=("py", [999], done2))
+    th2.start()
+    th2.join(timeout=120)
+    assert done2.is_set()
+    r2.commit()
+    assert db.read("audit").where("seq = 91").count() == 1
+    assert SnapshotDatabase(spark, db.path).recover() == {}
+
+
 def test_cheap_committer_defers_to_live_expensive_txn(spark, tmp_path):
     """Cost arbitration, defer leg: a cheap transaction hitting a
     table held by a LIVE higher-cost transaction's private versions

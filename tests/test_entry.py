@@ -14,9 +14,11 @@ def test_oracle_keys_subset_of_queries():
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q), set(o) - set(q)
     rows_only = set(q) - set(o)
-    # every rows-only op is one of the documented non-SQL-expressible ones
+    # every rows-only op is one of the documented non-SQL-expressible
+    # ones (ann_quantized_topk graduated to the brute-force oracle in
+    # r11 — its exact rerank reproduces the exact top-k per SF)
     assert rows_only == {
-        "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",
+        "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
         "sketch_profile", "dedup_semantic_clusters",  # KMeans: no SQL oracle
     }, rows_only
 

@@ -9,7 +9,6 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from herodb_spark.functions import text as T
-from herodb_spark.sources import lakehouse
 
 ROWS = st.lists(
     st.tuples(
@@ -50,14 +49,6 @@ def test_fingerprint_invariant_under_whitespace(spark_prop, texts):
     df = spark_prop.createDataFrame(rows, "i int, a string, b string")
     bad = df.where(T.fingerprint(F.col("a")) != T.fingerprint(F.col("b"))).count()
     assert bad == 0
-
-
-def test_lakehouse_stub_degrades_clearly(spark_prop):
-    import pytest
-
-    df = spark_prop.createDataFrame([(1, "x")], "k int, v string")
-    with pytest.raises(NotImplementedError, match="delta-spark jars"):
-        lakehouse.merge_upsert(spark_prop, "/tmp/nope", df, ["k"])
 
 
 EDGE_SETS = st.lists(

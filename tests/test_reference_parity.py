@@ -335,3 +335,243 @@ def test_lock_pick_transaction_and_deadlock_info(spark, pdb):
     assert 6 in got and 5 not in got
     assert pdb.read("audit").count() == 2
     SnapshotDatabase(spark, pdb.path).recover()
+
+
+# ---------------------------------------------------------------------------
+# TestUtility_Buffer.cpp — the reference's paged-buffer-manager suite,
+# mapped onto the snapshot storage layer: buffer SOURCES ↔ database
+# member tables, PAGES ↔ version-scoped partition data directories,
+# the page CACHE ↔ Spark's scan (content must read back exactly no
+# matter what is "resident"), USE MASKS ↔ the manifest's per-partition
+# file bookkeeping, the FREE-PAGE list ↔ vacuum GC + name/dir reuse.
+# SURVEY §1 argues page-buffer MECHANICS are Spark's job; these cases
+# mirror the suite's OBSERVABLE contracts 1:1 against our layer.
+# ---------------------------------------------------------------------------
+
+from herodb_spark.sources.snapshot import ConcurrentWriteError, SnapshotTable
+
+
+def test_buffer_add_remove_source(spark, tmp_path):
+    """TestUtility_Buffer.cpp:16 Utility_Buffer_AddRemoveSource — load
+    a memory source and a file source (names resolve), unload both
+    (names resolve empty), then load both AGAIN successfully. Here:
+    create an unpartitioned and a partitioned member table (the two
+    source kinds), drop both (reads fail, pin set empty), vacuum
+    reclaims the directories, and both names re-create cleanly."""
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "bm"))
+    db.create_table("mem_src", spark.createDataFrame([(1, 10)], "k long, v long"), key_cols=["k"])
+    db.create_table(
+        "file_src",
+        spark.createDataFrame([(1, "a", 10)], "id long, part string, v long"),
+        key_cols=["id"],
+        partition_col="part",
+    )
+    assert set(db.tables()) == {"mem_src", "file_src"}  # GetSourceFileName resolves
+    db.drop_table("mem_src")
+    db.drop_table("file_src")
+    assert db.tables() == {}  # UnloadSource: names resolve empty
+    for name in ("mem_src", "file_src"):
+        with pytest.raises(ValueError, match="no table"):
+            db.read(name)
+    # the dropped directory is still HELD until GC: re-creation refuses
+    with pytest.raises(ValueError, match="vacuum"):
+        db.create_table("mem_src", spark.createDataFrame([(2, 20)], "k long, v long"), key_cols=["k"])
+    rep = db.vacuum(keep_last=1)
+    assert set(rep["reclaimed_tables"]) == {"mem_src", "file_src"}
+    # LoadMemorySource/LoadFileSource again — both succeed
+    db.create_table("mem_src", spark.createDataFrame([(2, 20)], "k long, v long"), key_cols=["k"])
+    db.create_table(
+        "file_src",
+        spark.createDataFrame([(2, "b", 20)], "id long, part string, v long"),
+        key_cols=["id"],
+        partition_col="part",
+    )
+    assert {r.k for r in db.read("mem_src").collect()} == {2}
+    assert {r.id for r in db.read("file_src").collect()} == {2}
+
+
+@pytest.mark.parametrize("partitioned", [False, True], ids=["InMemory", "File"])
+def test_buffer_lock_unlock_page(spark, tmp_path, partitioned):
+    """TestUtility_Buffer.cpp:55 Utility_Buffer_LockUnlockPage (run
+    against BOTH source kinds via TEST_CASE_SOURCE:39, mirrored by the
+    partitioned/unpartitioned parametrization) — lock a page, write,
+    unlock persists exactly; UnlockPage with a WRONG ADDRESS fails;
+    after FreePage the page can no longer be locked. Here: a committed
+    version reads back exactly (lock→write→unlock); an OCC commit
+    holding a STALE token raises without changing state (the wrong-
+    address reject); vacuum frees the old version, after which time
+    travel to it raises (lock-after-free), and a second vacuum drops
+    nothing more (the double-free reject)."""
+    if partitioned:
+        df = spark.createDataFrame([(1, "a", 10)], "k long, part string, v long")
+        t = SnapshotTable.create(
+            spark, os.path.join(str(tmp_path), "t"), df, key_cols=["k"], partition_col="part"
+        )
+        upd = spark.createDataFrame([(2, "a", 20)], "k long, part string, v long")
+    else:
+        df = spark.createDataFrame([(1, 10)], "k long, v long")
+        t = SnapshotTable.create(spark, os.path.join(str(tmp_path), "t"), df, key_cols=["k"])
+        upd = spark.createDataFrame([(2, 20)], "k long, v long")
+    v1 = t.merge_upsert(upd)
+    assert {r.k for r in t.read(version=v1).collect()} == {1, 2}  # unlock persisted
+    # wrong address: a commit presenting a token the manager never
+    # handed out for the current state must be rejected, state intact
+    m = t._load()
+    with pytest.raises(ConcurrentWriteError, match="advanced past"):
+        t._commit(dict(m), expected_current=v1 - 1, expected_seq=0)
+    assert t._load()["current"] == v1
+    # FreePage: vacuum drops version 0; locking it afterwards fails
+    rep = t.vacuum(keep_last=1)
+    assert rep["dropped_versions"] == [0]
+    with pytest.raises(ValueError, match="no version 0"):
+        t.read(version=0)
+    # double free: nothing further to drop
+    assert t.vacuum(keep_last=1)["dropped_versions"] == []
+
+
+def test_buffer_allocate_free_page(spark, tmp_path):
+    """TestUtility_Buffer.cpp:75 Utility_Buffer_AllocateFreePage — the
+    INDEX page exists up front and can never be freed; two fresh pages
+    are distinct from it and each other; freeing page1 makes it
+    unlockable while page2's content ("This is page 2") survives;
+    the next allocation REUSES page1's slot (page3 == page1) and both
+    contents read back exactly. Here: the database manifest is the
+    index page (vacuum always keeps the current version); tables are
+    the pages; drop+vacuum frees; create_table after reclaim reuses
+    the same name/directory."""
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "bm"))
+    db.create_table("page1", spark.createDataFrame([(1, "This is page 1")], "k long, v string"), key_cols=["k"])
+    db.create_table("page2", spark.createDataFrame([(1, "This is page 2")], "k long, v string"), key_cols=["k"])
+    assert set(db.tables()) == {"page1", "page2"}  # distinct, valid
+    # the index page cannot be freed: the manifest survives any vacuum
+    db.vacuum(keep_last=1)
+    assert db._load()["current"] >= 0 and set(db.tables()) == {"page1", "page2"}
+    # free page1; page2 content untouched
+    db.drop_table("page1")
+    db.vacuum(keep_last=1)
+    with pytest.raises(ValueError, match="no table"):
+        db.read("page1")  # LockPage(page1) == nullptr
+    assert db.read("page2").collect()[0].v == "This is page 2"
+    # page3 == page1: same name and directory slot, fresh content
+    p1_dir = db._table_path("page1")
+    assert not os.path.exists(p1_dir)
+    db.create_table("page1", spark.createDataFrame([(1, "This is page 3")], "k long, v string"), key_cols=["k"])
+    assert os.path.exists(p1_dir)
+    assert db.read("page1").collect()[0].v == "This is page 3"
+    assert db.read("page2").collect()[0].v == "This is page 2"
+
+
+def test_buffer_allocate_and_swap(spark, tmp_path):
+    """TestUtility_Buffer.cpp:136 Utility_Buffer_AllocateAndSwap — 16
+    pages across TWO file sources against an 8-page cache: every
+    write/read forces swaps, yet all 32 payloads read back exactly,
+    and the cached-page count never exceeds the cache bound
+    (TEST_ASSERT_CACHE:131). Here (scaled 8×2): interleaved upserts
+    into two partitions of one table pile up versions; compact()
+    re-links files mid-stream and at the end (the swap/evict analog —
+    storage relocates, content must not); the file-count bound after
+    each compact is the cache-bound assert, and every payload reads
+    back byte-exact."""
+    rounds = 8
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(str(tmp_path), "t"),
+        spark.createDataFrame([], "k long, part string, v string"),
+        key_cols=["k"],
+        partition_col="part",
+    )
+    max_files = 4
+    for i in range(rounds):
+        for j, src in enumerate(("db1.bin", "db2.bin")):
+            t.merge_upsert(
+                spark.createDataFrame(
+                    [(i * 2 + j, src, f"{src} {i + 1}")], "k long, part string, v string"
+                )
+            )
+        if i % 4 == 3:  # the swap: relocate storage, preserve content
+            t.compact(max_files_per_partition=max_files)
+            m = t._load()
+            files = m["versions"][str(m["current"])]["files"]
+            assert all(n <= max_files for n in files.values()), files  # TEST_ASSERT_CACHE
+    got = {(r.k, r.part): r.v for r in t.read().collect()}
+    assert len(got) == rounds * 2
+    for i in range(rounds):
+        for j, src in enumerate(("db1.bin", "db2.bin")):
+            assert got[(i * 2 + j, src)] == f"{src} {i + 1}"
+
+
+def test_buffer_file_use_masks(spark, tmp_path):
+    """TestUtility_Buffer.cpp:182 Utility_Buffer_FileUseMasks — use
+    bits at page indices (including the 1023/1024 and 32767/32768
+    mask-page boundaries) set, clear, and re-set independently, and
+    reads reflect exactly the bits written. Here: the manifest's
+    per-version partition map IS the use mask — partitions named
+    after the reference's boundary indices are marked used by writes
+    and cleared by partition-emptying deletes; each version's mask
+    reads back exactly, independently per partition, with file counts
+    matching the directories on disk (totalUsedPages bookkeeping)."""
+    from pyspark.sql import functions as F
+
+    def mask(t, version=None):
+        m = t._load()
+        v = m["current"] if version is None else version
+        return set(m["versions"][str(v)]["partitions"])
+
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(str(tmp_path), "t"),
+        spark.createDataFrame([(0, "p1023", 0)], "k long, part string, v long"),
+        key_cols=["k"],
+        partition_col="part",
+    )
+    # GetUseMask(1023)==F GetUseMask(1024)==F on untouched indices: only
+    # the created partition is set
+    assert mask(t) == {"p1023"}
+    # SetUseMask(1024, true); SetUseMask(32768, true)
+    t.merge_upsert(spark.createDataFrame([(1, "p1024", 1), (2, "p32768", 2)], "k long, part string, v long"))
+    assert mask(t) == {"p1023", "p1024", "p32768"}
+    # clear 1024/32768, set 32767 — bits move independently
+    t.delete_where(F.col("part").isin("p1024", "p32768"))
+    t.merge_upsert(spark.createDataFrame([(3, "p32767", 3)], "k long, part string, v long"))
+    assert mask(t) == {"p1023", "p32767"}
+    # every version's mask is exactly what was written at that version
+    assert mask(t, 0) == {"p1023"}
+    assert mask(t, 1) == {"p1023", "p1024", "p32768"}
+    # file bookkeeping matches the directories on disk per partition
+    m = t._load()
+    cur = m["versions"][str(m["current"])]
+    for pv, rel in cur["partitions"].items():
+        n_disk = sum(
+            1 for f in os.listdir(os.path.join(t.path, rel)) if f.endswith(".parquet")
+        )
+        assert cur["files"][pv] == n_disk, pv
+    # clear everything: the final mask is empty (totalUsedPages == 0)
+    t.delete_where(F.lit(True))
+    assert mask(t) == set()
+    assert t.read().count() == 0
+
+
+def test_buffer_file_free_pages(spark, tmp_path):
+    """TestUtility_Buffer.cpp:228 Utility_Buffer_FileFreePages — push
+    1024 pages onto the free list, pop them ALL back, then push and
+    pop the whole set AGAIN: the free list drains fully and behaves
+    identically on the second cycle (no state leaks). Here (scaled
+    N=3): two full create→drop→vacuum-reclaim→re-create cycles over
+    the same table names; the reclaim set is identical each cycle and
+    every name is reusable afterwards — GC keeps no hidden state."""
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "bm"))
+    names = [f"pg{i}" for i in range(3)]
+    for cycle in (1, 2):
+        for i, name in enumerate(names):
+            db.create_table(
+                name,
+                spark.createDataFrame([(i, cycle)], "k long, v long"),
+                key_cols=["k"],
+            )
+        assert set(db.tables()) == set(names)
+        assert {r.v for r in db.read("pg0").collect()} == {cycle}
+        for name in names:
+            db.drop_table(name)
+        rep = db.vacuum(keep_last=1)
+        assert set(rep["reclaimed_tables"]) == set(names), cycle  # full drain
+        assert db.tables() == {}
