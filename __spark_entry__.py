@@ -57,7 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # into tag-union queries; the merged function's docstring names its
 # constituents, and every constituent keeps its own function/oracle
 # below slot 50 and in unit tests). The rows-only queries (no
-# DuckDB-expressible oracle: simhash/LSH/IVF ANN, sketch_profile,
+# DuckDB-expressible oracle: simhash/LSH/IVF/PQ ANN, sketch_profile,
 # semantic clusters) produce no hash signal, so they must sit BEYOND
 # slot 50 — position among the ungraded entries is otherwise free.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -385,6 +385,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exact companion to the sketch-based sketch_profile); GRADED via
     # the corpus_ops tag-union since r11
     "corpus_profile": CO.corpus_profile,
+    # round 11: per-domain document cap (anti-over-representation) —
+    # two-phase per-source top-cap by the prose-quality score
+    "corpus_domain_cap": CO.corpus_domain_cap,
+    # round 11: rolling z-score anomaly scan over hourly event-type
+    # counts (exact BIGINT window sums; identical double kernel)
+    "events_anomaly": O.events_anomaly,
+    # round 11: product-quantization ANN (8 codes/vector = 32×
+    # compression, ADC table-lookup scoring, exact rerank) — rows-only
+    # DELIBERATELY: recall@5 on this near-random synthetic corpus is
+    # 0.86/0.98 at sf0.001/sf0.01 (measured r11, floor pinned in
+    # tests), so the exact-top-k oracle would misstate it
+    "ann_pq_topk": SK.ann_pq_topk,
 }
 
 
@@ -514,6 +526,8 @@ ORACLES: dict[str, str] = {
     "sim_hybrid_rrf": S.SIM_HYBRID_RRF_SQL,
     "events_transition_matrix": O.EVENTS_TRANSITION_SQL,
     "corpus_profile": CO.CORPUS_PROFILE_SQL,
+    "corpus_domain_cap": CO.CORPUS_DOMAIN_CAP_SQL,
+    "events_anomaly": O.EVENTS_ANOMALY_SQL,
 }
 
 

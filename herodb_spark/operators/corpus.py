@@ -737,3 +737,88 @@ SELECT 'profile' AS op, dim || ':' || k AS k, n_docs AS v1, n_tokens AS v2,
 FROM ({CORPUS_PROFILE_SQL.replace("ORDER BY dim, k", "")})
 ORDER BY op, k
 """
+
+
+# ------------------------------------------------------------- domain capping
+
+DOMAIN_CAP = 15  # max documents kept per source
+
+
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOMAIN CAP — the anti-over-representation staple of crawl
+    pipelines (no single site may dominate the mixture): within every
+    source, rank documents by (quality desc, doc_id asc) and keep at
+    most DOMAIN_CAP — the highest-quality representatives of each
+    domain survive, the tail is dropped. Quality is the repo's
+    heuristic prose score (functions.text.quality_score — exactly the
+    text_analysis formula, so the two operators agree by
+    construction).
+
+    Output: the KEPT rows only — (doc_id, source, quality, rk) — the
+    downstream-mixture input; totals are one aggregate away and the
+    dropped set is the anti-join, both covered by unit laws.
+
+    Plan (100-TB shape): TWO-PHASE per-source top-cap, the
+    _topk_per_query trick keyed on source: phase 1 ranks within
+    (source, input partition) — the shuffle key space is |sources|×P,
+    so a HOT DOMAIN (the exact skew this operator exists to fight)
+    never funnels into one reducer — and only ≤ cap rows per
+    (source, partition) reach the global per-source window. Exact:
+    any row in a source's global top-cap is in the top-cap of
+    whichever partition scored it; (quality desc, doc_id asc) is a
+    total order."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", T.quality_score(F.col("text")).alias("quality")
+    )
+    pw = Window.partitionBy("source", "_pid").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    gw = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prk", F.row_number().over(pw))
+        .where(F.col("_prk") <= DOMAIN_CAP)
+        .drop("_pid", "_prk")
+        .withColumn("rk", F.row_number().over(gw))
+        .where(F.col("rk") <= DOMAIN_CAP)
+        .orderBy("source", "rk")
+        .select("doc_id", "source", "quality", "rk")
+    )
+
+
+_QUALITY_SQL_EXPR = r"""
+ROUND(0.4 * least(1.0, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0)
+    + 0.3 * (1.0 - least(1.0,
+        10.0 * CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / greatest(CAST(length(text) AS DOUBLE), 1.0)))
+    + 0.3 * least(1.0,
+        5.0 * CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   t -> list_contains({stops}, t))) AS DOUBLE)
+            / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)), 6)
+"""
+
+
+def _domain_cap_sql() -> str:
+    from herodb_spark.functions import text as _T
+
+    stops = "['" + "','".join(_T.STOPWORDS_EN) + "']"
+    q = _QUALITY_SQL_EXPR.replace("{stops}", stops)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, {q} AS quality FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY quality DESC, doc_id ASC) AS INT) AS rk
+  FROM scored
+)
+SELECT doc_id, source, quality, rk FROM ranked
+WHERE rk <= {DOMAIN_CAP} ORDER BY source, rk
+"""
+
+
+CORPUS_DOMAIN_CAP_SQL = _domain_cap_sql()

@@ -581,3 +581,91 @@ SELECT 'transition', cur || '→' || nxt, cnt, CAST(NULL AS BIGINT),
 FROM ({EVENTS_TRANSITION_SQL.replace("ORDER BY counts.cur, nxt", "")})
 ORDER BY op, k, v1
 """
+
+
+# -------------------------------------------------------------- anomaly scan
+
+ANOM_WINDOW = 24  # trailing buckets in the rolling baseline
+ANOM_MIN_N = 12   # minimum baseline buckets before a z-score is emitted
+ANOM_Z = 2.0      # |z| at or above this flags the bucket
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING Z-SCORE anomaly scan over the event log — the ops
+    staple (error-rate spikes, traffic drops): per event type, hourly
+    counts are compared against the trailing ANOM_WINDOW buckets'
+    mean/std; a bucket with |z| ≥ ANOM_Z and a full-enough baseline
+    (≥ ANOM_MIN_N buckets) is flagged.
+
+    Exactness: the baseline is computed from EXACT BIGINT window sums
+    (Σcnt, Σcnt², n over ROWS BETWEEN W PRECEDING AND 1 PRECEDING —
+    row-based so missing buckets can't diverge between engines);
+    mean/variance/z are the identical double expressions on both
+    sides, z rounded to 6dp; z is NULL (and the flag false) when the
+    baseline is short or flat (std == 0).
+
+    Plan (100-TB shape): ONE map-side-combined groupBy to the
+    (type, hour) bucket counts — the only pass over the raw log —
+    then the rolling window runs on the |types|×|hours| bucket
+    relation, broadcast-scale at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    s1 = F.sum("cnt").over(w)
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    mean = s1.cast("double") / n
+    var = (s2.cast("double") - s1.cast("double") * s1.cast("double") / n) / n
+    z = F.round((F.col("cnt").cast("double") - mean) / F.sqrt(var), 6)
+    stats = buckets.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "cnt",
+        n.alias("n_baseline"),
+        F.when((n >= ANOM_MIN_N) & (var > 0), z).alias("zscore"),
+    )
+    return stats.withColumn(
+        "anomaly", F.coalesce(F.abs(F.col("zscore")) >= ANOM_Z, F.lit(False))
+    ).orderBy("event_type", "hour")
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH buckets AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+),
+rolled AS (
+  SELECT event_type, h, cnt,
+         SUM(cnt) OVER w AS s1,
+         SUM(cnt * cnt) OVER w AS s2,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n
+  FROM buckets
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, cnt,
+       n AS n_baseline,
+       CASE WHEN n >= {ANOM_MIN_N}
+             AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n > 0
+            THEN ROUND((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                       / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n), 6)
+       END AS zscore,
+       COALESCE(abs(CASE WHEN n >= {ANOM_MIN_N}
+             AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n > 0
+            THEN ROUND((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                       / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n), 6)
+       END) >= {ANOM_Z}, false) AS anomaly
+FROM rolled ORDER BY event_type, hour
+"""

@@ -17,6 +17,7 @@ CASES = [
     (C.corpus_scrub_spans, C.CORPUS_SCRUB_SPANS_SQL),
     (C.corpus_contamination_score, C.CORPUS_CONTAMINATION_SCORE_SQL),
     (C.corpus_profile, C.CORPUS_PROFILE_SQL),
+    (C.corpus_domain_cap, C.CORPUS_DOMAIN_CAP_SQL),
 ]
 
 
@@ -186,3 +187,43 @@ def test_corpus_profile_reconciles(spark):
 
     docs = load_table(spark, sfd, "documents")
     assert total.n_docs == docs.count()
+
+
+def test_domain_cap_laws(spark, sf_dir):
+    """Cap semantics: at most DOMAIN_CAP rows per source, ranks are
+    1..k contiguous, every kept row's quality is >= every dropped
+    same-source row's quality (modulo the doc_id tie-break), and the
+    per-doc quality agrees with text_analysis's column."""
+    from herodb_spark.operators.textops import text_analysis
+
+    kept = C.corpus_domain_cap(spark, sf_dir)
+    rows = kept.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src_name, grp in by_src.items():
+        assert len(grp) == min(C.DOMAIN_CAP, totals[src_name])
+        assert sorted(r.rk for r in grp) == list(range(1, len(grp) + 1))
+        # within the kept set, rank order follows (quality desc, doc_id asc)
+        ordered = sorted(grp, key=lambda r: r.rk)
+        for a, b in zip(ordered, ordered[1:]):
+            assert (a.quality, -a.doc_id) >= (b.quality, -b.doc_id) or a.quality > b.quality
+    # quality column identical to the text_analysis projection
+    qa = {r.doc_id: r.quality for r in text_analysis(spark, sf_dir).collect()}
+    for r in rows:
+        assert qa[r.doc_id] == r.quality
+    # dropped rows (if the source exceeded the cap) all score <= the
+    # kept minimum for that source
+    kept_ids = {r.doc_id for r in rows}
+    min_kept = {s: min(r.quality for r in g) for s, g in by_src.items()}
+    from herodb_spark.functions import text as T
+
+    dropped = (
+        docs.select("doc_id", "source", T.quality_score(F.col("text")).alias("q"))
+        .where(~F.col("doc_id").isin(*kept_ids))
+        .collect()
+    )
+    for r in dropped:
+        assert r.q <= min_kept[r.source]

@@ -18,7 +18,7 @@ def test_oracle_keys_subset_of_queries():
     # ones (ann_quantized_topk graduated to the brute-force oracle in
     # r11 — its exact rerank reproduces the exact top-k per SF)
     assert rows_only == {
-        "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
+        "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
         "sketch_profile", "dedup_semantic_clusters",  # KMeans: no SQL oracle
     }, rows_only
 

@@ -14,6 +14,7 @@ CASES = [
     (O.events_analytics, O.EVENTS_ANALYTICS_SQL),
     (O.events_attribution, O.EVENTS_ATTRIBUTION_SQL),
     (O.events_transition_matrix, O.EVENTS_TRANSITION_SQL),
+    (O.events_anomaly, O.EVENTS_ANOMALY_SQL),
 ]
 
 
@@ -102,3 +103,40 @@ def test_transition_matrix_is_row_stochastic(spark):
     assert cnt == dict(per_type)
     for c, p in prob.items():
         assert abs(p - 1.0) < 1e-4, (c, p)
+
+
+def test_events_anomaly_laws(spark):
+    """Baseline contract: zscore is NULL exactly when the trailing
+    window is short (< ANOM_MIN_N) or flat (variance 0); anomaly is
+    true iff |z| >= ANOM_Z; n_baseline never exceeds ANOM_WINDOW; and
+    recomputing any flagged bucket's z from its own trailing counts
+    reproduces the column."""
+    import math
+
+    sfd = "/root/testdata/sf0.001"
+    rows = O.events_anomaly(spark, sfd).collect()
+    assert rows, "no buckets"
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    flagged = [r for r in rows if r.anomaly]
+    assert flagged, "expected at least one anomaly in the synthetic log"
+    for grp in by_type.values():
+        grp.sort(key=lambda r: r.hour)
+        for i, r in enumerate(grp):
+            assert r.n_baseline <= O.ANOM_WINDOW
+            window = grp[max(0, i - O.ANOM_WINDOW):i]
+            assert r.n_baseline == len(window)
+            cnts = [x.cnt for x in window]
+            if len(cnts) < O.ANOM_MIN_N:
+                assert r.zscore is None and not r.anomaly
+                continue
+            n = len(cnts)
+            mean = sum(cnts) / n
+            var = (sum(c * c for c in cnts) - sum(cnts) ** 2 / n) / n
+            if var <= 0:
+                assert r.zscore is None and not r.anomaly
+            else:
+                z = round((r.cnt - mean) / math.sqrt(var), 6)
+                assert abs(r.zscore - z) < 1e-9, (r, z)
+                assert r.anomaly == (abs(z) >= O.ANOM_Z)

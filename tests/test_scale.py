@@ -155,3 +155,31 @@ def test_semdedup_clusters_laws(spark):
         witnesses.setdefault(worse, set()).add(better)
     for d in dropped:  # (c)
         assert d in witnesses, f"dropped {d} has no better-ranked τ-neighbor"
+
+
+def test_ann_pq_recall_determinism_and_exact_rerank(spark, sf_dir):
+    """PQ ANN: (a) deterministic across runs (pinned per-block KMeans
+    seeds + lowest-code/lowest-id tie-breaks); (b) recall@K vs the
+    exact baseline >= 0.8 at every graded SF (measured 0.86/0.98 at
+    r11 — regeneration canary); (c) the rerank is EXACT: every
+    reported cosine equals the brute-force cosine for that pair, and
+    ranks are contiguous 1..K per query."""
+    from herodb_spark.operators import similarity as S
+
+    a = SC.ann_pq_topk(spark, sf_dir).collect()
+    b = SC.ann_pq_topk(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    exact_rows = S.ann_bruteforce_topk(spark, sf_dir).collect()
+    exact = {(r.q_id, r.neighbor_id) for r in exact_rows}
+    got = {(r.q_id, r.neighbor_id) for r in a}
+    assert len(got & exact) / len(exact) >= 0.8, len(got & exact) / len(exact)
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r.q_id, []).append(r.rk)
+    for q, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), q
+    # rerank exactness: overlapping pairs carry identical cosines
+    exact_cos = {(r.q_id, r.neighbor_id): r.cosine for r in exact_rows}
+    for r in a:
+        if (r.q_id, r.neighbor_id) in exact_cos:
+            assert r.cosine == exact_cos[(r.q_id, r.neighbor_id)], r
