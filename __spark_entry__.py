@@ -139,7 +139,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_centroids": S.sim_knn_centroids,
     "skew_join_salted": SK.skew_join_salted,
     # merges decontaminate + stratified_sample + vocab_topk +
-    # scrub_spans + contamination_score + (r11) corpus_profile
+    # scrub_spans + contamination_score + (r11) corpus_profile +
+    # corpus_domain_cap
     "corpus_ops": CO.corpus_ops,
     # H. text analysis (merges token_count/quality/lang_id/fingerprint)
     "text_analysis": X.text_analysis,
@@ -151,7 +152,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # keeps its standalone entry + oracle below — round-7 rebalance so
     # the driver officially grades the LLM-pipeline surface)
     "traindata_spans": TD.traindata_spans,  # merges dedup_span_exact + dedup_span_maximal
-    # merges mixture_sample + mixture_upsample + dsir (r10) + pps (r11)
+    # merges mixture_sample + mixture_upsample + dsir (r10) + pps +
+    # temperature (r11)
     "traindata_mixture": TD.traindata_mixture,
     "traindata_export": TD.traindata_export,  # merges shard_manifest + pack_sequences + global_shuffle (r8) + chunk_documents (r9)
     # I. multimodal plumbing (merges binary_meta + frame_sample)
@@ -187,7 +189,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "constraints_typed": CN.constraints_typed,
     # round 9: ordered funnel + weekly cohort retention rotated INTO
     # the graded window (tag-union of the r8 event-analytics pair);
-    # + attribution (r10) + the Markov transition matrix (r11)
+    # + attribution (r10) + the Markov transition matrix and the
+    # rolling z-score anomaly scan (r11)
     "events_analytics": O.events_analytics,
     # merges incremental (delta-batch) + snapshot-CDC MV refresh (r8)
     "matview_refresh": MV.matview_refresh,
@@ -351,6 +354,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sampling — exact integer md5-threshold inclusion ∝ n_tokens;
     # GRADED via the traindata_mixture tag-union since r11
     "traindata_pps_sample": TD.traindata_pps_sample,
+    # round 11: temperature-scaled (α=½) domain mixture — the
+    # multilingual exponent-sampling standard; GRADED via the
+    # traindata_mixture tag-union (temp branch)
+    "mixture_temperature": TD.mixture_temperature,
     # round 10: first/last-touch purchase attribution over the event
     # log — GRADED via the events_analytics tag-union (attrib branch)
     "events_attribution": O.events_attribution,
@@ -386,10 +393,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the corpus_ops tag-union since r11
     "corpus_profile": CO.corpus_profile,
     # round 11: per-domain document cap (anti-over-representation) —
-    # two-phase per-source top-cap by the prose-quality score
+    # two-phase per-source top-cap by the prose-quality score; GRADED
+    # via the corpus_ops tag-union (cap branch)
     "corpus_domain_cap": CO.corpus_domain_cap,
     # round 11: rolling z-score anomaly scan over hourly event-type
-    # counts (exact BIGINT window sums; identical double kernel)
+    # counts (exact BIGINT window sums; identical double kernel);
+    # GRADED via the events_analytics tag-union (anomaly branch)
     "events_anomaly": O.events_anomaly,
     # round 11: product-quantization ANN (8 codes/vector = 32×
     # compression, ADC table-lookup scoring, exact rerank) — rows-only
@@ -528,6 +537,7 @@ ORACLES: dict[str, str] = {
     "corpus_profile": CO.CORPUS_PROFILE_SQL,
     "corpus_domain_cap": CO.CORPUS_DOMAIN_CAP_SQL,
     "events_anomaly": O.EVENTS_ANOMALY_SQL,
+    "mixture_temperature": TD.MIXTURE_TEMPERATURE_SQL,
 }
 
 

@@ -160,18 +160,22 @@ LIMIT {VOCAB_K}
 def corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of corpus_decontaminate + stratified_sample +
     vocab_topk + (since round 7) corpus_scrub_spans + (since round 10)
-    corpus_contamination_score + (since round 11) corpus_profile —
-    each kept as its own function/oracle for unit tests: tag-unioned
-    into one (op, k, v1, v2, v3) relation so all six corpus operators
-    earn a driver-graded hash row in a single slot. Each constituent
+    corpus_contamination_score + (since round 11) corpus_profile and
+    corpus_domain_cap — each kept as its own function/oracle for unit
+    tests: tag-unioned into one (op, k, v1, v2, v3) relation so all
+    seven corpus operators earn a driver-graded hash row in a single
+    slot. Each constituent
     plan executes unchanged inside the union; the scrub branch carries
     the per-affected-doc word/removal counts in v1/v2 and the
     clean-remainder md5 in the string column v3; the contam branch
     carries n_grams/n_hits in v1/v2 (frac and the flag are pure
     functions of those, hashed standalone); the profile branch keys on
     dim:k with n_docs/n_tokens in v1/v2 and 'n_chars:n_vocab' packed
-    into v3 (all four exact integers in the graded hash); doc_id is
-    zero-padded in k so string ordering stays deterministic."""
+    into v3 (all four exact integers in the graded hash); the cap
+    branch (corpus_domain_cap, r11) keys on source:doc with the rank
+    in v1 and the quality scaled to an exact integer (×10⁶ of the
+    6dp-rounded double — lossless) in v2; doc_id is zero-padded in k
+    so string ordering stays deterministic."""
     nul = F.lit(None).cast("long")
     nuls = F.lit(None).cast("string")
     d = corpus_decontaminate(spark, sf_dir).select(
@@ -216,9 +220,18 @@ def corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("v2"),
         F.concat_ws(":", F.col("n_chars").cast("string"), F.col("n_vocab").cast("string")).alias("v3"),
     )
+    cap = corpus_domain_cap(spark, sf_dir).select(
+        F.lit("cap").alias("op"),
+        F.concat_ws(
+            ":", F.col("source"), F.lpad(F.col("doc_id").cast("string"), 12, "0")
+        ).alias("k"),
+        F.col("rk").cast("long").alias("v1"),
+        F.round(F.col("quality") * 1e6).cast("long").alias("v2"),
+        nuls.alias("v3"),
+    )
     return (
         d.unionByName(s).unionByName(v).unionByName(sc).unionByName(ct)
-        .unionByName(pf).orderBy("op", "k")
+        .unionByName(pf).unionByName(cap).orderBy("op", "k")
     )
 
 
@@ -728,16 +741,7 @@ ORDER BY dim, k
 """
 
 
-# assembled last: the profile branch embeds CORPUS_PROFILE_SQL above
-CORPUS_OPS_SQL = f"""
-{_CORPUS_OPS_BASE_SQL}
-UNION ALL
-SELECT 'profile' AS op, dim || ':' || k AS k, n_docs AS v1, n_tokens AS v2,
-       CAST(n_chars AS VARCHAR) || ':' || CAST(n_vocab AS VARCHAR) AS v3
-FROM ({CORPUS_PROFILE_SQL.replace("ORDER BY dim, k", "")})
-ORDER BY op, k
-"""
-
+# CORPUS_OPS_SQL is assembled at the very end of this module.
 
 # ------------------------------------------------------------- domain capping
 
@@ -822,3 +826,20 @@ WHERE rk <= {DOMAIN_CAP} ORDER BY source, rk
 
 
 CORPUS_DOMAIN_CAP_SQL = _domain_cap_sql()
+
+
+# assembled last: embeds CORPUS_PROFILE_SQL and CORPUS_DOMAIN_CAP_SQL above
+CORPUS_OPS_SQL = f"""
+{_CORPUS_OPS_BASE_SQL}
+UNION ALL
+SELECT 'profile' AS op, dim || ':' || k AS k, n_docs AS v1, n_tokens AS v2,
+       CAST(n_chars AS VARCHAR) || ':' || CAST(n_vocab AS VARCHAR) AS v3
+FROM ({CORPUS_PROFILE_SQL.replace("ORDER BY dim, k", "")})
+UNION ALL
+SELECT 'cap' AS op, source || ':' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k,
+       CAST(rk AS BIGINT) AS v1, CAST(ROUND(quality * 1000000, 0) AS BIGINT) AS v2,
+       CAST(NULL AS VARCHAR) AS v3
+FROM ({CORPUS_DOMAIN_CAP_SQL.replace("ORDER BY source, rk", "")})
+ORDER BY op, k
+"""
+

@@ -349,7 +349,10 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch. The attrib branch carries (last_click, first_click,
     lag_us) per purchase; n_touches stays in the standalone hash. The
     transition branch keys on 'cur→nxt' with cnt in v1 and the exact
-    rounded probability in the double column v4 (NULL elsewhere)."""
+    rounded probability in the double column v4 (NULL elsewhere). The
+    anomaly branch (events_anomaly, r11) keys on 'type@hour' with cnt
+    in v1, n_baseline in v2, and the z-score in v4 (the flag is a
+    pure function of z, hashed standalone)."""
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
     at = events_attribution(spark, sf_dir).select(
@@ -384,7 +387,18 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         nl.alias("v3"),
         F.col("prob").alias("v4"),
     )
-    return fu.unionByName(re).unionByName(at).unionByName(tr).orderBy("op", "k", "v1")
+    an = events_anomaly(spark, sf_dir).select(
+        F.lit("anomaly").alias("op"),
+        F.concat_ws("@", "event_type", "hour").alias("k"),
+        F.col("cnt").alias("v1"),
+        F.col("n_baseline").alias("v2"),
+        nl.alias("v3"),
+        F.col("zscore").alias("v4"),
+    )
+    return (
+        fu.unionByName(re).unionByName(at).unionByName(tr).unionByName(an)
+        .orderBy("op", "k", "v1")
+    )
 
 
 # EVENTS_ANALYTICS_SQL is defined at the bottom of this module: its
@@ -560,27 +574,7 @@ ORDER BY counts.cur, nxt
 """
 
 
-# assembled last: the transition branch embeds EVENTS_TRANSITION_SQL
-EVENTS_ANALYTICS_SQL = f"""
-SELECT 'funnel' AS op, CAST(user_id AS VARCHAR) AS k,
-       CAST(depth AS BIGINT) AS v1, to_step2_us AS v2, to_step3_us AS v3,
-       CAST(NULL AS DOUBLE) AS v4
-FROM ({EVENTS_FUNNEL_SQL})
-UNION ALL
-SELECT 'retention', CAST(cohort_week AS VARCHAR),
-       CAST(weeks_since AS BIGINT), CAST(n_users AS BIGINT), CAST(NULL AS BIGINT),
-       CAST(NULL AS DOUBLE)
-FROM ({EVENTS_RETENTION_SQL})
-UNION ALL
-SELECT 'attrib', lpad(CAST(purchase_id AS VARCHAR), 12, '0'),
-       last_click_id, first_click_id, lag_us, CAST(NULL AS DOUBLE)
-FROM ({_ATTRIBUTION_CORE_SQL})
-UNION ALL
-SELECT 'transition', cur || '→' || nxt, cnt, CAST(NULL AS BIGINT),
-       CAST(NULL AS BIGINT), prob
-FROM ({EVENTS_TRANSITION_SQL.replace("ORDER BY counts.cur, nxt", "")})
-ORDER BY op, k, v1
-"""
+# EVENTS_ANALYTICS_SQL is assembled at the very end of this module.
 
 
 # -------------------------------------------------------------- anomaly scan
@@ -669,3 +663,31 @@ SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, cnt,
        END) >= {ANOM_Z}, false) AS anomaly
 FROM rolled ORDER BY event_type, hour
 """
+
+
+# assembled last: embeds EVENTS_TRANSITION_SQL and EVENTS_ANOMALY_SQL
+EVENTS_ANALYTICS_SQL = f"""
+SELECT 'funnel' AS op, CAST(user_id AS VARCHAR) AS k,
+       CAST(depth AS BIGINT) AS v1, to_step2_us AS v2, to_step3_us AS v3,
+       CAST(NULL AS DOUBLE) AS v4
+FROM ({EVENTS_FUNNEL_SQL})
+UNION ALL
+SELECT 'retention', CAST(cohort_week AS VARCHAR),
+       CAST(weeks_since AS BIGINT), CAST(n_users AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM ({EVENTS_RETENTION_SQL})
+UNION ALL
+SELECT 'attrib', lpad(CAST(purchase_id AS VARCHAR), 12, '0'),
+       last_click_id, first_click_id, lag_us, CAST(NULL AS DOUBLE)
+FROM ({_ATTRIBUTION_CORE_SQL})
+UNION ALL
+SELECT 'transition', cur || '→' || nxt, cnt, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), prob
+FROM ({EVENTS_TRANSITION_SQL.replace("ORDER BY counts.cur, nxt", "")})
+UNION ALL
+SELECT 'anomaly', event_type || '@' || hour, cnt, n_baseline,
+       CAST(NULL AS BIGINT), zscore
+FROM ({EVENTS_ANOMALY_SQL.replace("ORDER BY event_type, hour", "")})
+ORDER BY op, k, v1
+"""
+

@@ -607,16 +607,27 @@ def traindata_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     downsampling report) + mixture_upsample_domains (uncapped-rate
     upsampling report) + (since round 10) traindata_dsir_weights
     (importance-resampling selection) + (since round 11)
-    traindata_pps_sample (size-proportional Bernoulli sampling) — the
+    traindata_pps_sample (size-proportional Bernoulli sampling) and
+    mixture_temperature (α=½ exponent-scaled domain shares) — the
     mixture/selection half of the training-data surface, tag-unioned
     into (op, source, n_total, rate, n1, n2). All constituents keep
     standalone registry entries + oracles; each report executes
-    unchanged in its branch. The dsir branch is per-document: doc_id
+    unchanged in its branch. The temp branch (mixture_temperature,
+    r11) is per-source like sample/upsample: keep_rate in rate,
+    n_kept in n1. The dsir branch is per-document: doc_id
     zero-padded into the string key, n_tokens in n_total, log_weight
     in rate, selected in n1. The pps branch is also per-document:
     n_tokens in n_total, the md5-derived u32 in n1, the sampled bit in
     n2 (the threshold is a pure integer function of n_tokens, hashed
     standalone)."""
+    tp = mixture_temperature(spark, sf_dir).select(
+        F.lit("temp").alias("op"),
+        "source",
+        "n_total",
+        F.col("keep_rate").alias("rate"),
+        F.col("n_kept").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+    )
     pp = traindata_pps_sample(spark, sf_dir).select(
         F.lit("pps").alias("op"),
         F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("source"),
@@ -649,7 +660,10 @@ def traindata_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_out").alias("n1"),
         F.col("n_dup_docs").alias("n2"),
     )
-    return ms.unionByName(mu).unionByName(ds).unionByName(pp).orderBy("op", "source")
+    return (
+        ms.unionByName(mu).unionByName(ds).unionByName(pp).unionByName(tp)
+        .orderBy("op", "source")
+    )
 
 
 # TRAINDATA_MIXTURE_SQL is defined at the bottom of this module: its
@@ -1115,7 +1129,101 @@ SELECT * FROM ({_PPS_CORE_SQL}) ORDER BY doc_id
 """
 
 
-# assembled last: the pps branch embeds _PPS_CORE_SQL above
+# TRAINDATA_MIXTURE_SQL is assembled at the very end of this module.
+
+# ------------------------------------------------------ temperature mixture
+
+TEMP_BUDGET_FRAC = 0.5  # temperature-mixture budget: half the corpus
+
+
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED mixture (α = 0.5) — the multilingual/
+    multi-domain standard (mBERT/XLM-R exponent sampling, DoReMi's
+    baseline): domain shares are proportional to n^α instead of n, so
+    small domains are upsampled relative to their raw frequency and
+    head domains capped, with α = 1/2 computed via sqrt (correctly
+    rounded IEEE — portable where pow() is not). Per source:
+
+        share_i = √n_i / Σ_j √n_j
+        rate_i  = min(1, share_i · (TEMP_BUDGET_FRAC · N) / n_i)
+
+    and the deterministic md5-threshold keep (hash_unit < rate) —
+    same reproducibility contract as mixture_sample_domains.
+
+    Determinism: each √n is rounded to 9 dp and summed as
+    DECIMAL(27,9) (order-free Σ); the rate is one identical chain of
+    double ops on both engines, rounded to 6 dp BEFORE the keep
+    compare. Plan: one |sources|-row aggregate + a broadcast rate
+    join + a codegen scan predicate — no extra shuffle at any scale.
+
+    Output: (source, n_total, keep_rate, n_kept), ordered."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    raw = F.round(F.sqrt(F.col("n_total").cast("double")), 9).cast("decimal(27,9)")
+    tot = per.agg(
+        F.sum(raw).alias("tot"),
+        F.sum("n_total").alias("n_corpus"),
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            (raw.cast("double") / F.col("tot").cast("double"))
+            * (F.lit(TEMP_BUDGET_FRAC) * F.col("n_corpus").cast("double"))
+            / F.col("n_total").cast("double"),
+        ),
+        6,
+    )
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_total", rate.alias("keep_rate")
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "keep_rate")), "source")
+        .where(hash_unit(F.col("doc_id")) < F.col("keep_rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            "keep_rate",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_TEMPERATURE_SQL = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_total,
+         CAST(ROUND(sqrt(CAST(COUNT(*) AS DOUBLE)), 9) AS DECIMAL(27,9)) AS raw
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(raw) AS tot, CAST(SUM(n_total) AS BIGINT) AS n_corpus FROM per
+),
+rates AS (
+  SELECT source, n_total,
+         ROUND(LEAST(1.0,
+               (CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE))
+               * ({TEMP_BUDGET_FRAC} * CAST(n_corpus AS DOUBLE))
+               / CAST(n_total AS DOUBLE)), 6) AS keep_rate
+  FROM per, tot
+),
+kept AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN rates r USING (source)
+  WHERE {_hash_unit_sql("d.doc_id")} < r.keep_rate
+  GROUP BY d.source
+)
+SELECT r.source, r.n_total, r.keep_rate, COALESCE(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k USING (source)
+ORDER BY r.source
+"""
+
+
+# assembled last: embeds _PPS_CORE_SQL and MIXTURE_TEMPERATURE_SQL above
 TRAINDATA_MIXTURE_SQL = f"""
 SELECT 'sample' AS op, source, n_total, keep_rate AS rate, n_kept AS n1,
        CAST(NULL AS BIGINT) AS n2
@@ -1131,5 +1239,9 @@ UNION ALL
 SELECT 'pps', lpad(CAST(doc_id AS VARCHAR), 12, '0'), n_tokens,
        CAST(NULL AS DOUBLE), u32, CAST(sampled AS BIGINT)
 FROM ({_PPS_CORE_SQL})
+UNION ALL
+SELECT 'temp', source, n_total, keep_rate, n_kept, CAST(NULL AS BIGINT)
+FROM ({MIXTURE_TEMPERATURE_SQL.replace("ORDER BY r.source", "")})
 ORDER BY op, source
 """
+

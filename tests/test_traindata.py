@@ -22,6 +22,7 @@ CASES = [
     (TD.export_global_shuffle, TD.EXPORT_GLOBAL_SHUFFLE_SQL),
     (TD.traindata_dsir_weights, TD.TRAINDATA_DSIR_SQL),
     (TD.traindata_pps_sample, TD.TRAINDATA_PPS_SQL),
+    (TD.mixture_temperature, TD.MIXTURE_TEMPERATURE_SQL),
 ]
 
 
@@ -284,3 +285,35 @@ def test_pps_sampling_laws(spark):
         expect = sum(r.n_tokens / TD.PPS_TARGET_TOKENS for r in short)
         got = sum(1 for r in short if r.sampled)
         assert abs(got - expect) < 6 * (expect ** 0.5) + 5, (got, expect)
+
+
+def test_mixture_temperature_laws(spark):
+    """Temperature mixture: rates in (0, 1]; a uniform corpus (equal
+    domain sizes) gets a uniform rate ≈ budget fraction; the kept
+    count is ≤ n_total and deterministic across runs; and with α = ½
+    the IMPLIED share of a domain 4× the size of another is only 2×
+    (√-scaling), not 4×."""
+    sfd = "/root/testdata/sf0.001"
+    a = TD.mixture_temperature(spark, sfd).collect()
+    b = TD.mixture_temperature(spark, sfd).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    for r in a:
+        assert 0.0 < r.keep_rate <= 1.0
+        assert 0 <= r.n_kept <= r.n_total
+    # synthetic corpus: all sources equal-sized → every rate equals
+    # the budget fraction exactly
+    sizes = {r.n_total for r in a}
+    if len(sizes) == 1:
+        assert all(abs(r.keep_rate - TD.TEMP_BUDGET_FRAC) < 1e-9 for r in a)
+    # α = ½ scaling law on a hand-built skewed corpus
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 400 else "small", "t", "x", 1) for i in range(500)],
+        "doc_id long, source string, lang string, text string, n_chars long",
+    )
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    import math
+
+    n = {r.source: r.n_total for r in per.collect()}
+    assert n["big"] == 4 * n["small"]
+    share_big = math.sqrt(n["big"]) / (math.sqrt(n["big"]) + math.sqrt(n["small"]))
+    assert abs(share_big / (1 - share_big) - 2.0) < 1e-9
