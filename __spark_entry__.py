@@ -78,7 +78,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_cube_pivot": O.cube_pivot_union,  # merges agg_cube + agg_pivot + asof_join (tag-union)
     # C. graph
     "graph_node_metrics": G.graph_node_metrics,  # merges degree + two_hop + connected_components + kcore
-    "graph_seed_paths": G.graph_seed_paths,  # merges shortest_hops (⊇ reachable set) + weighted_sssp
+    # merges shortest_hops (⊇ reachable set) + weighted_sssp + (r11)
+    # personalized pagerank from the same seed
+    "graph_seed_paths": G.graph_seed_paths,
     # merges triangles + common_neighbors + (r11) adamic_adar
     "graph_motifs": GX.graph_motifs,
     "graph_pagerank": G.graph_pagerank,
@@ -358,6 +360,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multilingual exponent-sampling standard; GRADED via the
     # traindata_mixture tag-union (temp branch)
     "mixture_temperature": TD.mixture_temperature,
+    # round 11: personalized PageRank from the traversal seed —
+    # proximity scores toward the seed set (unrolled-CTE oracle, the
+    # graph_pagerank recipe); GRADED via graph_seed_paths (ppr column)
+    "graph_personalized_pagerank": G.graph_personalized_pagerank,
     # round 10: first/last-touch purchase attribution over the event
     # log — GRADED via the events_analytics tag-union (attrib branch)
     "events_attribution": O.events_attribution,
@@ -538,6 +544,7 @@ ORACLES: dict[str, str] = {
     "corpus_domain_cap": CO.CORPUS_DOMAIN_CAP_SQL,
     "events_anomaly": O.EVENTS_ANOMALY_SQL,
     "mixture_temperature": TD.MIXTURE_TEMPERATURE_SQL,
+    "graph_personalized_pagerank": G.GRAPH_PPR_SQL,
 }
 
 

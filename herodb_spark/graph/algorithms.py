@@ -400,3 +400,77 @@ def triangle_count(undirected: DataFrame) -> DataFrame:
     bc = canon.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     ac = canon.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     return ab.join(bc, "b").join(ac, ["a", "c"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: list[int],
+    iters: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """PERSONALIZED PageRank: the teleport distribution concentrates
+    on `seeds` (uniform over them) instead of all nodes — the random
+    walker restarts at the seed set, so scores measure proximity TO
+    THE SEEDS (the recsys/similar-items staple; plain `pagerank` is
+    the pref≡1/n special case). Dangling mass also teleports to the
+    seed distribution. Same iteration scaffolding as `pagerank`
+    (static dangling decision, broadcast 1-row dangling mass, cadence
+    checkpoints); update:
+
+        rank' = (1−d)·pref + d·(Σ_in rank/deg + dang·pref)
+
+    Unreachable non-seeds converge to exactly 0.0 (pref 0, no
+    incoming), so the nonzero support is the seed-reachable set."""
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    if not seeds:
+        raise ValueError("personalized_pagerank needs at least one seed")
+    pref = F.when(
+        F.col("node").isin(*[int(s) for s in seeds]), F.lit(1.0) / len(seeds)
+    ).otherwise(F.lit(0.0))
+    nodes_pref = nodes.select("node", pref.alias("pref")).localCheckpoint(eager=True)
+    out_deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    has_dangling = not nodes.join(out_deg, "node", "left_anti").isEmpty()
+    ranks = nodes_pref.select("node", F.col("pref").alias("rank"))
+    one_minus_d = 1.0 - damping
+    for i in range(iters):
+        with_deg = ranks.join(out_deg, "node", "left")
+        contribs = (
+            with_deg.where(F.col("deg").isNotNull())
+            .join(edges, F.col("node") == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        incoming = F.coalesce(F.col("c"), F.lit(0.0))
+        if has_dangling:
+            dang = with_deg.where(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+            )
+            ranks = (
+                nodes_pref.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    (
+                        F.lit(one_minus_d) * F.col("pref")
+                        + F.lit(damping) * (incoming + F.col("_dang") * F.col("pref"))
+                    ).alias("rank"),
+                )
+            )
+        else:
+            ranks = nodes_pref.join(contribs, "node", "left").select(
+                "node",
+                (F.lit(one_minus_d) * F.col("pref") + F.lit(damping) * incoming).alias(
+                    "rank"
+                ),
+            )
+        if i % checkpoint_every == checkpoint_every - 1 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.round("rank", 6).alias("ppr"))

@@ -247,28 +247,105 @@ GRAPH_NODE_METRICS_SQL = _graph_node_metrics_sql()
 
 
 def graph_seed_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered merge of graph_shortest_hops + graph_weighted_sssp
-    (each kept for unit tests): per reachable node from the seed, the
-    unweighted hop count and the weighted shortest distance in one
-    row. Reachable sets coincide (same sparse edge set), so an inner
-    join is exact on both engines."""
+    """Registered merge of graph_shortest_hops + graph_weighted_sssp +
+    (since round 11) graph_personalized_pagerank (each kept for unit
+    tests): per reachable node from the seed, the unweighted hop
+    count, the weighted shortest distance, and the personalized-
+    PageRank proximity score in one row. Reachable sets coincide
+    (same sparse edge set; PPR's nonzero support is the seed-reachable
+    set and the seed itself sits at hops 0), so inner joins are exact
+    on both engines — every nonzero PPR value lands in the hash."""
     from herodb_spark.operators import extra as E
 
     trade = GE.nation_trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     h = graph_shortest_hops(spark, sf_dir, edges=trade)
     s = E.graph_weighted_sssp(spark, sf_dir, edges=trade)
-    return h.join(s, "node").orderBy("node")
+    p = graph_personalized_pagerank(spark, sf_dir, edges=trade)
+    return h.join(s, "node").join(p, "node").orderBy("node")
 
 
 def _graph_seed_paths_sql() -> str:
     from herodb_spark.operators import extra as E
 
     return f"""
-SELECT h.node, h.hops, s.dist
+SELECT h.node, h.hops, s.dist, p.ppr
 FROM ({GRAPH_SHORTEST_HOPS_SQL}) h
 JOIN ({E.GRAPH_WEIGHTED_SSSP_SQL}) s ON h.node = s.node
+JOIN ({GRAPH_PPR_SQL.replace("ORDER BY node", "")}) p ON h.node = p.node
 ORDER BY h.node
 """
 
+
+# GRAPH_SEED_PATHS_SQL is assembled at the end of this module (its
+# ppr branch embeds GRAPH_PPR_SQL, declared below).
+
+
+def graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """10-iteration PERSONALIZED PageRank from seed {SEED} over the
+    sparse trade graph (all 25 nations as the node set) — proximity
+    scores toward the seed, the similar-items/recsys staple next to
+    plain graph_pagerank. Static iteration count → the oracle unrolls
+    the updates into chained MATERIALIZED CTEs exactly like
+    GRAPH_PAGERANK_SQL, with the teleport/dangling terms weighted by
+    the seed-concentrated pref vector (bit-identical IEEE expression
+    shapes both sides). GRADED via the graph_seed_paths tag-union
+    since r11 (ppr column over the seed-reachable set — unreachable
+    non-seeds are exactly 0.0 and seeds are reachable at hops 0, so
+    the joined support carries every nonzero score); this standalone
+    entry + oracle kept."""
+    from herodb_spark.catalog import load_table
+
+    nodes = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    e = GE.sparse_edges(spark, sf_dir, edges).localCheckpoint(eager=True)
+    return GA.personalized_pagerank(nodes, e, seeds=[SEED], iters=10).orderBy("node")
+
+
+def _ppr_unrolled_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """DuckDB oracle mirroring GA.personalized_pagerank bit-for-bit
+    (the GRAPH_PAGERANK_SQL recipe with the seed-concentrated pref):
+    identical IEEE-double expression shapes per iteration
+    ((1−d)·pref + d·(c + dang·pref)), ROUND(...,6) at the end; every
+    per-iteration CTE MATERIALIZED for the same inlining reason."""
+    omd = 1.0 - damping
+    parts = [
+        "WITH ",
+        GE.SPARSE_SQL,
+        ", nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation)",
+        f", np AS MATERIALIZED (SELECT node, CASE WHEN node = {SEED} THEN 1.0 ELSE 0.0 END AS pref FROM nodes)",
+        ", deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM sparse GROUP BY src)",
+        ", r0 AS MATERIALIZED (SELECT node, pref AS rank FROM np)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f""",
+c{i} AS MATERIALIZED (
+  SELECT s.dst AS node, SUM(r.rank / g.deg) AS c
+  FROM {prev} r JOIN deg g ON r.node = g.src JOIN sparse s ON s.src = r.node
+  GROUP BY s.dst
+),
+d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS dang
+  FROM {prev} r LEFT JOIN deg g ON r.node = g.src WHERE g.src IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         ({omd} * n.pref) + {damping} * (COALESCE(c.c, 0.0) + d.dang * n.pref) AS rank
+  FROM np n LEFT JOIN c{i} c ON n.node = c.node, d{i} d
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, ROUND(rank, 6) AS ppr FROM r{iters} ORDER BY node"
+    )
+    return "".join(parts)
+
+
+GRAPH_PPR_SQL = _ppr_unrolled_sql()
 
 GRAPH_SEED_PATHS_SQL = _graph_seed_paths_sql()

@@ -12,6 +12,7 @@ ORACLE_CASES = [
     (G.graph_shortest_hops, G.GRAPH_SHORTEST_HOPS_SQL),
     (G.graph_connected_components, G.GRAPH_CC_SQL),
     (G.graph_triangles, G.GRAPH_TRIANGLES_SQL),
+    (G.graph_personalized_pagerank, G.GRAPH_PPR_SQL),
 ]
 
 
@@ -56,3 +57,22 @@ def test_connected_components_nonconvergence_raises(spark):
     sym = chain.unionByName(chain.selectExpr("dst AS src", "src AS dst"))
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(sym, max_iters=3)
+
+
+def test_personalized_pagerank_invariants(spark, sf_dir):
+    """PPR laws: mass sums to ~1 (teleport conserves it), the seed
+    carries the largest score, every node reachable from the seed
+    scores > 0, every unreachable non-seed scores EXACTLY 0.0 (the
+    support contract the graph_seed_paths union relies on), and
+    plain pagerank is recovered when pref is uniform (spot-checked by
+    the separate graded operator)."""
+    rows = {r.node: r.ppr for r in G.graph_personalized_pagerank(spark, sf_dir).collect()}
+    assert len(rows) == 25
+    assert abs(sum(rows.values()) - 1.0) < 1e-3
+    assert rows[G.SEED] == max(rows.values())
+    reach = {r.node for r in G.graph_reachability(spark, sf_dir).collect()}
+    for node, ppr in rows.items():
+        if node in reach or node == G.SEED:
+            assert ppr > 0.0, node
+        else:
+            assert ppr == 0.0, (node, ppr)
