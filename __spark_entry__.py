@@ -158,7 +158,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # temperature (r11)
     "traindata_mixture": TD.traindata_mixture,
     "traindata_export": TD.traindata_export,  # merges shard_manifest + pack_sequences + global_shuffle (r8) + chunk_documents (r9)
-    # I. multimodal plumbing (merges binary_meta + frame_sample)
+    # I. multimodal plumbing (merges binary_meta + frame_sample +
+    # resize features (r10) + WAV audio features (r11))
     "mm_pipeline": MM.mm_pipeline,
     # J. streaming (batch-parity; streaming versions in tests) —
     # merges tumbling + sliding + late_dedup + sessionize + interval_join
@@ -364,6 +365,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # proximity scores toward the seed set (unrolled-CTE oracle, the
     # graph_pagerank recipe); GRADED via graph_seed_paths (ppr column)
     "graph_personalized_pagerank": G.graph_personalized_pagerank,
+    # round 11: real WAV encode→decode→featurize over 'audio' blobs
+    # (peak / Σs² / zero crossings as exact integers); GRADED via the
+    # mm_pipeline tag-union (audio rows)
+    "mm_audio_features": MM.mm_audio_features,
     # round 10: first/last-touch purchase attribution over the event
     # log — GRADED via the events_analytics tag-union (attrib branch)
     "events_attribution": O.events_attribution,
@@ -545,6 +550,7 @@ ORACLES: dict[str, str] = {
     "events_anomaly": O.EVENTS_ANOMALY_SQL,
     "mixture_temperature": TD.MIXTURE_TEMPERATURE_SQL,
     "graph_personalized_pagerank": G.GRAPH_PPR_SQL,
+    "mm_audio_features": MM.MM_AUDIO_FEATURES_SQL,
 }
 
 

@@ -268,14 +268,18 @@ def with_blobs(docs: DataFrame) -> DataFrame:
 def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal batch shape — the registered merge of
     `mm_binary_meta` (typed metadata per blob), `mm_frame_sample`
-    (per-frame fan-out), and (since round 10) `mm_resize_features`
-    (resize + histogram featurize over 'image' blobs), each kept for
-    unit tests. For every 'video' blob: the blob-level metadata
+    (per-frame fan-out), (since round 10) `mm_resize_features`
+    (resize + histogram featurize over 'image' blobs), and (since
+    round 11) `mm_audio_features` (real WAV encode→decode→featurize
+    over 'audio' blobs), each kept for unit tests. For every 'video' blob: the blob-level metadata
     columns (kind, n_bytes, n_frames) carried on every sampled-frame
     row in ONE Arrow-batched mapInPandas pass — exactly what a real
     decode-and-featurize stage emits; the resize branch rides the
     union as kind='resize' rows (resized_len in n_bytes, bin_id in
-    frame_idx, bin_count in frame_len — int-safe: blobs are ≤64 KiB)."""
+    frame_idx, bin_count in frame_len — int-safe: blobs are ≤64 KiB);
+    the audio branch rides as kind='audio' rows (Σs² in n_bytes,
+    n_samples in n_frames, peak in frame_idx, zcr in frame_len —
+    peak ≤ 12288 and zcr < 32 are int-safe)."""
     blobs = with_blobs(load_table(spark, sf_dir, "documents")).where(F.col("kind") == "video")
 
     def meta_and_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -311,7 +315,19 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin_count").cast("int").alias("frame_len"),
         F.lit(None).cast("int").alias("first_byte"),
     )
-    return out.unionByName(resize).orderBy("doc_id", "kind", "frame_idx")
+    audio = _audio_features_rows(spark, sf_dir).select(
+        "doc_id",
+        F.lit("audio").alias("kind"),
+        F.col("sum_sq").alias("n_bytes"),
+        F.col("n_samples").alias("n_frames"),
+        F.col("peak").cast("int").alias("frame_idx"),
+        F.col("zcr").cast("int").alias("frame_len"),
+        F.lit(None).cast("int").alias("first_byte"),
+    )
+    return (
+        out.unionByName(resize).unionByName(audio)
+        .orderBy("doc_id", "kind", "frame_idx")
+    )
 
 
 # MM_PIPELINE_SQL is defined at the bottom of this module: its
@@ -466,6 +482,134 @@ MM_RESIZE_FEATURES_SQL = f"""
 SELECT * FROM ({_MM_RESIZE_CORE_SQL}) ORDER BY doc_id, bin_id
 """
 
+# MM_PIPELINE_SQL is assembled at the very end of this module.
+
+
+# --------------------------------------------------------------- audio features
+
+AUDIO_RATE = 16000  # synthetic fixture sample rate
+
+
+def encode_wav(samples: list[int], rate: int = AUDIO_RATE, channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE PCM16 encoder (mono/interleaved LE) — the
+    inverse of decode_wav, used to synthesize REAL audio containers
+    in-plan so the decode path is exercised end to end."""
+    import array
+    import struct
+    import sys
+
+    arr = array.array("h", samples)
+    if sys.byteorder == "big":
+        arr.byteswap()
+    data = arr.tobytes()
+    byte_rate = rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_features(blob: bytes) -> dict:
+    """Decode a PCM16 WAV (decode_wav's chunk walk) and extract the
+    classic audio-quality features over the samples: peak amplitude,
+    exact Σs² (the integer core of RMS — kept integral so the oracle
+    hash is float-free), and the zero-crossing count. Bulk int16
+    views, no per-sample struct loops."""
+    import array
+    import struct
+    import sys
+
+    meta = decode_wav(blob)
+    # re-walk to the data chunk for the samples (decode_wav returns
+    # scalar metadata only; this stays one linear pass over the blob)
+    pos, n = 12, len(blob)
+    data = b""
+    while pos + 8 <= n:
+        cid, size = blob[pos : pos + 4], struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        if cid == b"data":
+            data = blob[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    samples = array.array("h", data[: (len(data) // 2) * 2])
+    if sys.byteorder == "big":
+        samples.byteswap()
+    sum_sq = sum(int(v) * int(v) for v in samples)
+    zcr = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)
+    )
+    return {**meta, "sum_sq": sum_sq, "zcr": zcr}
+
+
+def _audio_features_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_samples, peak, sum_sq, zcr) over 'audio'-kind docs:
+    each doc's md5 hex signature (computed JVM-SIDE — the engine owns
+    the fingerprint) becomes 32 PCM16 samples ((ord(c) − 96)·256 —
+    hex chars are ASCII, digits map negative and a-f positive so zero
+    crossings are real), packed into an ACTUAL RIFF/WAVE container by
+    encode_wav and decoded back through decode_wav's chunk walk —
+    the full encode→container→decode→featurize round trip in one
+    Arrow-batched pass. All-integer outputs (Σs² instead of RMS) so
+    the DuckDB oracle — which computes the same features directly
+    from md5(text)'s characters — hashes exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = with_blobs(docs).where(F.col("kind") == "audio").select("doc_id").join(
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("hexsig")),
+        "doc_id",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, hexsig in zip(pdf["doc_id"], pdf["hexsig"]):
+                pcm = [(ord(c) - 96) * 256 for c in hexsig]
+                d = wav_features(encode_wav(pcm))
+                rows.append((doc_id, d["n_samples"], d["peak"], d["sum_sq"], d["zcr"]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "peak", "sum_sq", "zcr"]
+            )
+
+    return sigs.mapInPandas(
+        run, "doc_id long, n_samples long, peak long, sum_sq long, zcr long"
+    )
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over 'audio'-kind blobs — the WAV leg
+    of the multimodal family (images have mm_resize_features): real
+    RIFF/WAVE PCM16 containers encoded and decoded in-plan, classic
+    features (peak, Σs², zero crossings) emitted as exact integers.
+    GRADED via the mm_pipeline tag-union since r11 (audio rows); this
+    standalone entry + oracle kept. A real deployment swaps the
+    synthetic-signature PCM for the document's actual audio bytes —
+    every Spark-side shape (binary column, Arrow batches, scalar
+    feature rows) is unchanged."""
+    return _audio_features_rows(spark, sf_dir).orderBy("doc_id")
+
+
+_MM_AUDIO_CORE_SQL = """
+WITH sig AS (
+  SELECT doc_id, md5(text) AS hexsig
+  FROM documents WHERE source IN ('src2','src3')
+),
+pcm AS (
+  SELECT doc_id,
+         list_transform(range(1, 33), i -> (ascii(substr(hexsig, CAST(i AS INT), 1)) - 96) * 256) AS s
+  FROM sig
+)
+SELECT doc_id,
+       CAST(len(s) AS BIGINT) AS n_samples,
+       CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+       CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq,
+       CAST(len(list_filter(range(2, len(s) + 1),
+                            i -> (s[CAST(i - 1 AS INT)] < 0) <> (s[CAST(i AS INT)] < 0))) AS BIGINT) AS zcr
+FROM pcm
+"""
+
+MM_AUDIO_FEATURES_SQL = f"""
+SELECT * FROM ({_MM_AUDIO_CORE_SQL}) ORDER BY doc_id
+"""
+
+
+# assembled last: embeds the resize and audio cores above
 MM_PIPELINE_SQL = f"""
 WITH v AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
@@ -492,5 +636,14 @@ SELECT doc_id, 'resize' AS kind,
        CAST(bin_count AS INT) AS frame_len,
        CAST(NULL AS INT) AS first_byte
 FROM ({_MM_RESIZE_CORE_SQL})
+UNION ALL
+SELECT doc_id, 'audio' AS kind,
+       sum_sq AS n_bytes,
+       n_samples AS n_frames,
+       CAST(peak AS INT) AS frame_idx,
+       CAST(zcr AS INT) AS frame_len,
+       CAST(NULL AS INT) AS first_byte
+FROM ({_MM_AUDIO_CORE_SQL})
 ORDER BY doc_id, kind, frame_idx
 """
+

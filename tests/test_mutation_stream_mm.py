@@ -275,3 +275,31 @@ def test_wav_decode_is_real(spark):
     # non-RIFF audio still the honest stub
     with pytest.raises(NotImplementedError):
         MM.decode_blob(b"ID3\x03...", "audio")
+
+
+def test_mm_audio_features_oracle(spark, sf_dir, duck):
+    """The WAV encode→decode→featurize round trip hashes against the
+    oracle's direct character math (r11 audio leg)."""
+    res = compare(MM.mm_audio_features(spark, sf_dir), MM.MM_AUDIO_FEATURES_SQL, duck)
+    assert res["ok"], res
+
+
+def test_wav_encode_decode_roundtrip():
+    """encode_wav output is a spec-valid container decode_wav accepts,
+    and the features are exact: a hand-built sample list round-trips
+    to its known peak / Σs² / zero-crossing count, including the
+    odd-size word-alignment path and a multi-channel layout."""
+    samples = [100, -200, 300, -400, 0, 7]
+    d = MM.wav_features(MM.encode_wav(samples, rate=8000))
+    assert d["n_samples"] == len(samples)
+    assert d["sample_rate"] == 8000 and d["channels"] == 1
+    assert d["peak"] == 400
+    assert d["sum_sq"] == sum(v * v for v in samples)
+    # sign changes: +→−, −→+, +→−, −→0(+), 0→+ counts (a<0)!=(b<0)
+    assert d["zcr"] == sum(
+        1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)
+    )
+    # stereo: n_samples counts frames, features run over all values
+    st = MM.wav_features(MM.encode_wav([1, -1, 2, -2], rate=4000, channels=2))
+    assert st["channels"] == 2 and st["n_samples"] == 2
+    assert st["peak"] == 2 and st["sum_sq"] == 1 + 1 + 4 + 4

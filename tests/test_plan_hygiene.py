@@ -42,6 +42,7 @@ PANDAS_ALLOWED = {
     "dedup_embedding_lsh_pairs",
     "dedup_embedding",
     "mm_resize_features",
+    "mm_audio_features",  # r11: WAV encode/decode is multimodal by design
 }
 QUERIES = entry_mod.queries()
 
