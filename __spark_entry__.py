@@ -75,7 +75,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_topk_suite": A.agg_topk_suite,
     "agg_order_collect": A.order_collect_union,  # merges agg_order_range + agg_collect (tag-union)
     "agg_window_running": A.window_running,
-    "agg_cube_pivot": O.cube_pivot_union,  # merges agg_cube + agg_pivot + asof_join (tag-union)
+    # merges agg_cube + agg_pivot + asof_join + (r11) the bucketed
+    # range join (tag-union)
+    "agg_cube_pivot": O.cube_pivot_union,
     # C. graph
     "graph_node_metrics": G.graph_node_metrics,  # merges degree + two_hop + connected_components + kcore
     # merges shortest_hops (⊇ reachable set) + weighted_sssp + (r11)
@@ -369,6 +371,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (peak / Σs² / zero crossings as exact integers); GRADED via the
     # mm_pipeline tag-union (audio rows)
     "mm_audio_features": MM.mm_audio_features,
+    # round 11: point-in-interval RANGE JOIN via coarse-bucket
+    # expansion (equi-join on the bucket key + exact in-bucket filter
+    # — never the |points|×|intervals| theta join); GRADED via the
+    # agg_cube_pivot tag-union (range branch)
+    "rel_range_join_bucketed": E.range_join_bucketed,
     # round 10: first/last-touch purchase attribution over the event
     # log — GRADED via the events_analytics tag-union (attrib branch)
     "events_attribution": O.events_attribution,
@@ -551,6 +558,7 @@ ORACLES: dict[str, str] = {
     "mixture_temperature": TD.MIXTURE_TEMPERATURE_SQL,
     "graph_personalized_pagerank": G.GRAPH_PPR_SQL,
     "mm_audio_features": MM.MM_AUDIO_FEATURES_SQL,
+    "rel_range_join_bucketed": E.RANGE_JOIN_BUCKETED_SQL,
 }
 
 

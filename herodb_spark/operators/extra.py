@@ -217,3 +217,82 @@ SELECT 'q10' AS q, CAST(c_custkey AS VARCHAR) AS k1, c_name AS k2, n_name AS k3,
 FROM ({TPCH_Q10_SQL})
 ORDER BY q, k1, k2, k3
 """
+
+
+# ------------------------------------------------------------ bucketed range join
+
+RJ_BUCKET_W = 50.0   # coarse bucket width for the interval index
+RJ_N_TIERS = 24      # synthetic interval table size
+RJ_TIER_W = 30.0     # each tier covers [i*20, i*20 + 30) — overlapping
+
+
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED RANGE JOIN — the point-in-interval join Spark has no
+    native operator for (IP→geo lookup, price→tier banding, time→SLA
+    window): events.value joined into OVERLAPPING value tiers
+    [i·20, i·20+30). The naive plan is a broadcast-nested-loop theta
+    join (work ∝ |events|·|tiers| — dead at 100 TB); the scalable
+    composition is the classic COARSE-BUCKET expansion:
+
+    - each interval is exploded onto the RJ_BUCKET_W-wide buckets it
+      overlaps (interval side grows by ~⌈len/W⌉×, a constant);
+    - each point maps to exactly ONE bucket (floor(value / W));
+    - the join is a plain EQUI-join on the bucket key (shuffle or
+      broadcast, Catalyst's choice) followed by the exact range
+      filter inside matched buckets.
+
+    Work ∝ matches + bucket collisions, never |points|×|intervals|;
+    bucket width trades index size against collision filtering.
+    Output: per-tier matched-event count + exact value sum in cents
+    (all-integer hash: value·100 rounded per row before the Σ).
+
+    The tier table is synthesized in-plan (sequence → explode) so the
+    oracle can rebuild it; a real deployment reads it from a dim
+    table — the join shape is identical."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("value").cast("double").alias("v")
+    )
+    tiers = spark.range(RJ_N_TIERS).select(
+        F.col("id").cast("int").alias("tier"),
+        (F.col("id") * 20.0).alias("lo"),
+        (F.col("id") * 20.0 + RJ_TIER_W).alias("hi"),
+    )
+    # interval side: one row per coarse bucket the tier overlaps
+    tier_buckets = tiers.select(
+        "tier",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / RJ_BUCKET_W).cast("long"),
+                # hi is EXCLUSIVE: a tier ending exactly on a bucket
+                # boundary must not index the next bucket
+                F.floor((F.col("hi") - 1e-9) / RJ_BUCKET_W).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    pts = ev.withColumn("bucket", F.floor(F.col("v") / RJ_BUCKET_W).cast("long"))
+    cents = F.round(F.col("v") * 100).cast("long")
+    return (
+        pts.join(F.broadcast(tier_buckets), "bucket")
+        .where((F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .orderBy("tier")
+    )
+
+
+RANGE_JOIN_BUCKETED_SQL = f"""
+WITH tiers AS (
+  SELECT CAST(i AS INT) AS tier, i * 20.0 AS lo, i * 20.0 + {RJ_TIER_W} AS hi
+  FROM generate_series(0, {RJ_N_TIERS - 1}) t(i)
+)
+SELECT t.tier,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier ORDER BY t.tier
+"""

@@ -11,6 +11,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from herodb_spark.catalog import load_table
+from herodb_spark.operators.extra import RANGE_JOIN_BUCKETED_SQL as _RANGE_JOIN_FULL_SQL
+
+_RANGE_JOIN_CORE_SQL = _RANGE_JOIN_FULL_SQL.replace("ORDER BY t.tier", "")
 
 
 def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,11 +119,13 @@ ORDER BY user_id, event_id
 
 def cube_pivot_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of agg_cube + agg_pivot + asof_join (tag-union,
-    same contract as tpch q4_q6_q12): CUBE's grouping-set subtotals,
-    the explicit-value pivot, and the window as-of join each keep
-    their own function/oracle for unit tests and share one graded
-    slot here (the asof fold-in freed a graded slot for the round-5
-    symtab/TPC-H additions)."""
+    same contract as tpch q4_q6_q12) + (since round 11)
+    rel_range_join_bucketed (the coarse-bucket point-in-interval
+    join): CUBE's grouping-set subtotals, the explicit-value pivot,
+    the window as-of join, and the range join each keep their own
+    function/oracle for unit tests and share one graded slot here.
+    The range branch carries (tier in k1, n_events in v1, exact cents
+    sum in v2 — integers carried losslessly in the double columns)."""
     nd = F.lit(None).cast("double")
     ns = F.lit(None).cast("string")
     cube = cube_rollup(spark, sf_dir).select(
@@ -156,7 +161,23 @@ def cube_pivot_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("v4"),
         nd.alias("v5"),
     )
-    return cube.unionByName(piv).unionByName(asof).orderBy("q", "k1", "k2", "v1")
+    from herodb_spark.operators.extra import range_join_bucketed
+
+    rj = range_join_bucketed(spark, sf_dir).select(
+        F.lit("range").alias("q"),
+        F.lpad(F.col("tier").cast("string"), 4, "0").alias("k1"),
+        ns.alias("k2"),
+        ns.alias("k3"),
+        F.col("n_events").cast("double").alias("v1"),
+        F.col("sum_cents").cast("double").alias("v2"),
+        nd.alias("v3"),
+        nd.alias("v4"),
+        nd.alias("v5"),
+    )
+    return (
+        cube.unionByName(piv).unionByName(asof).unionByName(rj)
+        .orderBy("q", "k1", "k2", "v1")
+    )
 
 
 CUBE_PIVOT_SQL = f"""
@@ -174,6 +195,12 @@ SELECT 'asof' AS q, CAST(user_id AS VARCHAR) AS k1, purchase_ts AS k2, asof_clic
        CAST(event_id AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
        CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4, CAST(NULL AS DOUBLE) AS v5
 FROM ({ASOF_JOIN_SQL})
+UNION ALL
+SELECT 'range' AS q, lpad(CAST(tier AS VARCHAR), 4, '0') AS k1,
+       CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS VARCHAR) AS k3,
+       CAST(n_events AS DOUBLE) AS v1, CAST(sum_cents AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4, CAST(NULL AS DOUBLE) AS v5
+FROM ({_RANGE_JOIN_CORE_SQL})
 ORDER BY q, k1, k2, v1
 """
 

@@ -17,6 +17,10 @@ CASES = [
     (O.events_anomaly, O.EVENTS_ANOMALY_SQL),
 ]
 
+from herodb_spark.operators import extra as _E
+
+CASES.append((_E.range_join_bucketed, _E.RANGE_JOIN_BUCKETED_SQL))
+
 
 @pytest.mark.parametrize("fn,sql", CASES, ids=[f.__name__ for f, _ in CASES])
 def test_olap_oracle(spark, sf_dir, duck, fn, sql):
@@ -140,3 +144,36 @@ def test_events_anomaly_laws(spark):
                 z = round((r.cnt - mean) / math.sqrt(var), 6)
                 assert abs(r.zscore - z) < 1e-9, (r, z)
                 assert r.anomaly == (abs(z) >= O.ANOM_Z)
+
+
+def test_range_join_bucketed_laws(spark):
+    """Bucket expansion is lossless vs the naive theta join: the
+    bucketed plan's per-tier counts equal a direct crossJoin+filter
+    recompute, overlapping tiers double-count the shared band, and
+    every matched value lies inside its tier."""
+    sfd = "/root/testdata/sf0.001"
+    got = {r.tier: (r.n_events, r.sum_cents) for r in _E.range_join_bucketed(spark, sfd).collect()}
+    from herodb_spark.catalog import load_table
+
+    ev = load_table(spark, sfd, "events").select(F.col("value").cast("double").alias("v"))
+    tiers = spark.range(_E.RJ_N_TIERS).select(
+        F.col("id").cast("int").alias("tier"),
+        (F.col("id") * 20.0).alias("lo"),
+        (F.col("id") * 20.0 + _E.RJ_TIER_W).alias("hi"),
+    )
+    naive = {
+        r.tier: (r.n, r.s)
+        for r in ev.crossJoin(tiers)
+        .where((F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("v") * 100).cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == naive
+    # overlap law: a value in [20, 30) matches tiers 0 AND 1
+    n_pts = ev.where((F.col("v") >= 20.0) & (F.col("v") < 30.0)).count()
+    if n_pts:
+        assert got[0][0] + got[1][0] >= n_pts  # shared band counted in both
