@@ -195,7 +195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 9: ordered funnel + weekly cohort retention rotated INTO
     # the graded window (tag-union of the r8 event-analytics pair);
     # + attribution (r10) + the Markov transition matrix and the
-    # rolling z-score anomaly scan (r11)
+    # rolling z-score anomaly scan + rolling DAU/WAU actives (r11)
     "events_analytics": O.events_analytics,
     # merges incremental (delta-batch) + snapshot-CDC MV refresh (r8)
     "matview_refresh": MV.matview_refresh,
@@ -376,6 +376,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # — never the |points|×|intervals| theta join); GRADED via the
     # agg_cube_pivot tag-union (range branch)
     "rel_range_join_bucketed": E.range_join_bucketed,
+    # round 11: rolling DAU/WAU distinct actives (explode-onto-buckets
+    # shape — rolling COUNT DISTINCT can't ride a window function);
+    # GRADED via the events_analytics tag-union (actives branch)
+    "events_rolling_actives": O.events_rolling_actives,
     # round 10: first/last-touch purchase attribution over the event
     # log — GRADED via the events_analytics tag-union (attrib branch)
     "events_attribution": O.events_attribution,
@@ -559,6 +563,7 @@ ORACLES: dict[str, str] = {
     "graph_personalized_pagerank": G.GRAPH_PPR_SQL,
     "mm_audio_features": MM.MM_AUDIO_FEATURES_SQL,
     "rel_range_join_bucketed": E.RANGE_JOIN_BUCKETED_SQL,
+    "events_rolling_actives": O.EVENTS_ROLLING_ACTIVES_SQL,
 }
 
 

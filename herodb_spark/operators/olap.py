@@ -379,7 +379,9 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded probability in the double column v4 (NULL elsewhere). The
     anomaly branch (events_anomaly, r11) keys on 'type@hour' with cnt
     in v1, n_baseline in v2, and the z-score in v4 (the flag is a
-    pure function of z, hashed standalone)."""
+    pure function of z, hashed standalone). The actives branch
+    (events_rolling_actives, r11) keys on the ISO day with dau/wau in
+    v1/v2."""
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
     at = events_attribution(spark, sf_dir).select(
@@ -422,9 +424,17 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         nl.alias("v3"),
         F.col("zscore").alias("v4"),
     )
+    ac = events_rolling_actives(spark, sf_dir).select(
+        F.lit("actives").alias("op"),
+        F.col("day").alias("k"),
+        F.col("dau").alias("v1"),
+        F.col("wau").alias("v2"),
+        nl.alias("v3"),
+        nd.alias("v4"),
+    )
     return (
         fu.unionByName(re).unionByName(at).unionByName(tr).unionByName(an)
-        .orderBy("op", "k", "v1")
+        .unionByName(ac).orderBy("op", "k", "v1")
     )
 
 
@@ -692,7 +702,76 @@ FROM rolled ORDER BY event_type, hour
 """
 
 
-# assembled last: embeds EVENTS_TRANSITION_SQL and EVENTS_ANOMALY_SQL
+# EVENTS_ANALYTICS_SQL is assembled at the very end of this module.
+
+
+
+# ------------------------------------------------------------ rolling actives
+
+WAU_WINDOW_D = 7  # trailing window (days) for the rolling active count
+
+
+def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING DISTINCT ACTIVES — the DAU/WAU pair every product
+    dashboard runs: per calendar day, the count of distinct users
+    active THAT day (dau) and within the trailing WAU_WINDOW_D days
+    (wau). Only days that actually appear in the log are reported
+    (each with its full trailing window).
+
+    Plan (100-TB shape): rolling COUNT DISTINCT cannot ride a window
+    function (distinct doesn't decompose over sliding frames) and the
+    naive day×day self-join re-scans the user set per pair. The
+    scalable composition: dedupe to (user, day) once, EXPLODE each
+    row onto the ≤ WAU_WINDOW_D day-buckets it keeps the user active
+    in (work ∝ W·|user-days| — W is a small constant), dedupe
+    (user, bucket), then ONE map-side-combined count per bucket.
+    All-integer outputs, days as ISO strings."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = (
+        ev.select("user_id", F.to_date(F.col("ts").cast("timestamp")).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dau = user_days.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    buckets = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), WAU_WINDOW_D - 1))
+            ).alias("b"),
+        )
+        .distinct()
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(buckets, dau["d"] == buckets["b"])
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_ROLLING_ACTIVES_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+expanded AS (
+  SELECT DISTINCT user_id, d + CAST(i AS INT) AS b
+  FROM ud, generate_series(0, {WAU_WINDOW_D - 1}) t(i)
+),
+wau AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS wau FROM expanded GROUP BY b)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau
+FROM dau JOIN wau ON dau.d = wau.b
+ORDER BY day
+"""
+
+
+# assembled last: embeds the transition/anomaly/actives cores above
 EVENTS_ANALYTICS_SQL = f"""
 SELECT 'funnel' AS op, CAST(user_id AS VARCHAR) AS k,
        CAST(depth AS BIGINT) AS v1, to_step2_us AS v2, to_step3_us AS v3,
@@ -715,6 +794,9 @@ UNION ALL
 SELECT 'anomaly', event_type || '@' || hour, cnt, n_baseline,
        CAST(NULL AS BIGINT), zscore
 FROM ({EVENTS_ANOMALY_SQL.replace("ORDER BY event_type, hour", "")})
+UNION ALL
+SELECT 'actives', day, dau, wau, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM ({EVENTS_ROLLING_ACTIVES_SQL.replace("ORDER BY day", "")})
 ORDER BY op, k, v1
 """
 

@@ -20,6 +20,7 @@ CASES = [
 from herodb_spark.operators import extra as _E
 
 CASES.append((_E.range_join_bucketed, _E.RANGE_JOIN_BUCKETED_SQL))
+CASES.append((O.events_rolling_actives, O.EVENTS_ROLLING_ACTIVES_SQL))
 
 
 @pytest.mark.parametrize("fn,sql", CASES, ids=[f.__name__ for f, _ in CASES])
@@ -177,3 +178,31 @@ def test_range_join_bucketed_laws(spark):
     n_pts = ev.where((F.col("v") >= 20.0) & (F.col("v") < 30.0)).count()
     if n_pts:
         assert got[0][0] + got[1][0] >= n_pts  # shared band counted in both
+
+
+def test_rolling_actives_laws(spark):
+    """DAU/WAU laws: wau >= dau everywhere; wau equals the distinct
+    union of the trailing window's per-day user sets (recomputed
+    naively); every reported day has events."""
+    sfd = "/root/testdata/sf0.001"
+    rows = {r.day: (r.dau, r.wau) for r in O.events_rolling_actives(spark, sfd).collect()}
+    assert rows and all(wau >= dau for dau, wau in rows.values())
+    from herodb_spark.catalog import load_table
+    import datetime
+
+    ud = (
+        load_table(spark, sfd, "events")
+        .select("user_id", F.to_date(F.col("ts").cast("timestamp")).alias("d"))
+        .distinct()
+        .collect()
+    )
+    by_day = {}
+    for r in ud:
+        by_day.setdefault(r.d, set()).add(r.user_id)
+    for day_s, (dau, wau) in rows.items():
+        day = datetime.date.fromisoformat(day_s)
+        assert dau == len(by_day[day])
+        window = set()
+        for k in range(O.WAU_WINDOW_D):
+            window |= by_day.get(day - datetime.timedelta(days=k), set())
+        assert wau == len(window), day_s
