@@ -331,7 +331,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"b{m}")
             for m in range(PQ_M)
         ],
-    )
+    ).localCheckpoint(eager=True)  # one slice pass feeds all PQ_M fits
     codebooks: list[list[list[float]]] = []
     for m in range(PQ_M):
         model = KMeans(k=PQ_CODES, seed=42 + m, maxIter=20, featuresCol=f"b{m}").fit(
