@@ -598,7 +598,10 @@ class SnapshotDatabase:
         for name in sorted(os.listdir(tables_dir)) if os.path.isdir(tables_dir) else []:
             full = os.path.join(tables_dir, name)
             if os.path.isdir(full) and name not in pinned and name not in live_names:
-                shutil.rmtree(full)
+                # ignore_errors: two vacuums that both passed their OCC
+                # commits can sweep the same orphan concurrently (same
+                # contract as SnapshotTable.vacuum's dir sweep)
+                shutil.rmtree(full, ignore_errors=True)
                 reclaimed.append(name)
         return {
             "dropped_db_versions": dropped,
