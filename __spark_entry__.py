@@ -380,6 +380,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # shape — rolling COUNT DISTINCT can't ride a window function);
     # GRADED via the events_analytics tag-union (actives branch)
     "events_rolling_actives": O.events_rolling_actives,
+    # round 11: synchronous label-propagation communities (bounded
+    # rounds, lowest-label ties — deterministic); rows-only: an
+    # iterated argmax has no SQL-oracle form — laws in tests
+    "graph_label_propagation": GX.graph_label_propagation,
     # round 10: first/last-touch purchase attribution over the event
     # log — GRADED via the events_analytics tag-union (attrib branch)
     "events_attribution": O.events_attribution,

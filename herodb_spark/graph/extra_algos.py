@@ -248,3 +248,62 @@ ORDER BY a, b
 )
 
 GRAPH_MOTIFS_SQL = _motifs_sql()
+
+
+LPA_ROUNDS = 8
+
+
+def label_propagation(und: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Synchronous LABEL PROPAGATION communities (Raghavan et al.) on
+    a symmetric edge list: every node starts as its own label; each
+    round it adopts the most frequent label among its neighbors (ties
+    → the LOWEST label, so the update is a total order and the whole
+    run is deterministic — no RNG, no visit-order dependence).
+    Synchronous LPA can 2-cycle on bipartite structures, so the
+    operator is defined as the labeling after exactly `rounds`
+    synchronous updates (bounded like the k-core peel), not a
+    fixpoint claim. Per round: one neighbor-label join + one
+    (node, label) count + one per-node argmax — all bounded shuffles
+    keyed on node ids; O(rounds) passes at any scale.
+
+    Rows-only by nature (an iterated argmax has no SQL-oracle form);
+    the laws pinned in tests: determinism, labels ⊆ node ids, and
+    same-label ⇒ same connected component (LPA refines components)."""
+    from pyspark.sql import Window
+
+    nodes = (
+        und.select(F.col("src").alias("node"))
+        .union(und.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("lbl"))
+    for r in range(rounds):
+        nb = und.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        best = (
+            nb.groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+        )
+        if r % 4 == 3 or r == rounds - 1:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA communities over the undirected sparse trade graph —
+    community detection beyond connected components (a component can
+    hold several densely-knit communities; LPA splits on local label
+    majorities). Rows-only registry entry (no SQL-expressible
+    oracle); determinism + refinement laws in tests."""
+    und = GE.undirected_sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return label_propagation(und).orderBy("node")

@@ -20,6 +20,7 @@ def test_oracle_keys_subset_of_queries():
     assert rows_only == {
         "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
         "sketch_profile", "dedup_semantic_clusters",  # KMeans: no SQL oracle
+        "graph_label_propagation",  # iterated argmax: no SQL-oracle form
     }, rows_only
 
 

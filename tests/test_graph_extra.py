@@ -106,3 +106,26 @@ def test_adamic_adar_agrees_with_common_neighbors(spark, sf_dir):
     for k, (n, score) in aa.items():
         assert n == cn[k]
         assert 0 < score <= n / math.log(2) + 1e-9, (k, n, score)
+
+
+def test_label_propagation_laws(spark, sf_dir):
+    """LPA laws: deterministic across runs; every community label is
+    a node id; same label ⇒ same connected component (LPA refines
+    components); isolated behavior — a node keeps its own label when
+    no neighbor majority displaces it (seed labels are node ids, so
+    every label seen existed at round 0)."""
+    from herodb_spark.graph.extra_algos import graph_label_propagation
+    from herodb_spark.operators.graphops import graph_connected_components
+
+    a = graph_label_propagation(spark, sf_dir).collect()
+    b = graph_label_propagation(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    nodes = {r.node for r in a}
+    assert {r.community for r in a} <= nodes
+    comp = {r.node: r.comp for r in graph_connected_components(spark, sf_dir).collect()}
+    by_lbl = {}
+    for r in a:
+        by_lbl.setdefault(r.community, set()).add(r.node)
+    for lbl, members in by_lbl.items():
+        comps = {comp[n] for n in members if n in comp}
+        assert len(comps) <= 1, (lbl, comps)
