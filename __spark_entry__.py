@@ -122,7 +122,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_maintenance": LC.snapshot_maintenance,
     # merges ngram_jaccard (df-capped) + fuzzy Levenshtein (r8) +
     # tf-idf cosine pairs (r9) + exact hash-groupBy dedup (r10) +
-    # incremental new-crawl minhash vs its exact new×old oracle (r11)
+    # incremental new-crawl minhash + train/val split leakage, each
+    # vs its exact cross-slice Jaccard oracle (r11)
     "dedup_jaccard_fuzzy": D.dedup_jaccard_fuzzy,
     "dedup_minhash_lsh": D.minhash_lsh_pairs,
     # round 10: grades the hyperplane-LSH plan AND the exact all-pairs
@@ -384,6 +385,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rounds, lowest-label ties — deterministic); rows-only: an
     # iterated argmax has no SQL-oracle form — laws in tests
     "graph_label_propagation": GX.graph_label_propagation,
+    # round 11: train/val split-leakage pairs (band join across the
+    # deterministic hash split; exact cross-split Jaccard oracle, the
+    # incremental-minhash recall contract); GRADED via the
+    # dedup_jaccard_fuzzy tag-union (leak branch)
+    "dedup_split_leakage": D.dedup_split_leakage,
     # round 10: first/last-touch purchase attribution over the event
     # log — GRADED via the events_analytics tag-union (attrib branch)
     "events_attribution": O.events_attribution,
@@ -568,6 +574,7 @@ ORACLES: dict[str, str] = {
     "mm_audio_features": MM.MM_AUDIO_FEATURES_SQL,
     "rel_range_join_bucketed": E.RANGE_JOIN_BUCKETED_SQL,
     "events_rolling_actives": O.EVENTS_ROLLING_ACTIVES_SQL,
+    "dedup_split_leakage": D.DEDUP_SPLIT_LEAKAGE_SQL,
 }
 
 

@@ -749,7 +749,10 @@ def dedup_jaccard_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_lifecycle) + (since round 11) dedup_incremental_minhash
     (new-crawl delta probed against the corpus band index, graded
     against its exact new×old Jaccard oracle — the same
-    recall-is-total contract as dedup_minhash_lsh), tag-unioned into
+    recall-is-total contract as dedup_minhash_lsh) + (also r11)
+    dedup_split_leakage (train/val near-dup pairs straddling the
+    deterministic hash split — the eval-integrity check; same band
+    geometry and recall contract), tag-unioned into
     (op, doc_a, doc_b, v, s). All constituents keep standalone
     registry entries + oracles; each plan executes unchanged in its
     branch."""
@@ -758,6 +761,13 @@ def dedup_jaccard_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("incr").alias("op"),
         F.col("new_doc").alias("doc_a"),
         F.col("old_doc").alias("doc_b"),
+        F.col("jaccard").alias("v"),
+        ns.alias("s"),
+    )
+    lk = dedup_split_leakage(spark, sf_dir).select(
+        F.lit("leak").alias("op"),
+        F.col("train_doc").alias("doc_a"),
+        F.col("val_doc").alias("doc_b"),
         F.col("jaccard").alias("v"),
         ns.alias("s"),
     )
@@ -782,7 +792,7 @@ def dedup_jaccard_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ja.unionByName(fz).unionByName(tf).unionByName(ex).unionByName(inc)
-        .orderBy("op", "doc_a", "doc_b", "s")
+        .unionByName(lk).orderBy("op", "doc_a", "doc_b", "s")
     )
 
 
@@ -998,7 +1008,82 @@ SELECT * FROM ({_INCREMENTAL_CORE_SQL}) ORDER BY new_doc, old_doc
 """
 
 
-# assembled last: the incr branch embeds _INCREMENTAL_CORE_SQL above
+# DEDUP_JACCARD_FUZZY_SQL is assembled at the very end of this module.
+
+
+# ----------------------------------------------------------- split leakage
+
+LEAK_VAL_FRAC = 0.1  # deterministic validation share (md5 threshold)
+
+
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/VAL SPLIT LEAKAGE — the eval-integrity check every
+    training pipeline needs: after a deterministic hash split
+    (hash_unit(doc_id) < LEAK_VAL_FRAC → validation), find the
+    near-duplicate pairs that STRADDLE the split (3-gram Jaccard
+    ≥ 0.5, the package threshold) — a validation document with a
+    near-copy in train measures memorization, not generalization.
+
+    Same MinHash geometry and recall contract as
+    dedup_incremental_minhash (64 perms / 32 bands, exact-Jaccard
+    verify; per-SF recall-total assertions pin the oracle hash to the
+    current corpus): the candidate join is train-bands ⨝ val-bands —
+    band work ∝ the validation share, and at 100 TB the train side's
+    band table is the same persisted index incremental dedup probes.
+    The split itself is engine-portable md5 arithmetic, so the oracle
+    reproduces it exactly.
+
+    Output: (train_doc, val_doc, jaccard), ordered."""
+    from herodb_spark.operators.corpus import sample_hash_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _with_shingles(docs).localCheckpoint(eager=True)
+    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    sig = exploded.groupBy("doc_id").agg(*H.minhash_aggs(F.col("s"), 64))
+    bands = sig.select(
+        "doc_id", F.explode(H.lsh_band_structs(num_perm=64, bands=32)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    is_val = sample_hash_keep(F.col("doc_id"), LEAK_VAL_FRAC)
+    cand = (
+        bands.where(~is_val).alias("x")
+        .join(bands.where(is_val).alias("y"), ["band_id", "band_key"])
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    out = _verify_jaccard_unordered(cand, sh)
+    return out.select(
+        F.col("doc_a").alias("train_doc"), F.col("doc_b").alias("val_doc"), "jaccard"
+    ).orderBy("train_doc", "val_doc")
+
+
+_LEAK_THRESHOLD_HEX = format(int(LEAK_VAL_FRAC * 16**8), "08x")
+
+_SPLIT_LEAKAGE_CORE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_LEAK_THRESHOLD_HEX}' AS is_val,
+         list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
+           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i+2])) AS sh
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+)
+SELECT a.doc_id AS train_doc, b.doc_id AS val_doc,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM t a JOIN t b ON NOT a.is_val AND b.is_val
+WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+"""
+
+DEDUP_SPLIT_LEAKAGE_SQL = f"""
+SELECT * FROM ({_SPLIT_LEAKAGE_CORE_SQL}) ORDER BY train_doc, val_doc
+"""
+
+
+# assembled last: embeds the incremental and leakage cores above
 DEDUP_JACCARD_FUZZY_SQL = f"""
 SELECT 'jaccard' AS op, doc_a, doc_b, jaccard AS v, CAST(NULL AS VARCHAR) AS s
 FROM ({NGRAM_JACCARD_SQL})
@@ -1014,5 +1099,9 @@ FROM ({EXACT_DEDUP_SQL})
 UNION ALL
 SELECT 'incr', new_doc, old_doc, jaccard, CAST(NULL AS VARCHAR)
 FROM ({_INCREMENTAL_CORE_SQL})
+UNION ALL
+SELECT 'leak', train_doc, val_doc, jaccard, CAST(NULL AS VARCHAR)
+FROM ({_SPLIT_LEAKAGE_CORE_SQL})
 ORDER BY op, doc_a, doc_b, s
 """
+

@@ -20,6 +20,7 @@ ORACLE_CASES = [
     (D.dedup_jaccard_fuzzy, D.DEDUP_JACCARD_FUZZY_SQL),
     (D.dedup_embedding, D.DEDUP_EMBEDDING_SQL),
     (D.dedup_incremental_minhash, D.DEDUP_INCREMENTAL_SQL),
+    (D.dedup_split_leakage, D.DEDUP_SPLIT_LEAKAGE_SQL),
     (S.sim_hybrid_rrf, S.SIM_HYBRID_RRF_SQL),
 ]
 
@@ -468,6 +469,38 @@ def test_incremental_minhash_is_the_new_old_slice(spark, sfd):
     got = {
         (r.new_doc, r.old_doc)
         for r in D.dedup_incremental_minhash(spark, sfd).collect()
+    }
+    assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
+
+
+@pytest.mark.parametrize("sfd", ALL_SF_DIRS, ids=["sf0.001", "sf0.01", "sf0.1"])
+def test_split_leakage_is_the_cross_split_slice(spark, sfd):
+    """The leakage path is exactly the train×val slice of the full
+    near-dup relation under the deterministic md5 split: every full
+    pair straddling the split appears (oriented train→val), nothing
+    else does — at every SF the driver grades (the incremental-
+    minhash recall contract)."""
+    import hashlib
+
+    def is_val(doc_id: int) -> bool:
+        return (
+            hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+            < D._LEAK_THRESHOLD_HEX
+        )
+
+    full = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in D.minhash_lsh_pairs(spark, sfd).collect()
+    }
+    want = set()
+    for p in full:
+        a, b = sorted(p)
+        va, vb = is_val(a), is_val(b)
+        if va != vb:  # exactly one side in validation
+            want.add((b, a) if va else (a, b))  # (train, val)
+    got = {
+        (r.train_doc, r.val_doc)
+        for r in D.dedup_split_leakage(spark, sfd).collect()
     }
     assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
 
