@@ -196,7 +196,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 9: ordered funnel + weekly cohort retention rotated INTO
     # the graded window (tag-union of the r8 event-analytics pair);
     # + attribution (r10) + the Markov transition matrix and the
-    # rolling z-score anomaly scan + rolling DAU/WAU actives (r11)
+    # rolling z-score anomaly scan + rolling DAU/WAU actives + top
+    # 3-step journeys (r11)
     "events_analytics": O.events_analytics,
     # merges incremental (delta-batch) + snapshot-CDC MV refresh (r8)
     "matview_refresh": MV.matview_refresh,
@@ -390,6 +391,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # incremental-minhash recall contract); GRADED via the
     # dedup_jaccard_fuzzy tag-union (leak branch)
     "dedup_split_leakage": D.dedup_split_leakage,
+    # round 11: top user journeys — sessionized 3-step path counts,
+    # the sankey/flow complement of the transition matrix; GRADED via
+    # the events_analytics tag-union (paths branch)
+    "events_top_paths": O.events_top_paths,
     # round 10: first/last-touch purchase attribution over the event
     # log — GRADED via the events_analytics tag-union (attrib branch)
     "events_attribution": O.events_attribution,
@@ -575,6 +580,7 @@ ORACLES: dict[str, str] = {
     "rel_range_join_bucketed": E.RANGE_JOIN_BUCKETED_SQL,
     "events_rolling_actives": O.EVENTS_ROLLING_ACTIVES_SQL,
     "dedup_split_leakage": D.DEDUP_SPLIT_LEAKAGE_SQL,
+    "events_top_paths": O.EVENTS_TOP_PATHS_SQL,
 }
 
 

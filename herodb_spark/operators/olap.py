@@ -381,7 +381,8 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     in v1, n_baseline in v2, and the z-score in v4 (the flag is a
     pure function of z, hashed standalone). The actives branch
     (events_rolling_actives, r11) keys on the ISO day with dau/wau in
-    v1/v2."""
+    v1/v2. The paths branch (events_top_paths, r11) keys on the
+    'e1→e2→e3' journey with cnt/rank in v1/v2."""
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
     at = events_attribution(spark, sf_dir).select(
@@ -432,9 +433,17 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         nl.alias("v3"),
         nd.alias("v4"),
     )
+    pa = events_top_paths(spark, sf_dir).select(
+        F.lit("paths").alias("op"),
+        F.col("path").alias("k"),
+        F.col("cnt").alias("v1"),
+        F.col("rank").cast("long").alias("v2"),
+        nl.alias("v3"),
+        nd.alias("v4"),
+    )
     return (
         fu.unionByName(re).unionByName(at).unionByName(tr).unionByName(an)
-        .unionByName(ac).orderBy("op", "k", "v1")
+        .unionByName(ac).unionByName(pa).orderBy("op", "k", "v1")
     )
 
 
@@ -771,7 +780,85 @@ ORDER BY day
 """
 
 
-# assembled last: embeds the transition/anomaly/actives cores above
+# EVENTS_ANALYTICS_SQL is assembled at the true end of this module.
+
+
+
+# --------------------------------------------------------------- top journeys
+
+PATHS_TOPK = 20  # journeys reported
+PATHS_LEN = 3    # steps per journey (trigram paths)
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP USER JOURNEYS — the sankey/flow complement of the
+    transition matrix: the PATHS_TOPK most common 3-step event
+    sequences where each step is the SAME user's next event within
+    the 30-min session gap (both hops inside the session). First-order
+    transitions miss multi-step structure (signup→click→purchase vs
+    click→click→click); journey counts are what funnels are built
+    from.
+
+    Plan (100-TB shape): ONE user-keyed window pass (two leads over
+    the time-ordered per-user stream — the sessionizer's exact
+    shuffle), a |types|³-bounded aggregate, and a TakeOrdered top-k
+    (no global sort). Exact BIGINT counts; (cnt desc, path asc) is a
+    total order so the cut is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = 30 * 60 * 1_000_000
+    e2, e3 = F.lead("event_type", 1).over(w), F.lead("event_type", 2).over(w)
+    t1, t2, t3 = us, F.lead(us, 1).over(w), F.lead(us, 2).over(w)
+    paths = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            e2.alias("e2"),
+            e3.alias("e3"),
+            ((t2 - t1 < gap_us) & (t3 - t2 < gap_us)).alias("in_session"),
+        )
+        .where(F.col("e3").isNotNull() & F.col("in_session"))
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = paths.orderBy(
+        F.desc("cnt"), F.asc("e1"), F.asc("e2"), F.asc("e3")
+    ).limit(PATHS_TOPK)
+    rw = Window.orderBy(F.desc("cnt"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+    return (
+        topk.withColumn("rank", F.row_number().over(rw))
+        .select("rank", F.concat_ws("→", "e1", "e2", "e3").alias("path"), "cnt")
+        .orderBy("rank")
+    )
+
+
+EVENTS_TOP_PATHS_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t1,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS t2,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP)), 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+),
+paths AS (
+  SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM seq
+  WHERE e3 IS NOT NULL
+    AND t2 - t1 < 30 * 60 * 1000000 AND t3 - t2 < 30 * 60 * 1000000
+  GROUP BY e1, e2, e3
+)
+SELECT rank, e1 || '→' || e2 || '→' || e3 AS path, cnt FROM (
+  SELECT e1, e2, e3, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, e1, e2, e3) AS INT) AS rank
+  FROM paths
+) WHERE rank <= {PATHS_TOPK} ORDER BY rank
+"""
+
+
+# assembled last: embeds every events core above
 EVENTS_ANALYTICS_SQL = f"""
 SELECT 'funnel' AS op, CAST(user_id AS VARCHAR) AS k,
        CAST(depth AS BIGINT) AS v1, to_step2_us AS v2, to_step3_us AS v3,
@@ -797,6 +884,10 @@ FROM ({EVENTS_ANOMALY_SQL.replace("ORDER BY event_type, hour", "")})
 UNION ALL
 SELECT 'actives', day, dau, wau, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
 FROM ({EVENTS_ROLLING_ACTIVES_SQL.replace("ORDER BY day", "")})
+UNION ALL
+SELECT 'paths', path, cnt, CAST(rank AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM ({EVENTS_TOP_PATHS_SQL.replace("ORDER BY rank", "")})
 ORDER BY op, k, v1
 """
 

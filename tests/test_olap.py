@@ -21,6 +21,7 @@ from herodb_spark.operators import extra as _E
 
 CASES.append((_E.range_join_bucketed, _E.RANGE_JOIN_BUCKETED_SQL))
 CASES.append((O.events_rolling_actives, O.EVENTS_ROLLING_ACTIVES_SQL))
+CASES.append((O.events_top_paths, O.EVENTS_TOP_PATHS_SQL))
 
 
 @pytest.mark.parametrize("fn,sql", CASES, ids=[f.__name__ for f, _ in CASES])
