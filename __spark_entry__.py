@@ -151,7 +151,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_analysis": X.text_analysis,
     # extended text quality: merges repetition_pii + unigram-LM +
     # bigram-LM logprob (r8) + NB classifier (r9) + the FineWeb/Gopher
-    # filter cascade with its attrition waterfall (r11)
+    # filter cascade with its attrition waterfall + TF-IDF keywords
+    # (r11)
     "text_quality_ext": X.text_quality_ext,
     # F3. training-data export family (merged pairs; every constituent
     # keeps its standalone entry + oracle below — round-7 rebalance so
@@ -395,6 +396,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the sankey/flow complement of the transition matrix; GRADED via
     # the events_analytics tag-union (paths branch)
     "events_top_paths": O.events_top_paths,
+    # round 11: per-document keywords — top TF-IDF terms via the
+    # dedup_tfidf_cosine weight kernel; GRADED via the
+    # text_quality_ext tag-union (keywords branch)
+    "text_keywords": X.text_keywords,
     # round 10: first/last-touch purchase attribution over the event
     # log — GRADED via the events_analytics tag-union (attrib branch)
     "events_attribution": O.events_attribution,
@@ -581,6 +586,7 @@ ORACLES: dict[str, str] = {
     "events_rolling_actives": O.EVENTS_ROLLING_ACTIVES_SQL,
     "dedup_split_leakage": D.DEDUP_SPLIT_LEAKAGE_SQL,
     "events_top_paths": O.EVENTS_TOP_PATHS_SQL,
+    "text_keywords": X.TEXT_KEYWORDS_SQL,
 }
 
 

@@ -409,7 +409,9 @@ def text_quality_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1, n_tokens in n, keep = survived); its 4 waterfall rows land as
     op='cascade_stage' (n_in/n_fail/n_out in v1/v2/v3, stage name in
     s) — counts are exact integers, carried in the double columns
-    losslessly (far below 2^53)."""
+    losslessly (far below 2^53). Since r11 the union also carries
+    text_keywords (per-doc top TF-IDF terms): op='keywords' rows with
+    the rank in v1, the quantized weight in n, the term in s."""
     nul = F.lit(None).cast("double")
     rep = text_repetition_pii(spark, sf_dir).select(
         F.lit("repetition_pii").alias("op"),
@@ -468,9 +470,19 @@ def text_quality_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~is_doc, F.col("k")).alias("s"),
         F.when(is_doc, F.col("v3") == 1).alias("keep"),
     )
+    kw = text_keywords(spark, sf_dir).select(
+        F.lit("keywords").alias("op"),
+        "doc_id",
+        F.col("rank").cast("double").alias("v1"),
+        nul.alias("v2"),
+        nul.alias("v3"),
+        F.col("w").alias("n"),
+        F.col("term").alias("s"),
+        F.lit(None).cast("boolean").alias("keep"),
+    )
     return (
         rep.unionByName(uni).unionByName(big).unionByName(nb).unionByName(casc)
-        .orderBy("op", "doc_id", "s")
+        .unionByName(kw).orderBy("op", "doc_id", "s")
     )
 
 
@@ -1036,7 +1048,88 @@ SELECT rank, doc_id, score FROM (
 """
 
 
-# assembled last: the cascade branch embeds TEXT_FILTER_CASCADE_SQL
+# TEXT_QUALITY_EXT_SQL is assembled at the true end of this module.
+
+
+# ------------------------------------------------------------------ keywords
+
+KEYWORDS_K = 3  # terms reported per document
+
+
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT KEYWORDS — the document-understanding staple
+    (tags, routing, index terms): each document's KEYWORDS_K highest
+    TF-IDF terms, using exactly the dedup_tfidf_cosine weight kernel
+    (df-capped distinctive vocabulary, integer-quantized weights
+    w = round(tf·idf·1000)) so the two operators agree by
+    construction. Ties break (w desc, term asc) — a total order.
+
+    Plan (100-TB shape): tf/df are token-keyed map-side-combined
+    groupBys (the tfidf kernel's shapes); the per-doc top-k is a
+    doc-keyed window over each doc's OWN terms (rows ∝ distinct terms
+    per doc — no cross-doc blowup, nothing quadratic anywhere).
+
+    Output: (doc_id, rank, term, w), ordered."""
+    from herodb_spark.operators.dedup import TFIDF_DF_CAP, _TFIDF_SCALE
+
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("N"))
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    kept = dfreq.where(F.col("df") <= TFIDF_DF_CAP)
+    idf = F.round(F.log(F.col("N") / F.col("df").cast("double")), 9)
+    w = (
+        tf.join(kept, "t")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "t",
+            F.round(F.col("tf").cast("double") * idf * _TFIDF_SCALE, 0)
+            .cast("long")
+            .alias("w"),
+        )
+        .where(F.col("w") > 0)
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("t"))
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= KEYWORDS_K)
+        .select("doc_id", "rank", F.col("t").alias("term"), "w")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def _keywords_sql() -> str:
+    from herodb_spark.operators.dedup import TFIDF_DF_CAP, _TFIDF_SCALE
+
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+w AS (
+  SELECT tf.doc_id, tf.t,
+         CAST(ROUND(CAST(tf.tf AS DOUBLE)
+                    * ROUND(ln((SELECT COUNT(*) FROM documents) / CAST(d.df AS DOUBLE)), 9)
+                    * {_TFIDF_SCALE}, 0) AS BIGINT) AS w
+  FROM tf JOIN dfreq d USING (t)
+  WHERE d.df <= {TFIDF_DF_CAP}
+)
+SELECT doc_id, rank, t AS term, w FROM (
+  SELECT doc_id, t, w,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, t ASC) AS INT) AS rank
+  FROM w WHERE w > 0
+) WHERE rank <= {KEYWORDS_K} ORDER BY doc_id, rank
+"""
+
+
+TEXT_KEYWORDS_SQL = _keywords_sql()
+
+
+# assembled last: embeds the cascade and keywords cores above
 TEXT_QUALITY_EXT_SQL = f"""
 SELECT 'repetition_pii' AS op, doc_id, dup_word_frac AS v1, top_bigram_frac AS v2,
        dup_trigram_frac AS v3, n_redactions AS n, scrubbed_fp AS s,
@@ -1064,5 +1157,10 @@ SELECT CASE WHEN c.op = 'doc' THEN 'cascade' ELSE 'cascade_stage' END,
        CASE WHEN c.op <> 'doc' THEN c.k END,
        CASE WHEN c.op = 'doc' THEN c.v3 = 1 END
 FROM ({TEXT_FILTER_CASCADE_SQL.replace("ORDER BY op, k", "")}) c
+UNION ALL
+SELECT 'keywords', doc_id, CAST(rank AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), w, term, CAST(NULL AS BOOLEAN)
+FROM ({TEXT_KEYWORDS_SQL.replace("ORDER BY doc_id, rank", "")})
 ORDER BY op, doc_id, s
 """
+

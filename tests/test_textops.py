@@ -17,6 +17,7 @@ CASES = [
     (X.text_bigram_logprob, X.TEXT_BIGRAM_LOGPROB_SQL),
     (X.text_filter_cascade, X.TEXT_FILTER_CASCADE_SQL),
     (X.text_bm25_topk, X.TEXT_BM25_TOPK_SQL),
+    (X.text_keywords, X.TEXT_KEYWORDS_SQL),
 ]
 
 
