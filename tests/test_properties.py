@@ -178,3 +178,81 @@ def test_snapshot_mutations_match_dict_model(spark_prop, tmp_path_factory, ops):
         while hi < len(history) and history[hi] != got:
             hi += 1
         assert hi < len(history), (v, got)
+
+
+PCM = st.lists(
+    st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=200
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(samples=PCM, rate=st.sampled_from([8000, 16000, 44100]))
+def test_wav_codec_roundtrip_property(samples, rate):
+    """encode_wav → decode/featurize roundtrips ANY int16 sample list
+    exactly: n_samples, rate, peak, Σs², and zero crossings all match
+    a direct recompute (r11 audio codec; no Spark needed — pure
+    codec)."""
+    from herodb_spark.operators import multimodal as MM
+
+    d = MM.wav_features(MM.encode_wav(samples, rate=rate))
+    assert d["n_samples"] == len(samples)
+    assert d["sample_rate"] == rate and d["channels"] == 1
+    assert d["peak"] == max((abs(v) for v in samples), default=0)
+    assert d["sum_sq"] == sum(v * v for v in samples)
+    assert d["zcr"] == sum(
+        1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)
+    )
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.floats(min_value=0.0, max_value=400.0, allow_nan=False),
+        st.floats(min_value=0.1, max_value=150.0, allow_nan=False),  # length
+    ),
+    min_size=1,
+    max_size=12,
+)
+POINTS = st.lists(
+    st.floats(min_value=-50.0, max_value=500.0, allow_nan=False),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(intervals=INTERVALS, points=POINTS)
+def test_range_join_bucket_expansion_lossless(spark_prop, intervals, points):
+    """The coarse-bucket expansion finds EXACTLY the theta-join's
+    matches for ARBITRARY (possibly overlapping, boundary-straddling)
+    intervals and points — the r11 range-join recipe as a law, not
+    just the fixture geometry."""
+    W = 50.0
+    ivs = [(i, float(lo), float(lo + ln)) for i, (lo, ln) in enumerate(intervals)]
+    tiers = spark_prop.createDataFrame(ivs, "tier int, lo double, hi double")
+    pts = spark_prop.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(points)], "pid int, v double"
+    )
+    tb = tiers.select(
+        "tier", "lo", "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / W).cast("long"),
+                F.floor((F.col("hi") - 1e-9) / W).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    got = {
+        (r.pid, r.tier)
+        for r in pts.withColumn("bucket", F.floor(F.col("v") / W).cast("long"))
+        .join(tb, "bucket")
+        .where((F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")))
+        .select("pid", "tier")
+        .collect()
+    }
+    want = {
+        (pid, tier)
+        for pid, v in enumerate(points)
+        for tier, lo, hi in ivs
+        if lo <= v < hi
+    }
+    assert got == want
