@@ -164,6 +164,61 @@ QUERIES.update(
 )
 
 
+def _range_join(spark, sf_dir):
+    from herodb_spark.operators import extra as E2
+
+    return E2.range_join_bucketed(spark, sf_dir)
+
+
+def _domain_cap(spark, sf_dir):
+    from herodb_spark.operators import corpus as CO2
+
+    return CO2.corpus_domain_cap(spark, sf_dir)
+
+
+def _anomaly(spark, sf_dir):
+    from herodb_spark.operators import olap as OL2
+
+    return OL2.events_anomaly(spark, sf_dir)
+
+
+def _temp(spark, sf_dir):
+    from herodb_spark.operators import traindata as TD4
+
+    return TD4.mixture_temperature(spark, sf_dir)
+
+
+def _actives(spark, sf_dir):
+    from herodb_spark.operators import olap as OL3
+
+    return OL3.events_rolling_actives(spark, sf_dir)
+
+
+def _keywords(spark, sf_dir):
+    from herodb_spark.operators import textops as X3
+
+    return X3.text_keywords(spark, sf_dir)
+
+
+def _leak(spark, sf_dir):
+    from herodb_spark.operators import dedup as D4
+
+    return D4.dedup_split_leakage(spark, sf_dir)
+
+
+QUERIES.update(
+    {
+        "rel_range_join_bucketed (r11; expect BroadcastHashJoin ON THE BUCKET KEY with the range filter as join condition — NO BroadcastNestedLoopJoin)": _range_join,
+        "corpus_domain_cap (r11; expect two-phase per-source rank: (source, partition-id) window then the global per-source window over survivors)": _domain_cap,
+        "events_anomaly (r11; expect ONE map-side-combined (type, hour) aggregate, the rolling window only on the bucket relation)": _anomaly,
+        "mixture_temperature (r11; expect one |sources|-row aggregate + broadcast rate join + codegen scan filter — no extra shuffle)": _temp,
+        "events_rolling_actives (r11; expect (user, day) dedupe + explode onto <=7 buckets + map-side-combined counts; NO day-by-day self-join)": _actives,
+        "text_keywords (r11; expect token-keyed tf/df aggregates + per-doc window over the doc's own terms; nothing quadratic)": _keywords,
+        "dedup_split_leakage (r11; expect train-bands x val-bands band-bucket join — work ∝ the validation share, no cross join)": _leak,
+    }
+)
+
+
 QUERIES.update({
     "heroql_rules (compiled FROM HeroQL SOURCE; expect BroadcastHashJoin(LeftAnti) for `not`, nation broadcast for the deref, no Python nodes)": _heroql_rules,
     "heroql_pipeline (compiled FROM HeroQL SOURCE; expect one window pass for top-k, partial HashAggregate for group_by, single-partition window only for the final range_by)": _heroql_pipeline,
