@@ -163,7 +163,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "traindata_mixture": TD.traindata_mixture,
     "traindata_export": TD.traindata_export,  # merges shard_manifest + pack_sequences + global_shuffle (r8) + chunk_documents (r9)
     # I. multimodal plumbing (merges binary_meta + frame_sample +
-    # resize features (r10) + WAV audio features (r11))
+    # resize features (r10) + WAV audio features + scene changes (r11))
     "mm_pipeline": MM.mm_pipeline,
     # J. streaming (batch-parity; streaming versions in tests) —
     # merges tumbling + sliding + late_dedup + sessionize + interval_join
@@ -400,6 +400,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_tfidf_cosine weight kernel; GRADED via the
     # text_quality_ext tag-union (keywords branch)
     "text_keywords": X.text_keywords,
+    # round 11: consecutive-frame scene-change detection over 'video'
+    # blobs — the temporal segmentation primitive; GRADED via the
+    # mm_pipeline tag-union (scene rows)
+    "mm_scene_changes": MM.mm_scene_changes,
     # round 10: first/last-touch purchase attribution over the event
     # log — GRADED via the events_analytics tag-union (attrib branch)
     "events_attribution": O.events_attribution,
@@ -587,6 +591,7 @@ ORACLES: dict[str, str] = {
     "dedup_split_leakage": D.DEDUP_SPLIT_LEAKAGE_SQL,
     "events_top_paths": O.EVENTS_TOP_PATHS_SQL,
     "text_keywords": X.TEXT_KEYWORDS_SQL,
+    "mm_scene_changes": MM.MM_SCENE_CHANGES_SQL,
 }
 
 

@@ -303,3 +303,15 @@ def test_wav_encode_decode_roundtrip():
     st = MM.wav_features(MM.encode_wav([1, -1, 2, -2], rate=4000, channels=2))
     assert st["channels"] == 2 and st["n_samples"] == 2
     assert st["peak"] == 2 and st["sum_sq"] == 1 + 1 + 4 + 4
+
+
+def test_mm_scene_changes_oracle(spark, sf_dir, duck):
+    """Cut detection hashes against the oracle's direct byte math at
+    frame stride (r11 scene leg); every cut's |delta| >= SCENE_DELTA
+    and its signatures are real bytes of the blob."""
+    res = compare(MM.mm_scene_changes(spark, sf_dir), MM.MM_SCENE_CHANGES_SQL, duck)
+    assert res["ok"], res
+    rows = MM.mm_scene_changes(spark, sf_dir).collect()
+    assert rows and all(abs(r.delta) >= MM.SCENE_DELTA for r in rows)
+    assert all(r.delta == r.sig - r.prev_sig for r in rows)
+    assert all(0 <= r.sig <= 255 and 0 <= r.prev_sig <= 255 for r in rows)

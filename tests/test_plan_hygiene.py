@@ -43,6 +43,7 @@ PANDAS_ALLOWED = {
     "dedup_embedding",
     "mm_resize_features",
     "mm_audio_features",  # r11: WAV encode/decode is multimodal by design
+    "mm_scene_changes",  # r11: frame-signature diff, multimodal by design
 }
 QUERIES = entry_mod.queries()
 
