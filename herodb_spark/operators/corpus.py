@@ -215,15 +215,15 @@ def corpus_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pf = corpus_profile(spark, sf_dir).select(
         F.lit("profile").alias("op"),
-        F.concat_ws(":", "dim", "k").alias("k"),
+        F.concat(F.col("dim"), F.lit(":"), F.col("k")).alias("k"),
         F.col("n_docs").alias("v1"),
         F.col("n_tokens").alias("v2"),
-        F.concat_ws(":", F.col("n_chars").cast("string"), F.col("n_vocab").cast("string")).alias("v3"),
+        F.concat(F.col("n_chars").cast("string"), F.lit(":"), F.col("n_vocab").cast("string")).alias("v3"),
     )
     cap = corpus_domain_cap(spark, sf_dir).select(
         F.lit("cap").alias("op"),
-        F.concat_ws(
-            ":", F.col("source"), F.lpad(F.col("doc_id").cast("string"), 12, "0")
+        F.concat(
+            F.col("source"), F.lit(":"), F.lpad(F.col("doc_id").cast("string"), 12, "0")
         ).alias("k"),
         F.col("rk").cast("long").alias("v1"),
         F.round(F.col("quality") * 1e6).cast("long").alias("v2"),

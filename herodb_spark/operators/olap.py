@@ -411,7 +411,7 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tr = events_transition_matrix(spark, sf_dir).select(
         F.lit("transition").alias("op"),
-        F.concat_ws("→", "cur", "nxt").alias("k"),
+        F.concat(F.col("cur"), F.lit("→"), F.col("nxt")).alias("k"),
         F.col("cnt").alias("v1"),
         nl.alias("v2"),
         nl.alias("v3"),
@@ -419,7 +419,7 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     an = events_anomaly(spark, sf_dir).select(
         F.lit("anomaly").alias("op"),
-        F.concat_ws("@", "event_type", "hour").alias("k"),
+        F.concat(F.col("event_type"), F.lit("@"), F.col("hour").cast("string")).alias("k"),
         F.col("cnt").alias("v1"),
         F.col("n_baseline").alias("v2"),
         nl.alias("v3"),
@@ -827,7 +827,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     rw = Window.orderBy(F.desc("cnt"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
     return (
         topk.withColumn("rank", F.row_number().over(rw))
-        .select("rank", F.concat_ws("→", "e1", "e2", "e3").alias("path"), "cnt")
+        .select("rank", F.concat(F.col("e1"), F.lit("→"), F.col("e2"), F.lit("→"), F.col("e3")).alias("path"), "cnt")
         .orderBy("rank")
     )
 

@@ -260,6 +260,12 @@ class _DbManifest(SnapshotTable):
 
 
 class SnapshotDatabase:
+    #: age after which a hidden tables/.stage-* or .trash-* directory is
+    #: presumed a crash orphan and reclaimable by vacuum(). Generous on
+    #: purpose: a live create_table may legitimately spend a long time
+    #: writing its staged data before publishing.
+    STAGE_ORPHAN_GRACE_S = 24 * 3600
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
@@ -349,14 +355,46 @@ class SnapshotDatabase:
                 f"{self.path}: table directory {name!r} still held by "
                 "historical database versions — vacuum() before re-creating"
             )
-        t = SnapshotTable.create(self.spark, self._table_path(name), df, key_cols, partition_col)
+        # STAGE the table data under a hidden name (never a vacuum-sweep
+        # candidate: _table_path rejects leading dots, and the sweep
+        # age-gates dotted dirs), then PUBLISH the final-name rename
+        # inside _commit's critical section together with the manifest
+        # pin. That makes {name-free check, directory publish, pin
+        # install} one atomic unit under the same lock the vacuum
+        # reclaim sweep holds — a sweep can no longer rmtree a
+        # just-created directory its pre-create manifest snapshot
+        # didn't show as live (the sweep-vs-create TOCTOU).
+        final = self._table_path(name)
+        stage = os.path.join(self.path, "tables", f".stage-{uuid.uuid4().hex[:8]}")
+        t = SnapshotTable.create(self.spark, stage, df, key_cols, partition_col)
         pins = dict(self._pins(m))
         pins[name] = 0
         version = m["current"] + 1
         m["versions"][str(version)] = {"op": f"create_table:{name}", "tables": pins}
         m["current"] = version
-        self._mf._commit(m, expected_current=read_version, expected_seq=read_seq)
-        return t
+
+        def _publish():
+            if os.path.exists(final):
+                # re-checked under the lock: a dropped table's directory
+                # can reappear as "held" only via time-travel history we
+                # already checked, but a racing create of the same name
+                # is fenced here
+                raise ValueError(
+                    f"{self.path}: table directory {name!r} still held — "
+                    "vacuum() before re-creating"
+                )
+            os.rename(stage, final)
+
+        try:
+            self._mf._commit(m, expected_current=read_version,
+                             expected_seq=read_seq, pre_install=_publish)
+        except BaseException:
+            # aborted commit: drop the staged directory (nothing
+            # references it); if _publish already renamed it, the
+            # rmtree is a no-op (ENOENT ignored)
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        return SnapshotTable(self.spark, final)
 
     def drop_table(self, name: str) -> None:
         """DROP TABLE: publish a database version whose pin set omits
@@ -583,26 +621,56 @@ class SnapshotDatabase:
         # kept database version pins is unreachable through any read
         # path — delete it so create_table() may reuse the name (the
         # free-page-reuse half of drop_table; the use-mask analogy is
-        # the pin set itself, TestUtility_Buffer.cpp:182/228). Re-load
-        # the manifest AFTER our commit and honor any name pinned by a
-        # version that landed since: a create_table() racing in after
-        # the prune commit must not lose its fresh directory (writers
-        # that staged BEFORE it are seq-fenced and fail their commit,
-        # so deleting their leftovers stays safe).
-        fresh = self._load()
-        live_names = {
-            name for e in fresh["versions"].values() for name in e["tables"]
-        }
+        # the pin set itself, TestUtility_Buffer.cpp:182/228).
+        #
+        # SWEEP-vs-CREATE ATOMICITY: the manifest re-load and the
+        # rename-to-trash of every candidate run INSIDE the manifest
+        # commit lock — the same critical section create_table's
+        # name-publish rename and every OCC commit use. A create_table
+        # that committed before we took the lock is visible in the
+        # fresh manifest (name live → skipped); one that commits after
+        # publishes under the lock, so it can never interleave its
+        # directory between our liveness check and our rename. The
+        # slow rmtree happens AFTER the lock is released, on hidden
+        # .trash- paths no reader or writer resolves; a crash between
+        # rename and rmtree leaves a dotted orphan the age-gated
+        # dotted-dir sweep below reclaims on a later vacuum.
         reclaimed: list[str] = []
+        trash: list[str] = []
         tables_dir = os.path.join(self.path, "tables")
-        for name in sorted(os.listdir(tables_dir)) if os.path.isdir(tables_dir) else []:
-            full = os.path.join(tables_dir, name)
-            if os.path.isdir(full) and name not in pinned and name not in live_names:
-                # ignore_errors: two vacuums that both passed their OCC
-                # commits can sweep the same orphan concurrently (same
-                # contract as SnapshotTable.vacuum's dir sweep)
-                shutil.rmtree(full, ignore_errors=True)
-                reclaimed.append(name)
+        if os.path.isdir(tables_dir):
+            with self._mf._commit_critical():
+                fresh = self._load()
+                live_names = {
+                    name for e in fresh["versions"].values() for name in e["tables"]
+                }
+                for name in sorted(os.listdir(tables_dir)):
+                    full = os.path.join(tables_dir, name)
+                    if not os.path.isdir(full):
+                        continue
+                    if name.startswith("."):
+                        # hidden dirs: create_table stages (.stage-*) and
+                        # orphaned trash (.trash-*). Reclaim only when old
+                        # enough that no live create can still own them.
+                        try:
+                            age = time.time() - os.path.getmtime(full)
+                        except OSError:
+                            continue
+                        if age > self.STAGE_ORPHAN_GRACE_S:
+                            trash.append(full)
+                        continue
+                    if name not in pinned and name not in live_names:
+                        dst = os.path.join(tables_dir, f".trash-{uuid.uuid4().hex[:8]}")
+                        try:
+                            os.rename(full, dst)
+                        except OSError:
+                            continue  # concurrent sweep took it first
+                        trash.append(dst)
+                        reclaimed.append(name)
+        for dst in trash:
+            # ignore_errors: two vacuums can race on an aged orphan
+            # (same contract as SnapshotTable.vacuum's dir sweep)
+            shutil.rmtree(dst, ignore_errors=True)
         return {
             "dropped_db_versions": dropped,
             "tables": table_report,

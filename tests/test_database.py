@@ -1354,3 +1354,73 @@ def test_snapshot_maintenance_oracle(spark, sf_dir, duck):
 
     res = compare(snapshot_maintenance(spark, sf_dir), SNAPSHOT_MAINTENANCE_SQL, duck)
     assert res["ok"], res
+
+
+def test_vacuum_sweep_is_create_safe(spark, tmp_path):
+    """Round-12 advice (database.py vacuum TOCTOU): the reclaim sweep
+    renames candidates to hidden trash INSIDE the commit-lock critical
+    section, and create_table publishes its staged directory under the
+    SAME lock — so a sweep whose manifest snapshot predates a racing
+    create can never delete the fresh directory. Pinned here:
+    (a) drop → vacuum → recreate round-trip still works and the new
+        table's data survives a second vacuum;
+    (b) a young .stage- orphan (in-flight create) is NOT reclaimed;
+        a backdated one (crashed create) IS;
+    (c) the published create leaves no stage dir behind."""
+    import time as _time
+
+    db = _mkdb(spark, tmp_path)
+    tables_dir = os.path.join(db.path, "tables")
+
+    db.drop_table("audit")
+    db.vacuum(keep_last=1)
+    assert not os.path.exists(os.path.join(tables_dir, "audit"))
+
+    fresh = spark.createDataFrame([(1, "new")], "seq long, what string")
+    db.create_table("audit", fresh, key_cols=["seq"])
+    # (c) staged dir was renamed into place, not copied
+    assert [d for d in os.listdir(tables_dir) if d.startswith(".stage-")] == []
+
+    # (b) orphan age-gating
+    young = os.path.join(tables_dir, ".stage-young")
+    old = os.path.join(tables_dir, ".stage-old")
+    os.makedirs(young)
+    os.makedirs(old)
+    past = _time.time() - SnapshotDatabase.STAGE_ORPHAN_GRACE_S - 60
+    os.utime(old, (past, past))
+    rep = db.vacuum(keep_last=1)
+    assert os.path.isdir(young)
+    assert not os.path.exists(old)
+
+    # (a) the re-created table survived the sweep (its name is live)
+    assert "audit" not in rep["reclaimed_tables"]
+    rows = db.read("audit").collect()
+    assert [(r.seq, r.what) for r in rows] == [(1, "new")]
+    os.rmdir(young)
+
+
+def test_create_table_abort_cleans_stage(spark, tmp_path):
+    """A create_table that loses its OCC commit (manifest advanced
+    between read and commit) must leave neither a manifest pin nor a
+    staged/published directory."""
+    db = _mkdb(spark, tmp_path)
+    tables_dir = os.path.join(db.path, "tables")
+    orig_commit = db._mf._commit
+
+    def racing_commit(m, **kw):
+        # interleave a drop_table between create_table's read and commit
+        SnapshotDatabase(spark, db.path).drop_table("audit")
+        return orig_commit(m, **kw)
+
+    db._mf._commit = racing_commit
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            db.create_table(
+                "extra",
+                spark.createDataFrame([(1,)], "x long"),
+                key_cols=["x"],
+            )
+    finally:
+        db._mf._commit = orig_commit
+    assert not os.path.exists(os.path.join(tables_dir, "extra"))
+    assert [d for d in os.listdir(tables_dir) if d.startswith(".stage-")] == []
