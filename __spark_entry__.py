@@ -452,6 +452,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 0.86/0.98 at sf0.001/sf0.01 (measured r11, floor pinned in
     # tests), so the exact-top-k oracle would misstate it
     "ann_pq_topk": SK.ann_pq_topk,
+    # round 12: database branching — the reference's data-package
+    # instantiate / inherit / merge (Kernel/README.md DATA PACKAGE):
+    # O(1) zero-copy branch, copy-on-write fork, disjoint-partition
+    # overlay merge, conflict-cancel; GRADED via snapshot_lifecycle's
+    # br_* legs — this standalone entry keeps the operator directly
+    # visible and oracle-checked on its own
+    "db_branch_merge": LC.db_branch_merge,
 }
 
 
@@ -592,6 +599,7 @@ ORACLES: dict[str, str] = {
     "events_top_paths": O.EVENTS_TOP_PATHS_SQL,
     "text_keywords": X.TEXT_KEYWORDS_SQL,
     "mm_scene_changes": MM.MM_SCENE_CHANGES_SQL,
+    "db_branch_merge": LC.DB_BRANCH_MERGE_SQL,
 }
 
 

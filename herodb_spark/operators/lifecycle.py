@@ -63,7 +63,15 @@ def snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 through the three paired txns, then facts-only (v6) /
                 audit-only (v7) for the interleaved pair;
     - 'vac'   — the dropped database versions: (v, NULL, 'dropped',
-                NULL)."""
+                NULL);
+    - 'br_iso' / 'br_facts' / 'br_plans' / 'br_conflict' / 'br_hist'
+      (round 12) — the data-package branch surface (Kernel/README.md
+      DATA PACKAGE: instantiate-inheriting / merge-to-parent):
+      copy-on-write isolation both ways, disjoint-partition overlay
+      merge landing both sides plus the adopted branch-created table,
+      conflict-cancel on same-partition divergence, and the pin
+      history proving the cancelled merge published nothing. See the
+      inline schedule comment and sources/branch.py."""
     from herodb_spark.sources.database import SnapshotDatabase
 
     nation = load_table(spark, sf_dir, "nation").select(
@@ -151,8 +159,102 @@ def snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("vac").alias("leg"), "key", nl.alias("grp"),
         F.lit("dropped").alias("name"), nl.alias("val"),
     )
+
+    # ---- branch / merge (round 12): the reference's data-package
+    # instantiate / inherit / merge (Kernel/README.md DATA PACKAGE) as
+    # graded legs. The schedule is deterministic:
+    # - branch 'wip' at facts pin 4 / audit pin 4 (post-vacuum state);
+    # - ON THE BRANCH: +1000 to partition grp=0, three fresh rows in
+    #   partition grp=4, and a branch-CREATED table `plans`;
+    # - INTERLEAVED ON THE PARENT (db v8): two rows into partition
+    #   grp=1 — disjoint from everything the branch rewrote;
+    # - 'br_iso' reads the branch PRE-merge (checkpointed before the
+    #   merge physically adopts branch storage): it must show the
+    #   branch changes and NOT the parent's interleave — copy-on-write
+    #   isolation in both directions is part of the hash;
+    # - merge() (db v9): the disjoint-partition OVERLAY lands BOTH
+    #   sides' writes and adopts `plans` — 'br_facts'/'br_plans';
+    # - branch 'clash' then rewrites partition grp=1 while the parent
+    #   commits to grp=1 again (db v10): merge() must CANCEL with
+    #   MergeConflict (the reference's rollback-conflicted rule) and
+    #   leave the parent untouched — 'br_conflict' records the
+    #   cancellation, and v10's pin in 'br_hist' proves no merge
+    #   version landed after it.
+    from herodb_spark.sources.branch import MergeConflict
+
+    br = db.branch("wip")
+    br.update_where("facts", F.col("grp") == 0, {"val": F.col("val") + F.lit(1000)})
+    br.merge_upsert(
+        "facts",
+        spark.createDataFrame(
+            [(400 + i, 4, "wip", i) for i in range(3)],
+            "key long, grp long, name string, val long",
+        ),
+    )
+    br.create_table(
+        "plans",
+        spark.createDataFrame([(1, "draft"), (2, "final")], "pid long, txt string"),
+        key_cols=["pid"],
+    )
+    with db.transaction() as t:
+        t.merge_upsert(
+            "facts",
+            spark.createDataFrame(
+                [(500 + i, 1, "main", 2 * i) for i in range(2)],
+                "key long, grp long, name string, val long",
+            ),
+        )
+    br_iso = (
+        br.read("facts")
+        .select(F.lit("br_iso").alias("leg"), "key", "grp", "name", "val")
+        .localCheckpoint(eager=True)  # merge moves branch storage
+    )
+    br.merge()
+    clash = db.branch("clash")
+    clash.update_where("facts", F.col("grp") == 1, {"val": F.lit(-1)})
+    with db.transaction() as t:
+        t.merge_upsert(
+            "facts",
+            spark.createDataFrame(
+                [(502, 1, "main2", 9)], "key long, grp long, name string, val long"
+            ),
+        )
+    try:
+        clash.merge()
+        conflict_msg = "merged"  # would be a red hash row
+    except MergeConflict:
+        conflict_msg = "cancelled"
+    db.drop_branch("clash", discard_changes=True)
+    db.drop_branch("wip")  # merged: discardable without a flag
+
+    br_facts = db.read("facts").select(
+        F.lit("br_facts").alias("leg"), "key", "grp", "name", "val"
+    )
+    br_plans = db.read("plans").select(
+        F.lit("br_plans").alias("leg"),
+        F.col("pid").alias("key"),
+        nl.alias("grp"),
+        F.col("txt").alias("name"),
+        nl.alias("val"),
+    )
+    br_conflict = spark.createDataFrame([(conflict_msg,)], "name string").select(
+        F.lit("br_conflict").alias("leg"), nl.alias("key"), nl.alias("grp"),
+        "name", nl.alias("val"),
+    )
+    br_hist = spark.createDataFrame(
+        [
+            (int(e["version"]), int(e["tables"]["facts"]), str(e["op"]),
+             int(e["tables"]["audit"]))
+            for e in db.history()
+            if int(e["version"]) >= 8
+        ],
+        "key long, grp long, name string, val long",
+    ).select(F.lit("br_hist").alias("leg"), "key", "grp", "name", "val")
+
     return (
         cur.unionByName(tt).unionByName(audit).unionByName(hist).unionByName(vac)
+        .unionByName(br_iso).unionByName(br_facts).unionByName(br_plans)
+        .unionByName(br_conflict).unionByName(br_hist)
         .orderBy("leg", "key", "grp")
     )
 
@@ -210,6 +312,44 @@ FROM (VALUES (CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
 UNION ALL
 SELECT 'vac', v, CAST(NULL AS BIGINT), 'dropped', CAST(NULL AS BIGINT)
 FROM (VALUES (CAST(0 AS BIGINT)), (1), (2)) d(v)
+UNION ALL
+-- branch isolation read (pre-merge): the branch sees its own writes
+-- (+1000 on partition grp=0, three fresh grp=4 rows) and NOT the
+-- parent's interleaved grp=1 rows
+SELECT 'br_iso', key, grp, name,
+       CASE WHEN grp = 0 THEN val + 1000 ELSE val END
+FROM f4
+UNION ALL
+SELECT 'br_iso', 400 + i, 4, 'wip', i FROM generate_series(0, 2) t(i)
+UNION ALL
+-- post-merge facts: the disjoint-partition overlay lands BOTH the
+-- branch's writes and the parent's interleaves (grp=1 rows from db v8
+-- and the post-cancel v10 row)
+SELECT 'br_facts', key, grp, name,
+       CASE WHEN grp = 0 THEN val + 1000 ELSE val END
+FROM f4
+UNION ALL
+SELECT 'br_facts', 400 + i, 4, 'wip', i FROM generate_series(0, 2) t(i)
+UNION ALL
+SELECT 'br_facts', 500 + i, 1, 'main', 2 * i FROM generate_series(0, 1) t(i)
+UNION ALL
+SELECT 'br_facts', 502, 1, 'main2', 9
+UNION ALL
+-- the adopted branch-created table
+SELECT 'br_plans', pid, CAST(NULL AS BIGINT), txt, CAST(NULL AS BIGINT)
+FROM (VALUES (CAST(1 AS BIGINT), 'draft'), (2, 'final')) p(pid, txt)
+UNION ALL
+-- the same-partition merge must CANCEL (conflict arbitration)
+SELECT 'br_conflict', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       'cancelled', CAST(NULL AS BIGINT)
+UNION ALL
+-- post-branch history: parent interleave (v8), the merge pin publish
+-- (v9: facts 6 + plans adopted), the post-cancel parent txn (v10) —
+-- and nothing after: the cancelled merge published NO version
+SELECT 'br_hist', v, fpin, op, apin
+FROM (VALUES (CAST(8 AS BIGINT), CAST(5 AS BIGINT), 'txn', CAST(4 AS BIGINT)),
+             (9, 6, 'merge_branch:wip', 4),
+             (10, 7, 'txn', 4)) h(v, fpin, op, apin)
 ORDER BY leg, key, grp
 """
 
@@ -345,5 +485,157 @@ SELECT 'hist', v, CAST(NULL AS BIGINT), op, CAST(NULL AS BIGINT),
 FROM (VALUES (CAST(0 AS BIGINT), 'create'), (1, 'add_columns'),
              (2, 'merge_upsert'), (3, 'cluster'),
              (4, 'merge_upsert'), (5, 'compact')) h(v, op)
+ORDER BY leg, key, grp
+"""
+
+
+def db_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STANDALONE branch/merge surface (the graded copy rides
+    snapshot_lifecycle's br_* legs; this entry keeps the operator
+    directly visible per the union-fold convention) — the reference's
+    data-package instantiate / inherit / merge / discard
+    (Kernel/README.md "DATA PACKAGE", HIGH-LEVEL FEATURES bullets 8-14)
+    on sources/branch.py.
+
+    Deterministic schedule on a fresh database holding `facts` from
+    nation (key, grp, name, val = key*10; partitioned by grp):
+    - branch 'wip' (O(1), zero copy), which updates partition grp=0
+      (val+1000), inserts three rows into partition grp=4, and CREATES
+      `plans`;
+    - parent interleaves two rows into partition grp=1 (db v2);
+    - 'iso' leg: the pre-merge branch read — branch changes visible,
+      parent interleave invisible (copy-on-write isolation);
+    - merge (db v3): disjoint-partition overlay lands both sides +
+      adopts plans;
+    - branch 'clash' rewrites grp=1 while the parent commits to grp=1
+      (db v4) → merge CANCELS (MergeConflict), parent untouched;
+    - legs: iso / final / plans / conflict / hist (db version, facts
+      pin, op — proving the cancelled merge published no version)."""
+    from herodb_spark.sources.branch import MergeConflict
+    from herodb_spark.sources.database import SnapshotDatabase
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("key"),
+        F.col("n_regionkey").cast("long").alias("grp"),
+        F.col("n_name").alias("name"),
+        (F.col("n_nationkey") * 10).cast("long").alias("val"),
+    )
+    tmp = tempfile.mkdtemp(prefix="snap_br_")
+    db = SnapshotDatabase.create(spark, os.path.join(tmp, "db"))
+    db.create_table("facts", nation, key_cols=["key"], partition_col="grp")
+
+    br = db.branch("wip")
+    br.update_where("facts", F.col("grp") == 0, {"val": F.col("val") + F.lit(1000)})
+    br.merge_upsert(
+        "facts",
+        spark.createDataFrame(
+            [(400 + i, 4, "wip", i) for i in range(3)],
+            "key long, grp long, name string, val long",
+        ),
+    )
+    br.create_table(
+        "plans",
+        spark.createDataFrame([(1, "draft"), (2, "final")], "pid long, txt string"),
+        key_cols=["pid"],
+    )
+    with db.transaction() as t:
+        t.merge_upsert(
+            "facts",
+            spark.createDataFrame(
+                [(500 + i, 1, "main", 2 * i) for i in range(2)],
+                "key long, grp long, name string, val long",
+            ),
+        )
+    iso = (
+        br.read("facts")
+        .select(F.lit("iso").alias("leg"), "key", "grp", "name", "val")
+        .localCheckpoint(eager=True)
+    )
+    br.merge()
+    clash = db.branch("clash")
+    clash.update_where("facts", F.col("grp") == 1, {"val": F.lit(-1)})
+    with db.transaction() as t:
+        t.merge_upsert(
+            "facts",
+            spark.createDataFrame(
+                [(502, 1, "main2", 9)], "key long, grp long, name string, val long"
+            ),
+        )
+    try:
+        clash.merge()
+        conflict_msg = "merged"
+    except MergeConflict:
+        conflict_msg = "cancelled"
+    db.drop_branch("clash", discard_changes=True)
+    db.drop_branch("wip")
+
+    nl = F.lit(None).cast("long")
+    final = db.read("facts").select(
+        F.lit("final").alias("leg"), "key", "grp", "name", "val"
+    )
+    plans = db.read("plans").select(
+        F.lit("plans").alias("leg"), F.col("pid").alias("key"), nl.alias("grp"),
+        F.col("txt").alias("name"), nl.alias("val"),
+    )
+    conflict = spark.createDataFrame([(conflict_msg,)], "name string").select(
+        F.lit("conflict").alias("leg"), nl.alias("key"), nl.alias("grp"),
+        "name", nl.alias("val"),
+    )
+    hist = spark.createDataFrame(
+        [
+            (
+                int(e["version"]),
+                int(e["tables"]["facts"]) if "facts" in e["tables"] else None,
+                str(e["op"]),
+            )
+            for e in db.history()
+        ],
+        "key long, grp long, name string",
+    ).select(F.lit("hist").alias("leg"), "key", "grp", "name", nl.alias("val"))
+    return (
+        iso.unionByName(final).unionByName(plans).unionByName(conflict)
+        .unionByName(hist).orderBy("leg", "key", "grp")
+    )
+
+
+DB_BRANCH_MERGE_SQL = """
+WITH f0 AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS key,
+         CAST(n_regionkey AS BIGINT) AS grp,
+         n_name AS name,
+         CAST(n_nationkey * 10 AS BIGINT) AS val
+  FROM nation
+)
+SELECT 'iso' AS leg, key, grp, name,
+       CASE WHEN grp = 0 THEN val + 1000 ELSE val END AS val
+FROM f0
+UNION ALL
+SELECT 'iso', 400 + i, 4, 'wip', i FROM generate_series(0, 2) t(i)
+UNION ALL
+SELECT 'final', key, grp, name,
+       CASE WHEN grp = 0 THEN val + 1000 ELSE val END
+FROM f0
+UNION ALL
+SELECT 'final', 400 + i, 4, 'wip', i FROM generate_series(0, 2) t(i)
+UNION ALL
+SELECT 'final', 500 + i, 1, 'main', 2 * i FROM generate_series(0, 1) t(i)
+UNION ALL
+SELECT 'final', 502, 1, 'main2', 9
+UNION ALL
+SELECT 'plans', pid, CAST(NULL AS BIGINT), txt, CAST(NULL AS BIGINT)
+FROM (VALUES (CAST(1 AS BIGINT), 'draft'), (2, 'final')) p(pid, txt)
+UNION ALL
+SELECT 'conflict', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       'cancelled', CAST(NULL AS BIGINT)
+UNION ALL
+-- db versions: create(0), create_table(1), parent txn(2), merge(3),
+-- post-cancel parent txn(4) — and NOTHING after v4: the cancelled
+-- merge published no version
+SELECT 'hist', v, fpin, op, CAST(NULL AS BIGINT)
+FROM (VALUES (CAST(0 AS BIGINT), CAST(NULL AS BIGINT), 'create'),
+             (1, CAST(0 AS BIGINT), 'create_table:facts'),
+             (2, 1, 'txn'),
+             (3, 2, 'merge_branch:wip'),
+             (4, 3, 'txn')) h(v, fpin, op)
 ORDER BY leg, key, grp
 """

@@ -596,6 +596,100 @@ class SnapshotDatabase:
         with self.transaction() as t:
             return t.cluster(name, cluster_by, files_per_partition=files_per_partition)
 
+    # -- branches (data-package instantiate / inherit / merge) --------------
+    def _branches_dir(self) -> str:
+        return os.path.join(self.path, "branches")
+
+    def branch(self, name: str):
+        """Instantiate a copy-on-write branch of this database — the
+        reference's "Instantiate a data package inheriting from
+        another one" (Kernel/README.md DATA PACKAGE); any number of
+        instances may coexist ("Multiple instances of one data
+        package"). O(1): one manifest pinning the current table
+        versions, no data copied. See sources/branch.py."""
+        from herodb_spark.sources.branch import DatabaseBranch
+
+        return DatabaseBranch.create(self, name)
+
+    def open_branch(self, name: str):
+        from herodb_spark.sources.branch import DatabaseBranch
+
+        br = DatabaseBranch(self, name)
+        if not os.path.exists(br._mf._manifest_path()):
+            raise ValueError(f"{self.path}: no branch {name!r}")
+        return br
+
+    def branches(self) -> list[str]:
+        d = self._branches_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d)
+            if os.path.exists(os.path.join(d, n, "_branch_manifest.json"))
+        )
+
+    def drop_branch(self, name: str, discard_changes: bool = False) -> None:
+        """Discard a branch instance ("Discard a data package
+        instance"). A branch holding unmerged divergence is refused
+        unless `discard_changes` — mirroring the dependency-checked
+        delete discipline."""
+        br = self.open_branch(name)
+        m = br._load()
+        if not m.get("merged") and not discard_changes:
+            diverged = [
+                n for n, e in br._entry(m).items() if e["origin"] == "local"
+            ]
+            dropped = set(m["versions"]["0"]["tables"]) - set(br._entry(m))
+            if diverged or dropped:
+                raise ValueError(
+                    f"{self.path}: branch {name!r} has unmerged changes "
+                    f"(diverged: {diverged}, dropped: {sorted(dropped)}) — "
+                    "merge() first or pass discard_changes=True"
+                )
+        shutil.rmtree(br.path, ignore_errors=True)
+
+    def delete(self) -> None:
+        """Delete the database as a whole — refused while any branch
+        (dependent package) exists: the reference's "A data package can
+        be deleted as a whole operation, which require all other
+        packages that depend on it are deleted"."""
+        live = self.branches()
+        if live:
+            raise ValueError(
+                f"{self.path}: cannot delete — dependent branches exist: "
+                f"{live} (drop_branch them first)"
+            )
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    def _branch_pins(self) -> tuple[dict, set]:
+        """Table versions any live branch still reaches in PARENT
+        storage — parent-origin pins plus the fork bases whose
+        partition directories branch-local manifests re-link — and the
+        member-table names those pins keep alive. Feeds vacuum: GC may
+        never break a branch read. Covers every branch-manifest
+        version (branches have history too)."""
+        pinned: dict[str, set] = {}
+        names: set = set()
+        d = self._branches_dir()
+        if not os.path.isdir(d):
+            return pinned, names
+        for b in sorted(os.listdir(d)):
+            mp = os.path.join(d, b, "_branch_manifest.json")
+            try:
+                with open(mp) as f:
+                    bm = json.load(f)
+            except (OSError, ValueError):
+                continue
+            for e in bm.get("versions", {}).values():
+                for name, ent in e.get("tables", {}).items():
+                    if ent.get("origin") == "parent":
+                        pinned.setdefault(name, set()).add(int(ent["v"]))
+                        names.add(name)
+                    elif ent.get("base") is not None:
+                        pinned.setdefault(name, set()).add(int(ent["base"]))
+                        names.add(name)
+        return pinned, names
+
     # -- GC ----------------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> dict:
         """Prune database versions (keep newest `keep_last`, always
@@ -615,7 +709,15 @@ class SnapshotDatabase:
         for v in keep:
             for name, tv in m["versions"][str(v)]["tables"].items():
                 pinned.setdefault(name, set()).add(int(tv))
+        # live BRANCHES pin parent table versions too (parent-origin
+        # reads and copy-on-write fork bases whose partition dirs
+        # branch manifests re-link) — GC must never break a branch
+        branch_pins, branch_names = self._branch_pins()
+        for name, tvs in branch_pins.items():
+            pinned.setdefault(name, set()).update(tvs)
         for name, tvs in pinned.items():
+            if not os.path.isdir(self._table_path(name)):
+                continue  # branch-only name whose parent table is gone
             table_report[name] = self.table(name).vacuum(keep_last=1, also_keep=tvs)
         # physical reclaim of DROPPED tables: a member directory no
         # kept database version pins is unreachable through any read
@@ -659,7 +761,7 @@ class SnapshotDatabase:
                         if age > self.STAGE_ORPHAN_GRACE_S:
                             trash.append(full)
                         continue
-                    if name not in pinned and name not in live_names:
+                    if name not in pinned and name not in live_names and name not in branch_names:
                         dst = os.path.join(tables_dir, f".trash-{uuid.uuid4().hex[:8]}")
                         try:
                             os.rename(full, dst)

@@ -1,0 +1,283 @@
+"""Database branching: the reference's data-package instantiate /
+inherit / merge surface (Kernel/README.md "DATA PACKAGE": multiple
+instances, inherit-instantiate, merge-to-parent, discard, and
+HIGH-LEVEL FEATURES' delete-as-a-whole with dependency check) on the
+snapshot lakehouse — sources/branch.py.
+
+Load-bearing properties: O(1) zero-copy instantiation, copy-on-write
+isolation in BOTH directions, fast-forward and disjoint-partition
+overlay merges that lose neither side, conflict-cancel on overlap
+(the reference's rollback-conflicted rule), GC that can never break a
+live branch, and the dependency-checked whole-database delete."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from herodb_spark.sources.branch import DatabaseBranch, MergeConflict
+from herodb_spark.sources.database import SnapshotDatabase
+
+
+def _mkdb(spark, tmp_path):
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    facts = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(12)], "key long, grp long, val long"
+    )
+    db.create_table("facts", facts, key_cols=["key"], partition_col="grp")
+    db.create_table(
+        "audit",
+        spark.createDataFrame([(0, "init")], "seq long, what string"),
+        key_cols=["seq"],
+    )
+    return db
+
+
+def _vals(df):
+    return {r.key: r.val for r in df.collect()}
+
+
+def test_branch_is_zero_copy_and_isolated(spark, tmp_path):
+    """branch() writes ONE manifest (no data files); parent commits
+    after the branch point are invisible to the branch, branch writes
+    invisible to the parent (inheritance with copy-on-write)."""
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    # zero copy: the branch dir holds no parquet at creation
+    n_parquet = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(br.path)
+    )
+    assert n_parquet == 0
+    # parent moves on — the branch pin does not
+    with db.transaction() as t:
+        t.merge_upsert(
+            "facts", spark.createDataFrame([(100, 2, 7)], "key long, grp long, val long")
+        )
+    assert br.read("facts").where("key = 100").count() == 0
+    # branch writes — the parent does not see them
+    br.update_where("facts", F.col("grp") == 0, {"val": F.col("val") + 1000})
+    assert db.read("facts").where("val > 900").count() == 0
+    assert _vals(br.read("facts"))[0] == 1000
+    # multiple instances of one package coexist
+    br2 = db.branch("wip2")
+    assert _vals(br2.read("facts"))[100] == 7  # branched later, newer pin
+    assert sorted(db.branches()) == ["wip", "wip2"]
+    db.drop_branch("wip", discard_changes=True)
+    db.drop_branch("wip2")
+
+
+def test_fork_rewrites_only_touched_partitions(spark, tmp_path):
+    """The first branch write forks the table copy-on-write: only the
+    mutated partition's files land in branch storage; untouched
+    partitions keep resolving into PARENT storage by relative ref."""
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    br.update_where("facts", F.col("grp") == 1, {"val": F.lit(-1)})
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    local = os.path.join(br.path, "tables", "facts")
+    m = SnapshotTable(spark, local)._load()
+    head = m["versions"][str(m["current"])]["partitions"]
+    assert head["1"].startswith("data/")          # rewritten locally
+    assert head["0"].startswith("..")             # still parent storage
+    assert head["2"].startswith("..")
+    # and the read through the mixed map is correct
+    got = _vals(br.read("facts"))
+    assert got[1] == -1 and got[4] == -1 and got[0] == 0 and got[2] == 20
+
+
+def test_fast_forward_merge(spark, tmp_path):
+    """Parent untouched since the branch point: merge adopts the branch
+    head wholesale (fast-forward), including new partitions."""
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    br.merge_upsert(
+        "facts",
+        spark.createDataFrame([(50, 9, 5), (51, 9, 6)], "key long, grp long, val long"),
+    )
+    rep = br.merge()
+    assert rep["facts"] == "fast_forward"
+    got = _vals(db.read("facts"))
+    assert got[50] == 5 and got[51] == 6 and got[0] == 0
+    # merge is atomic + recorded in history
+    assert db.history()[-1]["op"] == "merge_branch:wip"
+
+
+def test_overlay_merge_keeps_both_sides(spark, tmp_path):
+    """Branch writes partition 0, parent interleaves on partition 2:
+    the disjoint-partition overlay lands BOTH (the Page-granular
+    arbitration of Lock.h:22-29 applied to merge)."""
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    br.update_where("facts", F.col("grp") == 0, {"val": F.col("val") + 1000})
+    with db.transaction() as t:
+        t.merge_upsert(
+            "facts", spark.createDataFrame([(100, 2, 7)], "key long, grp long, val long")
+        )
+    rep = br.merge()
+    assert rep["facts"] == "overlay"
+    got = _vals(db.read("facts"))
+    assert got[0] == 1000 and got[3] == 1030  # branch side
+    assert got[100] == 7                      # parent side
+    assert got[1] == 10                       # untouched partition
+
+
+def test_conflict_cancels_and_parent_intact(spark, tmp_path):
+    """Both sides rewrote the same partition: MergeConflict, parent
+    state byte-identical, branch intact and retryable-after-rework."""
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    br.update_where("facts", F.col("grp") == 1, {"val": F.lit(0)})
+    with db.transaction() as t:
+        t.merge_upsert(
+            "facts", spark.createDataFrame([(200, 1, 5)], "key long, grp long, val long")
+        )
+    before = _vals(db.read("facts"))
+    hist_before = len(db.history())
+    with pytest.raises(MergeConflict, match="both sides rewrote"):
+        br.merge()
+    assert _vals(db.read("facts")) == before
+    assert len(db.history()) == hist_before
+    # branch still readable (not corrupted by the cancelled merge)
+    assert _vals(br.read("facts"))[1] == 0
+    db.drop_branch("wip", discard_changes=True)
+
+
+def test_branch_created_table_adopted(spark, tmp_path):
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    br.create_table(
+        "notes", spark.createDataFrame([(1, "hi")], "id long, txt string"), key_cols=["id"]
+    )
+    assert br.read("notes").count() == 1
+    rep = br.merge()
+    assert rep["notes"] == "adopt"
+    assert [(r.id, r.txt) for r in db.read("notes").collect()] == [(1, "hi")]
+    # name-collision with an existing parent table refused at create
+    br2 = db.branch("w2")
+    with pytest.raises(ValueError, match="already exists"):
+        br2.create_table(
+            "facts", spark.createDataFrame([(1, 1, 1)], "key long, grp long, val long"),
+            key_cols=["key"],
+        )
+    db.drop_branch("w2")
+
+
+def test_drop_propagation_and_drop_conflict(spark, tmp_path):
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    br.drop_table("audit")
+    rep = br.merge()
+    assert rep["audit"] == "drop"
+    assert "audit" not in db.tables()
+    # drop-vs-write conflict cancels
+    db2 = _mkdb(spark, str(tmp_path) + "_2")
+    b2 = db2.branch("wip")
+    b2.drop_table("audit")
+    with db2.transaction() as t:
+        t.merge_upsert(
+            "audit", spark.createDataFrame([(9, "x")], "seq long, what string")
+        )
+    with pytest.raises(MergeConflict, match="dropped"):
+        b2.merge()
+
+
+def test_vacuum_never_breaks_a_live_branch(spark, tmp_path):
+    """Parent vacuum keeps fork-base versions and parent-origin pins a
+    branch reaches — branch reads survive aggressive GC."""
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    br.merge_upsert(
+        "facts", spark.createDataFrame([(300, 0, 1)], "key long, grp long, val long")
+    )
+    for k in range(3):  # parent churns several versions
+        with db.transaction() as t:
+            t.merge_upsert(
+                "facts",
+                spark.createDataFrame([(400 + k, 2, k)], "key long, grp long, val long"),
+            )
+    db.vacuum(keep_last=1)
+    got = _vals(br.read("facts"))
+    assert got[300] == 1 and got[0] == 0 and got[1] == 10
+    # audit (parent-origin pin) also survives
+    assert br.read("audit").count() == 1
+    rep = br.merge()
+    assert rep["facts"] == "overlay"
+    got = _vals(db.read("facts"))
+    assert got[300] == 1 and got[400] == 0 and got[402] == 2
+
+
+def test_merged_branch_is_closed_and_discardable(spark, tmp_path):
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    br.merge_upsert(
+        "facts", spark.createDataFrame([(77, 0, 7)], "key long, grp long, val long")
+    )
+    br.merge()
+    with pytest.raises(ValueError, match="already merged"):
+        br.merge_upsert(
+            "facts", spark.createDataFrame([(78, 0, 8)], "key long, grp long, val long")
+        )
+    with pytest.raises(ValueError, match="already merged"):
+        br.merge()
+    db.drop_branch("wip")  # merged: no discard flag needed
+    assert db.branches() == []
+
+
+def test_delete_whole_requires_dependents_gone(spark, tmp_path):
+    """HIGH-LEVEL FEATURES: 'A data package can be deleted as a whole
+    operation, which require all other packages that depend on it are
+    deleted'."""
+    db = _mkdb(spark, tmp_path)
+    db.branch("dep")
+    with pytest.raises(ValueError, match="dependent branches"):
+        db.delete()
+    db.drop_branch("dep")
+    db.delete()
+    assert not os.path.exists(db.path)
+
+
+def test_branch_of_branch_and_bad_names(spark, tmp_path):
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    assert not hasattr(br, "branch")  # single-level by construction
+    with pytest.raises(ValueError, match="invalid branch name"):
+        db.branch(".hidden")
+    with pytest.raises(ValueError, match="already exists"):
+        db.branch("wip")
+    # unknown branch
+    with pytest.raises(ValueError, match="no branch"):
+        db.open_branch("nope")
+
+
+def test_merge_cancels_when_table_held_by_live_txn(spark, tmp_path):
+    """A member table whose head ran ahead of the database pin (an
+    in-flight transaction's private version) defers the merge — the
+    transaction layer owns that arbitration."""
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    br.update_where("facts", F.col("grp") == 0, {"val": F.lit(1)})
+    # simulate an in-flight txn: advance the member table directly
+    # (eager table commit without the database pointer swap)
+    db.table("facts").merge_upsert(
+        spark.createDataFrame([(500, 2, 5)], "key long, grp long, val long")
+    )
+    with pytest.raises(MergeConflict, match="in-flight"):
+        br.merge()
+    db.recover()  # heal the orphan
+    rep = br.merge()
+    assert rep["facts"] in ("overlay", "fast_forward")
+
+
+def test_db_branch_merge_oracle(spark, sf_dir, duck):
+    """The standalone graded entry: branch/merge schedule hash-matched
+    against the pure-SQL oracle over nation (same contract the driver
+    enforces; the union copy rides snapshot_lifecycle's br_* legs)."""
+    from herodb_spark.operators.lifecycle import DB_BRANCH_MERGE_SQL, db_branch_merge
+    from tests.harness import compare
+
+    res = compare(db_branch_merge(spark, sf_dir), DB_BRANCH_MERGE_SQL, duck)
+    assert res["ok"], res
