@@ -459,6 +459,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # br_* legs — this standalone entry keeps the operator directly
     # visible and oracle-checked on its own
     "db_branch_merge": LC.db_branch_merge,
+    # round 12: the cached-query protocol (Kernel/README.md "Cached
+    # Query") as a program — standalone index declaration, per-value
+    # cache with deterministic hit/miss counters in the hash; GRADED
+    # via heroql_programs (cached leg)
+    "heroql_cached_query": HQ.heroql_cached_query,
 }
 
 
@@ -600,6 +605,7 @@ ORACLES: dict[str, str] = {
     "text_keywords": X.TEXT_KEYWORDS_SQL,
     "mm_scene_changes": MM.MM_SCENE_CHANGES_SQL,
     "db_branch_merge": LC.DB_BRANCH_MERGE_SQL,
+    "heroql_cached_query": HQ.HEROQL_CACHED_QUERY_SQL,
 }
 
 

@@ -228,6 +228,15 @@ class HeroQL:
         self._cur_src: str | None = None
         self._pending_src: dict[str, list[str]] = {}
         self._memo: dict[str, DataFrame] = {}
+        # CACHED-QUERY protocol (Kernel/README.md "Cached Query"):
+        # standalone `index Name { Hash(col) }` declarations register
+        # cache keys here; constant-bound atoms on indexed columns
+        # resolve through _qcache with the calculating-status recursion
+        # stop. Entries pin report-sized per-value subsets
+        # (localCheckpoint) and are wiped with the memos on mutation.
+        self.query_indexes: dict[str, list[list[str]]] = {}
+        self._qcache: dict[tuple, tuple] = {}  # key -> (status, df)
+        self._qcache_stats = {"hits": 0, "misses": 0}
         # incremental maintenance of memoized derivations (draft:67-72
         # Cache'd computation tables): inserts append (base, batch) to
         # the delta log; each memo records the log position it has
@@ -297,6 +306,7 @@ class HeroQL:
         self._memo.clear()
         self._memo_pos.clear()
         self._delta_log.clear()
+        self._qcache.clear()
 
     def register_snapshot(
         self, name: str, snap, is_class: bool = False, version: int | None = None
@@ -708,6 +718,28 @@ class HeroQL:
         if isinstance(item, P.DataDecl):
             self._declare_data(item)
             return
+        if isinstance(item, P.QueryIndexDecl):
+            # cached-query index (Kernel/README.md "Cached Query"):
+            # register the cache keys; subsequent constant-bound atoms
+            # on these columns resolve through the per-value cache
+            name = self._resolve_ref(item.name)
+            if name not in self.defs:
+                raise HeroQLError(
+                    f"index {item.name}: unknown relation (declare the data/"
+                    "rule first — the index names its cache keys)"
+                )
+            fields = set(self._def(name).fields)
+            key_sets: list[list[str]] = []
+            for ix in item.indexes:
+                bad = [c for c in ix.cols if c not in fields]
+                if bad or not ix.cols:
+                    raise HeroQLError(
+                        f"index {item.name}: column(s) {bad or '(none)'} not in "
+                        f"{sorted(fields)}"
+                    )
+                key_sets.append(list(ix.cols))
+            self.query_indexes[name] = key_sets
+            return
         if isinstance(item, P.FuncDecl):
             name = self._qualify(item.name)
             fields = [p[1] for p in item.params]
@@ -843,6 +875,7 @@ class HeroQL:
         self._memo.clear()
         self._memo_pos.clear()
         self._delta_log.clear()
+        self._qcache.clear()
 
     # ------------------------------------------------------------ tables
 
@@ -973,8 +1006,11 @@ class HeroQL:
         else:
             self.tables[name] = batch
         # inserts without a declared unique key are MONOTONE facts:
-        # memos stay valid modulo the delta log
+        # memos stay valid modulo the delta log. The per-VALUE query
+        # cache has no incremental form (a pinned subset can't absorb
+        # deltas) — wipe it; the next covered submit recomputes.
         self._delta_log.append((name, batch))
+        self._qcache.clear()
         self._bump_checkpoint(name)
 
     def _row_predicate(self, d: TableDef, df: DataFrame):
@@ -990,6 +1026,7 @@ class HeroQL:
         self._memo.clear()
         self._memo_pos.clear()
         self._delta_log.clear()
+        self._qcache.clear()
         self._bump_checkpoint(name)
 
     def _bump_checkpoint(self, name: str) -> None:
@@ -1588,7 +1625,17 @@ class HeroQL:
             if df is None:
                 raise _SkipRule()
         else:
-            df = self.table(name)
+            # cached-query fast path FIRST: a covered constant-bound
+            # atom must resolve through the per-value cache (and hit
+            # its calculating-status recursion stop) BEFORE paying the
+            # full-relation evaluation
+            df = (
+                self._cached_subset(name, atom)
+                if name in self.query_indexes
+                else None
+            )
+            if df is None:
+                df = self.table(name)
         tdef = self._def(name)
         ftypes = list(tdef.types) if tdef.types else [None] * len(tdef.fields)
         # field types that name another declared table (class rows,
@@ -1596,6 +1643,80 @@ class HeroQL:
         ftypes = [t if t in self.defs else None for t in ftypes]
         rowcls = name if tdef.is_class else None
         return df, list(tdef.fields), ftypes, rowcls, list(atom.args)
+
+    def _cached_subset(self, name: str, atom: P.Atom):
+        """CACHED-QUERY resolution (Kernel/README.md "Cached Query")
+        for an atom over an indexed relation: when the atom binds every
+        column of a declared index to CONSTANTS, the per-value result
+        subset is served from / computed into the cache.
+
+        Protocol, per the README bullets:
+        - cover resolution prefers an index already holding a computed
+          entry for its key (the cheapest cached cover), else the most
+          specific declared cover; a value combination covered by NO
+          index returns None — the caller evaluates normally, nothing
+          is cached;
+        - a miss inserts the key in "calculating" status, evaluates the
+          relation, pins the subset (eager localCheckpoint — cache
+          entries must not recompute over mutated state), then flips to
+          done;
+        - re-entering the SAME key while it is calculating — a query
+          recursive on the same index value — raises (the reference's
+          stop-not-failure); a failed computation retracts the mark so
+          a later submit retries. Mutations wipe the cache with the
+          memos (the _qcache.clear() alongside every memo wipe)."""
+        # pending `set` batches flush lazily inside table() — which a
+        # cache HIT never reaches. Flush them first: the flush path
+        # wipes the query cache (monotone delta or full mutation), so a
+        # stale entry can never answer past an unflushed insert.
+        for pname in list(self._pending):
+            if self._pending.get(pname):
+                self._flush(pname)
+        tdef = self._def(name)
+        if len(atom.args) != len(tdef.fields):
+            return None  # arity error surfaces in _join_atom
+        bound: dict[str, object] = {}
+        for j, a in enumerate(atom.args):
+            cv = self._const_value(a)
+            if cv is not None or isinstance(a, P.Const):
+                bound[tdef.fields[j]] = cv
+        declared = self.query_indexes[name]
+        covered = [ix for ix in declared if set(ix) <= set(bound)]
+        if not covered:
+            return None
+        cover = None
+        for ix in covered:
+            ent = self._qcache.get((name, tuple(ix), tuple(bound[c] for c in ix)))
+            if ent is not None and ent[0] == "done":
+                cover = ix
+                break
+        if cover is None:
+            cover = max(covered, key=lambda ix: (len(ix), -declared.index(ix)))
+        key = (name, tuple(cover), tuple(bound[c] for c in cover))
+        ent = self._qcache.get(key)
+        if ent is not None:
+            status, df = ent
+            if status == "calculating":
+                raise HeroQLError(
+                    f"cached query {name}: index value {key[2]} is already "
+                    "calculating — recursive on the same index value "
+                    '(Kernel/README.md "Cached Query": an error stop, not a '
+                    "filter failure)"
+                )
+            self._qcache_stats["hits"] += 1
+            return df
+        self._qcache_stats["misses"] += 1
+        self._qcache[key] = ("calculating", None)
+        try:
+            sub = self.table(name)
+            for c in cover:
+                sub = sub.where(F.col(c) == F.lit(bound[c]))
+            sub = sub.localCheckpoint(eager=True)
+        except BaseException:
+            self._qcache.pop(key, None)
+            raise
+        self._qcache[key] = ("done", sub)
+        return sub
 
     def _join_atom(self, atom: P.Atom, frame: Frame, how: str, state: dict | None,
                    overrides: dict | None = None) -> None:

@@ -249,6 +249,14 @@ class IndexDef:
 
 
 @dataclass
+class QueryIndexDecl:
+    """Standalone `index Name { Hash(col) ... }` — the cached-query
+    index declaration (Kernel/README.md "Cached Query")."""
+    name: str
+    indexes: list  # list[IndexDef]
+
+
+@dataclass
 class DataDecl:
     name: str
     fields: list[FieldDef]
@@ -617,6 +625,30 @@ class Parser:
             return ClassDecl(name, base, fields)
         if self.at_kw("data"):
             return self.parse_data_decl()
+        if self.at_kw("index"):
+            # standalone CACHED-QUERY index (Kernel/README.md "Cached
+            # Query": `index GrandParents { Hash(grandParent) }`) —
+            # declares the cache keys of a rule-defined relation
+            self.next()
+            name = self.qualified_name()
+            self.expect("{")
+            entries: list[IndexDef] = []
+            while not self.at("}"):
+                kind = self.expect("id").text
+                self.expect("(")
+                cols: list[str] = []
+                while not self.at(")"):
+                    cols.append(self.dotted_name())
+                    if self.at(","):
+                        self.next()
+                self.expect(")")
+                if self.at(";") or self.at(","):
+                    self.next()
+                entries.append(IndexDef([kind], cols))
+            self.expect("}")
+            if self.at(";"):
+                self.next()
+            return QueryIndexDecl(name, entries)
         if self.at_kw("enum"):
             return self.parse_enum_decl()
         if self.at_kw("func"):

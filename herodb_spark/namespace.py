@@ -52,6 +52,119 @@ class ModuleIsolationError(RuntimeError):
     pass
 
 
+class CacheCalculatingError(RuntimeError):
+    """Computing a cache entry that is ALREADY in 'calculating' status —
+    the reference's recursion stop (Kernel/README.md "Cached Query":
+    "Adding an existing calculating index will cause an error (stop),
+    which is not a failure" — e.g. a query recursive on the same index
+    value)."""
+
+
+class QueryCache:
+    """Index-keyed result caching of a parameterized query — the
+    reference's Cached Query protocol (Kernel/README.md "Cached Query"):
+
+    - `indexes` declares the cache keys (the `index GrandParents {
+      Hash(grandParent) }` declaration): each entry is a column list;
+    - `submit(**bound)` resolves the provided values against the
+      declared indexes ("the index for caching is used to see if the
+      result has been calculated"):
+      * COVERED by one or more indexes ("provided value covered by
+        multiple index"): the chosen cover is an index already holding
+        a computed entry for its key — the cheapest cached cover —
+        else the most specific declared cover (most columns; then
+        declaration order). Residual bound columns outside the cover
+        apply as filters on the cached result;
+      * NOT covered by any index ("provide value not covered by any
+        index"): computed directly, nothing cached;
+    - a miss inserts the key with the "calculating" status, computes,
+      then flips to done ("if not, insert an index with the
+      'calculating' status"); re-entering submit for a key that is
+      calculating raises CacheCalculatingError — the recursion STOP,
+      not a failure; a failed compute retracts the calculating mark so
+      a later submit retries.
+
+    Results are pinned EAGERLY (persist + count) like Database.cache —
+    a cached entry must not silently recompute over mutated sources.
+    `compute(**key_bound)` receives exactly the cover's columns."""
+
+    def __init__(self, name: str, compute, indexes: list[list[str]]):
+        if not indexes or any(not ix for ix in indexes):
+            raise ValueError(f"{name}: declare at least one non-empty index")
+        self.name = name
+        self._compute = compute
+        self.indexes = [list(ix) for ix in indexes]
+        #: key -> ("calculating", None) | ("done", DataFrame)
+        self._entries: dict[tuple, tuple] = {}
+        #: observability for tests / tuning
+        self.stats = {"hits": 0, "misses": 0, "uncovered": 0}
+
+    @staticmethod
+    def _key(cols: list[str], bound: dict) -> tuple:
+        return tuple(cols), tuple(bound[c] for c in cols)
+
+    def _resolve_cover(self, bound: dict) -> list[str] | None:
+        covered = [ix for ix in self.indexes if set(ix) <= set(bound)]
+        if not covered:
+            return None
+        for ix in covered:  # cheapest cached cover first
+            ent = self._entries.get(self._key(ix, bound))
+            if ent is not None and ent[0] == "done":
+                return ix
+        return max(covered, key=lambda ix: (len(ix), -self.indexes.index(ix)))
+
+    def submit(self, **bound) -> DataFrame:
+        cover = self._resolve_cover(bound)
+        if cover is None:
+            self.stats["uncovered"] += 1
+            return self._compute(**bound)
+        key = self._key(cover, bound)
+        ent = self._entries.get(key)
+        if ent is not None:
+            status, df = ent
+            if status == "calculating":
+                raise CacheCalculatingError(
+                    f"{self.name}: cache entry {key} is already calculating "
+                    "(recursive submit on the same index value)"
+                )
+            self.stats["hits"] += 1
+        else:
+            self.stats["misses"] += 1
+            self._entries[key] = ("calculating", None)
+            try:
+                df = self._compute(**{c: bound[c] for c in cover})
+                pinned = df.persist()
+                pinned.count()
+                df = pinned
+            except BaseException:
+                del self._entries[key]  # retriable, unlike the recursion stop
+                raise
+            self._entries[key] = ("done", df)
+        residual = [c for c in bound if c not in cover]
+        for c in residual:
+            df = df.where(F.col(c) == F.lit(bound[c]))
+        return df
+
+    def status(self) -> dict:
+        return {k: s for k, (s, _df) in self._entries.items()}
+
+    def invalidate(self, **bound) -> int:
+        """Drop cached entries — all of them, or only those whose key
+        matches every provided column value. Calculating entries are
+        left alone (their computing submit owns them)."""
+        doomed = []
+        for (cols, vals), (status, df) in self._entries.items():
+            if status != "done":
+                continue
+            kv = dict(zip(cols, vals))
+            if all(kv.get(c) == v for c, v in bound.items()):
+                doomed.append(((cols, vals), df))
+        for key, df in doomed:
+            df.unpersist()
+            del self._entries[key]
+        return len(doomed)
+
+
 class Database:
     """A group of named symbols organized in nested namespaces.
     Qualified names use `::`; `public=False` symbols are invisible to
@@ -64,6 +177,7 @@ class Database:
         self._private: set[str] = set()
         self._references: list[Database] = []
         self._cached: dict[str, DataFrame] = {}
+        self._query_caches: dict[str, QueryCache] = {}
         self._module: "ModuleInstance | None" = None  # set by ModuleInstance.install
 
     # -- symbol organization ------------------------------------------------
@@ -152,6 +266,27 @@ class Database:
         self._cached[qualified] = pinned
         self.register(qualified, pinned)
         return pinned
+
+    def cache_query(
+        self, qualified: str, compute, indexes: list[list[str]]
+    ) -> QueryCache:
+        """Declare a CACHED QUERY (Kernel/README.md "Cached Query"):
+        index-keyed memoization of a parameterized query with the
+        calculating-status recursion stop. Returns the QueryCache;
+        subsequent declarations under the same name replace it (and
+        drop its pinned entries)."""
+        self._validate_name(qualified)
+        old = self._query_caches.get(qualified)
+        if old is not None:
+            old.invalidate()
+        qc = QueryCache(f"{self.name}::{qualified}", compute, indexes)
+        self._query_caches[qualified] = qc
+        return qc
+
+    def query_cache(self, qualified: str) -> QueryCache:
+        if qualified not in self._query_caches:
+            raise SymbolNotFound(f"{self.name}: no cached query {qualified!r}")
+        return self._query_caches[qualified]
 
     def uncache(self, qualified: str, predicate: Column | None = None) -> None:
         """`uncache Table` drops the cached table entirely;

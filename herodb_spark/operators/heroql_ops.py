@@ -458,6 +458,57 @@ SELECT * FROM ({_MAINT_CORE_SQL}) ORDER BY leg, n1, k2
 """
 
 
+def heroql_cached_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CACHED-QUERY protocol run as a graded program
+    (Kernel/README.md "Cached Query"): a standalone
+    `index Sib { Hash(a) }` declaration on a rule-defined relation,
+    then the SAME constant-bound query submitted twice. The first
+    submission computes and pins the per-value subset (miss), the
+    second is served from the cache (hit) — both result sets AND the
+    deterministic hit/miss counters are in the hash, so a cache that
+    returned stale/partial rows, or a protocol that recomputed instead
+    of caching, goes red. Cover resolution / recursion-stop /
+    invalidation are library-tested (tests/test_heroql.py,
+    tests/test_namespace_mutation.py on namespace.QueryCache)."""
+    hql = HeroQL(spark)
+    hql.register("nat", load_table(spark, sf_dir, "nation"))
+    hql.run("""
+        data Sib(a: string, b: string);
+        case Sib(a, b) :- nat(_, a, r), nat(_, b, r), a != b;
+        index Sib { Hash(a) };
+    """)
+    q1 = hql.run('query (b) :- Sib("CANADA", b);').queries[0]
+    q2 = hql.run('query (b) :- Sib("CANADA", b);').queries[0]
+    nb = F.lit(None).cast("long")
+    stats = hql._qcache_stats
+    rows = [("stats", None, int(stats["hits"]), int(stats["misses"]))]
+    lit = spark.createDataFrame(rows, "phase string, k string, n1 long, n2 long")
+    out = (
+        q1.select(F.lit("q1").alias("phase"), F.col("b").alias("k"), nb.alias("n1"), nb.alias("n2"))
+        .unionByName(
+            q2.select(F.lit("q2").alias("phase"), F.col("b").alias("k"), nb.alias("n1"), nb.alias("n2"))
+        )
+        .unionByName(lit)
+    )
+    return out.orderBy("phase", "k")
+
+
+HEROQL_CACHED_QUERY_SQL = """
+WITH sib AS (
+  SELECT n2.n_name AS b
+  FROM nation n1 JOIN nation n2
+    ON n1.n_regionkey = n2.n_regionkey AND n1.n_name <> n2.n_name
+  WHERE n1.n_name = 'CANADA'
+)
+SELECT 'q1' AS phase, b AS k, CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2 FROM sib
+UNION ALL
+SELECT 'q2', b, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM sib
+UNION ALL
+SELECT 'stats', CAST(NULL AS VARCHAR), 1, 1
+ORDER BY phase, k
+"""
+
+
 def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of heroql_rules + heroql_pipeline +
     heroql_time_travel_cdc (rotated in in round 8) + heroql_recursive
@@ -469,8 +520,10 @@ def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle values by construction), the draft_type action dialect
     (let-constructors / ensure / if-not-set / member for), and the
     maintenance + program-log + zone-map-pushdown surface
-    (heroql_maintenance_log) — all compiled from HeroQL source — share
-    one graded slot; constituents keep standalone entries and
+    (heroql_maintenance_log), and — since round 12 — the CACHED-QUERY
+    protocol leg (heroql_cached_query: standalone index declaration,
+    hit/miss counters in the hash) — all compiled from HeroQL source —
+    share one graded slot; constituents keep standalone entries and
     oracles."""
     nb = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
@@ -541,9 +594,18 @@ def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2"),
         nd.alias("v"),
     )
+    j = heroql_cached_query(spark, sf_dir).select(
+        F.lit("cached").alias("q"),
+        F.col("phase").alias("k1"),
+        F.col("k").alias("k2"),
+        ns.alias("k3"),
+        F.col("n1"),
+        F.col("n2"),
+        nd.alias("v"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
-        .unionByName(g).unionByName(h).unionByName(i)
+        .unionByName(g).unionByName(h).unionByName(i).unionByName(j)
         .orderBy("q", "n1", "k1", "k2", "k3")
     )
 
@@ -659,5 +721,8 @@ FROM ({_TYPEACTIONS_CORE_SQL})
 UNION ALL
 SELECT 'maint', leg, k2, k3, n1, n2, CAST(NULL AS DOUBLE)
 FROM ({_MAINT_CORE_SQL})
+UNION ALL
+SELECT 'cached', phase, k, CAST(NULL AS VARCHAR), n1, n2, CAST(NULL AS DOUBLE)
+FROM ({HEROQL_CACHED_QUERY_SQL.replace("ORDER BY phase, k", "")})
 ORDER BY q, n1, k1, k2, k3
 """

@@ -1884,3 +1884,85 @@ def test_seminaive_multitable_scc_uses_deltas(spark, monkeypatch):
     """)
     assert rows(res.queries[0]) == [(0,), (2,), (4,), (6,), (8,)]
     assert seen and max(seen) == 1
+
+
+# ------------------------------------------------- cached-query index
+# (Kernel/README.md "Cached Query": standalone `index Name { Hash(col) }`
+# declarations wire constant-bound atoms through a per-value result
+# cache with the calculating-status recursion stop; the full protocol
+# including cover resolution is library-tested on namespace.QueryCache)
+
+
+def _gp_program(hql):
+    hql.run("""
+        data Parents(parent: string, child: string);
+        set Parents("a", "b"); set Parents("b", "c"); set Parents("b", "d");
+        set Parents("x", "y"); set Parents("y", "z");
+        data GrandParents(grandParent: string, grandChild: string);
+        case GrandParents(gp, gc) :- Parents(gp, p), Parents(p, gc);
+        index GrandParents { Hash(grandParent) };
+    """)
+
+
+def test_cached_query_index_hit_miss(spark):
+    """The README's GrandParents example: the first constant-bound
+    query computes + pins the per-value subset; the second is a pure
+    cache hit (observable in the stats); results are correct either
+    way."""
+    hql = HeroQL(spark)
+    _gp_program(hql)
+    r1 = hql.run('query (gc) :- GrandParents("a", gc);')
+    assert rows(r1.queries[0]) == [("c",), ("d",)]
+    assert hql._qcache_stats == {"hits": 0, "misses": 1}
+    r2 = hql.run('query (gc) :- GrandParents("a", gc);')
+    assert rows(r2.queries[0]) == [("c",), ("d",)]
+    assert hql._qcache_stats == {"hits": 1, "misses": 1}
+    # a different index value is its own entry
+    r3 = hql.run('query (gc) :- GrandParents("x", gc);')
+    assert rows(r3.queries[0]) == [("z",)]
+    assert hql._qcache_stats == {"hits": 1, "misses": 2}
+    # value not covered by any index (const on grandChild only): no
+    # cache interaction — evaluated normally
+    r4 = hql.run('query (gp) :- GrandParents(gp, "z");')
+    assert rows(r4.queries[0]) == [("x",)]
+    assert hql._qcache_stats == {"hits": 1, "misses": 2}
+
+
+def test_cached_query_calculating_reentry_stops(spark):
+    """Re-entering a key that is mid-calculation errors (the
+    reference's recursion stop — an error, not a filter failure)."""
+    hql = HeroQL(spark)
+    _gp_program(hql)
+    # settle the pending inserts first (their flush legitimately wipes
+    # the cache), then simulate a mid-calculation re-entry
+    hql.run('query (gc) :- GrandParents("x", gc);')
+    key = ("GrandParents", ("grandParent",), ("a",))
+    hql._qcache[key] = ("calculating", None)
+    with pytest.raises(HeroQLError, match="already calculating"):
+        hql.run('query (gc) :- GrandParents("a", gc);')
+    # the stop retracts nothing it doesn't own: the mark is still the
+    # outer computation's to clear
+    assert hql._qcache[key][0] == "calculating"
+    del hql._qcache[key]
+    assert rows(hql.run('query (gc) :- GrandParents("a", gc);').queries[0]) == [("c",), ("d",)]
+
+
+def test_cached_query_invalidated_by_mutation(spark):
+    """Mutations wipe the per-value cache with the memos: a cached
+    entry never serves pre-mutation rows."""
+    hql = HeroQL(spark)
+    _gp_program(hql)
+    assert rows(hql.run('query (gc) :- GrandParents("a", gc);').queries[0]) == [("c",), ("d",)]
+    hql.run('set Parents("b", "e");')
+    r = hql.run('query (gc) :- GrandParents("a", gc);')
+    assert rows(r.queries[0]) == [("c",), ("d",), ("e",)]
+    assert hql._qcache_stats["misses"] == 2  # recomputed, not served stale
+
+
+def test_cached_query_index_validates(spark):
+    hql = HeroQL(spark)
+    with pytest.raises(HeroQLError, match="unknown relation"):
+        hql.run("index Nope { Hash(x) };")
+    hql.run("data T(a: long, b: long);")
+    with pytest.raises(HeroQLError, match="not in"):
+        hql.run("index T { Hash(zz) };")

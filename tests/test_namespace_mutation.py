@@ -230,3 +230,129 @@ def test_partial_uncache_pins_survivors_against_source_mutation(spark, tmp_path)
     db.uncache("t", F.col("k") == 1)
     got = {(r.k, r.v) for r in db.resolve("t").collect()}
     assert got == {(2, "b")}, got
+
+
+# ------------------------------------------------- cached-query protocol
+# (Kernel/README.md "Cached Query": index-keyed result caching with the
+# "calculating" status whose re-entry is an error-stop, cover
+# resolution across multiple indexes, uncovered values uncached)
+
+
+def _qc_fixture(spark):
+    """A parameterized 'grandparents' compute with an observable call
+    counter."""
+    parents = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("b", "d"), ("x", "y"), ("y", "z")],
+        "parent string, child string",
+    )
+    calls = []
+
+    def compute(**bound):
+        calls.append(dict(bound))
+        gp = parents.alias("p1").join(
+            parents.alias("p2"), F.col("p1.child") == F.col("p2.parent")
+        ).select(
+            F.col("p1.parent").alias("grandParent"),
+            F.col("p2.child").alias("grandChild"),
+        )
+        for c, v in bound.items():
+            gp = gp.where(F.col(c) == F.lit(v))
+        return gp
+
+    return parents, compute, calls
+
+
+def test_query_cache_hit_miss_and_pin(spark):
+    """First submit computes + pins; second submit for the same index
+    value is a pure cache hit (compute NOT re-invoked)."""
+    _, compute, calls = _qc_fixture(spark)
+    db = NS.Database("db")
+    qc = db.cache_query("GrandParents", compute, indexes=[["grandParent"]])
+    out1 = sorted(tuple(r) for r in qc.submit(grandParent="a").collect())
+    assert out1 == [("a", "c"), ("a", "d")]
+    assert len(calls) == 1
+    out2 = sorted(tuple(r) for r in qc.submit(grandParent="a").collect())
+    assert out2 == out1
+    assert len(calls) == 1  # served from cache
+    assert qc.stats == {"hits": 1, "misses": 1, "uncovered": 0}
+    assert qc.status() == {(("grandParent",), ("a",)): "done"}
+    # a different index value is its own entry
+    assert [tuple(r) for r in qc.submit(grandParent="x").collect()] == [("x", "z")]
+    assert len(calls) == 2
+
+
+def test_query_cache_calculating_reentry_is_error_stop(spark):
+    """'Adding an existing calculating index will cause an error
+    (stop), which is not a failure' — e.g. a query recursive on the
+    same index value. A DIFFERENT index value computed from inside is
+    fine."""
+    db = NS.Database("db")
+    holder = {}
+
+    def compute(**bound):
+        if bound["k"] == 1:
+            # recursive submit on the SAME index value -> stop
+            holder["qc"].submit(k=1)
+        return spark.range(1).select(F.lit(bound["k"]).alias("k"))
+
+    holder["qc"] = db.cache_query("R", compute, indexes=[["k"]])
+    with pytest.raises(NS.CacheCalculatingError, match="already calculating"):
+        holder["qc"].submit(k=1)
+    # the stop retracted the calculating mark: a non-recursive retry of
+    # the key works (the stop is per-submission, not a poisoned entry)
+    def compute2(**bound):
+        return spark.range(1).select(F.lit(bound["k"]).alias("k"))
+
+    qc2 = db.cache_query("R", compute2, indexes=[["k"]])
+    assert qc2.submit(k=1).count() == 1
+
+
+def test_query_cache_cover_resolution(spark):
+    """Multiple indexes: a value set covered by several picks the
+    cheapest CACHED cover first, else the most specific; residual
+    bound columns filter the cached result; uncovered values compute
+    directly and cache nothing."""
+    _, compute, calls = _qc_fixture(spark)
+    db = NS.Database("db")
+    qc = db.cache_query(
+        "GrandParents", compute,
+        indexes=[["grandParent"], ["grandChild"], ["grandParent", "grandChild"]],
+    )
+    # both columns bound -> most specific cover (the pair index)
+    assert [tuple(r) for r in qc.submit(grandParent="a", grandChild="c").collect()] == [("a", "c")]
+    assert calls[-1] == {"grandParent": "a", "grandChild": "c"}
+    # seed the single-column cover
+    qc.submit(grandParent="a")
+    n = len(calls)
+    # pair value NOT cached for ('a','d') but grandParent='a' IS: the
+    # cheapest CACHED cover wins — no recompute, residual filter applies
+    got = [tuple(r) for r in qc.submit(grandParent="a", grandChild="d").collect()]
+    assert got == [("a", "d")]
+    assert len(calls) == n  # pure cache hit through the partial cover
+    # uncovered: no declared index on a made-up column set
+    qc2 = db.cache_query("G2", compute, indexes=[["grandChild"]])
+    qc2.submit(grandParent="x")
+    assert qc2.stats["uncovered"] == 1
+    assert qc2.status() == {}  # nothing cached
+
+
+def test_query_cache_invalidate(spark):
+    _, compute, calls = _qc_fixture(spark)
+    db = NS.Database("db")
+    qc = db.cache_query("GrandParents", compute, indexes=[["grandParent"]])
+    qc.submit(grandParent="a")
+    qc.submit(grandParent="x")
+    assert qc.invalidate(grandParent="a") == 1
+    assert qc.status() == {(("grandParent",), ("x",)): "done"}
+    qc.submit(grandParent="a")  # recomputes
+    assert len(calls) == 3
+    assert qc.invalidate() == 2
+    assert qc.status() == {}
+    # failed compute retracts the calculating mark (retriable)
+    def boom(**bound):
+        raise RuntimeError("source offline")
+
+    qc3 = db.cache_query("G3", boom, indexes=[["k"]])
+    with pytest.raises(RuntimeError, match="offline"):
+        qc3.submit(k=1)
+    assert qc3.status() == {}
