@@ -464,6 +464,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cache with deterministic hit/miss counters in the hash; GRADED
     # via heroql_programs (cached leg)
     "heroql_cached_query": HQ.heroql_cached_query,
+    # round 12: output-argument query functions (Kernel/README.md
+    # "Output only argument") — `<-` bindings, nested calls, guards,
+    # inlined as pure Catalyst expressions; GRADED via heroql_programs
+    # (outq leg)
+    "heroql_outquery": HQ.heroql_outquery,
 }
 
 
@@ -606,6 +611,7 @@ ORACLES: dict[str, str] = {
     "mm_scene_changes": MM.MM_SCENE_CHANGES_SQL,
     "db_branch_merge": LC.DB_BRANCH_MERGE_SQL,
     "heroql_cached_query": HQ.HEROQL_CACHED_QUERY_SQL,
+    "heroql_outquery": HQ.HEROQL_OUTQUERY_SQL,
 }
 
 

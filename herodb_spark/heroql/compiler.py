@@ -235,6 +235,9 @@ class HeroQL:
         # stop. Entries pin report-sized per-value subsets
         # (localCheckpoint) and are wiped with the memos on mutation.
         self.query_indexes: dict[str, list[list[str]]] = {}
+        # output-argument query functions (Kernel/README.md "Output
+        # only argument"): name -> OutQueryDecl, inlined at call sites
+        self.outqueries: dict[str, object] = {}
         self._qcache: dict[tuple, tuple] = {}  # key -> (status, df)
         self._qcache_stats = {"hits": 0, "misses": 0}
         # incremental maintenance of memoized derivations (draft:67-72
@@ -671,6 +674,10 @@ class HeroQL:
                 self._canon_atom(lit.atom)
             elif isinstance(lit, P.AssignLit):
                 self._canon_expr(lit.expr)
+            elif isinstance(lit, P.CallLit):
+                lit.name = self._resolve_ref(lit.name)
+                for a in lit.args:
+                    self._canon_expr(a)
             elif isinstance(lit, (P.CompareLit, P.EnsureLit)):
                 self._canon_expr(lit.expr)
 
@@ -739,6 +746,11 @@ class HeroQL:
                     )
                 key_sets.append(list(ix.cols))
             self.query_indexes[name] = key_sets
+            return
+        if isinstance(item, P.OutQueryDecl):
+            name = self._qualify(item.name)
+            self._check_out_query(item)
+            self.outqueries[name] = item
             return
         if isinstance(item, P.FuncDecl):
             name = self._qualify(item.name)
@@ -1486,6 +1498,8 @@ class HeroQL:
                         raise HeroQLError("`=` binding before any atom")
                     frame.df = frame.df.withColumn(lit.var, val)
                     frame.vars[lit.var] = None
+            elif isinstance(lit, P.CallLit):
+                self._inline_call(lit, frame)
             elif isinstance(lit, P.CompareLit):
                 if frame.df is None:
                     raise HeroQLError("comparison before any atom")
@@ -1643,6 +1657,178 @@ class HeroQL:
         ftypes = [t if t in self.defs else None for t in ftypes]
         rowcls = name if tdef.is_class else None
         return df, list(tdef.fields), ftypes, rowcls, list(atom.args)
+
+    # ---------------------------------------------- output-argument queries
+
+    def _expr_var_names(self, e, out: set) -> None:
+        """Collect variable references from an expression AST (enum
+        members excluded — they are constants)."""
+        if isinstance(e, P.Var):
+            if self._enum_member(e.name) is None:
+                out.add(e.name)
+            return
+        if isinstance(e, P.BinOp):
+            self._expr_var_names(e.left, out)
+            self._expr_var_names(e.right, out)
+        elif isinstance(e, P.UnaryOp):
+            self._expr_var_names(e.operand, out)
+        elif isinstance(e, P.IfExpr):
+            self._expr_var_names(e.cond, out)
+            self._expr_var_names(e.then, out)
+            if e.other is not None:
+                self._expr_var_names(e.other, out)
+        elif isinstance(e, P.FieldAccess):
+            self._expr_var_names(e.base, out)
+        elif isinstance(e, P.InterpString):
+            for p in e.parts:
+                if not isinstance(p, str):
+                    self._expr_var_names(p, out)
+
+    def _check_out_query(self, q: "P.OutQueryDecl") -> None:
+        """Forward-direction validation (Kernel/README.md "Output only
+        argument": `<-` defines the execution direction, it cannot run
+        backward; only out arguments / locals stand left of `<-`).
+        Checked at DECLARATION time so a backward program errors
+        before any invocation."""
+        ins = {n for n, _t in q.ins}
+        outs = {n for n, _t in q.outs}
+        if ins & outs:
+            raise HeroQLError(f"query {q.name}: {sorted(ins & outs)} both in and out")
+        bound = set(ins)
+        for lit in q.body:
+            if isinstance(lit, P.AssignLit):
+                if not lit.arrow:
+                    raise HeroQLError(
+                        f"query {q.name}: output-argument bodies bind with `<-`, not `=`"
+                    )
+                if lit.var in ins:
+                    raise HeroQLError(
+                        f"query {q.name}: cannot run backward — {lit.var!r} is an "
+                        "input argument (only out arguments / locals stand left of `<-`)"
+                    )
+                if lit.var in bound:
+                    raise HeroQLError(f"query {q.name}: {lit.var!r} bound twice")
+                refs: set = set()
+                self._expr_var_names(lit.expr, refs)
+                free = refs - bound
+                if free:
+                    raise HeroQLError(
+                        f"query {q.name}: `<-` runs forward only — {sorted(free)} "
+                        f"unbound when computing {lit.var!r}"
+                    )
+                bound.add(lit.var)
+            elif isinstance(lit, P.CompareLit):
+                refs = set()
+                self._expr_var_names(lit.expr, refs)
+                free = refs - bound
+                if free:
+                    raise HeroQLError(
+                        f"query {q.name}: guard references unbound {sorted(free)}"
+                    )
+            elif isinstance(lit, P.CallLit):
+                callee = self.outqueries.get(self._resolve_ref(lit.name))
+                if callee is None:
+                    raise HeroQLError(
+                        f"query {q.name}: {lit.name!r} is not a declared "
+                        "output-argument query"
+                    )
+                for a in lit.args:
+                    refs = set()
+                    self._expr_var_names(a, refs)
+                    if refs - bound:
+                        raise HeroQLError(
+                            f"query {q.name}: call argument references unbound "
+                            f"{sorted(refs - bound)}"
+                        )
+                for v in lit.outs:
+                    if v in ins:
+                        raise HeroQLError(
+                            f"query {q.name}: cannot run backward — {v!r} is an input"
+                        )
+                    if v in bound:
+                        raise HeroQLError(f"query {q.name}: {v!r} bound twice")
+                    bound.add(v)
+            else:
+                raise HeroQLError(
+                    f"query {q.name}: output-argument bodies are scalar "
+                    "computations (`<-` bindings, guards, calls) — relational "
+                    "atoms belong in rules"
+                )
+        missing = outs - bound
+        if missing:
+            raise HeroQLError(
+                f"query {q.name}: out argument(s) {sorted(missing)} never bound"
+            )
+
+    def _eval_out_query(self, name: str, arg_cols: list, frame: Frame,
+                        _stack: tuple = ()) -> dict:
+        """Evaluate a declared output-argument query over the caller's
+        frame: ins bind to the given Columns, `<-` bindings extend a
+        scalar environment (pure Catalyst expressions — no UDF, no
+        extra plan node), guards FILTER the caller's rows (a failing
+        guard means "no output row" — Solve with delta <= 0 simply
+        yields nothing, the relational reading of the README's
+        filter-vs-stop distinction). Returns {out name -> Column}."""
+        decl = self.outqueries.get(name)
+        if decl is None:
+            raise HeroQLError(f"{name!r} is not a declared output-argument query")
+        if name in _stack:
+            raise HeroQLError(
+                f"query {name}: recursive output-argument queries are not "
+                "supported (use `func` + the fixpoint rules, draft:81-84)"
+            )
+        if len(arg_cols) != len(decl.ins):
+            raise HeroQLError(
+                f"query {name}: {len(arg_cols)} argument(s) != {len(decl.ins)} declared"
+            )
+        env = {n: c for (n, _t), c in zip(decl.ins, arg_cols)}
+        for lit in decl.body:
+            ctx = _ExprCtx(self, None, env)
+            if isinstance(lit, P.AssignLit):
+                env[lit.var] = self._expr(lit.expr, ctx)
+            elif isinstance(lit, P.CompareLit):
+                frame.df = frame.df.where(self._expr(lit.expr, ctx))
+            elif isinstance(lit, P.CallLit):
+                inner = self._eval_out_query(
+                    self._resolve_ref(lit.name),
+                    [self._expr(a, ctx) for a in lit.args],
+                    frame,
+                    _stack + (name,),
+                )
+                for v, (on, _t) in zip(lit.outs, self.outqueries[
+                    self._resolve_ref(lit.name)
+                ].outs):
+                    env[v] = inner[on]
+        return {on: env[on] for on, _t in decl.outs}
+
+    def _inline_call(self, lit: "P.CallLit", frame: Frame) -> None:
+        """`x2 <- Square(x)` in a rule body: inline the function over
+        the current frame — argument expressions read caller columns,
+        out columns land as new frame variables (or equality filters
+        when the variable is already bound)."""
+        if frame.df is None:
+            raise HeroQLError("`<-` call before any atom")
+        name = self._resolve_ref(lit.name)
+        decl = self.outqueries.get(name)
+        if decl is None:
+            raise HeroQLError(f"{lit.name!r} is not a declared output-argument query")
+        if len(lit.outs) != len(decl.outs):
+            raise HeroQLError(
+                f"query {name}: {len(lit.outs)} output variable(s) != "
+                f"{len(decl.outs)} declared"
+            )
+        for a in lit.args:
+            self._force_derefs(a, frame)
+        ctx = _ExprCtx(self, frame)
+        arg_cols = [self._expr(a, ctx) for a in lit.args]
+        out_cols = self._eval_out_query(name, arg_cols, frame)
+        for v, (on, _t) in zip(lit.outs, decl.outs):
+            col = out_cols[on]
+            if frame.has(v):
+                frame.df = frame.df.where(frame.col(v) == col)
+            else:
+                frame.df = frame.df.withColumn(v, col)
+                frame.vars[v] = None
 
     def _cached_subset(self, name: str, atom: P.Atom):
         """CACHED-QUERY resolution (Kernel/README.md "Cached Query")

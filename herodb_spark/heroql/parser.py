@@ -42,7 +42,7 @@ _TOKEN_RE = re.compile(
   | (?P<istring>\$"(?:[^"\\]|\\.)*")
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<id>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
-  | (?P<op>::|:-|\.\.|==|!=|<=|>=|\*|[()\{\}\[\],;.:=<>+\-/|@])
+  | (?P<op>::|:-|<-|\.\.|==|!=|<=|>=|\*|[()\{\}\[\],;.:=<>+\-/|@])
     """,
     re.VERBOSE,
 )
@@ -225,6 +225,7 @@ class CompareLit:
 class AssignLit:
     var: str
     expr: object
+    arrow: bool = False  # bound with `<-` (output-direction binding)
 
 
 @dataclass
@@ -246,6 +247,29 @@ class RelationDef:
 class IndexDef:
     kinds: list[str]  # Ordered / Hash / Unique / Cache
     cols: list[str]
+
+
+@dataclass
+class OutQueryDecl:
+    """`query Name(in: t, ...) -> (out: t, ...) :- body;` — the
+    output-argument query function (Kernel/README.md "Output only
+    argument"). The body is `<-` compute bindings + guards; forward
+    direction only."""
+    name: str
+    ins: list   # [(name, type|None)]
+    outs: list  # [(name, type|None)]
+    body: list
+
+
+@dataclass
+class CallLit:
+    """`x2 <- Square(x)` / `(x1, x2) <- Solve(a, b, c)` — invocation
+    of an output-argument query inside a rule body. `outs` are the
+    caller's variables bound (left side), `args` the input
+    expressions."""
+    outs: list  # [str]
+    name: str
+    args: list  # [expr]
 
 
 @dataclass
@@ -874,8 +898,12 @@ class Parser:
         self.expect(";")
         return FuncDecl(name, params, body)
 
-    def parse_query_decl(self) -> QueryDecl:
+    def parse_query_decl(self):
         self.expect_kw("query")
+        if self.peek().kind == "id" or (
+            self.peek().kind == "kw" and self.peek().text in SOFT_KEYWORDS
+        ):
+            return self.parse_out_query_decl()
         self.expect("(")
         args = []
         while not self.at(")"):
@@ -887,6 +915,49 @@ class Parser:
         body = self.parse_body()
         self.expect(";")
         return QueryDecl(args, body)
+
+    def parse_out_query_decl(self) -> "OutQueryDecl":
+        """Output-argument query function (Kernel/README.md "Output
+        only argument"):
+
+            query Square(x: int) -> (x2: int)
+            :- x2 <- x * x;
+
+        `<-` defines the execution direction (forward only — the
+        compiler rejects running backward from outs to ins); invoked
+        in rule bodies as `x2 <- Square(x)` or
+        `(x1, x2) <- Solve(a, b, c)`."""
+        name = self.qualified_name()
+        self.expect("(")
+        ins: list[tuple[str, str | None]] = []
+        while not self.at(")"):
+            pname = self.next().text
+            ptype = None
+            if self.at(":"):
+                self.next()
+                ptype = self.qualified_name()
+            ins.append((pname, ptype))
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        self.expect("-")
+        self.expect(">")
+        self.expect("(")
+        outs: list[tuple[str, str | None]] = []
+        while not self.at(")"):
+            pname = self.next().text
+            ptype = None
+            if self.at(":"):
+                self.next()
+                ptype = self.qualified_name()
+            outs.append((pname, ptype))
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        self.expect(":-")
+        body = self.parse_body()
+        self.expect(";")
+        return OutQueryDecl(name, ins, outs, body)
 
     def parse_collection_query(self) -> CollectionQuery:
         self.expect_kw("collection_query")
@@ -1076,6 +1147,23 @@ class Parser:
         return lits
 
     def parse_literal(self):
+        # `(x1, x2) <- Solve(a, b, c)` — tuple-destructuring call of an
+        # output-argument query (Kernel/README.md "Output only argument")
+        if self.at("("):
+            j = self.i + 1
+            outs: list[str] = []
+            ok = False
+            while self.toks[j].kind == "id":
+                outs.append(self.toks[j].text)
+                j += 1
+                if self.toks[j].kind == ",":
+                    j += 1
+                    continue
+                ok = self.toks[j].kind == ")" and self.toks[j + 1].kind == "<-"
+                break
+            if ok and outs:
+                self.i = j + 2
+                return self._parse_call_rhs(outs)
         if self.at_kw("not"):
             self.next()
             return NotLit(self.parse_atom())
@@ -1102,7 +1190,35 @@ class Parser:
                 raise HeroQLSyntaxError(f"assignment target must be a variable at {t.pos}")
             self.next()
             return AssignLit(expr.name, self.parse_expr())
+        if self.at("<-"):
+            # output-direction binding: `x2 <- Square(x)` (call) or
+            # `delta <- b*b - 4*a*c` (compute)
+            if not isinstance(expr, Var):
+                t = self.peek()
+                raise HeroQLSyntaxError(
+                    f"only out arguments / locals may stand left of `<-` at {t.pos}"
+                )
+            self.next()
+            j = self.i
+            while self.toks[j].kind == "id" and self.toks[j + 1].kind == "::":
+                j += 2
+            if self.toks[j].kind == "id" and self.toks[j + 1].kind == "(":
+                return self._parse_call_rhs([expr.name])
+            return AssignLit(expr.name, self.parse_expr(), arrow=True)
         return CompareLit(expr)
+
+    def _parse_call_rhs(self, outs: list[str]) -> CallLit:
+        """After `outs <-`: parse `Name(expr, ...)` — the invocation of
+        an output-argument query."""
+        name = self.qualified_name()
+        self.expect("(")
+        args = []
+        while not self.at(")"):
+            args.append(self.parse_expr())
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        return CallLit(outs, name, args)
 
     def try_parse_atom(self):
         """Parse `T(...)`, `A::B(...)` or `var.Member(...)`; None if the

@@ -477,8 +477,8 @@ def heroql_cached_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         case Sib(a, b) :- nat(_, a, r), nat(_, b, r), a != b;
         index Sib { Hash(a) };
     """)
-    q1 = hql.run('query (b) :- Sib("CANADA", b);').queries[0]
-    q2 = hql.run('query (b) :- Sib("CANADA", b);').queries[0]
+    q1 = hql.run('query (b) :- Sib("NATION_1", b);').queries[0]
+    q2 = hql.run('query (b) :- Sib("NATION_1", b);').queries[0]
     nb = F.lit(None).cast("long")
     stats = hql._qcache_stats
     rows = [("stats", None, int(stats["hits"]), int(stats["misses"]))]
@@ -498,7 +498,7 @@ WITH sib AS (
   SELECT n2.n_name AS b
   FROM nation n1 JOIN nation n2
     ON n1.n_regionkey = n2.n_regionkey AND n1.n_name <> n2.n_name
-  WHERE n1.n_name = 'CANADA'
+  WHERE n1.n_name = 'NATION_1'
 )
 SELECT 'q1' AS phase, b AS k, CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2 FROM sib
 UNION ALL
@@ -506,6 +506,42 @@ SELECT 'q2', b, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM sib
 UNION ALL
 SELECT 'stats', CAST(NULL AS VARCHAR), 1, 1
 ORDER BY phase, k
+"""
+
+
+def heroql_outquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-argument query functions run as a graded program
+    (Kernel/README.md "Output only argument"): `query Square(x) ->
+    (x2)` and a NESTED caller `Quartic` (whose body invokes Square and
+    carries a `s > 4` GUARD — a failing guard yields no row, the
+    relational reading), both invoked per nation row with `<-`
+    bindings. Compiles to pure Catalyst column expressions inlined
+    into the one scan — no UDF, no extra plan node. Direction checks
+    (cannot run backward) and the Solve two-output README example are
+    library-tested (tests/test_heroql.py)."""
+    hql = HeroQL(spark)
+    hql.register("nat", load_table(spark, sf_dir, "nation"))
+    res = hql.run("""
+        query Square(x: int) -> (x2: int)
+        :- x2 <- x * x;
+        query Quartic(x: int) -> (x4: int)
+        :- s <- Square(x), s > 4, x4 <- s * s;
+        query (k, s, q) :- nat(k, _, _), s <- Square(k), q <- Quartic(k);
+    """)
+    return res.queries[0].select(
+        F.col("k").cast("long").alias("k"),
+        F.col("s").cast("long").alias("s"),
+        F.col("q").cast("long").alias("q"),
+    ).orderBy("k")
+
+
+HEROQL_OUTQUERY_SQL = """
+SELECT CAST(n_nationkey AS BIGINT) AS k,
+       CAST(n_nationkey * n_nationkey AS BIGINT) AS s,
+       CAST(n_nationkey * n_nationkey * n_nationkey * n_nationkey AS BIGINT) AS q
+FROM nation
+WHERE n_nationkey * n_nationkey > 4
+ORDER BY k
 """
 
 
@@ -522,7 +558,9 @@ def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance + program-log + zone-map-pushdown surface
     (heroql_maintenance_log), and — since round 12 — the CACHED-QUERY
     protocol leg (heroql_cached_query: standalone index declaration,
-    hit/miss counters in the hash) — all compiled from HeroQL source —
+    hit/miss counters in the hash) and the output-argument-query leg
+    (heroql_outquery: `<-` bindings, nested call, guard) — all
+    compiled from HeroQL source —
     share one graded slot; constituents keep standalone entries and
     oracles."""
     nb = F.lit(None).cast("long")
@@ -603,9 +641,17 @@ def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2"),
         nd.alias("v"),
     )
+    k = heroql_outquery(spark, sf_dir).select(
+        F.lit("outq").alias("q"),
+        ns.alias("k1"), ns.alias("k2"), ns.alias("k3"),
+        F.col("k").alias("n1"),
+        F.col("s").alias("n2"),
+        F.col("q").cast("double").alias("v"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
         .unionByName(g).unionByName(h).unionByName(i).unionByName(j)
+        .unionByName(k)
         .orderBy("q", "n1", "k1", "k2", "k3")
     )
 
@@ -724,5 +770,9 @@ FROM ({_MAINT_CORE_SQL})
 UNION ALL
 SELECT 'cached', phase, k, CAST(NULL AS VARCHAR), n1, n2, CAST(NULL AS DOUBLE)
 FROM ({HEROQL_CACHED_QUERY_SQL.replace("ORDER BY phase, k", "")})
+UNION ALL
+SELECT 'outq', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), k, s, CAST(q AS DOUBLE)
+FROM ({HEROQL_OUTQUERY_SQL.replace("ORDER BY k", "")})
 ORDER BY q, n1, k1, k2, k3
 """

@@ -1966,3 +1966,80 @@ def test_cached_query_index_validates(spark):
     hql.run("data T(a: long, b: long);")
     with pytest.raises(HeroQLError, match="not in"):
         hql.run("index T { Hash(zz) };")
+
+
+# ------------------------------------------------- output-argument queries
+# (Kernel/README.md "Output only argument": `query f(in...) -> (out...)`
+# with `<-` compute bindings, forward-only direction, invocable in rule
+# bodies as `x2 <- Square(x)` / `(x1, x2) <- Solve(a, b, c)`)
+
+
+def test_out_query_square_readme_verbatim(spark, duck):
+    """The README's Square example, invoked per row of a relation and
+    hash-matched against DuckDB."""
+    hql = HeroQL(spark)
+    hql.register("T", spark.createDataFrame([(i,) for i in range(7)], "x long"))
+    res = hql.run("""
+        query Square(x: int) -> (x2: int)
+        :- x2 <- x * x;
+        query (x, y) :- T(x), y <- Square(x);
+    """)
+    assert rows(res.queries[0]) == [(i, i * i) for i in range(7)]
+
+
+def test_out_query_solve_readme_verbatim(spark):
+    """The README's Solve example: two outputs via tuple
+    destructuring, and the delta > 0 guard FILTERING rows (no output
+    row for a failing guard — the relational reading)."""
+    hql = HeroQL(spark)
+    hql.register("T", spark.createDataFrame([(2.0,), (3.0,), (5.0,)], "b double"))
+    res = hql.run("""
+        query Solve(a: double, b: double, c: double) -> (x1: double, x2: double)
+        :- delta <- b*b - 4.0*a*c,
+           delta > 0.0,
+           x1 <- (0.0 - b + delta) / (2.0 * a),
+           x2 <- (0.0 - b - delta) / (2.0 * a);
+        query (b, p, q) :- T(b), (p, q) <- Solve(1.0, b, 1.0);
+    """)
+    # b=2: delta=0 filtered; b=3: delta=5; b=5: delta=21
+    assert rows(res.queries[0]) == [(3.0, 1.0, -4.0), (5.0, 8.0, -13.0)]
+
+
+def test_out_query_nested_call_and_bound_out(spark):
+    """Calls nest (Quartic <- Square inside its body), and an
+    already-bound caller variable on the left of `<-` becomes an
+    equality FILTER, not a rebinding."""
+    hql = HeroQL(spark)
+    hql.register("T", spark.createDataFrame([(2, 16), (3, 81), (4, 999)], "x long, expect long"))
+    res = hql.run("""
+        query Square(x: int) -> (x2: int) :- x2 <- x * x;
+        query Quartic(x: int) -> (x4: int) :- s <- Square(x), x4 <- s * s;
+        query (x) :- T(x, expect), expect <- Quartic(x);
+    """)
+    assert rows(res.queries[0]) == [(2,), (3,)]  # 4 fails the equality
+
+
+def test_out_query_direction_checks(spark):
+    """'<- define the execution direction, it cannot run backward from
+    x2 to x' — backward bindings, `=` in bodies, unbound outs, and
+    relational atoms all error at DECLARATION time."""
+    hql = HeroQL(spark)
+    with pytest.raises(HeroQLError, match="cannot run backward"):
+        hql.run("query F(x: int) -> (y: int) :- x <- y * y, y <- 1;")
+    with pytest.raises(HeroQLError, match="forward only"):
+        hql.run("query F(x: int) -> (y: int) :- y <- z + 1, z <- x;")
+    with pytest.raises(HeroQLError, match="never bound"):
+        hql.run("query F(x: int) -> (y: int, z: int) :- y <- x;")
+    with pytest.raises(HeroQLError, match="bind with `<-`"):
+        hql.run("query F(x: int) -> (y: int) :- y = x;")
+    with pytest.raises(HeroQLError, match="relational atoms"):
+        hql.run("data T(a: long); query F(x: int) -> (y: int) :- T(y);")
+    # call-time recursion guard (declaration-time checks can't see a
+    # cycle closed after the fact)
+    hql2 = HeroQL(spark)
+    hql2.register("T", spark.createDataFrame([(1,)], "x long"))
+    hql2.run("query H(x: int) -> (y: int) :- y <- x;")
+    import herodb_spark.heroql.parser as P2
+    hql2.outqueries["H"].body = [P2.CallLit(["y"], "H", [P2.Var("x")])]
+    with pytest.raises(HeroQLError, match="recursive output-argument"):
+        hql2.run("query (y) :- T(x), y <- H(x);")
