@@ -452,6 +452,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 0.86/0.98 at sf0.001/sf0.01 (measured r11, floor pinned in
     # tests), so the exact-top-k oracle would misstate it
     "ann_pq_topk": SK.ann_pq_topk,
+    # round 12: the IVF-PQ composition (Jégou et al.'s billion-vector
+    # layout): cell-probed ADC over a codes-only index, exact rerank —
+    # rows-only DELIBERATELY (recall 0.70/0.68 measured at
+    # sf0.001/sf0.01, floor 0.6 pinned in tests; <= plain PQ by
+    # construction)
+    "ann_ivfpq_topk": SK.ann_ivfpq_topk,
     # round 12: database branching — the reference's data-package
     # instantiate / inherit / merge (Kernel/README.md DATA PACKAGE):
     # O(1) zero-copy branch, copy-on-write fork, disjoint-partition

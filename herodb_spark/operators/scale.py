@@ -271,58 +271,21 @@ PQ_CODES = 32     # centroids per block codebook
 PQ_OVERFETCH = 16  # ADC candidates fetched per exact top-k slot
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRODUCT-QUANTIZATION ANN with exact rerank — the codec that
-    actually carries billion-vector stores (IVF-PQ): each vector is
-    split into PQ_M subvectors, each subvector replaced by the id of
-    its nearest per-block KMeans centroid, so the corpus scans as
-    PQ_M small ints per vector (64 float32 dims = 256 B → 8 codes =
-    32× compression — scalar int8 quantization manages only 4×).
-    Query scoring is ADC (asymmetric distance computation): one
-    PQ_M×PQ_CODES table of exact query-block · centroid dot products
-    per query, after which every corpus vector scores via PQ_M table
-    LOOKUPS (no arithmetic on the original floats at all). The
-    approximate cosine is exact-for-the-decoded-vector:
-    dot(q, decode(codes)) / (‖q‖·‖decode(codes)‖) with the decoded
-    norm a per-vector lookup sum. Top K×PQ_OVERFETCH ADC candidates
-    then rerank against the FULL-precision embedding (6dp rounded,
-    doc-id tie-break) — same output contract as ann_bruteforce_topk.
+def _pq_dim_sub(emb: DataFrame) -> tuple[int, int]:
+    dim = len(emb.select("embedding").first()[0])
+    assert dim % PQ_M == 0, f"dim {dim} not divisible into {PQ_M} blocks"
+    return dim, dim // PQ_M
 
-    Scale shape: codebooks are PQ_M KMeans fits on block slices (one
-    pass each, centroids are metadata — collected driver-side like any
-    codec header and re-entering the plan as literals); encoding and
-    ADC scoring are pure codegen array expressions over natural scan
-    partitions (no keyed shuffle of the corpus, `_balance_partitions`
-    spreads only smaller-than-core-count inputs); the rerank join
-    touches ≤ |Q|·K·PQ_OVERFETCH rows (AQE broadcasts them).
-    Determinism: KMeans seeds pinned per block; argmin ties take the
-    lowest code id; rank ties take the lowest vec_id.
 
-    Recall contract: rows-only DELIBERATELY (like ann_lsh/ann_ivf,
-    unlike ann_quantized whose int8 error is tiny): PQ's decoded
-    approximation of this corpus' near-random synthetic embeddings
-    carries limited rank signal, so even a 16× overfetch measures
-    recall@5 of 0.86/0.98 at sf0.001/sf0.01 (r11) — claiming the
-    exact-top-k oracle would misstate the operator. Recall floor,
-    determinism, and codec laws are pinned in tests; on real
-    (clustered) embeddings PQ recall is far higher — the geometry
-    knobs are PQ_M/PQ_CODES/PQ_OVERFETCH."""
+def _pq_codebooks(emb: DataFrame) -> list:
+    """Train the PQ codec: one small KMeans (pinned seed 42+m) per
+    block on the block slice. Codebooks are codec METADATA — collected
+    driver-side like any codec header and re-entering plans as
+    literals."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    from herodb_spark.operators.similarity import (
-        _balance_partitions,
-        _queries,
-        _topk_per_query,
-    )
-
-    emb = _balance_partitions(load_table(spark, sf_dir, "embeddings"))
-    dim = len(emb.select("embedding").first()[0])
-    assert dim % PQ_M == 0, f"dim {dim} not divisible into {PQ_M} blocks"
-    sub = dim // PQ_M
-
-    # --- train: one small KMeans per block on the block slice --------------
-    # slice() is 1-based; block m covers dims [m*sub+1, (m+1)*sub]
+    _dim, sub = _pq_dim_sub(emb)
     blocks = emb.select(
         "vec_id",
         *[
@@ -332,16 +295,19 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(PQ_M)
         ],
     ).localCheckpoint(eager=True)  # one slice pass feeds all PQ_M fits
-    codebooks: list[list[list[float]]] = []
+    codebooks: list = []
     for m in range(PQ_M):
         model = KMeans(k=PQ_CODES, seed=42 + m, maxIter=20, featuresCol=f"b{m}").fit(
             blocks.select("vec_id", f"b{m}")
         )
         codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return codebooks
 
-    # flat literal arrays (codec metadata re-entering the plan):
-    # cb_flat[m*PQ_CODES*sub + k*sub + d] = centroid coord,
-    # cbn[m*PQ_CODES + k] = ‖centroid‖²
+
+def _pq_lit_arrays(codebooks: list):
+    """Flat literal arrays (codec metadata re-entering the plan):
+    cb_flat[m*PQ_CODES*sub + k*sub + d] = centroid coord,
+    cbn[m*PQ_CODES + k] = ‖centroid‖²."""
     cb_flat = F.array(
         *[F.lit(x) for m in range(PQ_M) for c in codebooks[m] for x in c]
     )
@@ -352,9 +318,19 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in codebooks[m]
         ]
     )
+    return cb_flat, cbn
 
-    # --- encode: per block, argmin_k(‖x_m‖² − 2⟨x_m,c⟩ + ‖c‖²); the
-    # ‖x_m‖² term is constant per block so argmin over (‖c‖² − 2⟨x_m,c⟩)
+
+def _pq_encode(emb: DataFrame, codebooks: list) -> DataFrame:
+    """Encode the corpus: per block, argmin_k(‖x_m‖² − 2⟨x_m,c⟩ + ‖c‖²)
+    — the ‖x_m‖² term is constant per block so argmin over
+    (‖c‖² − 2⟨x_m,c⟩); ties take the FIRST (lowest) code id. Returns
+    (vec_id, codes array<int>, dnorm) — PQ_M small ints + one double
+    per vector, the 32×-compressed scan image. Pure codegen array
+    expressions; no keyed shuffle."""
+    _dim, sub = _pq_dim_sub(emb)
+    cb_flat, cbn = _pq_lit_arrays(codebooks)
+
     def block_code(m: int):
         xm = F.slice(F.col("embedding").cast("array<double>"), m * sub + 1, sub)
         scores = F.transform(
@@ -386,16 +362,16 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    encoded = (
-        emb.select("vec_id", codes_col.alias("codes"))
-        .withColumn("dnorm", F.sqrt(dn2))
-        # the codec pass is the expensive stage; at scale this is the
-        # PERSISTED index (like the minhash band table) — pin it so the
-        # query side doesn't re-encode per reference
-        .localCheckpoint(eager=True)
-    )
+    return emb.select("vec_id", codes_col.alias("codes")).withColumn("dnorm", F.sqrt(dn2))
 
-    # --- ADC tables: collected query vectors are 10 rows of metadata
+
+def _pq_adc_tables(spark: SparkSession, emb: DataFrame, codebooks: list) -> DataFrame:
+    """Per-query ADC lookup tables: one PQ_M×PQ_CODES array of exact
+    query-block · centroid dot products per query (collected query
+    vectors are N_QUERIES rows of metadata), broadcast."""
+    from herodb_spark.operators.similarity import _queries
+
+    _dim, sub = _pq_dim_sub(emb)
     qrows = sorted(
         (int(r.q_id), [float(x) for x in r.q_emb])
         for r in _queries(emb).collect()
@@ -412,10 +388,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(PQ_CODES)
         ]
         qtab_rows.append((q_id, qn, tab))
-    qtab = F.broadcast(
+    return F.broadcast(
         spark.createDataFrame(qtab_rows, "q_id long, qnorm double, tab array<double>")
     )
 
+
+def _pq_adc_approx():
+    """ADC cosine: PQ_M table lookups per corpus vector — no
+    arithmetic on the original floats at all."""
     adc_dot = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -425,17 +405,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    approx = F.round(adc_dot / (F.col("qnorm") * F.col("dnorm")), 9)
-    scored = (
-        qtab.crossJoin(encoded)
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", approx.alias("approx"))
-    )
-    cands = _topk_per_query(scored, "approx", TOP_K * PQ_OVERFETCH, rank_col="crk").select(
-        "q_id", "vec_id"
-    )
+    return F.round(adc_dot / (F.col("qnorm") * F.col("dnorm")), 9)
 
-    # --- exact rerank on the full-precision column ---------------------------
+
+def _pq_exact_rerank(emb: DataFrame, cands: DataFrame) -> DataFrame:
+    """Rerank ADC candidates against the FULL-precision embedding
+    (6dp rounded, doc-id tie-break) — same output contract as
+    ann_bruteforce_topk. Touches ≤ |Q|·K·PQ_OVERFETCH rows."""
+    from herodb_spark.operators.similarity import _queries
+
     q = F.broadcast(_queries(emb))
     exact = V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -448,3 +426,148 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rk", F.col("vec_id").alias("neighbor_id"), "cosine")
         .orderBy("q_id", "rk")
     )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN with exact rerank — the codec that
+    actually carries billion-vector stores: each vector is split into
+    PQ_M subvectors, each subvector replaced by the id of its nearest
+    per-block KMeans centroid, so the corpus scans as PQ_M small ints
+    per vector (64 float32 dims = 256 B → 8 codes = 32× compression —
+    scalar int8 quantization manages only 4×). Query scoring is ADC
+    (asymmetric distance computation): one PQ_M×PQ_CODES table of
+    exact query-block · centroid dot products per query, after which
+    every corpus vector scores via PQ_M table LOOKUPS. Top
+    K×PQ_OVERFETCH ADC candidates then rerank against the
+    FULL-precision embedding — same output contract as
+    ann_bruteforce_topk. (Since r12 the codec stages are shared
+    helpers — _pq_codebooks/_pq_encode/_pq_adc_tables — composed
+    unchanged by ann_ivfpq_topk, the cell-probed variant.)
+
+    Scale shape: codebooks are PQ_M KMeans fits on block slices (one
+    pass each, centroids are driver-side codec metadata); encoding and
+    ADC scoring are pure codegen array expressions over natural scan
+    partitions (no keyed shuffle of the corpus); the rerank join
+    touches ≤ |Q|·K·PQ_OVERFETCH rows (AQE broadcasts them).
+    Determinism: KMeans seeds pinned per block; argmin ties take the
+    lowest code id; rank ties take the lowest vec_id.
+
+    Recall contract: rows-only DELIBERATELY (like ann_lsh/ann_ivf,
+    unlike ann_quantized whose int8 error is tiny): PQ's decoded
+    approximation of this corpus' near-random synthetic embeddings
+    carries limited rank signal, so even a 16× overfetch measures
+    recall@5 of 0.86/0.98 at sf0.001/sf0.01 (r11) — claiming the
+    exact-top-k oracle would misstate the operator. Recall floor,
+    determinism, and codec laws are pinned in tests; on real
+    (clustered) embeddings PQ recall is far higher — the geometry
+    knobs are PQ_M/PQ_CODES/PQ_OVERFETCH."""
+    from herodb_spark.operators.similarity import _balance_partitions, _topk_per_query
+
+    emb = _balance_partitions(load_table(spark, sf_dir, "embeddings"))
+    codebooks = _pq_codebooks(emb)
+    # the codec pass is the expensive stage; at scale this is the
+    # PERSISTED index (like the minhash band table) — pin it so the
+    # query side doesn't re-encode per reference
+    encoded = _pq_encode(emb, codebooks).localCheckpoint(eager=True)
+    qtab = _pq_adc_tables(spark, emb, codebooks)
+    scored = (
+        qtab.crossJoin(encoded)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _pq_adc_approx().alias("approx"))
+    )
+    cands = _topk_per_query(scored, "approx", TOP_K * PQ_OVERFETCH, rank_col="crk").select(
+        "q_id", "vec_id"
+    )
+    return _pq_exact_rerank(emb, cands)
+
+
+#: cells probed per query in the IVF-PQ composition, as a fraction of
+#: the cell count (¼ — denser than plain IVF's ⅛ because the ADC
+#: scoring inside a probed cell is ~free compared to exact cosines)
+IVFPQ_PROBE_FRAC = 4
+
+
+def _ivfpq_index(emb: DataFrame, assigned: DataFrame, codebooks: list) -> DataFrame:
+    """THE IVF-PQ INDEX: (vec_id, cell, codes, dnorm) — cell ids + PQ
+    codes + one double per vector, nothing full-precision. The shape
+    law (no embedding column on the serving path) is pinned in
+    tests/test_scale.py."""
+    return (
+        _pq_encode(emb, codebooks)
+        .join(assigned, "vec_id")
+        .select("vec_id", "cell", "codes", "dnorm")
+    )
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition that actually runs billion-vector
+    serving (Jégou et al.'s IVFADC layout, minus residual encoding —
+    codes quantize the raw vectors, documented): the corpus is
+    KMeans-partitioned into cells (the IVF half, corpus-derived k),
+    every vector stored as (cell id, PQ codes, decoded norm) — the
+    ENTIRE index is ints + one double per vector, no full-precision
+    column on the serving path; a query ranks the broadcast centroids,
+    probes only its nearest cells, ADC-scores ONLY the in-cell codes
+    (table lookups), and the top ADC candidates rerank against the
+    full-precision embeddings.
+
+    vs plain PQ: the probe gate cuts scored codes to ~1/IVFPQ_PROBE_FRAC
+    of the corpus; vs plain IVF: in-cell scoring reads 32×-compressed
+    codes instead of raw floats. At 100 TB the index is the persisted
+    artifact (here localCheckpoint), cells align with its partitioning,
+    and only probed cells are scanned per query batch.
+
+    Rows-only deliberately: recall ≤ plain PQ's by construction (the
+    probe gate can drop true neighbors whose cells rank past the probe
+    budget) — measured and floor-pinned in tests alongside the
+    index-shape law (codes + cell ids only)."""
+    from pyspark.ml.functions import array_to_vector
+
+    from herodb_spark.operators.similarity import (
+        _balance_partitions,
+        _queries,
+        _topk_per_query,
+    )
+
+    emb = _balance_partitions(load_table(spark, sf_dir, "embeddings"))
+    k = ivf_k_for(emb.count())
+    n_probe = max(N_PROBE, -(-k // IVFPQ_PROBE_FRAC))  # ceil(k/frac)
+    model = _kmeans_centroids(spark, emb, k)
+    assigned = model.transform(
+        emb.select(
+            "vec_id",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        )
+    ).select("vec_id", F.col("prediction").alias("cell"))
+    codebooks = _pq_codebooks(emb)
+    index = _ivfpq_index(emb, assigned, codebooks).localCheckpoint(eager=True)
+
+    # probe: rank broadcast centroids by cosine(query, centroid)
+    centroids = [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent_df = F.broadcast(
+        spark.createDataFrame(centroids, "cell int, centroid array<double>")
+    )
+    q = F.broadcast(_queries(emb))
+    cell_rank = Window.partitionBy("q_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    probe = (
+        q.crossJoin(cent_df)
+        .select(
+            "q_id", "cell",
+            V.cosine(F.col("q_emb"), F.col("centroid")).alias("cell_cos"),
+        )
+        .withColumn("crk", F.row_number().over(cell_rank))
+        .where(F.col("crk") <= n_probe)
+        .select("q_id", "cell")
+    )
+
+    qtab = _pq_adc_tables(spark, emb, codebooks)
+    scored = (
+        probe.join(qtab, "q_id")
+        .join(index, "cell")  # ADC-score ONLY in-cell codes
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _pq_adc_approx().alias("approx"))
+    )
+    cands = _topk_per_query(scored, "approx", TOP_K * PQ_OVERFETCH, rank_col="crk2").select(
+        "q_id", "vec_id"
+    )
+    return _pq_exact_rerank(emb, cands)

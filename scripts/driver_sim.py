@@ -76,6 +76,7 @@ def recall_ledger(spark, sf_dir: str) -> tuple[dict, list]:
         ("ann_lsh", S.ann_lsh_topk, 0.0),
         ("ann_ivf", SC.ann_ivf_topk, 0.2),
         ("ann_pq", SC.ann_pq_topk, 0.8),
+        ("ann_ivfpq", SC.ann_ivfpq_topk, 0.6),
     ]:
         approx = pairs(fn(spark, sf_dir), "q_id", "neighbor_id")
         out[name] = len(exact_a & approx) / max(1, len(exact_a))

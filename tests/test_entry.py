@@ -19,6 +19,7 @@ def test_oracle_keys_subset_of_queries():
     # r11 — its exact rerank reproduces the exact top-k per SF)
     assert rows_only == {
         "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+        "ann_ivfpq_topk",  # r12: probe-gated PQ, recall < 1 by design
         "sketch_profile", "dedup_semantic_clusters",  # KMeans: no SQL oracle
         "graph_label_propagation",  # iterated argmax: no SQL-oracle form
     }, rows_only
