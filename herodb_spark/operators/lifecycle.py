@@ -20,6 +20,7 @@ durably at database scope.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
@@ -29,7 +30,29 @@ from pyspark.sql import functions as F
 from herodb_spark.catalog import load_table
 
 
+@contextlib.contextmanager
+def _few_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """The lifecycle schedules run dozens of EAGER Spark actions over
+    nation-sized frames (25 rows): at the session's 32 shuffle
+    partitions each tiny exchange pays 4× the task-scheduling cost for
+    zero parallelism benefit. Drop to `n` for the schedule's duration
+    (restored in finally; results are partitioning-independent and the
+    lazily-returned legs re-plan at the caller's setting). Same trick
+    as streamops._stateful_stream_legs (r12)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _few_shuffle_partitions(spark):
+        return _snapshot_lifecycle_impl(spark, sf_dir)
+
+
+def _snapshot_lifecycle_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic transactional schedule over a fresh database:
 
     - create `facts` from nation (key, grp, name, val=key*10;
@@ -355,6 +378,11 @@ ORDER BY leg, key, grp
 
 
 def snapshot_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _few_shuffle_partitions(spark):
+        return _snapshot_maintenance_impl(spark, sf_dir)
+
+
+def _snapshot_maintenance_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The snapshot table's MAINTENANCE surface as one oracle-checked
     query — the round-10 companion to snapshot_lifecycle, covering the
     library rows the transactions query doesn't: schema evolution,
@@ -490,6 +518,11 @@ ORDER BY leg, key, grp
 
 
 def db_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _few_shuffle_partitions(spark):
+        return _db_branch_merge_impl(spark, sf_dir)
+
+
+def _db_branch_merge_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STANDALONE branch/merge surface (the graded copy rides
     snapshot_lifecycle's br_* legs; this entry keeps the operator
     directly visible per the union-fold convention) — the reference's
