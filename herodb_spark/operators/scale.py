@@ -520,7 +520,13 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only deliberately: recall ≤ plain PQ's by construction (the
     probe gate can drop true neighbors whose cells rank past the probe
     budget) — measured and floor-pinned in tests alongside the
-    index-shape law (codes + cell ids only)."""
+    index-shape law (codes + cell ids only). RESIDUAL encoding (the
+    full IVFADC: codes quantize x − centroid, per-cell dot folded into
+    ADC) was prototyped and MEASURED at r12: identical 0.70/0.68
+    recall on this near-random synthetic corpus — the probe gate, not
+    quantization error, is the binding constraint here, so the simpler
+    raw-vector codes stay (on real clustered embeddings residuals are
+    the known win; the composition point is _pq_encode's input)."""
     from pyspark.ml.functions import array_to_vector
 
     from herodb_spark.operators.similarity import (

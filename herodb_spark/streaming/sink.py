@@ -75,6 +75,11 @@ class DatabaseTxnSink:
     bit-identical, cost ∝ fragmented partitions) keeps per-partition
     file counts bounded for readers.
 
+    `backup_every=N` (with `backup_ring`) rotates a BackupRing slot
+    after every Nth committed batch — the reference's "Auto Backup to
+    file group ring": the pool's diff economy makes the steady-state
+    cost proportional to what the last N batches wrote.
+
     `vacuum_every=N` (with `vacuum_keep_last`) runs database vacuum on
     the same cadence pattern: the sink publishes one database version
     per batch, so a long-running stream otherwise grows the manifest
@@ -97,7 +102,11 @@ class DatabaseTxnSink:
         max_files_per_partition: int = 4,
         vacuum_every: int | None = None,
         vacuum_keep_last: int = 10,
+        backup_every: int | None = None,
+        backup_ring=None,
     ):
+        if (backup_every is None) != (backup_ring is None):
+            raise ValueError("backup_every and backup_ring come together")
         self.db = db
         self.routes = dict(routes)
         self.sink_id = sink_id
@@ -105,6 +114,8 @@ class DatabaseTxnSink:
         self.max_files_per_partition = max_files_per_partition
         self.vacuum_every = vacuum_every
         self.vacuum_keep_last = vacuum_keep_last
+        self.backup_every = backup_every
+        self.backup_ring = backup_ring
         #: last swallowed maintenance failure (None when healthy) —
         #: observability for operators without stream-fatal semantics
         self.last_maintenance_error: Exception | None = None
@@ -137,6 +148,12 @@ class DatabaseTxnSink:
                 )
             if self.vacuum_every and (bid + 1) % self.vacuum_every == 0:
                 self.db.vacuum(keep_last=self.vacuum_keep_last)
+            if self.backup_every and (bid + 1) % self.backup_every == 0:
+                # AUTO BACKUP (Kernel/README.md "Auto Backup to file
+                # group ring"): rotate a ring slot every Nth committed
+                # batch — diff-only, so steady-state cost ∝ the data
+                # the last N batches wrote, never table size
+                self.backup_ring.backup(self.db)
             self.last_maintenance_error = None
         except Exception as e:  # noqa: BLE001 — maintenance is best-effort
             self.last_maintenance_error = e

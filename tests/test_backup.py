@@ -170,3 +170,32 @@ def test_backup_crash_safety_and_vacuum_race(spark, tmp_path, monkeypatch):
     ring2 = BackupRing(os.path.join(str(tmp_path), "ring2"), slots=1)
     with pytest.raises(ConcurrentWriteError, match="vanished"):
         ring2.backup(db)
+
+
+def test_auto_backup_through_txn_sink(spark, tmp_path):
+    """'AUTO Backup to file group ring': DatabaseTxnSink(backup_every=2)
+    rotates a ring slot after every 2nd committed batch — and the slot
+    restores to exactly the post-batch state."""
+    from herodb_spark.streaming.sink import DatabaseTxnSink
+
+    db = _mkdb(spark, tmp_path)
+    ring = BackupRing(os.path.join(str(tmp_path), "ring"), slots=2)
+    sink = DatabaseTxnSink(
+        db, routes={"facts": lambda b: b}, sink_id="s",
+        backup_every=2, backup_ring=ring,
+    )
+    for i in range(4):
+        sink(
+            spark.createDataFrame([(500 + i, 0, i)], "key long, grp long, val long"),
+            i,
+        )
+    entries = ring.entries()
+    assert sorted(entries) == [0, 1]  # two auto-rotations (after b1, b3)
+    # slot taken after batch 1 (db had keys 500, 501)
+    first = min(entries.values(), key=lambda e: e["db_version"])
+    slot = next(k for k, v in entries.items() if v is first)
+    rdb = ring.open_restored(spark, slot, os.path.join(str(tmp_path), "r"))
+    got = {r.key for r in rdb.read("facts").where("key >= 500").collect()}
+    assert got == {500, 501}
+    with pytest.raises(ValueError, match="come together"):
+        DatabaseTxnSink(db, routes={}, backup_every=2)
