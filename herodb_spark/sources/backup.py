@@ -24,6 +24,10 @@ ring has not seen" — the manifest IS the diff bitmap. Mechanics:
   directory (manifests + data) at `dest` — time travel, reads, and new
   transactions all work on the restored copy; restoring is a pin swap
   plus directory re-link, no recomputation.
+- Scope: a backup captures the PARENT package (every table any kept
+  database version pins). Branch workspaces (<db>/branches/) are
+  deliberately not captured — merge a branch to persist its state, the
+  same discipline as the reference's package-instance lifecycle.
 
 Crash safety: slot content is staged under a hidden name and published
 by one atomic ring-manifest replace — a backup killed mid-copy leaves

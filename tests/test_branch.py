@@ -281,3 +281,75 @@ def test_db_branch_merge_oracle(spark, sf_dir, duck):
 
     res = compare(db_branch_merge(spark, sf_dir), DB_BRANCH_MERGE_SQL, duck)
     assert res["ok"], res
+
+
+def test_merge_lost_swap_undoes_cleanly(spark, tmp_path, monkeypatch):
+    """A parent commit landing between the merge's plan and its pin
+    swap seq-fences the swap: the merge must UNDO its adopted table
+    versions and directory moves, leave the parent consistent, and the
+    branch intact for a retry."""
+    from herodb_spark.sources import branch as B
+
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    br.update_where("facts", F.col("grp") == 0, {"val": F.lit(77)})
+    br.create_table(
+        "extra", spark.createDataFrame([(1, 1)], "id long, v long"), key_cols=["id"]
+    )
+    parent_facts_cur = db.table("facts")._load()["current"]
+    hist_before = len(db.history())
+
+    orig_commit = db._mf._commit
+
+    def racing_commit(m, **kw):
+        # interleave a disjoint parent txn between plan and swap
+        with SnapshotDatabase(spark, db.path).transaction() as t:
+            t.merge_upsert(
+                "audit", spark.createDataFrame([(5, "race")], "seq long, what string")
+            )
+        return orig_commit(m, **kw)
+
+    monkeypatch.setattr(br.parent._mf, "_commit", racing_commit)
+    with pytest.raises(MergeConflict, match="advanced during the merge"):
+        br.merge()
+    monkeypatch.undo()
+    # parent: table version rolled back, no merge in history, name not
+    # published, extra's dir back in branch storage
+    assert db.table("facts")._load()["current"] == parent_facts_cur
+    assert not any("merge_branch" in e["op"] for e in db.history())
+    assert "extra" not in db.tables()
+    assert not os.path.exists(db._table_path("extra"))
+    assert br.read("extra").count() == 1  # branch storage restored
+    # retry succeeds (branch not marked merged by the failed attempt)
+    rep = br.merge()
+    assert rep["facts"] == "fast_forward" and rep["extra"] == "adopt"
+    assert _vals(db.read("facts"))[0] == 77
+    assert db.read("extra").count() == 1
+
+
+def test_unpartitioned_table_branch_semantics(spark, tmp_path):
+    """Unpartitioned tables are ONE partition (_all): fast-forward
+    merges work; both-sides divergence always conflicts (no partition
+    granularity to arbitrate on) — pinned so nobody expects a
+    row-level merge."""
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    br.merge_upsert(
+        "audit", spark.createDataFrame([(10, "branch")], "seq long, what string")
+    )
+    rep = br.merge()
+    assert rep["audit"] == "fast_forward"
+    assert {(r.seq, r.what) for r in db.read("audit").collect()} == {
+        (0, "init"), (10, "branch"),
+    }
+    b2 = db.branch("b2")
+    b2.merge_upsert(
+        "audit", spark.createDataFrame([(11, "b2")], "seq long, what string")
+    )
+    with db.transaction() as t:
+        t.merge_upsert(
+            "audit", spark.createDataFrame([(12, "main")], "seq long, what string")
+        )
+    with pytest.raises(MergeConflict, match="both sides rewrote"):
+        b2.merge()
+    db.drop_branch("b2", discard_changes=True)
