@@ -219,7 +219,21 @@ QUERIES.update(
 )
 
 
+def _heroql_outquery(spark, sf_dir):
+    from herodb_spark.operators import heroql_ops as HQ
+
+    return HQ.heroql_outquery(spark, sf_dir)
+
+
+def _ivfpq(spark, sf_dir):
+    from herodb_spark.operators import scale as SC
+
+    return SC.ann_ivfpq_topk(spark, sf_dir)
+
+
 QUERIES.update({
+    "heroql_outquery (r12; output-argument functions INLINED: expect Square/Quartic as pure Project expressions over the one nation scan — no UDF, no join, no extra exchange)": _heroql_outquery,
+    "ann_ivfpq_topk (r12; expect broadcast centroid probe + cell-keyed join against the CODES-ONLY index + ADC as codegen array lookups; the full-precision column only in the final |Q|*K*overfetch rerank)": _ivfpq,
     "heroql_rules (compiled FROM HeroQL SOURCE; expect BroadcastHashJoin(LeftAnti) for `not`, nation broadcast for the deref, no Python nodes)": _heroql_rules,
     "heroql_pipeline (compiled FROM HeroQL SOURCE; expect one window pass for top-k, partial HashAggregate for group_by, single-partition window only for the final range_by)": _heroql_pipeline,
     "symtab_resolve (draft_type:115-341; expect the materialized scope-chain walk feeding two shuffled joins + min_by aggregation — no driver loops, no Python nodes)": _symtab_resolve,
