@@ -353,3 +353,104 @@ def test_unpartitioned_table_branch_semantics(spark, tmp_path):
     with pytest.raises(MergeConflict, match="both sides rewrote"):
         b2.merge()
     db.drop_branch("b2", discard_changes=True)
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42, 99])
+def test_branch_semantics_randomized_model(spark, tmp_path, seed):
+    """Randomized schedule vs an in-Python model: interleave parent and
+    branch upserts/updates/deletes over a partitioned table, tracking
+    two independent key→val models (branch isolation) and each side's
+    rewritten-partition set. At the end, merge: if the rewrite sets are
+    DISJOINT the merged table must equal the parent model overlaid with
+    the branch model's touched partitions; if they OVERLAP the merge
+    must cancel and the parent must equal its own model untouched."""
+    import random
+
+    rng = random.Random(seed)
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), f"db{seed}"))
+    base = {i: i * 10 for i in range(12)}
+    db.create_table(
+        "t",
+        spark.createDataFrame(
+            [(k, k % 4, v) for k, v in base.items()], "key long, grp long, val long"
+        ),
+        key_cols=["key"],
+        partition_col="grp",
+    )
+    parent_model = {k: (k % 4, v) for k, v in base.items()}
+    br = db.branch("wip")
+    branch_model = dict(parent_model)
+    p_rew: set[int] = set()
+    b_rew: set[int] = set()
+
+    def apply(side, model, rew):
+        op = rng.choice(["upsert", "update", "delete"])
+        if op == "upsert":
+            key = rng.randrange(0, 40)
+            grp = rng.randrange(0, 4)
+            val = rng.randrange(0, 1000)
+            df = spark.createDataFrame([(key, grp, val)], "key long, grp long, val long")
+            rew.add(grp)
+            if key in model:
+                rew.add(model[key][0])  # key may move partitions
+            model[key] = (grp, val)
+            if side == "parent":
+                with db.transaction() as t:
+                    t.merge_upsert("t", df)
+            else:
+                br.merge_upsert("t", df)
+        elif op == "update":
+            grp = rng.randrange(0, 4)
+            delta = rng.randrange(1, 9)
+            pred = F.col("grp") == grp
+            if side == "parent":
+                with db.transaction() as t:
+                    t.update_where("t", pred, {"val": F.col("val") + F.lit(delta)})
+            else:
+                br.update_where("t", pred, {"val": F.col("val") + F.lit(delta)})
+            touched = [k for k, (g, _v) in model.items() if g == grp]
+            if touched:
+                rew.add(grp)
+            for k in touched:
+                model[k] = (grp, model[k][1] + delta)
+        else:
+            kmod = rng.randrange(1, 6)
+            pred = F.col("key") % 13 == kmod
+            doomed = [k for k in model if k % 13 == kmod]
+            if side == "parent":
+                with db.transaction() as t:
+                    t.delete_where("t", pred)
+            else:
+                br.delete_where("t", pred)
+            for k in doomed:
+                rew.add(model[k][0])
+                del model[k]
+
+    for _ in range(8):
+        side = rng.choice(["parent", "branch"])
+        apply(side, parent_model if side == "parent" else branch_model,
+              p_rew if side == "parent" else b_rew)
+
+    def table_state(database):
+        return {r.key: (r.grp, r.val) for r in database.read("t").collect()}
+
+    # isolation held throughout
+    assert table_state(db) == parent_model
+    assert {r.key: (r.grp, r.val) for r in br.read("t").collect()} == branch_model
+
+    if b_rew and not (p_rew & b_rew):
+        br.merge()
+        # expected: parent rows, with branch-touched partitions replaced
+        expected = {
+            k: gv for k, gv in parent_model.items() if gv[0] not in b_rew
+        } | {k: gv for k, gv in branch_model.items() if gv[0] in b_rew}
+        assert table_state(db) == expected, (seed, p_rew, b_rew)
+    elif b_rew:
+        with pytest.raises(MergeConflict):
+            br.merge()
+        assert table_state(db) == parent_model
+        db.drop_branch("wip", discard_changes=True)
+    else:
+        rep = br.merge()  # branch untouched: no-op merge
+        assert all(v == "untouched" for v in rep.values())
+        assert table_state(db) == parent_model
