@@ -257,16 +257,20 @@ GROUP BY label, dim ORDER BY label, dim
 """
 
 
-def _hyperplane_sig(emb_col: F.Column) -> F.Column:
-    """LSH signature: bit j = sign of dot(v, plane_j); plane_j[d] is a
-    deterministic pseudo-random ±[0,1) coefficient from xxhash64(j,d).
-    No RNG state: any executor recomputes the same planes."""
+def _hyperplane_projs(emb_col: F.Column) -> F.Column:
+    """Raw projections dot(v, plane_j) for j < N_PLANES; plane_j[d] is
+    a deterministic pseudo-random ±[0,1) coefficient from
+    xxhash64(j,d). No RNG state: any executor recomputes the same
+    planes. The SIGNS give the LSH signature; the MAGNITUDES are the
+    multi-probe flip penalties (a projection near zero means the
+    vector sits close to that hyperplane — its neighbors plausibly
+    landed on the other side)."""
     def coeff(j, d):
         h = F.xxhash64(j, d)
         return (F.pmod(h, F.lit(10000)).cast("double") / 5000.0) - 1.0
 
-    def bit(j: int):
-        proj = F.aggregate(
+    def proj(j: int):
+        return F.aggregate(
             F.zip_with(
                 emb_col,
                 F.sequence(F.lit(0), F.size(emb_col) - 1),
@@ -275,31 +279,92 @@ def _hyperplane_sig(emb_col: F.Column) -> F.Column:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        return F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
 
-    out = bit(0)
-    for j in range(1, N_PLANES):
-        out = out.bitwiseOR(bit(j))
+    return F.array(*[proj(j) for j in range(N_PLANES)])
+
+
+def _sig_from_projs(p: F.Column) -> F.Column:
+    out = None
+    for j in range(N_PLANES):
+        b = (
+            F.when(F.element_at(p, j + 1) > 0,
+                   F.shiftleft(F.lit(1).cast("long"), j))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        out = b if out is None else out.bitwiseOR(b)
     return out
 
 
+def _hyperplane_sig(emb_col: F.Column) -> F.Column:
+    """LSH signature: bit j = sign of dot(v, plane_j)."""
+    return _sig_from_projs(_hyperplane_projs(emb_col))
+
+
+#: buckets probed per query by the query-directed multi-probe (of the
+#: 2^N_PLANES = 64): base bucket + the lowest-penalty single/double bit
+#: flips. 12/64 ≈ 19% of the corpus scanned vs 100% for brute force.
+MULTIPROBE_T = 2 * N_PLANES
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: queries probe only their signature bucket,
-    exact cosine rerank inside. Approximate by construction (driver
-    check: rows-only); recall vs the exact baseline is asserted in
-    tests/test_similarity.py."""
+    """LSH-bucketed ANN with QUERY-DIRECTED MULTI-PROBE (Lv et al.,
+    multi-probe LSH — r12 upgrade from single-bucket probing): each
+    query probes its own signature bucket plus the MULTIPROBE_T−1
+    lowest-penalty perturbations, where flipping bit j costs
+    |projection_j| (a near-zero projection means the query sits next
+    to that hyperplane, so true neighbors plausibly hashed across it)
+    and double flips cost the sum. Candidate generation is pure
+    codegen (penalty structs → array_sort → slice → explode on the
+    broadcast query side); the corpus is touched only through the
+    bucket-key equi-join — per-query work ∝ probed buckets, never
+    corpus size. Exact cosine rerank inside the probed set.
+
+    Approximate by construction (driver check: rows-only): recall@5
+    measured r12 at 0.26/0.50 (sf0.001/sf0.01) for 19% of the corpus
+    scanned — up from 0.06/0.08 single-bucket; floor pinned in tests
+    and in the driver_sim recall ledger."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding", _hyperplane_sig(F.col("embedding")).alias("sig"))
-    q = F.broadcast(
-        corpus.where(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("sig").alias("q_sig")
+    corpus = emb.select(
+        "vec_id", "embedding",
+        _sig_from_projs(_hyperplane_projs(F.col("embedding"))).alias("sig"),
+    )
+    qbase = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            _hyperplane_projs(F.col("embedding")).alias("p"),
         )
+        .withColumn("q_sig", _sig_from_projs(F.col("p")))
+    )
+    cands = [F.struct(F.lit(0.0).alias("pen"), F.col("q_sig").alias("probe"))]
+    for j in range(N_PLANES):
+        cands.append(
+            F.struct(
+                F.abs(F.element_at("p", j + 1)).alias("pen"),
+                F.col("q_sig").bitwiseXOR(F.lit(1 << j)).alias("probe"),
+            )
+        )
+    for i in range(N_PLANES):
+        for j in range(i + 1, N_PLANES):
+            cands.append(
+                F.struct(
+                    (F.abs(F.element_at("p", i + 1)) + F.abs(F.element_at("p", j + 1))).alias("pen"),
+                    F.col("q_sig").bitwiseXOR(F.lit((1 << i) | (1 << j))).alias("probe"),
+                )
+            )
+    probes = F.slice(F.array_sort(F.array(*cands)), 1, MULTIPROBE_T)
+    q = F.broadcast(
+        qbase.withColumn("pr", F.explode(probes))
+        .select("q_id", "q_emb", F.col("pr.probe").alias("probe"))
     )
     cos = V.cosine_rounded(F.col("q_emb"), F.col("embedding"), 6)
     scored = (
-        q.join(corpus, F.col("sig") == F.col("q_sig"))
+        q.join(corpus, F.col("sig") == F.col("probe"))
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cos.alias("cosine"))
+        # probes are distinct buckets, so (q, vec) pairs are unique —
+        # no distinct needed (each vector lives in exactly one bucket)
     )
     return (
         _topk_per_query(scored, "cosine", K)

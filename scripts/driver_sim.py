@@ -68,12 +68,11 @@ def recall_ledger(spark, sf_dir: str) -> tuple[dict, list]:
 
     # honestly-approximate: report, floor-check only (floors match the
     # pinned per-SF assertions in tests/test_scale.py et al.)
-    # floors mirror the pinned per-SF assertions: IVF >= 0.2
-    # (tests/test_scale.py:33), PQ >= 0.8 (test_scale.py:175);
-    # hyperplane-LSH top-k has only a subset-of-space law, no floor —
-    # reported for drift visibility, never gated.
+    # floors mirror the pinned per-SF assertions: LSH >= 0.15 (the r12
+    # query-directed multi-probe, tests/test_dedup_similarity.py),
+    # IVF >= 0.2 (tests/test_scale.py), PQ >= 0.8, IVF-PQ >= 0.6.
     for name, fn, floor in [
-        ("ann_lsh", S.ann_lsh_topk, 0.0),
+        ("ann_lsh", S.ann_lsh_topk, 0.15),
         ("ann_ivf", SC.ann_ivf_topk, 0.2),
         ("ann_pq", SC.ann_pq_topk, 0.8),
         ("ann_ivfpq", SC.ann_ivfpq_topk, 0.6),
