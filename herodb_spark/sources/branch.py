@@ -211,16 +211,30 @@ class DatabaseBranch:
         t._commit(lm)
         return t
 
-    def _advance(self, m: dict, op: str, tables: dict) -> None:
+    def _advance(self, m: dict, op: str, tables: dict,
+                 txn: tuple[str, int] | None = None) -> None:
         rv, rs = m["current"], self._mf._seq(m)
         version = rv + 1
         m["versions"][str(version)] = {"op": op, "tables": tables}
         m["current"] = version
+        if txn is not None:
+            # per-sink replay watermark, committed ATOMICALLY with the
+            # pin advance (same contract as SnapshotTable.merge_upsert)
+            m.setdefault("txns", {})[txn[0]] = int(txn[1])
         self._mf._commit(m, expected_current=rv, expected_seq=rs)
 
-    def _mutate(self, name: str, op: str, fn) -> int:
+    def last_txn(self, sink_id: str) -> int:
+        """Last batch id a sink committed INTO THIS BRANCH (-1 when
+        none) - the exactly-once watermark for write-audit-publish
+        streaming (streaming/sink.BranchUpsertSink)."""
+        return int(self._load().get("txns", {}).get(sink_id, -1))
+
+    def _mutate(self, name: str, op: str, fn,
+                txn: tuple[str, int] | None = None) -> int:
         m = self._load()
         self._check_open(m)
+        if txn is not None and txn[1] <= int(m.get("txns", {}).get(txn[0], -1)):
+            return int(self._entry(m)[name]["v"])  # replayed batch: no-op
         if name not in self._entry(m):
             raise ValueError(f"{self.path}: no table {name!r} in branch")
         t = self._fork(name, m)
@@ -234,12 +248,16 @@ class DatabaseBranch:
             else None
         )
         tables[name] = {"v": int(new_tv), "origin": "local", "base": base}
-        self._advance(m, f"{op}:{name}", tables)
+        self._advance(m, f"{op}:{name}", tables, txn=txn)
         return int(new_tv)
 
     # -- mutations (each one branch-manifest commit) ----------------------------
-    def merge_upsert(self, name: str, updates: DataFrame) -> int:
-        return self._mutate(name, "merge_upsert", lambda t: t.merge_upsert(updates))
+    def merge_upsert(
+        self, name: str, updates: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int:
+        return self._mutate(
+            name, "merge_upsert", lambda t: t.merge_upsert(updates), txn=txn
+        )
 
     def update_where(self, name: str, predicate: Column, assignments: dict) -> int:
         return self._mutate(

@@ -157,3 +157,28 @@ class DatabaseTxnSink:
             self.last_maintenance_error = None
         except Exception as e:  # noqa: BLE001 — maintenance is best-effort
             self.last_maintenance_error = e
+
+
+class BranchUpsertSink:
+    """foreachBatch callable implementing WRITE-AUDIT-PUBLISH: the
+    stream lands exactly-once in a DATABASE BRANCH (sources/branch.py)
+    instead of the parent - readers of the parent never see unaudited
+    data; validation queries run against the branch pin; `merge()`
+    publishes the audited state in one atomic parent swap (or the
+    branch is discarded and nothing ever surfaced). The modern
+    lakehouse ingestion discipline, built from this repo's own branch +
+    snapshot primitives.
+
+    Exactly-once: the (sink_id, batch_id) watermark commits atomically
+    with the branch pin advance, so a replayed micro-batch no-ops -
+    same contract as SnapshotUpsertSink, at branch scope."""
+
+    def __init__(self, branch, table: str, sink_id: str = "stream"):
+        self.branch = branch
+        self.table = table
+        self.sink_id = sink_id
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.branch.merge_upsert(
+            self.table, batch_df, txn=(self.sink_id, int(batch_id))
+        )

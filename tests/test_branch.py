@@ -454,3 +454,34 @@ def test_branch_semantics_randomized_model(spark, tmp_path, seed):
         rep = br.merge()  # branch untouched: no-op merge
         assert all(v == "untouched" for v in rep.values())
         assert table_state(db) == parent_model
+
+
+def test_write_audit_publish_streaming(spark, tmp_path):
+    """WAP: micro-batches land exactly-once in a branch (parent readers
+    never see them), a validation query audits the branch pin, merge
+    publishes atomically; a stale batch replay no-ops at branch scope."""
+    from herodb_spark.streaming.sink import BranchUpsertSink
+
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("ingest")
+    sink = BranchUpsertSink(br, "facts", sink_id="wap")
+    for i in range(3):
+        sink(
+            spark.createDataFrame(
+                [(600 + i, 0, i), (700 + i, 1, i)], "key long, grp long, val long"
+            ),
+            i,
+        )
+    # stale replay of batch 0 must no-op (watermark committed with pin)
+    sink(
+        spark.createDataFrame([(600, 0, 999)], "key long, grp long, val long"), 0
+    )
+    assert br.last_txn("wap") == 2
+    # audit on the branch; parent sees nothing yet
+    assert br.read("facts").where("key >= 600").count() == 6
+    assert _vals(br.read("facts"))[600] == 0  # replay did not land
+    assert db.read("facts").where("key >= 600").count() == 0
+    # validation passed -> publish
+    rep = br.merge()
+    assert rep["facts"] in ("fast_forward", "overlay")
+    assert db.read("facts").where("key >= 600").count() == 6
