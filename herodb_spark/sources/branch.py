@@ -53,7 +53,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession

@@ -17,7 +17,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from herodb_spark.sources.branch import DatabaseBranch, MergeConflict
+from herodb_spark.sources.branch import MergeConflict
 from herodb_spark.sources.database import SnapshotDatabase
 
 
