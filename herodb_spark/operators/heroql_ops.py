@@ -471,14 +471,20 @@ def heroql_cached_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     invalidation are library-tested (tests/test_heroql.py,
     tests/test_namespace_mutation.py on namespace.QueryCache)."""
     hql = HeroQL(spark)
-    hql.register("nat", load_table(spark, sf_dir, "nation"))
+    nat = load_table(spark, sf_dir, "nation")
+    hql.register("nat", nat)
+    # the probed key is DATA-DERIVED (nation key 1's name), not a
+    # literal tied to one testdata generation — the cache path needs a
+    # constant in the atom, so resolve it driver-side (1 row) and
+    # interpolate; the oracle derives the same name in SQL
+    probe = nat.where(F.col("n_nationkey") == 1).first().n_name
     hql.run("""
         data Sib(a: string, b: string);
         case Sib(a, b) :- nat(_, a, r), nat(_, b, r), a != b;
         index Sib { Hash(a) };
     """)
-    q1 = hql.run('query (b) :- Sib("NATION_1", b);').queries[0]
-    q2 = hql.run('query (b) :- Sib("NATION_1", b);').queries[0]
+    q1 = hql.run(f'query (b) :- Sib("{probe}", b);').queries[0]
+    q2 = hql.run(f'query (b) :- Sib("{probe}", b);').queries[0]
     nb = F.lit(None).cast("long")
     stats = hql._qcache_stats
     rows = [("stats", None, int(stats["hits"]), int(stats["misses"]))]
@@ -498,7 +504,7 @@ WITH sib AS (
   SELECT n2.n_name AS b
   FROM nation n1 JOIN nation n2
     ON n1.n_regionkey = n2.n_regionkey AND n1.n_name <> n2.n_name
-  WHERE n1.n_name = 'NATION_1'
+  WHERE n1.n_name = (SELECT n_name FROM nation WHERE n_nationkey = 1)
 )
 SELECT 'q1' AS phase, b AS k, CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2 FROM sib
 UNION ALL
