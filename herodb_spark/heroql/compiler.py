@@ -1732,6 +1732,15 @@ class HeroQL:
                         f"query {q.name}: {lit.name!r} is not a declared "
                         "output-argument query"
                     )
+                # arity of the DESTRUCTURING must match the callee's
+                # declared outs — _eval_out_query zips them, so an
+                # unchecked `s <- Solve(a,b,c)` against a two-output
+                # Solve would silently bind only the first output
+                if len(lit.outs) != len(callee.outs):
+                    raise HeroQLError(
+                        f"query {q.name}: call binds {len(lit.outs)} output "
+                        f"variable(s) but {lit.name} declares {len(callee.outs)}"
+                    )
                 for a in lit.args:
                     refs = set()
                     self._expr_var_names(a, refs)

@@ -110,6 +110,27 @@ class BackupRing:
             for name in names:
                 t = db.table(name)
                 tm = t._load()
+                # concurrent-vacuum check beyond vanished DIRECTORIES:
+                # a db.vacuum between the db-manifest snapshot and this
+                # table-manifest read may have pruned a table VERSION
+                # the snapshotted db manifest pins (whose dirs are all
+                # shared with surviving versions, so no rel goes
+                # missing below) — a slot published from that pair
+                # would restore a database raising 'no version N'.
+                # Verify every pinned version survived; mismatch is a
+                # retriable race, exactly like a vanished directory.
+                pinned = {
+                    int(e["tables"][name])
+                    for e in dbm["versions"].values()
+                    if name in e.get("tables", {})
+                }
+                gone = sorted(v for v in pinned if str(v) not in tm["versions"])
+                if gone:
+                    raise ConcurrentWriteError(
+                        f"{db.path}: version(s) {gone} of {name!r} vacuumed "
+                        "during backup (db-manifest pin no longer resolvable) "
+                        "— retry"
+                    )
                 tdir = os.path.join(stage, "tables", name)
                 os.makedirs(tdir)
                 with open(os.path.join(tdir, "_manifest.json"), "w") as f:
@@ -188,8 +209,20 @@ class BackupRing:
                 shutil.rmtree(tpool, ignore_errors=True)
 
     def _sweep_stale_stages(self) -> None:
+        """Reclaim crash leftovers: hidden stages (killed mid-copy) AND
+        renamed-but-never-published slot directories — a crash between
+        os.rename(stage, final) and the ring-manifest write leaves a
+        'slot-N-<uuid>' dir no manifest entry references; without this
+        sweep it would leak forever (the pool GC only walks pool/).
+        Safe under the single-writer ring discipline: callers sweep
+        AFTER their own manifest write, so their fresh slot is always
+        referenced by the time this runs."""
+        live = {e["dir"] for e in self._load()["entries"].values()}
         for d in os.listdir(self.path):
-            if d.startswith(".stage-"):
+            stale = d.startswith(".stage-") or (
+                d.startswith("slot-") and d not in live
+            )
+            if stale:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     # -- restore ----------------------------------------------------------------

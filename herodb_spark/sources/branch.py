@@ -139,9 +139,48 @@ class DatabaseBranch:
             raise ValueError(f"invalid table name {name!r}")
         return os.path.join(self.path, "tables", name)
 
+    def _merge_completed(self, m: dict) -> bool:
+        """Detect a merge whose parent swap LANDED but whose
+        merged=True marker commit was lost to a crash (the window
+        between the parent-manifest swap and the final branch-manifest
+        commit in merge()): the parent history then holds a
+        `merge_branch:<name>` version NEWER than this branch's
+        recorded creation point. A same-name branch created after an
+        older merge can't false-positive — its parent_version is at or
+        past that merge's version."""
+        if m.get("merged"):
+            return True
+        try:
+            pv = int(m.get("parent_version", -1))
+            pm = self.parent._load()
+        except (OSError, ValueError):
+            return False
+        op = f"merge_branch:{self.name}"
+        return any(
+            int(v) > pv and e.get("op") == op
+            for v, e in pm.get("versions", {}).items()
+        )
+
+    def _heal_merged(self, m: dict) -> None:
+        """Persist the lost merged=True marker (best-effort — detection
+        keeps working even if this commit loses a race)."""
+        try:
+            m2 = self._load()
+            if not m2.get("merged"):
+                m2["merged"] = True
+                self._mf._commit(m2)
+        except Exception:
+            pass
+
     def _check_open(self, m: dict) -> None:
         if m.get("merged"):
             raise ValueError(f"{self.path}: branch already merged — discard it")
+        if self._merge_completed(m):
+            self._heal_merged(m)
+            raise ValueError(
+                f"{self.path}: branch already merged (marker recovered from "
+                "parent history) — discard it"
+            )
 
     def tables(self) -> dict:
         return {n: dict(e) for n, e in self._entry().items()}
@@ -151,11 +190,21 @@ class DatabaseBranch:
         """Read through the branch pin: parent-origin tables resolve at
         their pinned (immutable) parent versions — later parent commits
         are invisible; local tables resolve in branch storage."""
-        ent = self._entry().get(name)
+        m = self._load()
+        ent = self._entry(m).get(name)
         if ent is None:
             raise ValueError(f"{self.path}: no table {name!r} in branch")
         if ent["origin"] == "parent":
             return self.parent.table(name).read(version=ent["v"], ranges=ranges)
+        # local tables: a crash-window merge (parent swap landed, marker
+        # lost) renamed the local partition dirs into parent storage —
+        # detect it and fail with the truth, not a missing-path read
+        if self._merge_completed(m):
+            self._heal_merged(m)
+            raise ValueError(
+                f"{self.path}: branch already merged (marker recovered from "
+                "parent history) — read from the parent, then discard it"
+            )
         return SnapshotTable(self.spark, self._table_path(name)).read(
             version=ent["v"], ranges=ranges
         )

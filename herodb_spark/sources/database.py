@@ -635,6 +635,14 @@ class SnapshotDatabase:
         delete discipline."""
         br = self.open_branch(name)
         m = br._load()
+        # a crash between merge()'s parent swap and its merged=True
+        # marker commit leaves a branch that CLAIMS divergence while its
+        # local rewrites already live in the parent — recover the marker
+        # from parent history so the drop doesn't demand discard_changes
+        # for changes that were in fact merged
+        if not m.get("merged") and br._merge_completed(m):
+            br._heal_merged(m)
+            m = br._load()
         if not m.get("merged") and not discard_changes:
             diverged = [
                 n for n, e in br._entry(m).items() if e["origin"] == "local"

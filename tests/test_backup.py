@@ -199,3 +199,48 @@ def test_auto_backup_through_txn_sink(spark, tmp_path):
     assert got == {500, 501}
     with pytest.raises(ValueError, match="come together"):
         DatabaseTxnSink(db, routes={}, backup_every=2)
+
+
+def test_backup_detects_vacuumed_pinned_version(spark, tmp_path):
+    """r12-advice medium: a db.vacuum racing between the db-manifest
+    snapshot and the table-manifest read can prune a table VERSION the
+    snapshotted db manifest pins while every partition directory
+    survives (shared with newer versions) — the vanished-dir check
+    never fires, but the restored database would raise 'no version N'.
+    Backup must verify every pinned version resolves in the copied
+    table manifest and raise the retriable error."""
+    db = _mkdb(spark, tmp_path)
+    with db.transaction() as t:
+        t.merge_upsert(
+            "facts",
+            spark.createDataFrame([(500, 0, 5)], "key long, grp long, val long"),
+        )
+    # simulate the race's END STATE: the table manifest lost version 0
+    # (which db-manifest version 1 pins) while all directories remain
+    t = db.table("facts")
+    tm = t._load()
+    assert "0" in tm["versions"] and int(tm["current"]) > 0
+    del tm["versions"]["0"]
+    t._commit(tm)
+    ring = BackupRing(os.path.join(str(tmp_path), "ring"), slots=2)
+    with pytest.raises(ConcurrentWriteError, match="no longer resolvable"):
+        ring.backup(db)
+    # nothing was published
+    assert ring.entries() == {}
+
+
+def test_unpublished_slot_dir_is_swept(spark, tmp_path):
+    """r12-advice low: a crash between os.rename(stage, final) and the
+    ring-manifest write leaves a 'slot-N-<uuid>' directory no entry
+    references; the stale sweep must reclaim it while leaving every
+    REFERENCED slot directory alone."""
+    db = _mkdb(spark, tmp_path)
+    ring = BackupRing(os.path.join(str(tmp_path), "ring"), slots=2)
+    ring.backup(db)
+    live = {e["dir"] for e in ring._load()["entries"].values()}
+    orphan = os.path.join(ring.path, "slot-1-deadbeef")
+    os.makedirs(os.path.join(orphan, "tables"))
+    ring.backup(db)
+    names = set(os.listdir(ring.path))
+    assert "slot-1-deadbeef" not in names
+    assert live <= names  # previously published slots untouched

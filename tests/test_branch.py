@@ -485,3 +485,46 @@ def test_write_audit_publish_streaming(spark, tmp_path):
     rep = br.merge()
     assert rep["facts"] in ("fast_forward", "overlay")
     assert db.read("facts").where("key >= 600").count() == 6
+
+
+def test_merge_marker_crash_recovered_from_parent_history(spark, tmp_path):
+    """r12-advice low: a crash between merge()'s parent swap and its
+    merged=True branch-manifest commit leaves a branch CLAIMING
+    divergence whose local rewrites already live in the parent.
+    read()/mutations must detect the completed merge from parent
+    history (merge_branch:<name> version past the branch point) and
+    report 'already merged'; drop_branch must not demand
+    discard_changes."""
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    br.merge_upsert(
+        "facts", spark.createDataFrame([(7, 1, 777)], "key long, grp long, val long")
+    )
+    # capture the pre-marker manifest, merge, then restore it — exactly
+    # the crash window's on-disk state (swap landed, marker lost)
+    with open(br._mf._manifest_path()) as f:
+        pre_marker = f.read()
+    br.merge()
+    with open(br._mf._manifest_path(), "w") as f:
+        f.write(pre_marker)
+    assert not br._load().get("merged")
+    with pytest.raises(ValueError, match="already merged"):
+        br.read("facts")
+    with pytest.raises(ValueError, match="already merged"):
+        br.merge_upsert(
+            "facts",
+            spark.createDataFrame([(8, 1, 8)], "key long, grp long, val long"),
+        )
+    # the heal persisted the marker; drop needs no discard_changes
+    db.drop_branch("wip")
+    assert db.branches() == []
+    # the merged row is in the parent (the swap really landed)
+    assert _vals(db.read("facts"))[7] == 777
+    # a FRESH same-name branch is not poisoned by the old merge record
+    br2 = db.branch("wip")
+    br2.merge_upsert(
+        "facts", spark.createDataFrame([(9, 1, 9)], "key long, grp long, val long")
+    )
+    assert _vals(br2.read("facts"))[9] == 9
+    br2.merge()
+    db.drop_branch("wip")
