@@ -475,6 +475,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # inlined as pure Catalyst expressions; GRADED via heroql_programs
     # (outq leg)
     "heroql_outquery": HQ.heroql_outquery,
+    # round 13: the README's @-command query dialect (Kernel/README.md
+    # "order_by, order_by_desc" → "REMOVE") — Top10 /
+    # Top3ScorePerStudent / AverageTop3ScorePerStudent and the
+    # AddExam/UpdateExam/RemoveExam procedures, VERBATIM; GRADED via
+    # heroql_programs (cmdq leg)
+    "heroql_at_dialect": HQ.heroql_at_dialect,
 }
 
 
@@ -618,6 +624,7 @@ ORACLES: dict[str, str] = {
     "db_branch_merge": LC.DB_BRANCH_MERGE_SQL,
     "heroql_cached_query": HQ.HEROQL_CACHED_QUERY_SQL,
     "heroql_outquery": HQ.HEROQL_OUTQUERY_SQL,
+    "heroql_at_dialect": HQ.HEROQL_AT_DIALECT_SQL,
 }
 
 

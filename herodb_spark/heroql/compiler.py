@@ -238,6 +238,17 @@ class HeroQL:
         # output-argument query functions (Kernel/README.md "Output
         # only argument"): name -> OutQueryDecl, inlined at call sites
         self.outqueries: dict[str, object] = {}
+        # @-command dialect surfaces (Kernel/README.md QUERY/UPDATE
+        # sections): relational named queries (`@partition` /
+        # `@order_by_desc` / `@aggregate` bodies — derived relations,
+        # memoized like rules) and procedure queries (`@insert` /
+        # `@update` / `@remove` bodies — invoked as `Name(args);`)
+        self.atqueries: dict[str, object] = {}
+        self.procs: dict[str, object] = {}
+        # standalone `index N {...}` declared BEFORE its relation
+        # (the README's "the order is not important") — applied when
+        # the name is declared
+        self._deferred_indexes: dict[str, list] = {}
         self._qcache: dict[tuple, tuple] = {}  # key -> (status, df)
         self._qcache_stats = {"hits": 0, "misses": 0}
         # incremental maintenance of memoized derivations (draft:67-72
@@ -619,6 +630,7 @@ class HeroQL:
             return (
                 n in self.defs or n in self.rules or n in self.tables
                 or n in self.enums or n in self.types
+                or n in self.procs or n in self.outqueries
             )
 
         if known(name):
@@ -680,6 +692,19 @@ class HeroQL:
                     self._canon_expr(a)
             elif isinstance(lit, (P.CompareLit, P.EnsureLit)):
                 self._canon_expr(lit.expr)
+            elif isinstance(lit, P.MutCmdLit):
+                lit.atom.name = self._resolve_ref(lit.atom.name)
+                for a in lit.atom.args:
+                    if not isinstance(a, (P.Wildcard, P.AtMarked)):
+                        self._canon_expr(a)
+            elif isinstance(lit, P.PartitionCmd):
+                for k in lit.keys:
+                    self._canon_expr(k)
+            elif isinstance(lit, P.AggregateCmd):
+                for _fn, arg in lit.items:
+                    self._canon_expr(arg)
+            elif isinstance(lit, P.OrderCmd):
+                self._canon_expr(lit.expr)
 
     def _exec_item(self, item, out: RunResult) -> None:
         self._cur_src = getattr(item, "src", None)
@@ -726,31 +751,49 @@ class HeroQL:
             self._declare_data(item)
             return
         if isinstance(item, P.QueryIndexDecl):
-            # cached-query index (Kernel/README.md "Cached Query"):
-            # register the cache keys; subsequent constant-bound atoms
-            # on these columns resolve through the per-value cache
+            # standalone index block (Kernel/README.md "Cached Query" +
+            # DATA-COLLECTION): Hash/Unique entries register cache key
+            # sets (constant-bound atoms resolve through the per-value
+            # cache); Unique/Ordered/AutoIncresed also attach to the
+            # relation's TableDef so `set` replace-on-key, ensure-set
+            # and violation checks see them. May PRECEDE the relation's
+            # declaration ("the order is not important") — deferred
+            # until the name appears.
             name = self._resolve_ref(item.name)
             if name not in self.defs:
-                raise HeroQLError(
-                    f"index {item.name}: unknown relation (declare the data/"
-                    "rule first — the index names its cache keys)"
-                )
-            fields = set(self._def(name).fields)
-            key_sets: list[list[str]] = []
-            for ix in item.indexes:
-                bad = [c for c in ix.cols if c not in fields]
-                if bad or not ix.cols:
-                    raise HeroQLError(
-                        f"index {item.name}: column(s) {bad or '(none)'} not in "
-                        f"{sorted(fields)}"
-                    )
-                key_sets.append(list(ix.cols))
-            self.query_indexes[name] = key_sets
+                self._deferred_indexes.setdefault(
+                    self._qualify(item.name), []
+                ).append(item.indexes)
+                return
+            self._apply_query_index(name, item.indexes)
             return
         if isinstance(item, P.OutQueryDecl):
             name = self._qualify(item.name)
+            kind = self._classify_out_query(item)
+            if kind == "procedure":
+                self._canon_body(item.body)
+                self._check_procedure(item)
+                self.procs[name] = item
+                return
+            if kind == "relational":
+                self._canon_body(item.body)
+                self._check_at_query(item)
+                fields = [n for n, _t in item.ins] + [n for n, _t in item.outs]
+                types = [t for _n, t in item.ins] + [t for _n, t in item.outs]
+                self.defs[name] = TableDef(
+                    name, fields, types if any(types) else None
+                )
+                self.atqueries[name] = item
+                self._memo.pop(name, None)
+                for ixs in self._deferred_indexes.pop(name, []):
+                    self._apply_query_index(name, ixs)
+                return
             self._check_out_query(item)
             self.outqueries[name] = item
+            return
+        if isinstance(item, P.CallStmt):
+            self._canon_atom(item.atom)
+            self._exec_call(item)
             return
         if isinstance(item, P.FuncDecl):
             name = self._qualify(item.name)
@@ -852,6 +895,10 @@ class HeroQL:
         if key is None:
             key = self._guess_key(fields)
         self.defs[d.name] = TableDef(d.name, fields, types, d.is_class, key, d.where, d.indexes)
+        # a standalone `index N {...}` may have preceded this
+        # declaration (README: "the order is not important")
+        for ixs in self._deferred_indexes.pop(d.name, []):
+            self._apply_query_index(d.name, ixs)
         for rel in d.relations:
             edge = f"{d.name}__{rel.name}"
             # `spouse * spouse : Person, 1..1` (draft:36): a member that
@@ -921,6 +968,12 @@ class HeroQL:
                 self._eval_idb(name)
                 self._memo_pos[name] = len(self._delta_log)
             self._prune_delta_log()
+            return self._memo[name]
+        if name in self.atqueries:
+            # relational @-command query: a derived relation, memoized
+            # like rule derivations (any mutation wipes the memo)
+            if name not in self._memo:
+                self._memo[name] = self._eval_at_query(self.atqueries[name])
             return self._memo[name]
         if name in self.tables:
             return self.tables[name]
@@ -1838,6 +1891,359 @@ class HeroQL:
             else:
                 frame.df = frame.df.withColumn(v, col)
                 frame.vars[v] = None
+
+    # ---------------------------------------------- @-command dialect
+    # (Kernel/README.md "order_by, order_by_desc" / "partition" /
+    # "aggregation" / UPDATE sections — the README's own query surface,
+    # compiled onto the existing window/groupBy/mutation machinery)
+
+    def _classify_out_query(self, q: "P.OutQueryDecl") -> str:
+        """scalar (pure `<-` computation, inlined at call sites) |
+        relational (atoms + @partition/@order_by/@aggregate — a derived
+        relation) | procedure (@insert/@update/@remove — invoked as a
+        `Name(args);` statement)."""
+        has_proc = any(isinstance(l, P.MutCmdLit) for l in q.body)
+        has_rel = any(
+            isinstance(
+                l,
+                (P.Atom, P.NotLit, P.ExistsLit, P.EnsureLit,
+                 P.PartitionCmd, P.AggregateCmd, P.OrderCmd),
+            )
+            for l in q.body
+        )
+        if has_proc and has_rel:
+            raise HeroQLError(
+                f"query {q.name}: @insert/@update/@remove bodies cannot mix "
+                "with relational literals"
+            )
+        if has_proc:
+            if q.outs:
+                raise HeroQLError(
+                    f"query {q.name}: procedure queries declare no outputs"
+                )
+            return "procedure"
+        return "relational" if has_rel else "scalar"
+
+    def _check_procedure(self, q: "P.OutQueryDecl") -> None:
+        """Declaration-time validation of a mutation query (README
+        AddExam/UpdateExam/RemoveExam): only @-commands in the body,
+        every referenced name a declared parameter (or enum member),
+        @-marks only in @update (at least one), no wildcard @insert
+        columns."""
+        params = {n for n, _t in q.ins}
+        for lit in q.body:
+            if not isinstance(lit, P.MutCmdLit):
+                raise HeroQLError(
+                    f"query {q.name}: procedure bodies take @insert/@update/"
+                    "@remove commands only"
+                )
+            marked = [a for a in lit.atom.args if isinstance(a, P.AtMarked)]
+            if lit.kind == "update" and not marked:
+                raise HeroQLError(
+                    f"query {q.name}: @update marks no @column to set"
+                )
+            if lit.kind != "update" and marked:
+                raise HeroQLError(
+                    f"query {q.name}: @-marked columns only apply to @update"
+                )
+            for a in lit.atom.args:
+                if isinstance(a, P.Wildcard):
+                    if lit.kind == "insert":
+                        raise HeroQLError(
+                            f"query {q.name}: @insert needs a value for every column"
+                        )
+                    continue
+                refs: set = {a.name} if isinstance(a, P.AtMarked) else set()
+                if not refs:
+                    self._expr_var_names(a, refs)
+                free = refs - params
+                if free:
+                    raise HeroQLError(
+                        f"query {q.name}: {sorted(free)} not among the "
+                        "declared parameters"
+                    )
+
+    def _check_at_query(self, q: "P.OutQueryDecl") -> None:
+        """Declaration-time boundness for a relational @-query: every
+        declared in/out must be bound by an atom pattern, a `<-`
+        binding, an @order_by rank, or a call output."""
+        ins = {n for n, _t in q.ins}
+        outs = {n for n, _t in q.outs}
+        if ins & outs:
+            raise HeroQLError(f"query {q.name}: {sorted(ins & outs)} both in and out")
+        bound: set = set()
+        for lit in q.body:
+            if isinstance(lit, P.Atom):
+                for a in lit.args:
+                    self._expr_var_names(a, bound)
+            elif isinstance(lit, P.AssignLit):
+                bound.add(lit.var)
+            elif isinstance(lit, P.OrderCmd):
+                bound.add(lit.var)
+            elif isinstance(lit, P.CallLit):
+                bound.update(lit.outs)
+        missing = (ins | outs) - bound
+        if missing:
+            raise HeroQLError(
+                f"query {q.name}: argument(s) {sorted(missing)} never bound"
+            )
+
+    _AT_AGG_FUNCS = ("average", "sum", "count", "min", "max")
+
+    def _at_agg(self, fn: str, col, dtype):
+        """README `@aggregate` functions. Integer-typed `average`
+        floors to a BIGINT (the README declares `average : int`; FLOOR
+        is exact Spark-vs-DuckDB because integer sums divide to the
+        same IEEE double on both engines)."""
+        if fn == "count":
+            return F.count(F.lit(1) if col is None else col)
+        if fn == "sum":
+            return F.sum(col)
+        if fn == "min":
+            return F.min(col)
+        if fn == "max":
+            return F.max(col)
+        if fn == "average":
+            if isinstance(
+                dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+            ):
+                return F.floor(F.avg(col)).cast("long")
+            return F.avg(col)
+        raise HeroQLError(
+            f"unknown @aggregate function {fn!r} (expected one of "
+            f"{', '.join(self._AT_AGG_FUNCS)})"
+        )
+
+    def _eval_at_query(self, q: "P.OutQueryDecl") -> DataFrame:
+        """Evaluate a relational @-command query to its derived
+        relation (fields = ins + outs, set semantics like rules).
+
+        Compilation is one declarative plan: atoms join exactly as in
+        rule bodies; `@partition(keys)` sets the scope of what follows;
+        `var <- @order_by_desc(x)` is a window ROW_NUMBER()-1 (0-based,
+        so the README's `order < 10` keeps the top 10) partitioned by
+        the scope keys, ties broken by the current frame columns in
+        binding order (the determinism contract heroql_pipeline pins);
+        `@aggregate(f(x), ...)` collapses to the scope keys, REBINDING
+        each argument variable to its aggregate (the README's
+        `average <- score` then reads the aggregated score). At scale
+        this is the same window/partial-agg shuffle shape a
+        hand-written DataFrame program produces."""
+        frame = Frame(self)
+        part_keys: list[str] = []
+        for lit in q.body:
+            if isinstance(lit, P.Atom):
+                self._join_atom(lit, frame, "inner", None, None)
+            elif isinstance(lit, P.NotLit):
+                self._join_atom(lit.atom, frame, "left_anti", None, None)
+            elif isinstance(lit, P.ExistsLit):
+                self._join_atom(lit.atom, frame, "left_semi", None, None)
+            elif isinstance(lit, P.PartitionCmd):
+                names = []
+                for k in lit.keys:
+                    if not isinstance(k, P.Var) or not frame.has(k.name):
+                        raise HeroQLError(
+                            f"query {q.name}: @partition keys must be bound "
+                            "variables"
+                        )
+                    names.append(k.name)
+                part_keys = names
+            elif isinstance(lit, P.OrderCmd):
+                if frame.df is None:
+                    raise HeroQLError(f"query {q.name}: @order_by before any atom")
+                if frame.has(lit.var):
+                    raise HeroQLError(
+                        f"query {q.name}: rank variable {lit.var!r} already bound"
+                    )
+                self._force_derefs(lit.expr, frame)
+                ocol = self._expr(lit.expr, _ExprCtx(self, frame))
+                ocol = ocol.desc() if lit.desc else ocol.asc()
+                tiebreak = [F.col(c) for c in frame.df.columns]
+                w = (
+                    Window.partitionBy(*[F.col(k) for k in part_keys])
+                    if part_keys
+                    else Window
+                ).orderBy(ocol, *tiebreak)
+                frame.df = frame.df.withColumn(
+                    lit.var, (F.row_number().over(w) - 1).cast("long")
+                )
+                frame.vars[lit.var] = None
+            elif isinstance(lit, P.AggregateCmd):
+                if frame.df is None:
+                    raise HeroQLError(f"query {q.name}: @aggregate before any atom")
+                aggs = []
+                for fn, arg in lit.items:
+                    if not isinstance(arg, P.Var) or not frame.has(arg.name):
+                        raise HeroQLError(
+                            f"query {q.name}: @aggregate arguments must be "
+                            "bound variables"
+                        )
+                    col = frame.col(arg.name)
+                    dtype = frame.df.schema[arg.name].dataType
+                    aggs.append(self._at_agg(fn, col, dtype).alias(arg.name))
+                gb = (
+                    frame.df.groupBy(*[F.col(k) for k in part_keys])
+                    if part_keys
+                    else frame.df.groupBy()
+                )
+                nf = Frame(self)
+                nf.df = gb.agg(*aggs)
+                nf.vars = {k: frame.vars.get(k) for k in part_keys}
+                nf.vars.update({arg.name: None for _fn, arg in lit.items})
+                frame = nf
+            elif isinstance(lit, P.AssignLit):
+                self._force_derefs(lit.expr, frame)
+                val = self._expr(lit.expr, _ExprCtx(self, frame))
+                if frame.has(lit.var):
+                    frame.df = frame.df.where(frame.col(lit.var) == val)
+                else:
+                    frame.df = frame.df.withColumn(lit.var, val)
+                    frame.vars[lit.var] = None
+            elif isinstance(lit, P.CompareLit):
+                if frame.df is None:
+                    raise HeroQLError(f"query {q.name}: comparison before any atom")
+                self._force_derefs(lit.expr, frame)
+                frame.df = frame.df.where(self._expr(lit.expr, _ExprCtx(self, frame)))
+            elif isinstance(lit, P.CallLit):
+                self._inline_call(lit, frame)
+            elif isinstance(lit, P.EnsureLit):
+                self._force_derefs(lit.expr, frame)
+                cond = self._expr(lit.expr, _ExprCtx(self, frame))
+                if not frame.df.where(~cond).isEmpty():
+                    raise HeroQLError("ensure violated (draft:111)")
+            else:
+                raise HeroQLError(
+                    f"query {q.name}: unsupported literal {type(lit).__name__}"
+                )
+        if frame.df is None:
+            raise HeroQLError(f"query {q.name}: body binds no atoms")
+        cols = []
+        for n, _t in list(q.ins) + list(q.outs):
+            if not frame.has(n):
+                raise HeroQLError(f"query {q.name}: argument {n!r} never bound")
+            cols.append(frame.col(n).alias(n))
+        return frame.df.select(cols).distinct()
+
+    def _proc_value(self, a, env: dict, qname: str):
+        """Constant-fold a procedure-body expression over the bound
+        parameter environment (driver-side — procedure calls take
+        constant arguments)."""
+        if isinstance(a, P.Var):
+            if a.name in env:
+                return env[a.name]
+            m = self._enum_member(a.name)
+            if m is not None:
+                return m
+            raise HeroQLError(f"{qname}: unbound parameter {a.name!r}")
+        v = self._const_value(a)
+        if v is not None or isinstance(a, P.Const):
+            return v
+        if isinstance(a, P.BinOp):
+            left = self._proc_value(a.left, env, qname)
+            right = self._proc_value(a.right, env, qname)
+            ops = {
+                "+": lambda: left + right,
+                "-": lambda: left - right,
+                "*": lambda: left * right,
+                "/": lambda: left / right,
+            }
+            if a.op not in ops:
+                raise HeroQLError(
+                    f"{qname}: unsupported operator {a.op!r} in a procedure body"
+                )
+            return ops[a.op]()
+        raise HeroQLError(
+            f"{qname}: unsupported procedure expression {type(a).__name__}"
+        )
+
+    def _exec_call(self, call: "P.CallStmt") -> None:
+        """Invoke a declared procedure query (README UPDATE sections):
+        bind constant arguments to the parameters, then run each
+        @-command through the ordinary mutation executors — `@insert`
+        is a `set` (durable merge on snapshot tables), `@update` a
+        CASE-projection update_where matching the unmarked columns and
+        assigning the @-marked ones, `@remove` a delete_where."""
+        name = call.atom.name
+        decl = self.procs.get(name)
+        if decl is None:
+            raise HeroQLError(f"{name!r} is not a declared procedure query")
+        if len(call.atom.args) != len(decl.ins):
+            raise HeroQLError(
+                f"{name}: {len(call.atom.args)} argument(s) != "
+                f"{len(decl.ins)} declared"
+            )
+        env: dict = {}
+        for (pname, _t), a in zip(decl.ins, call.atom.args):
+            v = self._const_value(a)
+            if v is None and not isinstance(a, P.Const):
+                raise HeroQLError(f"{name}: procedure arguments must be constants")
+            env[pname] = v
+        for lit in decl.body:
+            tname = self._resolve_ref(lit.atom.name)
+            if lit.kind == "insert":
+                self._exec_set(
+                    P.Atom(
+                        tname,
+                        [P.Const(self._proc_value(a, env, name)) for a in lit.atom.args],
+                    )
+                )
+            elif lit.kind == "update":
+                d = self._def(tname)
+                if len(lit.atom.args) != len(d.fields):
+                    raise HeroQLError(
+                        f"{name}: @update arity {len(lit.atom.args)} != "
+                        f"{len(d.fields)} columns of {tname}"
+                    )
+                pats: list = []
+                body: list = []
+                for i, a in enumerate(lit.atom.args):
+                    if isinstance(a, P.AtMarked):
+                        var = f"_c{i}"
+                        pats.append(P.Var(var))
+                        body.append(P.AssignLit(var, P.Const(env[a.name])))
+                    elif isinstance(a, P.Wildcard):
+                        pats.append(P.Wildcard())
+                    else:
+                        pats.append(P.Const(self._proc_value(a, env, name)))
+                self._exec_update(P.UpdateStmt(tname, pats, body))
+            else:
+                pats = [
+                    P.Wildcard()
+                    if isinstance(a, P.Wildcard)
+                    else P.Const(self._proc_value(a, env, name))
+                    for a in lit.atom.args
+                ]
+                self._exec_remove(P.RemoveStmt(tname, pats, []))
+
+    def _apply_query_index(self, name: str, indexes: list) -> None:
+        """Attach a standalone `index N { ... }` block: Hash/Unique
+        entries become cached-query key sets (Kernel/README.md "Cached
+        Query"); Unique/Ordered/AutoIncresed entries also land on the
+        TableDef (replace-on-key `set`, ensure-set, violation checks,
+        clustering hints). Nested `partition(e){...}` blocks arrive
+        pre-flattened from the parser (partition keys prepended)."""
+        d = self._def(name)
+        fields = set(d.fields)
+        key_sets = list(self.query_indexes.get(name, []))
+        for ix in indexes:
+            bad = [c for c in ix.cols if c not in fields]
+            if bad or not ix.cols:
+                raise HeroQLError(
+                    f"index {name}: column(s) {bad or '(none)'} not in "
+                    f"{sorted(fields)}"
+                )
+            if any(k in ("Hash", "Unique") for k in ix.kinds):
+                if list(ix.cols) not in key_sets:
+                    key_sets.append(list(ix.cols))
+            if any(k in ("Unique", "Ordered", "AutoIncresed", "Cache") for k in ix.kinds):
+                if not any(
+                    e.kinds == ix.kinds and e.cols == ix.cols for e in d.indexes
+                ):
+                    d.indexes.append(ix)
+            if "Unique" in ix.kinds and len(ix.cols) == 1 and d.key is None:
+                d.key = ix.cols[0]
+        if key_sets:
+            self.query_indexes[name] = key_sets
 
     def _cached_subset(self, name: str, atom: P.Atom):
         """CACHED-QUERY resolution (Kernel/README.md "Cached Query")

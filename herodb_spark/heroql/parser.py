@@ -61,6 +61,7 @@ class Tok:
     kind: str  # 'id' | 'kw' | 'int' | 'float' | 'string' | op text
     text: str
     pos: int
+    end: int = 0  # source offset one past the raw lexeme
 
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
@@ -137,8 +138,8 @@ def tokenize(src: str) -> list[Tok]:
                 kind = "kw"
         elif kind == "op":
             kind = text
-        toks.append(Tok(kind, text, m.start()))
-    toks.append(Tok("eof", "", len(src)))
+        toks.append(Tok(kind, text, m.start(), m.end()))
+    toks.append(Tok("eof", "", len(src), len(src)))
     return toks
 
 
@@ -251,14 +252,74 @@ class IndexDef:
 
 @dataclass
 class OutQueryDecl:
-    """`query Name(in: t, ...) -> (out: t, ...) :- body;` — the
-    output-argument query function (Kernel/README.md "Output only
-    argument"). The body is `<-` compute bindings + guards; forward
-    direction only."""
+    """`query Name(in: t, ...) [-> (out: t, ...)] :- body;` — a NAMED
+    query function (Kernel/README.md "Output only argument" and the
+    QUERY/UPDATE `@`-command sections). Three body shapes, classified
+    by the compiler:
+    - scalar: only `<-` bindings / guards / calls — inlined at
+      `x <- F(args)` call sites as pure Catalyst expressions;
+    - relational: atoms + `@partition` / `@order_by(_desc)` /
+      `@aggregate` commands — registers a derived relation named
+      `name` with fields ins+outs (README Top10 / Top3ScorePerStudent /
+      AverageTop3ScorePerStudent);
+    - procedure: `@insert` / `@update` / `@remove` commands — a
+      parameterized mutation invoked as a top-level `Name(args);`
+      statement (README AddExam / UpdateExam / RemoveExam)."""
     name: str
     ins: list   # [(name, type|None)]
     outs: list  # [(name, type|None)]
     body: list
+
+
+@dataclass
+class AtMarked:
+    """`@score` inside an `@update` command atom (Kernel/README.md
+    UPDATE): marks the column the command SETS; unmarked arguments are
+    match keys."""
+    name: str
+
+
+@dataclass
+class MutCmdLit:
+    """`@insert T(args)` / `@update T(k, @v)` / `@remove T(k, _)` —
+    a mutation command inside a query body (Kernel/README.md
+    INSERT/UPDATE/REMOVE sections)."""
+    kind: str  # 'insert' | 'update' | 'remove'
+    atom: Atom
+
+
+@dataclass
+class PartitionCmd:
+    """`@partition(student)` (Kernel/README.md "partition"): scopes
+    the following `@order_by(_desc)` / `@aggregate` commands to
+    per-key partitions."""
+    keys: list  # exprs (typically Vars)
+
+
+@dataclass
+class AggregateCmd:
+    """`@aggregate(average(score), ...)` (Kernel/README.md
+    "aggregation"): collapses the frame to the partition keys,
+    REBINDING each argument variable to its aggregate value (the
+    README's `average <- score` then reads the aggregated score)."""
+    items: list  # [(func_name, arg_expr)]
+
+
+@dataclass
+class OrderCmd:
+    """`order <- @order_by_desc(score)` (Kernel/README.md "order_by,
+    order_by_desc"): binds `var` to the row's 0-based rank within the
+    current partition scope (`order < 10` then keeps the top 10)."""
+    var: str
+    expr: object
+    desc: bool
+
+
+@dataclass
+class CallStmt:
+    """Top-level `AddExam("alice", 90);` — invocation of a declared
+    procedure query (mutation-command body) with constant arguments."""
+    atom: Atom
 
 
 @dataclass
@@ -539,6 +600,28 @@ class Parser:
             raise HeroQLSyntaxError(f"expected {word!r}, got {t.text!r} at offset {t.pos}")
         return self.next()
 
+    def end_stmt(self) -> None:
+        """Statement terminator: `;` (the draft dialect) or a DETACHED
+        `.` (Kernel/README.md's Prolog-style terminator — `data
+        Exams(student: string, score: int).` and body-final `\\n.`).
+        Field-access dots are written flush against their base
+        (`student.class`), so a dot with whitespace before it is never
+        consumed by parse_postfix (see _dot_adjacent) and reaches us
+        here."""
+        if self.at(";") or self.at("."):
+            self.next()
+            return
+        t = self.peek()
+        raise HeroQLSyntaxError(
+            f"expected ';' or '.', got {t.text!r} at offset {t.pos}"
+        )
+
+    def _dot_adjacent(self) -> bool:
+        """True when the `.` at the cursor touches the previous token —
+        a field access; a detached dot is the README statement
+        terminator."""
+        return self.i > 0 and self.peek().pos == self.toks[self.i - 1].end
+
     # -- entry
     def parse_item_spanned(self):
         """parse_item + attach the statement's SOURCE TEXT (consumed-
@@ -666,11 +749,38 @@ class Parser:
                     if self.at(","):
                         self.next()
                 self.expect(")")
+                if kind == "partition" and self.at("{"):
+                    # nested partition-index block (Kernel/README.md
+                    # DATA-COLLECTION: `partition(e) { Ordered(score),
+                    # Unique(t) }`): each inner declaration scopes to
+                    # one partition-key group — which FLATTENS exactly
+                    # to the partition keys prepended to the inner
+                    # columns (per-partition Unique(t) ≡ global
+                    # Unique(e, t); per-partition Ordered(score) ≡ the
+                    # (e, score) clustering hint), so the existing
+                    # violation/ensure/storage machinery applies as-is
+                    self.next()
+                    while not self.at("}"):
+                        ik = self.expect("id").text
+                        self.expect("(")
+                        icols: list[str] = []
+                        while not self.at(")"):
+                            icols.append(self.dotted_name())
+                            if self.at(","):
+                                self.next()
+                        self.expect(")")
+                        if self.at(";") or self.at(","):
+                            self.next()
+                        entries.append(IndexDef([ik], cols + icols))
+                    self.expect("}")
+                    if self.at(";") or self.at(","):
+                        self.next()
+                    continue
                 if self.at(";") or self.at(","):
                     self.next()
                 entries.append(IndexDef([kind], cols))
             self.expect("}")
-            if self.at(";"):
+            if self.at(";") or self.at("."):
                 self.next()
             return QueryIndexDecl(name, entries)
         if self.at_kw("enum"):
@@ -681,7 +791,7 @@ class Parser:
             self.next()
             atom = self.parse_atom()
             body = self.parse_rule_body_opt()
-            self.expect(";")
+            self.end_stmt()
             return Rule(atom, body)
         if self.at_kw("query"):
             return self.parse_query_decl()
@@ -725,11 +835,16 @@ class Parser:
             return self.parse_for_query()
         t = self.peek()
         # a bare rule:  Head(args) :- body ;     (draft:58-62)
+        # or a procedure CALL:  AddExam("alice", 90);   (README UPDATE —
+        # invoking a declared @-command mutation query)
         if t.kind == "id":
             atom = self.parse_atom()
+            if self.at(";") or self.at("."):
+                self.next()
+                return CallStmt(atom)
             self.expect(":-")
             body = self.parse_body()
-            self.expect(";")
+            self.end_stmt()
             return Rule(atom, body)
         raise HeroQLSyntaxError(f"unexpected token {t.text!r} at offset {t.pos}")
 
@@ -803,7 +918,7 @@ class Parser:
         if self.at_kw("where"):
             self.next()
             where = self.parse_expr()
-        self.expect(";")
+        self.end_stmt()
         return DataDecl(name, fields, relations, is_class, indexes, where)
 
     def parse_index_clause_opt(self) -> list[IndexDef]:
@@ -913,7 +1028,7 @@ class Parser:
         self.expect(")")
         self.expect(":-")
         body = self.parse_body()
-        self.expect(";")
+        self.end_stmt()
         return QueryDecl(args, body)
 
     def parse_out_query_decl(self) -> "OutQueryDecl":
@@ -940,23 +1055,26 @@ class Parser:
             if self.at(","):
                 self.next()
         self.expect(")")
-        self.expect("-")
-        self.expect(">")
-        self.expect("(")
         outs: list[tuple[str, str | None]] = []
-        while not self.at(")"):
-            pname = self.next().text
-            ptype = None
-            if self.at(":"):
-                self.next()
-                ptype = self.qualified_name()
-            outs.append((pname, ptype))
-            if self.at(","):
-                self.next()
-        self.expect(")")
+        if self.at("-"):
+            # `-> (out: t, ...)` is OPTIONAL: procedure queries
+            # (README AddExam/UpdateExam/RemoveExam) declare none
+            self.next()
+            self.expect(">")
+            self.expect("(")
+            while not self.at(")"):
+                pname = self.next().text
+                ptype = None
+                if self.at(":"):
+                    self.next()
+                    ptype = self.qualified_name()
+                outs.append((pname, ptype))
+                if self.at(","):
+                    self.next()
+            self.expect(")")
         self.expect(":-")
         body = self.parse_body()
-        self.expect(";")
+        self.end_stmt()
         return OutQueryDecl(name, ins, outs, body)
 
     def parse_collection_query(self) -> CollectionQuery:
@@ -1147,6 +1265,10 @@ class Parser:
         return lits
 
     def parse_literal(self):
+        # `@insert T(...)` / `@partition(k)` / `@aggregate(f(x))` —
+        # the README's @-command dialect (see _parse_at_command)
+        if self.at("@"):
+            return self._parse_at_command()
         # `(x1, x2) <- Solve(a, b, c)` — tuple-destructuring call of an
         # output-argument query (Kernel/README.md "Output only argument")
         if self.at("("):
@@ -1199,6 +1321,21 @@ class Parser:
                     f"only out arguments / locals may stand left of `<-` at {t.pos}"
                 )
             self.next()
+            if self.at("@"):
+                # `order <- @order_by_desc(score)` (Kernel/README.md
+                # "order_by, order_by_desc"): 0-based rank binding
+                self.next()
+                t = self.peek()
+                if not self.at_kw("order_by") and not self.at_kw("order_by_desc"):
+                    raise HeroQLSyntaxError(
+                        f"only @order_by / @order_by_desc bind with `<-` "
+                        f"(got {t.text!r} at offset {t.pos})"
+                    )
+                desc = self.next().text == "order_by_desc"
+                self.expect("(")
+                oexpr = self.parse_expr()
+                self.expect(")")
+                return OrderCmd(expr.name, oexpr, desc)
             j = self.i
             while self.toks[j].kind == "id" and self.toks[j + 1].kind == "::":
                 j += 2
@@ -1206,6 +1343,58 @@ class Parser:
                 return self._parse_call_rhs([expr.name])
             return AssignLit(expr.name, self.parse_expr(), arrow=True)
         return CompareLit(expr)
+
+    def _parse_at_command(self):
+        """Parse a rule-body `@`-command (Kernel/README.md QUERY/UPDATE
+        sections): `@insert|@update|@remove ATOM` (update atoms may
+        `@`-mark the columns to set), `@partition(keys)`,
+        `@aggregate(func(arg), ...)`. The `var <- @order_by[_desc](x)`
+        form is handled by the `<-` branch of parse_literal."""
+        self.expect("@")
+        t = self.peek()
+        word = t.text
+        if word in ("insert", "update", "remove"):
+            self.next()
+            name = self.qualified_name()
+            self.expect("(")
+            args: list = []
+            while not self.at(")"):
+                if self.at("@"):
+                    self.next()
+                    args.append(AtMarked(self.next().text))
+                else:
+                    args.append(self.parse_pattern())
+                if self.at(","):
+                    self.next()
+            self.expect(")")
+            return MutCmdLit(word, Atom(name, args))
+        if word == "partition":
+            self.next()
+            self.expect("(")
+            keys = [self.parse_expr()]
+            while self.at(","):
+                self.next()
+                keys.append(self.parse_expr())
+            self.expect(")")
+            return PartitionCmd(keys)
+        if word == "aggregate":
+            self.next()
+            self.expect("(")
+            items: list = []
+            while not self.at(")"):
+                fn = self.next().text
+                self.expect("(")
+                arg = self.parse_expr()
+                self.expect(")")
+                items.append((fn, arg))
+                if self.at(","):
+                    self.next()
+            self.expect(")")
+            return AggregateCmd(items)
+        raise HeroQLSyntaxError(
+            f"unknown @-command {word!r} at offset {t.pos} (expected insert/"
+            "update/remove/partition/aggregate; order_by forms bind with `<-`)"
+        )
 
     def _parse_call_rhs(self, outs: list[str]) -> CallLit:
         """After `outs <-`: parse `Name(expr, ...)` — the invocation of
@@ -1346,8 +1535,10 @@ class Parser:
     def parse_postfix(self):
         e = self.parse_primary()
         # field names may collide with keywords (`student.class`,
-        # draft_students:51) — accept either after the dot
-        while self.at(".") and self.peek(1).kind in ("id", "kw"):
+        # draft_students:51) — accept either after the dot; the dot
+        # must TOUCH its base, else it is a statement terminator
+        # (`order < 10 \n .` — Kernel/README.md query endings)
+        while self.at(".") and self.peek(1).kind in ("id", "kw") and self._dot_adjacent():
             self.next()
             e = FieldAccess(e, self.next().text)
         return e

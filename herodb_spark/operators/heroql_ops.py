@@ -551,6 +551,179 @@ ORDER BY k
 """
 
 
+def heroql_at_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kernel/README.md `@`-command query dialect, its four
+    worked examples VERBATIM (README "order_by, order_by_desc" →
+    "REMOVE" sections): Top10 (global 0-based rank + `order < 10`),
+    Top3ScorePerStudent (`@partition` scoping the rank),
+    AverageTop3ScorePerStudent (`@aggregate(average(score))` rebinding
+    `score`, with its out-of-order `index { Unique(student) }`
+    declaration — "the order is not important"), and the
+    AddExam/UpdateExam/RemoveExam mutation procedures invoked as
+    `Name(args);` statements. Exams derives from `orders` (students =
+    custkeys ≡ 0 mod 50, score = floor(totalprice·100)), so the data
+    scales with SF while the programs stay the README's own text.
+
+    Scale: Top10 is one window over the scan; the per-student legs are
+    the standard partitioned-window + partial-agg shuffle on the
+    partition key; the procedures compile to the same set/update_where/
+    delete_where plans the draft mutation statements use. Output
+    tag-union (part, student, n1, n2) with part ∈ {top10, top3, avg3,
+    mut}."""
+    orders = load_table(spark, sf_dir, "orders")
+    exams = orders.where(F.col("o_custkey") % 50 == 0).select(
+        F.col("o_custkey").cast("string").alias("student"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("score"),
+    )
+    hql = HeroQL(spark)
+    hql.register("Exams", exams)
+    res = hql.run("""
+query Top10() -> (student: string, score: int)
+:-	Exams(student, score),
+	order <- @order_by_desc(score),
+	order < 10
+.
+
+query Top3ScorePerStudent(student: string) -> (score: int, order: int)
+:-	Exams(student, score),
+	@partition(student),
+	order <- @order_by_desc(score),
+	order < 3
+.
+
+index AverageTop3ScorePerStudent {
+	Unique(student);
+}
+
+query AverageTop3ScorePerStudent(student: string) -> (average: int)
+:-	Exams(student, score),
+	@partition(student),
+	order <- @order_by_desc(score),
+	order < 3,
+	@aggregate(average(score)),
+	average <- score
+.
+
+query (student, score) :- Top10(student, score);
+query (student, score, order) :- Top3ScorePerStudent(student, score, order);
+query (student, average) :- AverageTop3ScorePerStudent(student, average);
+""")
+    # mutation procedures on a fresh session over the same Exams
+    # (verbatim AddExam/UpdateExam/RemoveExam, probed on injected keys)
+    hql2 = HeroQL(spark)
+    hql2.register("Exams", exams)
+    mut = hql2.run("""
+index Exams {
+	Unique(student);
+}
+
+query AddExam(student: string, score: int)
+:-	@insert Exams(student, score)
+.
+
+query UpdateExam(student: string, score: int)
+:-	@update Exams(student, @score)
+.
+
+query RemoveExam(student: string)
+:-	@remove Exams(student, _)
+.
+
+AddExam("zz1", 11);
+AddExam("zz2", 22);
+UpdateExam("zz1", 99);
+RemoveExam("zz2");
+query (student, score) :- Exams(student, score), student == "zz1" or student == "zz2";
+""").queries[0]
+    # nested partition-index declarations (Kernel/README.md
+    # DATA-COLLECTION: `partition(e) { Ordered(score), Unique(t) }`) —
+    # flattened to Unique(e, t) / Ordered(e, score), so ensure-set
+    # addresses PER-PARTITION uniqueness: re-ensuring an existing
+    # (e, t) pair is a no-op even under a different s, a fresh t in
+    # the same partition inserts
+    pidx = hql2.run("""
+data Attend(s: int, t: int, e: int, score: int).
+index Attend {
+	Hash(s),
+	partition(e) {
+		Ordered(score),
+		Unique(t)
+	}
+}
+set Attend(1, 10, 100, 55);
+set Attend(2, 20, 100, 66);
+for query(s) :- Attend(s, 10, 100, 55) ( ensure set Attend(9, 10, 100, 77) );
+for query(s) :- Attend(s, 10, 100, 55) ( ensure set Attend(9, 30, 100, 77) );
+query (s, t, score) :- Attend(s, t, _, score);
+""").queries[0]
+    nb = F.lit(None).cast("long")
+    a = res.queries[0].select(
+        F.lit("top10").alias("part"), "student",
+        F.col("score").cast("long").alias("n1"), nb.alias("n2"),
+    )
+    b = res.queries[1].select(
+        F.lit("top3").alias("part"), "student",
+        F.col("score").cast("long").alias("n1"),
+        F.col("order").cast("long").alias("n2"),
+    )
+    c = res.queries[2].select(
+        F.lit("avg3").alias("part"), "student",
+        F.col("average").cast("long").alias("n1"), nb.alias("n2"),
+    )
+    d = mut.select(
+        F.lit("mut").alias("part"), "student",
+        F.col("score").cast("long").alias("n1"), nb.alias("n2"),
+    )
+    e = pidx.select(
+        F.lit("pidx").alias("part"),
+        F.col("s").cast("string").alias("student"),
+        F.col("t").cast("long").alias("n1"),
+        F.col("score").cast("long").alias("n2"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        .orderBy("part", "student", "n1", "n2")
+    )
+
+
+HEROQL_AT_DIALECT_SQL = """
+WITH exams AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS student,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS score
+  FROM orders WHERE o_custkey % 50 = 0
+),
+ranked AS (
+  SELECT student, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, student, score) - 1 AS ord
+  FROM exams
+),
+pranked AS (
+  SELECT student, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY student ORDER BY score DESC, student, score
+         ) - 1 AS ord
+  FROM exams
+)
+SELECT 'top10' AS part, student, score AS n1, CAST(NULL AS BIGINT) AS n2
+FROM (SELECT DISTINCT student, score FROM ranked WHERE ord < 10)
+UNION ALL
+SELECT 'top3', student, score, ord
+FROM (SELECT DISTINCT student, score, ord FROM pranked WHERE ord < 3)
+UNION ALL
+SELECT 'avg3', student, CAST(FLOOR(AVG(score)) AS BIGINT), CAST(NULL AS BIGINT)
+FROM pranked WHERE ord < 3 GROUP BY student
+UNION ALL
+SELECT 'mut', student, score, CAST(NULL AS BIGINT)
+FROM (VALUES ('zz1', CAST(99 AS BIGINT))) m(student, score)
+UNION ALL
+SELECT 'pidx', s, t, score
+FROM (VALUES ('1', CAST(10 AS BIGINT), CAST(55 AS BIGINT)),
+             ('2', 20, 66),
+             ('9', 30, 77)) p(s, t, score)
+ORDER BY part, student, n1, n2
+"""
+
+
 def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of heroql_rules + heroql_pipeline +
     heroql_time_travel_cdc (rotated in in round 8) + heroql_recursive
@@ -654,10 +827,19 @@ def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("n2"),
         F.col("q").cast("double").alias("v"),
     )
+    m = heroql_at_dialect(spark, sf_dir).select(
+        F.lit("cmdq").alias("q"),
+        F.col("part").alias("k1"),
+        F.col("student").alias("k2"),
+        ns.alias("k3"),
+        F.col("n1"),
+        F.col("n2"),
+        nd.alias("v"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
         .unionByName(g).unionByName(h).unionByName(i).unionByName(j)
-        .unionByName(k)
+        .unionByName(k).unionByName(m)
         .orderBy("q", "n1", "k1", "k2", "k3")
     )
 
@@ -780,5 +962,9 @@ UNION ALL
 SELECT 'outq', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), k, s, CAST(q AS DOUBLE)
 FROM ({HEROQL_OUTQUERY_SQL.replace("ORDER BY k", "")})
+UNION ALL
+SELECT 'cmdq', part, student, CAST(NULL AS VARCHAR), n1, n2,
+       CAST(NULL AS DOUBLE)
+FROM ({HEROQL_AT_DIALECT_SQL.replace("ORDER BY part, student, n1, n2", "")})
 ORDER BY q, n1, k1, k2, k3
 """

@@ -1960,12 +1960,23 @@ def test_cached_query_invalidated_by_mutation(spark):
 
 
 def test_cached_query_index_validates(spark):
+    """Column validation still errors; an index on a NOT-YET-declared
+    relation DEFERS until the name appears (Kernel/README.md
+    "aggregation": 'the order is not important') and then applies —
+    including its column validation."""
     hql = HeroQL(spark)
-    with pytest.raises(HeroQLError, match="unknown relation"):
-        hql.run("index Nope { Hash(x) };")
     hql.run("data T(a: long, b: long);")
     with pytest.raises(HeroQLError, match="not in"):
         hql.run("index T { Hash(zz) };")
+    # out-of-order: index first, data second — the cache key applies
+    hql.run("index Later { Hash(a) };")
+    assert "Later" not in hql.query_indexes  # deferred, not applied
+    hql.run("data Later(a: long, b: long);")
+    assert hql.query_indexes["Later"] == [["a"]]
+    # a deferred index with a bad column errors WHEN the name appears
+    hql.run("index Later2 { Hash(zz) };")
+    with pytest.raises(HeroQLError, match="not in"):
+        hql.run("data Later2(a: long);")
 
 
 # ------------------------------------------------- output-argument queries
@@ -2032,7 +2043,10 @@ def test_out_query_direction_checks(spark):
         hql.run("query F(x: int) -> (y: int, z: int) :- y <- x;")
     with pytest.raises(HeroQLError, match="bind with `<-`"):
         hql.run("query F(x: int) -> (y: int) :- y = x;")
-    with pytest.raises(HeroQLError, match="relational atoms"):
+    # a body with atoms is a RELATIONAL @-dialect query since r13 (the
+    # README's Top10 form) — boundness of every in/out is still checked
+    # at declaration time
+    with pytest.raises(HeroQLError, match="never bound"):
         hql.run("data T(a: long); query F(x: int) -> (y: int) :- T(y);")
     # call-time recursion guard (declaration-time checks can't see a
     # cycle closed after the fact)
@@ -2065,3 +2079,230 @@ def test_cached_query_multi_index_cover(spark):
     r2 = hql.run('query (x) :- GrandParents("a", "c"), x = 1;')
     assert rows(r2.queries[0]) == [(1,)]
     assert hql._qcache_stats["hits"] >= 1  # served through the cached cover
+
+
+# ------------------------------------------------- @-command dialect
+# (Kernel/README.md "order_by, order_by_desc" / "partition" /
+# "aggregation" / "INSERT" / "UPDATE" / "REMOVE" — the README's own
+# query surface, its worked examples VERBATIM)
+
+
+def _exam_rows(spark):
+    rows_ = [("a", 10), ("a", 30), ("a", 20), ("a", 5),
+             ("b", 50), ("b", 40), ("b", 45), ("b", 60), ("c", 7)]
+    return spark.createDataFrame(rows_, "student string, score long")
+
+
+def test_at_dialect_top10_readme_verbatim(spark):
+    """README Top10: global 0-based rank via `order <-
+    @order_by_desc(score)`, `order < 10` keeping the top 10 — the
+    README's own text including its `.` statement terminators."""
+    hql = HeroQL(spark)
+    hql.register("Exams", _exam_rows(spark))
+    res = hql.run("""
+query Top10() -> (student: string, score: int)
+:-	Exams(student, score),
+	order <- @order_by_desc(score),
+	order < 10
+.
+query (student, score) :- Top10(student, score);
+""")
+    got = rows(res.queries[0])
+    assert len(got) == 9  # all rows (only 9 exams) — order < 10 keeps 10
+    assert set(got) == set(tuple(r) for r in _exam_rows(spark).collect())
+    # and with a tighter k the CUT is by descending score
+    res2 = hql.run("""
+query Top2() -> (student: string, score: int)
+:-	Exams(student, score),
+	order <- @order_by_desc(score),
+	order < 2
+.
+query (student, score) :- Top2(student, score);
+""")
+    assert sorted(rows(res2.queries[0])) == [("b", 50), ("b", 60)]
+
+
+def test_at_dialect_top3_per_student_readme_verbatim(spark):
+    """README Top3ScorePerStudent: `@partition(student)` scopes the
+    rank; outs include the 0-based `order` itself."""
+    hql = HeroQL(spark)
+    hql.register("Exams", _exam_rows(spark))
+    res = hql.run("""
+query Top3ScorePerStudent(student: string) -> (score: int, order: int)
+:-	Exams(student, score),
+	@partition(student),
+	order <- @order_by_desc(score),
+	order < 3
+.
+query (student, score, order) :- Top3ScorePerStudent(student, score, order);
+""")
+    assert sorted(rows(res.queries[0])) == [
+        ("a", 10, 2), ("a", 20, 1), ("a", 30, 0),
+        ("b", 45, 2), ("b", 50, 1), ("b", 60, 0),
+        ("c", 7, 0),
+    ]
+
+
+def test_at_dialect_average_top3_readme_verbatim(spark):
+    """README AverageTop3ScorePerStudent: `@aggregate(average(score))`
+    REBINDS score to the per-partition average (`average <- score`
+    then names it), and the `index { Unique(student) }` declared
+    BEFORE the query applies ('the order is not important').
+    Integer-typed average floors."""
+    hql = HeroQL(spark)
+    hql.register("Exams", _exam_rows(spark))
+    res = hql.run("""
+index AverageTop3ScorePerStudent {
+	Unique(student);
+}
+
+query AverageTop3ScorePerStudent(student: string) -> (average: int)
+:-	Exams(student, score),
+	@partition(student),
+	order <- @order_by_desc(score),
+	order < 3,
+	@aggregate(average(score)),
+	average <- score
+.
+query (student, average) :- AverageTop3ScorePerStudent(student, average);
+""")
+    # a: floor((30+20+10)/3)=20, b: floor((60+50+45)/3)=51, c: 7
+    assert sorted(rows(res.queries[0])) == [("a", 20), ("b", 51), ("c", 7)]
+    # the out-of-order index registered as a cache key set
+    assert ["student"] in hql.query_indexes["AverageTop3ScorePerStudent"]
+
+
+def test_at_dialect_mutation_procedures_readme_verbatim(spark):
+    """README AddExam / UpdateExam / RemoveExam verbatim: declared as
+    @-command procedures, invoked as `Name(args);` statements.
+    @update matches the unmarked columns and sets the @-marked one;
+    @remove matches non-wildcard positions."""
+    hql = HeroQL(spark)
+    res = hql.run("""
+data Exams(student: string, score: int).
+index Exams {
+	Unique(student);
+}
+
+query AddExam(student: string, score: int)
+:-	@insert Exams(student, score)
+.
+
+query UpdateExam(student: string, score: int)
+:-	@update Exams(student, @score)
+.
+
+query RemoveExam(student: string)
+:-	@remove Exams(student, _)
+.
+
+AddExam("alice", 90);
+AddExam("bob", 70);
+AddExam("carol", 85);
+UpdateExam("bob", 95);
+RemoveExam("carol");
+query (s, sc) :- Exams(s, sc);
+""")
+    assert sorted(rows(res.queries[0])) == [("alice", 90), ("bob", 95)]
+
+
+def test_at_dialect_procedure_validation(spark):
+    """Declaration/call-time checks: @update must mark a column,
+    @insert rejects wildcards, references must be declared parameters,
+    call arity and constant-ness are enforced, undeclared procedures
+    error."""
+    hql = HeroQL(spark)
+    hql.run("data T(a: string, b: int);")
+    with pytest.raises(HeroQLError, match="marks no @column"):
+        hql.run("query P(a: string, b: int) :- @update T(a, b);")
+    with pytest.raises(HeroQLError, match="value for every column"):
+        hql.run("query P(a: string) :- @insert T(a, _);")
+    with pytest.raises(HeroQLError, match="not among the declared"):
+        hql.run("query P(a: string) :- @insert T(a, zz);")
+    with pytest.raises(HeroQLError, match="declare no outputs"):
+        hql.run("query P(a: string, b: int) -> (c: int) :- @insert T(a, b);")
+    with pytest.raises(HeroQLError, match="cannot mix"):
+        hql.run("query P(a: string, b: int) :- T(a, b), @insert T(a, b);")
+    hql.run("query Add(a: string, b: int) :- @insert T(a, b);")
+    with pytest.raises(HeroQLError, match="argument"):
+        hql.run('Add("x");')
+    with pytest.raises(HeroQLError, match="not a declared procedure"):
+        hql.run('Nope("x");')
+    # expressions of parameters fold driver-side
+    hql.run("query Add2(a: string, b: int) :- @insert T(a, b * 2 + 1);")
+    hql.run('Add2("x", 10);')
+    assert rows(hql.run("query (a, b) :- T(a, b);").queries[0]) == [("x", 21)]
+
+
+def test_at_dialect_durable_procedures(spark, tmp_path):
+    """Procedures on a SNAPSHOT-backed table persist: @insert commits
+    a merge (program text in the log), @update an update_where,
+    @remove a delete_where — one OCC version each, time travel
+    intact."""
+    import os
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    seed = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    snap = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "t"), seed, key_cols=["k"]
+    )
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    hql.run("""
+query AddT(k: string, v: int) :- @insert T(k, v).
+query UpdT(k: string, v: int) :- @update T(k, @v).
+query DelT(k: string) :- @remove T(k, _).
+AddT("c", 3);
+UpdT("a", 99);
+DelT("b");
+""")
+    assert sorted(rows(hql.run("query (k, v) :- T(k, v);").queries[0])) == [
+        ("a", 99), ("c", 3)
+    ]
+    ops = [h["op"] for h in snap.history()]
+    assert ops == ["create", "merge_upsert", "update_where", "delete_where"]
+    progs = [h.get("program") for h in snap.history()]
+    assert any(p and 'AddT("c", 3)' in p for p in progs)
+    assert rows(hql.run("query (k, v) :- T@0(k, v);").queries[0]) == [
+        ("a", 1), ("b", 2)
+    ]
+
+
+def test_nested_partition_index_flattens_and_scopes_unique(spark):
+    """Kernel/README.md DATA-COLLECTION `partition(e) { Ordered(score),
+    Unique(t) }`: flattens to Unique(e, t) / Ordered(e, score) —
+    ensure-set addresses PER-PARTITION uniqueness (same t in another
+    partition inserts; same (e, t) is a no-op even under different
+    non-key columns)."""
+    hql = HeroQL(spark)
+    hql.run("""
+data Attend(s: int, t: int, e: int, score: int);
+index Attend {
+	Hash(s),
+	partition(e) {
+		Ordered(score),
+		Unique(t)
+	}
+}
+set Attend(1, 10, 100, 55);
+set Attend(2, 20, 200, 66);
+""")
+    d = hql._def("Attend")
+    kinds = sorted((tuple(ix.kinds), tuple(ix.cols)) for ix in d.indexes)
+    assert (("Ordered",), ("e", "score")) in kinds
+    assert (("Unique",), ("e", "t")) in kinds
+    assert ["e", "t"] in hql.query_indexes["Attend"]
+    # same (e, t) -> no-op; same t in a DIFFERENT partition -> inserts
+    hql.run("""
+for query(s) :- Attend(s, 10, 100, 55) (
+    ensure set Attend(9, 10, 100, 77);
+    ensure set Attend(9, 10, 200, 88)
+);
+""")
+    got = sorted(rows(hql.run("query (s, t, e) :- Attend(s, t, e, _);").queries[0]))
+    assert got == [(1, 10, 100), (2, 20, 200), (9, 10, 200)]
+
+
+def test_at_dialect_graded_leg_matches_oracle(spark, sf_dir, duck):
+    res = compare(HQ.heroql_at_dialect(spark, sf_dir), HQ.HEROQL_AT_DIALECT_SQL, duck)
+    assert res["ok"], res["detail"]
