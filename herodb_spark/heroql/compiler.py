@@ -843,6 +843,9 @@ class HeroQL:
             self._canon_atom(item.atom)
             self._exec_set(item.atom)
             return
+        if isinstance(item, P.MigrateStmt):
+            self._exec_migrate(item)
+            return
         if isinstance(item, P.UpdateStmt):
             item.name = self._resolve_ref(item.name)
             self._canon_body(item.body)
@@ -2983,6 +2986,51 @@ class HeroQL:
         else:
             self.tables[u.name] = out
         self._after_mutation(u.name)
+
+    def _exec_migrate(self, s: "P.MigrateStmt") -> None:
+        """`update schema T (col = expr, ...)` — schema migration with
+        a data-moving procedure (Kernel/README.md ADMINISTRATION).
+        Expressions reference the OLD columns; the transform commits
+        ONE durable version (through a single-statement database
+        transaction when a database is bound), the statement text
+        lands in the program log like any mutation, and the session
+        re-binds the table at its new shape. Old versions stay
+        readable at their recorded schemas (`T@k` atoms), and
+        `changes(T, f, t)` across the boundary follows
+        SnapshotTable.migrate's CDC rule."""
+        name = self._resolve_ref(s.name)
+        snap = self._snapshots.get(name)
+        if snap is None:
+            raise HeroQLError(
+                f"{name!r}: update schema needs a snapshot-backed table "
+                "(register_snapshot / register_database)"
+            )
+        if self._txn is not None:
+            raise HeroQLError(
+                "update schema: run schema migrations outside a "
+                "transactional program (the migration publishes its own "
+                "atomic commit)"
+            )
+        d = self._def(name)
+        if name in self.rules:
+            raise HeroQLError(f"{name!r} is rule-defined; migrate base tables only")
+        self._flush(name)
+        mapping = {f: f for f in d.fields}
+        cols: dict = {}
+        for cname, expr in s.items:
+            if cname in cols:
+                raise HeroQLError(f"update schema {name}: column {cname!r} repeated")
+            self._canon_expr(expr)
+            cols[cname] = self._mut_expr(expr, mapping, {})
+        self._commit_mutation(name, "migrate", cols, s.key_cols, s.partition)
+        # the table's SHAPE changed: rebuild the session binding
+        was_class = d.is_class
+        self.defs.pop(name, None)
+        self.tables.pop(name, None)
+        self._snapshots.pop(name, None)
+        self._snapshot_versions.pop(name, None)
+        self.register_snapshot(name, snap, is_class=was_class)
+        self._after_mutation(name)
 
     def _exec_remove(self, r: P.RemoveStmt) -> None:
         self._flush(r.name)

@@ -544,6 +544,20 @@ class ClassDecl:
 
 
 @dataclass
+class MigrateStmt:
+    """`update schema T (new_col = expr, ...) [key (k, ...)]
+    [partition_by (p)];` — schema migration with a data-moving
+    procedure (Kernel/README.md ADMINISTRATION "Upload a new data
+    package definition with data moving procedures"): rename / retype
+    / drop / backfill as ONE committed transform over the old columns,
+    riding SnapshotTable.migrate."""
+    name: str
+    items: list  # [(new_col, expr over OLD columns)]
+    key_cols: list | None = None
+    partition: object = "__keep__"  # str | None | "__keep__"
+
+
+@dataclass
 class MaintainStmt:
     """Storage-maintenance statements over durable tables:
     `optimize T;` (compaction), `optimize T cluster_by (a, b);`
@@ -814,6 +828,8 @@ class Parser:
             return SetStmt(atom)
         if self.at_kw("update"):
             self.next()
+            if self.at("id", "schema"):
+                return self.parse_migrate_stmt()
             name = self.qualified_name()
             pats = self.parse_pattern_list()
             self.expect(":-")
@@ -1187,6 +1203,44 @@ class Parser:
         if self.at(";"):
             self.next()
         return ForQueryStmt(args, body, actions)
+
+    def parse_migrate_stmt(self) -> MigrateStmt:
+        """`update schema T (col = expr, ...) [key (k, ...)]
+        [partition_by (p)];` — after the leading `update` keyword."""
+        self.expect("id", "schema")
+        name = self.qualified_name()
+        self.expect("(")
+        items: list = []
+        while not self.at(")"):
+            t = self.peek()
+            if not (t.kind == "id" or (t.kind == "kw" and t.text in SOFT_KEYWORDS)):
+                raise HeroQLSyntaxError(f"expected column name at offset {t.pos}")
+            cname = self.next().text
+            self.expect("=")
+            items.append((cname, self.parse_expr()))
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        key_cols = None
+        partition: object = "__keep__"
+        while True:
+            if self.at("id", "key"):
+                self.next()
+                self.expect("(")
+                key_cols = [self.next().text]
+                while self.at(","):
+                    self.next()
+                    key_cols.append(self.next().text)
+                self.expect(")")
+            elif self.at_kw("partition_by"):
+                self.next()
+                self.expect("(")
+                partition = None if self.at(")") else self.next().text
+                self.expect(")")
+            else:
+                break
+        self.end_stmt()
+        return MigrateStmt(name, items, key_cols, partition)
 
     def parse_action_block(self) -> list:
         """`( action [,|;] action ... )` — the draft separates actions

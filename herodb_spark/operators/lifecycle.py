@@ -38,13 +38,24 @@ def _few_shuffle_partitions(spark: SparkSession, n: int = 8):
     zero parallelism benefit. Drop to `n` for the schedule's duration
     (restored in finally; results are partitioning-independent and the
     lazily-returned legs re-plan at the caller's setting). Same trick
-    as streamops._stateful_stream_legs (r12)."""
+    as streamops._stateful_stream_legs (r12).
+
+    Since r13 the scope also disables ADAPTIVE execution: AQE
+    materializes every join's shuffle stages as separate Spark jobs —
+    a tiny mutation commit (anti-join + write) pays 3-4 scheduler
+    round-trips instead of 1 for frames whose static size estimates
+    already pick the right (broadcast) plan. Results are plan-
+    independent; production-scale callers of the snapshot layer keep
+    their session's AQE."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,7 +105,12 @@ def _snapshot_lifecycle_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
       merge landing both sides plus the adopted branch-created table,
       conflict-cancel on same-partition divergence, and the pin
       history proving the cancelled merge published nothing. See the
-      inline schedule comment and sources/branch.py."""
+      inline schedule comment and sources/branch.py.
+    - 'bak' / 'bundle' (round 13) — the backup ring (slot capture →
+      restore → read-back, sources/backup.py) and the export bundle
+      ("Generate the whole data base to C++" analog,
+      SnapshotDatabase.export_bundle/import_bundle): both roundtrips
+      must reproduce the post-merge facts bit-identically."""
     from herodb_spark.sources.database import SnapshotDatabase
 
     nation = load_table(spark, sf_dir, "nation").select(
@@ -250,6 +266,30 @@ def _snapshot_lifecycle_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     db.drop_branch("clash", discard_changes=True)
     db.drop_branch("wip")  # merged: discardable without a flag
 
+    # ---- backup ring + export bundle (round 13): the reference's
+    # "Auto Backup to file group ring" and "Generate the whole data
+    # base to C++" surfaces, graded. Both are MANIFEST+FILE copies (no
+    # Spark jobs): the ring captures the database into slot 0 and
+    # restores it to a fresh directory; export_bundle/import_bundle
+    # roundtrips the DDL + current data + program log. Each restored/
+    # imported database must read back EXACTLY the post-merge facts —
+    # the same rows the br_facts leg pins.
+    from herodb_spark.sources.backup import BackupRing
+
+    ring = BackupRing(os.path.join(tmp, "ring"), slots=2)
+    ring.backup(db)
+    rdb = ring.open_restored(spark, 0, os.path.join(tmp, "restored"))
+    bak = rdb.read("facts").select(
+        F.lit("bak").alias("leg"), "key", "grp", "name", "val"
+    )
+    db.export_bundle(os.path.join(tmp, "bundle"))
+    bdb = SnapshotDatabase.import_bundle(
+        spark, os.path.join(tmp, "bundle"), os.path.join(tmp, "db_imported")
+    )
+    bun = bdb.read("facts").select(
+        F.lit("bundle").alias("leg"), "key", "grp", "name", "val"
+    )
+
     br_facts = db.read("facts").select(
         F.lit("br_facts").alias("leg"), "key", "grp", "name", "val"
     )
@@ -278,6 +318,7 @@ def _snapshot_lifecycle_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur.unionByName(tt).unionByName(audit).unionByName(hist).unionByName(vac)
         .unionByName(br_iso).unionByName(br_facts).unionByName(br_plans)
         .unionByName(br_conflict).unionByName(br_hist)
+        .unionByName(bak).unionByName(bun)
         .orderBy("leg", "key", "grp")
     )
 
@@ -358,6 +399,22 @@ SELECT 'br_facts', 500 + i, 1, 'main', 2 * i FROM generate_series(0, 1) t(i)
 UNION ALL
 SELECT 'br_facts', 502, 1, 'main2', 9
 UNION ALL
+-- r13: the ring-restored database reads back EXACTLY the post-merge
+-- facts (backup→restore roundtrip), and so does the exported/imported
+-- bundle ("generate the whole database" analog)
+SELECT t.tag, key, grp, name, val
+FROM (
+  SELECT key, grp, name,
+         CASE WHEN grp = 0 THEN val + 1000 ELSE val END AS val
+  FROM f4
+  UNION ALL
+  SELECT 400 + i, 4, 'wip', i FROM generate_series(0, 2) t(i)
+  UNION ALL
+  SELECT 500 + i, 1, 'main', 2 * i FROM generate_series(0, 1) t(i)
+  UNION ALL
+  SELECT 502, 1, 'main2', 9
+) b CROSS JOIN (VALUES ('bak'), ('bundle')) t(tag)
+UNION ALL
 -- the adopted branch-created table
 SELECT 'br_plans', pid, CAST(NULL AS BIGINT), txt, CAST(NULL AS BIGINT)
 FROM (VALUES (CAST(1 AS BIGINT), 'draft'), (2, 'final')) p(pid, txt)
@@ -419,8 +476,13 @@ def _snapshot_maintenance_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 even through the clustered, then compacted, per-file
                 stats);
     - 'hist'  — (version, op) log: create, add_columns, merge_upsert,
-                cluster, merge_upsert, compact — the overwrite
-                version is GONE."""
+                cluster, merge_upsert, compact, migrate — the
+                overwrite version is GONE;
+    - 'mig' / 'migtt' (round 13) — SCHEMA MIGRATION with a data-moving
+      procedure (v6: rename/derive label, retype score = val*2, DROP
+      name/val/note — SnapshotTable.migrate, the non-additive path
+      add_columns refuses) and the time-travel read BACK ACROSS the
+      boundary to v2's exact old-schema content."""
     from herodb_spark.sources.snapshot import SnapshotTable
 
     nation = load_table(spark, sf_dir, "nation").select(
@@ -456,17 +518,42 @@ def _snapshot_maintenance_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge_upsert(frag)                                                # v4 (fragments)
     t.compact(max_files_per_partition=1)                                # v5 (compact)
+    # v6 — SCHEMA MIGRATION with a data-moving procedure
+    # (Kernel/README.md ADMINISTRATION "Upload a new data package
+    # definition with data moving procedures"): rename/derive (label),
+    # retype/compute (score = val*2), DROP name/val/note — the
+    # non-additive path add_columns refuses, committed as one rewrite
+    # with the program text in the log. The 'mig' leg hashes the
+    # post-migration state; 'migtt' time-travels BACK ACROSS the
+    # boundary to v2's exact old-schema content.
+    t.migrate(
+        {
+            "key": "key",
+            "grp": "grp",
+            "label": "CONCAT(name, '#', CAST(val AS STRING))",
+            "score": "val * 2",
+        },
+        program="update schema t (key = key, grp = grp, "
+                "label = ..., score = val * 2);",
+    )
 
     ns = F.lit(None).cast("string")
-    cur = t.read().select(
+    cur = t.read(version=5).select(
         F.lit("cur").alias("leg"), "key", "grp", "name", "val", "note"
     )
     v0 = t.read(version=0).select(
         F.lit("v0").alias("leg"), "key", "grp", "name", "val", ns.alias("note")
     )
-    prune = t.read(ranges={"key": (2, 7)}).where(
+    prune = t.read(version=5, ranges={"key": (2, 7)}).where(
         F.col("key").between(2, 7)
     ).select(F.lit("prune").alias("leg"), "key", "grp", "name", "val", "note")
+    mig = t.read().select(
+        F.lit("mig").alias("leg"), "key", "grp",
+        F.col("label").alias("name"), F.col("score").alias("val"), ns.alias("note"),
+    )
+    migtt = t.read(version=2).select(
+        F.lit("migtt").alias("leg"), "key", "grp", "name", "val", "note"
+    )
     m = t._load()
     hist = spark.createDataFrame(
         [(int(v), str(e["op"])) for v, e in sorted(
@@ -478,7 +565,8 @@ def _snapshot_maintenance_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name", F.lit(None).cast("long").alias("val"), ns.alias("note"),
     )
     return (
-        cur.unionByName(v0).unionByName(prune).unionByName(hist)
+        cur.unionByName(v0).unionByName(prune).unionByName(mig)
+        .unionByName(migtt).unionByName(hist)
         .orderBy("leg", "key", "grp")
     )
 
@@ -491,14 +579,17 @@ WITH f0 AS (
          CAST(n_nationkey * 10 AS BIGINT) AS val
   FROM nation
 ),
-f2 AS (           -- post-merge state (the overwrite was rolled back;
-                  -- cluster and compact are pure reorders/rewrites)
+f2a AS (          -- v2 content: first merge (hot updates + new inserts)
   SELECT key, grp, name,
          CASE WHEN key < 10 THEN val + 100 ELSE val END AS val,
          CASE WHEN key < 10 THEN 'hot' ELSE CAST(NULL AS VARCHAR) END AS note
   FROM f0
   UNION ALL
   SELECT key + 100, grp, name, key, 'new' FROM f0 WHERE key < 5
+),
+f2 AS (           -- post-frag state (the overwrite was rolled back;
+                  -- cluster and compact are pure reorders/rewrites)
+  SELECT * FROM f2a
   UNION ALL
   SELECT key + 200, grp, name, key + 1000, 'frag' FROM f0 WHERE key < 5
 )
@@ -508,11 +599,20 @@ SELECT 'v0', key, grp, name, val, CAST(NULL AS VARCHAR) FROM f0
 UNION ALL
 SELECT 'prune', key, grp, name, val, note FROM f2 WHERE key BETWEEN 2 AND 7
 UNION ALL
+-- post-migration state: label = name#val, score = val*2, old columns gone
+SELECT 'mig', key, grp, name || '#' || CAST(val AS VARCHAR), val * 2,
+       CAST(NULL AS VARCHAR)
+FROM f2
+UNION ALL
+-- time travel BACK ACROSS the migration boundary: v2's exact content
+-- at its old schema
+SELECT 'migtt', key, grp, name, val, note FROM f2a
+UNION ALL
 SELECT 'hist', v, CAST(NULL AS BIGINT), op, CAST(NULL AS BIGINT),
        CAST(NULL AS VARCHAR)
 FROM (VALUES (CAST(0 AS BIGINT), 'create'), (1, 'add_columns'),
              (2, 'merge_upsert'), (3, 'cluster'),
-             (4, 'merge_upsert'), (5, 'compact')) h(v, op)
+             (4, 'merge_upsert'), (5, 'compact'), (6, 'migrate')) h(v, op)
 ORDER BY leg, key, grp
 """
 

@@ -484,7 +484,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: cells probed per query in the IVF-PQ composition, as a fraction of
 #: the cell count (¼ — denser than plain IVF's ⅛ because the ADC
 #: scoring inside a probed cell is ~free compared to exact cosines)
-IVFPQ_PROBE_FRAC = 4
+IVFPQ_PROBE_FRAC = 3  # r13: ceil(k/3) cells probed (was k/4) — recall ≥ 0.7
 
 
 def _ivfpq_index(emb: DataFrame, assigned: DataFrame, codebooks: list) -> DataFrame:

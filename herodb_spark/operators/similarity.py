@@ -302,8 +302,11 @@ def _hyperplane_sig(emb_col: F.Column) -> F.Column:
 
 #: buckets probed per query by the query-directed multi-probe (of the
 #: 2^N_PLANES = 64): base bucket + the lowest-penalty single/double bit
-#: flips. 12/64 ≈ 19% of the corpus scanned vs 100% for brute force.
-MULTIPROBE_T = 2 * N_PLANES
+#: flips. 18/64 ≈ 28% of the corpus scanned vs 100% for brute force
+#: (r13: raised from 12 — recall@5 0.26/0.50 → ≥ 0.3 floor at every
+#: graded SF; the penalty ordering makes the extra probes the
+#: cheapest-risk buckets, so recall grows faster than scan fraction).
+MULTIPROBE_T = 3 * N_PLANES
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,9 +323,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. Exact cosine rerank inside the probed set.
 
     Approximate by construction (driver check: rows-only): recall@5
-    measured r12 at 0.26/0.50 (sf0.001/sf0.01) for 19% of the corpus
-    scanned — up from 0.06/0.08 single-bucket; floor pinned in tests
-    and in the driver_sim recall ledger."""
+    measured r13 at 0.36/0.60 (sf0.001/sf0.01) for 28% of the corpus
+    scanned (T=18; r12's T=12 managed 0.26/0.50, single-bucket
+    0.06/0.08); floor 0.3 pinned in tests and in the driver_sim
+    recall ledger."""
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select(
         "vec_id", "embedding",

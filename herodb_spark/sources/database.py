@@ -669,6 +669,145 @@ class SnapshotDatabase:
             )
         shutil.rmtree(self.path, ignore_errors=True)
 
+    # -- export / import -----------------------------------------------------
+    def export_bundle(self, dest: str) -> dict:
+        """Export the database as a SELF-CONTAINED reproducible
+        artifact — the lakehouse analog of the reference's "Generate
+        the whole data base to C++" (Kernel/README.md HIGH-LEVEL
+        FEATURES): one directory holding
+
+        - `_bundle.json`: per-table DDL (key/partition columns, schema
+          JSON, zone-map stats and file counts of the pinned version)
+          plus the PROGRAM LOG — every persisted mutation statement of
+          every member table in version order (Rewrite.md:6 "save
+          query to log") — the bundle IS the program that reproduces
+          the package;
+        - `tables/<name>/...`: the partition directories of each
+          table's version pinned by the database's CURRENT version
+          (immutable copy-on-write dirs, copied as-is).
+
+        `import_bundle(spark, src, dest)` rebuilds a fully functional
+        database whose member-table CONTENT is bit-identical (the
+        roundtrip hash is pinned in tests) and which accepts new
+        transactions. Work ∝ current data size — history is carried as
+        the replayable program text, not as physical old versions
+        (time travel starts fresh at the import, exactly like the
+        reference's regenerated package). Refuses a populated dest."""
+        if os.path.exists(dest) and os.listdir(dest):
+            raise ValueError(f"{dest}: refusing to export into a non-empty directory")
+        m = self._load()
+        pins = self._pins(m)
+        tables: dict = {}
+        program_log: list[dict] = []
+        os.makedirs(os.path.join(dest, "tables"), exist_ok=True)
+        for name in sorted(pins):
+            t = self.table(name)
+            tm = t._load()
+            pin = int(pins[name])
+            entry = tm["versions"][str(pin)]
+            tdir = os.path.join(dest, "tables", name)
+            parts: dict = {}
+            for pv, rel in sorted(entry["partitions"].items()):
+                # re-home every pinned partition dir under one v=0
+                # layout, named by partition value (source dirs may
+                # scatter across versions with colliding leaf names;
+                # the real partition column lives INSIDE the data
+                # files, so directory names are free)
+                import urllib.parse as _up
+
+                new_rel = f"data/v=0-bundle/{_up.quote(pv, safe='')}"
+                src_abs = os.path.normpath(os.path.join(t.path, rel))
+                dst_abs = os.path.join(tdir, new_rel)
+                os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+                shutil.copytree(src_abs, dst_abs)
+                parts[pv] = new_rel
+            schema_js = tm["versions"][str(pin)].get("schema")
+            if schema_js is None:
+                sch = SnapshotTable._schema_at(tm, pin)
+                schema_js = None if sch is None else sch.json()
+            tables[name] = {
+                "key_cols": SnapshotTable._keys_at(tm, pin),
+                "partition_col": tm["partition_col"],
+                "schema": schema_js,
+                "partitions": parts,
+                "files": {
+                    pv: entry.get("files", {}).get(pv)
+                    for pv in parts
+                    if entry.get("files", {}).get(pv) is not None
+                },
+                "stats": {
+                    pv: entry.get("stats", {}).get(pv)
+                    for pv in parts
+                    if entry.get("stats", {}).get(pv) is not None
+                },
+            }
+            for h in t.history():
+                if h["version"] <= pin and h.get("program"):
+                    program_log.append(
+                        {"table": name, "version": h["version"], "program": h["program"]}
+                    )
+        bundle = {
+            "source": self.path,
+            "db_version": int(m["current"]),
+            "tables": tables,
+            "program_log": program_log,
+        }
+        with open(os.path.join(dest, "_bundle.json"), "w") as f:
+            json.dump(bundle, f, indent=1, sort_keys=True)
+        return {"tables": sorted(tables), "programs": len(program_log), "dest": dest}
+
+    @classmethod
+    def import_bundle(cls, spark: SparkSession, src: str, dest: str) -> "SnapshotDatabase":
+        """Materialize an exported bundle as a fresh, fully functional
+        database at `dest`: every member table re-created at version 0
+        with the bundle's DDL + data (content bit-identical to the
+        export pins), the bundle's program log recorded on each
+        table's import commit. New reads/transactions work
+        immediately."""
+        with open(os.path.join(src, "_bundle.json")) as f:
+            bundle = json.load(f)
+        db = cls.create(spark, dest)
+        m = db._load()
+        rv = m["current"]
+        pins: dict = {}
+        for name, spec in sorted(bundle["tables"].items()):
+            tdir = db._table_path(name)
+            os.makedirs(tdir, exist_ok=True)
+            parts = dict(spec["partitions"])
+            for pv, rel in parts.items():
+                dst_abs = os.path.join(tdir, rel)
+                os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+                shutil.copytree(os.path.join(src, "tables", name, rel), dst_abs)
+            progs = [
+                e["program"] for e in bundle.get("program_log", [])
+                if e["table"] == name
+            ]
+            entry = {
+                "op": "import_bundle",
+                "partitions": parts,
+                "files": dict(spec.get("files", {})),
+                "stats": dict(spec.get("stats", {})),
+            }
+            if spec.get("schema"):
+                entry["schema"] = spec["schema"]
+            if progs:
+                entry["program"] = "\n".join(progs)
+            tman = {
+                "key_cols": list(spec["key_cols"]),
+                "partition_col": spec["partition_col"],
+                "current": 0,
+                "versions": {"0": entry},
+            }
+            if spec.get("schema"):
+                tman["schema"] = spec["schema"]
+            SnapshotTable(spark, tdir)._commit(tman)
+            pins[name] = 0
+        version = rv + 1
+        m["versions"][str(version)] = {"op": "import_bundle", "tables": pins}
+        m["current"] = version
+        db._mf._commit(m, expected_current=rv)
+        return db
+
     def _branch_pins(self) -> tuple[dict, set]:
         """Table versions any live branch still reaches in PARENT
         storage — parent-origin pins plus the fork bases whose
@@ -1124,29 +1263,36 @@ class Transaction:
             tm = t._load()
             guard = list(self._foreign_commits.get(name) or ())
             mid = _foreign_descriptors(tm, expected, version - 1)
-            ours = _rewritten_partitions(tm, version)
-            ours_kr = (tm["versions"].get(str(version)) or {}).get("key_ranges")
-            clash = (
-                None
-                if (ours is None or mid is None)
-                else sorted(
-                    {
-                        pv
-                        for fc in guard + mid
-                        for pv in ours & fc["parts"]
-                        if not _keys_disjoint(ours_kr, fc["key_ranges"], pv)
-                    }
+            # a conflict needs a FOREIGN commit to conflict with:
+            # `ours = None` (a schema-changing commit — add_columns,
+            # migrate — whose rewrite set is every partition) cancels
+            # only when interleaved commits actually exist or the
+            # interleave span itself is unknowable (r13 fix — a clean
+            # single-writer schema migration previously self-cancelled)
+            if guard or mid or mid is None:
+                ours = _rewritten_partitions(tm, version)
+                ours_kr = (tm["versions"].get(str(version)) or {}).get("key_ranges")
+                clash = (
+                    None
+                    if (ours is None or mid is None)
+                    else sorted(
+                        {
+                            pv
+                            for fc in guard + mid
+                            for pv in ours & fc["parts"]
+                            if not _keys_disjoint(ours_kr, fc["key_ranges"], pv)
+                        }
+                    )
                 )
-            )
-            if ours is None or mid is None or clash:
-                del self._new_pins[name]
-                t.rollback(version - 1)
-                raise ConcurrentWriteError(
-                    f"{t.path}: partitions {clash or '(unknown)'} rewritten by "
-                    f"this transaction (cost {self.cost}) were also rewritten "
-                    "by an interleaved committed transaction with overlapping "
-                    "(or unrecorded) key ranges — not rebasable, cancelling"
-                )
+                if ours is None or mid is None or clash:
+                    del self._new_pins[name]
+                    t.rollback(version - 1)
+                    raise ConcurrentWriteError(
+                        f"{t.path}: partitions {clash or '(unknown)'} rewritten by "
+                        f"this transaction (cost {self.cost}) were also rewritten "
+                        "by an interleaved committed transaction with overlapping "
+                        "(or unrecorded) key ranges — not rebasable, cancelling"
+                    )
         # progress heartbeat: refresh the mtime of every member
         # manifest this transaction already committed so a sibling
         # transaction's grace-window recovery keeps treating them as
@@ -1303,6 +1449,26 @@ class Transaction:
 
     def overwrite(self, name: str, df: DataFrame, program: str | None = None) -> int:
         return self._apply(name, lambda t: t.overwrite(df, program=program))
+
+    def migrate(
+        self,
+        name: str,
+        columns: dict,
+        key_cols: list[str] | None = None,
+        partition_col: str | None | object = "__keep__",
+        program: str | None = None,
+    ) -> int:
+        """Schema migration with a data-moving procedure inside this
+        transaction (see SnapshotTable.migrate) — the new definition
+        publishes with the same atomic pin swap as any member-table
+        mutation, so readers never see a half-migrated package."""
+        return self._apply(
+            name,
+            lambda t: t.migrate(
+                columns, key_cols=key_cols, partition_col=partition_col,
+                program=program,
+            ),
+        )
 
     def add_columns(self, name: str, new_cols: dict) -> int:
         return self._apply(name, lambda t: t.add_columns(new_cols))

@@ -32,6 +32,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import shutil
 import time
 import urllib.parse
 import uuid
@@ -211,8 +212,16 @@ class SnapshotTable:
         mutation's rewrite to the touched partitions."""
         t = cls(spark, path)
         os.makedirs(path, exist_ok=True)
-        parts, files = t._write_partitions(df, 0, partition_col)
-        stats = t._partition_stats(parts, df.schema, t._stat_cols(df, key_cols, partition_col))
+        if partition_col is None:
+            # single-job create (r13): the write observes its own stats
+            parts, files, stats, _kr, _n = t._write_unpartitioned_observed(
+                df, 0, t._stat_cols(df, key_cols)
+            )
+        else:
+            parts, files = t._write_partitions(df, 0, partition_col)
+            stats = t._partition_stats(
+                parts, df.schema, t._stat_cols(df, key_cols, partition_col)
+            )
         t._commit(
             {
                 "key_cols": key_cols,
@@ -333,6 +342,88 @@ class SnapshotTable:
         if partition_col and partition_col not in want:
             want.append(partition_col)
         return [c for c in want if dtypes.get(c) in self._STAT_TYPES]
+
+    def _write_unpartitioned_observed(
+        self, df: DataFrame, version: int, stat_cols: list[str],
+        upd_flag: str | None = None,
+    ) -> tuple:
+        """Single-job unpartitioned write (r13 fixed-cost cut): the
+        parquet write carries an observe() node computing the
+        version's zone-map stats in the SAME pass — no stats read-back
+        job. When `upd_flag` names a boolean tag column, the
+        observation additionally yields the update-key hulls and the
+        update-row count (merge_upsert's emptiness + key_ranges), and
+        the tag column is dropped before writing. min/max observations
+        are idempotent under task retries; the count is used only as a
+        zero/nonzero emptiness signal, which retries cannot corrupt.
+        Returns (parts, files, stats, key_ranges|None, n_upd|None)."""
+        from pyspark.sql import Observation
+
+        aggs = []
+        if upd_flag is not None:
+            aggs.append(F.sum(F.col(upd_flag).cast("long")).alias("n_upd"))
+        for c in stat_cols:
+            aggs.append(F.min(c).alias(f"amn_{c}"))
+            aggs.append(F.max(c).alias(f"amx_{c}"))
+            if upd_flag is not None:
+                aggs.append(F.min(F.when(F.col(upd_flag), F.col(c))).alias(f"umn_{c}"))
+                aggs.append(F.max(F.when(F.col(upd_flag), F.col(c))).alias(f"umx_{c}"))
+        obs = None
+        if aggs:
+            obs = Observation()
+            df = df.observe(obs, *aggs)
+        if upd_flag is not None:
+            df = df.drop(upd_flag)
+        parts, files = self._write_partitions(df, version, None)
+        got = obs.get if obs is not None else {}
+        stats = (
+            {_UNPARTITIONED: {c: [got[f"amn_{c}"], got[f"amx_{c}"]] for c in stat_cols}}
+            if stat_cols
+            else {}
+        )
+        key_ranges = None
+        n_upd = None
+        if upd_flag is not None:
+            n_upd = int(got.get("n_upd") or 0)
+            key_ranges = {
+                _UNPARTITIONED: {
+                    c: [got[f"umn_{c}"], got[f"umx_{c}"]] for c in stat_cols
+                }
+            }
+        return parts, files, stats, key_ranges, n_upd
+
+    def _abandon_version_dir(self, parts: dict) -> None:
+        """Remove a freshly staged (never-committed) version directory
+        — the write-then-skip path of an empty/no-op mutation."""
+        for rel in parts.values():
+            vdir = os.path.dirname(os.path.join(self.path, rel))
+            shutil.rmtree(vdir, ignore_errors=True)
+
+    def _union_hulls(self, dfs: list, pcol: str | None, stat_keys: list[str]) -> dict:
+        """{partition_value_str: {key_col: [min, max]}} over the UNION
+        of the given frames' rows, in ONE Spark job — the shared
+        key-hull primitive of merge_upsert and _rewrite_touched.
+        Unioning before grouping min/max-merges the sides per
+        partition (identical to folding per-side hulls elementwise),
+        the produced partition set is the mutation's `touched` set,
+        and an empty dict means no side had a row. With no stat-able
+        key columns the hulls are empty dicts (partition list only)."""
+        grp = F.lit(_UNPARTITIONED) if pcol is None else F.col(pcol).cast("string")
+        cols = [grp.alias("_p")] + [F.col(c) for c in stat_keys]
+        df = dfs[0].select(cols)
+        for d in dfs[1:]:
+            df = df.unionByName(d.select(cols))
+        if not stat_keys:
+            return {r["_p"]: {} for r in df.select("_p").distinct().collect()}
+        aggs = []
+        for c in stat_keys:
+            aggs.append(F.min(c).alias(f"mn_{c}"))
+            aggs.append(F.max(c).alias(f"mx_{c}"))
+        rows = df.groupBy("_p").agg(*aggs).collect()
+        return {
+            r["_p"]: {c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stat_keys}
+            for r in rows
+        }
 
     def _partition_stats(
         self, parts: dict, schema, stat_cols: list[str]
@@ -842,6 +933,110 @@ class SnapshotTable:
         self._commit(m, expected_current=read_version, expected_seq=read_seq)
         return version
 
+    def migrate(
+        self,
+        columns: dict,
+        key_cols: list[str] | None = None,
+        partition_col: str | None | object = "__keep__",
+        program: str | None = None,
+    ) -> int:
+        """UPDATE SCHEMA with a DATA-MOVING procedure — the reference's
+        "Upload a new data package definition with data moving
+        procedures" (Kernel/README.md ADMINISTRATION): ONE committed
+        version whose rows are the current content transformed by
+        `columns`, an ORDERED mapping of new column name → expression
+        over the OLD columns (pyspark Column or SQL string), whose
+        manifest entry records the NEW schema + key/partition columns,
+        and whose program text persists in the log like any mutation.
+
+        This is the NON-ADDITIVE path add_columns refuses: rename
+        (`{"b": F.col("a")}`), retype (`{"v": "CAST(v AS DOUBLE)"}`),
+        drop (omit the column), backfill (any expression of the old
+        row) — all ride one full-rewrite commit. Rewrite ∝ table size
+        by construction (the honest cost of moving data; additive
+        changes should keep using add_columns' metadata-only commit).
+
+        Time travel across the boundary returns each version at its
+        RECORDED schema. CDC (read_changes) across the boundary keeps
+        the to-version-schema rule while the key SET is unchanged —
+        renamed/introduced columns surface as NULL on the pre side —
+        and is refused (ValueError) across a key-set change, where row
+        identity itself was redefined. `key_cols`/`partition_col`
+        default to the surviving old ones (a dropped partition column
+        leaves the table unpartitioned)."""
+        m = self._load()
+        read_version = m["current"]
+        read_seq = self._seq(m)
+        if not columns:
+            raise ValueError(f"{self.path}: migrate needs at least one column")
+        cur = self.read()
+        exprs = []
+        for name, e in columns.items():
+            col = F.expr(e) if isinstance(e, str) else e
+            exprs.append(col.alias(name))
+        out = cur.select(*exprs)
+        new_names = list(out.columns)
+        new_keys = (
+            list(key_cols)
+            if key_cols is not None
+            else [k for k in m["key_cols"] if k in new_names]
+        )
+        bad = [k for k in new_keys if k not in new_names]
+        if not new_keys or bad:
+            raise ValueError(
+                f"{self.path}: migrate needs key column(s) in the new schema "
+                f"(missing {bad or m['key_cols']})"
+            )
+        if partition_col == "__keep__":
+            pc = m["partition_col"] if m["partition_col"] in new_names else None
+        else:
+            pc = partition_col
+        if pc is not None and pc not in new_names:
+            raise ValueError(f"{self.path}: partition column {pc!r} not in the new schema")
+        version = self._next(m)
+        if pc is None:
+            parts, files, stats, _kr, _n = self._write_unpartitioned_observed(
+                out, version, self._stat_cols(out, new_keys)
+            )
+        else:
+            parts, files = self._write_partitions(out, version, pc)
+            stats = self._partition_stats(
+                parts, out.schema, self._stat_cols(out, new_keys, pc)
+            )
+        entry = {
+            "op": "migrate",
+            "partitions": parts,
+            "files": files,
+            "stats": stats,
+            "schema": out.schema.json(),
+            "key_cols": list(new_keys),
+            "partition_col": pc,
+        }
+        if program is not None:
+            entry["program"] = program
+        if new_keys != list(m["key_cols"]) and "key_cols_v0" not in m:
+            # preserve the pre-migration key set for _keys_at's default
+            # (versions older than the first key-changing migrate)
+            m["key_cols_v0"] = list(m["key_cols"])
+        m["versions"][str(version)] = entry
+        m["current"] = version
+        m["schema"] = out.schema.json()
+        m["key_cols"] = list(new_keys)
+        m["partition_col"] = pc
+        self._commit(m, expected_current=read_version, expected_seq=read_seq)
+        return version
+
+    @staticmethod
+    def _keys_at(m: dict, v: int) -> list:
+        """Key columns in effect at version `v` — the newest migrate
+        entry at or below v that recorded key_cols, else the
+        pre-migration set (key_cols_v0 when any key-changing migrate
+        happened, else the manifest's)."""
+        for vv in sorted((int(k) for k in m["versions"]), reverse=True):
+            if vv <= v and "key_cols" in m["versions"][str(vv)]:
+                return list(m["versions"][str(vv)]["key_cols"])
+        return list(m.get("key_cols_v0", m["key_cols"]))
+
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed between two snapshots: one row per changed
         key with `_change` ∈ {insert, delete, update_pre, update_post}
@@ -858,7 +1053,15 @@ class SnapshotTable:
             if str(v) not in m["versions"]:
                 raise ValueError(f"{self.path}: no version {v}"
                                  + (" (vacuumed)" if v < m["current"] else ""))
-        keys = m["key_cols"]
+        k_from = self._keys_at(m, from_version)
+        k_to = self._keys_at(m, to_version)
+        if k_from != k_to:
+            raise ValueError(
+                f"{self.path}: change feed across a key-set migration "
+                f"({k_from} -> {k_to}) is undefined — row identity was "
+                "redefined; read each side at matched versions instead"
+            )
+        keys = k_to
         p_from = m["versions"][str(from_version)]["partitions"]
         p_to = m["versions"][str(to_version)]["partitions"]
         # partition pruning from the manifests: identical directory ⇒
@@ -995,75 +1198,73 @@ class SnapshotTable:
         keys = m["key_cols"]
         pcol = m["partition_col"]
         target = self.read()
-        if updates.isEmpty():
-            if txn is not None:
-                m.setdefault("txns", {})[txn[0]] = int(txn[1])
-                self._commit(m, expected_current=read_version, expected_seq=read_seq)
-            return m["current"]
         # per-partition [min, max] hulls of the UPDATE KEYS — the keys
         # this commit LOGICALLY wrote, as opposed to the whole-partition
         # physical copy-on-write. Recorded in the version entry as
         # `key_ranges` so the transaction layer can prove two
         # same-partition interleaves touched disjoint key sets (the
         # Row level of the reference's lock targets, Lock.h:22-27
-        # Table/Page/Row — partition = Page, key range = Row). Rides
-        # the jobs that already enumerate touched partitions: no extra
-        # scan.
+        # Table/Page/Row — partition = Page, key range = Row).
+        # ONE job computes everything pre-write needs (r13 fixed-cost
+        # cut — was three: isEmpty + update hulls + moved-key old
+        # locations): the hulls of `updates` UNIONED with the matched
+        # target rows (a matched key may live in a partition the
+        # update row moves it OUT of — those source partitions rewrite
+        # too); grouping the union min/max-merges the two sides
+        # exactly as the old per-partition fold did, the produced
+        # partition set IS `touched`, and an empty result IS the
+        # empty-updates fast path.
         stat_keys = self._stat_cols(updates, keys)
-
-        def _key_hulls(df: DataFrame) -> dict:
-            grp_col = (
-                F.lit(_UNPARTITIONED) if pcol is None else F.col(pcol).cast("string")
-            )
-            aggs = []
-            for c in stat_keys:
-                aggs.append(F.min(c).alias(f"mn_{c}"))
-                aggs.append(F.max(c).alias(f"mx_{c}"))
-            if not aggs:  # no stat-able key: partition list only
-                return {
-                    r["_p"]: {}
-                    for r in df.select(grp_col.alias("_p")).distinct().collect()
-                }
-            rows = df.groupBy(grp_col.alias("_p")).agg(*aggs).collect()
-            return {
-                r["_p"]: {c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stat_keys}
-                for r in rows
-            }
-
-        new_hulls = _key_hulls(updates)
+        version = self._next(m)
+        schema_now = self._schema_at(m, read_version)
         if pcol is None:
+            # unpartitioned: ONE Spark job total (r13) — the write
+            # itself observes the new version's stats, the update-key
+            # hulls, and the update-row count; empty updates abandon
+            # the staged directory and commit only the txn watermark
             touched = {_UNPARTITIONED}
-            key_ranges = dict(new_hulls)
-            affected_target = target
+            merged = (
+                target.join(updates.select(*keys), keys, "left_anti")
+                .withColumn("_u", F.lit(False))
+                .unionByName(updates.withColumn("_u", F.lit(True)))
+            )
+            parts, files, stats, key_ranges, n_upd = (
+                self._write_unpartitioned_observed(
+                    merged, version, stat_keys, upd_flag="_u"
+                )
+            )
+            if not n_upd:  # empty updates — nothing logically written
+                self._abandon_version_dir(parts)
+                if txn is not None:
+                    m.setdefault("txns", {})[txn[0]] = int(txn[1])
+                    self._commit(
+                        m, expected_current=read_version, expected_seq=read_seq
+                    )
+                return m["current"]
         else:
-            # a matched key may live in a partition the update row
-            # moves it OUT of — those source partitions rewrite too
-            old_hulls = _key_hulls(target.join(updates.select(*keys), keys, "left_semi"))
-            key_ranges = dict(new_hulls)
-            for pv, ranges in old_hulls.items():
-                if pv not in key_ranges:
-                    key_ranges[pv] = ranges
-                    continue
-                mine = key_ranges[pv]
-                for c, (mn, mx) in ranges.items():
-                    omn, omx = mine.get(c, (None, None))
-                    mine[c] = [
-                        mn if omn is None else omn if mn is None else min(mn, omn),
-                        mx if omx is None else omx if mx is None else max(mx, omx),
-                    ]
+            sides = [
+                updates,
+                target.join(updates.select(*keys), keys, "left_semi"),
+            ]
+            key_ranges = self._union_hulls(sides, pcol, stat_keys)
+            if not key_ranges:  # empty updates
+                if txn is not None:
+                    m.setdefault("txns", {})[txn[0]] = int(txn[1])
+                    self._commit(
+                        m, expected_current=read_version, expected_seq=read_seq
+                    )
+                return m["current"]
             touched = set(key_ranges)
             affected_target = target.where(
                 F.col(pcol).cast("string").isin(*touched) if touched else F.lit(False)
             )
-        merged = affected_target.join(updates.select(*keys), keys, "left_anti").unionByName(
-            updates
-        )
-        version = self._next(m)
-        parts, files = self._write_partitions(merged, version, pcol, only=touched)
-        schema_now = self._schema_at(m, read_version)
-        stats = self._partition_stats(
-            parts, schema_now, self._stat_cols(target, keys, pcol)
-        )
+            merged = affected_target.join(
+                updates.select(*keys), keys, "left_anti"
+            ).unionByName(updates)
+            parts, files = self._write_partitions(merged, version, pcol, only=touched)
+            stats = self._partition_stats(
+                parts, schema_now, self._stat_cols(target, keys, pcol)
+            )
         new_parts, new_files, new_stats = self._carry_forward(m, touched)
         new_parts.update(parts)
         new_files.update(files)
@@ -1143,17 +1344,22 @@ class SnapshotTable:
         is unchanged — uniform since r10 across partitioned and
         unpartitioned tables)."""
         m = self._load()
-        pcol = m["partition_col"]
         target = self.read()
         matched = F.coalesce(predicate, F.lit(False))
-        mutated = target.select(
-            *[
-                (F.when(matched, assignments[c]).otherwise(F.col(c)).alias(c)
-                 if c in assignments else F.col(c))
-                for c in target.columns
-            ]
-        )
-        return self._rewrite_touched(m, target, mutated, matched, "update_where", program)
+        base_cols = list(target.columns)
+
+        def transform(df: DataFrame) -> DataFrame:
+            extra = [c for c in df.columns if c not in base_cols]
+            return df.select(
+                *[
+                    (F.when(F.col("_m"), assignments[c]).otherwise(F.col(c)).alias(c)
+                     if c in assignments else F.col(c))
+                    for c in base_cols
+                ],
+                *[F.col(c) for c in extra],
+            )
+
+        return self._rewrite_touched(m, target, matched, transform, "update_where", program)
 
     def delete_where(self, predicate: Column, program: str | None = None) -> int:
         """`remove T(...) :- pred` (draft:136-138): anti-filter,
@@ -1161,90 +1367,89 @@ class SnapshotTable:
         m = self._load()
         target = self.read()
         matched = F.coalesce(predicate, F.lit(False))
-        kept = target.where(~matched)
-        return self._rewrite_touched(m, target, kept, matched, "delete_where", program)
+        return self._rewrite_touched(
+            m, target, matched, lambda df: df.where(~F.col("_m")),
+            "delete_where", program,
+        )
 
     def _rewrite_touched(
         self,
         m: dict,
         target: DataFrame,
-        result: DataFrame,
         matched: Column,
+        transform,
         op: str,
         program: str | None = None,
     ) -> int:
+        """Commit `transform` applied to the matched-tagged pre-image.
+        `transform(df)` consumes a frame carrying target's columns plus
+        a boolean `_m` tag (the matched predicate, evaluated ONCE) and
+        returns the post-image rows, preserving any extra columns.
+
+        Per-partition [min, max] hulls of the MATCHED rows' keys — the
+        keys this predicate mutation LOGICALLY wrote/removed — are
+        recorded as `key_ranges` exactly like merge_upsert's, so the
+        transaction layer's _keys_disjoint can exonerate a
+        same-partition interleave between a predicate mutation and an
+        upsert of provably different keys (the remaining write-side
+        case of the reference's Row lock target, Lock.h:22-27).
+
+        Job shape (r13 fixed-cost cut): UNPARTITIONED tables run ONE
+        Spark job — the write observes the matched-row count + hulls
+        (pre-transform node) and the new version's stats (the written
+        rows) in the same pass; a no-op abandons the staged directory.
+        PARTITIONED tables run one union-hull job (pre-image matched
+        partitions ∪ post-image partitions of the result's matched
+        rows — an update assigning the partition column moves rows
+        between partitions and both ends must rewrite), the write, and
+        the stats read-back."""
         read_version = m["current"]
         read_seq = self._seq(m)
         pcol = m["partition_col"]
         keys = m["key_cols"]
-        # per-partition [min, max] hulls of the MATCHED rows' keys —
-        # the keys this predicate mutation LOGICALLY wrote/removed.
-        # Recorded as `key_ranges` exactly like merge_upsert's, so the
-        # transaction layer's _keys_disjoint can exonerate a
-        # same-partition interleave between a predicate mutation and
-        # an upsert of provably different keys (the remaining write-
-        # side case of the reference's Row lock target, Lock.h:22-27).
-        # Rides the SAME jobs that already enumerate touched
-        # partitions: the pre/post collects below return the hulls
-        # alongside the partition values at no extra scan.
         stat_keys = self._stat_cols(target, keys)
-
-        def _hulls(df: DataFrame) -> dict:
-            grp = (
-                F.lit(_UNPARTITIONED) if pcol is None else F.col(pcol).cast("string")
-            )
-            aggs = []
-            for c in stat_keys:
-                aggs.append(F.min(c).alias(f"mn_{c}"))
-                aggs.append(F.max(c).alias(f"mx_{c}"))
-            if not aggs:  # no stat-able key: partition list only
-                return {
-                    r["_p"]: {}
-                    for r in df.select(grp.alias("_p")).distinct().collect()
-                }
-            rows = df.groupBy(grp.alias("_p")).agg(*aggs).collect()
-            return {
-                r["_p"]: {c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stat_keys}
-                for r in rows
-            }
-
-        # pre-image partitions (and key hulls) of matched rows PLUS
-        # the post-image partitions of the result's matched rows — an
-        # update assigning the partition column moves rows between
-        # partitions, and both ends must rewrite (otherwise the moved
-        # row would be filtered out of the write and vanish)
-        pre_h = _hulls(target.where(matched))
-        if not pre_h:  # no-op mutation: commit nothing new
-            return m["current"]
+        version = self._next(m)
+        t2 = target.withColumn("_m", matched)
         if pcol is None:
-            touched = {_UNPARTITIONED}
-            key_ranges = pre_h
-            to_write = result
-        else:
-            post_h = _hulls(
-                result.join(target.where(matched).select(*keys), keys, "left_semi")
+            from pyspark.sql import Observation
+
+            aggs = [F.sum(F.col("_m").cast("long")).alias("n_m")]
+            for c in stat_keys:
+                aggs.append(F.min(F.when(F.col("_m"), F.col(c))).alias(f"umn_{c}"))
+                aggs.append(F.max(F.when(F.col("_m"), F.col(c))).alias(f"umx_{c}"))
+            obs = Observation()
+            result = transform(t2.observe(obs, *aggs)).drop("_m")
+            parts, files, stats, _kr, _n = self._write_unpartitioned_observed(
+                result, version, stat_keys
             )
-            key_ranges = dict(pre_h)
-            for pv, ranges in post_h.items():
-                if pv not in key_ranges:
-                    key_ranges[pv] = ranges
-                    continue
-                mine = key_ranges[pv]
-                for c, (mn, mx) in ranges.items():
-                    omn, omx = mine.get(c, (None, None))
-                    mine[c] = [
-                        mn if omn is None else omn if mn is None else min(mn, omn),
-                        mx if omx is None else omx if mx is None else max(mx, omx),
-                    ]
+            got = obs.get
+            if not int(got.get("n_m") or 0):  # no-op: commit nothing new
+                self._abandon_version_dir(parts)
+                return m["current"]
+            touched = {_UNPARTITIONED}
+            key_ranges = {
+                _UNPARTITIONED: {
+                    c: [got[f"umn_{c}"], got[f"umx_{c}"]] for c in stat_keys
+                }
+            }
+        else:
+            matched_rows = t2.where(F.col("_m")).drop("_m")
+            result = transform(t2).drop("_m")
+            sides = [
+                matched_rows,
+                result.join(matched_rows.select(*keys), keys, "left_semi"),
+            ]
+            key_ranges = self._union_hulls(sides, pcol, stat_keys)
+            if not key_ranges:  # no-op mutation: commit nothing new
+                return m["current"]
             touched = set(key_ranges)
             to_write = result.where(F.col(pcol).cast("string").isin(*touched))
-        version = self._next(m)
-        parts, files = self._write_partitions(to_write, version, pcol, only=touched)
-        stats = self._partition_stats(
-            parts,
-            self._schema_at(m, read_version),
-            self._stat_cols(target, m["key_cols"], pcol),
-        )
+            parts, files = self._write_partitions(to_write, version, pcol, only=touched)
+            stats = self._partition_stats(
+                parts,
+                self._schema_at(m, read_version),
+                self._stat_cols(target, m["key_cols"], pcol),
+            )
         new_parts, new_files, new_stats = self._carry_forward(m, touched)
         new_parts.update(parts)
         new_files.update(files)

@@ -68,14 +68,16 @@ def recall_ledger(spark, sf_dir: str) -> tuple[dict, list]:
 
     # honestly-approximate: report, floor-check only (floors match the
     # pinned per-SF assertions in tests/test_scale.py et al.)
-    # floors mirror the pinned per-SF assertions: LSH >= 0.15 (the r12
-    # query-directed multi-probe, tests/test_dedup_similarity.py),
-    # IVF >= 0.2 (tests/test_scale.py), PQ >= 0.8, IVF-PQ >= 0.6.
+    # floors mirror the pinned per-SF assertions (raised r13 with the
+    # deeper probing: LSH multi-probe T=18 measured 0.36/0.60,
+    # tests/test_dedup_similarity.py; IVF measured 0.58/0.52,
+    # tests/test_scale.py; PQ 0.90/0.98; IVF-PQ ceil(k/3) probes
+    # measured 0.78/0.76).
     for name, fn, floor in [
-        ("ann_lsh", S.ann_lsh_topk, 0.15),
-        ("ann_ivf", SC.ann_ivf_topk, 0.2),
+        ("ann_lsh", S.ann_lsh_topk, 0.3),
+        ("ann_ivf", SC.ann_ivf_topk, 0.4),
         ("ann_pq", SC.ann_pq_topk, 0.8),
-        ("ann_ivfpq", SC.ann_ivfpq_topk, 0.6),
+        ("ann_ivfpq", SC.ann_ivfpq_topk, 0.7),
     ]:
         approx = pairs(fn(spark, sf_dir), "q_id", "neighbor_id")
         out[name] = len(exact_a & approx) / max(1, len(exact_a))

@@ -198,9 +198,9 @@ def test_ann_lsh_subset_of_bruteforce_space(spark, sf_dir):
                          ids=["sf0.001", "sf0.01"])
 def test_ann_lsh_multiprobe_recall_and_laws(spark, sfd):
     """Query-directed multi-probe (r12): recall@5 vs the exact
-    baseline >= 0.15 at every graded SF (measured 0.26/0.50 —
-    regeneration canary; single-bucket probing managed 0.06/0.08 for
-    the same geometry); deterministic; (q, neighbor) pairs unique
+    baseline >= 0.3 at every graded SF (measured 0.36/0.60 at r13's
+    T=18 probing — regeneration canary; single-bucket probing managed
+    0.06/0.08, T=12 0.26/0.50 for the same geometry); deterministic; (q, neighbor) pairs unique
     (each vector lives in exactly one bucket); reported cosines are
     exact (match brute force on overlap)."""
     exact_rows = S.ann_bruteforce_topk(spark, sfd).collect()
@@ -210,7 +210,7 @@ def test_ann_lsh_multiprobe_recall_and_laws(spark, sfd):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     got = {(r.q_id, r.neighbor_id) for r in a}
     assert len(got) == len(a)
-    assert len(got & set(exact)) / len(exact) >= 0.15, len(got & set(exact)) / len(exact)
+    assert len(got & set(exact)) / len(exact) >= 0.3, len(got & set(exact)) / len(exact)
     for r in a:
         if (r.q_id, r.neighbor_id) in exact:
             assert r.cosine == exact[(r.q_id, r.neighbor_id)], r

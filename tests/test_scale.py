@@ -30,7 +30,7 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     exact = {(r.q_id, r.neighbor_id) for r in S.ann_bruteforce_topk(spark, sf_dir).collect()}
     ivf = {(r.q_id, r.neighbor_id) for r in SC.ann_ivf_topk(spark, sf_dir).collect()}
     recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.2, recall
+    assert recall >= 0.4, recall  # r13 floor (measured 0.58/0.52)
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
@@ -187,9 +187,9 @@ def test_ann_pq_recall_determinism_and_exact_rerank(spark, sf_dir):
 
 def test_ann_ivfpq_recall_determinism_and_index_law(spark, sf_dir):
     """IVF-PQ composition (r12): (a) deterministic; (b) recall@5 vs
-    the exact baseline >= 0.6 at every graded SF (measured 0.70/0.68
-    at r12 — regeneration canary; <= plain PQ by construction, the
-    probe gate can drop true neighbors); (c) the INDEX is cell ids +
+    the exact baseline >= 0.7 at every graded SF (measured 0.78/0.76
+    at r13 with ceil(k/3) probes — regeneration canary; <= plain PQ
+    by construction, the probe gate can drop true neighbors); (c) the INDEX is cell ids +
     codes + decoded norm ONLY — no full-precision column on the
     serving path; (d) reported cosines are the exact full-precision
     scores (rerank contract), ranks contiguous 1..K."""
@@ -205,7 +205,7 @@ def test_ann_ivfpq_recall_determinism_and_index_law(spark, sf_dir):
     exact_rows = S.ann_bruteforce_topk(spark, sf_dir).collect()
     exact = {(r.q_id, r.neighbor_id) for r in exact_rows}
     got = {(r.q_id, r.neighbor_id) for r in a}
-    assert len(got & exact) / len(exact) >= 0.6, len(got & exact) / len(exact)
+    assert len(got & exact) / len(exact) >= 0.7, len(got & exact) / len(exact)
     # index shape law
     emb = load_table(spark, sf_dir, "embeddings")
     codebooks = SC._pq_codebooks(emb)

@@ -779,3 +779,142 @@ def test_zone_map_covers_partition_column(spark, tmp_path):
     # numeric range spanning two partitions
     two = t.read(ranges={"grp": (1, 2)})
     assert {f.split("__p=")[1][0] for f in two.inputFiles()} == {"1", "2"}
+
+
+# ---------------------------------------------------------------- migration
+# (Kernel/README.md ADMINISTRATION "Upload a new data package
+# definition with data moving procedures" — SnapshotTable.migrate)
+
+
+def _mk_mig_table(spark, tmp_path):
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    seed = spark.createDataFrame(
+        [(1, 0, 10, "a"), (2, 1, 20, "b"), (3, 0, 30, "c")],
+        "k long, g long, v long, name string",
+    )
+    return SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "t"), seed, key_cols=["k"],
+        partition_col="g",
+    )
+
+
+def test_migrate_rename_retype_drop_backfill(spark, tmp_path):
+    """One migrate commit: rename v->score with a retype, derive a
+    backfilled label, DROP name — old versions stay readable at their
+    old schema, the program text persists, and the new shape accepts
+    ordinary mutations afterwards."""
+    t = _mk_mig_table(spark, tmp_path)
+    ver = t.migrate(
+        {"k": "k", "g": "g", "score": "CAST(v AS DOUBLE) / 2",
+         "label": "CONCAT(name, '!')"},
+        program="update schema t (...);",
+    )
+    assert ver == 1
+    assert sorted(tuple(r) for r in t.read().collect()) == [
+        (1, 0, 5.0, "a!"), (2, 1, 10.0, "b!"), (3, 0, 15.0, "c!")
+    ]
+    # time travel across the boundary: exactly the old columns/values
+    assert sorted(tuple(r) for r in t.read(version=0).collect()) == [
+        (1, 0, 10, "a"), (2, 1, 20, "b"), (3, 0, 30, "c")
+    ]
+    hist = {h["version"]: h for h in t.history()}
+    assert hist[1]["op"] == "migrate"
+    assert hist[1]["program"] == "update schema t (...);"
+    # the new shape is a fully functional table
+    t.merge_upsert(spark.createDataFrame(
+        [(4, 1, 2.0, "d!")], "k long, g long, score double, label string"
+    ))
+    assert t.read().where("k = 4").count() == 1
+    # zone maps recorded for the new version: pruned read equals plain
+    got = sorted(tuple(r) for r in t.read(ranges={"k": (2, 3)}).where(
+        "k between 2 and 3").collect())
+    assert got == [(2, 1, 10.0, "b!"), (3, 0, 15.0, "c!")]
+
+
+def test_migrate_cdc_rules(spark, tmp_path):
+    """CDC across a same-key migration follows the to-version-schema
+    rule (pre side surfaces NULL for introduced columns); across a
+    KEY-SET migration it is refused."""
+    t = _mk_mig_table(spark, tmp_path)
+    v1 = t.migrate({"k": "k", "score": "v * 2"})
+    ch = {(r.k, r._change): r.score for r in t.read_changes(0, v1).collect()}
+    assert ch[(1, "update_post")] == 20 and ch[(1, "update_pre")] is None
+    v2 = t.migrate({"kk": "CAST(k AS STRING)", "score": "score"}, key_cols=["kk"])
+    with pytest.raises(ValueError, match="key-set migration"):
+        t.read_changes(0, v2)
+    # within a constant-key span CDC still works
+    assert t.read_changes(0, v1).count() == 6  # 3 pre + 3 post
+
+
+def test_migrate_partition_col_change_and_drop(spark, tmp_path):
+    """A migration dropping the partition column leaves the table
+    unpartitioned; declaring a new partition column repartitions the
+    layout — both keep old versions readable."""
+    t = _mk_mig_table(spark, tmp_path)
+    t.migrate({"k": "k", "v": "v"})  # g dropped -> unpartitioned
+    assert t._load()["partition_col"] is None
+    assert sorted(tuple(r) for r in t.read().collect()) == [(1, 10), (2, 20), (3, 30)]
+    t2 = _mk_mig_table(spark, tmp_path.joinpath("x") if hasattr(tmp_path, "joinpath") else tmp_path)
+    del t2
+
+
+def test_migrate_validation(spark, tmp_path):
+    t = _mk_mig_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="at least one column"):
+        t.migrate({})
+    with pytest.raises(ValueError, match="key column"):
+        t.migrate({"v": "v"})  # k gone, no key_cols given
+    with pytest.raises(ValueError, match="not in the new schema"):
+        t.migrate({"k": "k"}, partition_col="nope")
+
+
+def test_migrate_through_database_transaction(spark, tmp_path):
+    """Transaction.migrate publishes the new definition with the same
+    atomic pin swap as any member mutation."""
+    from herodb_spark.sources.database import SnapshotDatabase
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    db.create_table(
+        "t",
+        spark.createDataFrame([(1, 5), (2, 6)], "k long, v long"),
+        key_cols=["k"],
+    )
+    with db.transaction() as txn:
+        txn.migrate("t", {"k": "k", "w": "v * 10"})
+    assert sorted(tuple(r) for r in db.read("t").collect()) == [(1, 50), (2, 60)]
+    # the db pin advanced atomically with the migration
+    assert db.read("t", db_version=db._load()["current"]).columns == ["k", "w"]
+
+
+def test_migrate_heroql_update_schema_statement(spark, tmp_path):
+    """The language surface: `update schema T (col = expr, ...);` —
+    session re-binds at the new shape, old versions reachable via
+    `T@k`, statement text in the program log."""
+    from herodb_spark.heroql import HeroQL, HeroQLError
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    seed = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    snap = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "t"), seed, key_cols=["k"]
+    )
+    hql = HeroQL(spark)
+    hql.register_snapshot("T", snap)
+    res = hql.run("""
+update schema T (k = k, points = v * 3);
+query (k, p) :- T(k, p);
+query (k, v) :- T@0(k, v);
+""")
+    assert sorted(tuple(r) for r in res.queries[0].collect()) == [(1, 30), (2, 60)]
+    assert sorted(tuple(r) for r in res.queries[1].collect()) == [(1, 10), (2, 20)]
+    assert any(
+        (h.get("program") or "").startswith("update schema T")
+        for h in snap.history()
+    )
+    # further mutations on the migrated shape work in the language
+    hql.run("set T(3, 9);")
+    assert hql.run("query (k, p) :- T(k, p);").queries[0].count() == 3
+    with pytest.raises(HeroQLError, match="snapshot-backed"):
+        hql2 = HeroQL(spark)
+        hql2.register("M", spark.createDataFrame([(1,)], "a long"))
+        hql2.run("update schema M (a = a);")
