@@ -209,6 +209,22 @@ def main() -> None:
                 "spread_max_over_min": spread,
                 "iters": ITERS,
                 "sf": SF_DIR,
+                # recall ledger summary (r12 verdict item 8 / r13): the
+                # approximate operators' pinned floors and the values
+                # MEASURED at the graded SFs (sf0.001/sf0.01) by
+                # `scripts/driver_sim.py --recall` — carried here so the
+                # per-round bench record shows them without re-running
+                # the brute-force baseline at sf0.1. Exact-oracle ops
+                # (minhash_lsh, emb_lsh, ann_quant) hard-gate at 1.0 in
+                # every full driver_sim run.
+                "recall_floors": {
+                    "ann_lsh": 0.3, "ann_ivf": 0.4, "ann_pq": 0.8,
+                    "ann_ivfpq": 0.7,
+                },
+                "recall_measured_sf0001_sf001": {
+                    "ann_lsh": [0.36, 0.60], "ann_ivf": [0.58, 0.52],
+                    "ann_pq": [0.90, 0.98], "ann_ivfpq": [0.78, 0.76],
+                },
                 **provenance(),
             }
         )
