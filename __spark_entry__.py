@@ -481,6 +481,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # AddExam/UpdateExam/RemoveExam procedures, VERBATIM; GRADED via
     # heroql_programs (cmdq leg)
     "heroql_at_dialect": HQ.heroql_at_dialect,
+    # round 13: data packages as a program (Kernel/README.md DATA
+    # PACKAGE / GLOBAL READONLY VALUE / TRANSACTION / USING DATA
+    # PACKAGE) — `package ... using`, public-vs-private visibility,
+    # `Zero <- 0.`-style globals, `transaction query` atomicity,
+    # `Students <- new Score.` instances with inherit/merge/conflict;
+    # GRADED via heroql_programs (pkg leg)
+    "heroql_package": HQ.heroql_package,
 }
 
 
@@ -625,6 +632,7 @@ ORACLES: dict[str, str] = {
     "heroql_cached_query": HQ.HEROQL_CACHED_QUERY_SQL,
     "heroql_outquery": HQ.HEROQL_OUTQUERY_SQL,
     "heroql_at_dialect": HQ.HEROQL_AT_DIALECT_SQL,
+    "heroql_package": HQ.HEROQL_PACKAGE_SQL,
 }
 
 

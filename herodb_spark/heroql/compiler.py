@@ -172,6 +172,8 @@ class _ExprCtx:
         member = self.hql._enum_member(name)
         if member is not None:
             return F.lit(member)
+        if name in self.hql.globals:  # GLOBAL READONLY VALUE
+            return F.lit(self.hql.globals[name])
         raise _Unbound(name)
 
 
@@ -261,6 +263,21 @@ class HeroQL:
         self._mutations = 0
         self._ns: list[str] = []  # namespace stack, active while executing a program
         self._using: list[str] = []  # `using namespace` search paths (session-wide)
+        # DATA PACKAGES (Kernel/README.md DATA PACKAGE / GLOBAL
+        # READONLY VALUE / TRANSACTION): a declared package records
+        # PRISTINE deep copies of its items (canonicalization mutates
+        # the AST, and `x <- new P.` replays them inside the
+        # instance's namespace — "install the package again"), its
+        # `using` imports, and which member names are `public`
+        # (draft:190 — only public symbols usable across packages).
+        # Instances track their package, optional parent instance and
+        # the fork-time table refs: DataFrames are immutable, so
+        # object identity IS the mutated-since-fork test merge uses.
+        self.packages: dict[str, dict] = {}
+        self.instances: dict[str, dict] = {}
+        self.globals: dict[str, object] = {}  # GLOBAL READONLY VALUEs
+        self._cur_pkg: str | None = None
+        self._replaying = False  # inside `new P` replay (no re-record)
 
     # ------------------------------------------------------------ setup
 
@@ -440,6 +457,148 @@ class HeroQL:
                 if name in members:
                     self._snapshot_reload(name)
         return out
+
+    # ---- data-package instances (Kernel/README.md USING DATA
+    # PACKAGE: instantiate independent / inherit / merge / discard).
+    # The DURABLE analog is sources/branch.py (db.branch/merge — the
+    # graded db_branch_merge surface); these are the in-session
+    # instances the README's `Students <- new StudentPackage.` binds.
+
+    def _instantiate(self, var: str, ne: "P.NewExpr", out: RunResult) -> None:
+        """`var <- new P [from Other].` — replay P's recorded pristine
+        declarations inside namespace `var` ("install the package
+        again as a fresh instance"); with `from`, adopt the parent
+        instance's current table contents by reference (DataFrames
+        are immutable — O(1) copy-on-write fork) and record the fork
+        refs for merge's three-way check."""
+        pkg = self.packages.get(ne.package)
+        if pkg is None:
+            raise HeroQLError(f"unknown package {ne.package!r}")
+        parent = None
+        if ne.parent is not None:
+            parent = self.instances.get(ne.parent)
+            if parent is None:
+                raise HeroQLError(f"{ne.parent!r} is not a package instance")
+            if parent["package"] != ne.package:
+                raise HeroQLError(
+                    f"cannot inherit {ne.package} instance from "
+                    f"{ne.parent} (a {parent['package']} instance)"
+                )
+        import copy as _copy
+
+        save = (self._ns, self._cur_pkg, self._using, self._replaying)
+        self._ns, self._cur_pkg, self._replaying = [var], ne.package, True
+        self._using = list(pkg["uses"]) + [
+            u for u in self._using if u not in pkg["uses"]
+        ]
+        try:
+            scratch = RunResult()
+            for it in pkg["items"]:
+                self._exec_item(_copy.deepcopy(it), scratch)
+            for name in [n for n in self._pending if n.startswith(var + "::")]:
+                self._flush(name)  # seed `set` rows materialize now
+        finally:
+            self._ns, self._cur_pkg, self._using, self._replaying = save
+        inst = {"package": ne.package, "parent": ne.parent, "fork": {}}
+        if ne.parent is not None:
+            pfix, vfix = ne.parent + "::", var + "::"
+            for name in [n for n in self._pending if n.startswith(pfix)]:
+                self._flush(name)
+            # adopt every BASE table (declared data + relation edges;
+            # rule/@-query derivations recompute from them) by
+            # materialized reference: table() caches one stable frame
+            # per name, so object identity is the mutated-since-fork
+            # test merge later applies to both sides
+            for k in sorted(self.defs):
+                if not k.startswith(vfix):
+                    continue
+                if k in self.rules or k in self.atqueries:
+                    continue
+                tail = k[len(vfix):]
+                pk = f"{pfix}{tail}"
+                if pk not in self.defs or pk in self.rules or pk in self.atqueries:
+                    continue
+                src = self.table(pk)
+                self.tables[k] = src
+                inst["fork"][tail] = src
+            self._memo = {
+                k: v for k, v in self._memo.items() if not k.startswith(vfix)
+            }
+        self.instances[var] = inst
+
+    def _discard_instance(self, name: str) -> None:
+        """`discard X;` — drop instance X and everything under `X::`.
+        Refused while another instance inherits from X (the
+        reference's delete-as-a-whole dependency check)."""
+        if name not in self.instances:
+            raise HeroQLError(f"{name!r} is not a package instance")
+        kids = sorted(
+            n for n, e in self.instances.items() if e["parent"] == name
+        )
+        if kids:
+            raise HeroQLError(
+                f"cannot discard {name!r}: dependent instance(s) {kids} "
+                "inherit from it (discard or merge them first)"
+            )
+        del self.instances[name]
+        prefix = name + "::"
+        for d in (
+            self.tables, self.defs, self.rules, self._memo, self.enums,
+            self.types, self.procs, self.outqueries, self.atqueries,
+            self._pending, self._pending_src, self.query_indexes,
+            self._snapshots, self._snapshot_versions, self._memo_pos,
+            self._deferred_indexes,
+        ):
+            for k in [k for k in d if isinstance(k, str) and k.startswith(prefix)]:
+                del d[k]
+        for k in [k for k in self._qcache if k[0].startswith(prefix)]:
+            del self._qcache[k]
+        for k in [
+            k for k in self.relations
+            if isinstance(k[0], str) and k[0].startswith(prefix)
+        ]:
+            del self.relations[k]
+
+    def _merge_instance(self, name: str) -> None:
+        """`merge X;` — three-way merge of inheriting instance X back
+        to its parent at TABLE granularity (the in-session analog of
+        branch merge): child-mutated tables the parent left untouched
+        are adopted; both-sides-mutated tables CANCEL with a conflict
+        (the reference's rollback-conflicted rule); the instance is
+        discarded after a successful merge."""
+        inst = self.instances.get(name)
+        if inst is None:
+            raise HeroQLError(f"{name!r} is not a package instance")
+        if inst["parent"] is None:
+            raise HeroQLError(
+                f"{name!r} is an independent instance — nothing to merge into"
+            )
+        par = inst["parent"]
+        for n in [
+            n for n in self._pending
+            if n.startswith(name + "::") or n.startswith(par + "::")
+        ]:
+            self._flush(n)
+        adopted, conflicts = [], []
+        for tail, fork_df in inst["fork"].items():
+            mine = self.tables.get(f"{name}::{tail}")
+            theirs = self.tables.get(f"{par}::{tail}")
+            if mine is fork_df:
+                continue  # child untouched: parent's state stands
+            if theirs is not fork_df:
+                conflicts.append(tail)
+            else:
+                adopted.append(tail)
+        if conflicts:
+            raise HeroQLError(
+                f"merge {name}: conflict on table(s) {sorted(conflicts)} — "
+                "both the instance and its parent mutated them since the "
+                "fork (rollback-conflicted; re-fork and retry)"
+            )
+        for tail in adopted:
+            self.tables[f"{par}::{tail}"] = self.tables[f"{name}::{tail}"]
+            self._after_mutation(f"{par}::{tail}")
+        self._discard_instance(name)
 
     def _exec_maintain(self, item: "P.MaintainStmt", out: RunResult) -> None:
         """Storage maintenance IN the language (so a durable-layer
@@ -634,17 +793,39 @@ class HeroQL:
             )
 
         if known(name):
+            self._vis_check(name)
             return name
         for i in range(len(self._ns), 0, -1):
             cand = "::".join(self._ns[:i] + [name])
             if known(cand):
-                return cand
+                return cand  # own-package/namespace scope: no vis check
         hits = [f"{u}::{name}" for u in self._using if known(f"{u}::{name}")]
         if len(hits) > 1:
             raise HeroQLError(f"ambiguous name {name!r}: {sorted(hits)}")
         if hits:
+            self._vis_check(hits[0])
             return hits[0]
         return self._qualify(name)  # forward reference in the current namespace
+
+    def _vis_check(self, resolved: str) -> None:
+        """Cross-package visibility (draft:190 "If a database
+        references another database, all public symbol is usable"):
+        a qualified reference into another package — or into an
+        INSTANCE of one — must name a `public` member. Own-package
+        references (current package == owner, or resolution through
+        the namespace stack) are unrestricted."""
+        head, sep, tail = resolved.partition("::")
+        if not sep:
+            return
+        inst = self.instances.get(head)
+        owner = inst["package"] if inst is not None else head
+        if owner not in self.packages or owner == self._cur_pkg:
+            return
+        if tail not in self.packages[owner]["public"]:
+            raise HeroQLError(
+                f"{resolved}: {tail!r} is private to package {owner} "
+                "(mark it `public` to use it from outside)"
+            )
 
     def _canon_atom(self, atom: P.Atom) -> None:
         if atom.member_of is None:
@@ -706,12 +887,87 @@ class HeroQL:
             elif isinstance(lit, P.OrderCmd):
                 self._canon_expr(lit.expr)
 
+    # item types a package records for `new P` replay: declarations
+    # plus `set` seed rows ("a database instance is an installed
+    # database WITH data", draft:189)
+    _PKG_RECORDABLE = (
+        "DataDecl", "Rule", "FuncDecl", "OutQueryDecl",
+        "QueryIndexDecl", "EnumDecl", "StructDecl", "UnionDecl",
+        "ClassDecl", "NamespaceDecl", "UsingDecl", "RelDecl", "SetStmt",
+    )
+
+    def _record_public(self, item, ent: dict, prefix: str = "") -> None:
+        """Collect `public`-marked member names (namespace-qualified
+        tails) into the package's public set."""
+        if isinstance(item, P.NamespaceDecl):
+            for child in item.items:
+                self._record_public(child, ent, f"{prefix}{item.name}::")
+            return
+        if not getattr(item, "public", False):
+            return
+        name = getattr(item, "name", None)
+        if not name:
+            raise HeroQLError(
+                f"package {self._cur_pkg}: `public` needs a named "
+                f"declaration, not {type(item).__name__}"
+            )
+        ent["public"].add(f"{prefix}{name}")
+
     def _exec_item(self, item, out: RunResult) -> None:
         self._cur_src = getattr(item, "src", None)
+        if (
+            self._cur_pkg is not None
+            and not self._replaying
+            and type(item).__name__ in self._PKG_RECORDABLE
+        ):
+            import copy as _copy
+
+            ent = self.packages[self._cur_pkg]
+            ent["items"].append(_copy.deepcopy(item))
+            self._record_public(item, ent)
         if isinstance(item, P.MaintainStmt):
             self._exec_maintain(item, out)
             return
         if isinstance(item, P.DatabaseDecl):
+            return
+        if isinstance(item, P.PackageDecl):
+            for u in item.uses:
+                if u not in self.packages:
+                    raise HeroQLError(
+                        f"package {item.name}: unknown package {u!r} in using"
+                    )
+            ent = self.packages.setdefault(
+                item.name, {"uses": [], "items": [], "public": set()}
+            )
+            ent["uses"] = list(item.uses)
+            self._cur_pkg = item.name
+            self._ns = [item.name]
+            for u in item.uses:
+                if u not in self._using:
+                    self._using.append(u)
+            return
+        if isinstance(item, P.GlobalLet):
+            if item.name in self.globals or item.name in self.instances:
+                raise HeroQLError(
+                    f"{item.name!r} is READONLY (GLOBAL READONLY VALUE) — "
+                    "already bound"
+                )
+            if isinstance(item.expr, P.NewExpr):
+                self._instantiate(item.name, item.expr, out)
+            else:
+                v = self._const_value(item.expr)
+                if v is None and not isinstance(item.expr, P.Const):
+                    raise HeroQLError(
+                        f"global value {item.name!r} must be a constant "
+                        "expression or `new Package`"
+                    )
+                self.globals[item.name] = v
+            return
+        if isinstance(item, P.DiscardStmt):
+            self._discard_instance(item.name)
+            return
+        if isinstance(item, P.MergeInstStmt):
+            self._merge_instance(item.name)
             return
         if isinstance(item, P.NamespaceDecl):
             self._ns.append(item.name)
@@ -770,6 +1026,12 @@ class HeroQL:
         if isinstance(item, P.OutQueryDecl):
             name = self._qualify(item.name)
             kind = self._classify_out_query(item)
+            if getattr(item, "transactional", False) and kind != "procedure":
+                raise HeroQLError(
+                    f"transaction query {item.name}: only mutation-command "
+                    f"bodies (@insert/@update/@remove) can be transactional "
+                    f"— this body classifies as {kind}"
+                )
             if kind == "procedure":
                 self._canon_body(item.body)
                 self._check_procedure(item)
@@ -807,6 +1069,11 @@ class HeroQL:
             self._add_rule(item)
             return
         if isinstance(item, P.QueryDecl):
+            if getattr(item, "transactional", False):
+                raise HeroQLError(
+                    "transaction query: only named mutation-command bodies "
+                    "(@insert/@update/@remove procedures) can be transactional"
+                )
             self._canon_body(item.body)
             for a in item.args:
                 self._canon_expr(a)
@@ -1413,7 +1680,10 @@ class HeroQL:
                 raise HeroQLError(f"{a.base.name} has no member {a.name!r}")
             return a.name
         if isinstance(a, P.Var):
-            return self._enum_member(a.name)
+            m = self._enum_member(a.name)
+            if m is not None:
+                return m
+            return self.globals.get(a.name)  # GLOBAL READONLY VALUE
         return None
 
     # ------------------------------------------------------------ body compilation
@@ -2181,8 +2451,78 @@ class HeroQL:
             if v is None and not isinstance(a, P.Const):
                 raise HeroQLError(f"{name}: procedure arguments must be constants")
             env[pname] = v
+        if getattr(decl, "transactional", False):
+            # `transaction query` (Kernel/README.md TRANSACTION): the
+            # whole mutation body runs atomically — one database
+            # transaction (single pointer swap, full rollback) when a
+            # database is bound, an O(1) session-state snapshot/restore
+            # for in-memory tables (DataFrames are immutable refs)
+            self._run_atomic(name, decl, lambda: self._exec_proc_body(decl, env, name))
+            return
+        self._exec_proc_body(decl, env, name)
+
+    def _run_atomic(self, name: str, decl, fn) -> None:
+        if self._txn is not None:
+            fn()  # already inside run_transactional's transaction
+            return
+        touched = {
+            lit.atom.name
+            if lit.atom.name in self.defs or lit.atom.name in self.tables
+            else self._resolve_ref(lit.atom.name)
+            for lit in decl.body
+        }
+        if self._db is not None:
+            with self._db.transaction() as t:
+                self._txn = t
+                try:
+                    for n in list(self._snapshots):
+                        if n in t._base_pins:
+                            self._snapshot_reload(n)
+                    fn()
+                    for n in [n for n in self._pending if n in self._snapshots]:
+                        self._flush(n)
+                finally:
+                    self._txn = None
+            members = self._db.tables()
+            for n in list(self._snapshots):
+                if n in members:
+                    self._snapshot_reload(n)
+            return
+        if any(t in self._snapshots for t in touched):
+            raise HeroQLError(
+                f"{name}: a transaction query over durable tables needs "
+                "register_database (per-table snapshots alone cannot roll "
+                "back a multi-statement program atomically)"
+            )
+        snap = (
+            dict(self.tables),
+            {k: list(v) for k, v in self._pending.items()},
+            {k: list(v) for k, v in self._pending_src.items()},
+            dict(self._memo),
+            dict(self._memo_pos),
+        )
+        try:
+            fn()
+            # force the body's lazily-buffered `set` batches to apply
+            # INSIDE the atomic scope: a schema/constraint error must
+            # surface here and restore, not fail some later reader
+            for n in [n for n in touched if self._pending.get(n)]:
+                self._flush(n)
+        except BaseException:
+            (self.tables, self._pending, self._pending_src,
+             self._memo, self._memo_pos) = snap
+            raise
+
+    def _exec_proc_body(self, decl, env: dict, name: str) -> None:
         for lit in decl.body:
-            tname = self._resolve_ref(lit.atom.name)
+            # body atoms were canonicalized (and visibility-checked) at
+            # DECLARATION; re-resolving here must not re-apply the
+            # caller's visibility to the procedure's internal refs
+            tname = (
+                lit.atom.name
+                if lit.atom.name in self.defs or lit.atom.name in self.tables
+                else self._resolve_ref(lit.atom.name)
+            )
             if lit.kind == "insert":
                 self._exec_set(
                     P.Atom(
@@ -2201,6 +2541,11 @@ class HeroQL:
                 body: list = []
                 for i, a in enumerate(lit.atom.args):
                     if isinstance(a, P.AtMarked):
+                        if a.name not in env:
+                            raise HeroQLError(
+                                f"{name}: @-marked assignment {a.name!r} is not "
+                                f"a declared parameter of {name}"
+                            )
                         var = f"_c{i}"
                         pats.append(P.Var(var))
                         body.append(P.AssignLit(var, P.Const(env[a.name])))

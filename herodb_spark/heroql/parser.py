@@ -31,6 +31,7 @@ KEYWORDS = {
     "uncache", "not", "exists", "ensure", "if", "then", "else", "and",
     "or", "in", "out", "namespace", "using", "database", "for", "let",
     "true", "false", "optimize", "vacuum", "keep", "cluster_by",
+    "package", "public", "transaction", "new", "discard", "merge",
 }
 
 _TOKEN_RE = re.compile(
@@ -269,6 +270,10 @@ class OutQueryDecl:
     ins: list   # [(name, type|None)]
     outs: list  # [(name, type|None)]
     body: list
+    # `transaction query Name(...) :- @insert ..., @update ...;`
+    # (Kernel/README.md TRANSACTION): invoking the procedure runs its
+    # whole mutation body atomically
+    transactional: bool = False
 
 
 @dataclass
@@ -507,6 +512,51 @@ class DatabaseDecl:
 
 
 @dataclass
+class PackageDecl:
+    """`package NAME [using P1, P2];` (Kernel/README.md DATA PACKAGE
+    DECLARATION): enter package NAME — subsequent declarations
+    register under `NAME::` and are RECORDED pristine for
+    instantiation (`x <- new NAME.`); `using` imports the listed
+    packages' PUBLIC symbols (draft:190 "If a database references
+    another database, all public symbol is usable")."""
+    name: str
+    uses: list
+
+
+@dataclass
+class GlobalLet:
+    """`Zero <- 0.` / `Students <- new StudentPackage.` (Kernel/
+    README.md GLOBAL READONLY VALUE): a session-wide READONLY binding
+    — a constant usable in any expression, or a package instance."""
+    name: str
+    expr: object  # constant expression | NewExpr
+
+
+@dataclass
+class NewExpr:
+    """`new P [from Other]` (Kernel/README.md USING DATA PACKAGE):
+    instantiate data package P — independent (fresh empty tables), or
+    inheriting instance Other's current data copy-on-write."""
+    package: str
+    parent: str | None
+
+
+@dataclass
+class DiscardStmt:
+    """`discard Students;` — discard a data package instance
+    (Kernel/README.md USING DATA PACKAGE)."""
+    name: str
+
+
+@dataclass
+class MergeInstStmt:
+    """`merge Students;` — merge an inheriting instance back to its
+    parent instance (Kernel/README.md USING DATA PACKAGE); conflicts
+    (both sides mutated one table since the fork) cancel."""
+    name: str
+
+
+@dataclass
 class NamespaceDecl:
     """`namespace Nodes { ... }` (draft:170-175); nesting allowed."""
     name: str
@@ -687,6 +737,43 @@ class Parser:
             name = self.qualified_name()
             self.expect(";")
             return DatabaseDecl(name)
+        if self.at_kw("package"):
+            self.next()
+            name = self.qualified_name()
+            uses: list[str] = []
+            if self.at_kw("using"):
+                self.next()
+                uses.append(self.qualified_name())
+                while self.at(","):
+                    self.next()
+                    uses.append(self.qualified_name())
+            self.end_stmt()
+            return PackageDecl(name, uses)
+        if self.at_kw("public"):
+            self.next()
+            item = self.parse_item()
+            item.public = True  # plain dataclasses: attribute injection
+            return item
+        if self.at_kw("transaction"):
+            self.next()
+            if not self.at_kw("query"):
+                t = self.peek()
+                raise HeroQLSyntaxError(
+                    f"expected 'query' after 'transaction' at offset {t.pos}"
+                )
+            q = self.parse_query_decl()
+            q.transactional = True
+            return q
+        if self.at_kw("discard"):
+            self.next()
+            name = self.qualified_name()
+            self.end_stmt()
+            return DiscardStmt(name)
+        if self.at_kw("merge"):
+            self.next()
+            name = self.qualified_name()
+            self.end_stmt()
+            return MergeInstStmt(name)
         if self.at_kw("namespace"):
             self.next()
             name = self.qualified_name()
@@ -854,6 +941,23 @@ class Parser:
         # or a procedure CALL:  AddExam("alice", 90);   (README UPDATE —
         # invoking a declared @-command mutation query)
         if t.kind == "id":
+            # `Zero <- 0.` / `Students <- new StudentPackage.` —
+            # GLOBAL READONLY VALUE (Kernel/README.md)
+            if self.peek(1).kind == "<-":
+                name = self.next().text
+                self.next()  # <-
+                if self.at_kw("new"):
+                    self.next()
+                    pkg = self.qualified_name()
+                    parent = None
+                    if self.at("id", "from"):
+                        self.next()
+                        parent = self.qualified_name()
+                    self.end_stmt()
+                    return GlobalLet(name, NewExpr(pkg, parent))
+                e = self.parse_expr()
+                self.end_stmt()
+                return GlobalLet(name, e)
             atom = self.parse_atom()
             if self.at(";") or self.at("."):
                 self.next()
@@ -1590,9 +1694,17 @@ class Parser:
         e = self.parse_primary()
         # field names may collide with keywords (`student.class`,
         # draft_students:51) — accept either after the dot; the dot
-        # must TOUCH its base, else it is a statement terminator
-        # (`order < 10 \n .` — Kernel/README.md query endings)
-        while self.at(".") and self.peek(1).kind in ("id", "kw") and self._dot_adjacent():
+        # must TOUCH its base AND its field (field access is written
+        # flush on both sides), else it is a statement terminator:
+        # `order < 10 \n .` detaches before the dot, and the README's
+        # `Zero <- 0.` detaches after it (the next statement's leading
+        # identifier must not read as a field of the literal)
+        while (
+            self.at(".")
+            and self.peek(1).kind in ("id", "kw")
+            and self._dot_adjacent()
+            and self.peek(1).pos == self.peek().end
+        ):
             self.next()
             e = FieldAccess(e, self.next().text)
         return e

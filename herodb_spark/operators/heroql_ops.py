@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from herodb_spark.catalog import load_table
-from herodb_spark.heroql import HeroQL
+from herodb_spark.heroql import HeroQL, HeroQLError
 
 
 def _session(spark: SparkSession, sf_dir: str, tables: list[str]) -> HeroQL:
@@ -724,6 +724,149 @@ ORDER BY part, student, n1, n2
 """
 
 
+def heroql_package(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA PACKAGES as a program — the Kernel/README.md DATA
+    PACKAGE / GLOBAL READONLY VALUE / TRANSACTION / USING DATA
+    PACKAGE sections end-to-end:
+
+    - `Cap <- 150000.0.` — GLOBAL READONLY VALUE (the README's
+      `Zero <- 0.` shape, flush-dot terminator included);
+    - `package Analytics;` with a PRIVATE rule (HasBig) and a public
+      @-aggregate query (HotCount) over the SF-scaled base tables —
+      consumed from `package Main using Analytics;` (draft:190 "all
+      public symbol is usable"; the private one is probed and must
+      refuse);
+    - `package Score` with seed data, a `public transaction query`
+      (two @inserts, atomic), `Students <- new Score.` (README
+      verbatim shape), an inheriting instance forked `from` it,
+      mutations on both, `merge` back, and a CONFLICT schedule that
+      must cancel (rollback-conflicted), plus a READONLY-rebind probe.
+
+    Scale: instances fork by immutable-DataFrame reference (O(1),
+    zero copy); HotCount compiles to the standard semi-join +
+    partial-agg shuffle over the orders scan; the instance legs are
+    constant-cardinality driver schedules. The DURABLE twin of
+    instantiate/inherit/merge is sources/branch.py (graded
+    db_branch_merge). Output tag-union (leg, k1, k2, n1) with leg ∈
+    {hot, inst, guard}."""
+    hql = _session(spark, sf_dir, ["orders", "customer", "nation"])
+    res = hql.run("""
+Cap <- 150000.0;
+
+package Analytics;
+query HasBig(ckey : int) -> () :- orders(_, ckey, _, total, _, _), total >= Cap;
+public query HotCount(nname : string) -> (cnt : int) :-
+    customer(ckey, _, nkey, _, _),
+    HasBig(ckey),
+    nation(nkey, nname, _),
+    @partition(nname),
+    @aggregate(count(ckey)),
+    cnt <- ckey
+.
+
+package Main using Analytics;
+query (nname, cnt) :- HotCount(nname, cnt);
+""")
+    hot = res.queries[0]
+
+    hql.run("""
+package Score;
+data Exams(student : string, course : string, score : int)
+    index Unique(student, course);
+set Exams("seed", "Math", 50);
+public query AddExam(s : string, c : string, v : int) :- @insert Exams(s, c, v);
+public transaction query AddPair(s : string, v : int) :-
+    @insert Exams(s, "Math", v),
+    @insert Exams(s, "Art", v);
+public query All() -> (student : string, course : string, score : int) :-
+    Exams(student, course, score);
+
+package Main using Analytics, Score;
+Students <- new Score.
+Students::AddExam("alice", "Sci", 70);
+Students::AddPair("bob", 90);
+Wip <- new Score from Students.
+Wip::AddExam("carol", "Sci", 60);
+merge Wip;
+""")
+    guards = []
+    try:  # private member across packages must refuse
+        hql.run("query (c) :- HasBig(c);")
+        guards.append(("guard", "private", 0))
+    except HeroQLError:
+        guards.append(("guard", "private", 1))
+    try:  # GLOBAL READONLY VALUEs cannot rebind
+        hql.run("Students <- new Score.")
+        guards.append(("guard", "readonly", 0))
+    except HeroQLError:
+        guards.append(("guard", "readonly", 1))
+    try:  # both-sides mutation since the fork must cancel the merge
+        hql.run("""
+Clash <- new Score from Students.
+Clash::AddExam("dave", "Sci", 10);
+Students::AddExam("erin", "Sci", 20);
+merge Clash;
+""")
+        guards.append(("guard", "conflict", 0))
+    except HeroQLError:
+        guards.append(("guard", "conflict", 1))
+    hql.run("discard Clash;")
+    # the cancelled merge left the parent's own mutation intact and
+    # none of the clash branch's — read the final instance state
+    inst = hql.run(
+        "query (s, c, v) :- Students::All(s, c, v);"
+    ).queries[0]
+
+    ns = F.lit(None).cast("string")
+    out = (
+        hot.select(
+            F.lit("hot").alias("leg"),
+            F.col("nname").alias("k1"),
+            ns.alias("k2"),
+            F.col("cnt").cast("long").alias("n1"),
+        )
+        .unionByName(
+            inst.select(
+                F.lit("inst").alias("leg"),
+                F.col("s").alias("k1"),
+                F.col("c").alias("k2"),
+                F.col("v").cast("long").alias("n1"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(guards, "leg string, k1 string, n1 long")
+            .select("leg", "k1", ns.alias("k2"), "n1")
+        )
+    )
+    return out.orderBy("leg", "k1", "k2", "n1")
+
+
+_PACKAGE_CORE_SQL = """
+SELECT 'hot' AS leg, n_name AS k1, CAST(NULL AS VARCHAR) AS k2,
+       CAST(COUNT(*) AS BIGINT) AS n1
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice >= 150000.0)
+GROUP BY n_name
+UNION ALL
+SELECT 'inst', s, c, v FROM (VALUES
+    ('seed',  'Math', CAST(50 AS BIGINT)),
+    ('alice', 'Sci',  70),
+    ('bob',   'Math', 90),
+    ('bob',   'Art',  90),
+    ('carol', 'Sci',  60),
+    ('erin',  'Sci',  20)) i(s, c, v)
+UNION ALL
+SELECT 'guard', g, CAST(NULL AS VARCHAR), CAST(1 AS BIGINT)
+FROM (VALUES ('private'), ('readonly'), ('conflict')) g(g)
+"""
+
+HEROQL_PACKAGE_SQL = f"""
+{_PACKAGE_CORE_SQL}
+ORDER BY leg, k1, k2, n1
+"""
+
+
 def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered merge of heroql_rules + heroql_pipeline +
     heroql_time_travel_cdc (rotated in in round 8) + heroql_recursive
@@ -836,10 +979,19 @@ def heroql_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2"),
         nd.alias("v"),
     )
+    p = heroql_package(spark, sf_dir).select(
+        F.lit("pkg").alias("q"),
+        F.col("leg").alias("k1"),
+        F.col("k1").alias("k2"),
+        F.col("k2").alias("k3"),
+        F.col("n1"),
+        nb.alias("n2"),
+        nd.alias("v"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
         .unionByName(g).unionByName(h).unionByName(i).unionByName(j)
-        .unionByName(k).unionByName(m)
+        .unionByName(k).unionByName(m).unionByName(p)
         .orderBy("q", "n1", "k1", "k2", "k3")
     )
 
@@ -966,5 +1118,8 @@ UNION ALL
 SELECT 'cmdq', part, student, CAST(NULL AS VARCHAR), n1, n2,
        CAST(NULL AS DOUBLE)
 FROM ({HEROQL_AT_DIALECT_SQL.replace("ORDER BY part, student, n1, n2", "")})
+UNION ALL
+SELECT 'pkg', leg, k1, k2, n1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM ({_PACKAGE_CORE_SQL})
 ORDER BY q, n1, k1, k2, k3
 """

@@ -727,7 +727,10 @@ class SnapshotDatabase:
                 schema_js = None if sch is None else sch.json()
             tables[name] = {
                 "key_cols": SnapshotTable._keys_at(tm, pin),
-                "partition_col": tm["partition_col"],
+                # partitioning AS OF the pin — a standalone migrate
+                # after the database's last commit must not relabel
+                # the pinned (pre-migration) data
+                "partition_col": SnapshotTable._pcol_at(tm, pin),
                 "schema": schema_js,
                 "partitions": parts,
                 "files": {
@@ -848,6 +851,22 @@ class SnapshotDatabase:
         read_version, read_seq = m["current"], self._mf._seq(m)
         versions = sorted(int(v) for v in m["versions"])
         keep = set(versions[-max(1, keep_last):]) | {m["current"]}
+        # keep the newest merge_branch:<b> version for every branch
+        # that still EXISTS: a branch whose merged=True marker commit
+        # was lost to a crash proves its completed merge from exactly
+        # this history entry (_merge_completed) — pruning it would
+        # revert the branch to "unmerged" with parent-adopted paths
+        d = self._branches_dir()
+        live_branches = (
+            {b for b in os.listdir(d) if os.path.isdir(os.path.join(d, b))}
+            if os.path.isdir(d)
+            else set()
+        )
+        for b in live_branches:
+            op = f"merge_branch:{b}"
+            mv = [int(v) for v, e in m["versions"].items() if e.get("op") == op]
+            if mv:
+                keep.add(max(mv))
         dropped = [v for v in versions if v not in keep]
         m["versions"] = {str(v): m["versions"][str(v)] for v in sorted(keep)}
         self._mf._commit(m, expected_current=read_version, expected_seq=read_seq)

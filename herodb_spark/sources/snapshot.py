@@ -1018,6 +1018,10 @@ class SnapshotTable:
             # preserve the pre-migration key set for _keys_at's default
             # (versions older than the first key-changing migrate)
             m["key_cols_v0"] = list(m["key_cols"])
+        if pc != m["partition_col"] and "partition_col_v0" not in m:
+            # same preservation for _pcol_at (export of a pre-migration
+            # database pin needs the partitioning in effect AT the pin)
+            m["partition_col_v0"] = m["partition_col"]
         m["versions"][str(version)] = entry
         m["current"] = version
         m["schema"] = out.schema.json()
@@ -1036,6 +1040,17 @@ class SnapshotTable:
             if vv <= v and "key_cols" in m["versions"][str(vv)]:
                 return list(m["versions"][str(vv)]["key_cols"])
         return list(m.get("key_cols_v0", m["key_cols"]))
+
+    @staticmethod
+    def _pcol_at(m: dict, v: int) -> str | None:
+        """Partition column in effect at version `v` — the newest
+        migrate entry at or below v that recorded partition_col, else
+        the pre-migration one (partition_col_v0 when any
+        partition-changing migrate happened, else the manifest's)."""
+        for vv in sorted((int(k) for k in m["versions"]), reverse=True):
+            if vv <= v and "partition_col" in m["versions"][str(vv)]:
+                return m["versions"][str(vv)]["partition_col"]
+        return m.get("partition_col_v0", m["partition_col"])
 
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed between two snapshots: one row per changed
@@ -1068,13 +1083,19 @@ class SnapshotTable:
         # identical bytes ⇒ no changes possible
         changed = {pv for pv in set(p_from) | set(p_to) if p_from.get(pv) != p_to.get(pv)}
 
-        # BOTH sides read with the schema in effect at `to_version`:
-        # across an add_columns boundary the old side surfaces NULL
-        # for the added columns, so "NULL -> value" correctly reports
-        # as an update (and pre/post rows keep one uniform schema)
+        # BOTH sides surface at the schema in effect at `to_version`,
+        # but each side's files are READ at that side's own recorded
+        # schema and then CONFORMED by explicit Catalyst casts: across
+        # an add_columns/rename boundary the old side surfaces typed
+        # NULL for introduced columns, and across a RETYPE migration
+        # the cast handles conversions the parquet reader refuses
+        # (e.g. INT32 files under a to-version string column fail the
+        # vectorized scan with PARQUET_COLUMN_DATA_TYPE_MISMATCH —
+        # only widenings are readable in-place)
         cdc_schema = self._schema_at(m, to_version)
 
-        def _side(parts: dict) -> DataFrame:
+        def _side(parts: dict, at_version: int) -> DataFrame:
+            sch = self._schema_at(m, at_version)
             dirs = [os.path.join(self.path, parts[pv]) for pv in changed if pv in parts]
             if not dirs:
                 if cdc_schema is None:
@@ -1083,11 +1104,21 @@ class SnapshotTable:
                         "empty side and this table pre-dates manifest schemas"
                     )
                 return self.spark.createDataFrame([], cdc_schema)
-            reader = self.spark.read if cdc_schema is None else self.spark.read.schema(cdc_schema)
-            return reader.parquet(*dirs)
+            reader = self.spark.read if sch is None else self.spark.read.schema(sch)
+            df = reader.parquet(*dirs)
+            if cdc_schema is None:
+                return df
+            return df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in cdc_schema.fields
+                ]
+            )
 
-        old = _side(p_from)
-        new = _side(p_to)
+        old = _side(p_from, from_version)
+        new = _side(p_to, to_version)
         data_cols = [c for c in old.columns if c not in keys]
         o = old.select(*keys, F.struct(*data_cols).alias("_old"))
         n = new.select(*keys, F.struct(*data_cols).alias("_new"))

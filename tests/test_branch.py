@@ -528,3 +528,36 @@ def test_merge_marker_crash_recovered_from_parent_history(spark, tmp_path):
     assert _vals(br2.read("facts"))[9] == 9
     br2.merge()
     db.drop_branch("wip")
+
+
+def test_merge_marker_recovery_survives_parent_vacuum(spark, tmp_path):
+    """The parent-history evidence _merge_completed relies on must
+    survive db.vacuum while the branch still exists: vacuum keeps the
+    newest merge_branch:<b> version for every live branch, so a
+    crashed-marker branch still detects its completed merge after GC."""
+    db = _mkdb(spark, tmp_path)
+    br = db.branch("wip")
+    br.merge_upsert(
+        "facts", spark.createDataFrame([(7, 1, 777)], "key long, grp long, val long")
+    )
+    with open(br._mf._manifest_path()) as f:
+        pre_marker = f.read()
+    br.merge()
+    with open(br._mf._manifest_path(), "w") as f:
+        f.write(pre_marker)
+    # bury the merge version under later parent commits, then vacuum
+    for i in range(3):
+        with db.transaction() as t:
+            t.merge_upsert(
+                "facts",
+                spark.createDataFrame([(60 + i, 0, i)], "key long, grp long, val long"),
+            )
+    db.vacuum(keep_last=1)
+    # the merge evidence survived: still detected as merged, not
+    # "unmerged divergence" over parent-adopted (vanished) paths
+    with pytest.raises(ValueError, match="already merged"):
+        br.read("facts")
+    db.drop_branch("wip")
+    # once the branch is gone the evidence is prunable
+    db.vacuum(keep_last=1)
+    assert _vals(db.read("facts"))[7] == 777

@@ -1506,3 +1506,39 @@ def test_export_bundle_after_migration_carries_new_ddl(spark, tmp_path):
     )
     assert db2.table("t")._load()["key_cols"] == ["kk"]
     assert sorted(tuple(x) for x in db2.read("t").collect()) == [("1", 10)]
+
+
+def test_export_bundle_pins_partitioning_as_of_db_pin(spark, tmp_path):
+    """A STANDALONE table migrate (outside any database transaction)
+    that changes the partition column must not relabel the exported
+    data: the bundle carries the partitioning in effect AT the
+    database-pinned version, and the import reads the pinned
+    (pre-migration) content."""
+    import os
+
+    from herodb_spark.sources.database import SnapshotDatabase
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    db.create_table(
+        "t",
+        spark.createDataFrame(
+            [(i, i % 2, i * 10) for i in range(6)], "k long, p long, v long"
+        ),
+        key_cols=["k"],
+        partition_col="p",
+    )
+    with db.transaction() as txn:
+        txn.merge_upsert("t", spark.createDataFrame([(9, 1, 90)], "k long, p long, v long"))
+    pinned = sorted(tuple(x) for x in db.read("t").collect())
+    # standalone migrate AFTER the db pin: repartition by v, rename p
+    db.table("t").migrate(
+        {"k": "k", "q": "p", "v": "v"}, key_cols=["k"], partition_col="v"
+    )
+    db.export_bundle(os.path.join(str(tmp_path), "b"))
+    db2 = SnapshotDatabase.import_bundle(
+        spark, os.path.join(str(tmp_path), "b"), os.path.join(str(tmp_path), "db2")
+    )
+    tm = db2.table("t")._load()
+    assert tm["partition_col"] == "p"  # as-of-pin, not the migrated "v"
+    assert tm["key_cols"] == ["k"]
+    assert sorted(tuple(x) for x in db2.read("t").collect()) == pinned

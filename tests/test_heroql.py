@@ -2306,3 +2306,190 @@ for query(s) :- Attend(s, 10, 100, 55) (
 def test_at_dialect_graded_leg_matches_oracle(spark, sf_dir, duck):
     res = compare(HQ.heroql_at_dialect(spark, sf_dir), HQ.HEROQL_AT_DIALECT_SQL, duck)
     assert res["ok"], res["detail"]
+
+
+# ---------------------------------------------------------------- data
+# packages (Kernel/README.md DATA PACKAGE / GLOBAL READONLY VALUE /
+# TRANSACTION / USING DATA PACKAGE)
+
+
+def test_global_readonly_values_readme_verbatim(spark):
+    """`Zero <- 0.` (GLOBAL READONLY VALUE, Kernel/README.md) — a
+    constant usable in any expression; rebinding is refused; the
+    flush dot after a literal terminates the statement even when the
+    NEXT statement starts with an identifier."""
+    hql = HeroQL(spark)
+    hql.run("""
+Zero <- 0.
+Limit <- 60.
+data Exams(student : string, score : int);
+set Exams("alice", 50);
+set Exams("bob", 90);
+""")
+    got = rows(hql.run(
+        "query (s) :- Exams(s, sc), sc >= Limit, sc > Zero;").queries[0])
+    assert got == [("bob",)]
+    with pytest.raises(HeroQLError, match="READONLY"):
+        hql.run("Zero <- 1.")
+
+
+def test_package_public_visibility(spark):
+    """draft:190 'If a database references another database, all
+    public symbol is usable' — a package's private members are
+    unusable from another package or from outside; public ones work."""
+    hql = HeroQL(spark)
+    hql.run("""
+package Score;
+data Exams(student : string, score : int);
+query Secret(student : string) -> () :- Exams(student, sc), sc < 0;
+public query AddExam(s : string, v : int) :- @insert Exams(s, v);
+public query Best(student : string) -> () :- Exams(student, sc), sc >= 90;
+
+package Main using Score;
+""")
+    # unqualified resolution through `using` requires public
+    with pytest.raises(HeroQLError, match="private"):
+        hql.run("query (s) :- Secret(s);")
+    # explicit qualification is checked the same way
+    with pytest.raises(HeroQLError, match="private"):
+        hql.run("query (s, v) :- Score::Exams(s, v);")
+    hql.run('AddExam("zoe", 95);')
+    assert rows(hql.run("query (s) :- Best(s);").queries[0]) == [("zoe",)]
+
+
+def test_package_instances_new_discard(spark):
+    """`Students <- new StudentPackage.` (README verbatim shape):
+    instances replay the package's pristine declarations — fresh
+    empty tables, isolated from each other and from the package's
+    own namespace; `discard` drops the instance wholesale."""
+    hql = HeroQL(spark)
+    hql.run("""
+package StudentPackage;
+data Exams(student : string, score : int);
+public query AddExam(s : string, v : int) :- @insert Exams(s, v);
+public query Scores() -> (student : string, score : int) :- Exams(student, score);
+
+package Main using StudentPackage;
+Students <- new StudentPackage.
+Backup <- new StudentPackage.
+""")
+    hql.run('Students::AddExam("alice", 80);')
+    assert rows(hql.run("query (s, v) :- Students::Scores(s, v);").queries[0]) == [("alice", 80)]
+    assert rows(hql.run("query (s, v) :- Backup::Scores(s, v);").queries[0]) == []
+    with pytest.raises(HeroQLError, match="READONLY"):
+        hql.run("Students <- new StudentPackage.")
+    hql.run("discard Backup;")
+    with pytest.raises(HeroQLError):
+        hql.run("query (s, v) :- Backup::Scores(s, v);")
+
+
+def test_package_instance_inherit_merge_conflict(spark):
+    """'Instantiate a data package inheriting from another one' +
+    'Merge a inheriting data package to its parent' (README USING
+    DATA PACKAGE): the fork adopts the parent's data copy-on-write;
+    merge pushes child-mutated tables back and cancels when both
+    sides mutated one table (rollback-conflicted); discard of a
+    parent with live dependents is refused."""
+    hql = HeroQL(spark)
+    hql.run("""
+package P;
+data T(k : int, v : int)
+    index Unique(k);
+public query Add(k : int, v : int) :- @insert T(k, v);
+public query Q() -> (k : int, v : int) :- T(k, v);
+X <- new P.
+""")
+    hql.run("X::Add(1, 10);")
+    hql.run("Y <- new P from X.")
+    with pytest.raises(HeroQLError, match="dependent"):
+        hql.run("discard X;")
+    hql.run("Y::Add(2, 20);")
+    assert rows(hql.run("query (k, v) :- X::Q(k, v);").queries[0]) == [(1, 10)]
+    assert rows(hql.run("query (k, v) :- Y::Q(k, v);").queries[0]) == [(1, 10), (2, 20)]
+    hql.run("merge Y;")
+    assert "Y" not in hql.instances
+    assert rows(hql.run("query (k, v) :- X::Q(k, v);").queries[0]) == [(1, 10), (2, 20)]
+    # both-sides mutation since the fork cancels
+    hql.run("Z <- new P from X.")
+    hql.run("Z::Add(3, 30);")
+    hql.run("X::Add(4, 40);")
+    with pytest.raises(HeroQLError, match="conflict"):
+        hql.run("merge Z;")
+    hql.run("discard Z;")
+    # an independent instance has nothing to merge into
+    hql.run("W <- new P.")
+    with pytest.raises(HeroQLError, match="independent"):
+        hql.run("merge W;")
+
+
+def test_package_seed_data_replays(spark):
+    """A package's `set` statements are part of its installation
+    program — every instance starts with the seed rows (draft:189 'an
+    installed database with data')."""
+    hql = HeroQL(spark)
+    hql.run("""
+package P;
+data Grades(name : string, pts : int);
+set Grades("base", 1);
+public query Q() -> (name : string, pts : int) :- Grades(name, pts);
+A <- new P.
+B <- new P.
+""")
+    assert rows(hql.run("query (n, p) :- A::Q(n, p);").queries[0]) == [("base", 1)]
+    assert rows(hql.run("query (n, p) :- B::Q(n, p);").queries[0]) == [("base", 1)]
+
+
+def test_transaction_query_in_memory_rollback(spark):
+    """`transaction query` (README TRANSACTION): the whole mutation
+    body applies atomically — a failing later command rolls back the
+    earlier ones (here: the second @insert targets an undeclared
+    table, and the first @insert must not survive)."""
+    hql = HeroQL(spark)
+    hql.run("""
+data T(k : int, v : int)
+    index Unique(k);
+transaction query Both(k : int) :-
+    @insert T(k, 1),
+    @insert Nope(k, 2);
+""")
+    with pytest.raises(HeroQLError, match="undeclared"):
+        hql.run("Both(5);")
+    assert rows(hql.run("query (k, v) :- T(k, v);").queries[0]) == []
+    # non-transactional classification guard
+    with pytest.raises(HeroQLError, match="transactional"):
+        hql.run("transaction query NotAMut(x : int) -> (y : int) :- y <- x + 1;")
+
+
+def test_transaction_query_durable_single_swap(spark, tmp_path):
+    """With a bound database, a transaction query commits through ONE
+    database pointer swap (both inserts in one db version) and a
+    failing body leaves the database version untouched."""
+    import os
+
+    from herodb_spark.sources.database import SnapshotDatabase
+
+    db = SnapshotDatabase.create(spark, os.path.join(str(tmp_path), "db"))
+    db.create_table(
+        "t", spark.createDataFrame([(0, 0)], "k long, v long"), key_cols=["k"]
+    )
+    db.create_table(
+        "u", spark.createDataFrame([(0, 0)], "k long, v long"), key_cols=["k"]
+    )
+    hql = HeroQL(spark)
+    hql.register_database(db)
+    hql.run("""
+transaction query Pair(k : int) :-
+    @insert t(k, 1),
+    @insert u(k, 2);
+""")
+    v0 = db._load()["current"]
+    hql.run("Pair(7);")
+    m = db._load()
+    assert m["current"] == v0 + 1  # ONE pointer swap for both tables
+    assert rows(hql.run("query (k, v) :- t(k, v);").queries[0]) == [(0, 0), (7, 1)]
+    assert rows(hql.run("query (k, v) :- u(k, v);").queries[0]) == [(0, 0), (7, 2)]
+
+
+def test_package_graded_leg_matches_oracle(spark, sf_dir, duck):
+    res = compare(HQ.heroql_package(spark, sf_dir), HQ.HEROQL_PACKAGE_SQL, duck)
+    assert res["ok"], res["detail"]

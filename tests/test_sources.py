@@ -847,6 +847,22 @@ def test_migrate_cdc_rules(spark, tmp_path):
     assert t.read_changes(0, v1).count() == 6  # 3 pre + 3 post
 
 
+def test_migrate_cdc_across_retype(spark, tmp_path):
+    """CDC across a SAME-NAME retype migration (long v -> string v):
+    the old side's INT64 files cannot be scanned at the to-version
+    string schema (parquet refuses non-widening conversions), so each
+    side reads at its own recorded schema and conforms by explicit
+    cast — the pre row surfaces the old value as its string form."""
+    t = _mk_mig_table(spark, tmp_path)
+    v1 = t.migrate({"k": "k", "v": "CAST(v * 2 AS STRING)"})
+    ch = {(r.k, r._change): r.v for r in t.read_changes(0, v1).collect()}
+    assert ch[(1, "update_pre")] == "10"  # cast, not NULL, not a scan error
+    assert ch[(1, "update_post")] == "20"
+    # a value-preserving retype conforms to identical rows: no changes
+    v2 = t.migrate({"k": "k", "v": "v"})
+    assert t.read_changes(v1, v2).count() == 0
+
+
 def test_migrate_partition_col_change_and_drop(spark, tmp_path):
     """A migration dropping the partition column leaves the table
     unpartitioned; declaring a new partition column repartitions the
