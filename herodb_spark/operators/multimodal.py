@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary`
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-Decode is GENUINELY IMPLEMENTED for two image formats (binary PPM
-P6, and PNG via stdlib zlib + scanline unfiltering) and one audio
-format (RIFF/WAVE PCM16) — pure-bytes parsers, no codec libraries.
-Lossy codecs (JPEG/MP3/video) need libraries absent from this
-container and keep a clearly-marked NotImplementedError stub. Real
+Decode is GENUINELY IMPLEMENTED for three image formats (binary PPM
+P6, PNG via stdlib zlib + scanline unfiltering, and baseline JPEG
+via the repo's own Huffman+IDCT decoder in operators/jpegcodec.py)
+and one audio format (RIFF/WAVE PCM16) — pure stdlib+numpy, no codec
+libraries. Audio/video lossy codecs (MP3/AAC/H.26x) keep a
+clearly-marked NotImplementedError stub. Real
 and tested regardless of format: the binary column schema, the
 mapInPandas batch shapes (Arrow transfer), partition-parallel
 execution, and the metadata/sampling arithmetic — i.e. everything
@@ -36,21 +37,28 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def decode_blob(blob: bytes, kind: str) -> object:
     """Decode plug-in point. GENUINELY IMPLEMENTED for binary PPM
-    (P6) and PNG (stdlib-zlib inflate + scanline unfilter) images —
-    pure-bytes parsers, no codec libraries needed — returning
-    {width, height, maxval, mean_rgb}; and for RIFF/WAVE PCM16
-    audio. Lossy formats (JPEG/MP3/video) require codec libraries
-    absent from this container and keep the explicit stub."""
+    (P6), PNG (stdlib-zlib inflate + scanline unfilter) AND baseline
+    JPEG (r13: own Huffman + IDCT decoder, operators/jpegcodec.py —
+    4:4:4/4:2:2/4:2:0, restart markers) images — pure stdlib+numpy,
+    no codec libraries — returning {width, height, maxval, mean_rgb};
+    and for RIFF/WAVE PCM16 audio. The remaining stub is audio/video
+    lossy codecs (MP3/AAC/H.26x), whose entropy layers are out of
+    scope for this container."""
     if kind == "image" and blob[:2] == b"P6":
         return decode_ppm(blob)
     if kind == "image" and blob[:8] == _PNG_SIG:
         return decode_png(blob)
+    if kind == "image" and blob[:2] == b"\xff\xd8":
+        from herodb_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(blob)
     if kind == "audio" and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return decode_wav(blob)
     raise NotImplementedError(
-        "media decode beyond PPM/PNG/WAV-PCM requires codec libraries not "
-        "present in this environment; blob plumbing (schema/batching/"
-        "partitioning) is implemented and tested"
+        "audio/video lossy-codec decode (MP3/AAC/H.26x) is not implemented "
+        "in this container; images (PPM/PNG/baseline JPEG) and WAV-PCM are "
+        "real decoders, and the blob plumbing (schema/batching/partitioning) "
+        "is implemented and tested"
     )
 
 
@@ -236,11 +244,18 @@ def image_features(blobs: DataFrame) -> DataFrame:
     pass (the real-decoder analog of mm_pipeline's metadata stage)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from herodb_spark.operators.jpegcodec import decode_jpeg
+
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 blob = bytes(blob)
-                d = decode_png(blob) if blob[:8] == _PNG_SIG else decode_ppm(blob)
+                if blob[:8] == _PNG_SIG:
+                    d = decode_png(blob)
+                elif blob[:2] == b"\xff\xd8":
+                    d = decode_jpeg(blob)
+                else:
+                    d = decode_ppm(blob)
                 r, g, b = d["mean_rgb"]
                 rows.append((doc_id, d["width"], d["height"], r, g, b))
             yield pd.DataFrame(

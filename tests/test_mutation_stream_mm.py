@@ -95,8 +95,8 @@ def test_ppm_decode_is_real(spark):
         MM.decode_ppm(b"P6\n2 2\n255\n" + px[:-1])
     with pytest.raises(ValueError, match="maxval"):
         MM.decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
-    with pytest.raises(NotImplementedError):
-        MM.decode_blob(b"\xff\xd8\xff\xe0jpeg", "image")  # JPEG stays stubbed
+    with pytest.raises(ValueError):  # JPEG is REAL since r13: malformed
+        MM.decode_blob(b"\xff\xd8\xff\xe0jpeg", "image")  # bytes now parse-error
     with pytest.raises(NotImplementedError):
         MM.decode_blob(blob, "audio")
 
@@ -315,3 +315,95 @@ def test_mm_scene_changes_oracle(spark, sf_dir, duck):
     assert rows and all(abs(r.delta) >= MM.SCENE_DELTA for r in rows)
     assert all(r.delta == r.sig - r.prev_sig for r in rows)
     assert all(0 <= r.sig <= 255 and 0 <= r.prev_sig <= 255 for r in rows)
+
+
+# ----------------------------------------------------------- baseline JPEG
+# (r13: operators/jpegcodec.py — own Huffman + numpy-IDCT decoder; the
+# minimal encoder exists only to author fixtures independently of the
+# decoder, with flat quant=1 tables making loss = DCT float rounding)
+
+
+def test_jpeg_decode_flat_is_exact():
+    import numpy as np
+
+    from herodb_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 24), 130.0)
+    d = decode_jpeg(encode_jpeg(img, quant=1), with_pixels=True)
+    assert (d["width"], d["height"], d["maxval"]) == (24, 16, 255)
+    assert d["pixels"].min() == d["pixels"].max() == 130  # DC-only, exact
+
+
+def test_jpeg_decode_444_noise_within_rounding():
+    import numpy as np
+
+    from herodb_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 33, 3)).astype(float)  # partial MCUs
+    d = decode_jpeg(encode_jpeg(img, quant=1), with_pixels=True)
+    err = np.abs(d["pixels"].astype(int) - img.astype(int)).max()
+    assert err <= 2  # YCbCr+DCT float rounding only
+    assert d["pixels"].shape == (40, 33, 3)
+
+
+def test_jpeg_decode_420_and_restart_markers():
+    import numpy as np
+
+    from herodb_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    sm = np.zeros((37, 45, 3))
+    sm[..., 0] = np.linspace(30, 220, 45)[None, :]
+    sm[..., 1] = np.linspace(60, 180, 37)[:, None]
+    sm[..., 2] = 100
+    d = decode_jpeg(encode_jpeg(sm, quant=1, subsample=True), with_pixels=True)
+    assert d["pixels"].shape == (37, 45, 3)
+    assert np.abs(d["pixels"].astype(float) - sm).max() <= 4  # chroma box-avg
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 24, 3)).astype(float)
+    d2 = decode_jpeg(encode_jpeg(img, quant=1, restart_interval=2), with_pixels=True)
+    assert np.abs(d2["pixels"].astype(int) - img.astype(int)).max() <= 2
+    # combined: subsampled + restarts + coarse quant still decodes sanely
+    d3 = decode_jpeg(encode_jpeg(sm, quant=8, subsample=True, restart_interval=2))
+    for got, want in zip(d3["mean_rgb"], [sm[..., i].mean() for i in range(3)]):
+        assert abs(got - want) < 1.0
+
+
+def test_jpeg_decode_rejects_non_baseline():
+    import numpy as np
+    import pytest as _pytest
+
+    from herodb_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"nope")
+    blob = bytearray(encode_jpeg(np.full((8, 8), 50.0)))
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # progressive
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(blob))
+
+
+def test_decode_blob_dispatches_jpeg_and_image_features_mixed(spark):
+    """decode_blob now handles baseline JPEG; image_features decodes
+    PPM, PNG and JPEG rows side by side across partitions."""
+    import numpy as np
+
+    from herodb_spark.operators.jpegcodec import encode_jpeg
+
+    img = np.zeros((2, 3, 3))
+    img[..., 0], img[..., 1], img[..., 2] = 40.0, 215.0, 7.0
+    jblob = encode_jpeg(img, quant=1)
+    d = MM.decode_blob(jblob, "image")
+    assert (d["width"], d["height"]) == (3, 2)
+    assert all(abs(m - w) <= 1 for m, w in zip(d["mean_rgb"], (40, 215, 7)))
+
+    def ppm(val):
+        return b"P6\n3 2\n255\n" + bytes([val, 255 - val, 7] * 6)
+
+    rows = [(0, ppm(40)), (1, jblob), (2, _png(3, 2, [40, 215, 7] * 6, [0, 4]))]
+    blobs = spark.createDataFrame(rows, "doc_id long, blob binary").repartition(3)
+    got = {r.doc_id: r for r in MM.image_features(blobs).collect()}
+    assert len(got) == 3
+    assert all((got[i].width, got[i].height) == (3, 2) for i in range(3))
+    assert abs(got[1].mean_r - 40) <= 1 and abs(got[1].mean_g - 215) <= 1
