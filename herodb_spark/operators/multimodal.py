@@ -209,16 +209,42 @@ def decode_wav(blob: bytes) -> dict:
         body = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             codec, channels, rate = struct.unpack("<HHI", body[:8])
-            bits = struct.unpack("<H", body[14:16])[0]
-            if codec != 1 or bits != 16:
-                raise ValueError(f"unsupported WAV codec {codec}/{bits}-bit (PCM16 only)")
-            fmt = (channels, rate)
+            block_align, bits = struct.unpack("<HH", body[12:16])
+            if codec == 1 and bits == 16:
+                fmt = (channels, rate, None)
+            elif codec == 0x11 and bits == 4:
+                # IMA/DVI ADPCM (r13): a REAL lossy audio codec,
+                # decoded block-by-block (operators/jpegcodec.py)
+                fmt = (channels, rate, block_align)
+            else:
+                raise ValueError(
+                    f"unsupported WAV codec {codec}/{bits}-bit "
+                    "(PCM16 and IMA-ADPCM only)"
+                )
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    channels, rate = fmt
+    channels, rate, adpcm_align = fmt
+    if adpcm_align is not None:
+        from herodb_spark.operators.jpegcodec import decode_ima_adpcm_block
+
+        decoded: list[int] = []
+        for off in range(0, len(data), adpcm_align):
+            block = data[off : off + adpcm_align]
+            if len(block) < 4 * channels:
+                break  # trailing pad, not a block header
+            decoded.extend(decode_ima_adpcm_block(block, channels))
+        n_samples = len(decoded) // channels
+        peak = max((abs(v) for v in decoded), default=0)
+        return {
+            "channels": channels,
+            "sample_rate": rate,
+            "n_samples": n_samples,
+            "duration_s": n_samples / rate if rate else 0.0,
+            "peak": peak,
+        }
     n_samples = len(data) // (2 * channels)
     # bulk int16 view, not a per-sample struct loop — decode is the
     # per-row hot path of a distributed stage

@@ -407,3 +407,62 @@ def test_decode_blob_dispatches_jpeg_and_image_features_mixed(spark):
     assert len(got) == 3
     assert all((got[i].width, got[i].height) == (3, 2) for i in range(3))
     assert abs(got[1].mean_r - 40) <= 1 and abs(got[1].mean_g - 215) <= 1
+
+
+def test_ima_adpcm_decode_is_real():
+    """WAV format tag 0x11 (IMA/DVI ADPCM — a real lossy audio
+    codec) decodes through decode_wav: block headers + adaptive
+    step-size nibbles, partial final block included; the sine
+    roundtrip SNR shows actual signal reconstruction, not a stub."""
+    import math
+
+    import numpy as np
+
+    from herodb_spark.operators.jpegcodec import (
+        decode_ima_adpcm_block, encode_ima_adpcm, wrap_wav_ima,
+    )
+
+    n = 2000
+    sig = (12000 * np.sin(2 * np.pi * np.arange(n) / 64)).astype(int).tolist()
+    adpcm = encode_ima_adpcm(sig, block_samples=505)
+    block_align = 4 + 252
+    wav = wrap_wav_ima(adpcm, 8000, block_align, n)
+    d = MM.decode_wav(wav)
+    assert d["channels"] == 1 and d["sample_rate"] == 8000
+    assert d["n_samples"] >= 1990  # full + partial blocks decoded
+    assert 11000 <= d["peak"] <= 13000
+    dec = []
+    for off in range(0, len(adpcm), block_align):
+        blk = adpcm[off : off + block_align]
+        if len(blk) >= 4:
+            dec.extend(decode_ima_adpcm_block(blk, 1))
+    m = min(len(dec), n)
+    err = np.array(dec[:m]) - np.array(sig[:m])
+    snr = 10 * math.log10((np.array(sig[:m]) ** 2).mean() / (err**2).mean())
+    assert snr > 20  # real reconstruction
+
+
+def test_mjpeg_frame_split_and_scene_cuts():
+    """MJPEG video = concatenated baseline JPEGs: the splitter walks
+    SOI..EOI pairs and mjpeg_features decodes REAL frames — frame
+    count, dims, per-frame luma, scene cut where the luma jumps."""
+    import numpy as np
+    import pytest as _pytest
+
+    from herodb_spark.operators.jpegcodec import (
+        encode_jpeg, mjpeg_features, split_mjpeg_frames,
+    )
+
+    dark = encode_jpeg(np.full((16, 16, 3), 40.0), quant=1)
+    light = encode_jpeg(np.full((16, 16, 3), 200.0), quant=1)
+    stream = dark + dark + light + light
+    assert [len(f) for f in split_mjpeg_frames(stream)] == [
+        len(dark), len(dark), len(light), len(light)
+    ]
+    feats = mjpeg_features(stream)
+    assert feats["n_frames"] == 4
+    assert (feats["width"], feats["height"]) == (16, 16)
+    assert feats["scene_cuts"] == [2]
+    assert [round(x) for x in feats["mean_luma"]] == [40, 40, 200, 200]
+    with _pytest.raises(ValueError, match="no JPEG frames"):
+        mjpeg_features(b"not a stream")
