@@ -955,8 +955,14 @@ class HeroQL:
             if isinstance(item.expr, P.NewExpr):
                 self._instantiate(item.name, item.expr, out)
             else:
-                v = self._const_value(item.expr)
-                if v is None and not isinstance(item.expr, P.Const):
+                # constant-fold over the existing globals, so
+                # `Two <- 2. Four <- Two * 2.` works (same folding
+                # procedure arguments use)
+                try:
+                    v = self._proc_value(
+                        item.expr, dict(self.globals), f"global {item.name}"
+                    )
+                except HeroQLError:
                     raise HeroQLError(
                         f"global value {item.name!r} must be a constant "
                         "expression or `new Package`"
@@ -2263,6 +2269,77 @@ class HeroQL:
 
     _AT_AGG_FUNCS = ("average", "sum", "count", "min", "max")
 
+    def _rank_topk_bound(self, var: str, rest: list, q) -> int | None:
+        """Largest rank the body can surface for rank variable `var`,
+        or None when the rank is used for anything but upper-bounded
+        filtering: `var` must not be an output, and every use in the
+        remaining literals must be a `var < K` / `var <= K` compare
+        against an int constant. The bound licenses the per-partition
+        top-K pre-prune (global ranks below the bound are unchanged by
+        dropping rows that are not in their partition's top-K)."""
+        if any(n == var for n, _t in list(q.ins) + list(q.outs)):
+            return None
+        bound = None
+        for lit in rest:
+            if isinstance(lit, P.CompareLit):
+                e = lit.expr
+                if (
+                    isinstance(e, P.BinOp)
+                    and e.op in ("<", "<=")
+                    and isinstance(e.left, P.Var)
+                    and e.left.name == var
+                    and isinstance(e.right, P.Const)
+                    and isinstance(e.right.value, int)
+                ):
+                    k = e.right.value + (1 if e.op == "<=" else 0)
+                    bound = k if bound is None else min(bound, k)
+                    continue
+                if (
+                    isinstance(e, P.BinOp)
+                    and e.op in (">", ">=")
+                    and isinstance(e.right, P.Var)
+                    and e.right.name == var
+                    and isinstance(e.left, P.Const)
+                    and isinstance(e.left.value, int)
+                ):
+                    k = e.left.value + (1 if e.op == ">=" else 0)
+                    bound = k if bound is None else min(bound, k)
+                    continue
+            if var in self._lit_var_names(lit):
+                return None
+        return bound if (bound is not None and bound > 0) else None
+
+    def _lit_var_names(self, lit) -> set:
+        """Variable references of one body literal, any literal kind."""
+        out: set = set()
+        if isinstance(lit, P.Atom):
+            for a in lit.args:
+                self._expr_var_names(a, out)
+        elif isinstance(lit, (P.NotLit, P.ExistsLit)):
+            out |= self._lit_var_names(lit.atom)
+        elif isinstance(lit, (P.AssignLit, P.CompareLit, P.EnsureLit)):
+            self._expr_var_names(lit.expr, out)
+            if isinstance(lit, P.AssignLit):
+                out.add(lit.var)
+        elif isinstance(lit, P.CallLit):
+            for a in lit.args:
+                self._expr_var_names(a, out)
+            out.update(lit.outs)
+        elif isinstance(lit, P.PartitionCmd):
+            for k in lit.keys:
+                self._expr_var_names(k, out)
+        elif isinstance(lit, P.OrderCmd):
+            self._expr_var_names(lit.expr, out)
+            out.add(lit.var)
+        elif isinstance(lit, P.AggregateCmd):
+            for _fn, arg in lit.items:
+                self._expr_var_names(arg, out)
+        elif isinstance(lit, P.MutCmdLit):
+            for a in lit.atom.args:
+                if not isinstance(a, (P.Wildcard, P.AtMarked)):
+                    self._expr_var_names(a, out)
+        return out
+
     def _at_agg(self, fn: str, col, dtype):
         """README `@aggregate` functions. Integer-typed `average`
         floors to a BIGINT (the README declares `average : int`; FLOOR
@@ -2304,7 +2381,7 @@ class HeroQL:
         hand-written DataFrame program produces."""
         frame = Frame(self)
         part_keys: list[str] = []
-        for lit in q.body:
+        for li, lit in enumerate(q.body):
             if isinstance(lit, P.Atom):
                 self._join_atom(lit, frame, "inner", None, None)
             elif isinstance(lit, P.NotLit):
@@ -2332,6 +2409,26 @@ class HeroQL:
                 ocol = self._expr(lit.expr, _ExprCtx(self, frame))
                 ocol = ocol.desc() if lit.desc else ocol.asc()
                 tiebreak = [F.col(c) for c in frame.df.columns]
+                if not part_keys:
+                    # 100-TB shape: a GLOBAL rank funnels every row
+                    # through ONE window partition. When the rest of
+                    # the body provably uses the rank only as a top-K
+                    # filter (the README's Top10: `order < 10`),
+                    # pre-prune each scan partition to its local
+                    # top-K — any global-top-K row is also in its
+                    # partition's top-K, and every rank the query
+                    # SURFACES (< K) is unchanged, so the global sort
+                    # sees ≤ K x partitions rows instead of the table
+                    bound = self._rank_topk_bound(lit.var, q.body[li + 1 :], q)
+                    if bound is not None:
+                        pw = Window.partitionBy(F.spark_partition_id()).orderBy(
+                            ocol, *tiebreak
+                        )
+                        frame.df = (
+                            frame.df.withColumn("_pr", F.row_number().over(pw))
+                            .where(F.col("_pr") <= bound)
+                            .drop("_pr")
+                        )
                 w = (
                     Window.partitionBy(*[F.col(k) for k in part_keys])
                     if part_keys

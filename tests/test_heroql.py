@@ -2331,6 +2331,11 @@ set Exams("bob", 90);
     assert got == [("bob",)]
     with pytest.raises(HeroQLError, match="READONLY"):
         hql.run("Zero <- 1.")
+    # constant expressions fold over existing globals
+    hql.run("Double <- Limit * 2.")
+    assert hql.globals["Double"] == 120
+    with pytest.raises(HeroQLError, match="constant"):
+        hql.run("Bad <- unknown_thing.")
 
 
 def test_package_public_visibility(spark):
