@@ -2568,36 +2568,53 @@ class HeroQL:
             else self._resolve_ref(lit.atom.name)
             for lit in decl.body
         }
-        if self._db is not None:
-            with self._db.transaction() as t:
-                self._txn = t
-                try:
-                    for n in list(self._snapshots):
-                        if n in t._base_pins:
-                            self._snapshot_reload(n)
-                    fn()
-                    for n in [n for n in self._pending if n in self._snapshots]:
-                        self._flush(n)
-                finally:
-                    self._txn = None
-            members = self._db.tables()
-            for n in list(self._snapshots):
-                if n in members:
-                    self._snapshot_reload(n)
-            return
-        if any(t in self._snapshots for t in touched):
+        if self._db is None and any(t in self._snapshots for t in touched):
             raise HeroQLError(
                 f"{name}: a transaction query over durable tables needs "
                 "register_database (per-table snapshots alone cannot roll "
                 "back a multi-statement program atomically)"
             )
+        # session-state snapshot for BOTH paths: the database
+        # transaction rolls the durable side back by itself, but a
+        # failing body must also revert in-memory tables, buffered
+        # sets, memos AND the monotone delta log — a phantom log
+        # entry for a rolled-back insert would later be folded into a
+        # pre-transaction memo by incremental maintenance
         snap = (
             dict(self.tables),
             {k: list(v) for k, v in self._pending.items()},
             {k: list(v) for k, v in self._pending_src.items()},
             dict(self._memo),
             dict(self._memo_pos),
+            list(self._delta_log),
         )
+
+        def _restore() -> None:
+            (self.tables, self._pending, self._pending_src,
+             self._memo, self._memo_pos, self._delta_log) = snap
+
+        if self._db is not None:
+            try:
+                with self._db.transaction() as t:
+                    self._txn = t
+                    try:
+                        for n in list(self._snapshots):
+                            if n in t._base_pins:
+                                self._snapshot_reload(n)
+                        fn()
+                        for n in [n for n in self._pending if n in self._snapshots]:
+                            self._flush(n)
+                    finally:
+                        self._txn = None
+            except BaseException:
+                _restore()
+                raise
+            finally:
+                members = self._db.tables()
+                for n in list(self._snapshots):
+                    if n in members:
+                        self._snapshot_reload(n)
+            return
         try:
             fn()
             # force the body's lazily-buffered `set` batches to apply
@@ -2606,8 +2623,7 @@ class HeroQL:
             for n in [n for n in touched if self._pending.get(n)]:
                 self._flush(n)
         except BaseException:
-            (self.tables, self._pending, self._pending_src,
-             self._memo, self._memo_pos) = snap
+            _restore()
             raise
 
     def _exec_proc_body(self, decl, env: dict, name: str) -> None:

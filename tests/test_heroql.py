@@ -2498,3 +2498,26 @@ transaction query Pair(k : int) :-
 def test_package_graded_leg_matches_oracle(spark, sf_dir, duck):
     res = compare(HQ.heroql_package(spark, sf_dir), HQ.HEROQL_PACKAGE_SQL, duck)
     assert res["ok"], res["detail"]
+
+
+def test_transaction_rollback_leaves_no_phantom_delta(spark):
+    """A rolled-back transaction query must not leave its inserts in
+    the monotone delta log: a PRE-transaction memoized rule would
+    otherwise fold the phantom rows in on its next incremental
+    maintenance pass."""
+    hql = HeroQL(spark)
+    hql.run("""
+data T(k : int, v : int);
+data Big(k : int);
+Big(k) :- T(k, v), v > 5;
+set T(1, 10);
+transaction query Both(k : int) :-
+    @insert T(k, 9),
+    @insert Nope(k, 2);
+""")
+    assert rows(hql.run("query (k) :- Big(k);").queries[0]) == [(1,)]  # memoize
+    with pytest.raises(HeroQLError, match="undeclared"):
+        hql.run("Both(2);")
+    # incremental maintenance must NOT surface the rolled-back (2, 9)
+    assert rows(hql.run("query (k) :- Big(k);").queries[0]) == [(1,)]
+    assert rows(hql.run("query (k, v) :- T(k, v);").queries[0]) == [(1, 10)]
