@@ -719,9 +719,9 @@ def test_streaming_mv_maintenance_composition(spark, tmp_path):
         )
         # generous timeouts: under a fully loaded test box the 1 s
         # micro-batch trigger can be starved for minutes
-        assert _await(lambda: mv_rows() == rebuilt(), timeout=240)
+        assert _await(lambda: mv_rows() == rebuilt(), timeout=480)  # starved for minutes under box contention
         src.delete_where(F.col("g") == "a")  # full group retraction
-        assert _await(lambda: mv_rows() == rebuilt(), timeout=240)
+        assert _await(lambda: mv_rows() == rebuilt(), timeout=480)  # starved for minutes under box contention
         assert all(r[0] != "a" for r in mv_rows())  # dead group left the view
     finally:
         q.stop()
