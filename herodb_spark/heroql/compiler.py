@@ -1247,7 +1247,13 @@ class HeroQL:
             return self._memo[name]
         if name in self.atqueries:
             # relational @-command query: a derived relation, memoized
-            # like rule derivations (any mutation wipes the memo)
+            # like rule derivations — but ranks/aggregates make it
+            # NON-monotone, so buffered `set` batches must land first
+            # (the flush drops stale at-query memos; serving a memo
+            # past an unflushed insert returned pre-insert rows)
+            for t in list(self._pending):
+                if self._pending.get(t):
+                    self._flush(t)
             if name not in self._memo:
                 self._memo[name] = self._eval_at_query(self.atqueries[name])
             return self._memo[name]
@@ -1347,11 +1353,15 @@ class HeroQL:
         else:
             self.tables[name] = batch
         # inserts without a declared unique key are MONOTONE facts:
-        # memos stay valid modulo the delta log. The per-VALUE query
-        # cache has no incremental form (a pinned subset can't absorb
-        # deltas) — wipe it; the next covered submit recomputes.
+        # RULE memos stay valid modulo the delta log. The per-VALUE
+        # query cache has no incremental form (a pinned subset can't
+        # absorb deltas) — wipe it; the next covered submit
+        # recomputes. @-relational query memos are NON-monotone
+        # (ranks/aggregates shift under pure inserts) — drop them.
         self._delta_log.append((name, batch))
         self._qcache.clear()
+        for aq in self.atqueries:
+            self._memo.pop(aq, None)
         self._bump_checkpoint(name)
 
     def _row_predicate(self, d: TableDef, df: DataFrame):

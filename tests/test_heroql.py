@@ -2521,3 +2521,111 @@ transaction query Both(k : int) :-
     # incremental maintenance must NOT surface the rolled-back (2, 9)
     assert rows(hql.run("query (k) :- Big(k);").queries[0]) == [(1,)]
     assert rows(hql.run("query (k, v) :- T(k, v);").queries[0]) == [(1, 10)]
+
+
+def test_package_instance_random_schedules(spark):
+    """Randomized instance schedules (fixed seeds): across
+    new/fork/mutate/merge/discard sequences, (1) un-merged instances
+    stay isolated, (2) a successful merge makes the parent exactly
+    parent-rows ∪ child-delta, (3) merge conflicts arise iff both
+    sides mutated a table since the fork, and a cancelled merge
+    leaves both sides untouched."""
+    import random
+
+    hql = HeroQL(spark)
+    hql.run("""
+package P;
+data T(k : int, v : int)
+    index Unique(k);
+public query Add(k : int, v : int) :- @insert T(k, v);
+public query Q() -> (k : int, v : int) :- T(k, v);
+Root <- new P.
+""")
+    model = {"Root": {}}
+    parents = {"Root": None}
+    nxt = [0]
+
+    def spark_rows(inst):
+        return dict(rows(hql.run(f"query (k, v) :- {inst}::Q(k, v);").queries[0]))
+
+    for seed in (1, 7):
+        rng = random.Random(seed)
+        for _ in range(12):
+            live = sorted(model)
+            op = rng.choice(["add", "add", "fork", "merge", "discard"])
+            if op == "add":
+                inst = rng.choice(live)
+                k = nxt[0] = nxt[0] + 1
+                hql.run(f"{inst}::Add({k}, {k * 10});")
+                model[inst][k] = k * 10
+            elif op == "fork":
+                parent = rng.choice(live)
+                name = f"I{seed}_{nxt[0]}_{len(model)}"
+                hql.run(f"{name} <- new P from {parent}.")
+                model[name] = dict(model[parent])
+                parents[name] = (parent, dict(model[parent]))
+            elif op == "merge":
+                cands = [i for i in live if parents.get(i) and parents[i][0] in model]
+                if not cands:
+                    continue
+                inst = rng.choice(cands)
+                parent, fork = parents[inst]
+                if any((parents.get(o) or (None,))[0] == inst for o in model):
+                    continue  # keep the schedule simple: no mid-chain merges
+                both = model[inst] != fork and model[parent] != fork
+                if both:
+                    with pytest.raises(HeroQLError, match="conflict"):
+                        hql.run(f"merge {inst};")
+                    assert spark_rows(inst) == model[inst]
+                    assert spark_rows(parent) == model[parent]
+                else:
+                    hql.run(f"merge {inst};")
+                    if model[inst] != fork:
+                        model[parent] = model[inst]
+                    del model[inst]
+                    del parents[inst]
+                    assert spark_rows(parent) == model[parent]
+            else:  # discard
+                cands = [
+                    i for i in live
+                    if i != "Root"
+                    and not any((parents.get(o) or (None,))[0] == i for o in model)
+                ]
+                if not cands:
+                    continue
+                inst = rng.choice(cands)
+                hql.run(f"discard {inst};")
+                del model[inst]
+                del parents[inst]
+        # end-of-seed audit: every live instance matches its model
+        for inst in sorted(model):
+            assert spark_rows(inst) == model[inst], inst
+
+
+def test_at_query_memo_sees_later_inserts(spark):
+    """An @-relational query's memo is NON-monotone (ranks and
+    aggregates shift under pure inserts): evaluating it, then
+    `set`-ing / procedure-inserting more rows, then evaluating again
+    must reflect the new rows — both for a buffered unflushed set and
+    for a flushed monotone insert (regression: the memo was served
+    stale past both)."""
+    hql = HeroQL(spark)
+    hql.run("""
+data Exams(student: string, score: int);
+set Exams("a", 10);
+query Top2() -> (student: string, score: int)
+:-	Exams(student, score),
+	order <- @order_by_desc(score),
+	order < 2
+.
+query AddExam(student: string, score: int) :- @insert Exams(student, score);
+""")
+    assert rows(hql.run("query (s, v) :- Top2(s, v);").queries[0]) == [("a", 10)]
+    hql.run('AddExam("b", 99);')  # procedure insert (buffers, flushes)
+    assert rows(hql.run("query (s, v) :- Top2(s, v);").queries[0]) == [
+        ("a", 10), ("b", 99)
+    ]
+    hql.run('set Exams("c", 50);')  # plain buffered set, no flush yet
+    assert rows(hql.run("query (s, v) :- Top2(s, v);").queries[0]) == [
+        ("b", 99), ("c", 50)
+    ]
