@@ -225,6 +225,18 @@ def _heroql_outquery(spark, sf_dir):
     return HQ.heroql_outquery(spark, sf_dir)
 
 
+def _heroql_at_dialect(spark, sf_dir):
+    from herodb_spark.operators import heroql_ops as HQ
+
+    return HQ.heroql_at_dialect(spark, sf_dir)
+
+
+def _heroql_package(spark, sf_dir):
+    from herodb_spark.operators import heroql_ops as HQ
+
+    return HQ.heroql_package(spark, sf_dir)
+
+
 def _ivfpq(spark, sf_dir):
     from herodb_spark.operators import scale as SC
 
@@ -236,6 +248,8 @@ QUERIES.update({
     "ann_ivfpq_topk (r12; expect broadcast centroid probe + cell-keyed join against the CODES-ONLY index + ADC as codegen array lookups; the full-precision column only in the final |Q|*K*overfetch rerank)": _ivfpq,
     "heroql_rules (compiled FROM HeroQL SOURCE; expect BroadcastHashJoin(LeftAnti) for `not`, nation broadcast for the deref, no Python nodes)": _heroql_rules,
     "heroql_pipeline (compiled FROM HeroQL SOURCE; expect one window pass for top-k, partial HashAggregate for group_by, single-partition window only for the final range_by)": _heroql_pipeline,
+    "heroql_at_dialect (r13; README @-commands: the GLOBAL Top10 rank must show the SPARK_PARTITION_ID pre-prune window BEFORE the single-partition global window — the table never funnels through one task unpruned; per-student legs are ordinary partitioned windows)": _heroql_at_dialect,
+    "heroql_package (r13; data packages: the SF-scaled hot leg is customer ⋈ semi(orders) ⋈ broadcast(nation) + partial HashAggregate per nation — the package/visibility layer adds ZERO plan nodes; inst/guard legs are constant-cardinality unions)": _heroql_package,
     "symtab_resolve (draft_type:115-341; expect the materialized scope-chain walk feeding two shuffled joins + min_by aggregation — no driver loops, no Python nodes)": _symtab_resolve,
 })
 
