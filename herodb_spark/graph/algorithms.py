@@ -281,10 +281,19 @@ def connected_components_twophase(undirected: DataFrame, max_iters: int = MAX_IT
             F.least(F.min("dst"), F.first("src")).alias("m")
         )
 
+    n_edges = edges.count()  # carried across rounds (r13 opt: the
+    # previous round's ss.count IS the next round's edges.count — one
+    # probe job per round instead of two)
     done = False
     for _ in range(max_iters):
         # large-star: from the full symmetric view, point every
-        # strictly larger neighbor at u's minimum
+        # strictly larger neighbor at u's minimum. Kept as an eager
+        # checkpoint: the small-star step references ls TWICE via the
+        # symmetric union, and ReuseExchange does not dedupe the
+        # doubled subtree in the initial plan (verified r13-opt:
+        # 0 ReusedExchange nodes, 44 Exchanges in the fused round) —
+        # fusing would double both the planning tree and, absent AQE
+        # runtime stage reuse, the large-star compute.
         sym = _sym(edges)
         m = _mins(sym)
         ls = (
@@ -308,10 +317,11 @@ def connected_components_twophase(undirected: DataFrame, max_iters: int = MAX_IT
             .localCheckpoint(eager=True)
         )
         # set equality as |A| == |B| ∧ A ⊆ B (multiset containment via
-        # exceptAll): one shuffle probe per round instead of two —
-        # both frames are checkpointed, so the counts are near-free
-        converged = ss.count() == edges.count() and ss.exceptAll(edges).isEmpty()
-        edges = ss
+        # exceptAll): the count probe is near-free on the checkpointed
+        # frame, and the exceptAll shuffle only runs when counts match
+        n_ss = ss.count()
+        converged = n_ss == n_edges and ss.exceptAll(edges).isEmpty()
+        edges, n_edges = ss, n_ss
         if converged:
             done = True
             break

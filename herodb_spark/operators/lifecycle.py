@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from herodb_spark.catalog import load_table
+from herodb_spark.session import literal_df
 
 
 @contextlib.contextmanager
@@ -124,12 +125,12 @@ def _snapshot_lifecycle_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     db.create_table("facts", nation, key_cols=["key"], partition_col="grp")
     db.create_table(
         "audit",
-        spark.createDataFrame([(0, "create")], "seq long, what string"),
+        literal_df(spark, [(0, "create")], "seq long, what string"),
         key_cols=["seq"],
     )
 
     def audit_row(seq: int, what: str) -> DataFrame:
-        return spark.createDataFrame([(seq, what)], "seq long, what string")
+        return literal_df(spark, [(seq, what)], "seq long, what string")
 
     with db.transaction() as t:
         ups = nation.where(F.col("key") < 10).withColumn(
@@ -161,7 +162,7 @@ def _snapshot_lifecycle_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         with db.transaction() as t_writer:
             t_writer.merge_upsert(
                 "facts",
-                spark.createDataFrame(
+                literal_df(spark, 
                     [(300 + i, 2, "iso", i) for i in range(5)],
                     "key long, grp long, name string, val long",
                 ),
@@ -184,7 +185,7 @@ def _snapshot_lifecycle_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         nl.alias("val"),
     )
     # metadata legs: manifest-sized literals, not data-path collects
-    hist = spark.createDataFrame(
+    hist = literal_df(spark, 
         [
             (int(e["version"]), int(e["tables"]["facts"]), str(e["op"]),
              int(e["tables"]["audit"]))
@@ -192,7 +193,7 @@ def _snapshot_lifecycle_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "key long, grp long, name string, val long",
     ).select(F.lit("hist").alias("leg"), "key", "grp", "name", "val")
-    vac = spark.createDataFrame(
+    vac = literal_df(spark, 
         [(int(v),) for v in report["dropped_db_versions"]], "key long"
     ).select(
         F.lit("vac").alias("leg"), "key", nl.alias("grp"),
@@ -225,20 +226,20 @@ def _snapshot_lifecycle_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     br.update_where("facts", F.col("grp") == 0, {"val": F.col("val") + F.lit(1000)})
     br.merge_upsert(
         "facts",
-        spark.createDataFrame(
+        literal_df(spark, 
             [(400 + i, 4, "wip", i) for i in range(3)],
             "key long, grp long, name string, val long",
         ),
     )
     br.create_table(
         "plans",
-        spark.createDataFrame([(1, "draft"), (2, "final")], "pid long, txt string"),
+        literal_df(spark, [(1, "draft"), (2, "final")], "pid long, txt string"),
         key_cols=["pid"],
     )
     with db.transaction() as t:
         t.merge_upsert(
             "facts",
-            spark.createDataFrame(
+            literal_df(spark, 
                 [(500 + i, 1, "main", 2 * i) for i in range(2)],
                 "key long, grp long, name string, val long",
             ),
@@ -254,7 +255,7 @@ def _snapshot_lifecycle_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     with db.transaction() as t:
         t.merge_upsert(
             "facts",
-            spark.createDataFrame(
+            literal_df(spark, 
                 [(502, 1, "main2", 9)], "key long, grp long, name string, val long"
             ),
         )
@@ -300,11 +301,11 @@ def _snapshot_lifecycle_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("txt").alias("name"),
         nl.alias("val"),
     )
-    br_conflict = spark.createDataFrame([(conflict_msg,)], "name string").select(
+    br_conflict = literal_df(spark, [(conflict_msg,)], "name string").select(
         F.lit("br_conflict").alias("leg"), nl.alias("key"), nl.alias("grp"),
         "name", nl.alias("val"),
     )
-    br_hist = spark.createDataFrame(
+    br_hist = literal_df(spark, 
         [
             (int(e["version"]), int(e["tables"]["facts"]), str(e["op"]),
              int(e["tables"]["audit"]))
@@ -555,7 +556,7 @@ def _snapshot_maintenance_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("migtt").alias("leg"), "key", "grp", "name", "val", "note"
     )
     m = t._load()
-    hist = spark.createDataFrame(
+    hist = literal_df(spark, 
         [(int(v), str(e["op"])) for v, e in sorted(
             m["versions"].items(), key=lambda kv: int(kv[0])
         )],
@@ -661,20 +662,20 @@ def _db_branch_merge_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     br.update_where("facts", F.col("grp") == 0, {"val": F.col("val") + F.lit(1000)})
     br.merge_upsert(
         "facts",
-        spark.createDataFrame(
+        literal_df(spark, 
             [(400 + i, 4, "wip", i) for i in range(3)],
             "key long, grp long, name string, val long",
         ),
     )
     br.create_table(
         "plans",
-        spark.createDataFrame([(1, "draft"), (2, "final")], "pid long, txt string"),
+        literal_df(spark, [(1, "draft"), (2, "final")], "pid long, txt string"),
         key_cols=["pid"],
     )
     with db.transaction() as t:
         t.merge_upsert(
             "facts",
-            spark.createDataFrame(
+            literal_df(spark, 
                 [(500 + i, 1, "main", 2 * i) for i in range(2)],
                 "key long, grp long, name string, val long",
             ),
@@ -690,7 +691,7 @@ def _db_branch_merge_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     with db.transaction() as t:
         t.merge_upsert(
             "facts",
-            spark.createDataFrame(
+            literal_df(spark, 
                 [(502, 1, "main2", 9)], "key long, grp long, name string, val long"
             ),
         )
@@ -710,11 +711,11 @@ def _db_branch_merge_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("plans").alias("leg"), F.col("pid").alias("key"), nl.alias("grp"),
         F.col("txt").alias("name"), nl.alias("val"),
     )
-    conflict = spark.createDataFrame([(conflict_msg,)], "name string").select(
+    conflict = literal_df(spark, [(conflict_msg,)], "name string").select(
         F.lit("conflict").alias("leg"), nl.alias("key"), nl.alias("grp"),
         "name", nl.alias("val"),
     )
-    hist = spark.createDataFrame(
+    hist = literal_df(spark, 
         [
             (
                 int(e["version"]),

@@ -180,6 +180,7 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
+    from herodb_spark.session import literal_df
     from herodb_spark.sources.snapshot import SnapshotTable
     from herodb_spark.streaming import stateful as SS
     from herodb_spark.streaming.sink import SnapshotUpsertSink
@@ -200,13 +201,22 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # × queries of pure setup cost on report-sized state. Drop to 8 for
     # the duration of this fixture (restored in the finally; the result
     # is eagerly localCheckpoint-ed before restore, and output values
-    # are partitioning-independent).
+    # are partitioning-independent). Since the r13 optimization pass
+    # the scope also disables AQE, the lifecycle-fixture treatment:
+    # the DatabaseTxnSink batches and the snapshot-table commits this
+    # fixture drives are tiny static plans whose AQE stage
+    # materialization costs 3-4 scheduler round-trips per join for
+    # zero re-planning benefit (streaming queries never use AQE, so
+    # only the eager batch legs change execution, not results).
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         src = os.path.join(tmp, "batches")
         os.makedirs(src)
-        sentinel = spark.createDataFrame(
+        sentinel = literal_df(
+            spark,
             [(-1, hi + datetime.timedelta(hours=2), 0.0)],
             "user_id long, ts timestamp, value double",
         )
@@ -275,7 +285,7 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        seed = spark.createDataFrame([], "user_id long, n_events long, total_value double")
+        seed = literal_df(spark, [], "user_id long, n_events long, total_value double")
         snap = SnapshotTable.create(
             spark, os.path.join(tmp, "sink_t"), seed, key_cols=["user_id"]
         )
@@ -317,11 +327,11 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         db = SnapshotDatabase.create(spark, os.path.join(tmp, "db"))
         db.create_table(
-            "t_units", spark.createDataFrame([], "user_id long, units long"),
+            "t_units", literal_df(spark, [], "user_id long, units long"),
             key_cols=["user_id"],
         )
         db.create_table(
-            "t_counts", spark.createDataFrame([], "user_id long, n long"),
+            "t_counts", literal_df(spark, [], "user_id long, n long"),
             key_cols=["user_id"],
         )
 
@@ -428,6 +438,7 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         for q in queries:  # availableNow self-terminates; belt-and-braces
             if q.isActive:
                 q.stop()

@@ -392,6 +392,59 @@ class SnapshotTable:
             }
         return parts, files, stats, key_ranges, n_upd
 
+    #: per-partition observed stats are expressed as |touched| ×
+    #: |stat_cols| × 2 conditional aggregates riding the write job;
+    #: past this partition count the expression fan-out stops paying
+    #: for itself and the one-job stats read-back takes over
+    _OBSERVED_STATS_MAX_PARTS = 64
+
+    def _write_partitions_stats(
+        self, df: DataFrame, version: int, pcol: str, touched: set,
+        stat_cols: list[str], schema,
+    ) -> tuple:
+        """Partitioned write + per-partition zone-map stats in ONE
+        Spark job (the r13-optimization partitioned twin of
+        `_write_unpartitioned_observed`): when the touched-partition
+        set is known and small, the write carries an observe() node
+        computing min/max of every stat column CONDITIONED on each
+        touched partition value — no stats read-back scan of the
+        freshly written files. Falls back to write + `_partition_stats`
+        (one read-back job) when the fan-out would exceed
+        `_OBSERVED_STATS_MAX_PARTS` partitions. min/max observations
+        are idempotent under task retries. Stats are keyed off the
+        DIRECTORIES the write actually produced, so a touched
+        partition whose rows all vanished (e.g. a delete emptying it)
+        gets no stats entry — identical to the read-back behavior.
+        Returns (parts, files, stats)."""
+        from pyspark.sql import Observation
+
+        if not stat_cols or len(touched) > self._OBSERVED_STATS_MAX_PARTS:
+            parts, files = self._write_partitions(df, version, pcol, only=touched)
+            return parts, files, self._partition_stats(parts, schema, stat_cols)
+        pstr = F.col(pcol).cast("string")
+        # restrict BEFORE observing so the aggregates see exactly the
+        # written rows (the only= filter inside _write_partitions would
+        # otherwise sit above the observe node)
+        df = df.where(pstr.isin(*touched) if touched else F.lit(False))
+        vals = sorted(touched)
+        aggs = []
+        for i, v in enumerate(vals):
+            hit = pstr == F.lit(v)
+            for c in stat_cols:
+                aggs.append(F.min(F.when(hit, F.col(c))).alias(f"mn_{i}_{c}"))
+                aggs.append(F.max(F.when(hit, F.col(c))).alias(f"mx_{i}_{c}"))
+        obs = Observation()
+        parts, files = self._write_partitions(
+            df.observe(obs, *aggs), version, pcol
+        )
+        got = obs.get
+        stats = {
+            v: {c: [got[f"mn_{i}_{c}"], got[f"mx_{i}_{c}"]] for c in stat_cols}
+            for i, v in enumerate(vals)
+            if v in parts
+        }
+        return parts, files, stats
+
     def _abandon_version_dir(self, parts: dict) -> None:
         """Remove a freshly staged (never-committed) version directory
         — the write-then-skip path of an empty/no-op mutation."""
@@ -1292,9 +1345,9 @@ class SnapshotTable:
             merged = affected_target.join(
                 updates.select(*keys), keys, "left_anti"
             ).unionByName(updates)
-            parts, files = self._write_partitions(merged, version, pcol, only=touched)
-            stats = self._partition_stats(
-                parts, schema_now, self._stat_cols(target, keys, pcol)
+            parts, files, stats = self._write_partitions_stats(
+                merged, version, pcol, touched,
+                self._stat_cols(target, keys, pcol), schema_now,
             )
         new_parts, new_files, new_stats = self._carry_forward(m, touched)
         new_parts.update(parts)
@@ -1474,12 +1527,10 @@ class SnapshotTable:
             if not key_ranges:  # no-op mutation: commit nothing new
                 return m["current"]
             touched = set(key_ranges)
-            to_write = result.where(F.col(pcol).cast("string").isin(*touched))
-            parts, files = self._write_partitions(to_write, version, pcol, only=touched)
-            stats = self._partition_stats(
-                parts,
-                self._schema_at(m, read_version),
+            parts, files, stats = self._write_partitions_stats(
+                result, version, pcol, touched,
                 self._stat_cols(target, m["key_cols"], pcol),
+                self._schema_at(m, read_version),
             )
         new_parts, new_files, new_stats = self._carry_forward(m, touched)
         new_parts.update(parts)

@@ -934,3 +934,64 @@ query (k, v) :- T@0(k, v);
         hql2 = HeroQL(spark)
         hql2.register("M", spark.createDataFrame([(1,)], "a long"))
         hql2.run("update schema M (a = a);")
+
+
+def test_observed_partition_stats_match_readback(spark, tmp_path):
+    """r13 optimization: partitioned mutations compute per-partition
+    zone maps with observe() aggregates riding the write job instead
+    of a stats read-back scan. The observed stats must be value- and
+    shape-identical to what reading the written files back produces —
+    including the edge where a delete empties a touched partition
+    (no directory written → no stats entry, exactly like read-back)."""
+    from pyspark.sql import functions as F
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    rows = [(10 * g + i, g, f"r{g}_{i}") for g in range(3) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, grp int, s string")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "obs"), df, ["id"], partition_col="grp"
+    )
+    # merge touching two partitions: observed stats (v1)
+    t.merge_upsert(
+        spark.createDataFrame([(5, 0, "x"), (199, 1, "y")], "id long, grp int, s string")
+    )
+    m = t._load()
+    st = m["versions"]["1"]["stats"]
+    # read-back ground truth over the same freshly written dirs
+    rb = t._partition_stats(
+        m["versions"]["1"]["partitions"], t._schema_at(m, 1),
+        t._stat_cols(df, ["id"], "grp"),
+    )
+    touched = {
+        pv for pv, rel in m["versions"]["1"]["partitions"].items()
+        if rel.startswith("data/v=1-")
+    }
+    assert touched == {"0", "1"}
+    for pv in touched:
+        assert st[pv] == rb[pv], (pv, st[pv], rb[pv])
+    assert st["1"]["id"] == [10, 199]
+    # delete that EMPTIES partition 2 entirely: no dir → no stats row
+    t.delete_where(F.col("grp") == 2)
+    m2 = t._load()
+    v2 = m2["versions"]["2"]
+    assert "2" not in v2["partitions"] and "2" not in v2["stats"]
+    # fallback path above the fan-out cap produces the same stats
+    t3 = SnapshotTable.create(
+        spark, str(tmp_path / "obs_fb"), df, ["id"], partition_col="grp"
+    )
+    prev_cap = SnapshotTable._OBSERVED_STATS_MAX_PARTS
+    SnapshotTable._OBSERVED_STATS_MAX_PARTS = 0  # force read-back
+    try:
+        t3.merge_upsert(
+            spark.createDataFrame(
+                [(5, 0, "x"), (199, 1, "y")], "id long, grp int, s string"
+            )
+        )
+    finally:
+        SnapshotTable._OBSERVED_STATS_MAX_PARTS = prev_cap
+    assert t3._load()["versions"]["1"]["stats"] == {
+        pv: st[pv] for pv in t3._load()["versions"]["1"]["stats"]
+    }
+    for pv in touched:
+        assert t3._load()["versions"]["1"]["stats"][pv] == st[pv]
