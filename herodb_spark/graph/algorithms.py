@@ -30,6 +30,22 @@ from pyspark.sql import functions as F
 MAX_ITERS = 30
 
 
+def _ckpt_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """localCheckpoint(eager=True) with the row count OBSERVED on the
+    materialization job itself (r13 opt): convergence probes that only
+    need `count(new)` stop paying a separate count/isEmpty job per
+    iteration — the checkpoint job already touches every row, and
+    CollectMetrics fires on it (verified: 1 job total, metrics
+    available immediately after). Returns (checkpointed_df, n_rows).
+    The returned frame's lineage is truncated at the checkpoint, so
+    downstream actions never re-fire the observation."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    return out, int(obs.get["n"])
+
+
 def closure(step, init: DataFrame, key: list[str], max_iters: int = MAX_ITERS,
             probe_every: int | None = 1, dedup_new: bool = True,
             subtract_state: bool = True) -> DataFrame:
@@ -77,8 +93,10 @@ def closure(step, init: DataFrame, key: list[str], max_iters: int = MAX_ITERS,
             new = new.dropDuplicates(key)
         if subtract_state:
             new = new.join(state.select(*key), key, "left_anti")
-            new = new.localCheckpoint(eager=True)
-            if new.isEmpty():
+            # the emptiness probe rides the checkpoint job (r13 opt:
+            # no separate isEmpty job per iteration)
+            new, n_new = _ckpt_count(new)
+            if n_new == 0:
                 break
             state = state.unionByName(new).localCheckpoint(eager=True)
             frontier = new
@@ -89,11 +107,12 @@ def closure(step, init: DataFrame, key: list[str], max_iters: int = MAX_ITERS,
                 # state: the state then references the materialized
                 # segment instead of holding a lazy twin of the plan
                 # the probe already computed (which would re-run every
-                # segment once more at final evaluation)
-                new = new.localCheckpoint(eager=True)
+                # segment once more at final evaluation); the
+                # emptiness probe rides the checkpoint job (r13 opt)
+                new, n_new = _ckpt_count(new)
             state = state.unionByName(new)
             frontier = new
-            if probe and new.isEmpty():
+            if probe and n_new == 0:
                 break
     return state
 
@@ -112,18 +131,25 @@ def fixpoint(step, init: DataFrame, max_iters: int = MAX_ITERS,
     `probe_change=False` declares the iteration STATICALLY BOUNDED
     (the caller pins max_iters and extra rounds past convergence are
     idempotent — e.g. a k-round Bellman-Ford whose oracle unrolls the
-    same k rounds): the two probe jobs per round are skipped, leaving
-    one blocking checkpoint per round."""
-    state = init.localCheckpoint(eager=True)
+    same k rounds): the probe jobs per round are skipped, leaving
+    one blocking checkpoint per round.
+
+    Change detection (r13 opt): the row count rides each round's
+    checkpoint job; a count change IS a change (zero probe jobs), and
+    at equal counts ONE exceptAll suffices — for multisets with
+    |A| = |B|, A∖B = ∅ implies B∖A = ∅ (|A∖B| = |A| − |A∩B|). The old
+    shape paid two exceptAll probes every round."""
+    if not probe_change:
+        state = init.localCheckpoint(eager=True)
+        for _ in range(max_iters):
+            state = step(state).localCheckpoint(eager=True)
+        return state
+    state, n_state = _ckpt_count(init)
     for _ in range(max_iters):
-        new = step(state).localCheckpoint(eager=True)
-        if probe_change:
-            changed = (
-                not new.exceptAll(state).isEmpty()
-                or not state.exceptAll(new).isEmpty()
-            )
-        state = new
-        if probe_change and not changed:
+        new, n_new = _ckpt_count(step(state))
+        changed = n_new != n_state or not new.exceptAll(state).isEmpty()
+        state, n_state = new, n_new
+        if not changed:
             break
     return state
 
@@ -194,13 +220,29 @@ def reachable_set(edges: DataFrame, seed: int, max_iters: int = MAX_ITERS) -> Da
 
 def connected_components(undirected: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
     """Min-label propagation over a symmetric edge list until
-    fixpoint: comp(v) = min node id in v's component."""
-    labels = (
+    fixpoint: comp(v) = min node id in v's component.
+
+    Convergence (r13 opt): each node's comp is monotonically
+    NON-INCREASING under least(), and the node set is fixed, so
+    Σ comp is strictly smaller after any change and equal iff NO
+    label changed — an exact test that rides the checkpoint job as an
+    observed DECIMAL(38,0) sum (overflow-proof for any long ids),
+    replacing the per-round change-join probe job."""
+
+    def _ckpt_sum(df: DataFrame) -> tuple[DataFrame, object]:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = df.observe(
+            obs, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint(eager=True)
+        return out, obs.get["s"]
+
+    labels, prev_sum = _ckpt_sum(
         undirected.select(F.col("src").alias("node"))
         .unionByName(undirected.select(F.col("dst").alias("node")))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iters):
@@ -209,18 +251,13 @@ def connected_components(undirected: DataFrame, max_iters: int = MAX_ITERS) -> D
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("comp").alias("n_comp"))
         )
-        new_labels = (
+        new_labels, new_sum = _ckpt_sum(
             labels.join(neighbor_min, "node", "left")
             .select("node", F.least(F.col("comp"), F.coalesce("n_comp", F.col("comp"))).alias("comp"))
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        labels, changed = new_labels, new_sum != prev_sum
+        prev_sum = new_sum
+        if not changed:
             converged = True
             break
     if not converged:
@@ -265,11 +302,10 @@ def connected_components_twophase(undirected: DataFrame, max_iters: int = MAX_IT
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edges = (
+    edges, n_edges = _ckpt_count(
         undirected.where(F.col("src") != F.col("dst"))
         .select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def _sym(e: DataFrame) -> DataFrame:
@@ -281,9 +317,6 @@ def connected_components_twophase(undirected: DataFrame, max_iters: int = MAX_IT
             F.least(F.min("dst"), F.first("src")).alias("m")
         )
 
-    n_edges = edges.count()  # carried across rounds (r13 opt: the
-    # previous round's ss.count IS the next round's edges.count — one
-    # probe job per round instead of two)
     done = False
     for _ in range(max_iters):
         # large-star: from the full symmetric view, point every
@@ -308,18 +341,17 @@ def connected_components_twophase(undirected: DataFrame, max_iters: int = MAX_IT
         # and its small neighbors at the minimum
         dirn = _sym(ls).where(F.col("dst") <= F.col("src"))
         m2 = _mins(dirn)
-        ss = (
+        # the |ss| probe rides the checkpoint job (r13 opt: no count
+        # job per round); set equality as |A| == |B| ∧ A ⊆ B (multiset
+        # containment via exceptAll) — the exceptAll shuffle only runs
+        # when the observed counts match
+        ss, n_ss = _ckpt_count(
             dirn.join(m2, "src")
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .unionByName(m2.select(F.col("src"), F.col("m").alias("dst")))
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        # set equality as |A| == |B| ∧ A ⊆ B (multiset containment via
-        # exceptAll): the count probe is near-free on the checkpointed
-        # frame, and the exceptAll shuffle only runs when counts match
-        n_ss = ss.count()
         converged = n_ss == n_edges and ss.exceptAll(edges).isEmpty()
         edges, n_edges = ss, n_ss
         if converged:
@@ -347,14 +379,20 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10, damping: float
     comment at the loop tail; sweep results in BASELINE.md)."""
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
-    n = nodes.count()
     out_deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
         eager=True
     )
     # Dangling topology is static — decide ONCE whether the per-
     # iteration dangling-mass aggregation is needed instead of paying
-    # a driver round-trip every iteration.
-    has_dangling = not nodes.join(out_deg, "node", "left_anti").isEmpty()
+    # a driver round-trip every iteration. ONE setup job computes both
+    # |nodes| and the dangling count (r13 opt: was a count job plus an
+    # anti-join emptiness job).
+    setup = nodes.join(out_deg, "node", "left").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("deg").isNull(), 1).otherwise(0)).alias("n_dang"),
+    ).first()
+    n = setup["n"]
+    has_dangling = bool(setup["n_dang"])
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for i in range(iters):

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from herodb_spark.graph import algorithms as GA
 from herodb_spark.graph import edges as GE
 
 KCORE_K = 3
@@ -69,8 +70,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str, edges=None) -> DataFrame:
     edges = und
     for _ in range(MAX_ITERS):
         deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
-        weak = deg.where(F.col("deg") < KCORE_K).select("node").localCheckpoint(eager=True)
-        if weak.isEmpty():
+        # emptiness probe rides the checkpoint job (r13 opt)
+        weak, n_weak = GA._ckpt_count(deg.where(F.col("deg") < KCORE_K).select("node"))
+        if n_weak == 0:
             break
         edges = (
             edges.join(weak.select(F.col("node").alias("src")), "src", "left_anti")

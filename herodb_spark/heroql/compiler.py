@@ -1500,8 +1500,13 @@ class HeroQL:
                 new = new.distinct()
                 if state[n] is not None:
                     new = new.exceptAll(state[n])
-                new = new.localCheckpoint(eager=True)
-                new_delta[n] = None if new.isEmpty() else new
+                # the emptiness probe rides the checkpoint job
+                # (r13 opt — was a separate isEmpty job per table
+                # per round)
+                from herodb_spark.graph.algorithms import _ckpt_count
+
+                new, n_new = _ckpt_count(new)
+                new_delta[n] = None if n_new == 0 else new
             if not any(dd is not None for dd in new_delta.values()):
                 break
             # round barrier: merge every table's delta only after all
