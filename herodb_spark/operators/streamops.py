@@ -305,23 +305,14 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         queries += [spend_q, sess_q, sink_q]
-        for q in (spend_q, sess_q, sink_q):
-            # a False return means the query is STILL RUNNING — the
-            # legs would read partial state and the driver would see
-            # an opaque hash mismatch; fail loudly instead
-            if not q.awaitTermination(300):
-                raise TimeoutError(f"streaming query {q.name} did not finish in 300s")
-        # exactly-once proof inside the graded plan: replay a STALE
-        # batch (zeroed totals, batch_id=0). The sink's watermark must
-        # no-op it — a naive sink would upsert the zeros and the
-        # driver's hash check would catch it.
-        stale = snap.read().select(
-            "user_id",
-            F.lit(0).cast("long").alias("n_events"),
-            F.lit(0.0).alias("total_value"),
-        )
-        sink(stale, 0)
         # --- multi-table exactly-once sink (stream_db_sink) ---------
+        # Runs NOW, on the driver thread, WHILE the three streaming
+        # queries execute on their scheduler threads (guide §2.6 —
+        # overlap independent jobs): the DatabaseTxnSink legs read the
+        # staged files directly and touch only their own database
+        # directory, so the eager batch jobs back-fill executor slots
+        # the micro-batches leave idle instead of running serially
+        # after them. awaitTermination moves below this block.
         from herodb_spark.sources.database import SnapshotDatabase
         from herodb_spark.streaming.sink import DatabaseTxnSink
 
@@ -371,6 +362,22 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             0,
         )
+        for q in (spend_q, sess_q, sink_q):
+            # a False return means the query is STILL RUNNING — the
+            # legs would read partial state and the driver would see
+            # an opaque hash mismatch; fail loudly instead
+            if not q.awaitTermination(300):
+                raise TimeoutError(f"streaming query {q.name} did not finish in 300s")
+        # exactly-once proof inside the graded plan: replay a STALE
+        # batch (zeroed totals, batch_id=0). The sink's watermark must
+        # no-op it — a naive sink would upsert the zeros and the
+        # driver's hash check would catch it.
+        stale = snap.read().select(
+            "user_id",
+            F.lit(0).cast("long").alias("n_events"),
+            F.lit(0.0).alias("total_value"),
+        )
+        sink(stale, 0)
         db_units = (
             db.read("t_units")
             .where(F.col("user_id") >= 0)

@@ -478,21 +478,141 @@ class SnapshotTable:
             for r in rows
         }
 
+    #: declared column type → the parquet physical type its footer
+    #: statistics must carry for `_footer_stats` to trust them
+    _FOOTER_PHYS = {
+        "int": "INT32", "smallint": "INT32", "tinyint": "INT32",
+        "bigint": "INT64", "float": "FLOAT", "double": "DOUBLE",
+        "string": "BYTE_ARRAY",
+    }
+    #: string footer stats at/over this many UTF-8 bytes are not
+    #: trusted: a truncating writer configuration would yield inexact
+    #: bounds, and values this short can never have been truncated
+    _FOOTER_STR_MAX = 64
+
+    def _footer_file_minmax(self, path: str, want: dict):
+        """({col: (mn, mx)}, n_rows) for one parquet file from its
+        FOOTER column-chunk statistics (`want` = {col:
+        declared_type}), or None when any cell cannot be proven
+        EXACTLY equal to what a scan's F.min/F.max would compute:
+        missing/withheld min-max on a chunk with non-null values
+        (writers omit stats for NaN-bearing doubles or oversized
+        binary), physical type not matching the declared type, string
+        bounds at/over _FOOTER_STR_MAX bytes, or float/double bounds
+        equal to 0.0 (the spec lets writers normalize the sign of
+        zero). All-null chunks contribute nothing, like F.min/F.max;
+        a column all-null everywhere yields (None, None)."""
+        import math
+
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        acc: dict[str, tuple] = {c: (None, None) for c in want}
+        for gi in range(md.num_row_groups):
+            rg = md.row_group(gi)
+            cols = {}
+            for ci in range(rg.num_columns):
+                cc = rg.column(ci)
+                if cc.path_in_schema in want:
+                    cols[cc.path_in_schema] = cc
+            for c, typ in want.items():
+                cc = cols.get(c)
+                if cc is None:
+                    return None
+                st = cc.statistics
+                n_vals = cc.num_values
+                if n_vals == 0:
+                    continue
+                if st is None or not getattr(st, "has_null_count", True):
+                    return None
+                if st.null_count is None:
+                    return None
+                if st.null_count == n_vals:
+                    continue  # all-null chunk: nothing to fold in
+                if not st.has_min_max:
+                    return None
+                if cc.physical_type != self._FOOTER_PHYS.get(typ):
+                    return None
+                mn, mx = st.min, st.max
+                if typ == "string":
+                    if not isinstance(mn, str) or not isinstance(mx, str):
+                        return None
+                    if (
+                        len(mn.encode("utf-8")) >= self._FOOTER_STR_MAX
+                        or len(mx.encode("utf-8")) >= self._FOOTER_STR_MAX
+                    ):
+                        return None
+                elif typ in ("float", "double"):
+                    if math.isnan(mn) or math.isnan(mx) or mn == 0.0 or mx == 0.0:
+                        return None
+                amn, amx = acc[c]
+                acc[c] = (
+                    mn if amn is None or mn < amn else amn,
+                    mx if amx is None or mx > amx else amx,
+                )
+        return acc, md.num_rows
+
+    def _footer_stats(self, parts: dict, schema, stat_cols: list[str]):
+        """Per-partition [min, max] zone maps read from the parquet
+        FOOTERS of freshly written directories — pure driver file I/O,
+        NO Spark job (guide §1.2 "remove passes" / §6: trust the file
+        metadata lakehouse formats trust). Returns None (caller falls
+        back to the one-job scan) unless EVERY cell is provably exact
+        — see `_footer_file_minmax` for the gates. At 100 TB this
+        turns the post-write stats pass of a wide MERGE from a full
+        re-scan of everything just written into O(files) footer
+        reads."""
+        if not stat_cols or not parts:
+            return {}
+        if schema is None:
+            return None  # legacy manifest: declared types unknown
+        dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+        want = {c: dtypes.get(c) for c in stat_cols}
+        if any(t not in self._FOOTER_PHYS for t in want.values()):
+            return None
+        stats: dict = {}
+        for pv, rel in parts.items():
+            d = os.path.join(self.path, rel)
+            acc: dict[str, tuple] = {c: (None, None) for c in stat_cols}
+            try:
+                names = [f for f in os.listdir(d) if f.endswith(".parquet")]
+                for fname in names:
+                    got = self._footer_file_minmax(os.path.join(d, fname), want)
+                    if got is None:
+                        return None
+                    got, _nrows = got
+                    for c, (mn, mx) in got.items():
+                        amn, amx = acc[c]
+                        if mn is not None:
+                            amn = mn if amn is None or mn < amn else amn
+                            amx = mx if amx is None or mx > amx else amx
+                        acc[c] = (amn, amx)
+            except (OSError, ValueError):
+                return None
+            stats[pv] = {c: [mn, mx] for c, (mn, mx) in acc.items()}
+        return stats
+
     def _partition_stats(
         self, parts: dict, schema, stat_cols: list[str]
     ) -> dict:
         """ZONE MAPS: per-written-partition [min, max] of `stat_cols`,
         recorded in the manifest at commit time — the durable-layer
         analog of the reference's `index Ordered(...)` (draft:28-47)
-        and of lakehouse file statistics. ONE Spark job over the
-        freshly written directories (column-pruned scan of the stat
-        columns only), grouped by the source directory via
-        input_file_name — no per-partition job fan-out. Read-side:
-        `read(ranges=...)` skips partitions whose recorded interval
-        cannot intersect the predicate. Returns
-        {pv: {col: [min, max]}} (values may be None for all-NULL)."""
+        and of lakehouse file statistics. Since the r13 optimization
+        pass the stats come from the written files' parquet FOOTERS
+        (`_footer_stats` — no Spark job) whenever every cell is
+        provably exact; otherwise ONE Spark job over the freshly
+        written directories (column-pruned scan of the stat columns
+        only), grouped by the source directory via input_file_name —
+        no per-partition job fan-out. Read-side: `read(ranges=...)`
+        skips partitions whose recorded interval cannot intersect the
+        predicate. Returns {pv: {col: [min, max]}} (values may be
+        None for all-NULL)."""
         if not stat_cols or not parts:
             return {}
+        footer = self._footer_stats(parts, schema, stat_cols)
+        if footer is not None:
+            return footer
         dirs = {os.path.join(self.path, rel): pv for pv, rel in parts.items()}
         reader = self.spark.read if schema is None else self.spark.read.schema(schema)
         df = reader.parquet(*dirs).select(
@@ -906,10 +1026,44 @@ class SnapshotTable:
 
     def _file_stats(self, parts: dict, schema, stat_cols: list[str]) -> dict:
         """Per-FILE [min, max] zone maps over freshly written dirs:
-        {rel_dir: {file_name: {col: [mn, mx]}}} from ONE column-pruned
-        job grouped by input_file_name."""
+        {rel_dir: {file_name: {col: [mn, mx]}}}. Footer statistics
+        first (`_footer_file_minmax`, exactness-gated, no Spark job —
+        r13 optimization pass); fallback is ONE column-pruned job
+        grouped by input_file_name."""
         if not stat_cols or not parts:
             return {}
+        if schema is not None:
+            dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+            want = {c: dtypes.get(c) for c in stat_cols}
+            if all(t in self._FOOTER_PHYS for t in want.values()):
+                out: dict = {}
+                ok = True
+                try:
+                    for rel in parts.values():
+                        d = os.path.join(self.path, rel)
+                        for fname in os.listdir(d):
+                            if not fname.endswith(".parquet"):
+                                continue
+                            got = self._footer_file_minmax(
+                                os.path.join(d, fname), want
+                            )
+                            if got is None:
+                                ok = False
+                                break
+                            got, nrows = got
+                            if nrows == 0:
+                                # the scan path emits no group for a
+                                # row-less file — mirror that
+                                continue
+                            out.setdefault(rel, {})[fname] = {
+                                c: [mn, mx] for c, (mn, mx) in got.items()
+                            }
+                        if not ok:
+                            break
+                except (OSError, ValueError):
+                    ok = False
+                if ok:
+                    return out
         dirs = [os.path.join(self.path, rel) for rel in parts.values()]
         by_dir = {os.path.abspath(os.path.join(self.path, rel)): rel for rel in parts.values()}
         aggs = []

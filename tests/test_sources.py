@@ -995,3 +995,103 @@ def test_observed_partition_stats_match_readback(spark, tmp_path):
     }
     for pv in touched:
         assert t3._load()["versions"]["1"]["stats"][pv] == st[pv]
+
+
+def test_footer_stats_match_scan(spark, tmp_path):
+    """r13 optimization: partitioned create (and the large-merge
+    fallback) read zone maps from the written parquet FOOTERS instead
+    of launching a stats read-back scan. Footer stats must be value-
+    and shape-identical to the scan job's — including NULL handling —
+    and every exactness gate must fall back rather than record an
+    inexact bound."""
+    from pyspark.sql import functions as F
+
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    rows = []
+    for g in range(3):
+        for i in range(5):
+            rows.append(
+                (
+                    10 * g + i,
+                    g,
+                    (f"name_{g}_{i}" if i % 4 else None) if g < 2 else None,
+                    float(10 * g + i) / 8 + 1.0,
+                )
+            )
+    df = spark.createDataFrame(rows, "id long, grp int, s string, v double")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "ft"), df, ["id", "s", "v"], partition_col="grp"
+    )
+    m = t._load()
+    parts = m["versions"]["0"]["partitions"]
+    cols = t._stat_cols(df, ["id", "s", "v"], "grp")
+    schema = t._schema_at(m, 0)
+    footer = t._footer_stats(parts, schema, cols)
+    assert footer is not None
+    # scan-job ground truth (force the fallback)
+    orig = SnapshotTable._footer_stats
+    SnapshotTable._footer_stats = lambda self, *a, **k: None
+    try:
+        scan = t._partition_stats(parts, schema, cols)
+    finally:
+        SnapshotTable._footer_stats = orig
+    assert footer == scan, (footer, scan)
+    # the committed manifest carries exactly these stats
+    assert m["versions"]["0"]["stats"] == footer
+    # grp=2 has an all-NULL string column: [None, None] like F.min/max
+    assert footer["2"]["s"] == [None, None]
+    # gate: a double bound equal to 0.0 is sign-ambiguous -> fallback
+    df0 = spark.createDataFrame([(1, 0, 0.0), (2, 0, 3.5)], "id long, grp int, v double")
+    t0 = SnapshotTable.create(
+        spark, str(tmp_path / "ft0"), df0, ["id", "v"], partition_col="grp"
+    )
+    m0 = t0._load()
+    assert (
+        t0._footer_stats(
+            m0["versions"]["0"]["partitions"], t0._schema_at(m0, 0), ["id", "v", "grp"]
+        )
+        is None
+    )
+    # ... but the committed stats (scan fallback) are still exact
+    assert m0["versions"]["0"]["stats"]["0"]["v"] == [0.0, 3.5]
+    # gate: NaN-bearing doubles -> writers withhold min/max -> fallback
+    dfn = spark.createDataFrame(
+        [(1, 0, float("nan")), (2, 0, 3.5)], "id long, grp int, v double"
+    )
+    tn = SnapshotTable.create(
+        spark, str(tmp_path / "ftn"), dfn, ["id", "v"], partition_col="grp"
+    )
+    mn_ = tn._load()
+    assert (
+        tn._footer_stats(
+            mn_["versions"]["0"]["partitions"], tn._schema_at(mn_, 0), ["id", "v", "grp"]
+        )
+        is None
+    )
+    # gate: strings at/over the trust cap could have been truncated
+    dfl = spark.createDataFrame(
+        [(1, 0, "x" * SnapshotTable._FOOTER_STR_MAX)], "id long, grp int, s string"
+    )
+    tl = SnapshotTable.create(
+        spark, str(tmp_path / "ftl"), dfl, ["id", "s"], partition_col="grp"
+    )
+    ml = tl._load()
+    assert (
+        tl._footer_stats(
+            ml["versions"]["0"]["partitions"], tl._schema_at(ml, 0), ["id", "s", "grp"]
+        )
+        is None
+    )
+    assert ml["versions"]["0"]["stats"]["0"]["s"] == [
+        "x" * SnapshotTable._FOOTER_STR_MAX
+    ] * 2
+    # file-level twin (cluster()'s per-file zone maps): footer == scan
+    ffiles = t._file_stats(parts, schema, cols)
+    orig_f = SnapshotTable._footer_file_minmax
+    SnapshotTable._footer_file_minmax = lambda self, *a, **k: None
+    try:
+        fscan = t._file_stats(parts, schema, cols)
+    finally:
+        SnapshotTable._footer_file_minmax = orig_f
+    assert ffiles == fscan, (ffiles, fscan)
