@@ -717,11 +717,15 @@ def test_streaming_mv_maintenance_composition(spark, tmp_path):
         src.merge_upsert(
             spark.createDataFrame([(2, "a", 50.0), (4, "b", 1.0)], "k long, g string, v double")
         )
-        # generous timeouts: under a fully loaded test box the 1 s
-        # micro-batch trigger can be starved for minutes
-        assert _await(lambda: mv_rows() == rebuilt(), timeout=480)  # starved for minutes under box contention
+        # processAllAvailable blocks until every pending micro-batch has run
+        # (and re-raises if the query died), so no wall-clock guess is needed
+        # even when the 1 s trigger is starved under full-suite box load; the
+        # short _await only covers the driver-side `state` handoff.
+        q.processAllAvailable()
+        assert _await(lambda: mv_rows() == rebuilt(), timeout=60)
         src.delete_where(F.col("g") == "a")  # full group retraction
-        assert _await(lambda: mv_rows() == rebuilt(), timeout=480)  # starved for minutes under box contention
+        q.processAllAvailable()
+        assert _await(lambda: mv_rows() == rebuilt(), timeout=60)
         assert all(r[0] != "a" for r in mv_rows())  # dead group left the view
     finally:
         q.stop()
