@@ -520,12 +520,20 @@ class _ChangesStreamReader(DataSourceStreamReader):
         m = _load_manifest(path)
         self.keys = m["key_cols"]
         self.schema_json = _schema_at(m, m["current"]).json()
+        # offsets are LAST-CONSUMED manifest versions: a batch (start, end]
+        # delivers the commits start+1..end. startingVersion=N is INCLUSIVE
+        # (deliver version N's changes onward, the lakehouse CDF convention),
+        # so it maps to offset N-1. The previous `int(starting)` marked
+        # version N itself as already consumed — usually masked because the
+        # first poll's latestOffset (N-1 at stream start) regressed the
+        # offset before any commit, but a commit landing before that first
+        # poll was swallowed forever (the streaming-MV suite flake).
         if starting is None:
             self._initial = -1  # full history: v0 arrives as inserts
         elif starting == "latest":
             self._initial = m["current"]
         else:
-            self._initial = int(starting)
+            self._initial = int(starting) - 1
 
     def initialOffset(self) -> dict:
         return {"version": self._initial}
@@ -731,8 +739,9 @@ class HerodbDataSource(DataSource):
       `changesFrom` (required) and `changesTo` (default current)).
     - streaming (`spark.readStream.format("herodb")`): requires
       `mode=changes` (a stream of this source IS the change feed);
-      starts from `startingVersion` (int; `latest`; default -1 = full
-      history, version 0 arriving as inserts).
+      starts from `startingVersion` (int, INCLUSIVE: version N's own
+      changes are delivered; `latest` = only commits after stream
+      start; default = full history, version 0 arriving as inserts).
     - writing: `df.write.format("herodb").mode("overwrite")` is
       INSERT OVERWRITE as a staged two-phase commit with the same OCC
       validate-then-swap as every other mutation (see

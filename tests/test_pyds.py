@@ -257,6 +257,28 @@ def test_stream_starting_version_latest(spark, tmp_path):
         q.stop()
 
 
+def test_stream_starting_version_inclusive_of_pre_start_commit(spark, tmp_path):
+    """startingVersion=N is INCLUSIVE and must hold even when version N
+    is committed BEFORE the stream's first poll. Regression test for the
+    streaming-MV suite flake: offsets are last-consumed versions, so
+    startingVersion=1 mapping to offset 1 (instead of 0) swallowed v1
+    whenever the first latestOffset() ran after the commit — the stream
+    then never delivered anything, with no error raised."""
+    t = _mk(spark, tmp_path, partitioned=False)
+    # v1 exists before the stream starts — the old off-by-one marked it
+    # consumed and this test hung at `len(out) >= 1` deterministically
+    t.merge_upsert(spark.createDataFrame([(2, "B", 9.9, 10)], "k long, s string, x double, g long"))
+    out: list = []
+    q = _collecting_query(spark, t.path, os.path.join(str(tmp_path), "ckpt4"), out, starting="1")
+    try:
+        q.processAllAvailable()
+        assert _await(lambda: len(out) >= 1)
+        assert out[0] == sorted([(2, "b", "update_pre", 1), (2, "B", "update_post", 1)])
+        assert len(out) == 1  # v0's inserts are NOT replayed (start is 1, not 0)
+    finally:
+        q.stop()
+
+
 def test_pyds_snapshot_roundtrip_matches_oracle(spark):
     """The registered query: durable round trip (create → upsert →
     delete) read back through the connector's three surfaces, hash-
@@ -684,8 +706,11 @@ def test_streaming_mv_maintenance_composition(spark, tmp_path):
     keys, specs = ["g"], [("n", "count", F.lit(1)), ("s", "sum", F.col("v"))]
     state = {"mv": MV.build_mv(src.read(version=0), keys, specs).localCheckpoint()}
 
+    batches = []  # (batch_id, rows) log — dumped on failure to pin the flake
+
     def fold(bdf, bid):
         rows = bdf.collect()  # micro-batches are small by definition
+        batches.append((bid, [tuple(r) for r in rows]))
         if not rows:
             return
         ch = spark.createDataFrame(rows, bdf.schema).drop("_commit_version")
@@ -713,6 +738,21 @@ def test_streaming_mv_maintenance_composition(spark, tmp_path):
     def rebuilt():
         return sorted(tuple(r) for r in MV.build_mv(src.read(), keys, specs).collect())
 
+    def converged(where):
+        if _await(lambda: mv_rows() == rebuilt(), timeout=60):
+            return
+        raise AssertionError(
+            f"MV did not converge after {where}:\n"
+            f"  mv_rows      = {mv_rows()}\n"
+            f"  rebuilt      = {rebuilt()}\n"
+            f"  batches      = {batches}\n"
+            f"  manifest cur = {src._load()['current']}\n"
+            f"  read_changes(0) = {sorted(tuple(r) for r in src.read_changes(0).collect())}\n"
+            f"  q.status     = {q.status}\n"
+            f"  lastProgress = {q.lastProgress}\n"
+            f"  exception    = {q.exception()}"
+        )
+
     try:
         src.merge_upsert(
             spark.createDataFrame([(2, "a", 50.0), (4, "b", 1.0)], "k long, g string, v double")
@@ -722,10 +762,10 @@ def test_streaming_mv_maintenance_composition(spark, tmp_path):
         # even when the 1 s trigger is starved under full-suite box load; the
         # short _await only covers the driver-side `state` handoff.
         q.processAllAvailable()
-        assert _await(lambda: mv_rows() == rebuilt(), timeout=60)
+        converged("upsert")
         src.delete_where(F.col("g") == "a")  # full group retraction
         q.processAllAvailable()
-        assert _await(lambda: mv_rows() == rebuilt(), timeout=60)
+        converged("delete")
         assert all(r[0] != "a" for r in mv_rows())  # dead group left the view
     finally:
         q.stop()
