@@ -98,25 +98,56 @@ ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 CALIBRATION_REF = float(os.environ.get("SPARK_GRAFT_CAL_REF", "1.25"))
 
 
-def calibration_probe(spark) -> float:
-    """Box-speed probe: xxhash64 over an in-memory range, summed —
-    whole-stage-codegen CPU, zero IO, zero repo code, plan pinned
-    forever. Median of 3 (each ~1.25 s on the reference session)."""
+def probe_once(spark) -> float:
+    """One sample of the box-speed probe: xxhash64 over an in-memory
+    range, summed — whole-stage-codegen CPU, zero IO, zero repo code,
+    plan pinned forever (~1.25 s on the reference session)."""
     from pyspark.sql import functions as F
 
-    samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        materialize(
-            spark.range(0, 2_400_000_000, 1, 32)
-            # pmod bounds the terms so the 2.4B-row sum cannot
-            # overflow long under ANSI mode; xxhash64 stays the
-            # CPU payload
-            .select(F.pmod(F.xxhash64("id"), F.lit(1024)).alias("h"))
-            .agg(F.sum("h").alias("s"))
-        )
-        samples.append(time.perf_counter() - t0)
-    return round(statistics.median(samples), 3)
+    t0 = time.perf_counter()
+    materialize(
+        spark.range(0, 2_400_000_000, 1, 32)
+        # pmod bounds the terms so the 2.4B-row sum cannot
+        # overflow long under ANSI mode; xxhash64 stays the
+        # CPU payload
+        .select(F.pmod(F.xxhash64("id"), F.lit(1024)).alias("h"))
+        .agg(F.sum("h").alias("s"))
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
+def calibration_probe(spark) -> float:
+    """Median of 3 probe samples (the pre-suite calibration)."""
+    return round(statistics.median(probe_once(spark) for _ in range(3)), 3)
+
+
+#: r13 verdict #1: one pre-suite probe cannot flag bursty contention
+#: (intra-run spreads hit 3.7× while box_factor said 1.4×). Sample the
+#: probe BETWEEN queries too — after every Nth query, outside every
+#: timed region — and publish the whole series so a reader can see
+#: whether the box drifted mid-suite.
+CAL_EVERY_N_QUERIES = 4
+
+
+def _recall_measured() -> dict:
+    """Measured recall per approximate operator at the graded SFs,
+    read from RECALL.json (written by every scripts/driver_sim.py
+    recall-ledger run — r13 verdict item 6: derive from the verify
+    artifact instead of literals that go stale silently). Values are
+    None for an SF the ledger has not measured."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "RECALL.json")
+    out: dict[str, list] = {}
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except Exception:
+        return {"unavailable": "RECALL.json missing — run scripts/driver_sim.py"}
+    for name in ("ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq"):
+        out[name] = [
+            data.get(sf, {}).get("recall", {}).get(name)
+            for sf in ("sf0.001", "sf0.01")
+        ]
+    return out
 
 
 def provenance() -> dict:
@@ -147,8 +178,12 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches + codegen
     materialize(tpch.q1_pricing_summary(spark, SF_DIR))
 
-    # box-speed calibration BEFORE the suite (post-warm-up, pre-load)
-    calibration_s = calibration_probe(spark)
+    # box-speed calibration BEFORE the suite (post-warm-up, pre-load);
+    # 3 samples, then one more interleaved sample after every
+    # CAL_EVERY_N_QUERIES queries (r13 verdict #1: publish the series,
+    # not a single pre-suite reading)
+    cal_samples = [probe_once(spark) for _ in range(3)]
+    calibration_pre_s = round(statistics.median(cal_samples), 3)
 
     # median-of-ITERS per query: a single sample on a shared box is
     # noise-dominated (the round-3 official bench measured unchanged
@@ -156,20 +191,31 @@ def main() -> None:
     # real regressions distinguishable from sandbox contention
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
-    for name, fn in BENCH_QUERIES.items():
+    timings_min: dict[str, float] = {}
+    query_samples: dict[str, list[float]] = {}
+    for qi, (name, fn) in enumerate(BENCH_QUERIES.items()):
         samples = []
         for _ in range(ITERS):
             t0 = time.perf_counter()
             materialize(fn(spark, SF_DIR))
-            samples.append(time.perf_counter() - t0)
+            samples.append(round(time.perf_counter() - t0, 3))
             # between runs (outside the timed region): trigger a JVM GC
             # so the ContextCleaner releases dead localCheckpoint
             # blocks — otherwise a heavy query's leftovers inflate its
             # successors
             spark._jvm.System.gc()
+        query_samples[name] = list(samples)  # chronological
         samples.sort()
         timings[name] = round(statistics.median(samples), 3)
+        timings_min[name] = samples[0]
         spread[name] = round(samples[-1] / max(samples[0], 1e-9), 2)
+        if (qi + 1) % CAL_EVERY_N_QUERIES == 0:
+            cal_samples.append(probe_once(spark))
+
+    # the session's box factor uses the FULL probe series (pre-suite +
+    # interleaved), so mid-suite contention moves the factor instead of
+    # hiding behind a quiet pre-suite reading
+    calibration_s = round(statistics.median(cal_samples), 3)
 
     total = round(sum(timings.values()), 3)
     # BASELINE.md's pinned 20.73 s covers the ORIGINAL 9-query suite;
@@ -205,6 +251,21 @@ def main() -> None:
                     * CALIBRATION_REF / calibration_s,
                     3,
                 ),
+                # r14 additions (r13 verdict #1 — additions only, the
+                # existing keys and the timing loop are unchanged):
+                # the full interleaved probe series, the pre-suite
+                # median alone (the old calibration_s definition), raw
+                # per-iteration samples in chronological order, and a
+                # min-of-N column — on a contended box min is the
+                # better point estimate of the code's cost.
+                "calibration_pre_s": calibration_pre_s,
+                "calibration_samples": cal_samples,
+                "query_samples": query_samples,
+                "queries_min": timings_min,
+                "value_min": round(sum(timings_min.values()), 3),
+                "value_baseline_9q_min": round(
+                    sum(timings_min[q] for q in baseline_set if q in timings_min), 3
+                ),
                 "queries": timings,
                 "spread_max_over_min": spread,
                 "iters": ITERS,
@@ -221,10 +282,7 @@ def main() -> None:
                     "ann_lsh": 0.3, "ann_ivf": 0.4, "ann_pq": 0.8,
                     "ann_ivfpq": 0.7,
                 },
-                "recall_measured_sf0001_sf001": {
-                    "ann_lsh": [0.36, 0.60], "ann_ivf": [0.58, 0.52],
-                    "ann_pq": [0.90, 0.98], "ann_ivfpq": [0.78, 0.76],
-                },
+                "recall_measured_sf0001_sf001": _recall_measured(),
                 **provenance(),
             }
         )

@@ -89,7 +89,42 @@ def recall_ledger(spark, sf_dir: str) -> tuple[dict, list]:
         for k, v in out.items()
     )
     print(f"RECALL {os.path.basename(sf_dir)} {line}  (*=exact-oracle hard gate)", flush=True)
+    _persist_recall(sf_dir, out)
     return out, failures
+
+
+def _persist_recall(sf_dir: str, measured: dict) -> None:
+    """Update RECALL.json with this run's measured ledger (keyed by sf
+    basename) so bench.py can echo MEASURED recall values instead of
+    hardcoded literals that go stale silently (r13 verdict item 6).
+    Best-effort: a read-only checkout must not fail the gate."""
+    import datetime
+    import json
+    import subprocess
+
+    path = os.path.join(REPO, "RECALL.json")
+    try:
+        data = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+        try:
+            sha = subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or "unknown"
+        except Exception:
+            sha = "unknown"
+        data[os.path.basename(sf_dir)] = {
+            "recall": {k: round(v, 3) for k, v in measured.items()},
+            "git_sha": sha,
+            "run_at": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+        }
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except Exception as e:
+        print(f"RECALL ledger persist skipped: {e}", flush=True)
 
 
 def main() -> int:
