@@ -30,20 +30,10 @@ from pyspark.sql import functions as F
 MAX_ITERS = 30
 
 
-def _ckpt_count(df: DataFrame) -> tuple[DataFrame, int]:
-    """localCheckpoint(eager=True) with the row count OBSERVED on the
-    materialization job itself (r13 opt): convergence probes that only
-    need `count(new)` stop paying a separate count/isEmpty job per
-    iteration — the checkpoint job already touches every row, and
-    CollectMetrics fires on it (verified: 1 job total, metrics
-    available immediately after). Returns (checkpointed_df, n_rows).
-    The returned frame's lineage is truncated at the checkpoint, so
-    downstream actions never re-fire the observation."""
-    from pyspark.sql import Observation
-
-    obs = Observation()
-    out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
-    return out, int(obs.get["n"])
+# the shared observe-on-checkpoint probe lives in session.py (public,
+# one definition — r13 ADVICE); kept under the old name for this
+# module's call sites
+from herodb_spark.session import ckpt_count as _ckpt_count  # noqa: E402
 
 
 def closure(step, init: DataFrame, key: list[str], max_iters: int = MAX_ITERS,

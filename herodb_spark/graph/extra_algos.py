@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from herodb_spark.graph import algorithms as GA
 from herodb_spark.graph import edges as GE
+from herodb_spark.session import ckpt_count
 
 KCORE_K = 3
 MAX_ITERS = 30
@@ -71,7 +72,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str, edges=None) -> DataFrame:
     for _ in range(MAX_ITERS):
         deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
         # emptiness probe rides the checkpoint job (r13 opt)
-        weak, n_weak = GA._ckpt_count(deg.where(F.col("deg") < KCORE_K).select("node"))
+        weak, n_weak = ckpt_count(deg.where(F.col("deg") < KCORE_K).select("node"))
         if n_weak == 0:
             break
         edges = (

@@ -1503,9 +1503,9 @@ class HeroQL:
                 # the emptiness probe rides the checkpoint job
                 # (r13 opt — was a separate isEmpty job per table
                 # per round)
-                from herodb_spark.graph.algorithms import _ckpt_count
+                from herodb_spark.session import ckpt_count
 
-                new, n_new = _ckpt_count(new)
+                new, n_new = ckpt_count(new)
                 new_delta[n] = None if n_new == 0 else new
             if not any(dd is not None for dd in new_delta.values()):
                 break
