@@ -213,6 +213,34 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH band table from the shingle
+    frame — the shared candidate-generation head of the three banded
+    operators (minhash_lsh_pairs, dedup_incremental_minhash,
+    dedup_split_leakage).
+
+    The 64-perm MinHash signature is MATERIALIZED once (r14 opt, guide
+    §1.2/§2.4): every banded operator references the band table twice
+    (the two sides of the bucket join), and Catalyst does not dedupe
+    the doubled subtree — the r13 plan dumps show the full
+    explode→64-agg signature pipeline TWICE per plan (the same
+    no-ReusedExchange behavior the r13 star-fusion experiment
+    measured). Checkpointing the signature (one row per doc, 64 longs)
+    makes the second reference a checkpoint scan; only the trivial
+    band explode runs per side. At 100 TB this is the same persisted
+    band index the incremental docstring already promises —
+    persist(DISK_ONLY) or a staged write, same plan shape."""
+    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    sig = (
+        exploded.groupBy("doc_id")
+        .agg(*H.minhash_aggs(F.col("s"), 64))
+        .localCheckpoint(eager=True)
+    )
+    return sig.select(
+        "doc_id", F.explode(H.lsh_band_structs(num_perm=64, bands=32)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ 0.5.
 
@@ -229,11 +257,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three times dominated runtime. At 100 TB this becomes
     # persist(DISK_ONLY) or a staged write, same plan shape.
     sh = _with_shingles(docs).localCheckpoint(eager=True)
-    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
-    sig = exploded.groupBy("doc_id").agg(*H.minhash_aggs(F.col("s"), 64))
-    bands = sig.select(
-        "doc_id", F.explode(H.lsh_band_structs(num_perm=64, bands=32)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+    bands = _minhash_bands(sh)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band_id", "band_key"])
@@ -946,11 +970,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (new_doc, old_doc, jaccard), ordered."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _with_shingles(docs).localCheckpoint(eager=True)
-    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
-    sig = exploded.groupBy("doc_id").agg(*H.minhash_aggs(F.col("s"), 64))
-    bands = sig.select(
-        "doc_id", F.explode(H.lsh_band_structs(num_perm=64, bands=32)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+    bands = _minhash_bands(sh)
     is_new = F.col("doc_id") % INCR_NEW_MOD == 0
     cand = (
         bands.where(is_new).alias("x")
@@ -1038,11 +1058,7 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = _with_shingles(docs).localCheckpoint(eager=True)
-    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
-    sig = exploded.groupBy("doc_id").agg(*H.minhash_aggs(F.col("s"), 64))
-    bands = sig.select(
-        "doc_id", F.explode(H.lsh_band_structs(num_perm=64, bands=32)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+    bands = _minhash_bands(sh)
     is_val = sample_hash_keep(F.col("doc_id"), LEAK_VAL_FRAC)
     cand = (
         bands.where(~is_val).alias("x")
