@@ -418,7 +418,11 @@ class SnapshotTable:
         Returns (parts, files, stats)."""
         from pyspark.sql import Observation
 
-        if not stat_cols or len(touched) > self._OBSERVED_STATS_MAX_PARTS:
+        # `not touched` rides the fallback too (r13 ADVICE): an empty
+        # touched set would make `aggs` empty and observe() raise —
+        # both current callers return before that, but the function
+        # must not half-handle the case for future ones
+        if not stat_cols or not touched or len(touched) > self._OBSERVED_STATS_MAX_PARTS:
             parts, files = self._write_partitions(df, version, pcol, only=touched)
             return parts, files, self._partition_stats(parts, schema, stat_cols)
         pstr = F.col(pcol).cast("string")
@@ -477,6 +481,134 @@ class SnapshotTable:
             r["_p"]: {c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stat_keys}
             for r in rows
         }
+
+    #: driver-side literal-hull path: collect() bail-out row cap
+    _LITERAL_HULL_MAX_ROWS = 10_000
+    #: declared types whose driver-side comparisons provably match
+    #: Spark's ordering (ints: numeric order; strings: Python compares
+    #: by code point, UTF-8 binary order preserves code-point order,
+    #: and Spark's string ordering is the UTF-8 binary order — equal).
+    #: float/double stay EXCLUDED: ±0.0 and NaN ordering diverge.
+    _DRIVER_CMP_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+    @staticmethod
+    def _local_rows(df: DataFrame, cap: int):
+        """`df`'s rows when its optimized plan is a pure LocalRelation
+        — collect() is then driver-side (LocalTableScanExec returns
+        its in-memory rows; NO Spark job) — else None. Also None past
+        `cap` rows: the driver-side hull fold must stay trivial."""
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan()
+            if plan.getClass().getSimpleName() != "LocalRelation":
+                return None
+        except Exception:
+            return None
+        rows = df.collect()
+        return None if len(rows) > cap else rows
+
+    def _insert_only_hulls(
+        self, m: dict, at_version: int, updates: DataFrame,
+        keys: list[str], pcol: str, stat_keys: list[str],
+    ):
+        """merge_upsert's union key hulls computed DRIVER-SIDE with NO
+        Spark job (r14 opt, guide §1.2 "remove passes" / §6 trust the
+        recorded metadata), exactly when provable:
+
+        - `updates` is a literal LocalRelation (seeds, audit rows,
+          config facts — the literal_df pattern), so its rows are
+          driver-resident;
+        - the current version's zone maps PROVE every update key tuple
+          is absent from EVERY partition (some stat key column's value
+          falls strictly outside that partition's recorded [min, max],
+          or the partition's values for that column are all NULL) —
+          i.e. the merge is a pure INSERT, so the matched-target side
+          of `_union_hulls` is provably empty;
+        - every stat key column and the partition column have a
+          declared type whose driver-side comparison provably matches
+          Spark's ordering (`_DRIVER_CMP_TYPES`), every compared value
+          is non-null and of the matching Python type, and the
+          manifest bounds are of the matching JSON type.
+
+        The result is then EXACTLY what the one-job union-hull scan
+        would return — per-partition [min, max] of the update rows'
+        keys, keyed by the partition value's string cast (int → str(v)
+        is Spark's cast; string → identity) — so the committed
+        manifest is identical. Any unprovable case returns None and
+        the caller runs the scan. At 100 TB this removes the pre-write
+        pass of every bounded literal insert (the hot path of control
+        tables, audit logs and metadata commits)."""
+        if not stat_keys:
+            return None  # nothing to prove absence with
+        schema = self._schema_at(m, at_version)
+        if schema is None:
+            return None
+        dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+        if dtypes.get(pcol) not in self._DRIVER_CMP_TYPES:
+            return None
+        if any(dtypes.get(c) not in self._DRIVER_CMP_TYPES for c in stat_keys):
+            return None
+        rows = self._local_rows(updates, self._LITERAL_HULL_MAX_ROWS)
+        if rows is None:
+            return None
+
+        def _typed(v, t):
+            # the declared-type ↔ Python-type pairing both the update
+            # values and the JSON manifest bounds must satisfy
+            if t == "string":
+                return isinstance(v, str)
+            return isinstance(v, int) and not isinstance(v, bool)
+
+        for r in rows:
+            pv = r[pcol]
+            if pv is None or not _typed(pv, dtypes[pcol]):
+                return None
+            if any(
+                r[c] is None or not _typed(r[c], dtypes[c]) for c in stat_keys
+            ):
+                return None
+        entry = m["versions"].get(str(at_version)) or {}
+        parts_now = entry.get("partitions") or {}
+        stats_now = entry.get("stats") or {}
+        for part in parts_now:
+            st = stats_now.get(part)
+            if st is None:
+                return None
+            for r in rows:
+                proven = False
+                for c in stat_keys:
+                    b = st.get(c)
+                    if not isinstance(b, (list, tuple)) or len(b) != 2:
+                        continue
+                    mn, mx = b
+                    if mn is None and mx is None:
+                        # no non-null values of c in this partition —
+                        # a non-null key can never match (join equality
+                        # is never true against NULL)
+                        proven = True
+                        break
+                    if mn is None or mx is None:
+                        continue  # malformed bounds: not usable
+                    t = dtypes[c]
+                    if not _typed(mn, t) or not _typed(mx, t):
+                        continue
+                    if r[c] < mn or r[c] > mx:
+                        proven = True
+                        break
+                if not proven:
+                    return None
+        hulls: dict = {}
+        for r in rows:
+            pv = r[pcol]
+            pv_str = pv if isinstance(pv, str) else str(pv)
+            h = hulls.setdefault(pv_str, {})
+            for c in stat_keys:
+                v = r[c]
+                if c in h:
+                    lo, hi = h[c]
+                    h[c] = [v if v < lo else lo, v if v > hi else hi]
+                else:
+                    h[c] = [v, v]
+        return hulls
 
     #: declared column type → the parquet physical type its footer
     #: statistics must carry for `_footer_stats` to trust them
@@ -574,13 +706,20 @@ class SnapshotTable:
         for pv, rel in parts.items():
             d = os.path.join(self.path, rel)
             acc: dict[str, tuple] = {c: (None, None) for c in stat_cols}
+            total_rows = 0
             try:
                 names = [f for f in os.listdir(d) if f.endswith(".parquet")]
                 for fname in names:
                     got = self._footer_file_minmax(os.path.join(d, fname), want)
                     if got is None:
                         return None
-                    got, _nrows = got
+                    got, nrows = got
+                    total_rows += nrows
+                    if nrows == 0:
+                        # mirror the scan fallback (r13 ADVICE): a
+                        # row-less file contributes no group rows there,
+                        # so it must fold nothing here either
+                        continue
                     for c, (mn, mx) in got.items():
                         amn, amx = acc[c]
                         if mn is not None:
@@ -589,6 +728,11 @@ class SnapshotTable:
                         acc[c] = (amn, amx)
             except (OSError, ValueError):
                 return None
+            if total_rows == 0:
+                # a partition dir whose every file is row-less yields no
+                # groupBy row in the scan fallback — record no entry,
+                # keeping the two paths shape-identical by construction
+                continue
             stats[pv] = {c: [mn, mx] for c, (mn, mx) in acc.items()}
         return stats
 
@@ -1480,11 +1624,19 @@ class SnapshotTable:
                     )
                 return m["current"]
         else:
-            sides = [
-                updates,
-                target.join(updates.select(*keys), keys, "left_semi"),
-            ]
-            key_ranges = self._union_hulls(sides, pcol, stat_keys)
+            # provably-insert-only literal updates skip the hull job
+            # entirely (r14 opt): the zone maps prove the matched side
+            # empty and the hulls fold driver-side — same manifest,
+            # one less Spark pass per bounded literal insert
+            key_ranges = self._insert_only_hulls(
+                m, read_version, updates, keys, pcol, stat_keys
+            )
+            if key_ranges is None:
+                sides = [
+                    updates,
+                    target.join(updates.select(*keys), keys, "left_semi"),
+                ]
+                key_ranges = self._union_hulls(sides, pcol, stat_keys)
             if not key_ranges:  # empty updates
                 if txn is not None:
                     m.setdefault("txns", {})[txn[0]] = int(txn[1])

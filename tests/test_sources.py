@@ -1095,3 +1095,141 @@ def test_footer_stats_match_scan(spark, tmp_path):
     finally:
         SnapshotTable._footer_file_minmax = orig_f
     assert ffiles == fscan, (ffiles, fscan)
+
+
+def test_insert_only_literal_hulls_match_scan(spark, tmp_path):
+    """r14 optimization: a merge_upsert whose updates are a literal
+    LocalRelation and whose keys the zone maps prove absent everywhere
+    (a pure insert) computes its key hulls DRIVER-SIDE — no union-hull
+    Spark job. The committed version entry must be identical to the
+    scan path's (same key_ranges, stats, partition set, file counts),
+    and every unprovable case must fall back to the scan."""
+    from herodb_spark.session import literal_df
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    rows = [(10 * g + i, g, f"r{g}_{i}") for g in range(3) for i in range(4)]
+    base = spark.createDataFrame(rows, "id long, grp int, s string")
+    schema = "id long, grp int, s string"
+    ins = [(500, 0, "a"), (501, 2, "b")]  # beyond every partition's id zone
+
+    t_lit = SnapshotTable.create(
+        spark, str(tmp_path / "lit"), base, ["id"], partition_col="grp"
+    )
+    t_scan = SnapshotTable.create(
+        spark, str(tmp_path / "scan"), base, ["id"], partition_col="grp"
+    )
+    calls = []
+    orig = SnapshotTable._union_hulls
+    orig_fast = SnapshotTable._insert_only_hulls
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    SnapshotTable._union_hulls = spy
+    try:
+        t_lit.merge_upsert(literal_df(spark, ins, schema))
+        assert not calls, "provably-insert-only literal merge ran the hull job"
+        # control: the SAME literal frame through the hull-scan path
+        # (fast path disabled) — isolates the hull change, so the two
+        # committed version entries must be identical except for the
+        # writer-unique directory tokens
+        SnapshotTable._insert_only_hulls = lambda self, *a, **k: None
+        t_scan.merge_upsert(literal_df(spark, ins, schema))
+        assert calls, "disabled fast path must use the hull scan"
+    finally:
+        SnapshotTable._union_hulls = orig
+        SnapshotTable._insert_only_hulls = orig_fast
+    e_lit = t_lit._load()["versions"]["1"]
+    e_scan = t_scan._load()["versions"]["1"]
+    assert e_lit["key_ranges"] == e_scan["key_ranges"] == {
+        "0": {"id": [500, 500]}, "2": {"id": [501, 501]},
+    }
+    assert e_lit["stats"] == e_scan["stats"]
+    assert sorted(e_lit["partitions"]) == sorted(e_scan["partitions"])
+    assert e_lit["files"] == e_scan["files"]
+    assert sorted(map(tuple, t_lit.read().collect())) == sorted(
+        map(tuple, t_scan.read().collect())
+    )
+    # a key INSIDE a zone range is unprovable → hull scan fallback,
+    # and the merge still lands the row
+    calls.clear()
+    SnapshotTable._union_hulls = spy
+    try:
+        t_lit.merge_upsert(literal_df(spark, [(5, 0, "x")], schema))
+        assert calls, "in-zone key must fall back to the hull scan"
+    finally:
+        SnapshotTable._union_hulls = orig
+    assert t_lit.read().where("id = 5 AND s = 'x'").count() == 1
+
+
+def test_insert_only_hull_gates(spark, tmp_path):
+    """Every rejection gate of _insert_only_hulls returns None (scan
+    fallback); the string-keyed positive case folds hulls equal to the
+    Spark union-hull job's output."""
+    from herodb_spark.session import literal_df
+    from herodb_spark.sources.snapshot import SnapshotTable
+
+    rows = [(10 * g + i, g, f"r{g}_{i}") for g in range(3) for i in range(4)]
+    base = spark.createDataFrame(rows, "id long, grp int, s string")
+    schema = "id long, grp int, s string"
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "g"), base, ["id"], partition_col="grp"
+    )
+    m = t._load()
+    lit = literal_df(spark, [(900, 1, "z")], schema)
+    ok = t._insert_only_hulls(m, 0, lit, ["id"], "grp", ["id"])
+    assert ok == {"1": {"id": [900, 900]}}
+    # gate: non-LocalRelation plan
+    rdd_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(900, 1, "z")], 1), schema
+    )
+    assert t._insert_only_hulls(m, 0, rdd_df, ["id"], "grp", ["id"]) is None
+    # gate: no stat keys to prove absence with
+    assert t._insert_only_hulls(m, 0, lit, ["id"], "grp", []) is None
+    # gate: null key value
+    lit_null = literal_df(spark, [(None, 1, "z")], schema)
+    assert t._insert_only_hulls(m, 0, lit_null, ["id"], "grp", ["id"]) is None
+    # gate: missing stats entry for an existing partition
+    m_nostats = {
+        **m,
+        "versions": {
+            **m["versions"],
+            "0": {**m["versions"]["0"], "stats": {}},
+        },
+    }
+    assert t._insert_only_hulls(m_nostats, 0, lit, ["id"], "grp", ["id"]) is None
+    # gate: key inside a partition's zone (grp 1 holds ids 10..13, so
+    # 11 is not disprovable — it may or may not exist there)
+    lit_in = literal_df(spark, [(11, 1, "z")], schema)
+    assert t._insert_only_hulls(m, 0, lit_in, ["id"], "grp", ["id"]) is None
+    # gate: row cap
+    prev = SnapshotTable._LITERAL_HULL_MAX_ROWS
+    SnapshotTable._LITERAL_HULL_MAX_ROWS = 0
+    try:
+        assert t._insert_only_hulls(m, 0, lit, ["id"], "grp", ["id"]) is None
+    finally:
+        SnapshotTable._LITERAL_HULL_MAX_ROWS = prev
+    # string-keyed positive case: driver fold == the Spark hull job
+    ts = SnapshotTable.create(
+        spark, str(tmp_path / "gs"),
+        spark.createDataFrame(rows, "id long, grp int, s string"),
+        ["s"], partition_col="grp",
+    )
+    ms = ts._load()
+    lit_s = literal_df(spark, [(1, 0, "zzz"), (2, 0, "zza")], schema)
+    got = ts._insert_only_hulls(ms, 0, lit_s, ["s"], "grp", ["s"])
+    want = ts._union_hulls(
+        [lit_s, ts.read().join(lit_s.select("s"), ["s"], "left_semi")],
+        "grp", ["s"],
+    )
+    assert got == want == {"0": {"s": ["zza", "zzz"]}}
+    # gate: float/double-typed key columns stay on the scan path
+    td = SnapshotTable.create(
+        spark, str(tmp_path / "gd"),
+        spark.createDataFrame([(1.5, 0, "a")], "id double, grp int, s string"),
+        ["id"], partition_col="grp",
+    )
+    md = td._load()
+    lit_d = literal_df(spark, [(99.5, 0, "z")], "id double, grp int, s string")
+    assert td._insert_only_hulls(md, 0, lit_d, ["id"], "grp", ["id"]) is None
