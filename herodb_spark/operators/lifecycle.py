@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from herodb_spark.catalog import load_table
-from herodb_spark.session import literal_df
+from herodb_spark.session import literal_df, run_overlapped as _overlap
 
 
 @contextlib.contextmanager
@@ -132,6 +132,8 @@ def _snapshot_lifecycle_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     def audit_row(seq: int, what: str) -> DataFrame:
         return literal_df(spark, [(seq, what)], "seq long, what string")
 
+    # each paired transaction's facts and audit statements target
+    # DIFFERENT member tables — run them overlapped (guide §2.6)
     with db.transaction() as t:
         ups = nation.where(F.col("key") < 10).withColumn(
             "val", F.col("val") + F.lit(100)
@@ -140,14 +142,20 @@ def _snapshot_lifecycle_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("key") + 100).alias("key"), "grp", "name",
             F.col("key").alias("val"),
         )
-        t.merge_upsert("facts", ups.unionByName(ins))
-        t.merge_upsert("audit", audit_row(1, "upsert"))
+        _overlap(
+            lambda: t.merge_upsert("facts", ups.unionByName(ins)),
+            lambda: t.merge_upsert("audit", audit_row(1, "upsert")),
+        )
     with db.transaction() as t:
-        t.update_where("facts", F.col("grp") == 2, {"val": F.col("val") * 2})
-        t.merge_upsert("audit", audit_row(2, "update"))
+        _overlap(
+            lambda: t.update_where("facts", F.col("grp") == 2, {"val": F.col("val") * 2}),
+            lambda: t.merge_upsert("audit", audit_row(2, "update")),
+        )
     with db.transaction() as t:
-        t.delete_where("facts", F.col("key") % 7 == 3)
-        t.merge_upsert("audit", audit_row(3, "delete"))
+        _overlap(
+            lambda: t.delete_where("facts", F.col("key") % 7 == 3),
+            lambda: t.merge_upsert("audit", audit_row(3, "delete")),
+        )
 
     # interleaved reader/writer pair — both must commit (row-granular
     # declared read set vs the writer's recorded key hull).

@@ -119,6 +119,38 @@ def literal_df(spark: SparkSession, rows: list, schema) -> "DataFrame":
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
+def run_overlapped(*fns) -> None:
+    """Run independent callables (each driving its own Spark jobs) on
+    driver threads so the jobs overlap instead of serializing (guide
+    §2.6 — the scheduler happily runs several jobs at once; actions
+    are only sequential because driver code calls them sequentially).
+    Used for independent single-table statements of one transaction
+    (the r13 'intra-transaction statement parallelism' deferral,
+    landed in r14 now that Transaction._apply serializes its shared
+    state behind a lock and runs each mutation's job outside it).
+    InheritableThread propagates the JVM thread-locals (job group /
+    description), so profiling and cancellation still see these jobs.
+    The first exception is re-raised on the caller thread after all
+    callables finish."""
+    from pyspark import InheritableThread
+
+    errs: list[BaseException] = []
+
+    def run(fn):
+        try:
+            fn()
+        except BaseException as e:  # re-raised on the caller thread
+            errs.append(e)
+
+    threads = [InheritableThread(target=run, args=(fn,)) for fn in fns]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errs:
+        raise errs[0]
+
+
 def ckpt_count(df: "DataFrame") -> tuple["DataFrame", int]:
     """localCheckpoint(eager=True) with the row count OBSERVED on the
     materialization job itself (r13 opt): convergence probes that only

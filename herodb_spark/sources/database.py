@@ -1082,6 +1082,16 @@ class Transaction:
         self.heartbeat_errors: list[str] = []
         self._hb_stop: threading.Event | None = None
         self._hb_thread: threading.Thread | None = None
+        #: serializes _apply's shared-state sections (pins, cost,
+        #: intent writes, foreign-commit records, rebase) so that
+        #: INDEPENDENT statements on DIFFERENT member tables may run
+        #: concurrently from driver threads (guide §2.6 overlap —
+        #: r13 deferred, r14 landed). The mutation's own Spark job
+        #: (fn(t)) runs outside the lock; statements on the SAME table
+        #: still serialize through their manifest's OCC. An arbitration
+        #: defer-poll holds the lock (other statements of this
+        #: transaction wait out the poll — the safe, boring choice).
+        self._lock = threading.RLock()
 
     # -- commit intent + heartbeat ------------------------------------------
     def _intent_path(self) -> str:
@@ -1235,18 +1245,23 @@ class Transaction:
         # commit itself reads current fresh and wouldn't object.
         version = None
         for _attempt in range(self.MAX_REBASES + 1):
-            expected = self._new_pins.get(name, self._base_pins[name])
-            if t._load()["current"] != expected:
-                if name in self._new_pins:
-                    # our own private version was discarded — a higher-
-                    # cost sibling's arbitration heal or a recovery
-                    # swept it; this transaction is fenced out
-                    raise ConcurrentWriteError(
-                        f"{t.path}: this transaction's private version {expected} "
-                        f"(cost {self.cost}) was rolled back by arbitration or "
-                        "recovery — fenced out"
-                    )
-                expected = self._arbitrate_table_race(name, t)
+            with self._lock:
+                expected = self._new_pins.get(name, self._base_pins[name])
+                if t._load()["current"] != expected:
+                    if name in self._new_pins:
+                        # our own private version was discarded — a higher-
+                        # cost sibling's arbitration heal or a recovery
+                        # swept it; this transaction is fenced out
+                        raise ConcurrentWriteError(
+                            f"{t.path}: this transaction's private version {expected} "
+                            f"(cost {self.cost}) was rolled back by arbitration or "
+                            "recovery — fenced out"
+                        )
+                    expected = self._arbitrate_table_race(name, t)
+            # the mutation's own Spark job runs OUTSIDE the lock, so
+            # independent same-transaction statements on other tables
+            # overlap (guide §2.6); same-table statements from this
+            # transaction are the caller's responsibility to order
             try:
                 version = fn(t)
                 break
@@ -1261,6 +1276,13 @@ class Transaction:
                     raise
                 continue
         assert version is not None
+        with self._lock:
+            return self._post_apply(name, t, version, expected)
+
+    def _post_apply(self, name: str, t: SnapshotTable, version: int, expected: int) -> int:
+        """_apply's shared-state bookkeeping after the mutation's own
+        commit — pins, conflict guard, heartbeats, cost, intent.
+        Caller holds self._lock."""
         if version != expected:  # no-op mutations don't dirty the txn
             self._new_pins[name] = version
             # sub-table conflict check (Lock.h:22-27 Table/Page/Row

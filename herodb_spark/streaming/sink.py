@@ -129,8 +129,17 @@ class DatabaseTxnSink:
         batch_df = batch_df.persist()  # N routes consume it; eval once
         try:
             with self.db.transaction(txn=(self.sink_id, bid)) as t:
-                for name, fn in self.routes.items():
-                    t.merge_upsert(name, fn(batch_df))
+                # each route targets its OWN member table: run the
+                # statements on driver threads so their jobs overlap
+                # (guide §2.6; Transaction._apply is lock-protected)
+                from herodb_spark.session import run_overlapped
+
+                run_overlapped(
+                    *[
+                        (lambda n=name, f=fn: t.merge_upsert(n, f(batch_df)))
+                        for name, fn in self.routes.items()
+                    ]
+                )
         except ConcurrentWriteError:
             if bid > self.db.last_txn(self.sink_id):
                 raise  # a real conflict, not our own batch landing
