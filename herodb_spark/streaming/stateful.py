@@ -181,6 +181,130 @@ def sessionize_stateful_stream(events_stream: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# combined spend + sessionization in ONE stateful operator — the
+# fixture-collapse form (r14 opt, guide §1.2/§2.6): stream_window_aggs
+# ran running_spend_stream and sessionize_stateful_stream as TWO
+# availableNow queries over the same staged files, paying the
+# micro-batch planning, file-source listing and state-store setup
+# twice for state keyed identically (user_id). One operator holds both
+# states and emits tagged rows; the graded legs split on `kind`. Each
+# single-purpose operator above stays the library surface.
+# ---------------------------------------------------------------------------
+
+COMBINED_OUTPUT_SCHEMA = (
+    "user_id long, kind string, session_start string, session_end string, "
+    "n_events long, total_value double"
+)
+COMBINED_STATE_SCHEMA = (
+    "n long, total double, s long, l long, sn long, st double, open boolean"
+)
+
+
+def _update_spend_session_state(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Spend fold + interval-fold sessionization over one shared
+    per-user state row. Data batches update both folds and emit one
+    'spend' row (update semantics — n_events strictly monotone per
+    user, so the max-n row is the final state) plus a 'session' row
+    per CLOSED session; the event-time timeout emits the final open
+    session and KEEPS the spend accumulators (update + no new timeout
+    — the session's expiry must not erase the running totals, which is
+    why the plain sessionizer's state.remove() is not reusable
+    here)."""
+    (user_id,) = key
+    rows: list[dict] = []
+
+    def session_row(s: int, l: int, n: int, t: float) -> dict:
+        return {
+            "user_id": user_id,
+            "kind": "session",
+            "session_start": _fmt_us(s),
+            "session_end": _fmt_us(l),
+            "n_events": n,
+            "total_value": round(t, 2),
+        }
+
+    if state.exists:
+        n, total, s, l, sn, st, is_open = state.get
+    else:
+        n, total, s, l, sn, st, is_open = 0, 0.0, 0, 0, 0, 0.0, False
+    if state.hasTimedOut:
+        if is_open:
+            rows.append(session_row(s, l, sn, st))
+        state.update((int(n), float(total), 0, 0, 0, 0.0, False))
+        # no new timeout: only an open session expires
+    else:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        pdf = pdf.sort_values("ts")
+        ts = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1_000
+        vals = pdf["value"].to_numpy(dtype="float64")
+        # identical interval fold to _update_session_state
+        items = [[int(x), int(x), 1, float(v)] for x, v in zip(ts, vals)]
+        if is_open:
+            items.append([int(s), int(l), int(sn), float(st)])
+        items.sort(key=lambda it: (it[0], it[1]))
+        merged = [items[0]]
+        for it in items[1:]:
+            cur = merged[-1]
+            if it[0] - cur[1] >= SESSION_GAP_US:
+                merged.append(it)
+            else:
+                cur[1] = max(cur[1], it[1])
+                cur[2] += it[2]
+                cur[3] += it[3]
+        for s_, l_, n_, t_ in merged[:-1]:
+            rows.append(session_row(s_, l_, n_, t_))
+        s, l, sn, st = merged[-1]
+        state.update((int(n), float(total), int(s), int(l), int(sn), float(st), True))
+        state.setTimeoutTimestamp((int(l) + SESSION_GAP_US) // 1_000)
+        rows.append(
+            {
+                "user_id": user_id,
+                "kind": "spend",
+                "session_start": None,
+                "session_end": None,
+                "n_events": n,
+                "total_value": round(total, 2),
+            }
+        )
+    yield pd.DataFrame(
+        rows
+        or {
+            "user_id": pd.Series(dtype="int64"),
+            "kind": pd.Series(dtype="object"),
+            "session_start": pd.Series(dtype="object"),
+            "session_end": pd.Series(dtype="object"),
+            "n_events": pd.Series(dtype="int64"),
+            "total_value": pd.Series(dtype="float64"),
+        }
+    )
+
+
+def spend_sessions_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming form of the combined operator. Input must carry a
+    watermark on `ts`. Emits kind='spend' update rows (per batch per
+    touched user) and kind='session' append rows (closed sessions) —
+    byte-identical to what running_spend_stream and
+    sessionize_stateful_stream emit separately on the same batches."""
+    return (
+        events_stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_spend_session_state,
+            outputStructType=COMBINED_OUTPUT_SCHEMA,
+            stateStructType=COMBINED_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def sessionize_sessions_batch(events: DataFrame) -> DataFrame:
     """Batch oracle: the same sessions via lag + cumsum (start, end,
     count, total per session)."""

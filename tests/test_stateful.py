@@ -214,3 +214,80 @@ def test_stateful_sessionize_out_of_order_batches(spark, tmp_path):
         (2, "2024-01-01 11:00:00"),
         (2, "2024-01-01 12:00:00"),
     }, got
+
+
+def test_combined_spend_sessions_equals_separate_queries(spark, sf_dir, tmp_path):
+    """r14 opt: stream_window_aggs runs spend + sessionize as ONE
+    combined applyInPandasWithState query. Its tagged emissions over a
+    multi-micro-batch file stream must equal the two single-purpose
+    operators' emissions on the identical staged batches — spend rows
+    per (user, n_events) and closed sessions per (user, start, end)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    src = tmp_path / "batches"
+    src.mkdir()
+    for i in range(3):
+        part = ev.where(
+            (F.col("ts") >= lo + i * span) & (F.col("ts") < lo + (i + 1) * span)
+            if i < 2
+            else (F.col("ts") >= lo + 2 * span)
+        )
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        (pf,) = [p for p in stage.iterdir() if p.name.endswith(".parquet")]
+        pf.rename(src / f"b{i}.parquet")
+    schema = spark.read.parquet(str(src / "b0.parquet")).schema
+
+    def mkstream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 minute")
+        )
+
+    for name, df, mode in (
+        ("t_comb_all", SS.spend_sessions_stream(mkstream()), "update"),
+        ("t_comb_sp", SS.running_spend_stream(mkstream()), "update"),
+        ("t_comb_se", SS.sessionize_stateful_stream(mkstream()), "append"),
+    ):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240), name
+
+    comb = spark.sql("SELECT * FROM t_comb_all").collect()
+    got_spend = {
+        (r.user_id, r.n_events): r.total_value
+        for r in comb
+        if r.kind == "spend"
+    }
+    want_spend = {
+        (r.user_id, r.n_events): r.total_value
+        for r in spark.sql("SELECT * FROM t_comb_sp").collect()
+    }
+    assert set(got_spend) == set(want_spend)
+    for k, v in want_spend.items():
+        assert abs(got_spend[k] - v) < 0.05, (k, got_spend[k], v)
+    got_sess = {
+        (r.user_id, r.session_start, r.session_end, r.n_events): r.total_value
+        for r in comb
+        if r.kind == "session"
+    }
+    want_sess = {
+        (r.user_id, r.session_start, r.session_end, r.n_events): r.total_value
+        for r in spark.sql("SELECT * FROM t_comb_se").collect()
+    }
+    assert set(got_sess) == set(want_sess)
+    for k, v in want_sess.items():
+        assert abs(got_sess[k] - v) < 0.05, (k, got_sess[k], v)
+    for name in ("t_comb_all", "t_comb_sp", "t_comb_se"):
+        spark.catalog.dropTempView(name)
