@@ -152,12 +152,38 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-iteration PageRank over the sparse trade graph; all 25
     nations as the node set. The iteration count is static, so the
     oracle unrolls the 10 rank updates into chained (non-recursive)
-    CTEs — this is a full hash-checked oracle, not rows-only."""
+    CTEs — this is a full hash-checked oracle, not rows-only.
+
+    The bounded iteration loop runs with AQE disabled for the
+    fixture's duration (r14 opt, same scope pattern as
+    lifecycle._few_shuffle_partitions): each checkpoint
+    materialization is a static 25-node multi-join plan whose AQE
+    per-stage materialization costs several scheduler round-trips per
+    shuffle for zero re-planning benefit. The returned frame is lazy
+    and re-plans at the caller's settings; production-scale graphs
+    keep their session's AQE."""
+    import contextlib
+
     from herodb_spark.catalog import load_table
 
-    nodes = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node")).localCheckpoint(eager=True)
-    e = GE.sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
-    return GA.pagerank(nodes, e, iters=10).orderBy("node")
+    @contextlib.contextmanager
+    def _no_aqe():
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    with _no_aqe():
+        # every eager job of the fixture — the two input checkpoints
+        # and the iteration-cadence checkpoints inside GA.pagerank —
+        # runs in this scope; the returned select/sort over the final
+        # checkpoint is lazy and re-plans at the caller's settings
+        nodes = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node")).localCheckpoint(eager=True)
+        e = GE.sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
+        ranks = GA.pagerank(nodes, e, iters=10)
+    return ranks.orderBy("node")
 
 
 def _pagerank_unrolled_sql(iters: int = 10, damping: float = 0.85) -> str:
@@ -295,15 +321,30 @@ def graph_personalized_pagerank(
     non-seeds are exactly 0.0 and seeds are reachable at hops 0, so
     the joined support carries every nonzero score); this standalone
     entry + oracle kept."""
+    import contextlib
+
     from herodb_spark.catalog import load_table
 
-    nodes = (
-        load_table(spark, sf_dir, "nation")
-        .select(F.col("n_nationkey").alias("node"))
-        .localCheckpoint(eager=True)
-    )
-    e = GE.sparse_edges(spark, sf_dir, edges).localCheckpoint(eager=True)
-    return GA.personalized_pagerank(nodes, e, seeds=[SEED], iters=10).orderBy("node")
+    # fixture-scoped AQE-off for the bounded iteration loop — same
+    # rationale and scope discipline as graph_pagerank above
+    @contextlib.contextmanager
+    def _no_aqe():
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    with _no_aqe():
+        nodes = (
+            load_table(spark, sf_dir, "nation")
+            .select(F.col("n_nationkey").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        e = GE.sparse_edges(spark, sf_dir, edges).localCheckpoint(eager=True)
+        ranks = GA.personalized_pagerank(nodes, e, seeds=[SEED], iters=10)
+    return ranks.orderBy("node")
 
 
 def _ppr_unrolled_sql(iters: int = 10, damping: float = 0.85) -> str:
