@@ -71,7 +71,11 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from herodb_spark.sources.snapshot import ConcurrentWriteError, SnapshotTable
+from herodb_spark.sources.snapshot import (
+    ConcurrentWriteError,
+    SnapshotTable,
+    _enc_stat,
+)
 
 _DB_MANIFEST = "_db_manifest.json"
 _INTENT_DIR = "_intents"
@@ -168,10 +172,14 @@ def _hull_avoids_ranges(hull: dict | None, ranges: dict) -> bool:
     proves nothing here only if the other bound is also unknown —
     conservatively, any None bound returns False for that column.
     Anything unknown or incomparable → False: like _keys_disjoint,
-    this check can only ADMIT provably-safe interleaves."""
+    this check can only ADMIT provably-safe interleaves. date/datetime
+    bounds are encoded to the manifest's fixed-width ISO form
+    (snapshot._enc_stat) so declared ranges on date/timestamp keys
+    compare same-type against recorded hulls."""
     if not hull:
         return False
     for c, (lo, hi) in ranges.items():
+        lo, hi = _enc_stat(lo), _enc_stat(hi)
         b = hull.get(c)
         if not b:
             continue

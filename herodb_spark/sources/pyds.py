@@ -627,7 +627,16 @@ class _OverwriteWriter(DataSourceWriter):
         self.version = version
         self.vdir = f"data/v={version}-{uuid.uuid4().hex[:8]}"
         types = {f.name: f.dataType.simpleString() for f in table_schema.fields}
-        stat_types = ("int", "bigint", "smallint", "tinyint", "float", "double", "string")
+        # date joined in r14 alongside SnapshotTable._STAT_TYPES (its
+        # pyarrow min/max is exact and tz-free; commit() encodes it to
+        # the manifest's fixed-width ISO form). timestamp stays out of
+        # the WRITER-side stats: the pyarrow naive-datetime bounds are
+        # not provably the session-timezone values the engine's scan
+        # paths record, and a wrong-but-plausible bound would mis-skip.
+        stat_types = (
+            "int", "bigint", "smallint", "tinyint", "float", "double",
+            "string", "date",
+        )
         want_stats = list(m["key_cols"]) + ([self.pcol] if self.pcol else [])
         self.stat_cols = [c for c in dict.fromkeys(want_stats) if types.get(c) in stat_types]
 
@@ -680,7 +689,7 @@ class _OverwriteWriter(DataSourceWriter):
 
     # driver side -----------------------------------------------------------
     def commit(self, messages) -> None:
-        from herodb_spark.sources.snapshot import SnapshotTable
+        from herodb_spark.sources.snapshot import SnapshotTable, _enc_stat
 
         parts: dict = {}
         nfiles: dict = {}
@@ -705,12 +714,17 @@ class _OverwriteWriter(DataSourceWriter):
                 parts[pv] = rel
                 nfiles[pv] = nfiles.get(pv, 0) + len(flist)
                 for name, _n, st in flist:
-                    file_stats.setdefault(rel, {})[name] = {c: list(b) for c, b in st.items()}
+                    file_stats.setdefault(rel, {})[name] = {
+                        c: [_enc_stat(b[0]), _enc_stat(b[1])] for c, b in st.items()
+                    }
                     cur = stats.setdefault(pv, {})
                     for c, b in st.items():
                         cur[c] = merge(cur.get(c), list(b))
         t = SnapshotTable(None, self.path)  # _commit is pure manifest I/O
         m = t._load()
+        for d in stats.values():  # canonical manifest encoding (dates)
+            for c, b in d.items():
+                d[c] = [_enc_stat(b[0]), _enc_stat(b[1])]
         m["versions"][str(self.version)] = {
             "op": "overwrite",
             "partitions": parts,

@@ -30,6 +30,7 @@ Operations mirror operators/mutation.py's oracle-checked semantics:
 from __future__ import annotations
 
 import contextlib
+import datetime
 import json
 import os
 import shutil
@@ -42,6 +43,35 @@ from pyspark.sql import functions as F
 
 _MANIFEST = "_manifest.json"
 _UNPARTITIONED = "_all"
+
+
+def _enc_stat(v):
+    """Canonical JSON-safe, ORDER-ISOMORPHIC encoding of a zone-map
+    scalar (r14: extends stats to date/timestamp keys, r13 verdict #6).
+    date/datetime values become FIXED-WIDTH ISO strings — zero-padded
+    via explicit formatting, not strftime, whose %Y is not fixed-width
+    for years < 1000 — so lexicographic order on the encodings equals
+    temporal order on the values. Every producer of manifest stats /
+    key hulls encodes through here and every consumer that compares
+    caller-supplied bounds against recorded stats (`_skippable`,
+    database._hull_avoids_ranges) encodes the bounds the same way, so
+    all comparisons are same-type and exact. int/float/str/None pass
+    through unchanged — existing manifests are byte-identical.
+
+    Why not decimal: there is no order-preserving JSON-scalar encoding
+    that is also safe under the consumers' duck-typed comparisons
+    (str(Decimal) breaks lexicographic order; an unscaled int would
+    silently compare NUMERICALLY against a caller's Decimal bound at
+    the wrong scale — a wrong-skip trap, not a TypeError). Decimal
+    keys therefore stay out of `_STAT_TYPES`."""
+    if isinstance(v, datetime.datetime):
+        return (
+            f"{v.year:04d}-{v.month:02d}-{v.day:02d} "
+            f"{v.hour:02d}:{v.minute:02d}:{v.second:02d}.{v.microsecond:06d}"
+        )
+    if isinstance(v, datetime.date):
+        return f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+    return v
 
 
 def _parse_type(spark: SparkSession, typ: str):
@@ -326,8 +356,14 @@ class SnapshotTable:
             nfiles[val] = _count(out[val])
         return out, nfiles
 
-    # zone-map stat columns: JSON-safe, order-comparable scalar types
-    _STAT_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "string")
+    # zone-map stat columns: scalar types with a JSON-safe,
+    # order-isomorphic manifest encoding (`_enc_stat`). date/timestamp
+    # joined in r14 (r13 verdict #6) — their stats are recorded as
+    # fixed-width ISO strings; decimal stays out, see _enc_stat's note.
+    _STAT_TYPES = (
+        "int", "bigint", "smallint", "tinyint", "float", "double",
+        "string", "date", "timestamp",
+    )
 
     def _stat_cols(
         self, df: DataFrame, cols: list[str], partition_col: str | None = None
@@ -377,7 +413,10 @@ class SnapshotTable:
         parts, files = self._write_partitions(df, version, None)
         got = obs.get if obs is not None else {}
         stats = (
-            {_UNPARTITIONED: {c: [got[f"amn_{c}"], got[f"amx_{c}"]] for c in stat_cols}}
+            {_UNPARTITIONED: {
+                c: [_enc_stat(got[f"amn_{c}"]), _enc_stat(got[f"amx_{c}"])]
+                for c in stat_cols
+            }}
             if stat_cols
             else {}
         )
@@ -387,7 +426,8 @@ class SnapshotTable:
             n_upd = int(got.get("n_upd") or 0)
             key_ranges = {
                 _UNPARTITIONED: {
-                    c: [got[f"umn_{c}"], got[f"umx_{c}"]] for c in stat_cols
+                    c: [_enc_stat(got[f"umn_{c}"]), _enc_stat(got[f"umx_{c}"])]
+                    for c in stat_cols
                 }
             }
         return parts, files, stats, key_ranges, n_upd
@@ -443,7 +483,10 @@ class SnapshotTable:
         )
         got = obs.get
         stats = {
-            v: {c: [got[f"mn_{i}_{c}"], got[f"mx_{i}_{c}"]] for c in stat_cols}
+            v: {
+                c: [_enc_stat(got[f"mn_{i}_{c}"]), _enc_stat(got[f"mx_{i}_{c}"])]
+                for c in stat_cols
+            }
             for i, v in enumerate(vals)
             if v in parts
         }
@@ -478,7 +521,10 @@ class SnapshotTable:
             aggs.append(F.max(c).alias(f"mx_{c}"))
         rows = df.groupBy("_p").agg(*aggs).collect()
         return {
-            r["_p"]: {c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stat_keys}
+            r["_p"]: {
+                c: [_enc_stat(r[f"mn_{c}"]), _enc_stat(r[f"mx_{c}"])]
+                for c in stat_keys
+            }
             for r in rows
         }
 
@@ -611,11 +657,22 @@ class SnapshotTable:
         return hulls
 
     #: declared column type → the parquet physical type its footer
-    #: statistics must carry for `_footer_stats` to trust them
+    #: statistics must carry for `_footer_stats` to trust them.
+    #: date (r14): INT32 days-since-epoch, signed order = date order;
+    #: `_footer_file_minmax` additionally requires pyarrow to have
+    #: decoded the bounds AS dates (positive proof the chunk's logical
+    #: type is DATE, since a plain int32 column shares the physical
+    #: type). timestamp is deliberately ABSENT: Spark's default
+    #: outputTimestampType writes INT96 (whose footer min/max the
+    #: parquet spec deprecates), and an INT64-micros chunk's bounds
+    #: would still need the isAdjustedToUTC → session-timezone
+    #: conversion the scan applies — not provably exact across writer
+    #: configs, so timestamp stat columns always take the scan/observed
+    #: paths.
     _FOOTER_PHYS = {
         "int": "INT32", "smallint": "INT32", "tinyint": "INT32",
         "bigint": "INT64", "float": "FLOAT", "double": "DOUBLE",
-        "string": "BYTE_ARRAY",
+        "string": "BYTE_ARRAY", "date": "INT32",
     }
     #: string footer stats at/over this many UTF-8 bytes are not
     #: trusted: a truncating writer configuration would yield inexact
@@ -677,6 +734,21 @@ class SnapshotTable:
                 elif typ in ("float", "double"):
                     if math.isnan(mn) or math.isnan(mx) or mn == 0.0 or mx == 0.0:
                         return None
+                elif typ == "date":
+                    # positive proof the chunk is logical DATE: pyarrow
+                    # decodes DATE stats to datetime.date; a plain int32
+                    # chunk yields ints (physical type alone can't tell
+                    # them apart). datetime subclasses date — exclude it.
+                    if not all(
+                        isinstance(b, datetime.date)
+                        and not isinstance(b, datetime.datetime)
+                        for b in (mn, mx)
+                    ):
+                        return None
+                    # encode here so the fold below and both callers see
+                    # the canonical manifest form (order-isomorphic, so
+                    # folding encodings == encoding the fold)
+                    mn, mx = _enc_stat(mn), _enc_stat(mx)
                 amn, amx = acc[c]
                 acc[c] = (
                     mn if amn is None or mn < amn else amn,
@@ -782,7 +854,10 @@ class SnapshotTable:
             pv = by_dir.get(os.path.abspath(d))
             if pv is None:
                 continue
-            stats[pv] = {c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stat_cols}
+            stats[pv] = {
+                c: [_enc_stat(r[f"mn_{c}"]), _enc_stat(r[f"mx_{c}"])]
+                for c in stat_cols
+            }
         return stats
 
     # -- reads -------------------------------------------------------------
@@ -815,10 +890,14 @@ class SnapshotTable:
         A bound whose Python type doesn't order against the recorded
         stats (e.g. a string constant against a numeric key) proves
         nothing — such partitions are scanned, and the engine's own
-        cast semantics decide the comparison."""
+        cast semantics decide the comparison. date/datetime bounds are
+        encoded to the same fixed-width ISO form the manifest records
+        (`_enc_stat`), so range pruning on date/timestamp keys is a
+        same-type string comparison."""
         for col, (lo, hi) in ranges.items():
             if col not in pstats:
                 continue
+            lo, hi = _enc_stat(lo), _enc_stat(hi)
             mn, mx = pstats[col]
             if mn is None:
                 return True
@@ -1232,7 +1311,8 @@ class SnapshotTable:
             if rel is None:
                 continue
             out.setdefault(rel, {})[name] = {
-                c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stat_cols
+                c: [_enc_stat(r[f"mn_{c}"]), _enc_stat(r[f"mx_{c}"])]
+                for c in stat_cols
             }
         return out
 

@@ -1233,3 +1233,104 @@ def test_insert_only_hull_gates(spark, tmp_path):
     md = td._load()
     lit_d = literal_df(spark, [(99.5, 0, "z")], "id double, grp int, s string")
     assert td._insert_only_hulls(md, 0, lit_d, ["id"], "grp", ["id"]) is None
+
+
+def test_date_timestamp_zone_maps(spark, tmp_path):
+    """r14 (r13 verdict #6): date/timestamp key columns now carry zone
+    maps, recorded as fixed-width ISO strings whose lexicographic
+    order equals temporal order (`_enc_stat`). Date stats come from
+    the parquet footers when provably exact; timestamp stats always
+    take the scan/observed paths (INT96 default + timezone adjustment
+    make footer bounds unprovable). Decimal stays un-stat-ed: no
+    order-preserving JSON encoding survives the consumers' duck-typed
+    comparisons."""
+    import datetime as dt
+
+    from herodb_spark.sources.snapshot import SnapshotTable, _enc_stat
+
+    d0 = dt.date(2024, 3, 5)
+    t0 = dt.datetime(2024, 3, 5, 12, 30, 45, 1)
+    rows = [
+        (10 * g + i, g, d0 + dt.timedelta(days=30 * g + i),
+         t0 + dt.timedelta(minutes=30 * g + i))
+        for g in range(3)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp int, d date, ts timestamp")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "dt"), df, ["id", "d", "ts"], partition_col="grp"
+    )
+    m = t._load()
+    st = m["versions"]["0"]["stats"]
+    # encoded, fixed-width, JSON-round-tripped (manifest was re-loaded)
+    assert st["0"]["d"] == ["2024-03-05", "2024-03-08"]
+    assert st["0"]["ts"][0] == "2024-03-05 12:30:45.000001"
+    assert st["2"]["d"] == ["2024-05-04", "2024-05-07"]
+    # ts (not footer-provable) forces the scan fallback for the whole
+    # stat set; date ALONE is footer-provable — parity vs forced scan
+    cols_d = ["id", "d", "grp"]
+    schema = t._schema_at(m, 0)
+    parts = m["versions"]["0"]["partitions"]
+    footer = t._footer_stats(parts, schema, cols_d)
+    assert footer is not None
+    orig = SnapshotTable._footer_stats
+    SnapshotTable._footer_stats = lambda self, *a, **k: None
+    try:
+        scan = t._partition_stats(parts, schema, cols_d)
+    finally:
+        SnapshotTable._footer_stats = orig
+    assert footer == scan, (footer, scan)
+    # ...and the ts-including set is footer-rejected (falls back)
+    assert t._footer_stats(parts, schema, ["id", "d", "ts"]) is None
+    # gate: declared `date` over a chunk whose stats are NOT decoded
+    # as dates (an int32 column shares the physical type) -> reject
+    some_dir = os.path.join(t.path, next(iter(parts.values())))
+    fpath = os.path.join(
+        some_dir, next(f for f in os.listdir(some_dir) if f.endswith(".parquet"))
+    )
+    assert t._footer_file_minmax(fpath, {"grp": "date"}) is None
+    # read-side pruning: date range bounds encode to the manifest form
+    lo, hi = dt.date(2024, 3, 1), dt.date(2024, 3, 31)
+    assert not SnapshotTable._skippable(st["0"], {"d": (lo, hi)})
+    assert SnapshotTable._skippable(st["2"], {"d": (lo, hi)})
+    got = sorted(
+        r["id"] for r in t.read(ranges={"d": (lo, hi)}).where(
+            (F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi))
+        ).collect()
+    )
+    assert got == [r[0] for r in rows if lo <= r[2] <= hi]
+    # timestamp pruning likewise (same-type string comparison)
+    assert SnapshotTable._skippable(
+        st["2"], {"ts": (t0, t0 + dt.timedelta(minutes=3))}
+    )
+    # unpartitioned create: the observed-stats path encodes too
+    tu = SnapshotTable.create(
+        spark, str(tmp_path / "dtu"), df, ["id", "d", "ts"]
+    )
+    stu = tu._load()["versions"]["0"]["stats"]["_all"]
+    assert stu["d"] == ["2024-03-05", "2024-05-07"]
+    assert stu["ts"][1] == _enc_stat(max(r[3] for r in rows))
+    # merge on a date-stat-keyed table: hulls encode, manifest commits
+    # (json.dump would raise on raw dates), conflict intervals compare
+    up = spark.createDataFrame(
+        [(500, 0, dt.date(2030, 1, 1), t0)], "id long, grp int, d date, ts timestamp"
+    )
+    v = t.merge_upsert(up)
+    kr = t._load()["versions"][str(v)]["key_ranges"]
+    assert kr["0"]["d"] == ["2030-01-01", "2030-01-01"]
+    # decimal keys stay out of the stat set entirely
+    dfc = spark.createDataFrame(
+        [(1, 0)], "id long, grp int"
+    ).withColumn("c", F.col("id").cast("decimal(10,2)"))
+    tc = SnapshotTable.create(
+        spark, str(tmp_path / "dec"), dfc, ["c"], partition_col="grp"
+    )
+    assert tc._load()["versions"]["0"]["stats"] == {"0": {"grp": [0, 0]}}
+    # _enc_stat order-isomorphism on the tricky edges: microsecond
+    # neighbors, fixed-width years below 1000
+    pairs = [
+        (dt.datetime(2024, 1, 1, 0, 0, 0, 999999), dt.datetime(2024, 1, 1, 0, 0, 1)),
+        (dt.date(999, 12, 31), dt.date(1000, 1, 1)),
+    ]
+    for a, b in pairs:
+        assert a < b and _enc_stat(a) < _enc_stat(b), (a, b)
