@@ -12,6 +12,35 @@ from tests.harness import duckdb_con  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+#: node IDs measured >= 3 s (call+setup+teardown) in the full-suite
+#: --durations=0 run — see tests/slow_tests.txt for provenance and the
+#: regeneration command. Marked `slow` here so pytest.ini's default
+#: `-m "not slow"` keeps the plain `pytest tests/` gate under the
+#: round driver's verification window (r13 verdict #2: the full
+#: 59-71 min suite outgrew it); the full suite stays one flag away
+#: and remains the pre-close attestation of record.
+_SLOW_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "slow_tests.txt")
+
+
+def _slow_ids() -> frozenset[str]:
+    try:
+        with open(_SLOW_FILE) as f:
+            return frozenset(
+                ln.strip() for ln in f if ln.strip() and not ln.startswith("#")
+            )
+    except OSError:
+        return frozenset()
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = _slow_ids()
+    if not slow:
+        return
+    mark = pytest.mark.slow
+    for item in items:
+        if f"tests/{item.nodeid}".replace("\\", "/") in slow or item.nodeid in slow:
+            item.add_marker(mark)
+
 
 @pytest.fixture(scope="session")
 def spark():
