@@ -213,32 +213,46 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _minhash_bands(sh: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_key) LSH band table from the shingle
-    frame — the shared candidate-generation head of the three banded
-    operators (minhash_lsh_pairs, dedup_incremental_minhash,
+def _band_cand_pairs(sh: DataFrame, pair_cond) -> DataFrame:
+    """Distinct LSH candidate pairs (doc_a, doc_b) that share at least
+    one band bucket and satisfy `pair_cond(doc_a, doc_b)` — the shared
+    candidate-generation head of the three banded operators
+    (minhash_lsh_pairs, dedup_incremental_minhash,
     dedup_split_leakage).
 
-    The 64-perm MinHash signature is MATERIALIZED once (r14 opt, guide
-    §1.2/§2.4): every banded operator references the band table twice
-    (the two sides of the bucket join), and Catalyst does not dedupe
-    the doubled subtree — the r13 plan dumps show the full
-    explode→64-agg signature pipeline TWICE per plan (the same
-    no-ReusedExchange behavior the r13 star-fusion experiment
-    measured). Checkpointing the signature (one row per doc, 64 longs)
-    makes the second reference a checkpoint scan; only the trivial
-    band explode runs per side. At 100 TB this is the same persisted
-    band index the incremental docstring already promises —
-    persist(DISK_ONLY) or a staged write, same plan shape."""
+    Single-reference formulation (r14 opt, guide §2.4 remove shuffles /
+    §1.2 don't compute twice): the earlier shape referenced the band
+    table on BOTH sides of a bucket self-join, and Catalyst does not
+    dedupe the doubled subtree — the r13 plan dumps show the full
+    explode→64-perm-agg signature pipeline TWICE per plan. A first r14
+    cut checkpointed the signature so the second side was a checkpoint
+    scan, at the price of one eager job per operator call. This shape
+    needs neither: buckets come from ONE groupBy (band_id, band_key)
+    whose collected doc list is crossed in-bucket by two chained
+    explodes, so the signature subtree is referenced once, the self-
+    join's two Exchanges collapse into the groupBy's one, and no eager
+    checkpoint job runs. In-bucket pair volume is identical to the
+    join's (same bucket ⇒ same cross product); buckets stay small at
+    any scale because band-key cardinality grows with the corpus (the
+    singleton-bucket filter drops the vast majority before any pair is
+    generated)."""
     exploded = sh.select("doc_id", F.explode("sh").alias("s"))
-    sig = (
-        exploded.groupBy("doc_id")
-        .agg(*H.minhash_aggs(F.col("s"), 64))
-        .localCheckpoint(eager=True)
-    )
-    return sig.select(
+    sig = exploded.groupBy("doc_id").agg(*H.minhash_aggs(F.col("s"), 64))
+    bands = sig.select(
         "doc_id", F.explode(H.lsh_band_structs(num_perm=64, bands=32)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    return (
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .where(pair_cond(F.col("doc_a"), F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,14 +271,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three times dominated runtime. At 100 TB this becomes
     # persist(DISK_ONLY) or a staged write, same plan shape.
     sh = _with_shingles(docs).localCheckpoint(eager=True)
-    bands = _minhash_bands(sh)
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band_id", "band_key"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _band_cand_pairs(sh, lambda a, b: a < b)
     return _verify_jaccard(cand, sh)
 
 
@@ -970,13 +977,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (new_doc, old_doc, jaccard), ordered."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _with_shingles(docs).localCheckpoint(eager=True)
-    bands = _minhash_bands(sh)
-    is_new = F.col("doc_id") % INCR_NEW_MOD == 0
-    cand = (
-        bands.where(is_new).alias("x")
-        .join(bands.where(~is_new).alias("y"), ["band_id", "band_key"])
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+    cand = _band_cand_pairs(
+        sh, lambda a, b: (a % INCR_NEW_MOD == 0) & (b % INCR_NEW_MOD != 0)
     )
     out = _verify_jaccard_unordered(cand, sh)
     return out.select(
@@ -1058,13 +1060,10 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = _with_shingles(docs).localCheckpoint(eager=True)
-    bands = _minhash_bands(sh)
-    is_val = sample_hash_keep(F.col("doc_id"), LEAK_VAL_FRAC)
-    cand = (
-        bands.where(~is_val).alias("x")
-        .join(bands.where(is_val).alias("y"), ["band_id", "band_key"])
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+    cand = _band_cand_pairs(
+        sh,
+        lambda a, b: ~sample_hash_keep(a, LEAK_VAL_FRAC)
+        & sample_hash_keep(b, LEAK_VAL_FRAC),
     )
     out = _verify_jaccard_unordered(cand, sh)
     return out.select(

@@ -554,3 +554,62 @@ def test_hybrid_rrf_fusion_laws(spark):
                     and r.dense_rank < o.dense_rank and r.lex_rank < o.lex_rank
                 ):
                     assert r.rrf > o.rrf
+
+
+def test_band_cand_pairs_equals_bucket_self_join(spark):
+    """The single-reference bucket-pair head (r14: groupBy bucket +
+    in-bucket explode cross) must produce exactly the candidate set of
+    the textbook bucket SELF-JOIN it replaced, for all three pair
+    predicates (symmetric a<b, incremental new×old, leakage
+    train×val). Guards the candidate-generation rewrite: a drift here
+    would silently shrink LSH recall before the verify step."""
+    from herodb_spark.functions import hashing as H
+    from herodb_spark.catalog import load_table
+    from herodb_spark.operators.corpus import sample_hash_keep
+
+    sfd = "/root/testdata/sf0.01"
+    docs = load_table(spark, sfd, "documents")
+    sh = D._with_shingles(docs).localCheckpoint(eager=True)
+    sig = (
+        sh.select("doc_id", F.explode("sh").alias("s"))
+        .groupBy("doc_id")
+        .agg(*H.minhash_aggs(F.col("s"), 64))
+        .localCheckpoint(eager=True)
+    )
+    bands = sig.select(
+        "doc_id", F.explode(H.lsh_band_structs(num_perm=64, bands=32)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+    is_new = F.col("doc_id") % D.INCR_NEW_MOD == 0
+    is_val = sample_hash_keep(F.col("doc_id"), D.LEAK_VAL_FRAC)
+    cases = {
+        "sym": (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band_id", "band_key"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id")),
+            lambda a, b: a < b,
+        ),
+        "inc": (
+            bands.where(is_new).alias("x")
+            .join(bands.where(~is_new).alias("y"), ["band_id", "band_key"]),
+            lambda a, b: (a % D.INCR_NEW_MOD == 0) & (b % D.INCR_NEW_MOD != 0),
+        ),
+        "leak": (
+            bands.where(~is_val).alias("x")
+            .join(bands.where(is_val).alias("y"), ["band_id", "band_key"]),
+            lambda a, b: ~sample_hash_keep(a, D.LEAK_VAL_FRAC)
+            & sample_hash_keep(b, D.LEAK_VAL_FRAC),
+        ),
+    }
+    for name, (joined, cond) in cases.items():
+        want = {
+            (r.doc_a, r.doc_b)
+            for r in joined.select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .distinct()
+            .collect()
+        }
+        got = {(r.doc_a, r.doc_b) for r in D._band_cand_pairs(sh, cond).collect()}
+        assert want, f"{name}: self-join control produced no candidates"
+        assert got == want, (name, sorted(got - want)[:5], sorted(want - got)[:5])
