@@ -169,11 +169,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     @contextlib.contextmanager
     def _no_aqe():
         prev = spark.conf.get("spark.sql.adaptive.enabled")
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
             yield
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     with _no_aqe():
         # every eager job of the fixture — the two input checkpoints
@@ -330,11 +336,17 @@ def graph_personalized_pagerank(
     @contextlib.contextmanager
     def _no_aqe():
         prev = spark.conf.get("spark.sql.adaptive.enabled")
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
             yield
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     with _no_aqe():
         nodes = (

@@ -47,16 +47,33 @@ def _few_shuffle_partitions(spark: SparkSession, n: int = 8):
     round-trips instead of 1 for frames whose static size estimates
     already pick the right (broadcast) plan. Results are plan-
     independent; production-scale callers of the snapshot layer keep
-    their session's AQE."""
+    their session's AQE.
+
+    Since r14 the scope also disables AUTO broadcast planning
+    (autoBroadcastJoinThreshold=-1): once literal frames became sized
+    LocalRelations, every tiny fixture join flipped to
+    BroadcastHashJoin — the scale-correct shape, but each
+    BroadcastExchange is its OWN driver job, and at fixture size (25-
+    row frames, 8 shuffle partitions) the extra scheduler round-trip
+    costs more than the one-job shuffle join it replaces. Measured:
+    snapshot_lifecycle 41→27 jobs, snapshot_maintenance 19→15,
+    db_branch_merge 19→14, at identical results. Production-
+    scale callers keep their session's broadcast planning (the scope
+    restores it in the finally, and the returned legs re-plan at the
+    caller's settings); explicit F.broadcast hints, had the layer any,
+    would still win over the threshold."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
 
 
 def snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -211,10 +211,19 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization costs 3-4 scheduler round-trips per join for
     # zero re-planning benefit (streaming queries never use AQE, so
     # only the eager batch legs change execution, not results).
+    # Since r14 the scope also disables AUTO broadcast planning, the
+    # lifecycle._few_shuffle_partitions treatment: the sized
+    # LocalRelation literals flipped the DatabaseTxnSink legs' tiny
+    # joins to BroadcastHashJoin, whose BroadcastExchange is its own
+    # driver job — at fixture size the extra scheduler round-trip
+    # costs more than the one-job shuffle join. Results are
+    # plan-independent and hash-gated; restored in the finally.
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         src = os.path.join(tmp, "batches")
         os.makedirs(src)
@@ -449,6 +458,7 @@ def _stateful_stream_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         for q in queries:  # availableNow self-terminates; belt-and-braces
             if q.isActive:
                 q.stop()
